@@ -1,0 +1,51 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Local-mode defaults are sized for the test harness (local[32],
+  * 32 shuffle partitions); on a real cluster the same builder is used
+  * with master/shuffle-partitions supplied by spark-submit. AQE stays
+  * on so shuffle partition counts self-tune at scale (coalescing +
+  * skew-join splitting).
+  */
+object Sessions {
+
+  /** Configs every graft session needs regardless of master.
+    *
+    * `nanosAsLong` is required because the synthetic `events` table
+    * stores TIMESTAMP(NANOS) parquet, which Spark otherwise refuses
+    * to read (PARQUET_TYPE_ILLEGAL); we read nanos as Long and derive
+    * microsecond timestamps (see [[Tables.events]]).
+    */
+  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.aggregatePushdown", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
+
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = tune(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName(appName)
+        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.ui.enabled", "false")
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply the session-level graft confs to an externally-created
+    * session (e.g. the driver-owned one passed into SparkEntry).
+    * All of these are runtime-settable SQL confs.
+    */
+  def adopt(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+}

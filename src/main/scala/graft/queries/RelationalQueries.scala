@@ -1,0 +1,297 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, TimestampNTZType}
+
+import graft.core.Tables
+
+/** Reference-parity relational operators (SURVEY.md §2), each expressed
+  * as a declarative DataFrame query over the driver's synthetic tables
+  * so the DuckDB oracle can check it.
+  *
+  * Query names carry the SURVEY §2 operator ids (s1, p6, w1, j1, a1, …)
+  * so coverage is line-by-line traceable.
+  *
+  * Cross-engine determinism rules (SURVEY §7.5):
+  *  - SUM over doubles goes through DECIMAL(18,4) then back to double:
+  *    exact arithmetic → bit-identical across engines.
+  *  - AVG = decimal-sum cast double / count (identical double division).
+  *  - STDDEV is rounded to 4 dp (engines differ in last ulps only).
+  *  - first/last are pinned as min_by/max_by over the µs timestamp.
+  *  - every ORDER BY carries a unique tiebreaker key.
+  */
+object RelationalQueries {
+  private val D = DecimalType(18, 4)
+
+  /** S1+P1+F4: scan → projection with rename/cast/derive (the fact-build
+    * projection shape, build_stock_fact_table.py:55-76). */
+  def s1ScanProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast(D).as("qty_dec"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(D).as("revenue"),
+      col("l_shipdate").cast("date").as("ship_date"))
+
+  /** P2+P6+F9: searched CASE tiering (market_cap_tier,
+    * build_stock_dimensions.py:57-59). */
+  def p6CaseTier(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey"), col("c_name"),
+      when(col("c_acctbal") > 7500, "Large")
+        .when(col("c_acctbal") > 2500, "Mid")
+        .otherwise("Small").as("tier"))
+
+  /** P3+P8+F8+F14: predicate filter pushed to the parquet scan. */
+  def p3Filter(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R" &&
+        col("l_shipdate") >= lit("1995-07-01 00:00:00").cast(TimestampNTZType))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_shipdate").cast("date").as("ship_date"), col("l_quantity"))
+
+  /** W1+P3+P4+P5: top-1-per-group dedup via row_number window — the
+    * reference's latest-extraction-wins dedup
+    * (build_stock_fact_table.py:41-44), pinned with a unique tiebreak. */
+  def w1WindowDedup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    ev.withColumn("row_num", row_number().over(w))
+      .filter(col("row_num") === 1)
+      .drop("row_num")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+  }
+
+  /** P7 pinned deterministic: dropDuplicates-by-key expressed as a
+    * keyed aggregate (arbitrary-survivor → min-key survivor). */
+  def p7DedupByKey(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).groupBy(col("user_id"))
+      .agg(min(col("event_id")).as("first_event_id"),
+        count(lit(1)).as("n_events"))
+
+  /** J1: left equi-join fact⨝dim with an explicitly broadcast small
+    * side (build_stock_aggregations.py:76). */
+  def j1JoinLeft(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        col("o_orderstatus"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** J2: inner equi-join + hash aggregate over the join result. */
+  def j2JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** J3: anti join — the matched-row-elimination half of MERGE
+    * (SURVEY §7.4 upsert core). */
+  def j3AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** J3b: semi join (EXISTS surface). */
+  def j3SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 100000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** A1+A4: weekly OHLCV rollup (build_stock_aggregations.py:80-97)
+    * with first/last pinned as min_by/max_by over event time
+    * (SURVEY §7.5.1). */
+  def a1WeeklyOhlcv(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.groupBy(col("user_id"),
+        year(col("ts")).as("yr"), weekofyear(col("ts")).as("wk"))
+      .agg(
+        min_by(col("value"), col("ts_us")).as("open_val"),
+        max_by(col("value"), col("ts_us")).as("close_val"),
+        max(col("value")).as("high_val"),
+        min(col("value")).as("low_val"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("total_value"),
+        round((max_by(col("value"), col("ts_us")) - min_by(col("value"), col("ts_us"))) /
+          min_by(col("value"), col("ts_us")) * 100.0, 4).as("return_pct"))
+  }
+
+  /** A3+A4: daily/sector-style rollup with avg/sum/count/stddev
+    * (build_stock_aggregations.py:206-217). */
+  def a3RollupStats(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D)).cast("double").as("total_price"),
+        round(sum(col("o_totalprice").cast(D)).cast("double") / count(lit(1)), 4).as("avg_price"),
+        round(stddev_samp(col("o_totalprice")), 4).as("sd_price"))
+
+  /** O1: global top-k (TakeOrderedAndProject — no full sort at scale). */
+  def o1TopK(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** S3: distributed date spine (dim_date) — sequence+explode on
+    * executors, NOT a driver-side loop like the reference
+    * (build_stock_dimensions.py:112-141). */
+  def s3DateSpine(s: SparkSession, dir: String): DataFrame =
+    s.sql("SELECT explode(sequence(to_date('2020-01-01'), to_date('2026-12-31'))) AS date")
+      .select(
+        (year(col("date")) * 10000 + month(col("date")) * 100 + dayofmonth(col("date"))).as("date_key"),
+        col("date"),
+        year(col("date")).as("year"),
+        quarter(col("date")).as("quarter"),
+        month(col("date")).as("month"),
+        weekofyear(col("date")).as("week"),
+        date_format(col("date"), "EEEE").as("day_of_week"),
+        dayofweek(col("date")).between(2, 6).as("is_weekday"))
+
+  /** TPC-H Q1 shape — the flagship scan→filter→agg pipeline.
+    *
+    * Money math happens in exact decimals: each 2-decimal factor is
+    * cast to decimal FIRST, then multiplied (decimal × decimal is
+    * exact in both Spark and DuckDB). Casting a multi-factor double
+    * product to decimal instead is engine-divergent: Spark rounds the
+    * double's shortest string repr (HALF_UP), DuckDB the exact binary
+    * value.
+    */
+  def tpchQ1(s: SparkSession, dir: String): DataFrame = {
+    val d84 = DecimalType(8, 4)
+    val ePrice = col("l_extendedprice").cast(D)
+    val disc = (lit(1.0) - col("l_discount")).cast(d84)
+    val tax = (lit(1.0) + col("l_tax")).cast(d84)
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampNTZType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
+        sum(ePrice).cast("double").as("sum_base_price"),
+        sum(ePrice * disc).cast("double").as("sum_disc_price"),
+        sum(ePrice * disc * tax).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_scan_project" -> (s1ScanProject _),
+    "p6_case_tier" -> (p6CaseTier _),
+    "p3_filter" -> (p3Filter _),
+    "w1_window_dedup" -> (w1WindowDedup _),
+    "p7_dedup_bykey" -> (p7DedupByKey _),
+    "j1_join_left" -> (j1JoinLeft _),
+    "j2_join_agg" -> (j2JoinAgg _),
+    "j3_anti_join" -> (j3AntiJoin _),
+    "j3_semi_join" -> (j3SemiJoin _),
+    "a1_weekly_ohlcv" -> (a1WeeklyOhlcv _),
+    "a3_rollup_stats" -> (a3RollupStats _),
+    "o1_topk" -> (o1TopK _),
+    "s3_date_spine" -> (s3DateSpine _),
+    "tpch_q1" -> (tpchQ1 _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s1_scan_project" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS DECIMAL(18,4)) AS qty_dec,
+         CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS revenue,
+         CAST(l_shipdate AS DATE) AS ship_date
+         FROM lineitem""",
+    "p6_case_tier" ->
+      """SELECT c_custkey, c_name,
+         CASE WHEN c_acctbal > 7500 THEN 'Large'
+              WHEN c_acctbal > 2500 THEN 'Mid'
+              ELSE 'Small' END AS tier
+         FROM customer""",
+    "p3_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+         CAST(l_shipdate AS DATE) AS ship_date, l_quantity
+         FROM lineitem
+         WHERE l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '1995-07-01'""",
+    "w1_window_dedup" ->
+      """SELECT event_id, user_id, ts, event_type, value FROM (
+           SELECT event_id, user_id,
+                  make_timestamp(epoch_ns(ts)//1000) AS ts,
+                  event_type, value,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY epoch_ns(ts)//1000 DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1""",
+    "p7_dedup_bykey" ->
+      """SELECT user_id, min(event_id) AS first_event_id,
+         count(*) AS n_events FROM events GROUP BY user_id""",
+    "j1_join_left" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+         o_orderstatus, c_name, c_mktsegment
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey""",
+    "j2_join_agg" ->
+      """SELECT p_brand,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
+    "j3_anti_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                           WHERE l.l_orderkey = o.o_orderkey)""",
+    "j3_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 100000.0)""",
+    "a1_weekly_ohlcv" ->
+      """SELECT user_id,
+         CAST(year(ts2) AS INT) AS yr, CAST(weekofyear(ts2) AS INT) AS wk,
+         arg_min(value, ts_us) AS open_val,
+         arg_max(value, ts_us) AS close_val,
+         max(value) AS high_val, min(value) AS low_val,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+         round((arg_max(value, ts_us) - arg_min(value, ts_us))
+               / arg_min(value, ts_us) * 100.0, 4) AS return_pct
+         FROM (SELECT *, epoch_ns(ts)//1000 AS ts_us,
+                      make_timestamp(epoch_ns(ts)//1000) AS ts2 FROM events)
+         GROUP BY 1, 2, 3""",
+    "a3_rollup_stats" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(month(o_orderdate) AS INT) AS mo, o_orderpriority,
+         count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price,
+         round(stddev_samp(o_totalprice), 4) AS sd_price
+         FROM orders GROUP BY 1, 2, 3""",
+    "o1_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "s3_date_spine" ->
+      """SELECT CAST(year(d)*10000 + month(d)*100 + day(d) AS INT) AS date_key,
+         d AS date,
+         CAST(year(d) AS INT) AS year, CAST(quarter(d) AS INT) AS quarter,
+         CAST(month(d) AS INT) AS month, CAST(weekofyear(d) AS INT) AS week,
+         dayname(d) AS day_of_week, (isodow(d) <= 5) AS is_weekday
+         FROM (SELECT CAST(unnest(generate_series(DATE '2020-01-01',
+                      DATE '2026-12-31', INTERVAL 1 DAY)) AS DATE) AS d)""",
+    "tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(8,4)) * CAST(1.0 + l_tax AS DECIMAL(8,4))) AS DOUBLE) AS sum_charge,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+  )
+}
