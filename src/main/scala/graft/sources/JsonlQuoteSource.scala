@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.model.Schemas
+
+/** JSONL raw zone (S1 scan / S13 sink) — the reference's
+  * `raw/stock_quotes/date=<d>/*.jsonl` layout
+  * (lambda_function.py:158-197, build_stock_fact_table.py:28-32).
+  *
+  * Reading uses an explicit schema (never inference) and either one
+  * `date=` partition dir (the reference's manual pruning style) or the
+  * zone root, where Spark's hive-style partition discovery + a
+  * `date = …` filter prunes directories for free.
+  */
+object JsonlQuoteSource {
+  def partitionPath(root: String, date: String): String =
+    s"$root/date=$date"
+
+  /** S13: land one day of quotes as JSONL under the date= dir. */
+  def write(df: DataFrame, root: String, date: String): Unit =
+    df.write.mode(SaveMode.Append).json(partitionPath(root, date))
+
+  /** S1: read exactly one day partition, schema pinned. */
+  def readDay(spark: SparkSession, root: String, date: String): DataFrame =
+    spark.read.schema(Schemas.rawQuote).json(partitionPath(root, date))
+
+  /** Read the whole zone with partition discovery; filter on the
+    * `date` partition column to prune (verify via explain:
+    * PartitionFilters). */
+  def readZone(spark: SparkSession, root: String): DataFrame =
+    spark.read
+      .schema(Schemas.rawQuote.add("date", "string"))
+      .option("basePath", root)
+      .json(s"$root/date=*")
+}
