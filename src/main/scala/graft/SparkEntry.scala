@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.RelationalQueries
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+/** Driver contract -- see /root/repo/SURVEY.md S7 + the builder prompt.
   *
-  * `queries` maps SURVEY §2 operator ids to DataFrame builders over the
+  * `queries` maps SURVEY S2 operator ids to DataFrame builders over the
   * driver's synthetic tables; `oracleSql` carries the DuckDB-equivalent
   * SQL for the driver's hash-match correctness gate.
   */
@@ -15,7 +15,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     RelationalQueries.tpchQ1(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md S2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-provided synthetic tables (TESTDATA.md).
   *
-  * One parquet file per table under `sfDir`. All loads are lazy scans —
+  * One parquet file per table under `sfDir`. All loads are lazy scans --
   * filters/projections applied downstream push into the parquet reader
   * (verify with `.explain`: `PushedFilters`, `ReadSchema`).
   */
@@ -28,8 +28,8 @@ object Tables {
   /** `events` stores TIMESTAMP(NANOS) which Spark reads as a nanos
     * Long (legacy.parquet.nanosAsLong). DuckDB's effective precision
     * is microseconds, so the canonical cross-engine timestamp is the
-    * µs truncation: `ts_us` (long, µs since epoch) and `ts`
-    * (timestamp, µs precision). Raw nanos stay available as `ts_ns`.
+    * us truncation: `ts_us` (long, us since epoch) and `ts`
+    * (timestamp, us precision). Raw nanos stay available as `ts_ns`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = apply(spark, dir, "events")

@@ -2,17 +2,17 @@ package graft.model
 
 import org.apache.spark.sql.types._
 
-/** Authoritative schemas for the star-schema pipeline (SURVEY.md §1.3).
+/** Authoritative schemas for the star-schema pipeline (SURVEY.md S1.3).
   *
-  * Everything is explicit `StructType` — the reference infers the raw
+  * Everything is explicit `StructType` -- the reference infers the raw
   * zone (`spark.read.json` with no schema,
   * glue/jobs/build_stock_fact_table.py:32) which is nondeterministic
-  * under corrupt rows; we pin it (FIXTURES.md §1).
+  * under corrupt rows; we pin it (FIXTURES.md S1).
   */
 object Schemas {
   val Money: DecimalType = DecimalType(18, 4)
 
-  /** Raw quote (JSONL, 19 fields) — lambda_function.py:63-96. */
+  /** Raw quote (JSONL, 19 fields) -- lambda_function.py:63-96. */
   val rawQuote: StructType = StructType(Seq(
     StructField("symbol", StringType),
     StructField("name", StringType),
@@ -35,7 +35,7 @@ object Schemas {
     StructField("api_endpoint", StringType),
   ))
 
-  /** fact_stock_daily_price (20 cols) — build_stock_fact_table.py:55-76;
+  /** fact_stock_daily_price (20 cols) -- build_stock_fact_table.py:55-76;
     * natural key (stock_symbol, trade_date). */
   val factStockDailyPrice: StructType = StructType(Seq(
     StructField("fact_key", LongType, nullable = false),
@@ -60,7 +60,7 @@ object Schemas {
     StructField("created_at", TimestampType),
   ))
 
-  /** dim_stock (10 cols) — build_stock_dimensions.py:52-65. */
+  /** dim_stock (10 cols) -- build_stock_dimensions.py:52-65. */
   val dimStock: StructType = StructType(Seq(
     StructField("stock_key", LongType, nullable = false),
     StructField("symbol", StringType),
@@ -74,7 +74,7 @@ object Schemas {
     StructField("is_active", BooleanType),
   ))
 
-  /** dim_date (8 cols) — build_stock_dimensions.py:130-139. */
+  /** dim_date (8 cols) -- build_stock_dimensions.py:130-139. */
   val dimDate: StructType = StructType(Seq(
     StructField("date_key", IntegerType, nullable = false),
     StructField("date", DateType),
@@ -86,7 +86,7 @@ object Schemas {
     StructField("is_trading_day", BooleanType),
   ))
 
-  /** dim_exchange (5 cols) — build_stock_dimensions.py:159-163. */
+  /** dim_exchange (5 cols) -- build_stock_dimensions.py:159-163. */
   val dimExchange: StructType = StructType(Seq(
     StructField("exchange_key", IntegerType, nullable = false),
     StructField("exchange_code", StringType),

@@ -7,25 +7,25 @@ import org.apache.spark.sql.types.{DecimalType, TimestampNTZType}
 
 import graft.core.Tables
 
-/** Reference-parity relational operators (SURVEY.md §2), each expressed
+/** Reference-parity relational operators (SURVEY.md S2), each expressed
   * as a declarative DataFrame query over the driver's synthetic tables
   * so the DuckDB oracle can check it.
   *
-  * Query names carry the SURVEY §2 operator ids (s1, p6, w1, j1, a1, …)
+  * Query names carry the SURVEY S2 operator ids (s1, p6, w1, j1, a1, ...)
   * so coverage is line-by-line traceable.
   *
-  * Cross-engine determinism rules (SURVEY §7.5):
+  * Cross-engine determinism rules (SURVEY S7.5):
   *  - SUM over doubles goes through DECIMAL(18,4) then back to double:
-  *    exact arithmetic → bit-identical across engines.
+  *    exact arithmetic -> bit-identical across engines.
   *  - AVG = decimal-sum cast double / count (identical double division).
   *  - STDDEV is rounded to 4 dp (engines differ in last ulps only).
-  *  - first/last are pinned as min_by/max_by over the µs timestamp.
+  *  - first/last are pinned as min_by/max_by over the us timestamp.
   *  - every ORDER BY carries a unique tiebreaker key.
   */
 object RelationalQueries {
   private val D = DecimalType(18, 4)
 
-  /** S1+P1+F4: scan → projection with rename/cast/derive (the fact-build
+  /** S1+P1+F4: scan -> projection with rename/cast/derive (the fact-build
     * projection shape, build_stock_fact_table.py:55-76). */
   def s1ScanProject(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).select(
@@ -51,7 +51,7 @@ object RelationalQueries {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_shipdate").cast("date").as("ship_date"), col("l_quantity"))
 
-  /** W1+P3+P4+P5: top-1-per-group dedup via row_number window — the
+  /** W1+P3+P4+P5: top-1-per-group dedup via row_number window -- the
     * reference's latest-extraction-wins dedup
     * (build_stock_fact_table.py:41-44), pinned with a unique tiebreak. */
   def w1WindowDedup(s: SparkSession, dir: String): DataFrame = {
@@ -66,13 +66,13 @@ object RelationalQueries {
   }
 
   /** P7 pinned deterministic: dropDuplicates-by-key expressed as a
-    * keyed aggregate (arbitrary-survivor → min-key survivor). */
+    * keyed aggregate (arbitrary-survivor -> min-key survivor). */
   def p7DedupByKey(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).groupBy(col("user_id"))
       .agg(min(col("event_id")).as("first_event_id"),
         count(lit(1)).as("n_events"))
 
-  /** J1: left equi-join fact⨝dim with an explicitly broadcast small
+  /** J1: left equi-join factjoindim with an explicitly broadcast small
     * side (build_stock_aggregations.py:76). */
   def j1JoinLeft(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
@@ -93,8 +93,8 @@ object RelationalQueries {
         count(lit(1)).as("n_items"))
   }
 
-  /** J3: anti join — the matched-row-elimination half of MERGE
-    * (SURVEY §7.4 upsert core). */
+  /** J3: anti join -- the matched-row-elimination half of MERGE
+    * (SURVEY S7.4 upsert core). */
   def j3AntiJoin(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val li = Tables.lineitem(s, dir)
@@ -112,7 +112,7 @@ object RelationalQueries {
 
   /** A1+A4: weekly OHLCV rollup (build_stock_aggregations.py:80-97)
     * with first/last pinned as min_by/max_by over event time
-    * (SURVEY §7.5.1). */
+    * (SURVEY S7.5.1). */
   def a1WeeklyOhlcv(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     ev.groupBy(col("user_id"),
@@ -140,14 +140,14 @@ object RelationalQueries {
         round(sum(col("o_totalprice").cast(D)).cast("double") / count(lit(1)), 4).as("avg_price"),
         round(stddev_samp(col("o_totalprice")), 4).as("sd_price"))
 
-  /** O1: global top-k (TakeOrderedAndProject — no full sort at scale). */
+  /** O1: global top-k (TakeOrderedAndProject -- no full sort at scale). */
   def o1TopK(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(10)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
 
-  /** S3: distributed date spine (dim_date) — sequence+explode on
+  /** S3: distributed date spine (dim_date) -- sequence+explode on
     * executors, NOT a driver-side loop like the reference
     * (build_stock_dimensions.py:112-141). */
   def s3DateSpine(s: SparkSession, dir: String): DataFrame =
@@ -162,10 +162,10 @@ object RelationalQueries {
         date_format(col("date"), "EEEE").as("day_of_week"),
         dayofweek(col("date")).between(2, 6).as("is_weekday"))
 
-  /** TPC-H Q1 shape — the flagship scan→filter→agg pipeline.
+  /** TPC-H Q1 shape -- the flagship scan->filter->agg pipeline.
     *
     * Money math happens in exact decimals: each 2-decimal factor is
-    * cast to decimal FIRST, then multiplied (decimal × decimal is
+    * cast to decimal FIRST, then multiplied (decimal x decimal is
     * exact in both Spark and DuckDB). Casting a multi-factor double
     * product to decimal instead is engine-divergent: Spark rounds the
     * double's shortest string repr (HALF_UP), DuckDB the exact binary

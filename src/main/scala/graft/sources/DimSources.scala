@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   */
 object DimSources {
 
-  /** dim_date spine — the reference builds 2557 rows in a driver-side
+  /** dim_date spine -- the reference builds 2557 rows in a driver-side
     * Python loop (build_stock_dimensions.py:112-141); here it's
     * `sequence+explode` evaluated on executors, so a 100-year spine
     * would scale the same way.
@@ -28,7 +28,7 @@ object DimSources {
         date_format(col("date"), "EEEE").as("day_of_week"),
         dayofweek(col("date")).between(2, 6).as("is_trading_day"))
 
-  /** dim_exchange — 3 static rows (build_stock_dimensions.py:159-163). */
+  /** dim_exchange -- 3 static rows (build_stock_dimensions.py:159-163). */
   def exchanges(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq(

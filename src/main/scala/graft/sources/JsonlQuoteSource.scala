@@ -4,14 +4,14 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 import graft.model.Schemas
 
-/** JSONL raw zone (S1 scan / S13 sink) — the reference's
-  * `raw/stock_quotes/date=<d>/*.jsonl` layout
+/** JSONL raw zone (S1 scan / S13 sink) -- the reference's
+  * `raw/stock_quotes/date=<d>/` JSONL layout
   * (lambda_function.py:158-197, build_stock_fact_table.py:28-32).
   *
   * Reading uses an explicit schema (never inference) and either one
   * `date=` partition dir (the reference's manual pruning style) or the
   * zone root, where Spark's hive-style partition discovery + a
-  * `date = …` filter prunes directories for free.
+  * `date = ...` filter prunes directories for free.
   */
 object JsonlQuoteSource {
   def partitionPath(root: String, date: String): String =

@@ -3,15 +3,15 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Deterministic quote generator (S12) — replaces the reference's HTTP
+/** Deterministic quote generator (S12) -- replaces the reference's HTTP
   * extractor + mock generator (lambda_function.py:105-156) with a
   * distributed Spark source.
   *
   * Determinism at scale: values derive from `xxhash64(symbol, date,
-  * field)` rather than `rand(seed)` — `rand` is partition-index
+  * field)` rather than `rand(seed)` -- `rand` is partition-index
   * dependent, so its output changes whenever the partitioning does;
   * hash-derived values are stable under any repartitioning, executor
-  * count, or re-run (SURVEY §7.5).
+  * count, or re-run (SURVEY S7.5).
   */
 object QuoteGenerator {
   /** Uniform double in [lo, hi) keyed by (symbol, date, field). */
@@ -30,7 +30,7 @@ object QuoteGenerator {
       tradingDate: String,
       extractionTime: String): DataFrame = {
     import spark.implicits._
-    // small symbol universe → a local Seq is fine; a 100M-symbol
+    // small symbol universe -> a local Seq is fine; a 100M-symbol
     // universe would swap this for spark.range + key synthesis, the
     // derivation below is already fully distributed & key-stable.
     val base = symbols.toDF("symbol")
