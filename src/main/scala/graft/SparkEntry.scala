@@ -15,12 +15,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     RelationalQueries.tpchQ1(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md S2. */
+  /** One entry per implemented operator from SURVEY.md S2, plus the
+    * training-data ops (dedup / similarity / text / multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries
+    RelationalQueries.queries ++ graft.ops.OpsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql
+    RelationalQueries.oracleSql ++ graft.ops.OpsQueries.oracleSql
 }

@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registry of the training-data-pipeline operators (dedup, similarity
+  * search, text analysis, multimodal) for the driver's correctness
+  * gate -- each query paired with its DuckDB oracle SQL. */
+object OpsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (TextOps.textStats _),
+    "text_lang_id" -> (TextOps.langId _),
+    "text_fingerprint" -> (TextOps.fingerprint _),
+    "dedup_exact" -> (DedupOps.dedupExact _),
+    "dedup_minhash_lsh" -> (DedupOps.dedupMinhashLsh _),
+    "dedup_simhash" -> (DedupOps.dedupSimhash _),
+    "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
+    "dedup_embed_cosine" -> (DedupOps.dedupEmbedCosine _),
+    "sim_cosine_topk" -> (SimilarityOps.cosineTopK _),
+    "sim_ann_signlsh" -> (SimilarityOps.annSignLsh _),
+    "mm_decode_features" -> (MultimodalOps.decodeFeatures _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats" -> TextOps.textStatsSql,
+    "text_lang_id" -> TextOps.langIdSql,
+    "text_fingerprint" -> TextOps.fingerprintSql,
+    "dedup_exact" -> DedupOps.dedupExactSql,
+    "dedup_minhash_lsh" -> DedupOps.dedupMinhashLshSql,
+    "dedup_simhash" -> DedupOps.dedupSimhashSql,
+    "dedup_ngram_jaccard" -> DedupOps.dedupNgramJaccardSql,
+    "dedup_embed_cosine" -> DedupOps.dedupEmbedCosineSql,
+    "sim_cosine_topk" -> SimilarityOps.cosineTopKSql,
+    "sim_ann_signlsh" -> SimilarityOps.annSignLshSql,
+    "mm_decode_features" -> MultimodalOps.decodeFeaturesSql,
+  )
+}

@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.Hashing._
+
+/** Similarity search over the `embeddings` table (SURVEY.md S7.6).
+  *
+  * Two paths:
+  *  - [[cosineTopK]]: brute-force exact top-k -- the correctness
+  *    baseline. Query set x corpus as a broadcast nested-loop of the
+  *    (tiny) query side against a scan of the corpus; per-pair work
+  *    is a sequential double fold, codegen-friendly, no UDF.
+  *  - [[annSignLsh]]: the scale path. Random-hyperplane (sign) LSH:
+  *    each vector is reduced to a b-bit bucket signature; search only
+  *    probes the query's bucket, turning the n x m cross join into an
+  *    equi-join on bucket id. Hyperplanes are +-1-valued and derived
+  *    from the shared md5 hash family, so the oracle reproduces them
+  *    exactly. At 100 TB the bucket id becomes the table's hash
+  *    partition key, so a probe touches one partition, not the corpus.
+  */
+object SimilarityOps {
+
+  /** Sequential left-to-right double dot product -- same fold order as
+    * DuckDB's list_dot_product, so results are bit-identical. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  val TopK = 10
+  val NumQueries = 5
+
+  /** Brute-force exact cosine top-k: query vectors (vec_id < 5)
+    * against the whole corpus. Returns (query_id, match_id, cosine,
+    * rank) with a deterministic (score desc, match_id) order. */
+  def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val withNorm = e.select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("nrm"))
+    val q = withNorm.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = withNorm.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id").as("match_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+  }
+
+  val cosineTopKSql: String =
+    s"""WITH e AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       scored AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+           round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+         FROM n q, n c WHERE q.vec_id < $NumQueries),
+       ranked AS (
+         SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, match_id ASC) AS INT) AS rank
+         FROM scored)
+       SELECT query_id, match_id, cosine, rank FROM ranked WHERE rank <= $TopK"""
+
+  // ------------------------------------------------------------- sign-LSH
+
+  val LshPlanes = 4
+
+  /** The +-1 hyperplane component for plane p, dimension j, derived
+    * from the shared hash family (bit 0 of h15("plane:p:j")). */
+  private def planeSign(p: Int, j: Column): Column =
+    when(h15(concat(lit(s"plane:$p:"), j.cast("string"))).bitwiseAND(1) === 1, lit(1.0d))
+      .otherwise(lit(-1.0d))
+
+  private def planeSignSql(p: Int): String =
+    s"CASE WHEN ${h15Sql(s"concat('plane:$p:', CAST(j - 1 AS VARCHAR))")} & 1 = 1 THEN 1.0 ELSE -1.0 END"
+
+  /** b-bit sign-LSH bucket id of a double-array column: bit p set iff
+    * the dot product with +-1 hyperplane p is positive. Narrow
+    * expression; hyperplane signs constant-fold at plan time. */
+  def signBucket(v: Column): Column =
+    (0 until LshPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, j) => x * planeSign(p, j)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def signBucketSql(vExpr: String): String =
+    (0 until LshPlanes).map { p =>
+      s"""CASE WHEN list_sum(list_transform(generate_series(1, len($vExpr)),
+         j -> ($vExpr)[j] * ${planeSignSql(p)})) > 0
+         THEN ${1L << p} ELSE 0 END"""
+    }.mkString("(", " + ", ")")
+
+  /** ANN via sign-LSH bucketing: probe only the query's bucket, exact
+    * cosine re-rank within it. Approximate by construction (recall <
+    * 1 vs [[cosineTopK]]); the oracle replicates the same buckets so
+    * results still hash-match. */
+  def annSignLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val bucketed = e.select(col("vec_id"), col("v"),
+      sqrt(dot(col("v"), col("v"))).as("nrm"), signBucket(col("v")).as("bucket"))
+    val qq = bucketed.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val scored = broadcast(qq).join(bucketed, Seq("bucket"))
+      .select(col("query_id"), col("vec_id").as("match_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+  }
+
+  val annSignLshSql: String =
+    s"""WITH e AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+               ${signBucketSql("v")} AS bucket FROM e),
+       scored AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+           round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+         FROM b q JOIN b c ON q.bucket = c.bucket
+         WHERE q.vec_id < $NumQueries),
+       ranked AS (
+         SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, match_id ASC) AS INT) AS rank
+         FROM scored)
+       SELECT query_id, match_id, cosine, rank FROM ranked WHERE rank <= $TopK"""
+}
