@@ -53,76 +53,120 @@ object DedupOps {
   val LshBandCount = 2
   val LshRows = 8
   val JaccardThreshold = 0.9
+  /** Salt fan-out for the skewed bucket self-join. */
+  val SaltGroups = 8
+  /** Pinned shuffle width for pair-blowup joins (AQE would coalesce
+    * them to ~1 partition based on their tiny input size). */
+  val JoinParallelism = 64
 
-  /** True Jaccard over distinct token sets (verification step). */
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  /** Sorted distinct 31-bit token-hash set -- the compact (8 bytes/
+    * token) representation every similarity pass runs on. Hashing
+    * first means pair verification compares primitive longs via a
+    * codegen'd merge walk, not string sets in interpreted HOFs. */
+  def hashedTokenSet(text: Column): Column =
+    array_sort(array_distinct(transform(tokens(text), t => h31(t))))
+
+  val HashedTokensSql: String =
+    s"list_sort(list_distinct(list_transform($TokensSql, t -> ${h31Sql("t")})))"
 
   /** MinHash + LSH near-duplicate pairs: signature -> band buckets ->
-    * equi-join candidates -> exact-Jaccard verification >= 0.9.
-    * Returns (doc_a, doc_b, jaccard). Candidate recall is governed by
-    * the (bands, rows) curve: P(candidate) = 1-(1-j^rows)^bands. */
+    * equi-join candidates -> exact-Jaccard verification >= 0.9 over
+    * the hashed token sets. Returns (doc_a, doc_b, jaccard).
+    * Candidate recall follows the banding curve
+    * P(candidate) = 1-(1-j^rows)^bands.
+    *
+    * Shuffle discipline: the bucket join shuffles one compact row per
+    * (doc, band) -- the candidate-pair blowup happens inside the join
+    * stage and is consumed inline (merge-walk Jaccard + filter), never
+    * re-shuffled. Pair uniqueness comes from the first-colliding-band
+    * rule (emit at band b only if no earlier band also collided)
+    * instead of a multi-million-row DISTINCT. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
-    val sig = docs.select(col("doc_id"), col("toks"),
-      lshBands(minhashSig(col("toks"), MinhashK), LshBandCount, LshRows).as("bands"))
-    val buckets = sig.select(col("doc_id"), col("toks"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    // repartition BEFORE the hash-heavy projection: the raw scan is
+    // often one small file = one task; the signature computation must
+    // run wide (and is recomputed per join branch)
+    val docs = Tables.documents(s, dir).repartition(JoinParallelism)
+      .select(col("doc_id"), hashedTokenSet(col("text")).as("th"))
+      .withColumn("bands", lshBands(minhashSig(col("th"), MinhashK), LshBandCount, LshRows))
+    // posexplode_outer, deliberately: plain posexplode triggers
+    // InferFiltersFromGenerate, whose `size(bands) > 0` filter gets
+    // pushed through the projections to the scan WITH the whole
+    // 16-permutation signature expression inlined -- recomputing the
+    // signatures serially at the (1-file) scan. bands is always
+    // length-2, so outer-explode is semantically identical.
+    val buckets = docs.select(col("doc_id"), col("th"), col("bands"),
+      posexplode_outer(col("bands")).as(Seq("band_idx", "band_hash")))
+    // Salted self-join: near-dup corpora put thousands of docs in one
+    // band bucket, so the bucket id alone is a skewed join key (two
+    // buckets can hold >90% of all pairs). Salt each side G ways by
+    // doc_id so a bucket's pair space splits into G^2 independently
+    // joined cells; every (a,b) pair still matches exactly once, on
+    // key (band, g(a), g(b)). The emitted pair SET is unchanged.
+    val G = SaltGroups
     val a = buckets.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+        col("doc_id").as("doc_a"), col("th").as("th_a"), col("bands").as("bands_a"))
+      .withColumn("ga", (col("doc_a") % G).cast("int"))
+      .withColumn("gb", explode(sequence(lit(0), lit(G - 1))))
     val b = buckets.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
+        col("doc_id").as("doc_b"), col("th").as("th_b"), col("bands").as("bands_b"))
+      .withColumn("gb", (col("doc_b") % G).cast("int"))
+      .withColumn("ga", explode(sequence(lit(0), lit(G - 1))))
+    val firstCollidingBand = (0 until LshBandCount).map { i =>
+      col("band_idx") <= i || element_at(col("bands_a"), i + 1) =!= element_at(col("bands_b"), i + 1)
+    }.reduce(_ && _)
+    // Explicit co-partitioning on the join key, pinned partition
+    // count: the join INPUT is tiny (AQE would coalesce it to ~1
+    // partition) but the OUTPUT is the pair blowup, which must run
+    // wide. repartition-by-num is exempt from AQE coalescing and the
+    // join reuses both exchanges directly.
+    val keys = Seq(col("band_idx"), col("band_hash"), col("ga"), col("gb"))
+    a.repartition(JoinParallelism, keys: _*)
+      .join(b.repartition(JoinParallelism, keys: _*),
+        Seq("band_idx", "band_hash", "ga", "gb"))
+      .filter(col("doc_a") < col("doc_b") && firstCollidingBand)
       .select(col("doc_a"), col("doc_b"),
-        round(jaccard(col("toks_a"), col("toks_b")), 4).as("jaccard"))
-      .distinct()
+        round(graft.functions.ArrayExprs.sortedLongJaccard(col("th_a"), col("th_b")), 4)
+          .as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
   val dedupMinhashLshSql: String = {
-    val sig = minhashSigSql("toks", MinhashK)
+    val sig = minhashSigSql("th", MinhashK)
     val bands = lshBandsSql("sig", LshBandCount, LshRows)
     s"""WITH d AS (
-         SELECT doc_id, list_distinct($TokensSql) AS toks FROM documents),
-       sigs AS (SELECT doc_id, toks, $sig AS sig FROM d),
-       bands AS (SELECT doc_id, toks, $bands AS bands FROM sigs),
+         SELECT doc_id, $HashedTokensSql AS th FROM documents),
+       sigs AS (SELECT doc_id, th, $sig AS sig FROM d),
+       bands AS (SELECT doc_id, $bands AS bands FROM sigs),
        buckets AS (
-         SELECT doc_id, toks, i - 1 AS band_idx, bands[i] AS band_hash
+         SELECT doc_id, i - 1 AS band_idx, bands[i] AS band_hash
          FROM bands, generate_series(1, ${LshBandCount}) gs(i)),
        cand AS (
-         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM buckets a JOIN buckets b
            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
           AND a.doc_id < b.doc_id)
-       SELECT doc_a, doc_b, jaccard FROM cand WHERE jaccard >= $JaccardThreshold"""
+       SELECT doc_a, doc_b,
+         round(CAST(len(list_intersect(da.th, db.th)) AS DOUBLE)
+           / len(list_distinct(list_concat(da.th, db.th))), 4) AS jaccard
+       FROM cand JOIN d da ON cand.doc_a = da.doc_id
+                 JOIN d db ON cand.doc_b = db.doc_id
+       WHERE round(CAST(len(list_intersect(da.th, db.th)) AS DOUBLE)
+           / len(list_distinct(list_concat(da.th, db.th))), 4) >= $JaccardThreshold"""
   }
 
   // -------------------------------------------------------------- simhash
 
-  val SimhashBits = 32
+  val SimhashBits = 31
   val HammingThreshold = 4
 
-  /** 32-bit SimHash fingerprint per doc, computed distributed:
-    * explode distinct tokens, weight each hash bit +1/-1, sum per
-    * (doc, bit), reassemble the fingerprint. Two aggregations, both
-    * map-side combinable. */
-  def simhashFingerprints(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
-      explode(array_distinct(tokens(col("text")))).as("tok"))
-    val bits = docs
-      .select(col("doc_id"), col("lang"), h15(col("tok")).as("th"),
-        explode(sequence(lit(0), lit(SimhashBits - 1))).as("bit"))
-      .groupBy(col("doc_id"), col("lang"), col("bit"))
-      .agg(sum(when(expr("shiftright(th, CAST(bit AS INT)) & 1") === 1, 1)
-        .otherwise(-1)).as("weight"))
-    bits.groupBy(col("doc_id"), col("lang"))
-      .agg(sum(when(col("weight") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
-        .otherwise(0L)).as("simhash"))
-  }
+  /** 31-bit SimHash fingerprint per doc over the 31-bit hashed token
+    * set -- one narrow native-expression pass (ArrayExprs.SimHash),
+    * no explode, no shuffle. */
+  def simhashFingerprints(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).repartition(JoinParallelism)
+      .select(col("doc_id"), col("lang"),
+      graft.functions.ArrayExprs.simhash(hashedTokenSet(col("text")), SimhashBits)
+        .as("simhash"))
 
   /** SimHash near-dup pairs: hamming distance <= 4 within `lang`
     * blocks. bit_count(a XOR b) over one long per doc -- the pairwise
@@ -140,11 +184,11 @@ object DedupOps {
 
   val dedupSimhashSql: String =
     s"""WITH toks AS (
-         SELECT doc_id, lang, unnest(list_distinct($TokensSql)) AS tok
+         SELECT doc_id, lang, unnest($HashedTokensSql) AS h
          FROM documents),
        bits AS (
          SELECT doc_id, lang, bit,
-           sum(CASE WHEN (${h15Sql("tok")} >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS weight
+           sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS weight
          FROM toks, generate_series(0, ${SimhashBits - 1}) gs(bit)
          GROUP BY 1, 2, 3),
        fp AS (
@@ -161,31 +205,40 @@ object DedupOps {
   val NgramN = 3
   val NgramThreshold = 0.02
 
-  /** Word n-gram (shingle) arrays. */
-  def shingles(text: Column, n: Int): Column = {
+  /** Sorted distinct 60-bit-hashed word n-gram (shingle) set. */
+  def hashedShingles(text: Column, n: Int): Column = {
     val t = tokens(text)
-    array_distinct(transform(sequence(lit(1), greatest(size(t) - lit(n - 1), lit(1))),
-      i => array_join(slice(t, i, lit(n)), " ")))
+    array_sort(array_distinct(transform(
+      sequence(lit(1), greatest(size(t) - lit(n - 1), lit(1))),
+      i => h15(array_join(slice(t, i, lit(n)), " ")))))
   }
 
+  def hashedShinglesSql(n: Int): String =
+    s"list_sort(list_distinct(list_transform(" +
+      s"generate_series(1, greatest(len($TokensSql) - ${n - 1}, 1)), " +
+      s"i -> ${h15Sql(s"array_to_string(($TokensSql)[i:i+${n - 1}], ' ')")})))"
+
   /** n-gram Jaccard near-dup pairs, blocked by (lang, source) --
-    * pairwise only within natural partitions. */
+    * pairwise comparison only within natural partitions, merge-walk
+    * Jaccard over hashed shingle sets. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("lang"), col("source"),
-      col("doc_id"), shingles(col("text"), NgramN).as("sh"))
-    val a = docs.select(col("lang"), col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = docs.select(col("lang"), col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("lang", "source"))
+    val docs = Tables.documents(s, dir).repartition(JoinParallelism)
+      .select(col("lang"), col("source"),
+        col("doc_id"), hashedShingles(col("text"), NgramN).as("sh"))
+    val left = docs.select(col("lang"), col("source"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val right = docs.select(col("lang"), col("source"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    left.join(right, Seq("lang", "source"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 4).as("ngram_jaccard"))
+        round(graft.functions.ArrayExprs.sortedLongJaccard(col("sh_a"), col("sh_b")), 4)
+          .as("ngram_jaccard"))
       .filter(col("ngram_jaccard") >= NgramThreshold)
   }
 
   val dedupNgramJaccardSql: String = {
-    val sh = s"list_distinct(list_transform(" +
-      s"generate_series(1, greatest(len($TokensSql) - ${NgramN - 1}, 1)), " +
-      s"i -> array_to_string(($TokensSql)[i:i+${NgramN - 1}], ' ')))"
+    val sh = hashedShinglesSql(NgramN)
     s"""WITH d AS (
          SELECT lang, source, doc_id, $sh AS sh FROM documents)
        SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -206,8 +259,9 @@ object DedupOps {
     * carries the sign-LSH scale path). Dot products fold
     * left-to-right in double -- bit-identical to the oracle. */
   def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).select(col("label"), col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val e = Tables.embeddings(s, dir).repartition(JoinParallelism)
+      .select(col("label"), col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
     val withNorm = e.select(col("label"), col("vec_id"), col("v"),
       sqrt(SimilarityOps.dot(col("v"), col("v"))).as("nrm"))
     val a = withNorm.select(col("label"), col("vec_id").as("vec_a"),

@@ -36,18 +36,34 @@ object Hashing {
   def h15SaltedSql(salt: String, x: String): String =
     h15Sql(s"concat('$salt', ':', $x)")
 
-  /** MinHash signature of a distinct-token array column: for each of
-    * `k` hash permutations i, sig(i) = min over tokens of h15(i:t).
-    * Pure narrow expression -- no shuffle, codegen-friendly.
-    */
-  def minhashSig(tokens: Column, k: Int): Column =
+  /** 31-bit token hash: md5-derived, masked so affine-permutation
+    * arithmetic below stays inside 64-bit without overflow (DuckDB
+    * errors on BIGINT overflow; Spark wraps -- both must stay exact). */
+  def h31(c: Column): Column = h15(c).bitwiseAND(lit(0x7FFFFFFFL))
+
+  def h31Sql(x: String): String = s"(${h15Sql(x)} & 2147483647)"
+
+  /** Affine MinHash permutation family over 31-bit token hashes:
+    * perm_i(h) = (a_i * h + b_i) mod (2^61 - 1). One md5 per token
+    * total (the 31-bit base hash); the k permutations are pure
+    * integer arithmetic -- ~16x cheaper than k salted md5 passes.
+    * a_i*h < 2^62 so the product cannot overflow a signed long. */
+  val MersenneP: Long = (1L << 61) - 1
+  def permA(i: Int): Long = ((2654435761L * (i + 1)) & 0x7FFFFFFEL) | 1L
+  def permB(i: Int): Long = (2246822519L * (i + 13)) & 0x7FFFFFFFL
+
+  /** MinHash signature of a sorted-distinct 31-bit-hashed token array:
+    * sig(i) = min over hashes of perm_i(h). Narrow, codegen-friendly,
+    * no shuffle. */
+  def minhashSig(hashedTokens: Column, k: Int): Column =
     array((0 until k).map { i =>
-      array_min(transform(tokens, t => h15Salted(i.toString, t)))
+      array_min(transform(hashedTokens,
+        h => (h * lit(permA(i)) + lit(permB(i))) % lit(MersenneP)))
     }: _*)
 
-  def minhashSigSql(tokensExpr: String, k: Int): String =
+  def minhashSigSql(hashedTokensExpr: String, k: Int): String =
     (0 until k).map { i =>
-      s"list_min(list_transform($tokensExpr, t -> ${h15SaltedSql(i.toString, "t")}))"
+      s"list_min(list_transform($hashedTokensExpr, h -> (h * ${permA(i)} + ${permB(i)}) % $MersenneP))"
     }.mkString("[", ", ", "]")
 
   /** LSH band hashes over a minhash signature: `bands` bands of

@@ -24,10 +24,12 @@ import graft.ops.Hashing._
   */
 object SimilarityOps {
 
-  /** Sequential left-to-right double dot product -- same fold order as
-    * DuckDB's list_dot_product, so results are bit-identical. */
+  /** Sequential left-to-right double dot product -- a native codegen
+    * expression (graft.functions.ArrayExprs.DoubleDot) with the same
+    * fold order as DuckDB's list_dot_product, so results are
+    * bit-identical while staying inside WholeStageCodegen. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    graft.functions.ArrayExprs.dot(a, b)
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -38,7 +40,7 @@ object SimilarityOps {
     * against the whole corpus. Returns (query_id, match_id, cosine,
     * rank) with a deterministic (score desc, match_id) order. */
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+    val e = Tables.embeddings(s, dir).repartition(32)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val withNorm = e.select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("nrm"))
     val q = withNorm.filter(col("vec_id") < NumQueries)
@@ -102,7 +104,7 @@ object SimilarityOps {
     * 1 vs [[cosineTopK]]); the oracle replicates the same buckets so
     * results still hash-match. */
   def annSignLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+    val e = Tables.embeddings(s, dir).repartition(32)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val bucketed = e.select(col("vec_id"), col("v"),
       sqrt(dot(col("v"), col("v"))).as("nrm"), signBucket(col("v")).as("bucket"))

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the `private[sql]` Column <-> Expression converters, so
+  * graft's native Catalyst expressions can be used as `Column`s from
+  * the public DataFrame API. Lives under org.apache.spark.sql for
+  * visibility only; contains no Spark modifications. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
