@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import java.time.{Instant, LocalDate, ZoneOffset}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.table.TableStore
+
+/** DAG-shaped orchestration (SURVEY.md S2.11) as a plain in-process
+  * runner: the reference's Airflow DAG extract >> dims >> fact >>
+  * aggs >> validate (nasdaq_stock_pipeline_with_gx.py:311-319)
+  * becomes an ordered list of stage functions with a retry wrapper
+  * (D3: retries=1) and an injectable clock (D6: T-1 trading date,
+  * frozen in tests).
+  *
+  * The reference's process boundaries (Lambda, Glue polling, Athena)
+  * collapse into function calls; the only boundaries left are Spark
+  * shuffles and TableStore commits -- which is the point of the
+  * Spark-native rebuild (SURVEY.md S3.1).
+  */
+class PipelineRunner(
+    spark: SparkSession,
+    val store: TableStore,
+    rawRoot: String,
+    symbols: Seq[String] = StarSchemaJobs.DefaultSymbols,
+    clock: () => Instant = () => Instant.now(),
+    retries: Int = 1) {
+
+  val jobs = new StarSchemaJobs(spark, store, rawRoot)
+
+  /** D6: T-1 trading date from the injected clock
+    * (lambda_function.py:212-218). */
+  def processingDate(): String =
+    LocalDate.ofInstant(clock(), ZoneOffset.UTC).minusDays(1).toString
+
+  private def withRetry[T](stage: String)(f: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case e: Exception if attempt < retries =>
+          attempt += 1
+          System.err.println(s"[pipeline] stage $stage failed (${e.getMessage}), retry $attempt")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** D1: the full daily run for one processing date. */
+  def runDaily(date: String): Unit = {
+    val extractionTime = clock().toString
+    withRetry("extract")(jobs.extract(symbols, date, extractionTime))
+    withRetry("dimensions")(jobs.buildDimensions(date))
+    withRetry("fact")(jobs.buildFact(date, createdAt = extractionTime.take(19).replace('T', ' ')))
+    withRetry("aggregations")(jobs.buildAggregations())
+    withRetry("validate")(jobs.validate())
+  }
+
+  def runDaily(): Unit = runDaily(processingDate())
+}

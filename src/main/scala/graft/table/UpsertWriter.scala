@@ -1,0 +1,77 @@
+package graft.table
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MERGE-equivalent upsert semantics without Iceberg (SURVEY.md S7.4).
+  *
+  * The reference's two MERGE flavors:
+  *  - [[upsertAll]]: `WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+  *    THEN INSERT *` on a natural key (build_stock_fact_table.py:
+  *    104-111, build_stock_aggregations.py:123-130,187-194,243-250).
+  *  - [[upsertSelective]]: updates mutable columns but preserves
+  *    chosen target columns (`first_seen_date`, `stock_key`) on match
+  *    (build_stock_dimensions.py:88-102).
+  *
+  * Both are join-based plans exactly like Iceberg's
+  * RewriteMergeIntoTable produces, followed by TableStore's staged
+  * swap. Requirements: `source` is key-unique (guaranteed upstream by
+  * the W1 dedup / rollup groupings); both sides share the key schema.
+  *
+  * Scale: the anti-join and full-outer join shuffle hash-partition on
+  * the natural key -- the same key the tables are queried by -- and
+  * AQE picks broadcast when the daily source is small relative to the
+  * target, which is the reference's exact shape (5-row source vs
+  * growing fact).
+  */
+object UpsertWriter {
+
+  /** S7 update-all MERGE: matched target rows are replaced wholesale,
+    * unmatched kept, new source rows inserted. Idempotent: re-merging
+    * the same source is a no-op. */
+  def upsertAll(store: TableStore, table: String, source: DataFrame,
+      keys: Seq[String], partitionBy: Seq[String] = Nil): Unit = {
+    if (!store.exists(table)) {
+      store.createOrReplace(source, table, partitionBy)
+    } else {
+      val target = store.read(table)
+      // using-columns joins move the keys to the front of the output;
+      // re-select to keep the table's declared column order stable
+      val kept = target.join(source.select(keys.map(col): _*), keys, "left_anti")
+        .select(target.columns.map(col).toSeq: _*)
+      store.swapIn(kept.unionByName(source), table, partitionBy)
+    }
+  }
+
+  /** S8 selective-update MERGE: matched rows take source values except
+    * `preserve` columns (kept from target); unmatched target rows kept
+    * as-is; unmatched source rows inserted (their own `preserve`
+    * values). Null-correct via match markers, not coalesce -- a
+    * legitimate NULL in the source must overwrite on match. */
+  def upsertSelective(store: TableStore, table: String, source: DataFrame,
+      keys: Seq[String], preserve: Seq[String],
+      partitionBy: Seq[String] = Nil): Unit = {
+    if (!store.exists(table)) {
+      store.createOrReplace(source, table, partitionBy)
+      return
+    }
+    val target = store.read(table)
+    val cols = target.columns.toSeq
+    require(source.columns.toSeq.sorted == cols.sorted,
+      s"schema mismatch: target=$cols source=${source.columns.toSeq}")
+    val t = target.withColumn("__t", lit(true)).as("t")
+    val s = source.withColumn("__s", lit(true)).as("s")
+    val joined = t.join(s, keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _), "full_outer")
+    val matched = col("t.__t").isNotNull && col("s.__s").isNotNull
+    val fromS = col("s.__s").isNotNull
+    val merged = joined.select(cols.map { c =>
+      val pick =
+        if (keys.contains(c)) when(fromS, col(s"s.$c")).otherwise(col(s"t.$c"))
+        else if (preserve.contains(c)) when(matched, col(s"t.$c"))
+          .otherwise(when(fromS, col(s"s.$c")).otherwise(col(s"t.$c")))
+        else when(fromS, col(s"s.$c")).otherwise(col(s"t.$c"))
+      pick.as(c)
+    }: _*)
+    store.swapIn(merged, table, partitionBy)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.functions
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+class ArrayExprsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rnd = new Random(42)
+
+  test("DoubleDot matches sequential fold on random vectors (bit-exact)") {
+    val cases = Seq.fill(20)((Seq.fill(16)(rnd.nextDouble() * 10 - 5),
+      Seq.fill(16)(rnd.nextDouble() * 10 - 5)))
+    val expected = cases.map { case (a, b) =>
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    }
+    val got = cases.toDF("a", "b")
+      .select(ArrayExprs.dot(col("a"), col("b"))).as[Double].collect().toSeq
+    assert(got === expected)
+  }
+
+  test("SortedLongJaccard matches set-based jaccard (incl. empty arrays)") {
+    val cases = (Seq.fill(30)((Seq.fill(rnd.nextInt(20))(rnd.nextInt(40).toLong).distinct.sorted,
+      Seq.fill(rnd.nextInt(20))(rnd.nextInt(40).toLong).distinct.sorted)) :+
+      ((Seq.empty[Long], Seq.empty[Long])))
+    val expected = cases.map { case (a, b) =>
+      val inter = a.toSet.intersect(b.toSet).size
+      val union = a.toSet.union(b.toSet).size
+      if (union == 0) 1.0 else inter.toDouble / union
+    }
+    val got = cases.toDF("a", "b")
+      .select(ArrayExprs.sortedLongJaccard(col("a"), col("b"))).as[Double].collect().toSeq
+    assert(got === expected)
+  }
+
+  test("SimHash matches reference implementation") {
+    def ref(hashes: Seq[Long], bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (fp, j) =>
+        val w = hashes.map(h => if (((h >> j) & 1L) == 1L) 1 else -1).sum
+        if (w > 0) fp | (1L << j) else fp
+      }
+    val cases = Seq.fill(20)(Seq.fill(1 + rnd.nextInt(30))(rnd.nextLong().abs & 0x7FFFFFFFL))
+    val got = cases.map(Tuple1(_)).toDF("h")
+      .select(ArrayExprs.simhash(col("h"), 31)).as[Long].collect().toSeq
+    assert(got === cases.map(ref(_, 31)))
+  }
+
+  test("expressions survive codegen inside a join (many rows)") {
+    val n = 500
+    val df = spark.range(n).select(col("id"),
+      sort_array(array((0 until 8).map(i => (col("id") + i) % 29): _*)).as("arr"))
+    val out = df.as("a").join(df.as("b"), col("a.id") =!= col("b.id"))
+      .select(ArrayExprs.sortedLongJaccard(col("a.arr"), col("b.arr")).as("j"))
+      .agg(sum(col("j"))).as[Double].head()
+    assert(out > 0)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.table.TableStore
+
+/** End-to-end star-schema pipeline over the deterministic generator --
+  * the engine twin of the reference's full Airflow DAG run
+  * (SURVEY.md S3.1), with a frozen clock. */
+class PipelineSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def freshRunner(): PipelineRunner = {
+    val base = Files.createTempDirectory("graft-pipeline").toString
+    new PipelineRunner(spark, new TableStore(spark, s"$base/warehouse"),
+      rawRoot = s"$base/raw", symbols = Seq("AAPL", "MSFT", "GOOGL"),
+      clock = () => Instant.parse("2026-02-10T02:00:00Z"))
+  }
+
+  test("T-1 processing date from frozen clock") {
+    assert(freshRunner().processingDate() === "2026-02-09")
+  }
+
+  test("full daily run builds star schema and passes validation") {
+    val r = freshRunner()
+    r.runDaily("2026-02-09")
+    val fact = r.store.read("fact_stock_daily_price")
+    assert(fact.count() === 3)
+    assert(fact.schema.fieldNames.toSeq === graft.model.Schemas.factStockDailyPrice.fieldNames.toSeq)
+    assert(r.store.read("dim_stock").count() === 3)
+  }
+
+  test("re-running the same day is idempotent; second day appends") {
+    val r = freshRunner()
+    r.runDaily("2026-02-09")
+    r.runDaily("2026-02-09")
+    val store = new TableStore(spark, r.store.root)
+    assert(store.read("fact_stock_daily_price").count() === 3)
+    r.runDaily("2026-02-10")
+    assert(store.read("fact_stock_daily_price").count() === 6)
+    // dim first_seen_date survives the second day's merge
+    val firstSeen = store.read("dim_stock").select("first_seen_date")
+      .distinct().collect().map(_.getString(0)).toSeq
+    assert(firstSeen === Seq("2026-02-09"))
+  }
+
+  test("duplicate extraction within a day: latest extraction wins (W1)") {
+    val base = Files.createTempDirectory("graft-pipeline").toString
+    val store = new TableStore(spark, s"$base/warehouse")
+    val jobs = new StarSchemaJobs(spark, store, s"$base/raw")
+    jobs.extract(Seq("AAPL"), "2026-02-09", "2026-02-10T01:00:00Z")
+    jobs.extract(Seq("AAPL"), "2026-02-09", "2026-02-10T02:00:00Z")
+    jobs.buildFact("2026-02-09", "2026-02-10 02:00:00")
+    val fact = store.read("fact_stock_daily_price")
+    assert(fact.count() === 1) // deduped to one row per (symbol, day)
+  }
+
+  test("weekly aggregation rolls up across days with pinned open/close") {
+    val r = freshRunner()
+    // Mon + Tue of ISO week 7, 2026
+    r.runDaily("2026-02-09")
+    r.runDaily("2026-02-10")
+    val store = new TableStore(spark, r.store.root)
+    val weekly = store.read("agg_stock_weekly_metrics")
+      .filter(col("symbol") === "AAPL" && col("week") === 7).head()
+    val fact = store.read("fact_stock_daily_price").filter(col("stock_symbol") === "AAPL")
+      .orderBy("trade_date").collect()
+    assert(weekly.getAs[java.math.BigDecimal]("week_open") ===
+      fact.head.getAs[java.math.BigDecimal]("open_price"))
+    assert(weekly.getAs[java.math.BigDecimal]("week_close") ===
+      fact.last.getAs[java.math.BigDecimal]("close_price"))
+    assert(weekly.getAs[Long]("total_volume") ===
+      fact.map(_.getAs[Long]("volume")).sum)
+  }
+
+  test("generator is deterministic across invocations") {
+    val a = graft.sources.QuoteGenerator
+      .quotes(spark, Seq("AAPL", "MSFT"), "2026-02-09", "t").collect()
+    val b = graft.sources.QuoteGenerator
+      .quotes(spark, Seq("AAPL", "MSFT"), "2026-02-09", "t").collect()
+    assert(a === b)
+  }
+}

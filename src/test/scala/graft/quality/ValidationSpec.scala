@@ -1,0 +1,73 @@
+package graft.quality
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class ValidationSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, Option("AAPL"), 10.0, 5.0),
+    (2L, Option("MSFT"), 20.0, 25.0), // high < low -> PairGreater violation
+    (3L, Option.empty[String], 30.0, 10.0), // null symbol
+    (4L, Option("AAPL"), 40.0, 20.0)
+  ).toDF("id", "symbol", "high", "low")
+
+  private def result(rules: Seq[Rule]) = Validator.run(df, rules)
+
+  test("columns_match_ordered_list") {
+    assert(result(Seq(ColumnsMatchOrderedList(Seq("id", "symbol", "high", "low")))).head.passed)
+    assert(!result(Seq(ColumnsMatchOrderedList(Seq("id", "high", "symbol", "low")))).head.passed)
+  }
+
+  test("column_exists") {
+    assert(result(Seq(ColumnExists("high"))).head.passed)
+    assert(!result(Seq(ColumnExists("nope"))).head.passed)
+  }
+
+  test("not_null counts null rows") {
+    val r = result(Seq(NotNull("symbol"))).head
+    assert(!r.passed && r.violations === 1 && r.totalRows === 4)
+  }
+
+  test("unique on key column") {
+    assert(result(Seq(Unique(Seq("id")))).head.passed)
+    val dup = result(Seq(Unique(Seq("symbol")))).head
+    assert(!dup.passed && dup.violations === 1) // AAPL twice; null excluded
+  }
+
+  test("compound unique") {
+    assert(result(Seq(Unique(Seq("symbol", "high")))).head.passed)
+  }
+
+  test("row_count_between") {
+    assert(result(Seq(RowCountBetween(1, 10))).head.passed)
+    assert(!result(Seq(RowCountBetween(5, 10))).head.passed)
+  }
+
+  test("values_in_set ignores nulls") {
+    val r = result(Seq(ValuesInSet("symbol", Seq("AAPL", "MSFT")))).head
+    assert(r.passed)
+    val r2 = result(Seq(ValuesInSet("symbol", Seq("AAPL")))).head
+    assert(!r2.passed && r2.violations === 1)
+  }
+
+  test("values_between") {
+    assert(result(Seq(ValuesBetween("high", 0, 100))).head.passed)
+    val r = result(Seq(ValuesBetween("high", 0, 25))).head
+    assert(!r.passed && r.violations === 2)
+  }
+
+  test("pair_a_ge_b") {
+    val r = result(Seq(PairGreater("high", "low"))).head
+    assert(!r.passed && r.violations === 1)
+  }
+
+  test("all rules run in one pass and enforce throws on failure") {
+    val rules = Seq(NotNull("symbol"), Unique(Seq("id")), PairGreater("high", "low"))
+    assert(Validator.run(df, rules).size === 3)
+    assertThrows[IllegalStateException](Validator.enforce(df, rules, "suite"))
+  }
+}
