@@ -18,10 +18,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md S2, plus the
     * training-data ops (dedup / similarity / text / multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ graft.ops.OpsQueries.queries
+    RelationalQueries.queries ++ graft.queries.LibraryQueries.queries ++
+      graft.ops.OpsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ graft.ops.OpsQueries.oracleSql
+    RelationalQueries.oracleSql ++ graft.queries.LibraryQueries.oracleSql ++
+      graft.ops.OpsQueries.oracleSql
 }

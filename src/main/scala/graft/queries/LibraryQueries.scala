@@ -1,0 +1,176 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.quality._
+import graft.table.{TableStore, UpsertWriter}
+
+/** Oracle-checked queries that exercise the LIBRARY layer (upsert
+  * writer, validation engine) plus the remaining aggregation shapes --
+  * so MERGE semantics and the rule engine sit under the driver's
+  * hash-match gate, not just unit tests. */
+object LibraryQueries {
+  private val D = DecimalType(18, 4)
+
+  /** A2: monthly OHLCV-style rollup over events (the monthly twin of
+    * a1_weekly_ohlcv, build_stock_aggregations.py:142-161). */
+  def a2MonthlyRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.groupBy(col("user_id"),
+        year(col("ts")).as("yr"), month(col("ts")).as("mo"))
+      .agg(
+        min_by(col("value"), col("ts_us")).as("open_val"),
+        max_by(col("value"), col("ts_us")).as("close_val"),
+        max(col("value")).as("high_val"),
+        min(col("value")).as("low_val"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("total_value"),
+        round(sum(col("value").cast(D)).cast("double") / count(lit(1)), 4).as("avg_value"))
+  }
+
+  val a2MonthlyRollupSql: String =
+    """SELECT user_id,
+       CAST(year(ts2) AS INT) AS yr, CAST(month(ts2) AS INT) AS mo,
+       arg_min(value, ts_us) AS open_val,
+       arg_max(value, ts_us) AS close_val,
+       max(value) AS high_val, min(value) AS low_val,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_value
+       FROM (SELECT *, epoch_ns(ts)//1000 AS ts_us,
+                    make_timestamp(epoch_ns(ts)//1000) AS ts2 FROM events)
+       GROUP BY 1, 2, 3"""
+
+  /** S7 update-all MERGE through the real UpsertWriter: target =
+    * 1996H2+1996H1 orders, source = restated 1996H2..1997H1 rows
+    * (matched rows replaced wholesale, new rows inserted). */
+  def s7MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_orderdate").cast("date").as("order_date"),
+      col("o_totalprice"), col("o_orderstatus"))
+    val target = o.filter(col("order_date") < lit("1997-01-01").cast("date"))
+    val source = o.filter(col("order_date") >= lit("1996-07-01").cast("date") &&
+        col("order_date") < lit("1997-07-01").cast("date"))
+      .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+      .withColumn("o_orderstatus", lit("R"))
+    val store = new TableStore(s, Files.createTempDirectory("graft-q-s7").toString)
+    UpsertWriter.upsertAll(store, "orders_merged", target, Seq("o_orderkey"))
+    UpsertWriter.upsertAll(store, "orders_merged", source, Seq("o_orderkey"))
+    store.read("orders_merged")
+  }
+
+  val s7MergeUpsertSql: String =
+    """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+                         o_totalprice, o_orderstatus FROM orders),
+       t AS (SELECT * FROM o WHERE order_date < DATE '1997-01-01'),
+       src AS (SELECT o_orderkey, order_date,
+                      round(o_totalprice * 1.1, 2) AS o_totalprice,
+                      'R' AS o_orderstatus
+               FROM o WHERE order_date >= DATE '1996-07-01'
+                 AND order_date < DATE '1997-07-01')
+       SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+       UNION ALL SELECT * FROM src"""
+
+  /** S8 selective-update MERGE through the real UpsertWriter: batch 2
+    * re-observes part of batch 1's customers; first_batch is
+    * preserved on match, last_batch updated, new rows inserted. */
+  def s8MergeSelective(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val batch1 = c.filter(col("c_custkey") <= 1000)
+      .withColumn("first_batch", lit("b1")).withColumn("last_batch", lit("b1"))
+    val batch2 = c.filter(col("c_custkey") > 500)
+      .withColumn("c_mktsegment", lit("RESTATED"))
+      .withColumn("first_batch", lit("b2")).withColumn("last_batch", lit("b2"))
+    val store = new TableStore(s, Files.createTempDirectory("graft-q-s8").toString)
+    UpsertWriter.upsertSelective(store, "dim_customer", batch1,
+      keys = Seq("c_custkey"), preserve = Seq("first_batch"))
+    UpsertWriter.upsertSelective(store, "dim_customer", batch2,
+      keys = Seq("c_custkey"), preserve = Seq("first_batch"))
+    store.read("dim_customer")
+  }
+
+  val s8MergeSelectiveSql: String =
+    """WITH c AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
+       b1 AS (SELECT c_custkey, c_name, c_mktsegment,
+                     'b1' AS first_batch, 'b1' AS last_batch
+              FROM c WHERE c_custkey <= 1000),
+       b2 AS (SELECT c_custkey, c_name, 'RESTATED' AS c_mktsegment,
+                     'b2' AS first_batch, 'b2' AS last_batch
+              FROM c WHERE c_custkey > 500)
+       SELECT coalesce(b2.c_custkey, b1.c_custkey) AS c_custkey,
+              coalesce(b2.c_name, b1.c_name) AS c_name,
+              CASE WHEN b2.c_custkey IS NOT NULL THEN b2.c_mktsegment
+                   ELSE b1.c_mktsegment END AS c_mktsegment,
+              CASE WHEN b1.c_custkey IS NOT NULL THEN b1.first_batch
+                   ELSE b2.first_batch END AS first_batch,
+              CASE WHEN b2.c_custkey IS NOT NULL THEN b2.last_batch
+                   ELSE b1.last_batch END AS last_batch
+       FROM b1 FULL OUTER JOIN b2 ON b1.c_custkey = b2.c_custkey"""
+
+  /** Q1-Q8: the validation rule engine over lineitem, its per-rule
+    * results as the query output (single-scan evaluation). */
+  def qValidationSuite(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val results = Validator.run(li, Seq(
+      NotNull("l_shipdate"),
+      Unique(Seq("l_orderkey", "l_linenumber")),
+      RowCountBetween(1, 100000000L),
+      ValuesBetween("l_quantity", 1, 50),
+      ValuesBetween("l_discount", 0.0, 0.05),
+      PairGreater("l_extendedprice", "l_discount")))
+    import s.implicits._
+    results.toDF()
+  }
+
+  val qValidationSuiteSql: String =
+    """SELECT 'not_null' AS rule, 'l_shipdate' AS detail,
+         count(CASE WHEN l_shipdate IS NULL THEN 1 END) = 0 AS passed,
+         count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS violations,
+         count(*) AS "totalRows" FROM lineitem
+       UNION ALL
+       SELECT 'compound_unique', 'l_orderkey,l_linenumber',
+         count(*) - count(DISTINCT (l_orderkey, l_linenumber)) = 0,
+         count(*) - count(DISTINCT (l_orderkey, l_linenumber)), count(*)
+       FROM lineitem
+       UNION ALL
+       SELECT 'row_count_between', '[1,100000000]',
+         count(*) BETWEEN 1 AND 100000000,
+         CASE WHEN count(*) BETWEEN 1 AND 100000000 THEN 0 ELSE 1 END, count(*)
+       FROM lineitem
+       UNION ALL
+       SELECT 'values_between', 'l_quantity in [1.0,50.0]',
+         count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) = 0,
+         count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END), count(*)
+       FROM lineitem
+       UNION ALL
+       SELECT 'values_between', 'l_discount in [0.0,0.05]',
+         count(CASE WHEN l_discount < 0.0 OR l_discount > 0.05 THEN 1 END) = 0,
+         count(CASE WHEN l_discount < 0.0 OR l_discount > 0.05 THEN 1 END), count(*)
+       FROM lineitem
+       UNION ALL
+       SELECT 'pair_a_ge_b', 'l_extendedprice vs l_discount',
+         count(CASE WHEN l_extendedprice < l_discount THEN 1 END) = 0,
+         count(CASE WHEN l_extendedprice < l_discount THEN 1 END), count(*)
+       FROM lineitem"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a2_monthly_rollup" -> (a2MonthlyRollup _),
+    "s7_merge_upsert" -> (s7MergeUpsert _),
+    "s8_merge_selective" -> (s8MergeSelective _),
+    "q_validation_suite" -> (qValidationSuite _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "a2_monthly_rollup" -> a2MonthlyRollupSql,
+    "s7_merge_upsert" -> s7MergeUpsertSql,
+    "s8_merge_selective" -> s8MergeSelectiveSql,
+    "q_validation_suite" -> qValidationSuiteSql,
+  )
+}
