@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming surface (SURVEY.md S2.9).
+  *
+  * The reference is daily micro-batch (cron Airflow -> Glue) with
+  * idempotent MERGE re-runs; its streaming-equivalent semantics are:
+  *  - file-source ingest of the raw zone, `Trigger.AvailableNow` for
+  *    the batch-parity mode, continuous micro-batches for live mode;
+  *  - event-time windowed aggregation with a watermark standing in
+  *    for the weekly/monthly calendar rollups;
+  *  - keyed stateful processing (mapGroupsWithState) for the
+  *    latest-extraction-wins dedup (W1) as a streaming operator.
+  *
+  * At scale the same topology holds: the file source lists new
+  * `date=` partitions incrementally, state is hash-partitioned by
+  * key, and the watermark bounds state size.
+  */
+object StreamingIngest {
+
+  /** Streaming scan of an events-shaped parquet directory. */
+  def readEventStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val base = spark.read.parquet(path).schema
+    val r = spark.readStream.schema(base)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(path)
+  }
+
+  /** Tumbling event-time window aggregate with a watermark: the
+    * streaming twin of the A1/A3 rollups. `tsCol` must be a timestamp
+    * column; late data beyond the watermark is dropped (the
+    * reference's equivalent: late re-extractions are folded in by the
+    * next day's MERGE). */
+  def windowedCounts(events: DataFrame, tsCol: String, window_ : String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  case class EventRow(event_id: Long, user_id: Long, ts_us: Long,
+      event_type: String, value: Double)
+  case class LatestState(event_id: Long, ts_us: Long,
+      event_type: String, value: Double)
+
+  /** W1 as a streaming stateful operator: per user, keep the
+    * latest-timestamp event seen so far (ties broken by event_id,
+    * matching the batch dedup's ordering) and emit the current winner
+    * each micro-batch. */
+  def latestEventPerUser(events: Dataset[EventRow]): Dataset[(Long, LatestState)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[LatestState, (Long, LatestState)](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[EventRow], state: GroupState[LatestState]) =>
+          val incoming = batch.map(e => LatestState(e.event_id, e.ts_us, e.event_type, e.value))
+          val best = (state.getOption.iterator ++ incoming)
+            .maxBy(s => (s.ts_us, s.event_id))
+          state.update(best)
+          (userId, best)
+      }
+  }
+
+  /** Run a streaming DataFrame to completion over currently-available
+    * input (batch-parity mode) into an in-memory table; returns the
+    * finished query. */
+  def runAvailableNow(df: DataFrame, queryName: String, outputMode: String,
+      checkpoint: String): StreamingQuery = {
+    val q = df.writeStream
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .format("memory")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

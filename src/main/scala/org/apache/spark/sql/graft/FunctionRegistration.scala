@@ -1,0 +1,55 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.ArrayExprs.{DoubleDot, SimHash, SortedLongJaccard}
+
+/** SQL registration for graft's native expressions, so
+  * `spark.sql("SELECT graft_dot(a, b) ...")` works alongside the
+  * Column API.
+  *
+  * Two entry points:
+  *  - [[GraftExtensions]] for session construction time:
+  *    `--conf spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`
+  *  - [[FunctionRegistration.register]] for an already-running session
+  *    (the driver owns session creation in the test harness).
+  */
+object FunctionRegistration {
+
+  private def info(clazz: Class[_], name: String, usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage, "", "", "", "", "", "", "built-in")
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      info(classOf[DoubleDot], "graft_dot",
+        "graft_dot(a, b) - sequential dot product of two array<double>"),
+      (es: Seq[Expression]) => DoubleDot(es(0), es(1))),
+    (FunctionIdentifier("graft_jaccard"),
+      info(classOf[SortedLongJaccard], "graft_jaccard",
+        "graft_jaccard(a, b) - Jaccard similarity of two sorted distinct array<long>"),
+      (es: Seq[Expression]) => SortedLongJaccard(es(0), es(1))),
+    (FunctionIdentifier("graft_simhash"),
+      info(classOf[SimHash], "graft_simhash",
+        "graft_simhash(hashes, bits) - SimHash fingerprint of an array<long>"),
+      (es: Seq[Expression]) => es(1) match {
+        case Literal(b: Int, IntegerType) => SimHash(es(0), b)
+        case other => throw new IllegalArgumentException(
+          s"graft_simhash bits must be an integer literal, got $other")
+      }),
+  )
+
+  /** Register into a live session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    FunctionRegistration.functions.foreach(e.injectFunction)
+}

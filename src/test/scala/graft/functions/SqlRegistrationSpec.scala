@@ -1,0 +1,23 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.graft.FunctionRegistration
+
+import graft.TestSpark
+
+class SqlRegistrationSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("native expressions are callable from SQL after registration") {
+    FunctionRegistration.register(spark)
+    import spark.implicits._
+    assert(spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+      .as[Double].head() === 11.0)
+    assert(spark.sql("SELECT graft_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L))")
+      .as[Double].head() === 0.5)
+    assert(spark.sql("SELECT graft_simhash(array(7L), 3)").as[Long].head() === 7L)
+    // registration is idempotent
+    FunctionRegistration.register(spark)
+  }
+}

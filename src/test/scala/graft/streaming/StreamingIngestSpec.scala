@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.TestSpark
+import graft.core.Tables
+
+/** Streaming vs batch parity over the driver's events table: the same
+  * windowed aggregation must produce identical results through the
+  * AvailableNow streaming path and the batch path. */
+class StreamingIngestSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("AvailableNow windowed aggregation matches batch result") {
+    // micro-batch-friendly copy with a proper timestamp column
+    val src = tmp("graft-stream-src")
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(src)
+
+    val stream = StreamingIngest.readEventStream(spark, src, maxFilesPerTrigger = Some(2))
+    val agg = StreamingIngest.windowedCounts(stream, "ts", "1 day", "2 hours")
+    StreamingIngest.runAvailableNow(agg, "win_counts", "append", tmp("graft-ckpt"))
+
+    val got = spark.table("win_counts")
+      .select("window_start", "event_type", "n_events")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+
+    val expected = spark.read.parquet(src)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start"), col("event_type"), col("n_events"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+
+    // append mode only emits windows closed by the watermark; every
+    // emitted window must match the batch rollup exactly
+    assert(got.nonEmpty)
+    assert(got.subsetOf(expected))
+    spark.streams.active.foreach(_.stop())
+  }
+
+  test("stateful latest-event-per-user matches the batch W1 dedup") {
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"), col("value"))
+      .as[StreamingIngest.EventRow]
+    val got = StreamingIngest.latestEventPerUser(events)
+      .collect().map { case (u, s) => (u, s.event_id) }.toMap
+
+    val expected = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(max_by(col("event_id"), struct(col("ts_us"), col("event_id"))).as("event_id"))
+      .as[(Long, Long)].collect().toMap
+
+    assert(got === expected)
+  }
+}
