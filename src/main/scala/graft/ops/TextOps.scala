@@ -59,8 +59,16 @@ object TextOps {
       round(size(array_distinct(t)).cast("double") / n, 4).as("lexical_diversity"),
       round(sumLen.cast("double") / n, 4).as("avg_token_len"),
       round(markerCount(t, LangMarkers.head._2).cast("double") / n, 4)
-        .as("stopword_ratio"))
+        .as("stopword_ratio"),
+      // BPE-ish subword count estimate: runs of letters, digits, or
+      // single other chars -- the standard cheap tokenizer proxy
+      size(regexp_extract_all(col("text"), lit(BpeishPattern), lit(0)))
+        .cast("long").as("n_bpeish_tokens"))
   }
+
+  /** Character-class-only regex => identical semantics in Java regex
+    * (Spark) and RE2 (DuckDB). */
+  val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
   val textStatsSql: String =
     s"""SELECT doc_id, lang,
@@ -69,7 +77,8 @@ object TextOps {
        CAST(length(text) AS BIGINT) AS n_chars,
        round(CAST(len(list_distinct($TokensSql)) AS DOUBLE) / len($TokensSql), 4) AS lexical_diversity,
        round(CAST(list_sum(list_transform($TokensSql, t -> length(t))) AS DOUBLE) / len($TokensSql), 4) AS avg_token_len,
-       round(CAST(${markerCountSql(LangMarkers.head._2)} AS DOUBLE) / len($TokensSql), 4) AS stopword_ratio
+       round(CAST(${markerCountSql(LangMarkers.head._2)} AS DOUBLE) / len($TokensSql), 4) AS stopword_ratio,
+       CAST(len(regexp_extract_all(text, '$BpeishPattern')) AS BIGINT) AS n_bpeish_tokens
        FROM documents"""
 
   /** Marker-based language ID: per-language marker occurrence counts
