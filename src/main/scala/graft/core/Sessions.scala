@@ -25,6 +25,12 @@ object Sessions {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
+    // The test tables are single small parquet files; the default
+    // 128 MB maxPartitionBytes turns every scan into ONE task. 2 MB
+    // splits keep 32 local cores busy. A cluster deployment against
+    // properly-sized files should restore the 128 MB default.
+    .config("spark.sql.files.maxPartitionBytes", 2L * 1024 * 1024)
+    .config("spark.sql.files.openCostInBytes", 512L * 1024)
 
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
     val spark = tune(

@@ -114,20 +114,25 @@ object DedupOps {
     val firstCollidingBand = (0 until LshBandCount).map { i =>
       col("band_idx") <= i || element_at(col("bands_a"), i + 1) =!= element_at(col("bands_b"), i + 1)
     }.reduce(_ && _)
-    // Explicit co-partitioning on the join key, pinned partition
-    // count: the join INPUT is tiny (AQE would coalesce it to ~1
-    // partition) but the OUTPUT is the pair blowup, which must run
-    // wide. repartition-by-num is exempt from AQE coalescing and the
-    // join reuses both exchanges directly.
-    val keys = Seq(col("band_idx"), col("band_hash"), col("ga"), col("gb"))
-    a.repartition(JoinParallelism, keys: _*)
-      .join(b.repartition(JoinParallelism, keys: _*),
-        Seq("band_idx", "band_hash", "ga", "gb"))
-      .filter(col("doc_a") < col("doc_b") && firstCollidingBand)
-      .select(col("doc_a"), col("doc_b"),
-        round(graft.functions.ArrayExprs.sortedLongJaccard(col("th_a"), col("th_b")), 4)
-          .as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
+    val jaccard =
+      round(graft.functions.ArrayExprs.sortedLongJaccard(col("th_a"), col("th_b")), 4)
+    // Two deliberate choices:
+    //  - explicit co-partitioning with a PINNED width: the join INPUT
+    //    is tiny (AQE would coalesce it to ~1 partition) but the
+    //    OUTPUT is the pair blowup, which must run wide;
+    //  - the ENTIRE verification predicate lives in the join
+    //    condition, so the millions of non-qualifying candidate pairs
+    //    are rejected inside the join loop and never materialize
+    //    output rows (the arrays never leave the probe).
+    val bR = b.withColumnsRenamed(Map("band_idx" -> "bi_b", "band_hash" -> "bh_b",
+      "ga" -> "ga_b", "gb" -> "gb_b"))
+    val cond = col("band_idx") === col("bi_b") && col("band_hash") === col("bh_b") &&
+      col("ga") === col("ga_b") && col("gb") === col("gb_b") &&
+      col("doc_a") < col("doc_b") && firstCollidingBand && jaccard >= JaccardThreshold
+    a.repartition(JoinParallelism, col("band_idx"), col("band_hash"), col("ga"), col("gb"))
+      .join(bR.repartition(JoinParallelism, col("bi_b"), col("bh_b"), col("ga_b"), col("gb_b")),
+        cond)
+      .select(col("doc_a"), col("doc_b"), jaccard.as("jaccard"))
   }
 
   val dedupMinhashLshSql: String = {
@@ -173,6 +178,11 @@ object DedupOps {
     * step touches 8 bytes per doc, not the token sets. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val fp = simhashFingerprints(s, dir)
+    // rows here are (lang, id, one long) -- 16 bytes/doc. The blocked
+    // pair join moves so little data that salting/explicit
+    // repartitioning costs more than it saves (measured); a plain
+    // broadcast-able join wins until block sizes reach ~10^5 docs,
+    // where the minhash-style salted join takes over.
     val a = fp.select(col("lang"), col("doc_id").as("doc_a"), col("simhash").as("fp_a"))
     val b = fp.select(col("lang"), col("doc_id").as("doc_b"), col("simhash").as("fp_b"))
     a.join(b, Seq("lang"))
@@ -227,14 +237,18 @@ object DedupOps {
         col("doc_id"), hashedShingles(col("text"), NgramN).as("sh"))
     val left = docs.select(col("lang"), col("source"),
       col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val right = docs.select(col("lang"), col("source"),
+    val right = docs.select(col("lang").as("lang_b"), col("source").as("source_b"),
       col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    left.join(right, Seq("lang", "source"))
-      .filter(col("doc_a") < col("doc_b"))
+    val jaccard =
+      round(graft.functions.ArrayExprs.sortedLongJaccard(col("sh_a"), col("sh_b")), 4)
+    // pinned join width + verification inside the join condition, as
+    // in dedupMinhashLsh
+    val cond = col("lang") === col("lang_b") && col("source") === col("source_b") &&
+      col("doc_a") < col("doc_b") && jaccard >= NgramThreshold
+    left.repartition(JoinParallelism, col("lang"), col("source"))
+      .join(right.repartition(JoinParallelism, col("lang_b"), col("source_b")), cond)
       .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
-        round(graft.functions.ArrayExprs.sortedLongJaccard(col("sh_a"), col("sh_b")), 4)
-          .as("ngram_jaccard"))
-      .filter(col("ngram_jaccard") >= NgramThreshold)
+        jaccard.as("ngram_jaccard"))
   }
 
   val dedupNgramJaccardSql: String = {

@@ -24,6 +24,15 @@ object Hashing {
   def h15(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Driver-side twin of [[h15]] for plan-time constant folding
+    * (identical md5 -> first-15-hex-digits math). */
+  def h15Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** DuckDB SQL fragment mirroring [[h15]]. `x` is a SQL expression. */
   def h15Sql(x: String): String =
     s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"

@@ -72,24 +72,29 @@ object SimilarityOps {
 
   val LshPlanes = 4
 
+  /** Embedding dimensionality of the driver's tables; plane literals
+    * are generated to this width (extra dims would need a wider
+    * constant -- parameterize per deployment). */
+  val PlaneDims = 64
+
   /** The +-1 hyperplane component for plane p, dimension j, derived
-    * from the shared hash family (bit 0 of h15("plane:p:j")). */
-  private def planeSign(p: Int, j: Column): Column =
-    when(h15(concat(lit(s"plane:$p:"), j.cast("string"))).bitwiseAND(1) === 1, lit(1.0d))
-      .otherwise(lit(-1.0d))
+    * from the shared hash family (bit 0 of h15("plane:p:j")) --
+    * computed driver-side and embedded as an array literal, so the
+    * per-row work is one native dot product instead of 64 interpreted
+    * md5 calls per plane. */
+  private def planeSigns(p: Int): Seq[Double] =
+    (0 until PlaneDims).map(j =>
+      if ((h15Local(s"plane:$p:$j") & 1L) == 1L) 1.0 else -1.0)
 
   private def planeSignSql(p: Int): String =
     s"CASE WHEN ${h15Sql(s"concat('plane:$p:', CAST(j - 1 AS VARCHAR))")} & 1 = 1 THEN 1.0 ELSE -1.0 END"
 
   /** b-bit sign-LSH bucket id of a double-array column: bit p set iff
-    * the dot product with +-1 hyperplane p is positive. Narrow
-    * expression; hyperplane signs constant-fold at plan time. */
+    * the dot product with +-1 hyperplane p is positive. */
   def signBucket(v: Column): Column =
     (0 until LshPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, j) => x * planeSign(p, j)),
-        lit(0.0d), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      val plane = array(planeSigns(p).map(lit): _*)
+      when(graft.functions.ArrayExprs.dot(v, plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   def signBucketSql(vExpr: String): String =
