@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.ops.TextOps.TokensSql
+
+/** Analytic extensions past the reference's own surface: framed
+  * window functions (moving averages, lag returns -- the analytics an
+  * equity warehouse's users run), vocabulary building, TF-IDF, and
+  * per-cluster embedding centroids (the k-means/IVF building block).
+  *
+  * Determinism notes: moving sums go through decimal; centroid
+  * averaging quantizes floats to 1e-6 longs first, because
+  * double-sum order differs across engines AND across Spark shuffle
+  * runs, while long sums are exact under any order.
+  */
+object AnalyticsQueries {
+  private val D = DecimalType(18, 4)
+
+  /** Framed window: 5-event trailing moving average per user. */
+  def w2MovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(-4, Window.currentRow)
+    Tables.events(s, dir).select(
+      col("user_id"), col("event_id"), col("ts_us"), col("value"),
+      round(avg(col("value").cast(D)).over(w).cast("double"), 4).as("mavg_5"))
+  }
+
+  val w2MovingAvgSql: String =
+    """SELECT user_id, event_id, ts_us, value,
+       round(CAST(avg(CAST(value AS DECIMAL(18,4)))
+         OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS mavg_5
+       FROM (SELECT *, epoch_ns(ts)//1000 AS ts_us FROM events)"""
+
+  /** lag(): per-user delta vs previous event (daily-return shape). */
+  def w3LagDelta(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    Tables.events(s, dir).select(
+      col("user_id"), col("event_id"), col("ts_us"), col("value"),
+      round(col("value").cast(D) - lag(col("value").cast(D), 1).over(w), 4)
+        .cast("double").as("delta_prev"))
+  }
+
+  val w3LagDeltaSql: String =
+    """SELECT user_id, event_id, ts_us, value,
+       CAST(round(CAST(value AS DECIMAL(18,4))
+         - lag(CAST(value AS DECIMAL(18,4)), 1)
+           OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC), 4)
+         AS DOUBLE) AS delta_prev
+       FROM (SELECT *, epoch_ns(ts)//1000 AS ts_us FROM events)"""
+
+  /** Vocabulary building: global top-20 tokens by frequency with a
+    * deterministic tiebreak. */
+  def textVocabTopk(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(20)
+
+  val textVocabTopkSql: String =
+    s"""SELECT token, count(*) AS freq
+       FROM (SELECT unnest($TokensSql) AS token FROM documents)
+       GROUP BY token ORDER BY freq DESC, token ASC LIMIT 20"""
+
+  /** TF-IDF per (doc, token): tf * ln(N/df), exact integer tf/df so
+    * only the final ln/round touches floats. */
+  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val termFreq = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = termFreq.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    termFreq.join(docFreq, Seq("token"))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 4).as("tfidf"))
+  }
+
+  val textTfidfSql: String =
+    s"""WITH tf AS (
+         SELECT doc_id, token, count(*) AS tf
+         FROM (SELECT doc_id, unnest($TokensSql) AS token FROM documents)
+         GROUP BY 1, 2),
+       df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       n AS (SELECT count(*) AS n FROM documents)
+       SELECT doc_id, tf.token, tf, df,
+         round(tf * ln((SELECT CAST(n AS DOUBLE) FROM n) / df), 4) AS tfidf
+       FROM tf JOIN df ON tf.token = df.token"""
+
+  /** Per-label embedding centroids as flat (label, pos, centroid)
+    * rows -- the coarse-quantizer build step of an IVF index. Floats
+    * are quantized to 1e-6 longs before the order-sensitive sum. */
+  def embCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(sum(round(col("v").cast("double") * 1e6).cast("long")) /
+        (count(lit(1)) * lit(1e6)), 6).as("centroid"))
+
+  val embCentroidsSql: String =
+    // fixed 64-dim vectors (driver tables); DuckDB 1.0 can't lateral-
+    // parameterize generate_series with len(embedding)
+    """SELECT label, CAST(i - 1 AS INT) AS pos,
+       round(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT))
+         / (count(*) * 1e6), 6) AS centroid
+       FROM embeddings, generate_series(1, 64) gs(i)
+       GROUP BY 1, 2"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w2_moving_avg" -> (w2MovingAvg _),
+    "w3_lag_delta" -> (w3LagDelta _),
+    "text_vocab_topk" -> (textVocabTopk _),
+    "text_tfidf" -> (textTfidf _),
+    "emb_centroids" -> (embCentroids _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "w2_moving_avg" -> w2MovingAvgSql,
+    "w3_lag_delta" -> w3LagDeltaSql,
+    "text_vocab_topk" -> textVocabTopkSql,
+    "text_tfidf" -> textTfidfSql,
+    "emb_centroids" -> embCentroidsSql,
+  )
+}
