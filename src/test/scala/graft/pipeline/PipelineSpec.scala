@@ -79,6 +79,17 @@ class PipelineSpec extends AnyFunSuite {
       fact.map(_.getAs[Long]("volume")).sum)
   }
 
+  test("ad-hoc SQL surface answers the reference's QUICK_START query") {
+    val r = freshRunner()
+    r.runDaily("2026-02-09")
+    WarehouseSql.attach(r.store)
+    val rows = spark.sql(
+      """SELECT stock_symbol, trade_date, close_price
+         FROM fact_stock_daily_price ORDER BY trade_date DESC LIMIT 10""").collect()
+    assert(rows.length === 3)
+    assert(rows.forall(_.getAs[java.math.BigDecimal]("close_price").signum > 0))
+  }
+
   test("generator is deterministic across invocations") {
     val a = graft.sources.QuoteGenerator
       .quotes(spark, Seq("AAPL", "MSFT"), "2026-02-09", "t").collect()
