@@ -264,6 +264,59 @@ object DedupOps {
            / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= $NgramThreshold"""
   }
 
+  // ------------------------------------------------- near-dup clustering
+
+  /** Connected components over the MinHash near-dup pair graph: the
+    * dedup output users actually consume (one cluster id per doc; the
+    * cluster's min doc_id is the canonical survivor). Iterative
+    * min-label propagation to fixpoint -- O(graph diameter)
+    * DataFrame iterations, each a join + map-side-combinable min-agg,
+    * with localCheckpoint truncating the growing lineage (the
+    * standard Spark iterative-algorithm pattern). Near-dup components
+    * are dense, so the fixpoint lands in a handful of rounds. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(true)
+    var labels = Tables.documents(s, dir)
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      val neighborMin = edges
+        .join(labels, edges("doc_b") === labels("doc_id"))
+        .groupBy(edges("doc_a").as("nid"))
+        .agg(min(col("cluster_id")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, labels("doc_id") === neighborMin("nid"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(true)
+      changed = updated.as("u")
+        .join(labels.as("l"), col("u.doc_id") === col("l.doc_id"))
+        .filter(col("u.cluster_id") =!= col("l.cluster_id"))
+        .count()
+      labels.unpersist()
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE
+       pairs AS (SELECT doc_a, doc_b FROM ($dedupMinhashLshSql) q),
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+       reach(doc, root) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc)
+       SELECT doc AS doc_id, min(root) AS cluster_id FROM reach GROUP BY doc"""
+
   // --------------------------------------------------- embedding near-dup
 
   val CosineThreshold = 0.4

@@ -117,7 +117,35 @@ object AnalyticsQueries {
        FROM embeddings, generate_series(1, 64) gs(i)
        GROUP BY 1, 2"""
 
+  /** Sessionization: per-user session ids from inactivity gaps > 1h
+    * (lag + running sum of gap markers -- the standard shape). */
+  def w4Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val gapMs = (col("ts_us") - lag(col("ts_us"), 1).over(byUser)) / 1000L
+    val newSession = when(gapMs.isNull || gapMs > 3600 * 1000, 1L).otherwise(0L)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), newSession.as("is_new"))
+      .withColumn("session_seq",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("session_seq"))
+  }
+
+  val w4SessionizeSql: String =
+    """SELECT user_id, event_id, ts_us,
+       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+       FROM (
+         SELECT user_id, event_id, ts_us,
+           CASE WHEN lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+                     IS NULL
+                  OR (ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC))
+                     / 1000 > 3600 * 1000
+                THEN 1::BIGINT ELSE 0::BIGINT END AS is_new
+         FROM (SELECT *, epoch_ns(ts)//1000 AS ts_us FROM events))"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w4_sessionize" -> (w4Sessionize _),
     "w2_moving_avg" -> (w2MovingAvg _),
     "w3_lag_delta" -> (w3LagDelta _),
     "text_vocab_topk" -> (textVocabTopk _),
@@ -126,6 +154,7 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "w4_sessionize" -> w4SessionizeSql,
     "w2_moving_avg" -> w2MovingAvgSql,
     "w3_lag_delta" -> w3LagDeltaSql,
     "text_vocab_topk" -> textVocabTopkSql,
