@@ -289,10 +289,17 @@ object DedupOps {
         .join(labels, edges("doc_b") === labels("doc_id"))
         .groupBy(edges("doc_a").as("nid"))
         .agg(min(col("cluster_id")).as("nmin"))
-      val updated = labels
+      val propagated = labels
         .join(neighborMin, labels("doc_id") === neighborMin("nid"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+      // pointer jumping: label(d) := label(label(d)). Halves the path
+      // lengths each round, so convergence is O(log diameter) instead
+      // of O(diameter). cluster_id always references a real doc_id,
+      // so the self-join is total.
+      val updated = propagated.as("x")
+        .join(propagated.as("y"), col("x.cluster_id") === col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_id"), col("y.cluster_id").as("cluster_id"))
         .localCheckpoint(true)
       changed = updated.as("u")
         .join(labels.as("l"), col("u.doc_id") === col("l.doc_id"))
