@@ -144,7 +144,26 @@ object AnalyticsQueries {
                 THEN 1::BIGINT ELSE 0::BIGINT END AS is_new
          FROM (SELECT *, epoch_ns(ts)//1000 AS ts_us FROM events))"""
 
+  /** Exact interpolated percentiles per group -- Spark `percentile`
+    * and DuckDB `quantile_cont` share the (n-1)p linear-interpolation
+    * definition bit-for-bit (verified empirically). */
+  def a4Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.25, 0.5, 0.9, 0.99))").as("p"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        col("p")(0).as("p25"), col("p")(1).as("p50"),
+        col("p")(2).as("p90"), col("p")(3).as("p99"))
+
+  val a4PercentilesSql: String =
+    """SELECT event_type, count(*) AS n,
+       quantile_cont(value, 0.25) AS p25, quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99
+       FROM events GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a4_percentiles" -> (a4Percentiles _),
     "w4_sessionize" -> (w4Sessionize _),
     "w2_moving_avg" -> (w2MovingAvg _),
     "w3_lag_delta" -> (w3LagDelta _),
@@ -154,6 +173,7 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "a4_percentiles" -> a4PercentilesSql,
     "w4_sessionize" -> w4SessionizeSql,
     "w2_moving_avg" -> w2MovingAvgSql,
     "w3_lag_delta" -> w3LagDeltaSql,
