@@ -162,7 +162,25 @@ object AnalyticsQueries {
        quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99
        FROM events GROUP BY 1"""
 
+  /** Semi-structured extraction: JSON path into the `props` payload
+    * column + aggregate over the extracted value. */
+  def f16JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
+  val f16JsonExtractSql: String =
+    """SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+       FROM events GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f16_json_extract" -> (f16JsonExtract _),
     "a4_percentiles" -> (a4Percentiles _),
     "w4_sessionize" -> (w4Sessionize _),
     "w2_moving_avg" -> (w2MovingAvg _),
@@ -173,6 +191,7 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "f16_json_extract" -> f16JsonExtractSql,
     "a4_percentiles" -> a4PercentilesSql,
     "w4_sessionize" -> w4SessionizeSql,
     "w2_moving_avg" -> w2MovingAvgSql,
