@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+/** Sanity/regression specs for the training-data ops over sf0.001.
+  * (The DuckDB oracle is the authoritative gate; these pin cheap
+  * invariants so future refactors fail fast in `sbt test`.) */
+class OpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("text stats are consistent per row") {
+    val bad = TextOps.textStats(spark, dir)
+      .filter(col("n_distinct_tokens") > col("n_tokens") ||
+        col("n_tokens") <= 0 || col("lexical_diversity") > 1.0)
+      .count()
+    assert(bad === 0)
+  }
+
+  test("langId picks a language consistent with its scores") {
+    val rows = TextOps.langId(spark, dir).collect()
+    rows.foreach { r =>
+      val en = r.getAs[Long]("score_en")
+      val others = Seq("score_de", "score_fr", "score_es").map(r.getAs[Long])
+      val pred = r.getAs[String]("predicted_lang")
+      if (en > 0 && others.forall(en > _)) assert(pred === "en")
+    }
+  }
+
+  test("minhash LSH pairs are symmetric-free, above threshold, and deduplicated") {
+    val pairs = DedupOps.dedupMinhashLsh(spark, dir).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Double]("jaccard") >= DedupOps.JaccardThreshold)
+    }
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length === keys.length)
+  }
+
+  test("minhash LSH pairs verify against direct jaccard computation") {
+    val th = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), DedupOps.hashedTokenSet(col("text")).as("th"))
+      .as[(Long, Seq[Long])].collect().toMap
+    DedupOps.dedupMinhashLsh(spark, dir).collect().take(50).foreach { r =>
+      val (a, b) = (th(r.getAs[Long]("doc_a")).toSet, th(r.getAs[Long]("doc_b")).toSet)
+      val expected = BigDecimal(a.intersect(b).size.toDouble / a.union(b).size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("jaccard") === expected)
+    }
+  }
+
+  test("cluster ids are component minima and respect the pair graph") {
+    val clusters = DedupOps.dedupClusters(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    // every doc has a label <= its own id
+    clusters.foreach { case (d, c) => assert(c <= d) }
+    // both endpoints of every near-dup pair share a cluster
+    DedupOps.dedupMinhashLsh(spark, dir).collect().foreach { r =>
+      assert(clusters(r.getAs[Long]("doc_a")) === clusters(r.getAs[Long]("doc_b")))
+    }
+  }
+
+  test("ANN results are a subset of brute-force cosine rankings per query") {
+    val brute = SimilarityOps.cosineTopK(spark, dir)
+      .select("query_id", "match_id", "cosine").as[(Long, Long, Double)]
+      .collect().map { case (q, m, c) => (q, m) -> c }.toMap
+    val ann = SimilarityOps.annSignLsh(spark, dir)
+      .select("query_id", "match_id", "cosine").as[(Long, Long, Double)].collect()
+    assert(ann.nonEmpty)
+    // every ANN hit that brute force also ranked must carry the same score
+    ann.foreach { case (q, m, c) =>
+      brute.get((q, m)).foreach(bc => assert(bc === c))
+    }
+    // the query vector itself is always in its own bucket -> rank 1 self-hit
+    val selfHits = ann.collect { case (q, m, _) if q == m => q }.toSet
+    assert(selfHits === (0L until SimilarityOps.NumQueries).toSet)
+  }
+
+  test("multimodal stub decode is deterministic and schema-typed") {
+    val a = MultimodalOps.decodeFeatures(spark, dir).collect()
+    val b = MultimodalOps.decodeFeatures(spark, dir).collect()
+    assert(a === b)
+    assert(a.forall(r => r.getAs[Int]("width") >= 1 && r.getAs[Int]("width") <= 640))
+  }
+}
