@@ -179,7 +179,41 @@ object AnalyticsQueries {
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
        FROM events GROUP BY 1"""
 
+  /** Hierarchical totals via ROLLUP (grouping sets): per (year,
+    * priority), per year, and grand total in one pass. */
+  def a5Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(year(col("o_orderdate")).as("yr"), col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D)).cast("double").as("total_price"))
+
+  val a5RollupSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderpriority AS prio,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+       FROM orders GROUP BY ROLLUP (yr, prio)"""
+
+  /** Pivot: events wide per user over event_type counts. The oracle
+    * expresses the same thing as conditional aggregation. */
+  def a6Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  val a6PivotSql: String =
+    """SELECT user_id,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+       FROM events GROUP BY user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a5_rollup" -> (a5Rollup _),
+    "a6_pivot" -> (a6Pivot _),
     "f16_json_extract" -> (f16JsonExtract _),
     "a4_percentiles" -> (a4Percentiles _),
     "w4_sessionize" -> (w4Sessionize _),
@@ -191,6 +225,8 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "a5_rollup" -> a5RollupSql,
+    "a6_pivot" -> a6PivotSql,
     "f16_json_extract" -> f16JsonExtractSql,
     "a4_percentiles" -> a4PercentilesSql,
     "w4_sessionize" -> w4SessionizeSql,
