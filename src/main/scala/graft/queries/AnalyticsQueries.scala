@@ -211,7 +211,51 @@ object AnalyticsQueries {
        count(CASE WHEN event_type = 'error' THEN 1 END) AS error
        FROM events GROUP BY user_id"""
 
+  /** As-of join: each click event picks the latest purchase (same
+    * user) at-or-before its timestamp -- the canonical time-series
+    * enrichment. Composed from existing operators (preference (a) of
+    * the custom-op ladder): union the two sides, carry the last
+    * non-null right value forward within a (ts, side) ordered window,
+    * keep left rows. One shuffle on the key, no range-join blowup --
+    * the same plan holds at any scale because the window is a single
+    * ordered pass per key partition.
+    *
+    * Right side is deduped to one row per (user, ts) first so the
+    * at-same-timestamp winner is well-defined in both engines. */
+  def j4AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val right = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max_by(col("value"), col("event_id")).as("px"))
+    val left = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    val tagged = right.select(col("user_id"), col("ts_us"),
+        lit(null).cast("long").as("event_id"), col("px"), lit(1).as("is_right"))
+      .unionByName(left.select(col("user_id"), col("ts_us"), col("event_id"),
+        lit(null).cast("double").as("px"), lit(0).as("is_right")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("is_right").desc, col("event_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_px", last(col("px"), ignoreNulls = true).over(w))
+      .filter(col("is_right") === 0)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("asof_px"))
+  }
+
+  val j4AsofJoinSql: String =
+    """WITH r AS (
+         SELECT user_id, ts_us, arg_max(value, event_id) AS px
+         FROM (SELECT *, epoch_ns(ts)//1000 AS ts_us FROM events)
+         WHERE event_type = 'purchase' GROUP BY 1, 2),
+       l AS (
+         SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us
+         FROM events WHERE event_type = 'click')
+       SELECT l.user_id, l.event_id, l.ts_us, r.px AS asof_px
+       FROM l ASOF LEFT JOIN r
+         ON l.user_id = r.user_id AND l.ts_us >= r.ts_us"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j4_asof_join" -> (j4AsofJoin _),
     "a5_rollup" -> (a5Rollup _),
     "a6_pivot" -> (a6Pivot _),
     "f16_json_extract" -> (f16JsonExtract _),
@@ -225,6 +269,7 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "j4_asof_join" -> j4AsofJoinSql,
     "a5_rollup" -> a5RollupSql,
     "a6_pivot" -> a6PivotSql,
     "f16_json_extract" -> f16JsonExtractSql,
