@@ -276,15 +276,22 @@ object DedupOps {
     * are dense, so the fixpoint lands in a handful of rounds. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = dedupMinhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
+    var edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint(true)
     var labels = Tables.documents(s, dir)
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)
-    var changed = 1L
+    var nEdges = edges.count()
     var iter = 0
-    while (changed > 0 && iter < 25) {
+    // Borůvka-flavored loop: propagate min labels one hop, pointer-jump
+    // (label := label(label)), then CONTRACT the graph through the
+    // labels -- within-cluster edges become self-loops and disappear,
+    // so the edge set collapses after the first round and the loop
+    // terminates when no cross-label edges remain. Each round is a
+    // handful of key-partitioned joins; lineage is cut per round with
+    // eager localCheckpoints (superseded ones unpersisted).
+    while (nEdges > 0 && iter < 20) {
       val neighborMin = edges
         .join(labels, edges("doc_b") === labels("doc_id"))
         .groupBy(edges("doc_a").as("nid"))
@@ -293,20 +300,22 @@ object DedupOps {
         .join(neighborMin, labels("doc_id") === neighborMin("nid"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
-      // pointer jumping: label(d) := label(label(d)). Halves the path
-      // lengths each round, so convergence is O(log diameter) instead
-      // of O(diameter). cluster_id always references a real doc_id,
-      // so the self-join is total.
       val updated = propagated.as("x")
         .join(propagated.as("y"), col("x.cluster_id") === col("y.doc_id"))
         .select(col("x.doc_id").as("doc_id"), col("y.cluster_id").as("cluster_id"))
         .localCheckpoint(true)
-      changed = updated.as("u")
-        .join(labels.as("l"), col("u.doc_id") === col("l.doc_id"))
-        .filter(col("u.cluster_id") =!= col("l.cluster_id"))
-        .count()
+      val la = updated.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca"))
+      val lb = updated.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb"))
+      val contracted = edges.join(la, "doc_a").join(lb, "doc_b")
+        .filter(col("ca") =!= col("cb"))
+        .select(col("ca").as("doc_a"), col("cb").as("doc_b"))
+        .distinct()
+        .localCheckpoint(true)
       labels.unpersist()
+      edges.unpersist()
       labels = updated
+      edges = contracted
+      nEdges = edges.count()
       iter += 1
     }
     edges.unpersist()
