@@ -319,6 +319,24 @@ object DedupOps {
       iter += 1
     }
     edges.unpersist()
+    // Edge-emptiness means all classes merged, but docs deep in a
+    // representative chain can lag the per-round two-level jump:
+    // pointer-jump the (small) label table to its true fixpoint.
+    var stable = false
+    var jiter = 0
+    while (!stable && jiter < 20) {
+      val jumped = labels.as("x")
+        .join(labels.as("y"), col("x.cluster_id") === col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_id"), col("y.cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+      stable = jumped.as("u")
+        .join(labels.as("l"), col("u.doc_id") === col("l.doc_id"))
+        .filter(col("u.cluster_id") =!= col("l.cluster_id"))
+        .count() == 0
+      labels.unpersist()
+      labels = jumped
+      jiter += 1
+    }
     labels
   }
 
