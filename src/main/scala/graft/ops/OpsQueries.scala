@@ -20,6 +20,8 @@ object OpsQueries {
     "sim_cosine_topk" -> (SimilarityOps.cosineTopK _),
     "sim_ann_signlsh" -> (SimilarityOps.annSignLsh _),
     "mm_decode_features" -> (MultimodalOps.decodeFeatures _),
+    "p9_hash_sample" -> (SamplingOps.hashSample _),
+    "p10_split_assign" -> (SamplingOps.splitAssign _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -35,5 +37,7 @@ object OpsQueries {
     "sim_cosine_topk" -> SimilarityOps.cosineTopKSql,
     "sim_ann_signlsh" -> SimilarityOps.annSignLshSql,
     "mm_decode_features" -> MultimodalOps.decodeFeaturesSql,
+    "p9_hash_sample" -> SamplingOps.hashSampleSql,
+    "p10_split_assign" -> SamplingOps.splitAssignSql,
   )
 }
