@@ -254,7 +254,24 @@ object AnalyticsQueries {
        FROM l ASOF LEFT JOIN r
          ON l.user_id = r.user_id AND l.ts_us >= r.ts_us"""
 
+  /** Set operators: customers active in both 1995 and 1996, minus
+    * those active in 1998 (INTERSECT / EXCEPT, distinct semantics). */
+  def u1SetOps(s: SparkSession, dir: String): DataFrame = {
+    def activeIn(yr: Int) = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === yr)
+      .select(col("o_custkey")).distinct()
+    activeIn(1995).intersect(activeIn(1996)).except(activeIn(1998))
+  }
+
+  val u1SetOpsSql: String =
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+       INTERSECT
+       SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+       EXCEPT
+       SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u1_set_ops" -> (u1SetOps _),
     "j4_asof_join" -> (j4AsofJoin _),
     "a5_rollup" -> (a5Rollup _),
     "a6_pivot" -> (a6Pivot _),
@@ -269,6 +286,7 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "u1_set_ops" -> u1SetOpsSql,
     "j4_asof_join" -> j4AsofJoinSql,
     "a5_rollup" -> a5RollupSql,
     "a6_pivot" -> a6PivotSql,
