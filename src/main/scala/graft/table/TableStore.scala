@@ -49,5 +49,15 @@ class TableStore(val spark: SparkSession, val root: String) {
     fs.delete(bak, true)
   }
 
+  /** Dynamic partition overwrite: replace ONLY the hive partitions
+    * present in `df`, leaving all other partitions' files untouched
+    * -- the partition-local commit a daily MERGE needs on a deep
+    * table. */
+  def overwritePartitions(df: DataFrame, name: String, partitionBy: Seq[String]): Unit = {
+    require(partitionBy.nonEmpty, "overwritePartitions needs partition columns")
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(path(name))
+  }
+
   def drop(name: String): Unit = fs.delete(new Path(path(name)), true)
 }

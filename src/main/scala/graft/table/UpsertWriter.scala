@@ -28,18 +28,38 @@ object UpsertWriter {
 
   /** S7 update-all MERGE: matched target rows are replaced wholesale,
     * unmatched kept, new source rows inserted. Idempotent: re-merging
-    * the same source is a no-op. */
+    * the same source is a no-op.
+    *
+    * For partitioned tables the merge only touches partitions the
+    * source lands in: the anti-join is restricted to those partitions
+    * (semi-join pre-filter = partition pruning on the target scan)
+    * and the write uses dynamic partition overwrite, so a daily merge
+    * into a years-deep table rewrites one day, not the table. This is
+    * the scan/commit shape Iceberg's merge gives the reference. */
   def upsertAll(store: TableStore, table: String, source: DataFrame,
       keys: Seq[String], partitionBy: Seq[String] = Nil): Unit = {
     if (!store.exists(table)) {
       store.createOrReplace(source, table, partitionBy)
-    } else {
+    } else if (partitionBy.isEmpty) {
       val target = store.read(table)
       // using-columns joins move the keys to the front of the output;
       // re-select to keep the table's declared column order stable
       val kept = target.join(source.select(keys.map(col): _*), keys, "left_anti")
         .select(target.columns.map(col).toSeq: _*)
       store.swapIn(kept.unionByName(source), table, partitionBy)
+    } else {
+      val target = store.read(table)
+      val touched = target
+        .join(source.select(partitionBy.map(col): _*).distinct(), partitionBy, "left_semi")
+      val kept = touched.join(source.select(keys.map(col): _*), keys, "left_anti")
+        .select(target.columns.map(col).toSeq: _*)
+      // materialize the (partition-local) merge result before writing:
+      // Spark refuses to overwrite a path that is also an input, and
+      // the touched subset is small by construction (the day's
+      // partitions, not the table)
+      val merged = kept.unionByName(source).localCheckpoint(true)
+      store.overwritePartitions(merged, table, partitionBy)
+      merged.unpersist()
     }
   }
 

@@ -45,6 +45,27 @@ class UpsertWriterSpec extends AnyFunSuite {
     assert(store.read("t").as[(Int, Option[String])].collect() === Seq((1, None)))
   }
 
+  test("partitioned upsertAll only rewrites touched partitions") {
+    val store = freshStore()
+    val day1 = Seq((1, "2026-01-01", "a"), (2, "2026-01-01", "b")).toDF("k", "day", "v")
+    val day2 = Seq((3, "2026-01-02", "c")).toDF("k", "day", "v")
+    UpsertWriter.upsertAll(store, "t", day1, Seq("k"), partitionBy = Seq("day"))
+    UpsertWriter.upsertAll(store, "t", day2, Seq("k"), partitionBy = Seq("day"))
+    def filesOf(day: String) = {
+      val d = new java.io.File(s"${store.path("t")}/day=$day")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    }
+    val day1Files = filesOf("2026-01-01")
+    // restate day 2 only: day 1's physical files must be untouched
+    Thread.sleep(1100)
+    UpsertWriter.upsertAll(store, "t",
+      Seq((3, "2026-01-02", "C"), (4, "2026-01-02", "d")).toDF("k", "day", "v"),
+      Seq("k"), partitionBy = Seq("day"))
+    assert(filesOf("2026-01-01") === day1Files)
+    assert(store.read("t").select("k", "v").as[(Int, String)]
+      .collect().sortBy(_._1).map(_._2).toSeq === Seq("a", "b", "C", "d"))
+  }
+
   test("upsertSelective preserves protected columns on match only") {
     val store = freshStore()
     // (symbol, first_seen, last_seen)
