@@ -276,11 +276,16 @@ object DedupOps {
     * are dense, so the fixpoint lands in a handful of rounds. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = dedupMinhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    // loop tables are small relative to the pair-join width; coalesce
+    // before each checkpoint so per-round task overhead stays low
+    val loopParts = 8
     var edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .coalesce(loopParts)
       .localCheckpoint(true)
     var labels = Tables.documents(s, dir)
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .coalesce(loopParts)
       .localCheckpoint(true)
     var nEdges = edges.count()
     var iter = 0
@@ -303,6 +308,7 @@ object DedupOps {
       val updated = propagated.as("x")
         .join(propagated.as("y"), col("x.cluster_id") === col("y.doc_id"))
         .select(col("x.doc_id").as("doc_id"), col("y.cluster_id").as("cluster_id"))
+        .coalesce(loopParts)
         .localCheckpoint(true)
       val la = updated.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca"))
       val lb = updated.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb"))
@@ -310,6 +316,7 @@ object DedupOps {
         .filter(col("ca") =!= col("cb"))
         .select(col("ca").as("doc_a"), col("cb").as("doc_b"))
         .distinct()
+        .coalesce(loopParts)
         .localCheckpoint(true)
       labels.unpersist()
       edges.unpersist()
@@ -328,6 +335,7 @@ object DedupOps {
       val jumped = labels.as("x")
         .join(labels.as("y"), col("x.cluster_id") === col("y.doc_id"))
         .select(col("x.doc_id").as("doc_id"), col("y.cluster_id").as("cluster_id"))
+        .coalesce(8)
         .localCheckpoint(true)
       stable = jumped.as("u")
         .join(labels.as("l"), col("u.doc_id") === col("l.doc_id"))
