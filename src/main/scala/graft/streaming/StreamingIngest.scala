@@ -69,6 +69,17 @@ object StreamingIngest {
       }
   }
 
+  /** Streaming scan of the raw quote zone (`date=` partition dirs of
+    * JSONL) with the pinned quote schema -- the reference's daily
+    * batch ingest as an incremental file stream: new date partitions
+    * are picked up as they land, `AvailableNow` gives exact
+    * batch-parity semantics for backfills. */
+  def readQuoteZone(spark: SparkSession, root: String): DataFrame =
+    spark.readStream
+      .schema(graft.model.Schemas.rawQuote.add("date", "string"))
+      .option("basePath", root)
+      .json(s"$root/date=*")
+
   /** Run a streaming DataFrame to completion over currently-available
     * input (batch-parity mode) into an in-memory table; returns the
     * finished query. */

@@ -49,6 +49,32 @@ class StreamingIngestSpec extends AnyFunSuite {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("streaming quote-zone ingest sees new date partitions incrementally") {
+    val root = tmp("graft-stream-zone")
+    val jobsDate1 = "2026-02-09"
+    graft.sources.JsonlQuoteSource.write(
+      graft.sources.QuoteGenerator.quotes(spark, Seq("AAPL", "MSFT"), jobsDate1, "t1"),
+      root, jobsDate1)
+    val counts = StreamingIngest.readQuoteZone(spark, root)
+      .groupBy(col("date")).agg(count(lit(1)).as("n"))
+    val q = counts.writeStream.queryName("zone_counts").outputMode("complete")
+      .format("memory").option("checkpointLocation", tmp("graft-zone-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("zone_counts").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      === Map(jobsDate1 -> 2L))
+    // a second day lands; a fresh AvailableNow pass picks it up too
+    graft.sources.JsonlQuoteSource.write(
+      graft.sources.QuoteGenerator.quotes(spark, Seq("AAPL"), "2026-02-10", "t2"),
+      root, "2026-02-10")
+    val q2 = counts.writeStream.queryName("zone_counts2").outputMode("complete")
+      .format("memory").option("checkpointLocation", tmp("graft-zone-ckpt2"))
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.table("zone_counts2").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      === Map(jobsDate1 -> 2L, "2026-02-10" -> 1L))
+  }
+
   test("stateful latest-event-per-user matches the batch W1 dedup") {
     val events = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"), col("value"))
