@@ -22,6 +22,7 @@ object OpsQueries {
     "mm_decode_features" -> (MultimodalOps.decodeFeatures _),
     "p9_hash_sample" -> (SamplingOps.hashSample _),
     "p10_split_assign" -> (SamplingOps.splitAssign _),
+    "agg_topk_sketch" -> (TextOps.topkTokensSketch _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -39,5 +40,6 @@ object OpsQueries {
     "mm_decode_features" -> MultimodalOps.decodeFeaturesSql,
     "p9_hash_sample" -> SamplingOps.hashSampleSql,
     "p10_split_assign" -> SamplingOps.splitAssignSql,
+    "agg_topk_sketch" -> TextOps.topkTokensSketchSql,
   )
 }

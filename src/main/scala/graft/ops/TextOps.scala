@@ -112,6 +112,35 @@ object TextOps {
        FROM documents"""
   }
 
+  /** Per-language heavy-hitter tokens via the SpaceSaving
+    * TypedImperativeAggregate (graft.functions.TopKFreq). Capacity 64
+    * >= the corpus vocabulary, so the sketch is exact here and the
+    * oracle checks it against a count+rank derivation; at real scale
+    * the same operator runs with bounded memory and an n/capacity
+    * error bound. */
+  def topkTokensSketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKFreq.topkFreq
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .select(col("lang"), h31(col("tok")).as("h"))
+      .groupBy(col("lang"))
+      .agg(topkFreq(col("h"), k = 5, capacity = 64).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("idx", "entry")))
+      .select(col("lang"), (col("idx") + 1).as("rank"),
+        col("entry.item").as("token_hash"), col("entry.cnt").as("freq"))
+  }
+
+  val topkTokensSketchSql: String =
+    s"""WITH tf AS (
+         SELECT lang, ${h31Sql("tok")} AS token_hash, count(*) AS freq
+         FROM (SELECT lang, unnest($TokensSql) AS tok FROM documents)
+         GROUP BY 1, 2),
+       r AS (SELECT lang, token_hash, freq,
+               CAST(row_number() OVER (PARTITION BY lang
+                 ORDER BY freq DESC, token_hash ASC) AS INT) AS rank
+             FROM tf)
+       SELECT lang, rank, token_hash, freq FROM r WHERE rank <= 5"""
+
   /** Document fingerprinting: whole-document md5 plus a winnowing-style
     * rolling fingerprint (min 60-bit hash over all 8-token windows --
     * robust to local edits, the building block of containment dedup). */

@@ -51,6 +51,31 @@ class ArrayExprsSpec extends AnyFunSuite {
     assert(got === cases.map(ref(_, 31)))
   }
 
+  test("TopKFreq is exact when capacity covers the distinct items") {
+    import graft.functions.TopKFreq.topkFreq
+    val df = spark.range(1000).select((col("id") % 10).as("g"), (col("id") % 7).as("v"))
+    val got = df.groupBy(col("g")).agg(topkFreq(col("v"), 3, 16).as("top"))
+      .select(col("g"), col("top")).as[(Long, Seq[(Long, Long)])].collect().toMap
+    val expected = df.groupBy(col("g"), col("v")).count()
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1)
+      .view.mapValues(_.map(t => (t._2, t._3)).sortBy(t => (-t._2, t._1)).take(3).toSeq).toMap
+    assert(got === expected)
+  }
+
+  test("TopKFreq eviction keeps true heavy hitters (skewed input)") {
+    import graft.functions.TopKFreq.topkFreq
+    // one item with 500 occurrences among 100 distinct light items:
+    // even with capacity 8, SpaceSaving must surface the heavy hitter
+    val heavy = Seq.fill(500)(999L)
+    val light = (0 until 100).flatMap(i => Seq.fill(2)(i.toLong))
+    val df = (heavy ++ light).toDF("v").repartition(4)
+    val top = df.agg(topkFreq(col("v"), 1, 8).as("top"))
+      .select(col("top")).as[Seq[(Long, Long)]].head()
+    assert(top.head._1 === 999L)
+    assert(top.head._2 >= 500L) // SpaceSaving overestimates, never under
+  }
+
   test("expressions survive codegen inside a join (many rows)") {
     val n = 500
     val df = spark.range(n).select(col("id"),
