@@ -23,6 +23,7 @@ object OpsQueries {
     "p9_hash_sample" -> (SamplingOps.hashSample _),
     "p10_split_assign" -> (SamplingOps.splitAssign _),
     "agg_topk_sketch" -> (TextOps.topkTokensSketch _),
+    "emb_quantize_int8" -> (SimilarityOps.embQuantizeInt8 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -41,5 +42,6 @@ object OpsQueries {
     "p9_hash_sample" -> SamplingOps.hashSampleSql,
     "p10_split_assign" -> SamplingOps.splitAssignSql,
     "agg_topk_sketch" -> TextOps.topkTokensSketchSql,
+    "emb_quantize_int8" -> SimilarityOps.embQuantizeInt8Sql,
   )
 }

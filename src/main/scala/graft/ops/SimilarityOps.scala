@@ -125,6 +125,30 @@ object SimilarityOps {
       .filter(col("rank") <= TopK)
   }
 
+  /** Int8 vector quantization (per-vector absmax scaling) -- the
+    * storage-compression step of a large vector index (4x smaller
+    * than float32). Flat (vec_id, pos, q) output; scale rounded for
+    * cross-engine exactness. Dequantization error <= scale/2. */
+  def embQuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / 127.0d)
+    e.select(col("vec_id"), col("scale"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"),
+        round(col("x") / col("scale")).cast("int").as("q"),
+        round(col("scale"), 9).as("scale_r"))
+  }
+
+  val embQuantizeInt8Sql: String =
+    """WITH e AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       sc AS (SELECT vec_id, v,
+                list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e)
+       SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+         CAST(round(v[i] / scale) AS INT) AS q,
+         round(scale, 9) AS scale_r
+       FROM sc, generate_series(1, 64) gs(i)"""
+
   val annSignLshSql: String =
     s"""WITH e AS (
          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -270,7 +270,36 @@ object AnalyticsQueries {
        EXCEPT
        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998"""
 
+  /** ANALYZE-style column statistics (count / nulls / exact NDV /
+    * min / max) for optimizer-feeding metadata -- one scan computes
+    * all columns' stats, then unpivots. */
+  def s15TableStats(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__cnt"),
+        count_distinct(col(c)).as(s"${c}__ndv"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"))
+    }
+    val wide = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map { c =>
+      s"'$c', ${c}__cnt, ${c}__ndv, ${c}__min, ${c}__max"
+    }.mkString(s"stack(${cols.size}, ", ", ", ")")
+    wide.select(expr(s"$stackExpr AS (column_name, cnt, ndv, min_v, max_v)"))
+  }
+
+  val s15TableStatsSql: String = {
+    val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name, count($c) AS cnt,
+         count(DISTINCT $c) AS ndv,
+         CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
+         FROM lineitem"""
+    }.mkString("\nUNION ALL\n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_table_stats" -> (s15TableStats _),
     "u1_set_ops" -> (u1SetOps _),
     "j4_asof_join" -> (j4AsofJoin _),
     "a5_rollup" -> (a5Rollup _),
@@ -286,6 +315,7 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s15_table_stats" -> s15TableStatsSql,
     "u1_set_ops" -> u1SetOpsSql,
     "j4_asof_join" -> j4AsofJoinSql,
     "a5_rollup" -> a5RollupSql,
