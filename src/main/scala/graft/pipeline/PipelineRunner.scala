@@ -52,7 +52,7 @@ class PipelineRunner(
     withRetry("extract")(jobs.extract(symbols, date, extractionTime))
     withRetry("dimensions")(jobs.buildDimensions(date))
     withRetry("fact")(jobs.buildFact(date, createdAt = extractionTime.take(19).replace('T', ' ')))
-    withRetry("aggregations")(jobs.buildAggregations())
+    withRetry("aggregations")(jobs.buildAggregations(forDate = Some(date)))
     withRetry("validate")(jobs.validate())
   }
 

@@ -101,20 +101,46 @@ class StarSchemaJobs(spark: SparkSession, store: TableStore, rawRoot: String) {
   /** build_stock_aggregations.py: J1/J2 dim joins + A1 weekly, A2
     * monthly, A3 sector rollups, each upserted on its natural key.
     * Dims are broadcast (tiny); the fact side shuffles once per
-    * distinct grouping key set. */
-  def buildAggregations(): Unit = {
-    val fact = store.read("fact_stock_daily_price")
-    if (fact.isEmpty) return // empty-fact early-exit (aggs:63-67)
+    * distinct grouping key set.
+    *
+    * `forDate` = incremental mode: recompute ONLY the ISO week /
+    * month / day containing that date (the reference re-aggregates
+    * the whole fact table every run, build_stock_aggregations.py:45
+    * -- at scale that is the difference between scanning one period
+    * and scanning years; the trade_date filters prune parquet row
+    * groups via min/max stats). The upserted groups are identical to
+    * a full rebuild for those periods. */
+  def buildAggregations(forDate: Option[String] = None): Unit = {
+    val fullFact = store.read("fact_stock_daily_price")
+    if (fullFact.isEmpty) return // empty-fact early-exit (aggs:63-67)
     val dimDate = store.read("dim_date")
       .select(col("date"), col("year"), col("quarter"), col("month"), col("week"))
     val dimStock = store.read("dim_stock")
       .select(col("symbol"), col("company_name"), col("sector"))
-    val enriched = fact
+    def enrich(fact: org.apache.spark.sql.DataFrame) = fact
       .join(broadcast(dimDate), fact("trade_date") === dimDate("date"), "left")
       .join(broadcast(dimStock), fact("stock_symbol") === dimStock("symbol"), "left")
 
+    // Each rollup gets its OWN period filter: a rollup's input must be
+    // the COMPLETE period (a shared week-or-month filter would emit
+    // partial groups for weeks straddling a month edge).
+    val (weeklyFact, monthlyFact, sectorFact) = forDate match {
+      case None => (fullFact, fullFact, fullFact)
+      case Some(d) =>
+        val day = java.time.LocalDate.parse(d)
+        // the weekly group key is (CALENDAR year, ISO week) -- the
+        // reference's combination -- so the filter must match both;
+        // straddling weeks split into one group per calendar year
+        val w = day.get(java.time.temporal.WeekFields.ISO.weekOfWeekBasedYear)
+        (fullFact.filter(year(col("trade_date")) === day.getYear &&
+            weekofyear(col("trade_date")) === w),
+          fullFact.filter(year(col("trade_date")) === day.getYear &&
+            month(col("trade_date")) === day.getMonthValue),
+          fullFact.filter(col("trade_date") === lit(d).cast("date")))
+    }
+
     val tsOrd = col("trade_date").cast("timestamp").cast("long")
-    val weekly = enriched
+    val weekly = enrich(weeklyFact)
       .groupBy(col("year"), col("week"), col("stock_symbol").as("symbol"), col("company_name"))
       .agg(
         min_by(col("open_price"), tsOrd).as("week_open"),
@@ -130,7 +156,7 @@ class StarSchemaJobs(spark: SparkSession, store: TableStore, rawRoot: String) {
     UpsertWriter.upsertAll(store, "agg_stock_weekly_metrics", weekly,
       keys = Seq("year", "week", "symbol"), partitionBy = Seq("year", "week"))
 
-    val monthly = enriched
+    val monthly = enrich(monthlyFact)
       .groupBy(col("year"), col("month"), col("stock_symbol").as("symbol"),
         col("company_name"), col("sector"))
       .agg(
@@ -148,7 +174,7 @@ class StarSchemaJobs(spark: SparkSession, store: TableStore, rawRoot: String) {
     UpsertWriter.upsertAll(store, "agg_stock_monthly_metrics", monthly,
       keys = Seq("year", "month", "symbol"), partitionBy = Seq("year", "month"))
 
-    val sector = enriched
+    val sector = enrich(sectorFact)
       .groupBy(col("trade_date").as("date"), col("sector"))
       .agg(
         avg(col("change_percentage")).cast(D).as("avg_sector_change_pct"),

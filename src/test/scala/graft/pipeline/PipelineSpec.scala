@@ -79,6 +79,25 @@ class PipelineSpec extends AnyFunSuite {
       fact.map(_.getAs[Long]("volume")).sum)
   }
 
+  test("incremental aggregation matches full rebuild and preserves other periods") {
+    val r = freshRunner()
+    // two different ISO weeks and a month boundary: wk 5 (Jan) + wk 7 (Feb)
+    r.runDaily("2026-01-28")
+    r.runDaily("2026-02-10")
+    val store = r.store
+    val incremental = store.read("agg_stock_weekly_metrics")
+      .orderBy("year", "week", "symbol").collect().map(_.toString).toSeq
+    assert(store.read("agg_stock_weekly_metrics")
+      .select("week").distinct().count() === 2) // both weeks present
+    assert(store.read("agg_stock_monthly_metrics")
+      .select("month").distinct().count() === 2) // Jan + Feb
+    // a full rebuild lands on the identical table
+    r.jobs.buildAggregations(forDate = None)
+    val full = store.read("agg_stock_weekly_metrics")
+      .orderBy("year", "week", "symbol").collect().map(_.toString).toSeq
+    assert(incremental === full)
+  }
+
   test("ad-hoc SQL surface answers the reference's QUICK_START query") {
     val r = freshRunner()
     r.runDaily("2026-02-09")
