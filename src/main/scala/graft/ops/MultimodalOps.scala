@@ -59,10 +59,13 @@ object MultimodalOps {
   }
 
   val decodeFeaturesSql: String =
+    // octet_length(encode(...)), not length(...): Spark measures the
+    // UTF-8 BYTE length of the payload; char-counting length()
+    // diverges on non-ASCII text
     """SELECT doc_id,
-       CAST(length(text) AS BIGINT) AS n_bytes,
-       CAST((length(text) * 7 + 3) % 640 + 1 AS INT) AS width,
-       CAST((length(text) * 11 + 5) % 480 + 1 AS INT) AS height,
-       CAST(length(text) % 30 + 1 AS INT) AS n_frames
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST((octet_length(encode(text)) * 7 + 3) % 640 + 1 AS INT) AS width,
+       CAST((octet_length(encode(text)) * 11 + 5) % 480 + 1 AS INT) AS height,
+       CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
        FROM documents"""
 }

@@ -26,12 +26,18 @@ object RelationalQueries {
   private val D = DecimalType(18, 4)
 
   /** S1+P1+F4: scan -> projection with rename/cast/derive (the fact-build
-    * projection shape, build_stock_fact_table.py:55-76). */
+    * projection shape, build_stock_fact_table.py:55-76).
+    *
+    * Money math: each factor is cast to decimal BEFORE the multiply
+    * (see [[tpchQ1]]); casting the double product instead is
+    * engine-divergent. The product has scale <= 4 (2dp price x 2dp
+    * discount), so the final DECIMAL(18,4) cast is exact. */
   def s1ScanProject(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).select(
       col("l_orderkey"), col("l_linenumber"),
       col("l_quantity").cast(D).as("qty_dec"),
-      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(D).as("revenue"),
+      (col("l_extendedprice").cast(D) *
+        (lit(1.0) - col("l_discount")).cast(DecimalType(8, 4))).cast(D).as("revenue"),
       col("l_shipdate").cast("date").as("ship_date"))
 
   /** P2+P6+F9: searched CASE tiering (market_cap_tier,
@@ -208,7 +214,8 @@ object RelationalQueries {
     "s1_scan_project" ->
       """SELECT l_orderkey, l_linenumber,
          CAST(l_quantity AS DECIMAL(18,4)) AS qty_dec,
-         CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS revenue,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+              * CAST(1.0 - l_discount AS DECIMAL(8,4)) AS DECIMAL(18,4)) AS revenue,
          CAST(l_shipdate AS DATE) AS ship_date
          FROM lineitem""",
     "p6_case_tier" ->

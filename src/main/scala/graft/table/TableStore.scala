@@ -55,8 +55,12 @@ class TableStore(val spark: SparkSession, val root: String) {
     * table. */
   def overwritePartitions(df: DataFrame, name: String, partitionBy: Seq[String]): Unit = {
     require(partitionBy.nonEmpty, "overwritePartitions needs partition columns")
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(path(name))
+    // per-write option, NOT a session-conf mutation: a session-level
+    // "dynamic" would silently turn every later full-replace of a
+    // partitioned table into a partition-local overwrite
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy: _*).parquet(path(name))
   }
 
   def drop(name: String): Unit = fs.delete(new Path(path(name)), true)

@@ -83,6 +83,22 @@ class OpsSpec extends AnyFunSuite {
     assert(selfHits === (0L until SimilarityOps.NumQueries).toSet)
   }
 
+  test("topk sketch capacity covers the per-lang vocabulary (exactness precondition)") {
+    // topkTokensSketch is oracle-checked against an EXACT rank
+    // derivation, which is only valid while capacity=64 >= the
+    // per-language distinct token-hash count. If the fixture
+    // vocabulary ever outgrows the sketch, fail HERE with a clear
+    // message instead of an opaque oracle hash mismatch.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val maxVocab = graft.core.Tables.documents(spark, d)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("lang").agg(countDistinct(col("tok")).as("v"))
+        .agg(max(col("v"))).as[Long].head()
+      assert(maxVocab <= 64,
+        s"per-lang vocabulary $maxVocab exceeds sketch capacity 64 at $d")
+    }
+  }
+
   test("multimodal stub decode is deterministic and schema-typed") {
     val a = MultimodalOps.decodeFeatures(spark, dir).collect()
     val b = MultimodalOps.decodeFeatures(spark, dir).collect()
