@@ -40,15 +40,21 @@ object ArrayExprs {
       acc
     }
 
+    // every local goes through freshName: the same expression can be
+    // generated twice into ONE Java method (join condition + output
+    // projection), where fixed names collide and Janino falls back to
+    // the interpreter for the whole predicate
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+        val i = ctx.freshName("i")
         s"""
-           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double acc = 0.0;
-           |for (int i = 0; i < n; i++) {
-           |  acc += $a.getDouble(i) * $b.getDouble(i);
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $a.getDouble($i) * $b.getDouble($i);
            |}
-           |${ev.value} = acc;
+           |${ev.value} = $acc;
          """.stripMargin
       })
 
@@ -81,18 +87,23 @@ object ArrayExprs {
       if (union == 0) 1.0d else inter.toDouble / union
     }
 
+    // freshName on all locals -- see DoubleDot.doGenCode
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val m = ctx.freshName("m")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val inter = ctx.freshName("inter"); val u = ctx.freshName("u")
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
         s"""
-           |int n = $a.numElements(); int m = $b.numElements();
-           |int i = 0; int j = 0; int inter = 0;
-           |while (i < n && j < m) {
-           |  long xv = $a.getLong(i); long yv = $b.getLong(j);
-           |  if (xv == yv) { inter++; i++; j++; }
-           |  else if (xv < yv) { i++; } else { j++; }
+           |int $n = $a.numElements(); int $m = $b.numElements();
+           |int $i = 0; int $j = 0; int $inter = 0;
+           |while ($i < $n && $j < $m) {
+           |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+           |  if ($xv == $yv) { $inter++; $i++; $j++; }
+           |  else if ($xv < $yv) { $i++; } else { $j++; }
            |}
-           |int u = n + m - inter;
-           |${ev.value} = (u == 0) ? 1.0 : ((double) inter) / u;
+           |int $u = $n + $m - $inter;
+           |${ev.value} = ($u == 0) ? 1.0 : ((double) $inter) / $u;
          """.stripMargin
       })
 
@@ -127,19 +138,23 @@ object ArrayExprs {
       fp
     }
 
+    // freshName on all locals -- see DoubleDot.doGenCode
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n"); val fp = ctx.freshName("fp")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val w = ctx.freshName("w")
         s"""
-           |int n = $a.numElements();
-           |long fp = 0L;
-           |for (int j = 0; j < $bits; j++) {
-           |  int w = 0;
-           |  for (int i = 0; i < n; i++) {
-           |    if (((($a.getLong(i)) >> j) & 1L) == 1L) { w++; } else { w--; }
+           |int $n = $a.numElements();
+           |long $fp = 0L;
+           |for (int $j = 0; $j < $bits; $j++) {
+           |  int $w = 0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if (((($a.getLong($i)) >> $j) & 1L) == 1L) { $w++; } else { $w--; }
            |  }
-           |  if (w > 0) fp |= (1L << j);
+           |  if ($w > 0) $fp |= (1L << $j);
            |}
-           |${ev.value} = fp;
+           |${ev.value} = $fp;
          """.stripMargin
       })
 

@@ -69,9 +69,11 @@ object DedupOps {
   val HashedTokensSql: String =
     s"list_sort(list_distinct(list_transform($TokensSql, t -> ${h31Sql("t")})))"
 
-  /** MinHash + LSH near-duplicate pairs: signature -> band buckets ->
-    * equi-join candidates -> exact-Jaccard verification >= 0.9 over
-    * the hashed token sets. Returns (doc_a, doc_b, jaccard).
+  /** Generic salted MinHash-LSH near-duplicate pair generation over a
+    * `(doc_id, th)` input (th = sorted distinct 31-bit element
+    * hashes): signature -> band buckets -> equi-join candidates ->
+    * exact-Jaccard verification >= `threshold` via the codegen'd
+    * merge walk. Returns (doc_a, doc_b, scoreName).
     * Candidate recall follows the banding curve
     * P(candidate) = 1-(1-j^rows)^bands.
     *
@@ -81,13 +83,10 @@ object DedupOps {
     * re-shuffled. Pair uniqueness comes from the first-colliding-band
     * rule (emit at band b only if no earlier band also collided)
     * instead of a multi-million-row DISTINCT. */
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    // repartition BEFORE the hash-heavy projection: the raw scan is
-    // often one small file = one task; the signature computation must
-    // run wide (and is recomputed per join branch)
-    val docs = Tables.documents(s, dir).repartition(JoinParallelism)
-      .select(col("doc_id"), hashedTokenSet(col("text")).as("th"))
-      .withColumn("bands", lshBands(minhashSig(col("th"), MinhashK), LshBandCount, LshRows))
+  private[ops] def lshJaccardPairs(items: DataFrame, k: Int, bandCount: Int,
+      rows: Int, threshold: Double, scoreName: String): DataFrame = {
+    val docs = items
+      .withColumn("bands", lshBands(minhashSig(col("th"), k), bandCount, rows))
     // posexplode_outer, deliberately: plain posexplode triggers
     // InferFiltersFromGenerate, whose `size(bands) > 0` filter gets
     // pushed through the projections to the scan WITH the whole
@@ -111,7 +110,7 @@ object DedupOps {
         col("doc_id").as("doc_b"), col("th").as("th_b"), col("bands").as("bands_b"))
       .withColumn("gb", (col("doc_b") % G).cast("int"))
       .withColumn("ga", explode(sequence(lit(0), lit(G - 1))))
-    val firstCollidingBand = (0 until LshBandCount).map { i =>
+    val firstCollidingBand = (0 until bandCount).map { i =>
       col("band_idx") <= i || element_at(col("bands_a"), i + 1) =!= element_at(col("bands_b"), i + 1)
     }.reduce(_ && _)
     val jaccard =
@@ -128,23 +127,27 @@ object DedupOps {
       "ga" -> "ga_b", "gb" -> "gb_b"))
     val cond = col("band_idx") === col("bi_b") && col("band_hash") === col("bh_b") &&
       col("ga") === col("ga_b") && col("gb") === col("gb_b") &&
-      col("doc_a") < col("doc_b") && firstCollidingBand && jaccard >= JaccardThreshold
+      col("doc_a") < col("doc_b") && firstCollidingBand && jaccard >= threshold
     a.repartition(JoinParallelism, col("band_idx"), col("band_hash"), col("ga"), col("gb"))
       .join(bR.repartition(JoinParallelism, col("bi_b"), col("bh_b"), col("ga_b"), col("gb_b")),
         cond)
-      .select(col("doc_a"), col("doc_b"), jaccard.as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), jaccard.as(scoreName))
   }
 
-  val dedupMinhashLshSql: String = {
-    val sig = minhashSigSql("th", MinhashK)
-    val bands = lshBandsSql("sig", LshBandCount, LshRows)
+  /** DuckDB twin of [[lshJaccardPairs]]: identical banding over the
+    * same element-set SQL, so both engines derive the same candidate
+    * set and the same verified pairs. */
+  private[ops] def lshJaccardPairsSql(setSql: String, k: Int, bandCount: Int,
+      rows: Int, threshold: Double, scoreName: String): String = {
+    val sig = minhashSigSql("th", k)
+    val bands = lshBandsSql("sig", bandCount, rows)
     s"""WITH d AS (
-         SELECT doc_id, $HashedTokensSql AS th FROM documents),
+         SELECT doc_id, $setSql AS th FROM documents),
        sigs AS (SELECT doc_id, th, $sig AS sig FROM d),
        bands AS (SELECT doc_id, $bands AS bands FROM sigs),
        buckets AS (
          SELECT doc_id, i - 1 AS band_idx, bands[i] AS band_hash
-         FROM bands, generate_series(1, ${LshBandCount}) gs(i)),
+         FROM bands, generate_series(1, ${bandCount}) gs(i)),
        cand AS (
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM buckets a JOIN buckets b
@@ -152,12 +155,27 @@ object DedupOps {
           AND a.doc_id < b.doc_id)
        SELECT doc_a, doc_b,
          round(CAST(len(list_intersect(da.th, db.th)) AS DOUBLE)
-           / len(list_distinct(list_concat(da.th, db.th))), 4) AS jaccard
+           / len(list_distinct(list_concat(da.th, db.th))), 4) AS $scoreName
        FROM cand JOIN d da ON cand.doc_a = da.doc_id
                  JOIN d db ON cand.doc_b = db.doc_id
        WHERE round(CAST(len(list_intersect(da.th, db.th)) AS DOUBLE)
-           / len(list_distinct(list_concat(da.th, db.th))), 4) >= $JaccardThreshold"""
+           / len(list_distinct(list_concat(da.th, db.th))), 4) >= $threshold"""
   }
+
+  /** MinHash + LSH near-dup pairs over the hashed TOKEN sets,
+    * verified at jaccard >= 0.9 -- (doc_a, doc_b, jaccard). */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // repartition BEFORE the hash-heavy projection: the raw scan is
+    // often one small file = one task; the signature computation must
+    // run wide (and is recomputed per join branch)
+    val docs = Tables.documents(s, dir).repartition(JoinParallelism)
+      .select(col("doc_id"), hashedTokenSet(col("text")).as("th"))
+    lshJaccardPairs(docs, MinhashK, LshBandCount, LshRows, JaccardThreshold, "jaccard")
+  }
+
+  val dedupMinhashLshSql: String =
+    lshJaccardPairsSql(HashedTokensSql, MinhashK, LshBandCount, LshRows,
+      JaccardThreshold, "jaccard")
 
   // -------------------------------------------------------------- simhash
 
@@ -173,23 +191,61 @@ object DedupOps {
       graft.functions.ArrayExprs.simhash(hashedTokenSet(col("text")), SimhashBits)
         .as("simhash"))
 
-  /** SimHash near-dup pairs: hamming distance <= 4 within `lang`
-    * blocks. bit_count(a XOR b) over one long per doc -- the pairwise
-    * step touches 8 bytes per doc, not the token sets. */
+  /** Hamming-LSH band layout: HammingThreshold+1 exact bit-bands over
+    * the 31-bit fingerprint as (offset, width) pairs. By pigeonhole,
+    * any pair within hamming <= HammingThreshold has ZERO differing
+    * bits in at least one band -- banded blocking has exactly 100%
+    * recall, so the pair set is identical to the all-pairs join it
+    * replaces. */
+  val SimhashBandCount: Int = HammingThreshold + 1
+  private[ops] val simhashBandLayout: Seq[(Int, Int)] = {
+    val base = SimhashBits / SimhashBandCount
+    val rem = SimhashBits % SimhashBandCount
+    val widths = Seq.tabulate(SimhashBandCount)(i => base + (if (i < rem) 1 else 0))
+    widths.scanLeft(0)(_ + _).init.zip(widths)
+  }
+
+  private def simhashBandArray(fp: Column): Column =
+    array(simhashBandLayout.map { case (off, w) =>
+      shiftright(fp, off).bitwiseAND(lit((1L << w) - 1))
+    }: _*)
+
+  private def simhashBandArraySql(fpExpr: String): String =
+    simhashBandLayout.map { case (off, w) =>
+      s"($fpExpr >> $off) & ${(1L << w) - 1}"
+    }.mkString("[", ", ", "]")
+
+  /** SimHash near-dup pairs: hamming distance <= 4 within `lang`.
+    * Candidates come from an equi-join on (lang, band_idx, band_bits)
+    * -- never an all-pairs join within a language, whose largest
+    * block approaches the whole corpus at scale. bit_count(xor)
+    * verification runs inside the join condition; the
+    * first-colliding-band rule keeps each pair single-emission
+    * without a DISTINCT. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val fp = simhashFingerprints(s, dir)
-    // rows here are (lang, id, one long) -- 16 bytes/doc. The blocked
-    // pair join moves so little data that salting/explicit
-    // repartitioning costs more than it saves (measured); a plain
-    // broadcast-able join wins until block sizes reach ~10^5 docs,
-    // where the minhash-style salted join takes over.
-    val a = fp.select(col("lang"), col("doc_id").as("doc_a"), col("simhash").as("fp_a"))
-    val b = fp.select(col("lang"), col("doc_id").as("doc_b"), col("simhash").as("fp_b"))
-    a.join(b, Seq("lang"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("lang"), col("doc_a"), col("doc_b"),
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= HammingThreshold)
+      .withColumn("bands", simhashBandArray(col("simhash")))
+    // posexplode_outer for the same InferFiltersFromGenerate reason as
+    // the minhash path (bands is always length SimhashBandCount)
+    val buckets = fp.select(col("lang"), col("doc_id"), col("simhash"), col("bands"),
+      posexplode_outer(col("bands")).as(Seq("band_idx", "band_bits")))
+    val a = buckets.select(col("lang"), col("band_idx"), col("band_bits"),
+      col("doc_id").as("doc_a"), col("simhash").as("fp_a"), col("bands").as("bands_a"))
+    val b = buckets.select(col("lang").as("lang_b"), col("band_idx").as("bi_b"),
+      col("band_bits").as("bb_b"),
+      col("doc_id").as("doc_b"), col("simhash").as("fp_b"), col("bands").as("bands_b"))
+    val firstCollidingBand = (0 until SimhashBandCount).map { i =>
+      col("band_idx") <= i || element_at(col("bands_a"), i + 1) =!= element_at(col("bands_b"), i + 1)
+    }.reduce(_ && _)
+    val hamming = bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long")
+    // the banded key (lang x band_idx x band_bits) is high-cardinality
+    // enough that AQE's default shuffle planning suffices; rows are
+    // ~24 bytes so no salting/pinning (measured: it costs more here)
+    val cond = col("lang") === col("lang_b") && col("band_idx") === col("bi_b") &&
+      col("band_bits") === col("bb_b") && col("doc_a") < col("doc_b") &&
+      firstCollidingBand && hamming <= HammingThreshold
+    a.join(b, cond)
+      .select(col("lang"), col("doc_a"), col("doc_b"), hamming.as("hamming"))
   }
 
   val dedupSimhashSql: String =
@@ -204,99 +260,122 @@ object DedupOps {
        fp AS (
          SELECT doc_id, lang,
            sum(CASE WHEN weight > 0 THEN 1::BIGINT << bit ELSE 0 END) AS simhash
-         FROM bits GROUP BY 1, 2)
-       SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-       FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
-       WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingThreshold"""
+         FROM bits GROUP BY 1, 2),
+       bands AS (
+         SELECT doc_id, lang, simhash,
+           ${simhashBandArraySql("simhash")} AS bands FROM fp),
+       buckets AS (
+         SELECT doc_id, lang, simhash, i - 1 AS band_idx, bands[i] AS band_bits
+         FROM bands, generate_series(1, $SimhashBandCount) gs(i)),
+       cand AS (
+         SELECT DISTINCT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM buckets a JOIN buckets b
+           ON a.lang = b.lang AND a.band_idx = b.band_idx
+          AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id)
+       SELECT c.lang, c.doc_a, c.doc_b,
+         CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
+       FROM cand c JOIN fp fa ON c.doc_a = fa.doc_id
+                   JOIN fp fb ON c.doc_b = fb.doc_id
+       WHERE bit_count(xor(fa.simhash, fb.simhash)) <= $HammingThreshold"""
 
   // -------------------------------------------------------- n-gram jaccard
 
   val NgramN = 3
-  val NgramThreshold = 0.02
+  val NgramThreshold = 0.8
+  /** 4 bands x 4 rows over a 16-long signature: recall 0.99 at
+    * jaccard 0.9, candidate rate ~4e-4 at jaccard 0.1 -- matched to
+    * the shingle-jaccard threshold above (the corpus is cleanly
+    * bimodal: near-dup word sequences sit at >= 0.9, everything else
+    * under 0.1). */
+  val NgramBandCount = 4
+  val NgramLshRows = 4
 
-  /** Sorted distinct 60-bit-hashed word n-gram (shingle) set. */
+  /** Sorted distinct 31-bit-hashed word n-gram (shingle) set. 31-bit
+    * (not the 60-bit h15) so the affine minhash permutations over the
+    * shingles stay inside 64-bit arithmetic in both engines. */
   def hashedShingles(text: Column, n: Int): Column = {
     val t = tokens(text)
     array_sort(array_distinct(transform(
       sequence(lit(1), greatest(size(t) - lit(n - 1), lit(1))),
-      i => h15(array_join(slice(t, i, lit(n)), " ")))))
+      i => h31(array_join(slice(t, i, lit(n)), " ")))))
   }
 
   def hashedShinglesSql(n: Int): String =
     s"list_sort(list_distinct(list_transform(" +
       s"generate_series(1, greatest(len($TokensSql) - ${n - 1}, 1)), " +
-      s"i -> ${h15Sql(s"array_to_string(($TokensSql)[i:i+${n - 1}], ' ')")})))"
+      s"i -> ${h31Sql(s"array_to_string(($TokensSql)[i:i+${n - 1}], ' ')")})))"
 
-  /** n-gram Jaccard near-dup pairs, blocked by (lang, source) --
-    * pairwise comparison only within natural partitions, merge-walk
-    * Jaccard over hashed shingle sets. */
+  /** n-gram (shingle) Jaccard near-dup pairs -- the standard document
+    * dedup: MinHash-LSH banding over the hashed shingle sets for
+    * candidate generation (NO all-pairs join anywhere), merge-walk
+    * shingle Jaccard >= 0.8 as the verifier inside the join
+    * condition. Where [[dedupMinhashLsh]] measures bag-of-words
+    * similarity, this one is word-ORDER sensitive: only documents
+    * sharing long token runs score high. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).repartition(JoinParallelism)
-      .select(col("lang"), col("source"),
-        col("doc_id"), hashedShingles(col("text"), NgramN).as("sh"))
-    val left = docs.select(col("lang"), col("source"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val right = docs.select(col("lang").as("lang_b"), col("source").as("source_b"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val jaccard =
-      round(graft.functions.ArrayExprs.sortedLongJaccard(col("sh_a"), col("sh_b")), 4)
-    // pinned join width + verification inside the join condition, as
-    // in dedupMinhashLsh
-    val cond = col("lang") === col("lang_b") && col("source") === col("source_b") &&
-      col("doc_a") < col("doc_b") && jaccard >= NgramThreshold
-    left.repartition(JoinParallelism, col("lang"), col("source"))
-      .join(right.repartition(JoinParallelism, col("lang_b"), col("source_b")), cond)
-      .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
-        jaccard.as("ngram_jaccard"))
+      .select(col("doc_id"), hashedShingles(col("text"), NgramN).as("th"))
+    lshJaccardPairs(docs, MinhashK, NgramBandCount, NgramLshRows,
+      NgramThreshold, "ngram_jaccard")
   }
 
-  val dedupNgramJaccardSql: String = {
-    val sh = hashedShinglesSql(NgramN)
-    s"""WITH d AS (
-         SELECT lang, source, doc_id, $sh AS sh FROM documents)
-       SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
-         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-           / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS ngram_jaccard
-       FROM d a JOIN d b
-         ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-       WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-           / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= $NgramThreshold"""
-  }
+  val dedupNgramJaccardSql: String =
+    lshJaccardPairsSql(hashedShinglesSql(NgramN), MinhashK, NgramBandCount,
+      NgramLshRows, NgramThreshold, "ngram_jaccard")
 
   // ------------------------------------------------- near-dup clustering
+
+  /** Loop-table rows are ~16-24 bytes; ~200k rows per task keeps the
+    * per-round task count proportional to data (8 tasks at test scale,
+    * thousands at 100 TB) without drowning small inputs in scheduling
+    * overhead. */
+  private def loopWidth(nRows: Long): Int =
+    math.max(8L, math.min(4096L, nRows / 200000L + 1L)).toInt
+
+  /** Cut loop lineage: reliable `checkpoint` when the session has a
+    * checkpoint dir configured (long cluster jobs survive executor
+    * loss), else eager `localCheckpoint` (fast; fine for short jobs
+    * and local mode). */
+  private def loopCheckpoint(df: DataFrame, parts: Int): DataFrame = {
+    val c = df.coalesce(parts)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) c.checkpoint()
+    else c.localCheckpoint(true)
+  }
 
   /** Connected components over the MinHash near-dup pair graph: the
     * dedup output users actually consume (one cluster id per doc; the
     * cluster's min doc_id is the canonical survivor). Iterative
     * min-label propagation to fixpoint -- O(graph diameter)
     * DataFrame iterations, each a join + map-side-combinable min-agg,
-    * with localCheckpoint truncating the growing lineage (the
+    * with per-round checkpoints truncating the growing lineage (the
     * standard Spark iterative-algorithm pattern). Near-dup components
-    * are dense, so the fixpoint lands in a handful of rounds. */
+    * are dense, so the fixpoint lands in a handful of rounds.
+    *
+    * Loop width scales with the data ([[loopWidth]]): the label table
+    * is one row per doc and the edge table shrinks every contraction,
+    * so each round's task count follows the live row count instead of
+    * a fixed constant. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = dedupMinhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
-    // loop tables are small relative to the pair-join width; coalesce
-    // before each checkpoint so per-round task overhead stays low
-    val loopParts = 8
     var edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .coalesce(loopParts)
-      .localCheckpoint(true)
-    var labels = Tables.documents(s, dir)
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .coalesce(loopParts)
       .localCheckpoint(true)
     var nEdges = edges.count()
+    val nDocs = Tables.documents(s, dir).count()
+    val labelParts = loopWidth(nDocs)
+    var labels = loopCheckpoint(
+      Tables.documents(s, dir).select(col("doc_id"), col("doc_id").as("cluster_id")),
+      labelParts)
     var iter = 0
-    // Borůvka-flavored loop: propagate min labels one hop, pointer-jump
+    // Boruvka-flavored loop: propagate min labels one hop, pointer-jump
     // (label := label(label)), then CONTRACT the graph through the
     // labels -- within-cluster edges become self-loops and disappear,
     // so the edge set collapses after the first round and the loop
     // terminates when no cross-label edges remain. Each round is a
     // handful of key-partitioned joins; lineage is cut per round with
-    // eager localCheckpoints (superseded ones unpersisted).
+    // eager checkpoints (superseded ones unpersisted).
     while (nEdges > 0 && iter < 20) {
+      val edgeParts = loopWidth(nEdges)
       val neighborMin = edges
         .join(labels, edges("doc_b") === labels("doc_id"))
         .groupBy(edges("doc_a").as("nid"))
@@ -305,19 +384,19 @@ object DedupOps {
         .join(neighborMin, labels("doc_id") === neighborMin("nid"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
-      val updated = propagated.as("x")
-        .join(propagated.as("y"), col("x.cluster_id") === col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_id"), col("y.cluster_id").as("cluster_id"))
-        .coalesce(loopParts)
-        .localCheckpoint(true)
+      val updated = loopCheckpoint(
+        propagated.as("x")
+          .join(propagated.as("y"), col("x.cluster_id") === col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_id"), col("y.cluster_id").as("cluster_id")),
+        labelParts)
       val la = updated.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca"))
       val lb = updated.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb"))
-      val contracted = edges.join(la, "doc_a").join(lb, "doc_b")
-        .filter(col("ca") =!= col("cb"))
-        .select(col("ca").as("doc_a"), col("cb").as("doc_b"))
-        .distinct()
-        .coalesce(loopParts)
-        .localCheckpoint(true)
+      val contracted = loopCheckpoint(
+        edges.join(la, "doc_a").join(lb, "doc_b")
+          .filter(col("ca") =!= col("cb"))
+          .select(col("ca").as("doc_a"), col("cb").as("doc_b"))
+          .distinct(),
+        edgeParts)
       labels.unpersist()
       edges.unpersist()
       labels = updated
@@ -328,21 +407,21 @@ object DedupOps {
     edges.unpersist()
     // Edge-emptiness means all classes merged, but docs deep in a
     // representative chain can lag the per-round two-level jump:
-    // pointer-jump the (small) label table to its true fixpoint.
+    // pointer-jump the (small) label table to its true fixpoint. The
+    // change flag rides along in the jump join itself, so stability
+    // costs a limit-1 probe on checkpointed data, not an extra join.
     var stable = false
     var jiter = 0
     while (!stable && jiter < 20) {
-      val jumped = labels.as("x")
-        .join(labels.as("y"), col("x.cluster_id") === col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_id"), col("y.cluster_id").as("cluster_id"))
-        .coalesce(8)
-        .localCheckpoint(true)
-      stable = jumped.as("u")
-        .join(labels.as("l"), col("u.doc_id") === col("l.doc_id"))
-        .filter(col("u.cluster_id") =!= col("l.cluster_id"))
-        .count() == 0
+      val jumped = loopCheckpoint(
+        labels.as("x")
+          .join(labels.as("y"), col("x.cluster_id") === col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_id"), col("y.cluster_id").as("cluster_id"),
+            (col("x.cluster_id") =!= col("y.cluster_id")).as("__chg")),
+        labelParts)
+      stable = jumped.filter(col("__chg")).isEmpty
       labels.unpersist()
-      labels = jumped
+      labels = jumped.select(col("doc_id"), col("cluster_id"))
       jiter += 1
     }
     labels
