@@ -64,7 +64,7 @@ object DedupOps {
     * first means pair verification compares primitive longs via a
     * codegen'd merge walk, not string sets in interpreted HOFs. */
   def hashedTokenSet(text: Column): Column =
-    array_sort(array_distinct(transform(tokens(text), t => h31(t))))
+    graft.functions.HashExprs.md5ShingleSet(tokens(text), 1)
 
   val HashedTokensSql: String =
     s"list_sort(list_distinct(list_transform($TokensSql, t -> ${h31Sql("t")})))"
@@ -85,8 +85,13 @@ object DedupOps {
     * instead of a multi-million-row DISTINCT. */
   private[ops] def lshJaccardPairs(items: DataFrame, k: Int, bandCount: Int,
       rows: Int, threshold: Double, scoreName: String): DataFrame = {
-    val docs = items
-      .withColumn("bands", lshBands(minhashSig(col("th"), k), bandCount, rows))
+    // materialize the hash-heavy projection ONCE: both self-join
+    // branches read it, and without this each branch recomputes the
+    // element hashing + K-permutation signature from the raw scan
+    // (the single most expensive stage of the whole operator)
+    val docs = materializeOnce(items
+      .withColumn("bands", lshBands(
+        graft.functions.HashExprs.minhashSig(col("th"), k), bandCount, rows)))
     // posexplode_outer, deliberately: plain posexplode triggers
     // InferFiltersFromGenerate, whose `size(bands) > 0` filter gets
     // pushed through the projections to the scan WITH the whole
@@ -293,12 +298,8 @@ object DedupOps {
   /** Sorted distinct 31-bit-hashed word n-gram (shingle) set. 31-bit
     * (not the 60-bit h15) so the affine minhash permutations over the
     * shingles stay inside 64-bit arithmetic in both engines. */
-  def hashedShingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    array_sort(array_distinct(transform(
-      sequence(lit(1), greatest(size(t) - lit(n - 1), lit(1))),
-      i => h31(array_join(slice(t, i, lit(n)), " ")))))
-  }
+  def hashedShingles(text: Column, n: Int): Column =
+    graft.functions.HashExprs.md5ShingleSet(tokens(text), n)
 
   def hashedShinglesSql(n: Int): String =
     s"list_sort(list_distinct(list_transform(" +
@@ -332,15 +333,20 @@ object DedupOps {
   private def loopWidth(nRows: Long): Int =
     math.max(8L, math.min(4096L, nRows / 200000L + 1L)).toInt
 
-  /** Cut loop lineage: reliable `checkpoint` when the session has a
-    * checkpoint dir configured (long cluster jobs survive executor
-    * loss), else eager `localCheckpoint` (fast; fine for short jobs
-    * and local mode). */
-  private def loopCheckpoint(df: DataFrame, parts: Int): DataFrame = {
-    val c = df.coalesce(parts)
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) c.checkpoint()
-    else c.localCheckpoint(true)
-  }
+  /** Materialize a DataFrame exactly once for multi-branch reuse:
+    * reliable `checkpoint` when the session has a checkpoint dir
+    * configured (long cluster jobs survive executor loss), else eager
+    * `localCheckpoint` (fast; fine for short jobs and local mode).
+    * Chosen over `persist` so repeated invocations stay independent
+    * (no cross-run cache hits skewing measurements). */
+  private def materializeOnce(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint(true)
+
+  /** Cut loop lineage: [[materializeOnce]] at a loop-proportional
+    * partition count. */
+  private def loopCheckpoint(df: DataFrame, parts: Int): DataFrame =
+    materializeOnce(df.coalesce(parts))
 
   /** Connected components over the MinHash near-dup pair graph: the
     * dedup output users actually consume (one cluster id per doc; the
