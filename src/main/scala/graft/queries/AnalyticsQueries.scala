@@ -72,10 +72,12 @@ object AnalyticsQueries {
        GROUP BY token ORDER BY freq DESC, token ASC LIMIT 20"""
 
   /** TF-IDF per (doc, token): tf * ln(N/df), exact integer tf/df so
-    * only the final ln/round touches floats. */
+    * only the final ln/round touches floats. The corpus size N rides
+    * in as a broadcast 1-row aggregate (no plan-build-time count()
+    * action: one fewer full scan and no driver synchronization). */
   def textTfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val n = docs.count()
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val termFreq = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("doc_id"), col("token"))
@@ -83,8 +85,9 @@ object AnalyticsQueries {
     val docFreq = termFreq.groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
     termFreq.join(docFreq, Seq("token"))
+      .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 4).as("tfidf"))
+        round(col("tf") * log(col("n_docs") / col("df")), 4).as("tfidf"))
   }
 
   val textTfidfSql: String =
@@ -288,6 +291,29 @@ object AnalyticsQueries {
     wide.select(expr(s"$stackExpr AS (column_name, cnt, ndv, min_v, max_v)"))
   }
 
+  /** The 100 TB variant of [[s15TableStats]]: NDV via
+    * approx_count_distinct (HyperLogLog++, rsd 2%). Exact NDV is a
+    * full shuffle per column (the single agg expands the input
+    * ncols+1 ways); the sketch is map-side combinable with constant
+    * state per column, so the whole stats pass stays one narrow scan
+    * at any scale. HLL estimates are not cross-engine reproducible,
+    * so this entry is gated rows-only; the error bound vs the exact
+    * pass is spec-tested. */
+  def s15TableStatsApprox(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__cnt"),
+        approx_count_distinct(col(c), 0.02).as(s"${c}__ndv"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"))
+    }
+    val wide = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map { c =>
+      s"'$c', ${c}__cnt, ${c}__ndv, ${c}__min, ${c}__max"
+    }.mkString(s"stack(${cols.size}, ", ", ", ")")
+    wide.select(expr(s"$stackExpr AS (column_name, cnt, ndv, min_v, max_v)"))
+  }
+
   val s15TableStatsSql: String = {
     val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
     cols.map { c =>
@@ -300,6 +326,7 @@ object AnalyticsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s15_table_stats" -> (s15TableStats _),
+    "s15_table_stats_approx" -> (s15TableStatsApprox _),
     "u1_set_ops" -> (u1SetOps _),
     "j4_asof_join" -> (j4AsofJoin _),
     "a5_rollup" -> (a5Rollup _),

@@ -105,4 +105,25 @@ class OpsSpec extends AnyFunSuite {
     assert(a === b)
     assert(a.forall(r => r.getAs[Int]("width") >= 1 && r.getAs[Int]("width") <= 640))
   }
+
+  test("approx table stats track exact NDV within the HLL error bound") {
+    import graft.queries.AnalyticsQueries
+    def byCol(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long, Double, Double)] =
+      df.collect().map { r =>
+        r.getAs[String]("column_name") ->
+          ((r.getAs[Long]("cnt"), r.getAs[Long]("ndv"),
+            r.getAs[Double]("min_v"), r.getAs[Double]("max_v")))
+      }.toMap
+    val exact = byCol(AnalyticsQueries.s15TableStats(spark, dir))
+    val approx = byCol(AnalyticsQueries.s15TableStatsApprox(spark, dir))
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (c, (cnt, ndv, mn, mx)) =>
+      val (aCnt, aNdv, aMn, aMx) = approx(c)
+      // cnt/min/max are exact in both variants; only NDV is sketched
+      assert(aCnt === cnt && aMn === mn && aMx === mx, c)
+      // rsd 2% -> 5 sigma guard band; also exact for tiny cardinalities
+      val tol = math.max(5, (ndv * 0.10).toLong)
+      assert(math.abs(aNdv - ndv) <= tol, s"$c: approx $aNdv vs exact $ndv")
+    }
+  }
 }
