@@ -6,20 +6,22 @@ import graft.table.TableStore
 
 /** S14: the ad-hoc SQL read surface (SURVEY.md S2.1, S3.3) -- the
   * engine twin of the reference's Athena queries. Warehouse tables
-  * are attached as temp views; graft's native functions are
-  * registered; then any `spark.sql` string runs against the same
-  * snapshot the pipeline wrote. */
+  * are registered in the SESSION CATALOG (external tables over the
+  * store paths, so `spark.table` / `DESCRIBE` / `SHOW TABLES` all
+  * work); graft's native functions are registered; then any
+  * `spark.sql` string runs against the tables the pipeline wrote. */
 object WarehouseSql {
 
   val StarTables: Seq[String] = Seq(
     "dim_stock", "dim_date", "dim_exchange", "fact_stock_daily_price",
     "agg_stock_weekly_metrics", "agg_stock_monthly_metrics", "agg_sector_performance")
 
-  /** Attach every existing warehouse table as a temp view. */
+  /** Register every existing warehouse table in the session catalog
+    * (partitioning discovered from the directory layout). Tables
+    * written through [[TableStore]] in this session are already
+    * registered; attach covers stores opened read-only. */
   def attach(store: TableStore, tables: Seq[String] = StarTables): Unit = {
-    tables.filter(store.exists).foreach { t =>
-      store.read(t).createOrReplaceTempView(t)
-    }
+    tables.filter(store.exists).foreach(store.registerDiscovered)
     org.apache.spark.sql.graft.FunctionRegistration.register(store.spark)
   }
 

@@ -25,13 +25,40 @@ class TableStore(val spark: SparkSession, val root: String) {
     * build_stock_fact_table.py:89-95). */
   def exists(name: String): Boolean = fs.exists(new Path(path(name)))
 
-  /** S2: catalog table scan. */
+  /** S2: catalog table scan. Registered tables are equally readable
+    * as `spark.table(name)` (see [[register]]). */
   def read(name: String): DataFrame = spark.read.parquet(path(name))
+
+  /** Register `name` in the SESSION CATALOG as an external parquet
+    * table over its store path -- the `spark.table(...)` /
+    * `DESCRIBE` / ad-hoc-SQL surface the reference gets from its
+    * Glue-cataloged warehouse (build_stock_aggregations.py:45-55).
+    * Every write re-registers, so catalog schema and partition
+    * metadata always reflect the files on disk. */
+  def register(name: String, partitionBy: Seq[String] = Nil): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(s"CREATE TABLE `$name` USING parquet LOCATION '${path(name)}'")
+    if (partitionBy.nonEmpty)
+      spark.sql(s"ALTER TABLE `$name` RECOVER PARTITIONS")
+    spark.catalog.refreshTable(s"`$name`")
+  }
+
+  /** [[register]] for a table whose partitioning is discovered from
+    * the directory layout rather than passed in (attach-time use). */
+  def registerDiscovered(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(s"CREATE TABLE `$name` USING parquet LOCATION '${path(name)}'")
+    val partitioned = spark.catalog.listColumns(s"`$name`")
+      .collect().exists(_.isPartition)
+    if (partitioned) spark.sql(s"ALTER TABLE `$name` RECOVER PARTITIONS")
+    spark.catalog.refreshTable(s"`$name`")
+  }
 
   /** S5/S6: create or full-replace (CTAS / createOrReplace). */
   def createOrReplace(df: DataFrame, name: String, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(name))
+    register(name, partitionBy)
   }
 
   /** Staged atomic-swap rewrite: write to `<name>__staging`, then move
@@ -47,6 +74,7 @@ class TableStore(val spark: SparkSession, val root: String) {
     if (fs.exists(dst)) fs.rename(dst, bak)
     fs.rename(new Path(staging), dst)
     fs.delete(bak, true)
+    register(name, partitionBy)
   }
 
   /** Dynamic partition overwrite: replace ONLY the hive partitions
@@ -61,7 +89,11 @@ class TableStore(val spark: SparkSession, val root: String) {
     df.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionBy: _*).parquet(path(name))
+    register(name, partitionBy)
   }
 
-  def drop(name: String): Unit = fs.delete(new Path(path(name)), true)
+  def drop(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    fs.delete(new Path(path(name)), true)
+  }
 }

@@ -109,6 +109,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[java.math.BigDecimal]("close_price").signum > 0))
   }
 
+  test("warehouse tables resolve via the session catalog after writes") {
+    val r = freshRunner()
+    r.runDaily("2026-02-09")
+    // no attach(): the writes themselves registered the tables
+    assert(spark.table("fact_stock_daily_price").count() === 3)
+    assert(spark.table("dim_stock").count() === 3)
+    assert(spark.sql("SHOW TABLES").collect()
+      .map(_.getAs[String]("tableName")).contains("fact_stock_daily_price"))
+    // partition metadata survives registration (partition-pruned scan)
+    val pruned = spark.table("fact_stock_daily_price")
+      .filter(col("processing_date") === "2026-02-09")
+    assert(pruned.count() === 3)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    // a second day's upsert refreshes the catalog view of the table
+    r.runDaily("2026-02-10")
+    assert(spark.table("fact_stock_daily_price").count() === 6)
+  }
+
   test("generator is deterministic across invocations") {
     val a = graft.sources.QuoteGenerator
       .quotes(spark, Seq("AAPL", "MSFT"), "2026-02-09", "t").collect()
