@@ -56,8 +56,10 @@ object Schemas {
     StructField("price_avg_50d", Money),
     StructField("price_avg_200d", Money),
     StructField("daily_volatility", Money),
-    StructField("processing_date", StringType),
     StructField("created_at", TimestampType),
+    // LAST: hive partition column -- partitioned parquet reads append
+    // partition columns after the data columns
+    StructField("processing_date", StringType),
   ))
 
   /** dim_stock (10 cols) -- build_stock_dimensions.py:52-65. */

@@ -24,7 +24,9 @@ class PipelineRunner(
     rawRoot: String,
     symbols: Seq[String] = StarSchemaJobs.DefaultSymbols,
     clock: () => Instant = () => Instant.now(),
-    retries: Int = 1) {
+    retries: Int = 1,
+    retryDelayMs: Long = 300000L,
+    sleeper: Long => Unit = Thread.sleep) {
 
   val jobs = new StarSchemaJobs(spark, store, rawRoot)
 
@@ -33,6 +35,9 @@ class PipelineRunner(
   def processingDate(): String =
     LocalDate.ofInstant(clock(), ZoneOffset.UTC).minusDays(1).toString
 
+  /** D3: retries with a fixed delay between attempts (the reference's
+    * retries=1 / retry_delay=5min, nasdaq_stock_pipeline_with_gx
+    * .py:12-20). The sleeper is injectable so tests freeze it. */
   private def withRetry[T](stage: String)(f: => T): T = {
     var attempt = 0
     while (true) {
@@ -40,20 +45,44 @@ class PipelineRunner(
       catch {
         case e: Exception if attempt < retries =>
           attempt += 1
-          System.err.println(s"[pipeline] stage $stage failed (${e.getMessage}), retry $attempt")
+          System.err.println(s"[pipeline] stage $stage failed (${e.getMessage}), retry $attempt in ${retryDelayMs}ms")
+          sleeper(retryDelayMs)
       }
     }
     throw new IllegalStateException("unreachable")
   }
 
-  /** D1: the full daily run for one processing date. */
+  /** D1: the full daily run for one processing date, sequential
+    * (nasdaq_stock_pipeline_with_gx.py:311-319). */
   def runDaily(date: String): Unit = {
     val extractionTime = clock().toString
     withRetry("extract")(jobs.extract(symbols, date, extractionTime))
     withRetry("dimensions")(jobs.buildDimensions(date))
     withRetry("fact")(jobs.buildFact(date, createdAt = extractionTime.take(19).replace('T', ' ')))
     withRetry("aggregations")(jobs.buildAggregations(forDate = Some(date)))
-    withRetry("validate")(jobs.validate())
+    withRetry("validate")(jobs.validate(forDate = Some(date)))
+  }
+
+  /** D2: the fan-out/fan-in DAG variant -- extract >> [dims, fact] >>
+    * aggs >> validate (nasdaq_stock_pipeline.py:256-261). dims and
+    * fact have no mutual dependency, so they run as concurrent Spark
+    * jobs (one scheduler, two submitting threads -- the Spark-native
+    * twin of Airflow running two Glue jobs side by side). */
+  def runDailyFanOut(date: String): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val extractionTime = clock().toString
+    withRetry("extract")(jobs.extract(symbols, date, extractionTime))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val dims = Future(withRetry("dimensions")(jobs.buildDimensions(date)))
+      val fact = Future(withRetry("fact")(
+        jobs.buildFact(date, createdAt = extractionTime.take(19).replace('T', ' '))))
+      Await.result(dims.zip(fact), Duration.Inf)
+    } finally pool.shutdown()
+    withRetry("aggregations")(jobs.buildAggregations(forDate = Some(date)))
+    withRetry("validate")(jobs.validate(forDate = Some(date)))
   }
 
   def runDaily(): Unit = runDaily(processingDate())

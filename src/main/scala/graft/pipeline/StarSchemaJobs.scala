@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -92,10 +92,15 @@ class StarSchemaJobs(spark: SparkSession, store: TableStore, rawRoot: String) {
       col("price_avg_200").cast(D).as("price_avg_200d"),
       ((col("day_high") - col("day_low")) / col("day_low") * 100.0).cast(D)
         .as("daily_volatility"),
-      lit(date).as("processing_date"),
-      lit(createdAt).cast("timestamp").as("created_at"))
+      lit(createdAt).cast("timestamp").as("created_at"),
+      lit(date).as("processing_date"))
+    // partitioned by processing_date: the daily MERGE rewrites ONE
+    // day's partition (dynamic partition overwrite in UpsertWriter),
+    // and batch validation prunes to the day -- on a deep fact table
+    // this is the difference between touching one day and the table
     UpsertWriter.upsertAll(store, "fact_stock_daily_price", fact,
-      keys = Seq("stock_symbol", "trade_date"))
+      keys = Seq("stock_symbol", "trade_date"),
+      partitionBy = Seq("processing_date"))
   }
 
   /** build_stock_aggregations.py: J1/J2 dim joins + A1 weekly, A2
@@ -186,8 +191,18 @@ class StarSchemaJobs(spark: SparkSession, store: TableStore, rawRoot: String) {
       keys = Seq("date", "sector"), partitionBy = Seq("date"))
   }
 
-  /** The four GX suites (create_expectations.py), single-scan each. */
-  def validate(): Seq[RuleResult] = {
+  /** The four GX suites (create_expectations.py), single-scan each.
+    *
+    * `forDate` = current-period batch scoping, the reference's
+    * checkpoint behavior: the daily fact suite validates only the
+    * `processing_date LIKE 'd%'` batch
+    * (nasdaq_stock_pipeline_with_gx.py:161, F14) and the weekly/
+    * monthly suites only the (year, week)/(year, month) containing
+    * the date (weekly_agg_validation.yml:11-13, F13). All three
+    * filters hit partition columns, so the scans are partition-pruned
+    * -- at scale each validation touches one period, not the table.
+    * `None` = whole-table validation (initial backfill audit). */
+  def validate(forDate: Option[String] = None): Seq[RuleResult] = {
     val factRules = Seq(
       ColumnsMatchOrderedList(Schemas.factStockDailyPrice.fieldNames.toSeq),
       NotNull("stock_symbol"), NotNull("trade_date"), NotNull("close_price"),
@@ -208,10 +223,21 @@ class StarSchemaJobs(spark: SparkSession, store: TableStore, rawRoot: String) {
       NotNull("symbol"), Unique(Seq("year", "month", "symbol")),
       ValuesBetween("month", 1, 12),
       PairGreater("month_high", "month_low"))
-    Validator.enforce(store.read("fact_stock_daily_price"), factRules, "daily_fact") ++
+    val d = forDate.map(dd => to_date(lit(dd)))
+    def scoped(name: String, f: Column => Column): DataFrame =
+      d.map(dd => store.read(name).filter(f(dd))).getOrElse(store.read(name))
+    val fact = forDate
+      .map(dd => store.read("fact_stock_daily_price")
+        .filter(col("processing_date").like(s"$dd%")))
+      .getOrElse(store.read("fact_stock_daily_price"))
+    val weekly = scoped("agg_stock_weekly_metrics",
+      dd => col("year") === year(dd) && col("week") === weekofyear(dd))
+    val monthly = scoped("agg_stock_monthly_metrics",
+      dd => col("year") === year(dd) && col("month") === month(dd))
+    Validator.enforce(fact, factRules, "daily_fact") ++
       Validator.enforce(store.read("dim_stock"), dimRules, "dim_stock") ++
-      Validator.enforce(store.read("agg_stock_weekly_metrics"), weeklyRules, "weekly_agg") ++
-      Validator.enforce(store.read("agg_stock_monthly_metrics"), monthlyRules, "monthly_agg")
+      Validator.enforce(weekly, weeklyRules, "weekly_agg") ++
+      Validator.enforce(monthly, monthlyRules, "monthly_agg")
   }
 }
 

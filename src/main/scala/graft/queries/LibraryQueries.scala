@@ -160,11 +160,52 @@ object LibraryQueries {
          count(CASE WHEN l_extendedprice < l_discount THEN 1 END), count(*)
        FROM lineitem"""
 
+  /** F13+F14: current-period batch validation -- the suite runs over
+    * ONLY the LIKE-prefix date batch, the reference's checkpoint
+    * shape (`WHERE processing_date LIKE '{d}%'`,
+    * nasdaq_stock_pipeline_with_gx.py:161; weekly/monthly partition
+    * batches, weekly_agg_validation.yml:11-13). The StartsWith
+    * predicate pushes to the scan, so at scale the validation reads
+    * one period, not the table. */
+  def qValidationPeriod(s: SparkSession, dir: String): DataFrame = {
+    val batch = Tables.orders(s, dir)
+      .filter(col("o_orderdate").cast("string").like("1995-07%"))
+    import s.implicits._
+    Validator.run(batch, Seq(
+      NotNull("o_orderkey"),
+      Unique(Seq("o_orderkey")),
+      RowCountBetween(1, 100000000L),
+      ValuesBetween("o_totalprice", 0.0, 1e7))).toDF()
+  }
+
+  val qValidationPeriodSql: String =
+    """WITH b AS (SELECT * FROM orders
+                  WHERE CAST(o_orderdate AS VARCHAR) LIKE '1995-07%')
+       SELECT 'not_null' AS rule, 'o_orderkey' AS detail,
+         count(CASE WHEN o_orderkey IS NULL THEN 1 END) = 0 AS passed,
+         count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS violations,
+         count(*) AS "totalRows" FROM b
+       UNION ALL
+       SELECT 'unique', 'o_orderkey',
+         count(*) - count(DISTINCT o_orderkey) = 0,
+         count(*) - count(DISTINCT o_orderkey), count(*) FROM b
+       UNION ALL
+       SELECT 'row_count_between', '[1,100000000]',
+         count(*) BETWEEN 1 AND 100000000,
+         CASE WHEN count(*) BETWEEN 1 AND 100000000 THEN 0 ELSE 1 END, count(*)
+       FROM b
+       UNION ALL
+       SELECT 'values_between', 'o_totalprice in [0.0,1.0E7]',
+         count(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 1e7 THEN 1 END) = 0,
+         count(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 1e7 THEN 1 END), count(*)
+       FROM b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a2_monthly_rollup" -> (a2MonthlyRollup _),
     "s7_merge_upsert" -> (s7MergeUpsert _),
     "s8_merge_selective" -> (s8MergeSelective _),
     "q_validation_suite" -> (qValidationSuite _),
+    "q_validation_period" -> (qValidationPeriod _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -172,5 +213,6 @@ object LibraryQueries {
     "s7_merge_upsert" -> s7MergeUpsertSql,
     "s8_merge_selective" -> s8MergeSelectiveSql,
     "q_validation_suite" -> qValidationSuiteSql,
+    "q_validation_period" -> qValidationPeriodSql,
   )
 }

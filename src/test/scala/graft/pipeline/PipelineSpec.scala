@@ -121,10 +121,55 @@ class PipelineSpec extends AnyFunSuite {
     val pruned = spark.table("fact_stock_daily_price")
       .filter(col("processing_date") === "2026-02-09")
     assert(pruned.count() === 3)
-    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(scanPartitionFilters(pruned).nonEmpty)
     // a second day's upsert refreshes the catalog view of the table
     r.runDaily("2026-02-10")
     assert(spark.table("fact_stock_daily_price").count() === 6)
+  }
+
+  private def scanPartitionFilters(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.partitionFilters
+    }.flatten
+
+  test("current-period validation batches are partition-pruned (F13/F14)") {
+    val r = freshRunner()
+    r.runDaily("2026-02-09")
+    r.runDaily("2026-02-10")
+    // scoped validation passes on the current day only
+    val results = r.jobs.validate(forDate = Some("2026-02-10"))
+    assert(results.forall(_.passed))
+    // the daily-fact batch counts only the day's rows
+    val factBatch = results.find(r2 => r2.rule == "not_null" && r2.detail == "stock_symbol")
+    assert(factBatch.exists(_.totalRows === 3))
+    // the LIKE-prefix batch filter prunes the fact scan to one partition
+    val likeScoped = r.store.read("fact_stock_daily_price")
+      .filter(col("processing_date").like("2026-02-10%"))
+    assert(scanPartitionFilters(likeScoped).nonEmpty)
+    assert(likeScoped.count() === 3)
+  }
+
+  test("fan-out DAG variant builds the same star schema (D2)") {
+    val r = freshRunner()
+    r.runDailyFanOut("2026-02-09")
+    assert(r.store.read("fact_stock_daily_price").count() === 3)
+    assert(r.store.read("dim_stock").count() === 3)
+    assert(r.store.read("agg_stock_weekly_metrics").count() > 0)
+  }
+
+  test("retry waits the configured delay between attempts (D3)") {
+    val base = Files.createTempDirectory("graft-retry").toString
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // rawRoot is a regular FILE: the extract stage fails automatically
+    // on both attempts, so the runner sleeps exactly `retries` times
+    val blocked = Files.createTempFile("graft-raw-blocked", ".dat").toString
+    val r = new PipelineRunner(spark,
+      new TableStore(spark, s"$base/warehouse"), rawRoot = blocked,
+      symbols = Seq("AAPL"),
+      clock = () => Instant.parse("2026-02-10T02:00:00Z"),
+      retries = 1, retryDelayMs = 12345L, sleeper = sleeps += _)
+    intercept[Exception] { r.runDaily("2026-02-09") }
+    assert(sleeps.toSeq === Seq(12345L))
   }
 
   test("generator is deterministic across invocations") {
