@@ -19,6 +19,7 @@ object OpsQueries {
     "dedup_clusters" -> (DedupOps.dedupClusters _),
     "sim_cosine_topk" -> (SimilarityOps.cosineTopK _),
     "sim_ann_signlsh" -> (SimilarityOps.annSignLsh _),
+    "sim_ann_ivf" -> (SimilarityOps.annIvf _),
     "mm_decode_features" -> (MultimodalOps.decodeFeatures _),
     "p9_hash_sample" -> (SamplingOps.hashSample _),
     "p10_split_assign" -> (SamplingOps.splitAssign _),
@@ -38,6 +39,7 @@ object OpsQueries {
     "dedup_clusters" -> DedupOps.dedupClustersSql,
     "sim_cosine_topk" -> SimilarityOps.cosineTopKSql,
     "sim_ann_signlsh" -> SimilarityOps.annSignLshSql,
+    "sim_ann_ivf" -> SimilarityOps.annIvfSql,
     "mm_decode_features" -> MultimodalOps.decodeFeaturesSql,
     "p9_hash_sample" -> SamplingOps.hashSampleSql,
     "p10_split_assign" -> SamplingOps.splitAssignSql,

@@ -125,6 +125,78 @@ object SimilarityOps {
       .filter(col("rank") <= TopK)
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  /** Cells probed per query. */
+  val IvfNProbe = 2
+
+  /** IVF-style ANN: coarse-quantizer cells (per-label centroids, the
+    * structure [[graft.queries.AnalyticsQueries.embCentroids]]
+    * builds), probe the `IvfNProbe` nearest cells per query, exact
+    * cosine re-rank inside the probed cells only.
+    *
+    * Scale shape: the centroid table is ncells x dim (tiny ->
+    * broadcast twice: once for probe scoring, once to route queries);
+    * the corpus is hash-partitioned by cell id, so a probe's search
+    * join touches nprobe partitions per query instead of the corpus.
+    * Centroid values are quantized exact sums (1e-6 longs), so both
+    * engines derive identical cells, probes, and ranks. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).repartition(32)
+      .select(col("label"), col("vec_id"), asDouble(col("embedding")).as("v"))
+    val withNorm = e.select(col("label"), col("vec_id"), col("v"),
+      sqrt(dot(col("v"), col("v"))).as("nrm"))
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(sum(round(col("x") * 1e6).cast("long")) / (count(lit(1)) * 1e6), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        p => p.getField("c")).as("cv"))
+      .select(col("label").as("cell"), col("cv"),
+        sqrt(dot(col("cv"), col("cv"))).as("cn"))
+    val q = withNorm.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cscore"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("cell").asc)
+    val probed = probes.withColumn("prank", row_number().over(pw))
+      .filter(col("prank") <= IvfNProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    val scored = broadcast(probed).join(withNorm, probed("cell") === withNorm("label"))
+      .select(col("query_id"), col("vec_id").as("match_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+  }
+
+  val annIvfSql: String =
+    s"""WITH e AS (
+         SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       n AS (SELECT label, vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       cp AS (SELECT label, i - 1 AS pos,
+                round(sum(CAST(round(v[i] * 1e6) AS BIGINT)) / (count(*) * 1e6), 6) AS c
+              FROM e, generate_series(1, 64) gs(i) GROUP BY 1, 2),
+       cent AS (SELECT label AS cell, array_agg(c ORDER BY pos) AS cv FROM cp GROUP BY 1),
+       cn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+       q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+             WHERE vec_id < $NumQueries),
+       probes AS (SELECT query_id, qv, qn, cell,
+           round(list_dot_product(qv, cv) / (qn * cn), 6) AS cscore FROM q, cn),
+       probed AS (SELECT query_id, qv, qn, cell FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cscore DESC, cell ASC) AS prank FROM probes)
+         WHERE prank <= $IvfNProbe),
+       scored AS (SELECT p.query_id, c.vec_id AS match_id,
+           round(list_dot_product(p.qv, c.v) / (p.qn * c.nrm), 6) AS cosine
+         FROM probed p JOIN n c ON p.cell = c.label),
+       ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, match_id ASC) AS INT) AS rank FROM scored)
+       SELECT query_id, match_id, cosine, rank FROM ranked WHERE rank <= $TopK"""
+
   /** Int8 vector quantization (per-vector absmax scaling) -- the
     * storage-compression step of a large vector index (4x smaller
     * than float32). Flat (vec_id, pos, q) output; scale rounded for

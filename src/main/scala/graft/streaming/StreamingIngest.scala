@@ -95,4 +95,27 @@ object StreamingIngest {
     q.awaitTermination()
     q
   }
+
+  /** foreachBatch MERGE sink: every micro-batch upserts into a
+    * warehouse table on its natural key -- the streaming twin of the
+    * daily MERGE jobs, and the standard Spark pattern for sinks whose
+    * semantics (here: key-idempotent upsert) exceed append. End-to-end
+    * effectively-exactly-once: the checkpoint makes delivery at-least-
+    * once and the MERGE makes re-delivery a no-op. Runs over available
+    * input and returns the finished query. */
+  def upsertSink(df: DataFrame, store: graft.table.TableStore, table: String,
+      keys: Seq[String], partitionBy: Seq[String], checkpoint: String,
+      queryName: String): StreamingQuery = {
+    val q = df.writeStream
+      .queryName(queryName)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.table.UpsertWriter.upsertAll(store, table, batch.toDF(), keys, partitionBy)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
 }

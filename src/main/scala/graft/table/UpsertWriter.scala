@@ -37,18 +37,38 @@ object UpsertWriter {
     * into a years-deep table rewrites one day, not the table. This is
     * the scan/commit shape Iceberg's merge gives the reference. */
   def upsertAll(store: TableStore, table: String, source: DataFrame,
-      keys: Seq[String], partitionBy: Seq[String] = Nil): Unit = {
+      keys: Seq[String], partitionBy: Seq[String] = Nil,
+      allowSchemaEvolution: Boolean = false): Unit = {
     if (!store.exists(table)) {
       store.createOrReplace(source, table, partitionBy)
-    } else if (partitionBy.isEmpty) {
-      val target = store.read(table)
+      return
+    }
+    val target = store.read(table)
+    if (!allowSchemaEvolution)
+      require(source.columns.toSeq.sorted == target.columns.toSeq.sorted,
+        s"schema mismatch: target=${target.columns.toSeq} source=${source.columns.toSeq}" +
+          " (pass allowSchemaEvolution=true to add new columns)")
+    // schema evolution (Iceberg mergeSchema parity): source-only
+    // columns are added to the table (null for untouched rows),
+    // target-only columns survive (null for inserted rows) -- both
+    // directions via allowMissingColumns
+    def union(kept: DataFrame): DataFrame =
+      kept.unionByName(source, allowMissingColumns = allowSchemaEvolution)
+    // adding a column to a partitioned table forces a FULL staged
+    // rewrite: dynamic partition overwrite would leave untouched
+    // partitions' files on the old schema, and a plain parquet read
+    // takes its schema from one file -- the new column would silently
+    // vanish. (A metadata catalog like Iceberg avoids this rewrite;
+    // a path-addressed store cannot.)
+    val widens = allowSchemaEvolution &&
+      source.columns.exists(c => !target.columns.contains(c))
+    if (partitionBy.isEmpty || widens) {
       // using-columns joins move the keys to the front of the output;
       // re-select to keep the table's declared column order stable
       val kept = target.join(source.select(keys.map(col): _*), keys, "left_anti")
         .select(target.columns.map(col).toSeq: _*)
-      store.swapIn(kept.unionByName(source), table, partitionBy)
+      store.swapIn(union(kept), table, partitionBy)
     } else {
-      val target = store.read(table)
       val touched = target
         .join(source.select(partitionBy.map(col): _*).distinct(), partitionBy, "left_semi")
       val kept = touched.join(source.select(keys.map(col): _*), keys, "left_anti")
@@ -57,7 +77,7 @@ object UpsertWriter {
       // Spark refuses to overwrite a path that is also an input, and
       // the touched subset is small by construction (the day's
       // partitions, not the table)
-      val merged = kept.unionByName(source).localCheckpoint(true)
+      val merged = union(kept).localCheckpoint(true)
       store.overwritePartitions(merged, table, partitionBy)
       merged.unpersist()
     }

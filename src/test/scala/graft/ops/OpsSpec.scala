@@ -83,6 +83,25 @@ class OpsSpec extends AnyFunSuite {
     assert(selfHits === (0L until SimilarityOps.NumQueries).toSet)
   }
 
+  test("IVF ANN scores agree with brute force; self-hit lands in a probed cell") {
+    val brute = SimilarityOps.cosineTopK(spark, dir)
+      .select("query_id", "match_id", "cosine").as[(Long, Long, Double)]
+      .collect().map { case (q, m, c) => (q, m) -> c }.toMap
+    val ivf = SimilarityOps.annIvf(spark, dir)
+      .select("query_id", "match_id", "cosine").as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, m, c) =>
+      brute.get((q, m)).foreach(bc => assert(bc === c))
+    }
+    // every query gets a full (or cell-limited) result list, ranked 1..k
+    val byQuery = ivf.groupBy(_._1)
+    assert(byQuery.keySet === (0L until SimilarityOps.NumQueries).toSet)
+    // when the query's own cell IS probed, the self-match is rank 1
+    // (cosine 1.0 dominates); probing a different cell is legitimate
+    // IVF recall loss, so self-hits are not asserted universally
+    ivf.collect { case (q, m, c) if q == m => c }.foreach(c => assert(c === 1.0))
+  }
+
   test("topk sketch capacity covers the per-lang vocabulary (exactness precondition)") {
     // topkTokensSketch is oracle-checked against an EXACT rank
     // derivation, which is only valid while capacity=64 >= the

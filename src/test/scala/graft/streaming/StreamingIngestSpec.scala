@@ -21,6 +21,22 @@ class StreamingIngestSpec extends AnyFunSuite {
 
   private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
 
+  test("foreachBatch upsert sink lands every event exactly once") {
+    val src = tmp("graft-sink-src")
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    events.write.mode("overwrite").parquet(src)
+    val store = new graft.table.TableStore(spark, tmp("graft-sink-wh"))
+    // several micro-batches, each MERGEd on event_id
+    val stream = StreamingIngest.readEventStream(spark, src, maxFilesPerTrigger = Some(1))
+    StreamingIngest.upsertSink(stream, store, "events_merged", keys = Seq("event_id"),
+      partitionBy = Nil, checkpoint = tmp("graft-sink-ckpt"), queryName = "sink")
+    val got = store.read("events_merged").select("event_id").as[Long].collect().sorted.toSeq
+    val expected = events.select("event_id").as[Long].collect().sorted.toSeq
+    assert(got === expected)
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("AvailableNow windowed aggregation matches batch result") {
     // micro-batch-friendly copy with a proper timestamp column
     val src = tmp("graft-stream-src")

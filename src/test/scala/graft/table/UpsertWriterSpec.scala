@@ -27,6 +27,28 @@ class UpsertWriterSpec extends AnyFunSuite {
       Seq((1, "a"), (2, "B"), (3, "c")))
   }
 
+  test("upsertAll schema evolution adds source-only columns (mergeSchema parity)") {
+    val store = freshStore()
+    UpsertWriter.upsertAll(store, "t", Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq("k"))
+    val widened = Seq((2, "B", 9.5), (3, "c", 1.0)).toDF("k", "v", "score")
+    intercept[IllegalArgumentException] {
+      UpsertWriter.upsertAll(store, "t", widened, Seq("k"))
+    }
+    UpsertWriter.upsertAll(store, "t", widened, Seq("k"), allowSchemaEvolution = true)
+    val rows = store.read("t").as[(Int, String, Option[Double])].collect().sorted
+    assert(rows === Seq((1, "a", None), (2, "B", Some(9.5)), (3, "c", Some(1.0))))
+    // and on a PARTITIONED table the widening rewrite keeps every
+    // partition on the new schema (plain reads see the new column)
+    val p = freshStore()
+    UpsertWriter.upsertAll(p, "pt", Seq((1, "a", "d1"), (2, "b", "d2")).toDF("k", "v", "day"),
+      Seq("k"), partitionBy = Seq("day"))
+    UpsertWriter.upsertAll(p, "pt", Seq((2, "B", "d2", 7.0)).toDF("k", "v", "day", "score"),
+      Seq("k"), partitionBy = Seq("day"), allowSchemaEvolution = true)
+    val prows = p.read("pt").select("k", "v", "score")
+      .as[(Int, String, Option[Double])].collect().sorted
+    assert(prows === Seq((1, "a", None), (2, "B", Some(7.0))))
+  }
+
   test("upsertAll is idempotent (re-merging the same batch is a no-op)") {
     val store = freshStore()
     val batch = Seq((1, "a"), (2, "b")).toDF("k", "v")
