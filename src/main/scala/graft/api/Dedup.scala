@@ -1,0 +1,88 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, Hashing}
+
+/** DataFrame-first dedup API -- the library surface for corpora with
+  * arbitrary column names (the `graft.ops` query functions bind the
+  * same operators to the test tables for the oracle gates).
+  *
+  * Every operator takes the id/text columns as [[Column]]s, so any
+  * projection works (`$"url"`, `concat(...)`, ...). Scale notes live
+  * on the underlying ops; nothing here adds a shuffle.
+  */
+object Dedup {
+
+  /** Exact duplicate groups on canonical token-set content: one row
+    * per distinct content key with the surviving (min) id and group
+    * size. */
+  def exactGroups(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs
+      .select(id.as("doc_id"),
+        md5(array_join(array_sort(array_distinct(split(text, " "))), " "))
+          .as("content_key"))
+      .groupBy(col("content_key"))
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_docs"))
+
+  /** MinHash-LSH near-duplicate pairs over bag-of-words token sets:
+    * (doc_a, doc_b, jaccard) with jaccard >= `threshold`. Candidate
+    * generation is banded LSH (never an all-pairs join); verification
+    * is an exact merge-walk Jaccard inside the join condition. */
+  def minhashPairs(docs: DataFrame, id: Column, text: Column,
+      threshold: Double = DedupOps.JaccardThreshold): DataFrame =
+    DedupOps.lshJaccardPairs(
+      docs.repartition(DedupOps.JoinParallelism)
+        .select(id.as("doc_id"), DedupOps.hashedTokenSet(text).as("th")),
+      DedupOps.MinhashK, DedupOps.LshBandCount, DedupOps.LshRows,
+      threshold, "jaccard")
+
+  /** Word-order-sensitive near-duplicate pairs over hashed n-gram
+    * shingle sets: (doc_a, doc_b, ngram_jaccard). */
+  def shinglePairs(docs: DataFrame, id: Column, text: Column,
+      n: Int = DedupOps.NgramN,
+      threshold: Double = DedupOps.NgramThreshold): DataFrame =
+    DedupOps.lshJaccardPairs(
+      docs.repartition(DedupOps.JoinParallelism)
+        .select(id.as("doc_id"), DedupOps.hashedShingles(text, n).as("th")),
+      DedupOps.MinhashK, DedupOps.NgramBandCount, DedupOps.NgramLshRows,
+      threshold, "ngram_jaccard")
+
+  /** SimHash near-duplicate pairs (hamming <= 4 over a 31-bit
+    * fingerprint), optionally blocked by extra columns (e.g. a
+    * language column): output (blockCols..., doc_a, doc_b, hamming).
+    * Banded hamming-LSH candidates -- 100% recall, no all-pairs
+    * join. */
+  def simhashPairs(docs: DataFrame, id: Column, text: Column,
+      blockCols: Seq[String] = Nil): DataFrame = {
+    val fp = docs.repartition(DedupOps.JoinParallelism)
+      .select(blockCols.map(col) ++ Seq(id.as("doc_id"),
+        graft.functions.ArrayExprs.simhash(
+          DedupOps.hashedTokenSet(text), DedupOps.SimhashBits).as("simhash")): _*)
+    DedupOps.simhashPairs(fp, blockCols)
+  }
+
+  /** Connected components over an arbitrary undirected edge list:
+    * (id, component) with component = min id of the component --
+    * compose with any of the pair generators for cluster-level
+    * dedup. */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame =
+    DedupOps.connectedComponents(vertices, edges)
+
+  /** End-to-end near-dup clustering: MinHash pairs -> connected
+    * components. Returns (id, component). */
+  def clusters(docs: DataFrame, id: Column, text: Column,
+      threshold: Double = DedupOps.JaccardThreshold): DataFrame = {
+    val pairs = minhashPairs(docs, id, text, threshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    connectedComponents(docs.select(id.as("id")), pairs)
+  }
+
+  /** Content-hash Bernoulli sample: keep a row iff its deterministic
+    * 60-bit content hash lands under `fraction` -- repartition- and
+    * retry-stable, unlike rand(). */
+  def hashSample(df: DataFrame, keyCol: Column, fraction: Double): DataFrame =
+    df.filter(Hashing.h15(keyCol.cast("string")) % 1000000L <
+      (fraction * 1000000L).toLong)
+}

@@ -18,13 +18,17 @@ import graft.ops.TextOps.{tokens, TokensSql}
   *    expressions; the quadratic step only happens WITHIN an LSH band
   *    bucket (equi-join on (band_idx, band_hash) -- a shuffle-hash
   *    join on a high-cardinality key, never a cross join).
-  *  - SimHash reduces each doc to one 32-bit fingerprint, then blocks
-  *    pairwise comparison by `lang` (swap in band-prefix blocking for
-  *    wider corpora).
-  *  - n-gram Jaccard blocks by (lang, source) -- the "compare within
-  *    natural partitions" pattern.
+  *  - SimHash reduces each doc to one 31-bit fingerprint; pairs come
+  *    from hamming-LSH banding (threshold+1 exact bit-bands -- 100%
+  *    recall by pigeonhole), never an all-pairs join within a block.
+  *  - n-gram Jaccard reuses the MinHash-LSH banding over hashed
+  *    shingle sets; the merge-walk Jaccard verifies inside the join.
   *  - Embedding near-dup brute force is the correctness baseline; the
-  *    scale path is sign-LSH bucketing in [[SimilarityOps]].
+  *    scale paths are sign-LSH and IVF in [[SimilarityOps]].
+  *
+  * The DataFrame-first library surface (arbitrary id/text columns)
+  * is [[graft.api.Dedup]]; these functions bind the same operators to
+  * the driver's test tables for the DuckDB oracle gates.
   */
 object DedupOps {
 
@@ -83,7 +87,7 @@ object DedupOps {
     * re-shuffled. Pair uniqueness comes from the first-colliding-band
     * rule (emit at band b only if no earlier band also collided)
     * instead of a multi-million-row DISTINCT. */
-  private[ops] def lshJaccardPairs(items: DataFrame, k: Int, bandCount: Int,
+  private[graft] def lshJaccardPairs(items: DataFrame, k: Int, bandCount: Int,
       rows: Int, threshold: Double, scoreName: String): DataFrame = {
     // materialize the hash-heavy projection ONCE: both self-join
     // branches read it, and without this each branch recomputes the
@@ -142,7 +146,7 @@ object DedupOps {
   /** DuckDB twin of [[lshJaccardPairs]]: identical banding over the
     * same element-set SQL, so both engines derive the same candidate
     * set and the same verified pairs. */
-  private[ops] def lshJaccardPairsSql(setSql: String, k: Int, bandCount: Int,
+  private[graft] def lshJaccardPairsSql(setSql: String, k: Int, bandCount: Int,
       rows: Int, threshold: Double, scoreName: String): String = {
     val sig = minhashSigSql("th", k)
     val bands = lshBandsSql("sig", bandCount, rows)
@@ -220,38 +224,46 @@ object DedupOps {
       s"($fpExpr >> $off) & ${(1L << w) - 1}"
     }.mkString("[", ", ", "]")
 
-  /** SimHash near-dup pairs: hamming distance <= 4 within `lang`.
-    * Candidates come from an equi-join on (lang, band_idx, band_bits)
-    * -- never an all-pairs join within a language, whose largest
-    * block approaches the whole corpus at scale. bit_count(xor)
+  /** Generic SimHash near-dup pair generation over a `(doc_id,
+    * simhash, blockCols...)` fingerprint table: hamming distance <=
+    * [[HammingThreshold]] within each `blockCols` block. Candidates
+    * come from an equi-join on (blockCols, band_idx, band_bits) --
+    * never an all-pairs join within a block, whose largest block
+    * approaches the whole corpus at scale. bit_count(xor)
     * verification runs inside the join condition; the
     * first-colliding-band rule keeps each pair single-emission
     * without a DISTINCT. */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val fp = simhashFingerprints(s, dir)
-      .withColumn("bands", simhashBandArray(col("simhash")))
+  private[graft] def simhashPairs(fp0: DataFrame, blockCols: Seq[String]): DataFrame = {
+    val fp = fp0.withColumn("bands", simhashBandArray(col("simhash")))
     // posexplode_outer for the same InferFiltersFromGenerate reason as
     // the minhash path (bands is always length SimhashBandCount)
-    val buckets = fp.select(col("lang"), col("doc_id"), col("simhash"), col("bands"),
-      posexplode_outer(col("bands")).as(Seq("band_idx", "band_bits")))
-    val a = buckets.select(col("lang"), col("band_idx"), col("band_bits"),
-      col("doc_id").as("doc_a"), col("simhash").as("fp_a"), col("bands").as("bands_a"))
-    val b = buckets.select(col("lang").as("lang_b"), col("band_idx").as("bi_b"),
-      col("band_bits").as("bb_b"),
-      col("doc_id").as("doc_b"), col("simhash").as("fp_b"), col("bands").as("bands_b"))
+    val buckets = fp.select(blockCols.map(col) ++ Seq(col("doc_id"), col("simhash"),
+      col("bands"), posexplode_outer(col("bands")).as(Seq("band_idx", "band_bits"))): _*)
+    val a = buckets.select(blockCols.map(col) ++ Seq(col("band_idx"), col("band_bits"),
+      col("doc_id").as("doc_a"), col("simhash").as("fp_a"), col("bands").as("bands_a")): _*)
+    val b = buckets.select(blockCols.map(c => col(c).as(s"${c}_b")) ++ Seq(
+      col("band_idx").as("bi_b"), col("band_bits").as("bb_b"),
+      col("doc_id").as("doc_b"), col("simhash").as("fp_b"), col("bands").as("bands_b")): _*)
     val firstCollidingBand = (0 until SimhashBandCount).map { i =>
       col("band_idx") <= i || element_at(col("bands_a"), i + 1) =!= element_at(col("bands_b"), i + 1)
     }.reduce(_ && _)
     val hamming = bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long")
-    // the banded key (lang x band_idx x band_bits) is high-cardinality
+    // the banded key (block x band_idx x band_bits) is high-cardinality
     // enough that AQE's default shuffle planning suffices; rows are
     // ~24 bytes so no salting/pinning (measured: it costs more here)
-    val cond = col("lang") === col("lang_b") && col("band_idx") === col("bi_b") &&
-      col("band_bits") === col("bb_b") && col("doc_a") < col("doc_b") &&
-      firstCollidingBand && hamming <= HammingThreshold
+    val blockEq = blockCols.map(c => col(c) === col(s"${c}_b"))
+    val cond = (blockEq :+ (col("band_idx") === col("bi_b")) :+
+      (col("band_bits") === col("bb_b")) :+ (col("doc_a") < col("doc_b")) :+
+      firstCollidingBand :+ (hamming <= HammingThreshold)).reduce(_ && _)
     a.join(b, cond)
-      .select(col("lang"), col("doc_a"), col("doc_b"), hamming.as("hamming"))
+      .select(blockCols.map(col) ++ Seq(col("doc_a"), col("doc_b"),
+        hamming.as("hamming")): _*)
   }
+
+  /** SimHash near-dup pairs over `documents`: hamming <= 4 within
+    * `lang`, banded (see [[simhashPairs]]). */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(simhashFingerprints(s, dir), Seq("lang"))
 
   val dedupSimhashSql: String =
     s"""WITH toks AS (
@@ -348,29 +360,28 @@ object DedupOps {
   private def loopCheckpoint(df: DataFrame, parts: Int): DataFrame =
     materializeOnce(df.coalesce(parts))
 
-  /** Connected components over the MinHash near-dup pair graph: the
-    * dedup output users actually consume (one cluster id per doc; the
-    * cluster's min doc_id is the canonical survivor). Iterative
-    * min-label propagation to fixpoint -- O(graph diameter)
+  /** Connected components over an arbitrary undirected edge list:
+    * `vertices` = one `id` column, `edges` = (`src`, `dst`); returns
+    * (id, component) where component = the component's min id.
+    * Iterative min-label propagation to fixpoint -- O(graph diameter)
     * DataFrame iterations, each a join + map-side-combinable min-agg,
     * with per-round checkpoints truncating the growing lineage (the
-    * standard Spark iterative-algorithm pattern). Near-dup components
-    * are dense, so the fixpoint lands in a handful of rounds.
+    * standard Spark iterative-algorithm pattern).
     *
     * Loop width scales with the data ([[loopWidth]]): the label table
-    * is one row per doc and the edge table shrinks every contraction,
-    * so each round's task count follows the live row count instead of
-    * a fixed constant. */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupMinhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    * is one row per vertex and the edge table shrinks every
+    * contraction, so each round's task count follows the live row
+    * count instead of a fixed constant. */
+  def connectedComponents(vertices: DataFrame, edges0: DataFrame): DataFrame = {
+    val pairs = edges0.select(col("src").as("doc_a"), col("dst").as("doc_b"))
     var edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint(true)
     var nEdges = edges.count()
-    val nDocs = Tables.documents(s, dir).count()
+    val nDocs = vertices.count()
     val labelParts = loopWidth(nDocs)
     var labels = loopCheckpoint(
-      Tables.documents(s, dir).select(col("doc_id"), col("doc_id").as("cluster_id")),
+      vertices.select(col("id").as("doc_id"), col("id").as("cluster_id")),
       labelParts)
     var iter = 0
     // Boruvka-flavored loop: propagate min labels one hop, pointer-jump
@@ -430,7 +441,18 @@ object DedupOps {
       labels = jumped.select(col("doc_id"), col("cluster_id"))
       jiter += 1
     }
-    labels
+    labels.select(col("doc_id").as("id"), col("cluster_id").as("component"))
+  }
+
+  /** Near-dup clustering over `documents`: connected components of
+    * the MinHash near-dup pair graph -- the dedup output users
+    * actually consume (one cluster id per doc; the cluster's min
+    * doc_id is the canonical survivor). */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashLsh(s, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    connectedComponents(Tables.documents(s, dir).select(col("doc_id").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
   }
 
   val dedupClustersSql: String =

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.ArrayExprs.{DoubleDot, SimHash, SortedLongJaccard}
+import graft.functions.HashExprs.{Md5ShingleSet, MinhashSig}
 
 /** SQL registration for graft's native expressions, so
   * `spark.sql("SELECT graft_dot(a, b) ...")` works alongside the
@@ -38,6 +39,22 @@ object FunctionRegistration {
         case Literal(b: Int, IntegerType) => SimHash(es(0), b)
         case other => throw new IllegalArgumentException(
           s"graft_simhash bits must be an integer literal, got $other")
+      }),
+    (FunctionIdentifier("graft_shingle_set"),
+      info(classOf[Md5ShingleSet], "graft_shingle_set",
+        "graft_shingle_set(tokens, n) - sorted distinct 31-bit md5 hashes of word n-grams"),
+      (es: Seq[Expression]) => es(1) match {
+        case Literal(n: Int, IntegerType) => Md5ShingleSet(es(0), n)
+        case other => throw new IllegalArgumentException(
+          s"graft_shingle_set n must be an integer literal, got $other")
+      }),
+    (FunctionIdentifier("graft_minhash_sig"),
+      info(classOf[MinhashSig], "graft_minhash_sig",
+        "graft_minhash_sig(hashes, k) - k-wide affine MinHash signature of an array<long>"),
+      (es: Seq[Expression]) => es(1) match {
+        case Literal(k: Int, IntegerType) => MinhashSig(es(0), k)
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash_sig k must be an integer literal, got $other")
       }),
   )
 

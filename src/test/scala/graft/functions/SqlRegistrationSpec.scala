@@ -17,6 +17,15 @@ class SqlRegistrationSpec extends AnyFunSuite {
     assert(spark.sql("SELECT graft_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L))")
       .as[Double].head() === 0.5)
     assert(spark.sql("SELECT graft_simhash(array(7L), 3)").as[Long].head() === 7L)
+    // shingle hashing + minhash signatures match their Column-API twins
+    val viaSql = spark.sql(
+      "SELECT graft_minhash_sig(graft_shingle_set(array('a','b','c'), 2), 4)")
+      .as[Seq[Long]].head()
+    val viaApi = Seq(("x", Seq("a", "b", "c"))).toDF("k", "toks")
+      .select(HashExprs.minhashSig(HashExprs.md5ShingleSet(
+        org.apache.spark.sql.functions.col("toks"), 2), 4))
+      .as[Seq[Long]].head()
+    assert(viaSql === viaApi)
     // registration is idempotent
     FunctionRegistration.register(spark)
   }
