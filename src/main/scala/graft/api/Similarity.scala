@@ -1,0 +1,108 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.SimilarityOps
+
+/** DataFrame-first similarity-search API over arbitrary id/vector
+  * columns (the `graft.ops` query functions bind the same operators
+  * to the test tables for the oracle gates).
+  *
+  * Vectors are `array` columns castable to double. Three search
+  * tiers, increasing scale: exact brute force, sign-LSH buckets,
+  * IVF centroid probing.
+  */
+object Similarity {
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def prepared(df: DataFrame, id: Column, vec: Column): DataFrame = {
+    val v = asDouble(vec)
+    df.select(id.as("vec_id"), v.as("v"),
+      sqrt(SimilarityOps.dot(v, v)).as("nrm"))
+  }
+
+  private def rank(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Exact cosine top-k of every query against the whole corpus:
+    * (query_id, match_id, cosine, rank). The query side is broadcast;
+    * keep it small relative to the corpus. */
+  def cosineTopK(corpus: DataFrame, id: Column, vec: Column,
+      queries: DataFrame, qid: Column, qvec: Column, k: Int = 10): DataFrame = {
+    val c = prepared(corpus, id, vec)
+    val q = prepared(queries, qid, qvec)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    rank(c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id").as("match_id"),
+        round(SimilarityOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("cosine")), k)
+  }
+
+  /** ANN via sign-LSH: probe only each query's hyperplane-sign
+    * bucket, exact re-rank inside it. At scale, hash-partition the
+    * corpus by bucket id so a probe reads one partition. */
+  def annSignLsh(corpus: DataFrame, id: Column, vec: Column,
+      queries: DataFrame, qid: Column, qvec: Column, k: Int = 10): DataFrame = {
+    val c = prepared(corpus, id, vec)
+      .withColumn("bucket", SimilarityOps.signBucket(col("v")))
+    val q = prepared(queries, qid, qvec)
+      .withColumn("bucket", SimilarityOps.signBucket(col("v")))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    rank(broadcast(q).join(c, Seq("bucket"))
+      .select(col("query_id"), col("vec_id").as("match_id"),
+        round(SimilarityOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("cosine")), k)
+  }
+
+  /** IVF-style ANN: `cell` assigns each corpus vector to a coarse-
+    * quantizer cell; per-cell centroids are built from the corpus,
+    * each query probes its `nprobe` nearest centroids and re-ranks
+    * exactly inside the probed cells only. */
+  def annIvf(corpus: DataFrame, id: Column, vec: Column, cell: Column,
+      queries: DataFrame, qid: Column, qvec: Column,
+      nprobe: Int = SimilarityOps.IvfNProbe, k: Int = 10): DataFrame = {
+    val c = corpus.select(cell.as("label"), id.as("vec_id"), asDouble(vec).as("v"))
+      .withColumn("nrm", sqrt(SimilarityOps.dot(col("v"), col("v"))))
+    val cent = c.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(sum(round(col("x") * 1e6).cast("long")) / (count(lit(1)) * 1e6), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        p => p.getField("c")).as("cv"))
+      .select(col("label").as("cell"), col("cv"),
+        sqrt(SimilarityOps.dot(col("cv"), col("cv"))).as("cn"))
+    val q = prepared(queries, qid, qvec)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"),
+        round(SimilarityOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cscore"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("cell").asc)
+    val probed = probes.withColumn("prank", row_number().over(pw))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    rank(broadcast(probed).join(c, probed("cell") === c("label"))
+      .select(col("query_id"), col("vec_id").as("match_id"),
+        round(SimilarityOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("cosine")), k)
+  }
+
+  /** Per-vector absmax int8 quantization: flat (vec_id, pos, q,
+    * scale_r) rows, 4x smaller storage, dequant error <= scale/2. */
+  def quantizeInt8(vectors: DataFrame, id: Column, vec: Column): DataFrame = {
+    val e = vectors.select(id.as("vec_id"), asDouble(vec).as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / 127.0d)
+    e.select(col("vec_id"), col("scale"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"),
+        round(col("x") / col("scale")).cast("int").as("q"),
+        round(col("scale"), 9).as("scale_r"))
+  }
+}

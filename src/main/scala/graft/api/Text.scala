@@ -1,0 +1,88 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Hashing, TextOps}
+
+/** DataFrame-first text-analysis API over arbitrary id/text columns
+  * (the `graft.ops` query functions bind the same operators to the
+  * test tables for the oracle gates). All operators are single-pass
+  * narrow projections or one-shuffle aggregations.
+  */
+object Text {
+
+  /** Whitespace tokens of a text column. */
+  def tokenize(text: Column): Column = TextOps.tokens(text)
+
+  /** Token counting + cheap quality signals: token/char counts,
+    * lexical diversity, mean token length, stopword ratio, BPE-ish
+    * subword count. One narrow projection pass. */
+  def stats(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val t = TextOps.tokens(text)
+    val n = size(t)
+    val sumLen = aggregate(transform(t, x => length(x)), lit(0L), (a, x) => a + x)
+    docs.select(
+      id.as("doc_id"),
+      n.cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct_tokens"),
+      length(text).cast("long").as("n_chars"),
+      round(size(array_distinct(t)).cast("double") / n, 4).as("lexical_diversity"),
+      round(sumLen.cast("double") / n, 4).as("avg_token_len"),
+      size(regexp_extract_all(text, lit(TextOps.BpeishPattern), lit(0)))
+        .cast("long").as("n_bpeish_tokens"))
+  }
+
+  /** Marker-based language ID: per-language marker counts and a
+    * deterministic argmax ('und' on ties / all-zero). */
+  def langId(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val t = TextOps.tokens(text)
+    val scores = TextOps.LangMarkers.map { case (l, ms) =>
+      l -> size(filter(t, tok => tok.isInCollection(ms)))
+    }
+    val pred = scores.foldLeft(lit("und")) { case (acc, (l, sc)) =>
+      val others = scores.filter(_._1 != l).map(_._2)
+      when(others.foldLeft(sc > 0)((c, o) => c && sc > o), l).otherwise(acc)
+    }
+    docs.select(
+      (id.as("doc_id") +: scores.map { case (l, sc) => sc.cast("long").as(s"score_$l") }) :+
+        pred.as("predicted_lang"): _*)
+  }
+
+  /** Whole-document md5 + winnowing-style rolling min-hash
+    * fingerprint (robust to local edits). */
+  def fingerprints(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val t = TextOps.tokens(text)
+    val n = size(t)
+    val windows = transform(sequence(lit(1), n - lit(7)),
+      i => Hashing.h15(array_join(slice(t, i, lit(8)), " ")))
+    docs.select(
+      id.as("doc_id"),
+      md5(text).as("md5_full"),
+      when(n < 8, Hashing.h15(text)).otherwise(array_min(windows)).as("winnow_fp"))
+  }
+
+  /** TF-IDF per (doc, token): tf * ln(N/df); corpus size rides in as
+    * a broadcast 1-row aggregate. */
+  def tfidf(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("__text"))
+    val n = base.agg(count(lit(1)).cast("double").as("n_docs"))
+    val termFreq = base
+      .select(col("doc_id"), explode(TextOps.tokens(col("__text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = termFreq.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    termFreq.join(docFreq, Seq("token"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs") / col("df")), 4).as("tfidf"))
+  }
+
+  /** Corpus vocabulary top-k by frequency (deterministic tiebreak). */
+  def vocabTopK(docs: DataFrame, text: Column, k: Int = 20): DataFrame =
+    docs.select(explode(TextOps.tokens(text)).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+}

@@ -41,17 +41,8 @@ object SimilarityOps {
     * rank) with a deterministic (score desc, match_id) order. */
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).repartition(32)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val withNorm = e.select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("nrm"))
-    val q = withNorm.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val scored = withNorm.crossJoin(broadcast(q))
-      .select(col("query_id"), col("vec_id").as("match_id"),
-        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("match_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
+    graft.api.Similarity.cosineTopK(e, col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < NumQueries), col("vec_id"), col("embedding"), TopK)
   }
 
   val cosineTopKSql: String =
@@ -110,19 +101,8 @@ object SimilarityOps {
     * results still hash-match. */
   def annSignLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).repartition(32)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val bucketed = e.select(col("vec_id"), col("v"),
-      sqrt(dot(col("v"), col("v"))).as("nrm"), signBucket(col("v")).as("bucket"))
-    val qq = bucketed.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("bucket"))
-    val scored = broadcast(qq).join(bucketed, Seq("bucket"))
-      .select(col("query_id"), col("vec_id").as("match_id"),
-        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("match_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
+    graft.api.Similarity.annSignLsh(e, col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < NumQueries), col("vec_id"), col("embedding"), TopK)
   }
 
   // ------------------------------------------------------------------ IVF
@@ -143,34 +123,9 @@ object SimilarityOps {
     * engines derive identical cells, probes, and ranks. */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).repartition(32)
-      .select(col("label"), col("vec_id"), asDouble(col("embedding")).as("v"))
-    val withNorm = e.select(col("label"), col("vec_id"), col("v"),
-      sqrt(dot(col("v"), col("v"))).as("nrm"))
-    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
-      .agg(round(sum(round(col("x") * 1e6).cast("long")) / (count(lit(1)) * 1e6), 6).as("c"))
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        p => p.getField("c")).as("cv"))
-      .select(col("label").as("cell"), col("cv"),
-        sqrt(dot(col("cv"), col("cv"))).as("cn"))
-    val q = withNorm.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val probes = q.crossJoin(broadcast(cent))
-      .select(col("query_id"), col("qv"), col("qn"), col("cell"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cscore"))
-    val pw = Window.partitionBy(col("query_id"))
-      .orderBy(col("cscore").desc, col("cell").asc)
-    val probed = probes.withColumn("prank", row_number().over(pw))
-      .filter(col("prank") <= IvfNProbe)
-      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
-    val scored = broadcast(probed).join(withNorm, probed("cell") === withNorm("label"))
-      .select(col("query_id"), col("vec_id").as("match_id"),
-        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("match_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
+    graft.api.Similarity.annIvf(e, col("vec_id"), col("embedding"), col("label"),
+      e.filter(col("vec_id") < NumQueries), col("vec_id"), col("embedding"),
+      IvfNProbe, TopK)
   }
 
   val annIvfSql: String =
@@ -201,15 +156,9 @@ object SimilarityOps {
     * storage-compression step of a large vector index (4x smaller
     * than float32). Flat (vec_id, pos, q) output; scale rounded for
     * cross-engine exactness. Dequantization error <= scale/2. */
-  def embQuantizeInt8(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / 127.0d)
-    e.select(col("vec_id"), col("scale"), posexplode(col("v")).as(Seq("pos", "x")))
-      .select(col("vec_id"), col("pos"),
-        round(col("x") / col("scale")).cast("int").as("q"),
-        round(col("scale"), 9).as("scale_r"))
-  }
+  def embQuantizeInt8(s: SparkSession, dir: String): DataFrame =
+    graft.api.Similarity.quantizeInt8(Tables.embeddings(s, dir),
+      col("vec_id"), col("embedding"))
 
   val embQuantizeInt8Sql: String =
     """WITH e AS (

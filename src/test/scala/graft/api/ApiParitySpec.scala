@@ -1,0 +1,77 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.core.Tables
+import graft.ops.{SimilarityOps, TextOps}
+
+/** Similarity/Text facades must reproduce the table-bound query
+  * functions when fed the same data under different column names. */
+class ApiParitySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def emb = Tables.embeddings(spark, dir)
+    .select(col("vec_id").as("eid"), col("embedding").as("e"), col("label"))
+  private def docs = Tables.documents(spark, dir)
+    .select(col("doc_id").as("my_id"), col("text").as("body"))
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("cosineTopK matches the table-bound query") {
+    val q = emb.filter(col("eid") < SimilarityOps.NumQueries)
+    val api = Similarity.cosineTopK(emb, col("eid"), col("e"), q, col("eid"), col("e"))
+    assert(rows(api) === rows(SimilarityOps.cosineTopK(spark, dir)))
+  }
+
+  test("annSignLsh matches the table-bound query") {
+    val q = emb.filter(col("eid") < SimilarityOps.NumQueries)
+    val api = Similarity.annSignLsh(emb, col("eid"), col("e"), q, col("eid"), col("e"))
+    assert(rows(api) === rows(SimilarityOps.annSignLsh(spark, dir)))
+  }
+
+  test("annIvf matches the table-bound query") {
+    val q = emb.filter(col("eid") < SimilarityOps.NumQueries)
+    val api = Similarity.annIvf(emb, col("eid"), col("e"), col("label"),
+      q, col("eid"), col("e"))
+    assert(rows(api) === rows(SimilarityOps.annIvf(spark, dir)))
+  }
+
+  test("quantizeInt8 matches the table-bound query") {
+    val api = Similarity.quantizeInt8(emb, col("eid"), col("e"))
+    assert(rows(api) === rows(SimilarityOps.embQuantizeInt8(spark, dir)))
+  }
+
+  test("Text.stats matches textStats modulo the lang/stopword columns") {
+    val api = Text.stats(docs, col("my_id"), col("body"))
+      .select("doc_id", "n_tokens", "n_distinct_tokens", "n_chars",
+        "lexical_diversity", "avg_token_len", "n_bpeish_tokens")
+    val ops = TextOps.textStats(spark, dir)
+      .select("doc_id", "n_tokens", "n_distinct_tokens", "n_chars",
+        "lexical_diversity", "avg_token_len", "n_bpeish_tokens")
+    assert(rows(api) === rows(ops))
+  }
+
+  test("Text.langId matches langId scores and prediction") {
+    val api = Text.langId(docs, col("my_id"), col("body"))
+    val ops = TextOps.langId(spark, dir).drop("actual_lang")
+    assert(rows(api) === rows(ops))
+  }
+
+  test("Text.fingerprints matches fingerprint") {
+    val api = Text.fingerprints(docs, col("my_id"), col("body"))
+    assert(rows(api) === rows(TextOps.fingerprint(spark, dir)))
+  }
+
+  test("Text.tfidf and vocabTopK match the analytics queries") {
+    val api = Text.tfidf(docs, col("my_id"), col("body"))
+    assert(rows(api) === rows(graft.queries.AnalyticsQueries.textTfidf(spark, dir)))
+    val vt = Text.vocabTopK(docs, col("body"))
+    assert(rows(vt) === rows(graft.queries.AnalyticsQueries.textVocabTopk(spark, dir)))
+  }
+}
