@@ -20,9 +20,7 @@ object Dedup {
     * size. */
   def exactGroups(docs: DataFrame, id: Column, text: Column): DataFrame =
     docs
-      .select(id.as("doc_id"),
-        md5(array_join(array_sort(array_distinct(split(text, " "))), " "))
-          .as("content_key"))
+      .select(id.as("doc_id"), DedupOps.contentKey(text).as("content_key"))
       .groupBy(col("content_key"))
       .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_docs"))
 

@@ -61,6 +61,39 @@ object Similarity {
           .as("cosine")), k)
   }
 
+  /** Multi-probe sign-LSH ANN: in addition to each query's own
+    * bucket, probe the buckets reached by flipping its `extraProbes`
+    * LOWEST-MARGIN hyperplane bits (the planes the query sits closest
+    * to -- the standard multi-probe recall boost, ~(1+extraProbes)x
+    * the candidate volume instead of 2^b buckets). Each corpus vector
+    * lives in exactly one bucket, so probes never duplicate a
+    * candidate pair and no DISTINCT is needed. */
+  def annMultiProbe(corpus: DataFrame, id: Column, vec: Column,
+      queries: DataFrame, qid: Column, qvec: Column,
+      extraProbes: Int = 2, k: Int = 10): DataFrame = {
+    val b = SimilarityOps.LshPlanes
+    require(extraProbes >= 0 && extraProbes < b)
+    val c = prepared(corpus, id, vec)
+      .withColumn("bucket", SimilarityOps.signBucket(col("v")))
+    val qm = prepared(queries, qid, qvec)
+      .withColumn("margins", SimilarityOps.planeMargins(col("v")))
+      .withColumn("bucket", SimilarityOps.bucketFromMargins(col("margins")))
+    // flip order: planes by (|margin| asc, plane idx asc); flipping
+    // plane p toggles bit p of the bucket id
+    val bitOf = (p: Column) => element_at(
+      array((0 until b).map(i => lit(1L << i)): _*), p + 1)
+    val order = array_sort(array((0 until b).map(p =>
+      struct(abs(element_at(col("margins"), p + 1)).as("am"), lit(p).as("p"))): _*))
+    val probes = array((col("bucket") +: (0 until extraProbes).map(i =>
+      col("bucket").bitwiseXOR(bitOf(element_at(order, i + 1).getField("p"))))): _*)
+    val q = qm.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), explode(probes).as("bucket"))
+    rank(broadcast(q).join(c, Seq("bucket"))
+      .select(col("query_id"), col("vec_id").as("match_id"),
+        round(SimilarityOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("cosine")), k)
+  }
+
   /** IVF-style ANN: `cell` assigns each corpus vector to a coarse-
     * quantizer cell; per-cell centroids are built from the corpus,
     * each query probes its `nprobe` nearest centroids and re-ranks

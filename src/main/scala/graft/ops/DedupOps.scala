@@ -34,13 +34,18 @@ object DedupOps {
 
   // ---------------------------------------------------------------- exact
 
+  /** Canonical content key: md5 of the sorted distinct token set --
+    * the exact-dedup identity shared by the batch, API, and streaming
+    * paths. */
+  def contentKey(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
   /** Exact dedup on canonical token-set content: groups whose sorted
     * distinct token set hashes equal are duplicates; min doc_id
     * survives. Output one row per distinct content key. */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
-    val key = md5(array_join(array_sort(array_distinct(tokens(col("text")))), " "))
     Tables.documents(s, dir)
-      .select(col("doc_id"), key.as("content_key"))
+      .select(col("doc_id"), contentKey(col("text")).as("content_key"))
       .groupBy(col("content_key"))
       .agg(min(col("doc_id")).as("survivor_id"),
         count(lit(1)).as("n_docs"))

@@ -20,6 +20,7 @@ object OpsQueries {
     "sim_cosine_topk" -> (SimilarityOps.cosineTopK _),
     "sim_ann_signlsh" -> (SimilarityOps.annSignLsh _),
     "sim_ann_ivf" -> (SimilarityOps.annIvf _),
+    "sim_ann_multiprobe" -> (SimilarityOps.annMultiProbe _),
     "mm_decode_features" -> (MultimodalOps.decodeFeatures _),
     "p9_hash_sample" -> (SamplingOps.hashSample _),
     "p10_split_assign" -> (SamplingOps.splitAssign _),
@@ -40,6 +41,7 @@ object OpsQueries {
     "sim_cosine_topk" -> SimilarityOps.cosineTopKSql,
     "sim_ann_signlsh" -> SimilarityOps.annSignLshSql,
     "sim_ann_ivf" -> SimilarityOps.annIvfSql,
+    "sim_ann_multiprobe" -> SimilarityOps.annMultiProbeSql,
     "mm_decode_features" -> MultimodalOps.decodeFeaturesSql,
     "p9_hash_sample" -> SamplingOps.hashSampleSql,
     "p10_split_assign" -> SamplingOps.splitAssignSql,

@@ -80,6 +80,20 @@ object SimilarityOps {
   private def planeSignSql(p: Int): String =
     s"CASE WHEN ${h15Sql(s"concat('plane:$p:', CAST(j - 1 AS VARCHAR))")} & 1 = 1 THEN 1.0 ELSE -1.0 END"
 
+  /** Per-plane margins (signed dot products with each +-1
+    * hyperplane) as a length-[[LshPlanes]] array -- the quantity
+    * multi-probe ordering needs. */
+  def planeMargins(v: Column): Column =
+    array((0 until LshPlanes).map { p =>
+      graft.functions.ArrayExprs.dot(v, array(planeSigns(p).map(lit): _*))
+    }: _*)
+
+  /** Bucket id from a margins array: bit p set iff margin p > 0. */
+  def bucketFromMargins(margins: Column): Column =
+    (0 until LshPlanes).map { p =>
+      when(element_at(margins, p + 1) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** b-bit sign-LSH bucket id of a double-array column: bit p set iff
     * the dot product with +-1 hyperplane p is positive. */
   def signBucket(v: Column): Column =
@@ -103,6 +117,53 @@ object SimilarityOps {
     val e = Tables.embeddings(s, dir).repartition(32)
     graft.api.Similarity.annSignLsh(e, col("vec_id"), col("embedding"),
       e.filter(col("vec_id") < NumQueries), col("vec_id"), col("embedding"), TopK)
+  }
+
+  /** Extra buckets probed per query in multi-probe mode. */
+  val MultiProbes = 2
+
+  /** Multi-probe sign-LSH over `embeddings`: base bucket + flips of
+    * the [[MultiProbes]] lowest-|margin| planes (see
+    * [[graft.api.Similarity.annMultiProbe]]). Strictly higher recall
+    * than [[annSignLsh]] at ~(1+MultiProbes)x candidate volume. */
+  def annMultiProbe(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).repartition(32)
+    graft.api.Similarity.annMultiProbe(e, col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < NumQueries), col("vec_id"), col("embedding"),
+      MultiProbes, TopK)
+  }
+
+  val annMultiProbeSql: String = {
+    val marginSql = (p: Int) =>
+      s"""list_sum(list_transform(generate_series(1, len(v)),
+         j -> v[j] * ${planeSignSql(p)}))"""
+    val margins = (0 until LshPlanes).map(marginSql).mkString("[", ", ", "]")
+    val bucket = (0 until LshPlanes)
+      .map(p => s"CASE WHEN margins[${p + 1}] > 0 THEN ${1L << p} ELSE 0 END")
+      .mkString("(", " + ", ")")
+    s"""WITH e AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       m AS (SELECT vec_id, v, nrm, $margins AS margins FROM n),
+       b AS (SELECT vec_id, v, nrm, margins, $bucket AS bucket FROM m),
+       qf AS (SELECT vec_id, bucket, margins FROM b WHERE vec_id < $NumQueries),
+       flips AS (SELECT vec_id, bucket, p,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY abs(margins[p + 1]) ASC, p ASC) AS fr
+         FROM qf, generate_series(0, ${LshPlanes - 1}) gs(p)),
+       probes AS (
+         SELECT vec_id, bucket AS probe FROM qf
+         UNION ALL
+         SELECT vec_id, xor(bucket, 1 << p) FROM flips WHERE fr <= $MultiProbes),
+       scored AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+           round(list_dot_product(qb.v, c.v) / (qb.nrm * c.nrm), 6) AS cosine
+         FROM probes q
+         JOIN b qb ON q.vec_id = qb.vec_id
+         JOIN b c ON q.probe = c.bucket),
+       ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, match_id ASC) AS INT) AS rank FROM scored)
+       SELECT query_id, match_id, cosine, rank FROM ranked WHERE rank <= $TopK"""
   }
 
   // ------------------------------------------------------------------ IVF

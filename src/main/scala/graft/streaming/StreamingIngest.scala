@@ -96,6 +96,29 @@ object StreamingIngest {
     q
   }
 
+  case class KeyedDoc(doc_id: Long, content_key: String)
+
+  /** Streaming exact dedup: drop every document whose canonical
+    * content key ([[graft.ops.DedupOps.contentKey]]) was already seen
+    * -- the streaming twin of the batch exact-dedup pass. State is one
+    * boolean per distinct content key, hash-partitioned; within a
+    * micro-batch the min doc_id wins (matching the batch survivor
+    * rule), across batches first-seen wins. flatMapGroupsWithState in
+    * Append mode: emits 0 or 1 rows per (key, batch). */
+  def streamingExactDedup(docs: Dataset[KeyedDoc]): Dataset[KeyedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.content_key)
+      .flatMapGroupsWithState[Boolean, KeyedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[KeyedDoc], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(_.doc_id))
+          }
+      }
+  }
+
   /** foreachBatch MERGE sink: every micro-batch upserts into a
     * warehouse table on its natural key -- the streaming twin of the
     * daily MERGE jobs, and the standard Spark pattern for sinks whose

@@ -35,6 +35,21 @@ class ApiParitySpec extends AnyFunSuite {
     assert(rows(api) === rows(SimilarityOps.annSignLsh(spark, dir)))
   }
 
+  test("annMultiProbe matches its table-bound query and dominates single-probe recall") {
+    import spark.implicits._
+    val q = emb.filter(col("eid") < SimilarityOps.NumQueries)
+    val api = Similarity.annMultiProbe(emb, col("eid"), col("e"), q, col("eid"), col("e"))
+    assert(rows(api) === rows(SimilarityOps.annMultiProbe(spark, dir)))
+    // candidate superset -> per-rank cosine at least single-probe's
+    def byRank(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "cosine").as[(Long, Int, Double)]
+        .collect().map { case (qid2, r, c) => (qid2, r) -> c }.toMap
+    val mp = byRank(SimilarityOps.annMultiProbe(spark, dir))
+    val sp = byRank(SimilarityOps.annSignLsh(spark, dir))
+    sp.foreach { case (key, c) => assert(mp.getOrElse(key, Double.MinValue) >= c) }
+    assert(mp.size >= sp.size)
+  }
+
   test("annIvf matches the table-bound query") {
     val q = emb.filter(col("eid") < SimilarityOps.NumQueries)
     val api = Similarity.annIvf(emb, col("eid"), col("e"), col("label"),

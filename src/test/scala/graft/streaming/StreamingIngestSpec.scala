@@ -21,6 +21,25 @@ class StreamingIngestSpec extends AnyFunSuite {
 
   private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
 
+  test("streaming exact dedup matches the batch survivor set") {
+    import StreamingIngest.KeyedDoc
+    val src = tmp("graft-dedup-src")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.ops.DedupOps.contentKey(col("text")).as("content_key"))
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src).as[KeyedDoc]
+    val deduped = StreamingIngest.streamingExactDedup(stream)
+    StreamingIngest.runAvailableNow(deduped.toDF(), "dedup_stream", "append",
+      tmp("graft-dedup-ckpt"))
+    val got = spark.table("dedup_stream")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val expected = graft.ops.DedupOps.dedupExact(spark, sfDir)
+      .select("survivor_id").as[Long].collect().sorted.toSeq
+    assert(got === expected)
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("foreachBatch upsert sink lands every event exactly once") {
     val src = tmp("graft-sink-src")
     val events = Tables.events(spark, sfDir)
