@@ -1,0 +1,109 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, Hashing, TextOps}
+
+/** End-to-end training-corpus preparation: the composition a data
+  * pipeline actually runs -- quality filter -> exact dedup -> near-dup
+  * cluster dedup -> leakage-safe split assignment -- built from the
+  * `graft.api` operators so every stage keeps its documented scale
+  * shape (narrow projections, banded LSH joins, one iterative CC).
+  *
+  * Determinism: every stage is content- or id-hash keyed, so the
+  * prepared corpus is identical under repartitioning, re-runs, and
+  * retries -- the property that makes incremental corpus builds and
+  * exact experiment reproduction possible.
+  */
+object Corpus {
+
+  /** Tunable quality gates (defaults match common web-corpus
+    * heuristics at small scale). */
+  case class QualityThresholds(
+      minTokens: Long = 5,
+      maxTokens: Long = 100000,
+      minLexicalDiversity: Double = 0.2,
+      maxAvgTokenLen: Double = 20.0)
+
+  /** Rows failing the quality gates, with the first failed gate named
+    * (for corpus-loss audits). */
+  def qualityRejects(docs: DataFrame, id: Column, text: Column,
+      t: QualityThresholds = QualityThresholds()): DataFrame = {
+    val s = Text.stats(docs, id, text)
+    s.withColumn("reject_reason",
+        when(col("n_tokens") < t.minTokens, "too_short")
+          .when(col("n_tokens") > t.maxTokens, "too_long")
+          .when(col("lexical_diversity") < t.minLexicalDiversity, "low_diversity")
+          .when(col("avg_token_len") > t.maxAvgTokenLen, "gibberish_tokens"))
+      .filter(col("reject_reason").isNotNull)
+      .select(col("doc_id"), col("reject_reason"))
+  }
+
+  /** The full preparation pipeline. Returns the cleaned corpus:
+    * (doc_id, text, content_key, component, split) where
+    *  - quality rejects are removed ([[qualityRejects]]),
+    *  - exactly one doc survives per canonical content key (min id),
+    *  - exactly one doc survives per near-dup cluster (min id over
+    *    the MinHash-LSH pair graph's connected component),
+    *  - split is the 80/10/10 train/val/test assignment hashed on the
+    *    COMPONENT id, so every surviving doc's near-dups (had they
+    *    survived) would share its split -- no train/test leakage.
+    *
+    * Stage order matters at scale: the cheap narrow quality pass
+    * shrinks the corpus before the (comparatively) expensive LSH
+    * join; exact dedup before near-dup halves the pair-graph size on
+    * crawl-style corpora. */
+  def prepare(docs: DataFrame, id: Column, text: Column,
+      t: QualityThresholds = QualityThresholds()): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("text"))
+    // 1. quality gate (anti-join on the reject list: one narrow pass)
+    val rejects = qualityRejects(base, col("doc_id"), col("text"), t)
+    val clean = base.join(rejects, Seq("doc_id"), "left_anti")
+    // 2. exact dedup: min id per canonical content key
+    val keyed = clean.withColumn("content_key", DedupOps.contentKey(col("text")))
+    val exactSurvivors = keyed
+      .groupBy(col("content_key")).agg(min(col("doc_id")).as("doc_id"))
+    val exact = keyed.join(exactSurvivors, Seq("content_key", "doc_id"), "left_semi")
+    // 3. near-dup cluster dedup: min id per connected component of
+    //    the MinHash near-dup pair graph
+    val pairs = Dedup.minhashPairs(exact, col("doc_id"), col("text"))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comps = Dedup.connectedComponents(
+      exact.select(col("doc_id").as("id")), pairs)
+    val withComp = exact.join(comps, exact("doc_id") === comps("id"))
+      .select(col("doc_id"), col("text"), col("content_key"), col("component"))
+    val nearSurvivors = withComp
+      .groupBy(col("component")).agg(min(col("doc_id")).as("doc_id"))
+    val deduped = withComp.join(nearSurvivors, Seq("component", "doc_id"), "left_semi")
+    // 4. leakage-safe split: hash the component id, not the doc id
+    val bucket = pmod(Hashing.h15(
+      concat(lit("split:"), col("component").cast("string"))), lit(100))
+    deduped.select(col("doc_id"), col("text"), col("content_key"), col("component"),
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+  }
+
+  /** Per-stage corpus-loss accounting for a [[prepare]] run over the
+    * same inputs: one row per stage with rows_in/rows_out. Runs the
+    * same stage predicates; intended for audit dashboards, not the
+    * hot path. */
+  def prepareStats(docs: DataFrame, id: Column, text: Column,
+      t: QualityThresholds = QualityThresholds()): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val base = docs.select(id.as("doc_id"), text.as("text"))
+    val n0 = base.count()
+    val rejects = qualityRejects(base, col("doc_id"), col("text"), t)
+    val clean = base.join(rejects, Seq("doc_id"), "left_anti")
+    val n1 = clean.count()
+    val n2 = clean.select(DedupOps.contentKey(col("text")).as("k"))
+      .agg(count_distinct(col("k"))).as[Long].head()
+    val prepared = prepare(docs, id, text, t)
+    val n3 = prepared.count()
+    Seq(
+      ("input", n0, n0),
+      ("quality_filter", n0, n1),
+      ("exact_dedup", n1, n2),
+      ("near_dup_dedup", n2, n3)).toDF("stage", "rows_in", "rows_out")
+  }
+}

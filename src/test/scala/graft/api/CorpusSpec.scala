@@ -1,0 +1,68 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.core.Tables
+import graft.ops.DedupOps
+
+class CorpusSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs = Tables.documents(spark, dir)
+    .select(col("doc_id").as("my_id"), col("text").as("body"))
+
+  test("prepare output is exact- and near-dup free with a total split") {
+    val out = Corpus.prepare(docs, col("my_id"), col("body")).cache()
+    val n = out.count()
+    assert(n > 0)
+    // no two survivors share a content key or a component
+    assert(out.select("content_key").distinct().count() === n)
+    assert(out.select("component").distinct().count() === n)
+    // split is total and only the three values
+    assert(out.filter(!col("split").isin("train", "val", "test")).count() === 0)
+    // survivors of near-dup clusters are the component minima
+    val comps = out.select(col("component"), col("doc_id")).as[(Long, Long)].collect()
+    comps.foreach { case (c, id) => assert(id === c) }
+    out.unpersist()
+  }
+
+  test("prepare is deterministic under repartitioning") {
+    val a = Corpus.prepare(docs, col("my_id"), col("body"))
+      .collect().map(_.toString).sorted.toSeq
+    val b = Corpus.prepare(docs.repartition(13), col("my_id"), col("body"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+
+  test("no surviving pair is near-duplicate (the graph was fully contracted)") {
+    val out = Corpus.prepare(docs, col("my_id"), col("body"))
+    val residual = Dedup.minhashPairs(out, col("doc_id"), col("text"))
+    assert(residual.count() === 0)
+  }
+
+  test("prepareStats accounts monotone per-stage loss") {
+    val stats = Corpus.prepareStats(docs, col("my_id"), col("body"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(stats.map(_._1) ===
+      Seq("input", "quality_filter", "exact_dedup", "near_dup_dedup"))
+    stats.foreach { case (_, in, outN) => assert(outN <= in) }
+    // chained: each stage's input is the previous stage's output
+    stats.sliding(2).foreach {
+      case Seq((_, _, prevOut), (_, in, _)) => assert(in === prevOut)
+      case _ =>
+    }
+  }
+
+  test("quality rejects name a reason and are disjoint from the output") {
+    val rejects = Corpus.qualityRejects(docs, col("my_id"), col("body"))
+    val out = Corpus.prepare(docs, col("my_id"), col("body"))
+    assert(rejects.filter(col("reject_reason").isNull).count() === 0)
+    assert(out.join(rejects, Seq("doc_id"), "left_semi").count() === 0)
+  }
+}
