@@ -12,12 +12,23 @@ object ProbeMain {
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("sim_ann_ivf", "dedup_ngram_jaccard")) {
-      println(s"==== $q ====")
-      val df = SparkEntry.queries(q)(spark, dir)
-      df.count()
-      println(df.queryExecution.executedPlan.toString.take(6000))
+    val dir = "/root/testdata/sf0.1"
+    def t[A](label: String)(f: => A): A = {
+      val s = System.nanoTime; val r = f
+      println(f"[probe] $label%-30s ${(System.nanoTime - s) / 1e9}%.2f s"); r
+    }
+    _root_.graft.core.Tables.documents(spark, dir).count()
+    t("pairs cold") {
+      _root_.graft.ops.DedupOps.dedupMinhashLsh(spark, dir).count()
+    }
+    t("pairs warm") {
+      _root_.graft.ops.DedupOps.dedupMinhashLsh(spark, dir).count()
+    }
+    t("pairs warm 2") {
+      _root_.graft.ops.DedupOps.dedupMinhashLsh(spark, dir).count()
+    }
+    t("clusters total") {
+      _root_.graft.ops.DedupOps.dedupClusters(spark, dir).count()
     }
     spark.stop()
   }
