@@ -83,6 +83,56 @@ object Corpus {
       when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
   }
 
+  /** DuckDB twin of [[prepare]] at the default thresholds over the
+    * driver's `documents` table -- the END-TO-END pipeline (quality
+    * gate, exact dedup, LSH pair graph, recursive-CTE connected
+    * components, split hashing) reproduced exactly for the oracle
+    * gate. */
+  val prepareSql: String = {
+    val t = TextOps.TokensSql
+    val th = QualityThresholds()
+    val pairsSql = DedupOps.lshJaccardPairsSql(DedupOps.HashedTokensSql,
+      DedupOps.MinhashK, DedupOps.LshBandCount, DedupOps.LshRows,
+      DedupOps.JaccardThreshold, "jaccard", from = "exact")
+    val splitBucket =
+      s"${Hashing.h15Sql("concat('split:', CAST(component AS VARCHAR))")} % 100"
+    s"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+       st AS (SELECT doc_id,
+           len($t) AS n_tokens,
+           round(CAST(len(list_distinct($t)) AS DOUBLE) / len($t), 4) AS lexical_diversity,
+           round(CAST(list_sum(list_transform($t, x -> length(x))) AS DOUBLE) / len($t), 4) AS avg_token_len
+         FROM base),
+       rejects AS (SELECT doc_id FROM st
+         WHERE n_tokens < ${th.minTokens} OR n_tokens > ${th.maxTokens}
+            OR lexical_diversity < ${th.minLexicalDiversity}
+            OR avg_token_len > ${th.maxAvgTokenLen}),
+       clean AS (SELECT * FROM base
+         WHERE doc_id NOT IN (SELECT doc_id FROM rejects)),
+       keyed AS (SELECT doc_id, text,
+           md5(array_to_string(list_sort(list_distinct($t)), ' ')) AS content_key
+         FROM clean),
+       exact AS (SELECT k.doc_id, k.text, k.content_key FROM keyed k
+         JOIN (SELECT content_key, min(doc_id) AS doc_id FROM keyed GROUP BY 1) sv
+           ON k.content_key = sv.content_key AND k.doc_id = sv.doc_id),
+       pr AS (SELECT doc_a, doc_b FROM ($pairsSql) q),
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+                 UNION ALL SELECT doc_b, doc_a FROM pr),
+       reach(doc, root) AS (
+         SELECT doc_id, doc_id FROM exact
+         UNION
+         SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc),
+       comp AS (SELECT doc AS doc_id, min(root) AS component FROM reach GROUP BY 1),
+       wc AS (SELECT x.doc_id, x.text, x.content_key, c.component
+              FROM exact x JOIN comp c ON x.doc_id = c.doc_id),
+       ns AS (SELECT component, min(doc_id) AS doc_id FROM wc GROUP BY 1),
+       deduped AS (SELECT w.doc_id, w.text, w.content_key, w.component FROM wc w
+         JOIN ns ON w.component = ns.component AND w.doc_id = ns.doc_id)
+       SELECT doc_id, text, content_key, component,
+         CASE WHEN $splitBucket < 80 THEN 'train'
+              WHEN $splitBucket < 90 THEN 'val' ELSE 'test' END AS split
+       FROM deduped"""
+  }
+
   /** Per-stage corpus-loss accounting for a [[prepare]] run over the
     * same inputs: one row per stage with rows_in/rows_out. Runs the
     * same stage predicates; intended for audit dashboards, not the

@@ -152,11 +152,12 @@ object DedupOps {
     * same element-set SQL, so both engines derive the same candidate
     * set and the same verified pairs. */
   private[graft] def lshJaccardPairsSql(setSql: String, k: Int, bandCount: Int,
-      rows: Int, threshold: Double, scoreName: String): String = {
+      rows: Int, threshold: Double, scoreName: String,
+      from: String = "documents"): String = {
     val sig = minhashSigSql("th", k)
     val bands = lshBandsSql("sig", bandCount, rows)
     s"""WITH d AS (
-         SELECT doc_id, $setSql AS th FROM documents),
+         SELECT doc_id, $setSql AS th FROM $from),
        sigs AS (SELECT doc_id, th, $sig AS sig FROM d),
        bands AS (SELECT doc_id, $bands AS bands FROM sigs),
        buckets AS (

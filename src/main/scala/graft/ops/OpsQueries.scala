@@ -26,6 +26,10 @@ object OpsQueries {
     "p10_split_assign" -> (SamplingOps.splitAssign _),
     "agg_topk_sketch" -> (TextOps.topkTokensSketch _),
     "emb_quantize_int8" -> (SimilarityOps.embQuantizeInt8 _),
+    "corpus_prepare" -> ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+      graft.api.Corpus.prepare(graft.core.Tables.documents(s, dir),
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -47,5 +51,6 @@ object OpsQueries {
     "p10_split_assign" -> SamplingOps.splitAssignSql,
     "agg_topk_sketch" -> TextOps.topkTokensSketchSql,
     "emb_quantize_int8" -> SimilarityOps.embQuantizeInt8Sql,
+    "corpus_prepare" -> graft.api.Corpus.prepareSql,
   )
 }
