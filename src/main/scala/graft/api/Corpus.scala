@@ -64,7 +64,11 @@ object Corpus {
     val keyed = clean.withColumn("content_key", DedupOps.contentKey(col("text")))
     val exactSurvivors = keyed
       .groupBy(col("content_key")).agg(min(col("doc_id")).as("doc_id"))
-    val exact = keyed.join(exactSurvivors, Seq("content_key", "doc_id"), "left_semi")
+    // materialized once: the downstream pair generation, component
+    // join, and vertex list all branch from this table -- without it
+    // the quality + dedup chain re-executes per branch
+    val exact = DedupOps.materializeOnce(
+      keyed.join(exactSurvivors, Seq("content_key", "doc_id"), "left_semi"))
     // 3. near-dup cluster dedup: min id per connected component of
     //    the MinHash near-dup pair graph
     val pairs = Dedup.minhashPairs(exact, col("doc_id"), col("text"))

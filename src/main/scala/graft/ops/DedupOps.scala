@@ -357,7 +357,7 @@ object DedupOps {
     * `localCheckpoint` (fast; fine for short jobs and local mode).
     * Chosen over `persist` so repeated invocations stay independent
     * (no cross-run cache hits skewing measurements). */
-  private def materializeOnce(df: DataFrame): DataFrame =
+  private[graft] def materializeOnce(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint(true)
 

@@ -18,17 +18,14 @@ object ProbeMain {
       println(f"[probe] $label%-30s ${(System.nanoTime - s) / 1e9}%.2f s"); r
     }
     _root_.graft.core.Tables.documents(spark, dir).count()
-    t("pairs cold") {
-      _root_.graft.ops.DedupOps.dedupMinhashLsh(spark, dir).count()
-    }
-    t("pairs warm") {
-      _root_.graft.ops.DedupOps.dedupMinhashLsh(spark, dir).count()
-    }
-    t("pairs warm 2") {
-      _root_.graft.ops.DedupOps.dedupMinhashLsh(spark, dir).count()
-    }
-    t("clusters total") {
+    t("clusters warmup") {
       _root_.graft.ops.DedupOps.dedupClusters(spark, dir).count()
+    }
+    t("corpus_prepare") {
+      _root_.graft.SparkEntry.queries("corpus_prepare")(spark, dir).count()
+    }
+    t("corpus_prepare 2") {
+      _root_.graft.SparkEntry.queries("corpus_prepare")(spark, dir).count()
     }
     spark.stop()
   }
