@@ -68,4 +68,81 @@ object MultimodalOps {
        CAST((octet_length(encode(text)) * 11 + 5) % 480 + 1 AS INT) AS height,
        CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
        FROM documents"""
+
+  // ------------------------------------------------------------- resize
+
+  /** Fit-box for resize planning. */
+  val TargetW = 224
+  val TargetH = 224
+
+  case class ResizedAsset(doc_id: Long, src_w: Int, src_h: Int,
+      dst_w: Int, dst_h: Int)
+
+  /** Aspect-preserving resize PLANNING stage: computes the integer
+    * destination dimensions that fit each asset inside
+    * [[TargetW]]x[[TargetH]] (exact integer cross-multiplication --
+    * no float scale factor, so both engines agree bit-for-bit). A
+    * real build resizes the payload in the same per-partition pass;
+    * the stub computes only the geometry. */
+  def resizePlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decodeFeatures(s, dir).as[AssetFeatures].mapPartitions { it =>
+      it.map { a =>
+        // width binds iff src aspect >= target aspect
+        val widthBinds = a.width.toLong * TargetH >= a.height.toLong * TargetW
+        val (dw, dh) =
+          if (widthBinds)
+            (TargetW, math.max(1L, a.height.toLong * TargetW / a.width).toInt)
+          else
+            (math.max(1L, a.width.toLong * TargetH / a.height).toInt, TargetH)
+        ResizedAsset(a.doc_id, a.width, a.height, dw, dh)
+      }
+    }.toDF()
+  }
+
+  val resizePlanSql: String =
+    s"""WITH d AS ($decodeFeaturesSql)
+       SELECT doc_id, width AS src_w, height AS src_h,
+         CAST(CASE WHEN CAST(width AS BIGINT) * $TargetH >= CAST(height AS BIGINT) * $TargetW
+              THEN $TargetW
+              ELSE greatest(1, (CAST(width AS BIGINT) * $TargetH) // height) END AS INT) AS dst_w,
+         CAST(CASE WHEN CAST(width AS BIGINT) * $TargetH >= CAST(height AS BIGINT) * $TargetW
+              THEN greatest(1, (CAST(height AS BIGINT) * $TargetW) // width)
+              ELSE $TargetH END AS INT) AS dst_h
+       FROM d"""
+
+  // ------------------------------------------------------- frame sampling
+
+  /** Keep every Nth frame. */
+  val FrameStride = 5
+
+  case class SampledFrame(doc_id: Long, frame_idx: Int, frame_fp: Long)
+
+  /** Stride frame-sampling stage: one output row per kept frame with
+    * a deterministic 60-bit frame fingerprint (the id a downstream
+    * frame-level dedup keys on). The typed flatMap is the plumbing a
+    * real frame extractor uses: per-partition decoder, one input row
+    * fanning out to n_frames/stride flat rows. */
+  def sampleFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decodeFeatures(s, dir).as[AssetFeatures].flatMap { a =>
+      Iterator.range(0, a.n_frames, FrameStride).map { i =>
+        SampledFrame(a.doc_id, i, graft.functions.HashExprs.h15Utf8(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            s"frame:${a.doc_id}:$i")))
+      }
+    }.toDF()
+  }
+
+  val sampleFramesSql: String = {
+    val fp = graft.ops.Hashing.h15Sql(
+      "concat('frame:', CAST(doc_id AS VARCHAR), ':', CAST(i AS VARCHAR))")
+    // fixed-width series + filter: DuckDB's generate_series cannot
+    // take a lateral column bound (same workaround as embCentroidsSql);
+    // the stub's n_frames is always in [1, 30]
+    s"""WITH d AS ($decodeFeaturesSql)
+       SELECT doc_id, CAST(i AS INT) AS frame_idx, $fp AS frame_fp
+       FROM d, generate_series(0, 29) gs(i)
+       WHERE i < n_frames AND i % $FrameStride = 0"""
+  }
 }

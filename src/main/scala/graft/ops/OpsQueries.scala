@@ -22,6 +22,8 @@ object OpsQueries {
     "sim_ann_ivf" -> (SimilarityOps.annIvf _),
     "sim_ann_multiprobe" -> (SimilarityOps.annMultiProbe _),
     "mm_decode_features" -> (MultimodalOps.decodeFeatures _),
+    "mm_resize_plan" -> (MultimodalOps.resizePlan _),
+    "mm_sample_frames" -> (MultimodalOps.sampleFrames _),
     "p9_hash_sample" -> (SamplingOps.hashSample _),
     "p10_split_assign" -> (SamplingOps.splitAssign _),
     "agg_topk_sketch" -> (TextOps.topkTokensSketch _),
@@ -47,6 +49,8 @@ object OpsQueries {
     "sim_ann_ivf" -> SimilarityOps.annIvfSql,
     "sim_ann_multiprobe" -> SimilarityOps.annMultiProbeSql,
     "mm_decode_features" -> MultimodalOps.decodeFeaturesSql,
+    "mm_resize_plan" -> MultimodalOps.resizePlanSql,
+    "mm_sample_frames" -> MultimodalOps.sampleFramesSql,
     "p9_hash_sample" -> SamplingOps.hashSampleSql,
     "p10_split_assign" -> SamplingOps.splitAssignSql,
     "agg_topk_sketch" -> TextOps.topkTokensSketchSql,

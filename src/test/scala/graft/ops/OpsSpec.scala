@@ -125,6 +125,34 @@ class OpsSpec extends AnyFunSuite {
     assert(a.forall(r => r.getAs[Int]("width") >= 1 && r.getAs[Int]("width") <= 640))
   }
 
+  test("resize plan fits the box and preserves aspect ordering") {
+    val rows = MultimodalOps.resizePlan(spark, dir).collect()
+    rows.foreach { r =>
+      val (sw, sh) = (r.getAs[Int]("src_w"), r.getAs[Int]("src_h"))
+      val (dw, dh) = (r.getAs[Int]("dst_w"), r.getAs[Int]("dst_h"))
+      assert(dw >= 1 && dw <= MultimodalOps.TargetW)
+      assert(dh >= 1 && dh <= MultimodalOps.TargetH)
+      // one side hits the box exactly; wider-than-tall sources bind width
+      assert(dw == MultimodalOps.TargetW || dh == MultimodalOps.TargetH)
+      if (sw.toLong * MultimodalOps.TargetH >= sh.toLong * MultimodalOps.TargetW)
+        assert(dw === MultimodalOps.TargetW)
+    }
+  }
+
+  test("frame sampling emits every Nth frame with deterministic fingerprints") {
+    val frames = MultimodalOps.sampleFrames(spark, dir).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { r =>
+      assert(r.getAs[Int]("frame_idx") % MultimodalOps.FrameStride === 0)
+    }
+    val perDoc = MultimodalOps.decodeFeatures(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_frames")).toMap
+    val counts = frames.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length)
+    counts.foreach { case (id, n) =>
+      assert(n === (perDoc(id) + MultimodalOps.FrameStride - 1) / MultimodalOps.FrameStride)
+    }
+  }
+
   test("approx table stats track exact NDV within the HLL error bound") {
     import graft.queries.AnalyticsQueries
     def byCol(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long, Double, Double)] =
