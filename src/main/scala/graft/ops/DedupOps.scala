@@ -507,4 +507,45 @@ object DedupOps {
          round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $CosineThreshold"""
+
+  /** Bucketed threshold for the LSH path: same-sign-bucket vectors
+    * are already roughly aligned, so the near-dup bar sits higher
+    * than the label-blocked baseline's. */
+  val EmbedLshThreshold = 0.5
+
+  /** Embedding near-dup pairs, the SCALE path: candidates from a
+    * sign-LSH bucket equi-join (vectors agreeing on every hyperplane
+    * sign), exact cosine verification inside the join condition.
+    * Replaces the label-blocked all-pairs baseline at corpus scale:
+    * hash-partition the table by bucket and each bucket's pair space
+    * is an independent cell. Recall < 1 by construction (near-dups
+    * straddling a hyperplane are missed) -- raise LshPlanes bits or
+    * add multi-probe for tighter recall, exactly as in
+    * [[SimilarityOps]]. */
+  def dedupEmbedLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).repartition(JoinParallelism)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val bucketed = e.select(col("vec_id"), col("v"),
+      sqrt(SimilarityOps.dot(col("v"), col("v"))).as("nrm"),
+      SimilarityOps.signBucket(col("v")).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val cosine = round(SimilarityOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+    a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b") &&
+        cosine >= EmbedLshThreshold)
+      .select(col("bucket"), col("vec_a"), col("vec_b"), cosine.as("cosine"))
+  }
+
+  val dedupEmbedLshSql: String =
+    s"""WITH e AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+               ${SimilarityOps.signBucketSql("v")} AS bucket FROM e)
+       SELECT CAST(a.bucket AS BIGINT) AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+       FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $EmbedLshThreshold"""
 }

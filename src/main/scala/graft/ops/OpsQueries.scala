@@ -16,6 +16,7 @@ object OpsQueries {
     "dedup_simhash" -> (DedupOps.dedupSimhash _),
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
     "dedup_embed_cosine" -> (DedupOps.dedupEmbedCosine _),
+    "dedup_embed_lsh" -> (DedupOps.dedupEmbedLsh _),
     "dedup_clusters" -> (DedupOps.dedupClusters _),
     "sim_cosine_topk" -> (SimilarityOps.cosineTopK _),
     "sim_ann_signlsh" -> (SimilarityOps.annSignLsh _),
@@ -43,6 +44,7 @@ object OpsQueries {
     "dedup_simhash" -> DedupOps.dedupSimhashSql,
     "dedup_ngram_jaccard" -> DedupOps.dedupNgramJaccardSql,
     "dedup_embed_cosine" -> DedupOps.dedupEmbedCosineSql,
+    "dedup_embed_lsh" -> DedupOps.dedupEmbedLshSql,
     "dedup_clusters" -> DedupOps.dedupClustersSql,
     "sim_cosine_topk" -> SimilarityOps.cosineTopKSql,
     "sim_ann_signlsh" -> SimilarityOps.annSignLshSql,

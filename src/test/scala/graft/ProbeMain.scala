@@ -18,14 +18,11 @@ object ProbeMain {
       println(f"[probe] $label%-30s ${(System.nanoTime - s) / 1e9}%.2f s"); r
     }
     _root_.graft.core.Tables.documents(spark, dir).count()
-    t("clusters warmup") {
-      _root_.graft.ops.DedupOps.dedupClusters(spark, dir).count()
+    t("embed_lsh warmup") {
+      println("pairs: " + _root_.graft.ops.DedupOps.dedupEmbedLsh(spark, dir).count())
     }
-    t("corpus_prepare") {
-      _root_.graft.SparkEntry.queries("corpus_prepare")(spark, dir).count()
-    }
-    t("corpus_prepare 2") {
-      _root_.graft.SparkEntry.queries("corpus_prepare")(spark, dir).count()
+    t("embed_lsh warm") {
+      _root_.graft.ops.DedupOps.dedupEmbedLsh(spark, dir).count()
     }
     spark.stop()
   }
