@@ -86,4 +86,31 @@ class PipelineRunner(
   }
 
   def runDaily(): Unit = runDaily(processingDate())
+
+  /** The reference's third DAG (`test_gx_production.py`: GX-context
+    * check >> Athena-connection check >> table-query check) as an
+    * engine health probe: (1) the validation rule engine evaluates,
+    * (2) the SQL surface answers, (3) the warehouse fact table is
+    * readable end-to-end. Returns (check, ok, detail) -- never
+    * throws, so schedulers can alert on `ok`. */
+  def smokeTest(): Seq[(String, Boolean, String)] = {
+    import scala.util.Try
+    import org.apache.spark.sql.functions.lit
+    val ctx = Try {
+      val probe = spark.range(1).toDF("x").withColumn("y", lit(1))
+      graft.quality.Validator.run(probe,
+        Seq(graft.quality.NotNull("x"), graft.quality.RowCountBetween(1, 1)))
+        .forall(_.passed)
+    }
+    val sql = Try(spark.sql("SELECT 1 AS ok").head().getInt(0) == 1)
+    val table = Try(store.exists("fact_stock_daily_price") &&
+      store.read("fact_stock_daily_price").limit(1).count() >= 0)
+    Seq(
+      ("validation_context", ctx.getOrElse(false),
+        ctx.failed.map(_.getMessage).getOrElse("rule engine evaluates")),
+      ("sql_surface", sql.getOrElse(false),
+        sql.failed.map(_.getMessage).getOrElse("SELECT answers")),
+      ("table_query", table.getOrElse(false),
+        table.failed.map(_.getMessage).getOrElse("fact table readable")))
+  }
 }

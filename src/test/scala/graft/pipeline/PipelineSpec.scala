@@ -172,6 +172,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(sleeps.toSeq === Seq(12345L))
   }
 
+  test("smoke test mirrors the reference's production-check DAG") {
+    val r = freshRunner()
+    // before any run: engine checks pass, the table check reports false
+    val before = r.smokeTest().map(c => c._1 -> c._2).toMap
+    assert(before("validation_context") && before("sql_surface"))
+    assert(!before("table_query"))
+    r.runDaily("2026-02-09")
+    assert(r.smokeTest().forall(_._2))
+  }
+
   test("generator is deterministic across invocations") {
     val a = graft.sources.QuoteGenerator
       .quotes(spark, Seq("AAPL", "MSFT"), "2026-02-09", "t").collect()
