@@ -90,6 +90,25 @@ case class PairGreater(a: String, b: String, orEqual: Boolean = true) extends Ag
     count(when(if (orEqual) col(a) < col(b) else col(a) <= col(b), 1))
 }
 
+/** F14/GX expect_..._to_match_like_pattern: non-null values must
+  * start with `prefix` (the reference's `LIKE 'd%'` batch checks). */
+case class MatchesPrefix(column: String, prefix: String) extends AggRule {
+  val name = "matches_prefix"
+  def describe = s"$column LIKE '$prefix%'"
+  def violations: Column =
+    count(when(col(column).isNotNull && !col(column).startsWith(prefix), 1))
+}
+
+/** GX expect_column_values_to_match_regex: non-null values must
+  * match `pattern` (Java regex on the engine side; keep patterns to
+  * the RE2-compatible subset if an oracle must reproduce them). */
+case class MatchesRegex(column: String, pattern: String) extends AggRule {
+  val name = "matches_regex"
+  def describe = s"$column ~ $pattern"
+  def violations: Column =
+    count(when(col(column).isNotNull && !col(column).rlike(pattern), 1))
+}
+
 case class RuleResult(rule: String, detail: String, passed: Boolean, violations: Long, totalRows: Long)
 
 object Validator {

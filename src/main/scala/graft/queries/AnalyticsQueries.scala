@@ -165,6 +165,21 @@ object AnalyticsQueries {
        quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99
        FROM events GROUP BY 1"""
 
+  /** The 100 TB variant of [[a4Percentiles]]: approx_percentile
+    * (KLL-style quantile sketch) -- bounded per-group state, map-side
+    * combinable, vs exact percentile's full sorted collection per
+    * group. Sketch values are not cross-engine reproducible, so this
+    * entry is gated rows-only; the error bound vs the exact pass is
+    * spec-tested. */
+  def a4PercentilesApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, array(0.25, 0.5, 0.9, 0.99), 10000)").as("p"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        col("p")(0).as("p25"), col("p")(1).as("p50"),
+        col("p")(2).as("p90"), col("p")(3).as("p99"))
+
   /** Semi-structured extraction: JSON path into the `props` payload
     * column + aggregate over the extracted value. */
   def f16JsonExtract(s: SparkSession, dir: String): DataFrame =
@@ -333,6 +348,7 @@ object AnalyticsQueries {
     "a6_pivot" -> (a6Pivot _),
     "f16_json_extract" -> (f16JsonExtract _),
     "a4_percentiles" -> (a4Percentiles _),
+    "a4_percentiles_approx" -> (a4PercentilesApprox _),
     "w4_sessionize" -> (w4Sessionize _),
     "w2_moving_avg" -> (w2MovingAvg _),
     "w3_lag_delta" -> (w3LagDelta _),

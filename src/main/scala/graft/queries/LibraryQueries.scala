@@ -124,7 +124,11 @@ object LibraryQueries {
       RowCountBetween(1, 100000000L),
       ValuesBetween("l_quantity", 1, 50),
       ValuesBetween("l_discount", 0.0, 0.05),
-      PairGreater("l_extendedprice", "l_discount")))
+      PairGreater("l_extendedprice", "l_discount"),
+      MatchesRegex("l_returnflag", "^[ANR]$"),
+      // deliberately discriminating: counts the F rows as violations,
+      // so the suite output exercises a FAILING rule row too
+      MatchesPrefix("l_linestatus", "O")))
     import s.implicits._
     results.toDF()
   }
@@ -158,6 +162,20 @@ object LibraryQueries {
        SELECT 'pair_a_ge_b', 'l_extendedprice vs l_discount',
          count(CASE WHEN l_extendedprice < l_discount THEN 1 END) = 0,
          count(CASE WHEN l_extendedprice < l_discount THEN 1 END), count(*)
+       FROM lineitem
+       UNION ALL
+       SELECT 'matches_regex', 'l_returnflag ~ ^[ANR]$',
+         count(CASE WHEN l_returnflag IS NOT NULL
+                     AND NOT regexp_matches(l_returnflag, '^[ANR]$') THEN 1 END) = 0,
+         count(CASE WHEN l_returnflag IS NOT NULL
+                     AND NOT regexp_matches(l_returnflag, '^[ANR]$') THEN 1 END), count(*)
+       FROM lineitem
+       UNION ALL
+       SELECT 'matches_prefix', 'l_linestatus LIKE ''O%''',
+         count(CASE WHEN l_linestatus IS NOT NULL
+                     AND l_linestatus NOT LIKE 'O%' THEN 1 END) = 0,
+         count(CASE WHEN l_linestatus IS NOT NULL
+                     AND l_linestatus NOT LIKE 'O%' THEN 1 END), count(*)
        FROM lineitem"""
 
   /** F13+F14: current-period batch validation -- the suite runs over

@@ -71,6 +71,22 @@ object RelationalQueries {
         col("event_type"), col("value"))
   }
 
+  /** W1 at scale: the same latest-wins dedup as [[w1WindowDedup]]
+    * expressed as a max_by aggregation -- no per-partition sort, no
+    * rank column, map-side combinable partials. When the rank itself
+    * is not needed (it rarely is for dedup), this is the shape that
+    * survives a skewed 100 TB key: the window variant sorts every
+    * key partition; this one keeps one struct per key per task. */
+  def w1DedupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("ts"), col("event_type"), col("value")),
+        struct(col("ts_us"), col("event_id"))).as("e"))
+      .select(col("e.event_id").as("event_id"), col("user_id"),
+        col("e.ts").as("ts"), col("e.event_type").as("event_type"),
+        col("e.value").as("value"))
+
   /** P7 pinned deterministic: dropDuplicates-by-key expressed as a
     * keyed aggregate (arbitrary-survivor -> min-key survivor). */
   def p7DedupByKey(s: SparkSession, dir: String): DataFrame =
@@ -198,6 +214,7 @@ object RelationalQueries {
     "p6_case_tier" -> (p6CaseTier _),
     "p3_filter" -> (p3Filter _),
     "w1_window_dedup" -> (w1WindowDedup _),
+    "w1_dedup_agg" -> (w1DedupAgg _),
     "p7_dedup_bykey" -> (p7DedupByKey _),
     "j1_join_left" -> (j1JoinLeft _),
     "j2_join_agg" -> (j2JoinAgg _),
@@ -229,6 +246,16 @@ object RelationalQueries {
          CAST(l_shipdate AS DATE) AS ship_date, l_quantity
          FROM lineitem
          WHERE l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '1995-07-01'""",
+    // same oracle text as w1_window_dedup: both variants must produce
+    // the identical survivor set
+    "w1_dedup_agg" ->
+      """SELECT event_id, user_id, ts, event_type, value FROM (
+           SELECT event_id, user_id,
+                  make_timestamp(epoch_ns(ts)//1000) AS ts,
+                  event_type, value,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY epoch_ns(ts)//1000 DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1""",
     "w1_window_dedup" ->
       """SELECT event_id, user_id, ts, event_type, value FROM (
            SELECT event_id, user_id,

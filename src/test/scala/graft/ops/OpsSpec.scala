@@ -153,6 +153,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx percentiles land inside the q+-0.01 exact rank band") {
+    import graft.queries.AnalyticsQueries
+    // rank-error framing: approx_percentile returns an actual data
+    // value near the requested rank, so the right bound is the exact
+    // percentile band around q, not a value-space epsilon
+    val qs = Seq(0.25, 0.5, 0.9, 0.99)
+    val bandDf = graft.core.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.24, 0.26, 0.49, 0.51, 0.89, 0.91, 0.98, 1.0))").as("b"))
+    val bands = bandDf.collect().map { r =>
+      r.getAs[String]("event_type") -> r.getSeq[Double](1)
+    }.toMap
+    val approx = AnalyticsQueries.a4PercentilesApprox(spark, dir).collect().map { r =>
+      r.getAs[String]("event_type") ->
+        Seq("p25", "p50", "p90", "p99").map(r.getAs[Double])
+    }.toMap
+    assert(bands.keySet === approx.keySet)
+    approx.foreach { case (t, as) =>
+      val b = bands(t)
+      qs.indices.foreach { i =>
+        val (lo, hi) = (b(2 * i), b(2 * i + 1))
+        assert(as(i) >= lo && as(i) <= hi, s"$t q=${qs(i)}: ${as(i)} not in [$lo,$hi]")
+      }
+    }
+  }
+
   test("approx table stats track exact NDV within the HLL error bound") {
     import graft.queries.AnalyticsQueries
     def byCol(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long, Double, Double)] =

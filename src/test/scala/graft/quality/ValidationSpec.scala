@@ -60,6 +60,18 @@ class ValidationSpec extends AnyFunSuite {
     assert(!r.passed && r.violations === 2)
   }
 
+  test("matches_prefix ignores nulls and counts non-matching rows") {
+    assert(result(Seq(MatchesPrefix("symbol", ""))).head.passed)
+    val r = result(Seq(MatchesPrefix("symbol", "A"))).head
+    assert(!r.passed && r.violations === 1) // MSFT; null symbol excluded
+  }
+
+  test("matches_regex ignores nulls and counts non-matching rows") {
+    assert(result(Seq(MatchesRegex("symbol", "^[A-Z]+$"))).head.passed)
+    val r = result(Seq(MatchesRegex("symbol", "^A"))).head
+    assert(!r.passed && r.violations === 1) // MSFT; null symbol excluded
+  }
+
   test("pair_a_ge_b") {
     val r = result(Seq(PairGreater("high", "low"))).head
     assert(!r.passed && r.violations === 1)
