@@ -48,6 +48,36 @@ class DedupApiSpec extends AnyFunSuite {
     assert(rows(api) === rows(DedupOps.dedupExact(spark, dir)))
   }
 
+  test("LSH banding recall: exact-set dups always found, high-jaccard mostly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector.tabulate(500)(i => s"w$i")
+    def doc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    // 40 base docs; per base: one token-permuted twin (identical token
+    // SET -> jaccard 1.0 -> banding recall is exactly 1 by construction)
+    // and one light edit (~2 of 60 tokens replaced -> jaccard ~0.95)
+    val rows = (0 until 40).flatMap { i =>
+      val base = doc(60).split(" ")
+      val permuted = rnd.shuffle(base.toSeq).mkString(" ")
+      val edited = base.zipWithIndex.map { case (t, j) =>
+        if (j < 2) vocab(rnd.nextInt(vocab.length)) else t
+      }.mkString(" ")
+      Seq((i * 10L, base.mkString(" ")), (i * 10L + 1, permuted), (i * 10L + 2, edited))
+    }
+    val docs = rows.toDF("id", "txt")
+    val pairs = Dedup.minhashPairs(docs, col("id"), col("txt"), threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // every (base, permuted) pair MUST be present: same token set
+    (0 until 40).foreach { i =>
+      assert(pairs.contains((i * 10L, i * 10L + 1)), s"exact-set pair $i missed")
+    }
+    // banding curve at j~0.95, b=2 r=8: expect most edited twins too
+    val editedFound = (0 until 40).count { i =>
+      pairs.contains((i * 10L, i * 10L + 2)) || pairs.contains((i * 10L + 1, i * 10L + 2))
+    }
+    assert(editedFound >= 28, s"recall on ~0.95-jaccard pairs too low: $editedFound/40")
+  }
+
   test("hashSample is deterministic and repartition-stable") {
     val a = Dedup.hashSample(renamedDocs, col("my_id"), 0.1)
       .select("my_id").collect().map(_.getLong(0)).sorted.toSeq
