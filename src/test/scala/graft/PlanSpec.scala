@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+
+/** Physical-plan regression guards: the scale-critical plan
+  * properties PLANS.md documents, asserted so a refactor that
+  * silently loses a broadcast, a pushed filter, or a TakeOrdered
+  * fails CI instead of surviving to a cluster. */
+class PlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): SparkPlan = df.queryExecution.sparkPlan
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] =
+    (p +: p.children.flatMap(collectAll)) ++ p.subqueries.flatMap(collectAll)
+
+  test("p3_filter pushes predicate and projection into the parquet scan") {
+    val scans = collectAll(plan(SparkEntry.queries("p3_filter")(spark, dir)))
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val s = scans.head
+    assert(s.dataFilters.nonEmpty, "no pushed data filters")
+    // projection pruning: scan reads a strict subset of the 11 columns
+    assert(s.requiredSchema.fields.length <= 5,
+      s"scan reads ${s.requiredSchema.fields.length} cols")
+  }
+
+  test("j1/j2 broadcast the dim side") {
+    for (q <- Seq("j1_join_left", "j2_join_agg")) {
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(collectAll(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"$q lost its broadcast join")
+    }
+  }
+
+  test("o1_topk is TakeOrderedAndProject, not a global sort") {
+    val p = plan(SparkEntry.queries("o1_topk")(spark, dir))
+    assert(p.toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("no relational/star query plans a cartesian product") {
+    // the deliberate tiny-side cross joins (broadcast N, centroids,
+    // query sets) become BroadcastNestedLoopJoin, never Cartesian
+    for (q <- Seq("s1_scan_project", "j1_join_left", "j2_join_agg",
+        "a1_weekly_ohlcv", "tpch_q1", "text_tfidf", "w1_dedup_agg")) {
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(!collectAll(p).exists(_.isInstanceOf[CartesianProductExec]),
+        s"$q plans CartesianProduct")
+    }
+  }
+
+  test("w1_dedup_agg plans an aggregate with no window sort") {
+    val p = plan(SparkEntry.queries("w1_dedup_agg")(spark, dir))
+    val s = p.toString
+    assert(!s.contains("Window"), "agg variant must not plan a window")
+    assert(s.contains("HashAggregate") || s.contains("SortAggregate"))
+  }
+
+  test("lshJaccardPairs reads its hash projection from one materialization") {
+    val p = plan(graft.ops.DedupOps.dedupMinhashLsh(spark, dir))
+    // both self-join branches must scan the checkpointed RDD, not the
+    // raw parquet (which would recompute the signatures per branch)
+    val parquetScans = collectAll(p).collect { case f: FileSourceScanExec => f }
+    assert(parquetScans.isEmpty,
+      "pair join recomputes the hash projection from the parquet scan")
+    assert(p.toString.contains("ExistingRDD"))
+  }
+
+  test("the similarity query side joins as a broadcast, never shuffled") {
+    val q = graft.core.Tables.embeddings(spark, dir)
+      .selectExpr("vec_id AS id", "embedding AS e")
+    val hits = graft.api.Similarity.cosineTopK(q, org.apache.spark.sql.functions.col("id"),
+      org.apache.spark.sql.functions.col("e"),
+      q.filter("id < 3"), org.apache.spark.sql.functions.col("id"),
+      org.apache.spark.sql.functions.col("e"))
+    // sparkPlan predates EnsureRequirements, so assert the broadcast
+    // JOIN node (the exchange is inserted later)
+    val s = plan(hits).toString
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"))
+  }
+}

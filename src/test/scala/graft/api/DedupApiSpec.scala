@@ -78,6 +78,20 @@ class DedupApiSpec extends AnyFunSuite {
     assert(editedFound >= 28, s"recall on ~0.95-jaccard pairs too low: $editedFound/40")
   }
 
+  test("adversarial skew: one giant duplicate class still yields every pair") {
+    import spark.implicits._
+    // 120 identical docs -> ONE band bucket holds the entire corpus;
+    // the salted self-join must still emit all C(120,2) pairs exactly
+    // once (this is the workload the salting exists for)
+    val docs = (0L until 120L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("id", "txt")
+    val pairs = Dedup.minhashPairs(docs, col("id"), col("txt"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.length === 120 * 119 / 2)
+    assert(pairs.distinct.length === pairs.length, "duplicate pair emissions")
+    pairs.foreach { case (a, b) => assert(a < b) }
+  }
+
   test("hashSample is deterministic and repartition-stable") {
     val a = Dedup.hashSample(renamedDocs, col("my_id"), 0.1)
       .select("my_id").collect().map(_.getLong(0)).sorted.toSeq
