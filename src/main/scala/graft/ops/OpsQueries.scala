@@ -27,6 +27,7 @@ object OpsQueries {
     "mm_sample_frames" -> (MultimodalOps.sampleFrames _),
     "p9_hash_sample" -> (SamplingOps.hashSample _),
     "p10_split_assign" -> (SamplingOps.splitAssign _),
+    "p11_stratified_sample" -> (SamplingOps.stratifiedSample _),
     "agg_topk_sketch" -> (TextOps.topkTokensSketch _),
     "emb_quantize_int8" -> (SimilarityOps.embQuantizeInt8 _),
     "corpus_prepare" -> ((s: org.apache.spark.sql.SparkSession, dir: String) =>
@@ -55,6 +56,7 @@ object OpsQueries {
     "mm_sample_frames" -> MultimodalOps.sampleFramesSql,
     "p9_hash_sample" -> SamplingOps.hashSampleSql,
     "p10_split_assign" -> SamplingOps.splitAssignSql,
+    "p11_stratified_sample" -> SamplingOps.stratifiedSampleSql,
     "agg_topk_sketch" -> TextOps.topkTokensSketchSql,
     "emb_quantize_int8" -> SimilarityOps.embQuantizeInt8Sql,
     "corpus_prepare" -> graft.api.Corpus.prepareSql,

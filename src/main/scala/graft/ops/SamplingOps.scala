@@ -27,6 +27,37 @@ object SamplingOps {
     s"""SELECT doc_id, lang, ${h15Sql("text")} % 100 AS bucket
        FROM documents WHERE ${h15Sql("text")} % 100 < $SamplePercent"""
 
+  /** Per-stratum sampling fractions for the stratified sample --
+    * the deterministic twin of `DataFrameStatFunctions.sampleBy`
+    * (which is rand()-seeded and partition-dependent). */
+  val StrataFractions: Seq[(String, Int)] =
+    Seq("en" -> 20, "de" -> 50, "fr" -> 50, "es" -> 100)
+
+  /** Stratified hash sample: per-language sampling percents applied
+    * via the content-hash bucket, so each stratum is downsampled to
+    * its own rate deterministically (rebalancing skewed language
+    * mixes is the canonical training-data use). Unlisted strata are
+    * dropped. One narrow filter pass -- no shuffle, no rand(). */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val pct = StrataFractions.foldLeft(lit(0)) { case (acc, (l, p)) =>
+      when(col("lang") === l, lit(p)).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        pmod(h15(col("text")), lit(100)).as("bucket"), pct.as("stratum_pct"))
+      .filter(col("bucket") < col("stratum_pct"))
+  }
+
+  val stratifiedSampleSql: String = {
+    val pct = StrataFractions.reverse.foldLeft("0") { case (acc, (l, p)) =>
+      s"CASE WHEN lang = '$l' THEN $p ELSE $acc END"
+    }
+    s"""SELECT doc_id, lang, ${h15Sql("text")} % 100 AS bucket,
+       CAST($pct AS INT) AS stratum_pct
+       FROM documents
+       WHERE ${h15Sql("text")} % 100 < $pct"""
+  }
+
   /** Train/val/test split assignment by id hash: 80/10/10. Keyed on
     * doc_id (not content) so duplicates of one document can land in
     * different splits only if their ids differ -- pair with
