@@ -54,6 +54,26 @@ class TableStore(val spark: SparkSession, val root: String) {
     spark.catalog.refreshTable(s"`$name`")
   }
 
+  /** Create or full-replace a BUCKETED table: rows are hash-clustered
+    * into `buckets` files per partition by `bucketCols` (and
+    * optionally sorted within buckets). Two tables bucketed the same
+    * way join on the bucket key with NO shuffle exchange -- the
+    * co-located join that turns the warehouse's hottest join key into
+    * a one-time layout cost instead of a per-query shuffle. Bucketing
+    * metadata lives in the session catalog, so readers must come in
+    * through `spark.table(name)`, not the raw path. */
+  def createOrReplaceBucketed(df: DataFrame, name: String,
+      bucketCols: Seq[String], buckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty && buckets > 0)
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", path(name))
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(s"`$name`")
+  }
+
   /** S5/S6: create or full-replace (CTAS / createOrReplace). */
   def createOrReplace(df: DataFrame, name: String, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)

@@ -27,6 +27,29 @@ class UpsertWriterSpec extends AnyFunSuite {
       Seq((1, "a"), (2, "B"), (3, "c")))
   }
 
+  test("bucketed tables join with no shuffle exchange (co-located join)") {
+    val store = freshStore()
+    val left = (1 to 500).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+    val right = (1 to 500).map(i => (i.toLong, i * 2.0)).toDF("k", "rv")
+    store.createOrReplaceBucketed(left, "b_left", Seq("k"), 8, sortCols = Seq("k"))
+    store.createOrReplaceBucketed(right, "b_right", Seq("k"), 8, sortCols = Seq("k"))
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // force a sort-merge join so the shuffle (or its absence) is visible
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val j = spark.table("b_left").join(spark.table("b_right"), "k")
+      assert(j.count() === 500)
+      val physical = j.queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$physical")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("upsertAll schema evolution adds source-only columns (mergeSchema parity)") {
     val store = freshStore()
     UpsertWriter.upsertAll(store, "t", Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq("k"))
