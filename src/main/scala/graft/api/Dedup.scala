@@ -61,6 +61,16 @@ object Dedup {
     DedupOps.simhashPairs(fp, blockCols)
   }
 
+  /** Containment pairs -- the third dedup class: a small document
+    * embedded inside a larger one (low symmetric jaccard, so
+    * [[minhashPairs]] misses it by design). Candidates share a
+    * winnowing fingerprint; score = |A inter B| / min(|A|,|B|) over
+    * the token sets, verified inside the join condition. */
+  def containmentPairs(docs: DataFrame, id: Column, text: Column,
+      threshold: Double = DedupOps.ContainmentThreshold): DataFrame =
+    DedupOps.containmentPairs(
+      docs.select(id.as("doc_id"), text.as("text")), threshold)
+
   /** Connected components over an arbitrary undirected edge list:
     * (id, component) with component = min id of the component --
     * compose with any of the pair generators for cluster-level

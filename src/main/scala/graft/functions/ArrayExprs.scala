@@ -112,6 +112,54 @@ object ArrayExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Intersection SIZE of two SORTED, DISTINCT array<long> columns
+    * via the same merge walk as [[SortedLongJaccard]] -- the numerator
+    * containment scoring needs (|A inter B| / min(|A|,|B|), which a
+    * symmetric jaccard cannot express). */
+  case class SortedLongOverlap(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def prettyName: String = "graft_overlap"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      val m = y.numElements()
+      var i = 0; var j = 0; var inter = 0L
+      while (i < n && j < m) {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { inter += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+      inter
+    }
+
+    // freshName on all locals -- see DoubleDot.doGenCode
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val m = ctx.freshName("m")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val inter = ctx.freshName("inter")
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+        s"""
+           |int $n = $a.numElements(); int $m = $b.numElements();
+           |int $i = 0; int $j = 0; long $inter = 0L;
+           |while ($i < $n && $j < $m) {
+           |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+           |  if ($xv == $yv) { $inter++; $i++; $j++; }
+           |  else if ($xv < $yv) { $i++; } else { $j++; }
+           |}
+           |${ev.value} = $inter;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** SimHash fingerprint of a hashed-token array<long>: for each bit
     * j < bits, sum +-1 weights over tokens (bit j of each token hash),
     * set fingerprint bit j iff the sum is positive. One tight nested
@@ -170,6 +218,10 @@ object ArrayExprs {
 
   def sortedLongJaccard(a: Column, b: Column): Column =
     ColumnBridge.column(SortedLongJaccard(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sortedLongOverlap(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedLongOverlap(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def simhash(a: Column, bits: Int): Column =

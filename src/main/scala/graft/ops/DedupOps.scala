@@ -342,6 +342,63 @@ object DedupOps {
     lshJaccardPairsSql(hashedShinglesSql(NgramN), MinhashK, NgramBandCount,
       NgramLshRows, NgramThreshold, "ngram_jaccard")
 
+  // ----------------------------------------------------- containment
+
+  val ContainmentThreshold = 0.8
+
+  /** CONTAINMENT dedup -- the third dedup class after exact and
+    * near-dup: a small document embedded inside a larger one scores
+    * LOW on symmetric jaccard (so MinHash banding misses it by
+    * design); the right score is |A inter B| / min(|A|,|B|).
+    * Candidate generation is an equi-join on the winnowing
+    * fingerprint (the min 60-bit hash over all 8-token windows --
+    * shared long runs collide on it with high probability, which is
+    * exactly what winnowing fingerprints are for); verification is
+    * the native overlap merge walk inside the join condition. No
+    * all-pairs join: the fingerprint is a high-cardinality key. */
+  /** Core containment pair generation over a `(doc_id, text)`
+    * input -- see [[dedupContainment]]. */
+  private[graft] def containmentPairs(docs: DataFrame,
+      threshold: Double): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t)
+    val windows = transform(sequence(lit(1), n - lit(7)),
+      i => h15(array_join(slice(t, i, lit(8)), " ")))
+    val f = materializeOnce(docs.repartition(JoinParallelism)
+      .select(col("doc_id"),
+        when(n < 8, h15(col("text"))).otherwise(array_min(windows)).as("fp"),
+        hashedTokenSet(col("text")).as("th")))
+    val a = f.select(col("fp"), col("doc_id").as("doc_a"), col("th").as("th_a"))
+    val b = f.select(col("fp").as("fp_b"), col("doc_id").as("doc_b"),
+      col("th").as("th_b"))
+    val containment = round(
+      graft.functions.ArrayExprs.sortedLongOverlap(col("th_a"), col("th_b"))
+        .cast("double") / least(size(col("th_a")), size(col("th_b"))), 4)
+    a.join(b, col("fp") === col("fp_b") && col("doc_a") < col("doc_b") &&
+        containment >= threshold)
+      .select(col("doc_a"), col("doc_b"), containment.as("containment"))
+  }
+
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      ContainmentThreshold)
+
+  val dedupContainmentSql: String = {
+    val fpSql =
+      s"""CASE WHEN len($TokensSql) < 8 THEN ${h15Sql("text")}
+         ELSE list_min(list_transform(
+                generate_series(1, len($TokensSql) - 7),
+                i -> ${h15Sql(s"array_to_string(($TokensSql)[i:i+7], ' ')")}))
+         END"""
+    val score = "round(CAST(len(list_intersect(a.th, b.th)) AS DOUBLE)" +
+      " / least(len(a.th), len(b.th)), 4)"
+    s"""WITH f AS (
+         SELECT doc_id, $fpSql AS fp, $HashedTokensSql AS th FROM documents)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $score AS containment
+       FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       WHERE $score >= $ContainmentThreshold"""
+  }
+
   // ------------------------------------------------- near-dup clustering
 
   /** Loop-table rows are ~16-24 bytes; ~200k rows per task keeps the

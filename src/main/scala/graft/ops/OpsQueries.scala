@@ -17,6 +17,7 @@ object OpsQueries {
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
     "dedup_embed_cosine" -> (DedupOps.dedupEmbedCosine _),
     "dedup_embed_lsh" -> (DedupOps.dedupEmbedLsh _),
+    "dedup_containment" -> (DedupOps.dedupContainment _),
     "dedup_clusters" -> (DedupOps.dedupClusters _),
     "sim_cosine_topk" -> (SimilarityOps.cosineTopK _),
     "sim_ann_signlsh" -> (SimilarityOps.annSignLsh _),
@@ -46,6 +47,7 @@ object OpsQueries {
     "dedup_ngram_jaccard" -> DedupOps.dedupNgramJaccardSql,
     "dedup_embed_cosine" -> DedupOps.dedupEmbedCosineSql,
     "dedup_embed_lsh" -> DedupOps.dedupEmbedLshSql,
+    "dedup_containment" -> DedupOps.dedupContainmentSql,
     "dedup_clusters" -> DedupOps.dedupClustersSql,
     "sim_cosine_topk" -> SimilarityOps.cosineTopKSql,
     "sim_ann_signlsh" -> SimilarityOps.annSignLshSql,

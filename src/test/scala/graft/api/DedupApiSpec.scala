@@ -78,6 +78,27 @@ class DedupApiSpec extends AnyFunSuite {
     assert(editedFound >= 28, s"recall on ~0.95-jaccard pairs too low: $editedFound/40")
   }
 
+  test("containment pairs find planted sub-documents minhash misses") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector.tabulate(800)(i => s"t$i")
+    // big doc = 60 distinct-ish tokens; small doc = its first 50
+    // tokens (token-set containment 1.0, symmetric jaccard ~0.83 --
+    // UNDER the 0.9 minhash threshold)
+    val rows = (0 until 30).flatMap { i =>
+      val big = Seq.fill(60)(vocab(rnd.nextInt(vocab.length)))
+      Seq((i * 10L, big.mkString(" ")), (i * 10L + 1, big.take(50).mkString(" ")))
+    }
+    val docs = rows.toDF("id", "txt")
+    val pairs = Dedup.containmentPairs(docs, col("id"), col("txt"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // single-min-fingerprint candidates collide when the big doc's
+    // global min window lies inside the shared prefix (~43/53 odds):
+    // most planted pairs must surface, and every one is containment>=0.8
+    val found = (0 until 30).count(i => pairs.contains((i * 10L, i * 10L + 1)))
+    assert(found >= 18, s"containment recall too low: $found/30")
+  }
+
   test("adversarial skew: one giant duplicate class still yields every pair") {
     import spark.implicits._
     // 120 identical docs -> ONE band bucket holds the entire corpus;

@@ -39,6 +39,16 @@ class ArrayExprsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("SortedLongOverlap matches set intersection size") {
+    val cases = (Seq.fill(30)((Seq.fill(rnd.nextInt(20))(rnd.nextInt(40).toLong).distinct.sorted,
+      Seq.fill(rnd.nextInt(20))(rnd.nextInt(40).toLong).distinct.sorted)) :+
+      ((Seq.empty[Long], Seq(1L, 2L))))
+    val expected = cases.map { case (a, b) => a.toSet.intersect(b.toSet).size.toLong }
+    val got = cases.toDF("a", "b")
+      .select(ArrayExprs.sortedLongOverlap(col("a"), col("b"))).as[Long].collect().toSeq
+    assert(got === expected)
+  }
+
   test("SimHash matches reference implementation") {
     def ref(hashes: Seq[Long], bits: Int): Long =
       (0 until bits).foldLeft(0L) { (fp, j) =>
