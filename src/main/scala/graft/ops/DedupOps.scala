@@ -106,7 +106,8 @@ object DedupOps {
     // pushed through the projections to the scan WITH the whole
     // 16-permutation signature expression inlined -- recomputing the
     // signatures serially at the (1-file) scan. bands is always
-    // length-2, so outer-explode is semantically identical.
+    // length-bandCount (never empty), so outer-explode is
+    // semantically identical.
     val buckets = docs.select(col("doc_id"), col("th"), col("bands"),
       posexplode_outer(col("bands")).as(Seq("band_idx", "band_hash")))
     // Salted self-join: near-dup corpora put thousands of docs in one
@@ -115,14 +116,19 @@ object DedupOps {
     // doc_id so a bucket's pair space splits into G^2 independently
     // joined cells; every (a,b) pair still matches exactly once, on
     // key (band, g(a), g(b)). The emitted pair SET is unchanged.
+    // The salt group is pmod(xxhash64(id), G), NOT id % G: the API
+    // surface admits arbitrary id types, and a string id under `% G`
+    // coerces to null (numeric ids can also go negative), which
+    // would silently empty the join instead of failing.
     val G = SaltGroups
+    val saltOf: Column => Column = id => pmod(xxhash64(id), lit(G)).cast("int")
     val a = buckets.select(col("band_idx"), col("band_hash"),
         col("doc_id").as("doc_a"), col("th").as("th_a"), col("bands").as("bands_a"))
-      .withColumn("ga", (col("doc_a") % G).cast("int"))
+      .withColumn("ga", saltOf(col("doc_a")))
       .withColumn("gb", explode(sequence(lit(0), lit(G - 1))))
     val b = buckets.select(col("band_idx"), col("band_hash"),
         col("doc_id").as("doc_b"), col("th").as("th_b"), col("bands").as("bands_b"))
-      .withColumn("gb", (col("doc_b") % G).cast("int"))
+      .withColumn("gb", saltOf(col("doc_b")))
       .withColumn("ga", explode(sequence(lit(0), lit(G - 1))))
     val firstCollidingBand = (0 until bandCount).map { i =>
       col("band_idx") <= i || element_at(col("bands_a"), i + 1) =!= element_at(col("bands_b"), i + 1)
@@ -345,37 +351,53 @@ object DedupOps {
   // ----------------------------------------------------- containment
 
   val ContainmentThreshold = 0.8
+  /** Bottom-k sketch width for containment candidate generation. */
+  val ContainmentK = 6
 
   /** CONTAINMENT dedup -- the third dedup class after exact and
     * near-dup: a small document embedded inside a larger one scores
     * LOW on symmetric jaccard (so MinHash banding misses it by
     * design); the right score is |A inter B| / min(|A|,|B|).
-    * Candidate generation is an equi-join on the winnowing
-    * fingerprint (the min 60-bit hash over all 8-token windows --
-    * shared long runs collide on it with high probability, which is
-    * exactly what winnowing fingerprints are for); verification is
-    * the native overlap merge walk inside the join condition. No
-    * all-pairs join: the fingerprint is a high-cardinality key. */
-  /** Core containment pair generation over a `(doc_id, text)`
-    * input -- see [[dedupContainment]]. */
+    *
+    * Candidate generation is an equi-join on a BOTTOM-K sketch of
+    * the winnowing window hashes: each doc emits its K smallest
+    * 60-bit hashes over all 8-token windows. A single global-min
+    * fingerprint has recall ~|A|/|B| for A embedded in a much larger
+    * B (B's minimum must land inside the shared region); the bottom-K
+    * sketch collides when ANY of B's K smallest windows falls in A --
+    * recall ~1-(1-|A|/|B|)^K, i.e. K-fold better exactly where
+    * containment matters (small-in-large). Verification is the
+    * native overlap merge walk inside the join condition; pair
+    * uniqueness comes from emitting only at the pair's SMALLEST
+    * shared fingerprint (the bottom-k analogue of the
+    * first-colliding-band rule -- no DISTINCT over the pair blowup).
+    * No all-pairs join: the fingerprint is a high-cardinality key. */
   private[graft] def containmentPairs(docs: DataFrame,
       threshold: Double): DataFrame = {
     val t = tokens(col("text"))
     val n = size(t)
     val windows = transform(sequence(lit(1), n - lit(7)),
       i => h15(array_join(slice(t, i, lit(8)), " ")))
+    val fps = when(n < 8, array(h15(col("text"))))
+      .otherwise(slice(array_sort(array_distinct(windows)), 1, ContainmentK))
     val f = materializeOnce(docs.repartition(JoinParallelism)
-      .select(col("doc_id"),
-        when(n < 8, h15(col("text"))).otherwise(array_min(windows)).as("fp"),
-        hashedTokenSet(col("text")).as("th")))
-    val a = f.select(col("fp"), col("doc_id").as("doc_a"), col("th").as("th_a"))
-    val b = f.select(col("fp").as("fp_b"), col("doc_id").as("doc_b"),
-      col("th").as("th_b"))
+      .select(col("doc_id"), fps.as("fps"), hashedTokenSet(col("text")).as("th")))
+    val x = f.select(col("doc_id"), col("fps"), col("th"),
+      explode(col("fps")).as("fp"))
+    val a = x.select(col("fp"), col("doc_id").as("doc_a"), col("th").as("th_a"),
+      col("fps").as("fps_a"))
+    val b = x.select(col("fp").as("fp_b"), col("doc_id").as("doc_b"),
+      col("th").as("th_b"), col("fps").as("fps_b"))
     val containment = round(
       graft.functions.ArrayExprs.sortedLongOverlap(col("th_a"), col("th_b"))
         .cast("double") / least(size(col("th_a")), size(col("th_b"))), 4)
+    // first-colliding-fingerprint: a pair sharing m sketch hashes
+    // matches the equi-join m times; emit only where the joined hash
+    // is the minimum of the shared set (arrays are <= K long, so the
+    // intersect+min runs in constant time per candidate)
+    val firstShared = col("fp") === array_min(array_intersect(col("fps_a"), col("fps_b")))
     a.join(b, col("fp") === col("fp_b") && col("doc_a") < col("doc_b") &&
-        containment >= threshold)
+        firstShared && containment >= threshold)
       .select(col("doc_a"), col("doc_b"), containment.as("containment"))
   }
 
@@ -384,18 +406,23 @@ object DedupOps {
       ContainmentThreshold)
 
   val dedupContainmentSql: String = {
-    val fpSql =
-      s"""CASE WHEN len($TokensSql) < 8 THEN ${h15Sql("text")}
-         ELSE list_min(list_transform(
+    val fpsSql =
+      s"""CASE WHEN len($TokensSql) < 8 THEN [${h15Sql("text")}]
+         ELSE list_sort(list_distinct(list_transform(
                 generate_series(1, len($TokensSql) - 7),
-                i -> ${h15Sql(s"array_to_string(($TokensSql)[i:i+7], ' ')")}))
+                i -> ${h15Sql(s"array_to_string(($TokensSql)[i:i+7], ' ')")})))[1:$ContainmentK]
          END"""
-    val score = "round(CAST(len(list_intersect(a.th, b.th)) AS DOUBLE)" +
-      " / least(len(a.th), len(b.th)), 4)"
+    val score = "round(CAST(len(list_intersect(fa.th, fb.th)) AS DOUBLE)" +
+      " / least(len(fa.th), len(fb.th)), 4)"
     s"""WITH f AS (
-         SELECT doc_id, $fpSql AS fp, $HashedTokensSql AS th FROM documents)
-       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $score AS containment
-       FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         SELECT doc_id, $fpsSql AS fps, $HashedTokensSql AS th FROM documents),
+       x AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM x a JOIN x b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b, $score AS containment
+       FROM cand JOIN f fa ON cand.doc_a = fa.doc_id
+                 JOIN f fb ON cand.doc_b = fb.doc_id
        WHERE $score >= $ContainmentThreshold"""
   }
 

@@ -31,13 +31,21 @@ object RelationalQueries {
     * Money math: each factor is cast to decimal BEFORE the multiply
     * (see [[tpchQ1]]); casting the double product instead is
     * engine-divergent. The product has scale <= 4 (2dp price x 2dp
-    * discount), so the final DECIMAL(18,4) cast is exact. */
+    * discount), so the final DECIMAL(18,4) cast is exact.
+    *
+    * The OUTPUT is cast decimal->double (exact, correctly-rounded in
+    * both engines): raw decimal columns hash-diverge downstream
+    * because pandas reads parquet decimal128 as Decimal objects while
+    * DuckDB's result frame renders DECIMAL as float64 -- equal values,
+    * different representations. Every other query already follows this
+    * rule; s1 was the lone decimal-typed output. */
   def s1ScanProject(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).select(
       col("l_orderkey"), col("l_linenumber"),
-      col("l_quantity").cast(D).as("qty_dec"),
+      col("l_quantity").cast(D).cast("double").as("qty_dec"),
       (col("l_extendedprice").cast(D) *
-        (lit(1.0) - col("l_discount")).cast(DecimalType(8, 4))).cast(D).as("revenue"),
+        (lit(1.0) - col("l_discount")).cast(DecimalType(8, 4)))
+        .cast(D).cast("double").as("revenue"),
       col("l_shipdate").cast("date").as("ship_date"))
 
   /** P2+P6+F9: searched CASE tiering (market_cap_tier,
@@ -230,9 +238,9 @@ object RelationalQueries {
   val oracleSql: Map[String, String] = Map(
     "s1_scan_project" ->
       """SELECT l_orderkey, l_linenumber,
-         CAST(l_quantity AS DECIMAL(18,4)) AS qty_dec,
-         CAST(CAST(l_extendedprice AS DECIMAL(18,4))
-              * CAST(1.0 - l_discount AS DECIMAL(8,4)) AS DECIMAL(18,4)) AS revenue,
+         CAST(CAST(l_quantity AS DECIMAL(18,4)) AS DOUBLE) AS qty_dec,
+         CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+              * CAST(1.0 - l_discount AS DECIMAL(8,4)) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
          CAST(l_shipdate AS DATE) AS ship_date
          FROM lineitem""",
     "p6_case_tier" ->
