@@ -1,15 +1,22 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, sum, xxhash64}
+import org.apache.spark.sql.functions.{col, expr, xxhash64}
 object Bench {
   /** Force FULL materialization of every output column. A bare
     * count() lets Catalyst prune all projections, so projection-heavy
     * queries would be benched as scan-counts; hashing every column
     * into one aggregate makes the engine produce each output value
-    * while still returning a single row to the driver. */
+    * while still returning a single row to the driver.
+    *
+    * The combiner is bit_xor, NOT sum: summing xxhash64 values (
+    * uniform 64-bit longs) overflows almost surely beyond a few
+    * hundred rows, and under ANSI mode (Spark 4 default) that ABORTS
+    * the job -- which silently turned most round-3 bench numbers into
+    * partial-run times. XOR is order-independent and cannot
+    * overflow. */
   private def materialize(df: DataFrame): Unit = {
     val cols = df.columns.map(col)
-    df.select(sum(xxhash64(cols: _*))).collect()
+    df.select(xxhash64(cols: _*).as("h")).agg(expr("bit_xor(h)")).collect()
     ()
   }
 

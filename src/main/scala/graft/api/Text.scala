@@ -78,6 +78,11 @@ object Text {
         round(col("tf") * log(col("n_docs") / col("df")), 4).as("tfidf"))
   }
 
+  /** Gopher-style repetition metrics: top-token frequency/fraction,
+    * duplicate 2-/3-gram fractions. One narrow projection pass. */
+  def repetition(docs: DataFrame, id: Column, text: Column): DataFrame =
+    TextOps.repetitionOf(docs.select(id.as("doc_id"), text.as("text")))
+
   /** Corpus vocabulary top-k by frequency (deterministic tiebreak). */
   def vocabTopK(docs: DataFrame, text: Column, k: Int = 20): DataFrame =
     docs.select(explode(TextOps.tokens(text)).as("token"))

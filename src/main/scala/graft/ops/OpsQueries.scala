@@ -11,6 +11,8 @@ object OpsQueries {
     "text_stats" -> (TextOps.textStats _),
     "text_lang_id" -> (TextOps.langId _),
     "text_fingerprint" -> (TextOps.fingerprint _),
+    "text_repetition" -> (TextOps.textRepetition _),
+    "text_quality_gate" -> (TextOps.qualityGate _),
     "dedup_exact" -> (DedupOps.dedupExact _),
     "dedup_minhash_lsh" -> (DedupOps.dedupMinhashLsh _),
     "dedup_simhash" -> (DedupOps.dedupSimhash _),
@@ -41,6 +43,8 @@ object OpsQueries {
     "text_stats" -> TextOps.textStatsSql,
     "text_lang_id" -> TextOps.langIdSql,
     "text_fingerprint" -> TextOps.fingerprintSql,
+    "text_repetition" -> TextOps.textRepetitionSql,
+    "text_quality_gate" -> TextOps.qualityGateSql,
     "dedup_exact" -> DedupOps.dedupExactSql,
     "dedup_minhash_lsh" -> DedupOps.dedupMinhashLshSql,
     "dedup_simhash" -> DedupOps.dedupSimhashSql,

@@ -141,6 +141,147 @@ object TextOps {
              FROM tf)
        SELECT lang, rank, token_hash, freq FROM r WHERE rank <= 5"""
 
+  // ------------------------------------------- repetition + quality gate
+
+  /** Quality-gate thresholds (Gopher-style repetition/length rules,
+    * tuned to discriminate on the synthetic corpus: each rule fails a
+    * real fraction of docs). */
+  val QualityMinTokens = 25L
+  val QualityMinDiversity = 0.35
+  val QualityMaxTopTokenFrac = 0.15
+  val QualityMaxDup3gramFrac = 0.2
+
+  /** Highest single-token frequency, computed per-row with NO shuffle:
+    * sort the token array, then one fold tracking the current and best
+    * run length (equal tokens are adjacent after the sort). The
+    * explode+groupBy(doc, token) formulation would shuffle every token
+    * occurrence twice; this stays inside the projection, which is the
+    * shape that scan-scales at 100 TB. */
+  private def topTokenFreq(t: Column): Column =
+    aggregate(
+      array_sort(t),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** DuckDB twin: per-distinct-token occurrence count, max. O(d*n) vs
+    * the Scala fold's O(n log n) -- same value, and the oracle only
+    * runs at small scale. */
+  private val topTokenFreqSql: String =
+    s"list_max(list_transform(list_distinct($TokensSql), " +
+      s"d -> len(list_filter($TokensSql, x -> x = d))))"
+
+  /** Count of DISTINCT k-token shingles (31-bit-hashed, same hash as
+    * the dedup shingle machinery). */
+  private def shingleDistinct(t: Column, k: Int): Column =
+    size(graft.functions.HashExprs.md5ShingleSet(t, k))
+
+  private def shingleDistinctSql(k: Int): String =
+    s"len(list_distinct(list_transform(" +
+      s"generate_series(1, greatest(len($TokensSql) - ${k - 1}, 1)), " +
+      s"i -> ${h31Sql(s"array_to_string(($TokensSql)[i:i+${k - 1}], ' ')")})))"
+
+  /** Duplicate-shingle fraction: 1 - distinct/total k-gram windows --
+    * the Gopher "duplicate n-gram" repetition signal. */
+  private def fracDupKgram(t: Column, n: Column, k: Int): Column = {
+    val w = greatest(n - lit(k - 1), lit(1)).cast("double")
+    round((w - shingleDistinct(t, k).cast("double")) / w, 4)
+  }
+
+  private def fracDupKgramSql(k: Int): String = {
+    val w = s"CAST(greatest(len($TokensSql) - ${k - 1}, 1) AS DOUBLE)"
+    s"round(($w - CAST(${shingleDistinctSql(k)} AS DOUBLE)) / $w, 4)"
+  }
+
+  /** Repetition metrics per doc: top-token frequency/fraction and
+    * duplicate 2-/3-gram fractions. All per-row projections -- no
+    * shuffle, scan-scales. DataFrame-first: `docs` needs (doc_id,
+    * text). */
+  def repetitionOf(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t)
+    docs
+      .select(col("doc_id"), n.cast("long").as("n_tokens"),
+        topTokenFreq(t).as("top_token_freq"),
+        fracDupKgram(t, n, 2).as("frac_dup_2gram"),
+        fracDupKgram(t, n, 3).as("frac_dup_3gram"))
+      .withColumn("frac_top_token",
+        round(col("top_token_freq").cast("double") / col("n_tokens"), 4))
+  }
+
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    repetitionOf(Tables.documents(s, dir))
+
+  val textRepetitionSql: String =
+    s"""SELECT doc_id,
+       CAST(len($TokensSql) AS BIGINT) AS n_tokens,
+       $topTokenFreqSql AS top_token_freq,
+       ${fracDupKgramSql(2)} AS frac_dup_2gram,
+       ${fracDupKgramSql(3)} AS frac_dup_3gram,
+       round(CAST($topTokenFreqSql AS DOUBLE) / len($TokensSql), 4) AS frac_top_token
+       FROM documents"""
+
+  /** Composed quality gate (the filter stage a training-data pipeline
+    * runs before dedup): per-rule booleans, an overall keep flag, and
+    * the first failing rule as drop_reason. Thresholds are the
+    * Quality* constants above. */
+  def qualityGate(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t)
+    val metrics = Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      n.cast("long").as("n_tokens"),
+      round(size(array_distinct(t)).cast("double") / n, 4).as("lexical_diversity"),
+      topTokenFreq(t).as("top_token_freq"),
+      fracDupKgram(t, n, 3).as("frac_dup_3gram"))
+    val scored = metrics.withColumn("frac_top_token",
+      round(col("top_token_freq").cast("double") / col("n_tokens"), 4))
+    scored.select(
+      col("doc_id"), col("lang"), col("n_tokens"), col("lexical_diversity"),
+      col("frac_top_token"), col("frac_dup_3gram"),
+      (col("n_tokens") >= QualityMinTokens).as("r_len"),
+      (col("lexical_diversity") >= QualityMinDiversity).as("r_diversity"),
+      (col("frac_top_token") <= QualityMaxTopTokenFrac).as("r_top_token"),
+      (col("frac_dup_3gram") <= QualityMaxDup3gramFrac).as("r_dup_3gram"))
+      .withColumn("keep",
+        col("r_len") && col("r_diversity") && col("r_top_token") && col("r_dup_3gram"))
+      .withColumn("drop_reason",
+        when(!col("r_len"), "too_short")
+          .when(!col("r_diversity"), "low_diversity")
+          .when(!col("r_top_token"), "repeated_top_token")
+          .when(!col("r_dup_3gram"), "repeated_3grams"))
+  }
+
+  val qualityGateSql: String =
+    s"""WITH m AS (
+         SELECT doc_id, lang,
+           CAST(len($TokensSql) AS BIGINT) AS n_tokens,
+           round(CAST(len(list_distinct($TokensSql)) AS DOUBLE) / len($TokensSql), 4) AS lexical_diversity,
+           round(CAST($topTokenFreqSql AS DOUBLE) / len($TokensSql), 4) AS frac_top_token,
+           ${fracDupKgramSql(3)} AS frac_dup_3gram
+         FROM documents),
+       r AS (
+         SELECT *,
+           n_tokens >= $QualityMinTokens AS r_len,
+           lexical_diversity >= $QualityMinDiversity AS r_diversity,
+           frac_top_token <= $QualityMaxTopTokenFrac AS r_top_token,
+           frac_dup_3gram <= $QualityMaxDup3gramFrac AS r_dup_3gram
+         FROM m)
+       SELECT doc_id, lang, n_tokens, lexical_diversity, frac_top_token,
+         frac_dup_3gram, r_len, r_diversity, r_top_token, r_dup_3gram,
+         (r_len AND r_diversity AND r_top_token AND r_dup_3gram) AS keep,
+         CASE WHEN NOT r_len THEN 'too_short'
+              WHEN NOT r_diversity THEN 'low_diversity'
+              WHEN NOT r_top_token THEN 'repeated_top_token'
+              WHEN NOT r_dup_3gram THEN 'repeated_3grams'
+         END AS drop_reason
+       FROM r"""
+
   /** Document fingerprinting: whole-document md5 plus a winnowing-style
     * rolling fingerprint (min 60-bit hash over all 8-token windows --
     * robust to local edits, the building block of containment dedup). */

@@ -90,7 +90,11 @@ class StarSchemaJobs(spark: SparkSession, store: TableStore, rawRoot: String) {
       col("year_low").cast(D).as("year_low_52w"),
       col("price_avg_50").cast(D).as("price_avg_50d"),
       col("price_avg_200").cast(D).as("price_avg_200d"),
-      ((col("day_high") - col("day_low")) / col("day_low") * 100.0).cast(D)
+      // null-guarded divisor: one zero day_low would abort the whole
+      // job under ANSI mode (Spark 4 default); NULL is the honest
+      // value for an undefined ratio
+      ((col("day_high") - col("day_low")) /
+        when(col("day_low") =!= 0.0, col("day_low")) * 100.0).cast(D)
         .as("daily_volatility"),
       lit(createdAt).cast("timestamp").as("created_at"),
       lit(date).as("processing_date"))
@@ -157,7 +161,8 @@ class StarSchemaJobs(spark: SparkSession, store: TableStore, rawRoot: String) {
         stddev_samp(col("close_price")).cast(D).as("price_std_dev"),
         avg(col("daily_volatility")).cast(D).as("avg_volatility"),
         ((max_by(col("close_price"), tsOrd) - min_by(col("open_price"), tsOrd))
-          / min_by(col("open_price"), tsOrd) * 100).cast(D).as("weekly_return_pct"))
+          / when(min_by(col("open_price"), tsOrd) =!= 0,
+              min_by(col("open_price"), tsOrd)) * 100).cast(D).as("weekly_return_pct"))
     UpsertWriter.upsertAll(store, "agg_stock_weekly_metrics", weekly,
       keys = Seq("year", "week", "symbol"), partitionBy = Seq("year", "week"))
 
@@ -175,7 +180,8 @@ class StarSchemaJobs(spark: SparkSession, store: TableStore, rawRoot: String) {
         avg(col("market_cap")).cast(D).as("avg_market_cap"),
         avg(col("daily_volatility")).cast(D).as("avg_daily_volatility"),
         ((max_by(col("close_price"), tsOrd) - min_by(col("open_price"), tsOrd))
-          / min_by(col("open_price"), tsOrd) * 100).cast(D).as("monthly_return_pct"))
+          / when(min_by(col("open_price"), tsOrd) =!= 0,
+              min_by(col("open_price"), tsOrd)) * 100).cast(D).as("monthly_return_pct"))
     UpsertWriter.upsertAll(store, "agg_stock_monthly_metrics", monthly,
       keys = Seq("year", "month", "symbol"), partitionBy = Seq("year", "month"))
 

@@ -145,17 +145,23 @@ object RelationalQueries {
     * (SURVEY S7.5.1). */
   def a1WeeklyOhlcv(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
+    val openV = min_by(col("value"), col("ts_us"))
+    val closeV = max_by(col("value"), col("ts_us"))
     ev.groupBy(col("user_id"),
         year(col("ts")).as("yr"), weekofyear(col("ts")).as("wk"))
       .agg(
-        min_by(col("value"), col("ts_us")).as("open_val"),
-        max_by(col("value"), col("ts_us")).as("close_val"),
+        openV.as("open_val"),
+        closeV.as("close_val"),
         max(col("value")).as("high_val"),
         min(col("value")).as("low_val"),
         count(lit(1)).as("n_events"),
         sum(col("value").cast(D)).cast("double").as("total_value"),
-        round((max_by(col("value"), col("ts_us")) - min_by(col("value"), col("ts_us"))) /
-          min_by(col("value"), col("ts_us")) * 100.0, 4).as("return_pct"))
+        // null-guarded divisor (when without otherwise = NULL): a
+        // zero open value exists at sf>=0.1, and ANSI mode (Spark 4
+        // default) turns an unguarded /0 into a job-aborting error;
+        // the oracle mirrors with nullif
+        round((closeV - openV) / when(openV =!= 0.0, openV) * 100.0, 4)
+          .as("return_pct"))
   }
 
   /** A3+A4: daily/sector-style rollup with avg/sum/count/stddev
@@ -303,7 +309,7 @@ object RelationalQueries {
          count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
          round((arg_max(value, ts_us) - arg_min(value, ts_us))
-               / arg_min(value, ts_us) * 100.0, 4) AS return_pct
+               / nullif(arg_min(value, ts_us), 0) * 100.0, 4) AS return_pct
          FROM (SELECT *, epoch_ns(ts)//1000 AS ts_us,
                       make_timestamp(epoch_ns(ts)//1000) AS ts2 FROM events)
          GROUP BY 1, 2, 3""",

@@ -23,6 +23,35 @@ class OpsSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("topTokenFreq fold equals a direct frequency count") {
+    val docs = Seq(
+      (1L, "a b a c a b"),       // top = a x3
+      (2L, "x"),                 // top = x x1
+      (3L, "q q q q"),           // top = q x4
+      (4L, "m n o p")            // all singletons
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionOf(docs)
+      .select("doc_id", "top_token_freq").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 1L, 3L -> 4L, 4L -> 1L))
+  }
+
+  test("quality gate keep = conjunction of its rules, reason = first failure") {
+    val rows = TextOps.qualityGate(spark, dir).collect()
+    assert(rows.nonEmpty)
+    var kept = 0
+    rows.foreach { r =>
+      val rules = Seq("r_len", "r_diversity", "r_top_token", "r_dup_3gram")
+        .map(n => n -> r.getAs[Boolean](n))
+      val keep = r.getAs[Boolean]("keep")
+      assert(keep === rules.forall(_._2))
+      val reason = Option(r.getAs[String]("drop_reason"))
+      if (keep) { kept += 1; assert(reason.isEmpty) }
+      else assert(reason.nonEmpty)
+    }
+    // thresholds must discriminate: some docs kept, some dropped
+    assert(kept > 0 && kept < rows.length)
+  }
+
   test("langId picks a language consistent with its scores") {
     val rows = TextOps.langId(spark, dir).collect()
     rows.foreach { r =>
