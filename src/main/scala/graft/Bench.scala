@@ -34,9 +34,12 @@ object Bench {
     try materialize(SparkEntry.queries("tpch_q1")(spark, sfDir))
     catch { case _: Throwable => () }
     // best-of-2: the box shows up-to-2x run-to-run interference; the
-    // minimum is the robust estimator of the query's actual cost
-    // a failed run must neither abort the bench nor contribute a
-    // bogus fast "time": log it and take the min over SUCCESSFUL runs
+    // minimum is the robust estimator of the query's actual cost.
+    // A failed run must neither abort the bench nor contribute a
+    // bogus fast "time": a query with NO successful run reports null
+    // in the JSON (an elapsed-to-failure number would make a 50 ms
+    // AnalysisException indistinguishable from a fast query) and is
+    // excluded from the total, which "failed" makes non-comparable.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { i =>
         val t0 = System.nanoTime()
@@ -50,12 +53,17 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val good = times.collect { case (t, true) => t }
-      name -> (if (good.nonEmpty) good.min else times.map(_._1).min)
+      name -> (if (good.nonEmpty) Some(good.min) else None)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Some(v)) => s"\"" + k + "\":" + v
+      case (k, None)    => s"\"" + k + "\":null"
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, None) => s"\"" + k + "\"" }
+    val total = results.flatMap(_._2).sum
+    val failedField =
+      if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -371,7 +371,15 @@ object DedupOps {
     * uniqueness comes from emitting only at the pair's SMALLEST
     * shared fingerprint (the bottom-k analogue of the
     * first-colliding-band rule -- no DISTINCT over the pair blowup).
-    * No all-pairs join: the fingerprint is a high-cardinality key. */
+    * No all-pairs join: the fingerprint is a high-cardinality key.
+    *
+    * DETECTION FLOOR: documents shorter than 8 tokens hash as one
+    * whole-text fingerprint, which can never equi-join a longer
+    * document's 8-token window hashes -- containment of a sub-8-token
+    * snippet inside a larger doc is out of scope by construction
+    * (such snippets are below the resolution of an 8-token winnow and
+    * would flood candidates with stopword-run collisions). The K-fold
+    * recall bound above applies to contained docs of >= 8 tokens. */
   private[graft] def containmentPairs(docs: DataFrame,
       threshold: Double): DataFrame = {
     val t = tokens(col("text"))

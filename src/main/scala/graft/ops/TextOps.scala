@@ -244,10 +244,14 @@ object TextOps {
     scored.select(
       col("doc_id"), col("lang"), col("n_tokens"), col("lexical_diversity"),
       col("frac_top_token"), col("frac_dup_3gram"),
-      (col("n_tokens") >= QualityMinTokens).as("r_len"),
-      (col("lexical_diversity") >= QualityMinDiversity).as("r_diversity"),
-      (col("frac_top_token") <= QualityMaxTopTokenFrac).as("r_top_token"),
-      (col("frac_dup_3gram") <= QualityMaxDup3gramFrac).as("r_dup_3gram"))
+      // coalesce(_, false): a NULL text yields NULL metrics, and a
+      // NULL rule boolean would leave keep = NULL -- neither kept nor
+      // dropped-with-reason. NULL/empty docs must fail the gate, not
+      // silently skip it.
+      coalesce(col("n_tokens") >= QualityMinTokens, lit(false)).as("r_len"),
+      coalesce(col("lexical_diversity") >= QualityMinDiversity, lit(false)).as("r_diversity"),
+      coalesce(col("frac_top_token") <= QualityMaxTopTokenFrac, lit(false)).as("r_top_token"),
+      coalesce(col("frac_dup_3gram") <= QualityMaxDup3gramFrac, lit(false)).as("r_dup_3gram"))
       .withColumn("keep",
         col("r_len") && col("r_diversity") && col("r_top_token") && col("r_dup_3gram"))
       .withColumn("drop_reason",
@@ -267,10 +271,10 @@ object TextOps {
          FROM documents),
        r AS (
          SELECT *,
-           n_tokens >= $QualityMinTokens AS r_len,
-           lexical_diversity >= $QualityMinDiversity AS r_diversity,
-           frac_top_token <= $QualityMaxTopTokenFrac AS r_top_token,
-           frac_dup_3gram <= $QualityMaxDup3gramFrac AS r_dup_3gram
+           coalesce(n_tokens >= $QualityMinTokens, false) AS r_len,
+           coalesce(lexical_diversity >= $QualityMinDiversity, false) AS r_diversity,
+           coalesce(frac_top_token <= $QualityMaxTopTokenFrac, false) AS r_top_token,
+           coalesce(frac_dup_3gram <= $QualityMaxDup3gramFrac, false) AS r_dup_3gram
          FROM m)
        SELECT doc_id, lang, n_tokens, lexical_diversity, frac_top_token,
          frac_dup_3gram, r_len, r_diversity, r_top_token, r_dup_3gram,
@@ -284,13 +288,21 @@ object TextOps {
 
   /** Document fingerprinting: whole-document md5 plus a winnowing-style
     * rolling fingerprint (min 60-bit hash over all 8-token windows --
-    * robust to local edits, the building block of containment dedup). */
+    * robust to local edits, the building block of containment dedup).
+    *
+    * Repartitioned before the projection: the per-window md5 makes
+    * this the most compute-dense projection in the suite, and the
+    * sf0.1 parquet is a single file = a single scan task. Same
+    * discipline as every dedup path -- operator parallelism must not
+    * be hostage to input file splits. */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
     val n = size(t)
     val windows = transform(sequence(lit(1), n - lit(7)),
       i => h15(array_join(slice(t, i, lit(8)), " ")))
-    Tables.documents(s, dir).select(
+    Tables.documents(s, dir)
+      .repartition(graft.ops.DedupOps.JoinParallelism)
+      .select(
       col("doc_id"),
       md5(col("text")).as("md5_full"),
       when(n < 8, h15(col("text"))).otherwise(array_min(windows))

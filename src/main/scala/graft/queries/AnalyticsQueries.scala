@@ -168,9 +168,9 @@ object AnalyticsQueries {
   /** The 100 TB variant of [[a4Percentiles]]: approx_percentile
     * (KLL-style quantile sketch) -- bounded per-group state, map-side
     * combinable, vs exact percentile's full sorted collection per
-    * group. Sketch values are not cross-engine reproducible, so this
-    * entry is gated rows-only; the error bound vs the exact pass is
-    * spec-tested. */
+    * group. Sketch values are not cross-engine reproducible, so the
+    * raw values can't be hash-gated; the oracle entry is
+    * [[a4PercentilesApproxGate]]. */
   def a4PercentilesApprox(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("event_type"))
@@ -179,6 +179,36 @@ object AnalyticsQueries {
       .select(col("event_type"), col("n"),
         col("p")(0).as("p25"), col("p")(1).as("p50"),
         col("p")(2).as("p90"), col("p")(3).as("p99"))
+
+  /** Quantitative oracle gate for [[a4PercentilesApprox]]: the sketch
+    * value for quantile q must land inside the EXACT [q-0.01, q+0.01]
+    * percentile band (rank-error framing -- approx_percentile returns
+    * an actual data value near the requested rank, so the right bound
+    * is a rank band, not a value-space epsilon; same bound the spec
+    * asserts). Output is the exact group counts plus one boolean per
+    * quantile, which the DuckDB oracle pins to TRUE -- an
+    * out-of-bound sketch flips the hash red. The exact percentile
+    * here exists only to gate the sketch; the production operator is
+    * [[a4PercentilesApprox]] alone. */
+  def a4PercentilesApproxGate(s: SparkSession, dir: String): DataFrame = {
+    val inBand = (i: Int) =>
+      col("p")(i) >= col("b")(2 * i) && col("p")(i) <= col("b")(2 * i + 1)
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, array(0.24, 0.26, 0.49, 0.51, 0.89, 0.91, 0.98, 1.0))").as("b"),
+        expr("approx_percentile(value, array(0.25, 0.5, 0.9, 0.99), 10000)").as("p"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        inBand(0).as("p25_in_band"), inBand(1).as("p50_in_band"),
+        inBand(2).as("p90_in_band"), inBand(3).as("p99_in_band"))
+  }
+
+  val a4PercentilesApproxGateSql: String =
+    """SELECT event_type, count(*) AS n,
+       TRUE AS p25_in_band, TRUE AS p50_in_band,
+       TRUE AS p90_in_band, TRUE AS p99_in_band
+       FROM events GROUP BY 1"""
 
   /** Semi-structured extraction: JSON path into the `props` payload
     * column + aggregate over the extracted value. */
@@ -312,8 +342,8 @@ object AnalyticsQueries {
     * ncols+1 ways); the sketch is map-side combinable with constant
     * state per column, so the whole stats pass stays one narrow scan
     * at any scale. HLL estimates are not cross-engine reproducible,
-    * so this entry is gated rows-only; the error bound vs the exact
-    * pass is spec-tested. */
+    * so the raw values can't be hash-gated; the oracle entry is
+    * [[s15TableStatsApproxGate]]. */
   def s15TableStatsApprox(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
     val aggs = cols.flatMap { c =>
@@ -329,6 +359,41 @@ object AnalyticsQueries {
     wide.select(expr(s"$stackExpr AS (column_name, cnt, ndv, min_v, max_v)"))
   }
 
+  /** Quantitative oracle gate for [[s15TableStatsApprox]]: the HLL
+    * NDV must track the exact NDV within max(5, 10% of exact) -- a
+    * 5-sigma guard band at rsd 2%, the same bound the spec asserts.
+    * cnt/min/max stay exact; the sketched NDV becomes a boolean the
+    * DuckDB oracle pins to TRUE, so estimator drift flips the hash
+    * red. The exact count_distinct here exists only to gate the
+    * sketch; the production operator is [[s15TableStatsApprox]]
+    * alone. */
+  def s15TableStatsApproxGate(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+    val aggs = cols.flatMap { c =>
+      val exact = count_distinct(col(c))
+      val sketch = approx_count_distinct(col(c), 0.02)
+      Seq(count(col(c)).as(s"${c}__cnt"),
+        (abs(sketch - exact).cast("double") <=
+          greatest(lit(5.0), exact.cast("double") * 0.10)).as(s"${c}__ok"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"))
+    }
+    val wide = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map { c =>
+      s"'$c', ${c}__cnt, ${c}__ok, ${c}__min, ${c}__max"
+    }.mkString(s"stack(${cols.size}, ", ", ", ")")
+    wide.select(expr(s"$stackExpr AS (column_name, cnt, ndv_in_band, min_v, max_v)"))
+  }
+
+  val s15TableStatsApproxGateSql: String = {
+    val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name, count($c) AS cnt, TRUE AS ndv_in_band,
+         CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
+         FROM lineitem"""
+    }.mkString("\nUNION ALL\n")
+  }
+
   val s15TableStatsSql: String = {
     val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
     cols.map { c =>
@@ -341,14 +406,14 @@ object AnalyticsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s15_table_stats" -> (s15TableStats _),
-    "s15_table_stats_approx" -> (s15TableStatsApprox _),
+    "s15_table_stats_approx" -> (s15TableStatsApproxGate _),
     "u1_set_ops" -> (u1SetOps _),
     "j4_asof_join" -> (j4AsofJoin _),
     "a5_rollup" -> (a5Rollup _),
     "a6_pivot" -> (a6Pivot _),
     "f16_json_extract" -> (f16JsonExtract _),
     "a4_percentiles" -> (a4Percentiles _),
-    "a4_percentiles_approx" -> (a4PercentilesApprox _),
+    "a4_percentiles_approx" -> (a4PercentilesApproxGate _),
     "w4_sessionize" -> (w4Sessionize _),
     "w2_moving_avg" -> (w2MovingAvg _),
     "w3_lag_delta" -> (w3LagDelta _),
@@ -359,6 +424,8 @@ object AnalyticsQueries {
 
   val oracleSql: Map[String, String] = Map(
     "s15_table_stats" -> s15TableStatsSql,
+    "s15_table_stats_approx" -> s15TableStatsApproxGateSql,
+    "a4_percentiles_approx" -> a4PercentilesApproxGateSql,
     "u1_set_ops" -> u1SetOpsSql,
     "j4_asof_join" -> j4AsofJoinSql,
     "a5_rollup" -> a5RollupSql,
