@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 import graft.quality._
-import graft.table.{TableStore, UpsertWriter}
+import graft.table.{TableStore, UpsertWriter, VersionedTableStore}
 
 /** Oracle-checked queries that exercise the LIBRARY layer (upsert
   * writer, validation engine) plus the remaining aggregation shapes --
@@ -113,6 +113,41 @@ object LibraryQueries {
               CASE WHEN b2.c_custkey IS NOT NULL THEN b2.last_batch
                    ELSE b1.last_batch END AS last_batch
        FROM b1 FULL OUTER JOIN b2 ON b1.c_custkey = b2.c_custkey"""
+
+  /** S16: snapshot MERGE + rollback through [[VersionedTableStore]] --
+    * the Iceberg-recovery shape the reference gets from format-version-2
+    * tables (build_stock_fact_table.py:98-100). A partitioned upsert
+    * commits a delta snapshot (only touched year-partitions get new
+    * files); `rollbackTo(1)` then restores the pre-merge table by
+    * moving the manifest pointer, so the oracle is simply the original
+    * target selection -- if any file of v1 had been rewritten or lost,
+    * the hash gate fails. */
+  def s16VersionedRollback(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_orderdate").cast("date").as("order_date"),
+      col("o_totalprice"), col("o_orderstatus"))
+      .withColumn("order_yr", year(col("order_date")))
+    val target = o.filter(col("order_date") < lit("1997-01-01").cast("date"))
+    val source = o.filter(col("order_date") >= lit("1996-07-01").cast("date") &&
+        col("order_date") < lit("1997-07-01").cast("date"))
+      .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+      .withColumn("o_orderstatus", lit("R"))
+    val store = new VersionedTableStore(s,
+      Files.createTempDirectory("graft-q-s16").toString)
+    UpsertWriter.upsertAll(store, "orders_v", target, Seq("o_orderkey"),
+      partitionBy = Seq("order_yr"))
+    UpsertWriter.upsertAll(store, "orders_v", source, Seq("o_orderkey"),
+      partitionBy = Seq("order_yr"))
+    store.rollbackTo("orders_v", 1)
+    store.read("orders_v")
+  }
+
+  val s16VersionedRollbackSql: String =
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+              o_totalprice, o_orderstatus,
+              CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_yr
+       FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'"""
 
   /** Q1-Q8: the validation rule engine over lineitem, its per-rule
     * results as the query output (single-scan evaluation). */
@@ -222,6 +257,7 @@ object LibraryQueries {
     "a2_monthly_rollup" -> (a2MonthlyRollup _),
     "s7_merge_upsert" -> (s7MergeUpsert _),
     "s8_merge_selective" -> (s8MergeSelective _),
+    "s16_versioned_rollback" -> (s16VersionedRollback _),
     "q_validation_suite" -> (qValidationSuite _),
     "q_validation_period" -> (qValidationPeriod _),
   )
@@ -230,6 +266,7 @@ object LibraryQueries {
     "a2_monthly_rollup" -> a2MonthlyRollupSql,
     "s7_merge_upsert" -> s7MergeUpsertSql,
     "s8_merge_selective" -> s8MergeSelectiveSql,
+    "s16_versioned_rollback" -> s16VersionedRollbackSql,
     "q_validation_suite" -> qValidationSuiteSql,
     "q_validation_period" -> qValidationPeriodSql,
   )

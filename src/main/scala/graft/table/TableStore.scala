@@ -15,7 +15,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * pipelines (its own guard is max_concurrent_runs per Glue job,
   * terraform/modules/glue/main.tf:141).
   */
-class TableStore(val spark: SparkSession, val root: String) {
+class TableStore(val spark: SparkSession, val root: String) extends WarehouseWrites {
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -75,7 +75,7 @@ class TableStore(val spark: SparkSession, val root: String) {
   }
 
   /** S5/S6: create or full-replace (CTAS / createOrReplace). */
-  def createOrReplace(df: DataFrame, name: String, partitionBy: Seq[String] = Nil): Unit = {
+  def createOrReplace(df: DataFrame, name: String, partitionBy: Seq[String]): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(name))
     register(name, partitionBy)

@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   *    (build_stock_dimensions.py:88-102).
   *
   * Both are join-based plans exactly like Iceberg's
-  * RewriteMergeIntoTable produces, followed by TableStore's staged
-  * swap. Requirements: `source` is key-unique (guaranteed upstream by
+  * RewriteMergeIntoTable produces, committed through whichever
+  * [[WarehouseWrites]] store is passed: [[TableStore]]'s staged swap
+  * (destructive, single-writer) or [[VersionedTableStore]]'s snapshot
+  * commit (time travel + rollback + optimistic concurrency).
+  * Requirements: `source` is key-unique (guaranteed upstream by
   * the W1 dedup / rollup groupings); both sides share the key schema.
   *
   * Scale: the anti-join and full-outer join shuffle hash-partition on
@@ -36,7 +39,7 @@ object UpsertWriter {
     * and the write uses dynamic partition overwrite, so a daily merge
     * into a years-deep table rewrites one day, not the table. This is
     * the scan/commit shape Iceberg's merge gives the reference. */
-  def upsertAll(store: TableStore, table: String, source: DataFrame,
+  def upsertAll(store: WarehouseWrites, table: String, source: DataFrame,
       keys: Seq[String], partitionBy: Seq[String] = Nil,
       allowSchemaEvolution: Boolean = false): Unit = {
     if (!store.exists(table)) {
@@ -88,7 +91,7 @@ object UpsertWriter {
     * as-is; unmatched source rows inserted (their own `preserve`
     * values). Null-correct via match markers, not coalesce -- a
     * legitimate NULL in the source must overwrite on match. */
-  def upsertSelective(store: TableStore, table: String, source: DataFrame,
+  def upsertSelective(store: WarehouseWrites, table: String, source: DataFrame,
       keys: Seq[String], preserve: Seq[String],
       partitionBy: Seq[String] = Nil): Unit = {
     if (!store.exists(table)) {

@@ -1,0 +1,176 @@
+package graft.table
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class VersionedTableStoreSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(keep: Int = 10) = new VersionedTableStore(spark,
+    Files.createTempDirectory("graft-vstore").toString, keepSnapshots = keep)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Int, String)] =
+    df.as[(Int, String)].collect().toSeq.sorted
+
+  test("commits are versioned and every retained snapshot stays readable") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a"), (2, "b")).toDF("k", "v"), "t")
+    vs.commitFull(Seq((1, "A"), (3, "c")).toDF("k", "v"), "t")
+    assert(vs.versions("t") === Seq(1L, 2L))
+    assert(vs.currentVersion("t") === 2L)
+    assert(rows(vs.read("t")) === Seq((1, "A"), (3, "c")))
+    // time travel: v1 is still exactly v1
+    assert(rows(vs.readVersion("t", 1)) === Seq((1, "a"), (2, "b")))
+  }
+
+  test("rollbackTo restores old contents as a NEW version (history rolls forward)") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "good")).toDF("k", "v"), "t")
+    vs.commitFull(Seq((1, "bad")).toDF("k", "v"), "t")
+    val v = vs.rollbackTo("t", 1)
+    assert(v === 3L)
+    assert(rows(vs.read("t")) === Seq((1, "good")))
+    // the bad snapshot stays inspectable -- rollback moved a pointer,
+    // not files
+    assert(rows(vs.readVersion("t", 2)) === Seq((1, "bad")))
+  }
+
+  test("crash mid-commit leaves the old pointer intact") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a")).toDF("k", "v"), "t")
+    val fs = new Path(vs.root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // crash between data write and pointer swap: an orphaned data dir
+    Seq((9, "z")).toDF("k", "v").write
+      .parquet(s"${vs.path("t")}/_data/v2-deadbeef")
+    // crash mid-pointer-write: a truncated manifest (no `end` marker)
+    val out = fs.create(new Path(s"${vs.path("t")}/_commits/c00000002"), false)
+    out.write("graft-manifest-v1\nversion=2\npartitionBy=".getBytes("UTF-8"))
+    out.close()
+    assert(vs.currentVersion("t") === 1L)
+    assert(rows(vs.read("t")) === Seq((1, "a")))
+    // and the next real commit reclaims the debris (a truncated
+    // manifest is a dead writer, not a commit -- it must not wedge
+    // the version counter)
+    assert(vs.commitFull(Seq((1, "b")).toDF("k", "v"), "t") === 2L)
+    assert(rows(vs.read("t")) === Seq((1, "b")))
+  }
+
+  test("manifest CAS: the second writer of a version fails loudly, data intact") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a")).toDF("k", "v"), "t")
+    // two writers race: both observed version 1, both stage version 2
+    vs.casManifest("t", vs.Manifest(2, Nil, vs.versionsMapping("t")))
+    val e = intercept[ConcurrentWriteException] {
+      vs.casManifest("t", vs.Manifest(2, Nil, vs.versionsMapping("t")))
+    }
+    assert(e.getMessage.contains("another writer"))
+  }
+
+  test("end-to-end race: the losing commit throws and cleans up its staged data") {
+    // interleave a competitor into the race window via the beforeSwap
+    // seam: the loser stages its data, then the winner commits the
+    // same version first
+    val root = Files.createTempDirectory("graft-vstore").toString
+    val winner = new VersionedTableStore(spark, root)
+    winner.commitFull(Seq((1, "a")).toDF("k", "v"), "t")
+    var raced = false
+    val loser = new VersionedTableStore(spark, root) {
+      override protected def beforeSwap(name: String, v: Long): Unit =
+        if (!raced) { raced = true
+          winner.commitFull(Seq((1, "winner")).toDF("k", "v"), name) }
+    }
+    intercept[ConcurrentWriteException] {
+      loser.commitFull(Seq((1, "loser")).toDF("k", "v"), "t")
+    }
+    assert(rows(winner.read("t")) === Seq((1, "winner")))
+    // the loser's staged data dir was removed -- no orphan accumulation
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDirs = fs.listStatus(new Path(s"$root/t/_data")).map(_.getPath.getName)
+    assert(dataDirs.length === 2, s"orphaned dirs: ${dataDirs.mkString(",")}")
+  }
+
+  test("partition-delta commit shares untouched partitions' files with the parent") {
+    val vs = fresh()
+    val day1 = Seq((1, "a", "d1"), (2, "b", "d2")).toDF("k", "v", "day")
+    vs.commitFull(day1, "pt", Seq("day"))
+    vs.commitPartitions(Seq((2, "B", "d2"), (3, "c", "d3")).toDF("k", "v", "day"),
+      "pt", Seq("day"))
+    assert(vs.read("pt").as[(Int, String, String)].collect().toSeq.sorted ===
+      Seq((1, "a", "d1"), (2, "B", "d2"), (3, "c", "d3")))
+    assert(rows(vs.readVersion("pt", 1).select("k", "v")) ===
+      Seq((1, "a"), (2, "b")))
+    // proof of file sharing: v2 commits exactly ONE new data dir and
+    // its manifest maps day=d1 to v1's dir
+    val fs = new Path(vs.root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val dataDirs = fs.listStatus(new Path(s"${vs.path("pt")}/_data"))
+      .map(_.getPath.getName).sorted
+    assert(dataDirs.length === 2)
+    assert(dataDirs.count(_.startsWith("v1-")) === 1)
+    assert(dataDirs.count(_.startsWith("v2-")) === 1)
+  }
+
+  test("UpsertWriter MERGE against the versioned store commits snapshots") {
+    val vs = fresh()
+    UpsertWriter.upsertAll(vs, "t", Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq("k"))
+    UpsertWriter.upsertAll(vs, "t", Seq((2, "B"), (3, "c")).toDF("k", "v"), Seq("k"))
+    assert(rows(vs.read("t")) === Seq((1, "a"), (2, "B"), (3, "c")))
+    // the bad merge is one rollback away (the Iceberg recovery the
+    // staged swap never had)
+    vs.rollbackTo("t", 1)
+    assert(rows(vs.read("t")) === Seq((1, "a"), (2, "b")))
+    // partitioned MERGE takes the partition-delta commit path
+    val p = fresh()
+    UpsertWriter.upsertAll(p, "pt",
+      Seq((1, "a", "d1"), (2, "b", "d2")).toDF("k", "v", "day"),
+      Seq("k"), partitionBy = Seq("day"))
+    UpsertWriter.upsertAll(p, "pt", Seq((2, "B", "d2")).toDF("k", "v", "day"),
+      Seq("k"), partitionBy = Seq("day"))
+    assert(p.read("pt").as[(Int, String, String)].collect().toSeq.sorted ===
+      Seq((1, "a", "d1"), (2, "B", "d2")))
+    assert(p.readVersion("pt", 1).count() === 2)
+  }
+
+  test("expireSnapshots keeps the last N and deletes unreferenced data dirs") {
+    val vs = fresh(keep = 2)
+    (1 to 4).foreach(i => vs.commitFull(Seq((i, s"v$i")).toDF("k", "v"), "t"))
+    assert(vs.versions("t") === Seq(3L, 4L))
+    assert(rows(vs.read("t")) === Seq((4, "v4")))
+    intercept[NoSuchElementException] { vs.readVersion("t", 1) }
+    val fs = new Path(vs.root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val dataDirs = fs.listStatus(new Path(s"${vs.path("t")}/_data"))
+      .map(_.getPath.getName)
+    assert(dataDirs.forall(d => d.startsWith("v3-") || d.startsWith("v4-")),
+      s"expired data dirs survived: ${dataDirs.mkString(",")}")
+    // shared dirs survive expiry: a delta chain keeps v-old dirs live
+    val p = fresh(keep = 2)
+    p.commitFull(Seq((1, "a", "d1")).toDF("k", "v", "day"), "pt", Seq("day"))
+    (2 to 4).foreach(i => p.commitPartitions(
+      Seq((i, s"x$i", s"d$i")).toDF("k", "v", "day"), "pt", Seq("day")))
+    assert(p.versions("pt") === Seq(3L, 4L))
+    // v1's dir is still referenced by the retained manifests (day=d1)
+    assert(p.read("pt").count() === 4)
+  }
+
+  test("compact collapses a delta chain into one data dir, same contents") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a", "d1")).toDF("k", "v", "day"), "pt", Seq("day"))
+    (2 to 4).foreach(i => vs.commitPartitions(
+      Seq((i, s"x$i", s"d$i")).toDF("k", "v", "day"), "pt", Seq("day")))
+    val before = vs.read("pt").as[(Int, String, String)].collect().toSeq.sorted
+    val v = vs.compact("pt")
+    assert(vs.read("pt").as[(Int, String, String)].collect().toSeq.sorted === before)
+    val fs = new Path(vs.root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new Path(s"${vs.path("pt")}/_data"))
+      .map(_.getPath.getName).filter(_.startsWith(s"v$v-"))
+    assert(dirs.length === 1)
+  }
+}
