@@ -60,8 +60,16 @@ class PipelineRunner(
     withRetry("dimensions")(jobs.buildDimensions(date))
     withRetry("fact")(jobs.buildFact(date, createdAt = extractionTime.take(19).replace('T', ' ')))
     withRetry("aggregations")(jobs.buildAggregations(forDate = Some(date)))
-    withRetry("validate")(jobs.validate(forDate = Some(date)))
+    withRetry("validate")(jobs.validate(forDate = Some(date),
+      recordAs = Some(validationRun(date))))
   }
+
+  /** Run tag for the date's validation history row group: the id is
+    * the date itself (stable under retry, so a re-run replaces its own
+    * partition -- the GX one-checkpoint-run-per-date shape), the stamp
+    * comes from the injected clock (deterministic in tests). */
+  private def validationRun(date: String) =
+    graft.quality.ValidationRun(s"daily-$date", clock().toString)
 
   /** D2: the fan-out/fan-in DAG variant -- extract >> [dims, fact] >>
     * aggs >> validate (nasdaq_stock_pipeline.py:256-261). dims and
@@ -82,7 +90,8 @@ class PipelineRunner(
       Await.result(dims.zip(fact), Duration.Inf)
     } finally pool.shutdown()
     withRetry("aggregations")(jobs.buildAggregations(forDate = Some(date)))
-    withRetry("validate")(jobs.validate(forDate = Some(date)))
+    withRetry("validate")(jobs.validate(forDate = Some(date),
+      recordAs = Some(validationRun(date))))
   }
 
   def runDaily(): Unit = runDaily(processingDate())

@@ -207,8 +207,15 @@ class StarSchemaJobs(spark: SparkSession, store: TableStore, rawRoot: String) {
     * the date (weekly_agg_validation.yml:11-13, F13). All three
     * filters hit partition columns, so the scans are partition-pruned
     * -- at scale each validation touches one period, not the table.
-    * `None` = whole-table validation (initial backfill audit). */
-  def validate(forDate: Option[String] = None): Seq[RuleResult] = {
+    * `None` = whole-table validation (initial backfill audit).
+    *
+    * `recordAs` = persist every rule result (passes AND failures) to
+    * the `validation_results` history table BEFORE enforcement, the
+    * way a GX checkpoint lands its run results even when the DAG task
+    * then fails (checkpoints/daily_validation.yml) -- so a post-mortem
+    * can query what failed and by how much. */
+  def validate(forDate: Option[String] = None,
+      recordAs: Option[ValidationRun] = None): Seq[RuleResult] = {
     val factRules = Seq(
       ColumnsMatchOrderedList(Schemas.factStockDailyPrice.fieldNames.toSeq),
       NotNull("stock_symbol"), NotNull("trade_date"), NotNull("close_price"),
@@ -240,10 +247,22 @@ class StarSchemaJobs(spark: SparkSession, store: TableStore, rawRoot: String) {
       dd => col("year") === year(dd) && col("week") === weekofyear(dd))
     val monthly = scoped("agg_stock_monthly_metrics",
       dd => col("year") === year(dd) && col("month") === month(dd))
-    Validator.enforce(fact, factRules, "daily_fact") ++
-      Validator.enforce(store.read("dim_stock"), dimRules, "dim_stock") ++
-      Validator.enforce(weekly, weeklyRules, "weekly_agg") ++
-      Validator.enforce(monthly, monthlyRules, "monthly_agg")
+    val suites: Seq[(String, Seq[RuleResult])] = Seq(
+      "daily_fact" -> Validator.run(fact, factRules),
+      "dim_stock" -> Validator.run(store.read("dim_stock"), dimRules),
+      "weekly_agg" -> Validator.run(weekly, weeklyRules),
+      "monthly_agg" -> Validator.run(monthly, monthlyRules))
+    recordAs.foreach(run =>
+      new ValidationLog(store).record(run, forDate.getOrElse("all"), suites))
+    suites.foreach { case (suite, results) =>
+      val failed = results.filterNot(_.passed)
+      if (failed.nonEmpty) {
+        val msg = failed.map(r =>
+          s"${r.rule}(${r.detail}): ${r.violations} violations").mkString("; ")
+        throw new IllegalStateException(s"validation suite '$suite' failed: $msg")
+      }
+    }
+    suites.flatMap(_._2)
   }
 }
 

@@ -253,6 +253,71 @@ object LibraryQueries {
          count(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 1e7 THEN 1 END), count(*)
        FROM b"""
 
+  /** Validation-run HISTORY: two dated runs of a suite land in the
+    * `validation_results` table (partitioned by run_id) and the full
+    * history is read back -- the GX checkpoint-run-history surface
+    * (docker/great_expectations/checkpoints/, uploads results +
+    * data docs per run). The oracle recomputes both runs' expected
+    * rule rows, so the gate proves persistence is lossless, not just
+    * that rules evaluate. */
+  def qValidationHistory(s: SparkSession, dir: String): DataFrame = {
+    val store = new TableStore(s,
+      Files.createTempDirectory("graft-q-vhist").toString)
+    val log = new ValidationLog(store)
+    def batch(month: String) = Tables.orders(s, dir)
+      .filter(col("o_orderdate").cast("string").like(s"$month%"))
+    val rules = Seq(NotNull("o_orderkey"), Unique(Seq("o_orderkey")),
+      ValuesBetween("o_totalprice", 0.0, 1e7))
+    log.record(ValidationRun("daily-1995-07", "1995-08-01T00:00:00Z"),
+      "1995-07", Seq("orders_batch" -> Validator.run(batch("1995-07"), rules)))
+    log.record(ValidationRun("daily-1995-08", "1995-09-01T00:00:00Z"),
+      "1995-08", Seq("orders_batch" -> Validator.run(batch("1995-08"), rules)))
+    log.history
+  }
+
+  val qValidationHistorySql: String =
+    """WITH b7 AS (SELECT * FROM orders
+                   WHERE CAST(o_orderdate AS VARCHAR) LIKE '1995-07%'),
+       b8 AS (SELECT * FROM orders
+              WHERE CAST(o_orderdate AS VARCHAR) LIKE '1995-08%')
+       SELECT '1995-07' AS processing_date,
+              '1995-08-01T00:00:00Z' AS validated_at,
+              'orders_batch' AS suite, 'not_null' AS rule,
+              'o_orderkey' AS detail,
+              count(CASE WHEN o_orderkey IS NULL THEN 1 END) = 0 AS passed,
+              count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS violations,
+              count(*) AS total_rows, 'daily-1995-07' AS run_id FROM b7
+       UNION ALL
+       SELECT '1995-07', '1995-08-01T00:00:00Z', 'orders_batch', 'unique',
+              'o_orderkey',
+              count(*) - count(DISTINCT o_orderkey) = 0,
+              count(*) - count(DISTINCT o_orderkey), count(*),
+              'daily-1995-07' FROM b7
+       UNION ALL
+       SELECT '1995-07', '1995-08-01T00:00:00Z', 'orders_batch',
+              'values_between', 'o_totalprice in [0.0,1.0E7]',
+              count(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 1e7 THEN 1 END) = 0,
+              count(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 1e7 THEN 1 END),
+              count(*), 'daily-1995-07' FROM b7
+       UNION ALL
+       SELECT '1995-08', '1995-09-01T00:00:00Z', 'orders_batch', 'not_null',
+              'o_orderkey',
+              count(CASE WHEN o_orderkey IS NULL THEN 1 END) = 0,
+              count(CASE WHEN o_orderkey IS NULL THEN 1 END),
+              count(*), 'daily-1995-08' FROM b8
+       UNION ALL
+       SELECT '1995-08', '1995-09-01T00:00:00Z', 'orders_batch', 'unique',
+              'o_orderkey',
+              count(*) - count(DISTINCT o_orderkey) = 0,
+              count(*) - count(DISTINCT o_orderkey), count(*),
+              'daily-1995-08' FROM b8
+       UNION ALL
+       SELECT '1995-08', '1995-09-01T00:00:00Z', 'orders_batch',
+              'values_between', 'o_totalprice in [0.0,1.0E7]',
+              count(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 1e7 THEN 1 END) = 0,
+              count(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 1e7 THEN 1 END),
+              count(*), 'daily-1995-08' FROM b8"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a2_monthly_rollup" -> (a2MonthlyRollup _),
     "s7_merge_upsert" -> (s7MergeUpsert _),
@@ -260,6 +325,7 @@ object LibraryQueries {
     "s16_versioned_rollback" -> (s16VersionedRollback _),
     "q_validation_suite" -> (qValidationSuite _),
     "q_validation_period" -> (qValidationPeriod _),
+    "q_validation_history" -> (qValidationHistory _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -269,5 +335,6 @@ object LibraryQueries {
     "s16_versioned_rollback" -> s16VersionedRollbackSql,
     "q_validation_suite" -> qValidationSuiteSql,
     "q_validation_period" -> qValidationPeriodSql,
+    "q_validation_history" -> qValidationHistorySql,
   )
 }

@@ -182,6 +182,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.smokeTest().forall(_._2))
   }
 
+  test("runDaily persists validation history; re-runs stay idempotent per date") {
+    val r = freshRunner()
+    r.runDaily("2026-02-09")
+    val log = new graft.quality.ValidationLog(r.store)
+    val h1 = log.history
+    // all four suites landed under the date's run id, clock-stamped
+    val n1 = h1.count()
+    assert(h1.filter(col("run_id") === "daily-2026-02-09").count() === n1)
+    assert(n1 > 10)
+    assert(h1.select("validated_at").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("2026-02-10T02:00:00Z"))
+    assert(log.failures.count() === 0)
+    // retrying the date replaces its partition; a new date adds one
+    r.runDaily("2026-02-09")
+    assert(log.history.count() === n1)
+    r.runDaily("2026-02-10")
+    assert(log.history.select("run_id").distinct().count() === 2)
+    // the history is plain warehouse SQL away (the GX data-docs ask)
+    r.store.register("validation_results", Seq("run_id"))
+    assert(spark.sql(
+      """SELECT count(*) FROM validation_results
+         WHERE passed AND run_id = 'daily-2026-02-10'""").head().getLong(0) > 0)
+  }
+
+  test("a failing suite lands its results in history BEFORE enforcement throws") {
+    val r = freshRunner()
+    r.runDaily("2026-02-09")
+    // corrupt the weekly agg with a duplicated key row (collect first:
+    // the replace would otherwise overwrite files its own plan reads)
+    val weekly = r.store.read("agg_stock_weekly_metrics")
+    val rows = weekly.collect().toSeq
+    val corrupted = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows :+ rows.head), weekly.schema)
+    r.store.createOrReplace(corrupted, "agg_stock_weekly_metrics")
+    val e = intercept[IllegalStateException] {
+      r.jobs.validate(forDate = Some("2026-02-09"),
+        recordAs = Some(graft.quality.ValidationRun("daily-2026-02-09", "t2")))
+    }
+    assert(e.getMessage.contains("weekly_agg"))
+    // the post-mortem row is there, violation count and all
+    val log = new graft.quality.ValidationLog(r.store)
+    val f = log.failures.select("suite", "rule", "violations").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSeq
+    assert(f === Seq(("weekly_agg", "compound_unique", 1L)))
+  }
+
   test("generator is deterministic across invocations") {
     val a = graft.sources.QuoteGenerator
       .quotes(spark, Seq("AAPL", "MSFT"), "2026-02-09", "t").collect()
