@@ -33,27 +33,32 @@ object Bench {
     // first measured query
     try materialize(SparkEntry.queries("tpch_q1")(spark, sfDir))
     catch { case _: Throwable => () }
-    // best-of-2: the box shows up-to-2x run-to-run interference; the
-    // minimum is the robust estimator of the query's actual cost.
+    // best-of-2, escalating to best-of-3 when the two samples disagree
+    // by >2x: the box shows 5-11x run-to-run interference spikes
+    // (round-5 bench reported four phantom regressions on
+    // byte-identical code), and with two samples one spike leaves no
+    // quorum -- a third run arbitrates. The minimum remains the
+    // estimator of the query's actual cost.
     // A failed run must neither abort the bench nor contribute a
     // bogus fast "time": a query with NO successful run reports null
     // in the JSON (an elapsed-to-failure number would make a 50 ms
     // AnalysisException indistinguishable from a fast query) and is
     // excluded from the total, which "failed" makes non-comparable.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { i =>
+    val benchQueries = SparkEntry.queries ++ SparkEntry.benchOverrides
+    val results = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def run(i: Int): Option[Double] = {
         val t0 = System.nanoTime()
-        val ok =
-          try { materialize(fn(spark, sfDir)); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name run$i FAILED: " +
-              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
-            false
-          }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        try { materialize(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name run$i FAILED: " +
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+          None
+        }
       }
-      val good = times.collect { case (t, true) => t }
-      name -> (if (good.nonEmpty) Some(good.min) else None)
+      val two = Seq(run(1), run(2)).flatten
+      val noisy = two.size == 2 && two.max > 2.0 * two.min
+      val good = if (two.size < 2 || noisy) two ++ run(3) else two
+      name -> good.minOption
     }
     val qs = results.map {
       case (k, Some(v)) => s"\"" + k + "\":" + v

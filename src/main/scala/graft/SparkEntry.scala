@@ -26,4 +26,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ graft.queries.LibraryQueries.oracleSql ++
       graft.queries.AnalyticsQueries.oracleSql ++ graft.ops.OpsQueries.oracleSql
+
+  /** Bench-only substitutions. The approx-sketch oracle entries are
+    * tolerance-band GATES that also compute the exact twin (multi-col
+    * exact distinct = Expand + full shuffle; exact percentile = full
+    * per-group sorted collection) purely to band the sketch -- correct
+    * for the correctness gate, wrong as a perf measurement. The bench
+    * measures the PRODUCTION sketch operators under the same names so
+    * BENCH numbers describe what a user would actually run at 100 TB;
+    * Verify/the oracle keep consulting [[queries]] alone. */
+  def benchOverrides: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.AnalyticsQueries.benchOverrides
 }

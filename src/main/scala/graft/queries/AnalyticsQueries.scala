@@ -422,6 +422,13 @@ object AnalyticsQueries {
     "emb_centroids" -> (embCentroids _),
   )
 
+  /** Bench measures the production sketch operators, not the
+    * exact-computing tolerance gates (see SparkEntry.benchOverrides). */
+  val benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_table_stats_approx" -> (s15TableStatsApprox _),
+    "a4_percentiles_approx" -> (a4PercentilesApprox _),
+  )
+
   val oracleSql: Map[String, String] = Map(
     "s15_table_stats" -> s15TableStatsSql,
     "s15_table_stats_approx" -> s15TableStatsApproxGateSql,

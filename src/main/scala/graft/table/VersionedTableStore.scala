@@ -23,11 +23,13 @@ class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
   * }}}
   *
   * Commit protocol (optimistic, lock-free):
-  *  1. read the current manifest (highest COMPLETE commit file);
+  *  1. allocate the next version: 1 + the highest commit-file OR
+  *     tombstone number (live, debris, or expired -- version numbers
+  *     are NEVER reused, see below);
   *  2. write new data files to a fresh uuid-suffixed dir under
   *     `_data/` -- concurrent writers never collide on data paths;
   *  3. compare-and-swap the pointer: atomically create commit file
-  *     `c{v+1}` (create-no-overwrite -- a conditional put on object
+  *     `c{v}` (create-no-overwrite -- a conditional put on object
   *     stores, O_EXCL on HDFS/posix). Exactly one writer wins; the
   *     loser gets [[ConcurrentWriteException]] and its orphaned data
   *     dir is removed.
@@ -35,6 +37,21 @@ class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
   * the OLD pointer intact; a crash mid-(3) leaves a truncated
   * manifest, which readers skip (manifests must end with their
   * `end` marker line to be live).
+  *
+  * Version numbers are burned, never reused: a truncated `c{v}` is a
+  * dead writer's debris -- it stays in place (no writer ever deletes
+  * or moves a commit-path file another writer might own, which would
+  * reopen a delete/recreate race) and the allocator simply skips past
+  * it. Expiry reclaims debris once it falls below the floor.
+  *
+  * Expiry is floor-monotonic: [[expireSnapshots]] RENAMES expired
+  * commit files to tombstones (`x{v}`, atomic) rather than deleting
+  * them, so the highest tombstone is a persistent high-water mark.
+  * [[casManifest]] rejects any version <= that floor, and after a
+  * successful create verify-reads its own file and re-checks the
+  * floor -- a writer whose staging window spanned a whole retention
+  * cycle gets [[ConcurrentWriteException]], never a silently
+  * invisible commit.
   *
   * Partition-local commits ([[overwritePartitions]]) write ONLY the
   * touched partitions' files; the new manifest maps untouched
@@ -56,11 +73,13 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
   private def commitsPath(name: String) = new Path(s"${path(name)}/_commits")
   private def dataRoot(name: String) = s"${path(name)}/_data"
 
-  /** One snapshot: the table version, its partition columns, and the
-    * (partition rel-path -> immutable data dir) mapping; rel-path "."
-    * for unpartitioned tables. */
+  /** One snapshot: the table version, its partition columns, the
+    * (partition rel-path -> immutable data dir) mapping (rel-path "."
+    * for unpartitioned tables), and the table schema as DDL -- so an
+    * empty commit (zero-row daily batch) stays readable with the
+    * right columns instead of bricking the head. */
   private[table] case class Manifest(version: Long, partitionBy: Seq[String],
-      mapping: Seq[(String, String)])
+      mapping: Seq[(String, String)], schemaDDL: String = "")
 
   private val Header = "graft-manifest-v1"
   private val End = "end"
@@ -69,7 +88,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     val entries = m.mapping.sortBy(_._1)
       .map { case (rel, d) => s"dir\t$d\t$rel" }
     (Seq(Header, s"version=${m.version}",
-      s"partitionBy=${m.partitionBy.mkString(",")}") ++ entries :+ End)
+      s"partitionBy=${m.partitionBy.mkString(",")}",
+      s"schema=${m.schemaDDL}") ++ entries :+ End)
       .mkString("\n")
   }
 
@@ -90,22 +110,62 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       val pby = fields("partitionBy") match {
         case "" => Nil; case s => s.split(",").toSeq
       }
-      Some(Manifest(fields("version").toLong, pby, mapping))
+      Some(Manifest(fields("version").toLong, pby, mapping,
+        fields.getOrElse("schema", "")))
     } else None
   }
 
   private def commitFile(name: String, v: Long) =
     new Path(commitsPath(name), f"c$v%08d")
 
-  private def readManifest(p: Path): Option[Manifest] = {
-    val in = fs.open(p)
+  /** Expiry tombstone for version v: the persistent floor marker an
+    * expired commit file is renamed to. */
+  private def tombstoneFile(name: String, v: Long) =
+    new Path(commitsPath(name), f"x$v%08d")
+
+  private def fileVersion(p: Path): Long = p.getName.drop(1).toLong
+
+  /** Raw manifest bytes (None if the file vanished underneath us --
+    * the concurrent-expiry signal casManifest's verify-read needs). */
+  private def readText(p: Path): Option[String] =
     try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      Iterator.continually(in.read(buf)).takeWhile(_ > 0)
-        .foreach(n => bytes.write(buf, 0, n))
-      parse(new String(bytes.toByteArray, "UTF-8"))
-    } finally in.close()
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        Iterator.continually(in.read(buf)).takeWhile(_ > 0)
+          .foreach(n => bytes.write(buf, 0, n))
+        Some(new String(bytes.toByteArray, "UTF-8"))
+      } finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  private def readManifest(p: Path): Option[Manifest] =
+    readText(p).flatMap(parse)
+
+  /** The expiry floor: the highest tombstoned version (0 if none).
+    * Monotonic -- tombstones are never removed -- so "version <=
+    * floor" is a durable verdict, not a racy observation. */
+  private def expiryFloor(name: String): Long = {
+    val dir = commitsPath(name)
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.matches("x\\d{8}"))
+      .map(st => fileVersion(st.getPath))
+      .maxOption.getOrElse(0L)
+  }
+
+  /** Next commit version: past every commit-path file ever created --
+    * live commits, dead writers' debris, AND expiry tombstones -- so
+    * a version number, once allocated, is never reallocated. */
+  private def nextVersion(name: String): Long = {
+    val dir = commitsPath(name)
+    val maxSeen =
+      if (!fs.exists(dir)) 0L
+      else fs.listStatus(dir).toSeq
+        .filter(_.getPath.getName.matches("[cx]\\d{8}"))
+        .map(st => fileVersion(st.getPath))
+        .maxOption.getOrElse(0L)
+    maxSeen + 1
   }
 
   /** All live snapshot versions, ascending. */
@@ -159,13 +219,27 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     * per distinct data dir (basePath keeps hive partition-column
     * recovery), unioned by name. Delta chains stay short because
     * full commits and [[compact]] collapse them; a scan never fans
-    * wider than the number of retained delta commits. */
+    * wider than the number of retained delta commits.
+    *
+    * The manifest's stored schema is passed to the reader explicitly:
+    * no footer-inference job, and a zero-file data dir (an empty
+    * commit) reads as an empty relation instead of failing inference.
+    * An empty MAPPING (empty partitioned commit -- hive layout writes
+    * no partition dirs at all) short-circuits to an empty DataFrame
+    * with the committed schema. */
   private def load(name: String, m: Manifest): DataFrame = {
+    val schema = Option(m.schemaDDL).filter(_.nonEmpty)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+    if (m.mapping.isEmpty)
+      return schema.map(s => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+        .getOrElse(spark.emptyDataFrame)
     val groups = m.mapping.groupBy(_._2).toSeq.sortBy(_._1)
     val parts = groups.map { case (d, entries) =>
       val base = s"${dataRoot(name)}/$d"
-      if (m.partitionBy.isEmpty) spark.read.parquet(base)
-      else spark.read.option("basePath", base)
+      val reader = schema.fold(spark.read)(spark.read.schema)
+      if (m.partitionBy.isEmpty) reader.parquet(base)
+      else reader.option("basePath", base)
         .parquet(entries.map { case (rel, _) => s"$base/$rel" }: _*)
     }
     parts.reduce(_.unionByName(_))
@@ -173,31 +247,49 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
 
   /** The pointer swap: create-no-overwrite of the commit file (the
     * conditional-put primitive). Exactly one writer creates `c{v}`;
-    * losers throw [[ConcurrentWriteException]], never overwrite.
+    * losers throw [[ConcurrentWriteException]], never overwrite --
+    * and never delete or move an existing commit-path file, live OR
+    * debris: a delete-then-recreate recovery has an unfixable TOCTOU
+    * (two losers both observe debris; the second deletes the first's
+    * freshly committed manifest). Debris burns its version number;
+    * the allocator skips past it and expiry reclaims it later.
     *
-    * Recovery: if the existing `c{v}` is NOT a live manifest (no
-    * `end` marker -- a writer died mid-write), it is debris, not a
-    * commit; reclaim it and retry once so one crash can't wedge the
-    * version counter forever. A live manifest is never deleted. */
+    * Three guards close the stale-writer races:
+    *  - pre-check: versions at or below the expiry floor are rejected
+    *    before create (an expired `c{v}` no longer exists, so create
+    *    alone would "succeed" -- invisibly below the current head);
+    *  - verify-read: after create, the file must read back byte-equal
+    *    (concurrent expiry may reclaim a mid-write file it took for
+    *    debris -- the writer must not report success);
+    *  - floor re-check: if expiry advanced the floor past our version
+    *    between pre-check and create, the commit is below-head and
+    *    unreachable -- self-delete (provably still ours: verify-read
+    *    just matched) and throw. */
   private[table] def casManifest(name: String, m: Manifest): Unit = {
     fs.mkdirs(commitsPath(name))
+    if (m.version <= expiryFloor(name))
+      throw new ConcurrentWriteException(
+        s"$name snapshot ${m.version} is at or below the expiry floor; " +
+          "the observed parent was expired while this commit was staged")
     val p = commitFile(name, m.version)
-    def tryCreate(): Boolean =
-      try {
-        val out = fs.create(p, false)
-        try out.write(serialize(m).getBytes("UTF-8")) finally out.close()
-        true
-      } catch {
-        case _: FileAlreadyExistsException |
-             _: org.apache.hadoop.fs.PathExistsException => false
-      }
-    var won = tryCreate()
-    if (!won && fs.exists(p) && readManifest(p).isEmpty) {
-      fs.delete(p, false)
-      won = tryCreate()
+    val payload = serialize(m)
+    try {
+      val out = fs.create(p, false)
+      try out.write(payload.getBytes("UTF-8")) finally out.close()
+    } catch {
+      case _: FileAlreadyExistsException |
+           _: org.apache.hadoop.fs.PathExistsException =>
+        throw new ConcurrentWriteException(
+          s"$name snapshot ${m.version} was committed (or burned) by another writer")
     }
-    if (!won) throw new ConcurrentWriteException(
-      s"$name snapshot ${m.version} was committed by another writer")
+    if (!readText(p).contains(payload))
+      throw new ConcurrentWriteException(
+        s"$name snapshot ${m.version} was reclaimed by concurrent expiry mid-write")
+    if (m.version <= expiryFloor(name)) {
+      fs.delete(p, false)
+      throw new ConcurrentWriteException(
+        s"$name snapshot ${m.version} fell below the expiry floor before commit")
+    }
   }
 
   /** Test seam: runs after data files are staged, before the manifest
@@ -238,7 +330,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         s"$name is partitioned by ${m.partitionBy}, got $partitionBy" +
           " (repartitioning a table requires a new table name)")
     }
-    val v = parent.map(_.version + 1).getOrElse(1L)
+    val v = nextVersion(name)
     val dirId = freshDataDir(name, v)
     writeData(df, name, dirId, partitionBy)
     val written: Seq[(String, String)] =
@@ -251,7 +343,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         parent.get.mapping.filterNot { case (rel, _) => overridden(rel) } ++ written
       } else written
     beforeSwap(name, v)
-    try casManifest(name, Manifest(v, partitionBy, mapping))
+    try casManifest(name, Manifest(v, partitionBy, mapping, df.schema.toDDL))
     catch { case e: ConcurrentWriteException =>
       fs.delete(new Path(s"${dataRoot(name)}/$dirId"), true); throw e
     }
@@ -279,8 +371,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
   def rollbackTo(name: String, v: Long): Long = {
     val target = manifestAt(name, v).getOrElse(throw new NoSuchElementException(
       s"$name has no live snapshot $v to roll back to"))
-    val head = currentVersion(name)
-    val next = Manifest(head + 1, target.partitionBy, target.mapping)
+    val next = Manifest(nextVersion(name), target.partitionBy, target.mapping,
+      target.schemaDDL)
     casManifest(name, next)
     expireSnapshots(name)
     next.version
@@ -295,29 +387,41 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     commitFull(read(name).localCheckpoint(true), name, m.partitionBy)
   }
 
-  /** Drop snapshots beyond the last `keepSnapshots` and delete data
-    * dirs no retained snapshot references. Never touches dirs younger
-    * than the expired versions, so an in-flight writer's staged (not
-    * yet committed) data is safe. */
+  /** Drop LIVE snapshots beyond the last `keepSnapshots` and delete
+    * data dirs no retained snapshot references. Retention counts live
+    * manifests only -- debris (truncated manifests) must not displace
+    * a real snapshot out of the window. Expired commit files are
+    * RENAMED to tombstones (`x{v}`), not deleted: the tombstones are
+    * the monotonic floor casManifest checks, and the renames land
+    * BEFORE any data-dir deletion so a concurrent stale writer is
+    * rejected before its observed files can vanish. Debris at or
+    * below the floor is provably dead (casManifest rejects those
+    * versions, and a writer mid-create there fails its verify-read)
+    * and is reclaimed; in-flight staged data dirs above the floor are
+    * never touched. */
   def expireSnapshots(name: String): Unit = {
     val dir = commitsPath(name)
     if (!fs.exists(dir)) return
     val commits = fs.listStatus(dir).toSeq
       .filter(_.getPath.getName.matches("c\\d{8}")).map(_.getPath)
       .sortBy(_.getName)
-    if (commits.size <= keepSnapshots) return
-    val (expired, retained) = commits.splitAt(commits.size - keepSnapshots)
-    val live = retained.flatMap(readManifest).flatMap(_.mapping.map(_._2)).toSet
-    val maxExpired = expired.map(_.getName.stripPrefix("c").toLong).max
-    val dRoot = new Path(dataRoot(name))
-    if (fs.exists(dRoot)) fs.listStatus(dRoot).toSeq.map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        !live(n) && n.matches("v\\d+-.*") &&
-          n.drop(1).takeWhile(_.isDigit).toLong <= maxExpired
-      }
-      .foreach(fs.delete(_, true))
-    expired.foreach(fs.delete(_, false))
+    val (live, debris) = commits.partition(p => readManifest(p).isDefined)
+    if (live.size > keepSnapshots) {
+      val (expired, retained) = live.splitAt(live.size - keepSnapshots)
+      val liveDirs = retained.flatMap(readManifest).flatMap(_.mapping.map(_._2)).toSet
+      expired.foreach(p => fs.rename(p, tombstoneFile(name, fileVersion(p))))
+      val maxExpired = expired.map(fileVersion).max
+      val dRoot = new Path(dataRoot(name))
+      if (fs.exists(dRoot)) fs.listStatus(dRoot).toSeq.map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          !liveDirs(n) && n.matches("v\\d+-.*") &&
+            n.drop(1).takeWhile(_.isDigit).toLong <= maxExpired
+        }
+        .foreach(fs.delete(_, true))
+    }
+    val floor = expiryFloor(name)
+    debris.filter(p => fileVersion(p) <= floor).foreach(fs.delete(_, false))
   }
 
   /** SQL surface: the current snapshot as a session temp view (a

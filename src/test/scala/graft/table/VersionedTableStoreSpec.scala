@@ -54,11 +54,14 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     out.close()
     assert(vs.currentVersion("t") === 1L)
     assert(rows(vs.read("t")) === Seq((1, "a")))
-    // and the next real commit reclaims the debris (a truncated
+    // the next real commit allocates PAST the debris: a truncated
     // manifest is a dead writer, not a commit -- it must not wedge
-    // the version counter)
-    assert(vs.commitFull(Seq((1, "b")).toDF("k", "v"), "t") === 2L)
+    // the version counter, and its number is burned, never reused
+    // (deleting debris to reuse the number is a delete/recreate
+    // TOCTOU between two recovering losers)
+    assert(vs.commitFull(Seq((1, "b")).toDF("k", "v"), "t") === 3L)
     assert(rows(vs.read("t")) === Seq((1, "b")))
+    assert(vs.versions("t") === Seq(1L, 3L))
   }
 
   test("manifest CAS: the second writer of a version fails loudly, data intact") {
@@ -157,6 +160,71 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     assert(p.versions("pt") === Seq(3L, 4L))
     // v1's dir is still referenced by the retained manifests (day=d1)
     assert(p.read("pt").count() === 4)
+  }
+
+  test("empty commit stays readable with the committed schema (no bricked head)") {
+    val vs = fresh()
+    val schema = Seq((1, "a", "d1")).toDF("k", "v", "day").schema
+    // unpartitioned: zero part-files, schema comes from the manifest
+    vs.commitFull(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), "t")
+    assert(vs.read("t").count() === 0L)
+    assert(vs.read("t").columns.toSeq === Seq("k", "v", "day"))
+    // partitioned: hive layout writes NO partition dirs at all -- the
+    // manifest mapping is empty, which must not throw on read
+    vs.commitFull(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      "pt", Seq("day"))
+    assert(vs.read("pt").count() === 0L)
+    assert(vs.read("pt").columns.toSeq === Seq("k", "v", "day"))
+    // a zero-row daily batch is a normal day: the table keeps working
+    vs.commitFull(Seq((1, "a", "d1")).toDF("k", "v", "day"), "pt", Seq("day"))
+    assert(vs.read("pt").count() === 1L)
+    assert(vs.readVersion("pt", 1).count() === 0L)
+  }
+
+  test("expiry floor: a stale writer cannot reuse an expired version number") {
+    val vs = fresh(keep = 2)
+    (1 to 5).foreach(i => vs.commitFull(Seq((i, s"v$i")).toDF("k", "v"), "t"))
+    assert(vs.versions("t") === Seq(4L, 5L))
+    // a writer that staged against the long-gone v1 head tries to
+    // commit version 2: the tombstone floor (x-files survive expiry)
+    // must reject it -- create-no-overwrite alone would "succeed"
+    // since c00000002 was expired, landing an invisible commit
+    val e = intercept[ConcurrentWriteException] {
+      vs.casManifest("t", vs.Manifest(2, Nil, vs.versionsMapping("t")))
+    }
+    assert(e.getMessage.contains("expiry floor"))
+    assert(vs.currentVersion("t") === 5L)
+    // and the allocator never hands out a burned number: next commit
+    // goes past both live commits and tombstones
+    assert(vs.commitFull(Seq((6, "v6")).toDF("k", "v"), "t") === 6L)
+  }
+
+  test("retention counts live snapshots only: debris cannot displace a real one") {
+    val vs = fresh(keep = 3)
+    (1 to 3).foreach(i => vs.commitFull(Seq((i, s"v$i")).toDF("k", "v"), "t"))
+    val fs = new Path(vs.root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // two dead writers' truncated manifests land in the window
+    Seq(4L, 5L).foreach { v =>
+      val out = fs.create(new Path(f"${vs.path("t")}/_commits/c$v%08d"), false)
+      out.write("graft-manifest-v1\nversion=".getBytes("UTF-8")); out.close()
+    }
+    // with debris counted, commits.size=5 > keep=3 would expire v1+v2;
+    // live-only retention keeps all three real snapshots
+    vs.expireSnapshots("t")
+    assert(vs.versions("t") === Seq(1L, 2L, 3L))
+    assert(rows(vs.readVersion("t", 1)) === Seq((1, "v1")))
+    // once the floor passes the debris versions (expiring live v6
+    // tombstones x6 > 5), the sub-floor debris is reclaimed (it can
+    // never become live)
+    (6 to 9).foreach(i => vs.commitFull(Seq((i, s"v$i")).toDF("k", "v"), "t"))
+    assert(vs.versions("t") === Seq(7L, 8L, 9L))
+    val names = fs.listStatus(new Path(s"${vs.path("t")}/_commits"))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(!names.exists(n => n == "c00000004" || n == "c00000005"),
+      s"sub-floor debris survived: $names")
   }
 
   test("compact collapses a delta chain into one data dir, same contents") {
