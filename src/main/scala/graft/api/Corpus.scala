@@ -50,12 +50,22 @@ object Corpus {
     *    COMPONENT id, so every surviving doc's near-dups (had they
     *    survived) would share its split -- no train/test leakage.
     *
+    * `containmentThreshold = Some(t)` unions the CONTAINMENT pair
+    * graph ([[Dedup.containmentPairs]]) into the cluster edges before
+    * component assignment: a small document embedded inside a larger
+    * one scores low on symmetric Jaccard (MinHash misses it by
+    * design), so without this stage sub-document duplicates survive
+    * corpus prep. Both pair generators are bucketed equi-joins over
+    * the same materialized survivor table -- the union adds edges,
+    * not a new corpus scan shape.
+    *
     * Stage order matters at scale: the cheap narrow quality pass
     * shrinks the corpus before the (comparatively) expensive LSH
     * join; exact dedup before near-dup halves the pair-graph size on
     * crawl-style corpora. */
   def prepare(docs: DataFrame, id: Column, text: Column,
-      t: QualityThresholds = QualityThresholds()): DataFrame = {
+      t: QualityThresholds = QualityThresholds(),
+      containmentThreshold: Option[Double] = None): DataFrame = {
     val base = docs.select(id.as("doc_id"), text.as("text"))
     // 1. quality gate (anti-join on the reject list: one narrow pass)
     val rejects = qualityRejects(base, col("doc_id"), col("text"), t)
@@ -70,9 +80,15 @@ object Corpus {
     val exact = DedupOps.materializeOnce(
       keyed.join(exactSurvivors, Seq("content_key", "doc_id"), "left_semi"))
     // 3. near-dup cluster dedup: min id per connected component of
-    //    the MinHash near-dup pair graph
-    val pairs = Dedup.minhashPairs(exact, col("doc_id"), col("text"))
+    //    the MinHash near-dup pair graph (plus, optionally, the
+    //    containment pair graph -- sub-document duplicates)
+    val minhash = Dedup.minhashPairs(exact, col("doc_id"), col("text"))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val pairs = containmentThreshold.fold(minhash) { th =>
+      minhash.unionByName(
+        Dedup.containmentPairs(exact, col("doc_id"), col("text"), th)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    }
     val comps = Dedup.connectedComponents(
       exact.select(col("doc_id").as("id")), pairs)
     val withComp = exact.join(comps, exact("doc_id") === comps("id"))
@@ -89,15 +105,21 @@ object Corpus {
 
   /** DuckDB twin of [[prepare]] at the default thresholds over the
     * driver's `documents` table -- the END-TO-END pipeline (quality
-    * gate, exact dedup, LSH pair graph, recursive-CTE connected
-    * components, split hashing) reproduced exactly for the oracle
-    * gate. */
-  val prepareSql: String = {
+    * gate, exact dedup, LSH pair graph, optional containment pair
+    * graph, recursive-CTE connected components, split hashing)
+    * reproduced exactly for the oracle gate. */
+  private def prepareSqlWith(containment: Boolean): String = {
     val t = TextOps.TokensSql
     val th = QualityThresholds()
-    val pairsSql = DedupOps.lshJaccardPairsSql(DedupOps.HashedTokensSql,
+    val minhashSql = DedupOps.lshJaccardPairsSql(DedupOps.HashedTokensSql,
       DedupOps.MinhashK, DedupOps.LshBandCount, DedupOps.LshRows,
       DedupOps.JaccardThreshold, "jaccard", from = "exact")
+    val pairsSql =
+      if (!containment) s"SELECT doc_a, doc_b FROM ($minhashSql) q"
+      else s"""SELECT doc_a, doc_b FROM ($minhashSql) q
+              UNION
+              SELECT doc_a, doc_b
+              FROM (${DedupOps.containmentPairsSql(from = "exact")}) cp"""
     val splitBucket =
       s"${Hashing.h15Sql("concat('split:', CAST(component AS VARCHAR))")} % 100"
     s"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
@@ -118,7 +140,7 @@ object Corpus {
        exact AS (SELECT k.doc_id, k.text, k.content_key FROM keyed k
          JOIN (SELECT content_key, min(doc_id) AS doc_id FROM keyed GROUP BY 1) sv
            ON k.content_key = sv.content_key AND k.doc_id = sv.doc_id),
-       pr AS (SELECT doc_a, doc_b FROM ($pairsSql) q),
+       pr AS ($pairsSql),
        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
                  UNION ALL SELECT doc_b, doc_a FROM pr),
        reach(doc, root) AS (
@@ -136,6 +158,11 @@ object Corpus {
               WHEN $splitBucket < 90 THEN 'val' ELSE 'test' END AS split
        FROM deduped"""
   }
+
+  val prepareSql: String = prepareSqlWith(containment = false)
+
+  /** Oracle twin of [[prepare]] with the containment stage on. */
+  val prepareContainmentSql: String = prepareSqlWith(containment = true)
 
   /** Per-stage corpus-loss accounting for a [[prepare]] run over the
     * same inputs: one row per stage with rows_in/rows_out. Runs the

@@ -413,7 +413,10 @@ object DedupOps {
     containmentPairs(Tables.documents(s, dir).select(col("doc_id"), col("text")),
       ContainmentThreshold)
 
-  val dedupContainmentSql: String = {
+  /** DuckDB twin of [[containmentPairs]], parameterized on the source
+    * relation so composite pipelines (Corpus.prepare) can run it over
+    * an upstream CTE. */
+  def containmentPairsSql(from: String): String = {
     val fpsSql =
       s"""CASE WHEN len($TokensSql) < 8 THEN [${h15Sql("text")}]
          ELSE list_sort(list_distinct(list_transform(
@@ -423,7 +426,7 @@ object DedupOps {
     val score = "round(CAST(len(list_intersect(fa.th, fb.th)) AS DOUBLE)" +
       " / least(len(fa.th), len(fb.th)), 4)"
     s"""WITH f AS (
-         SELECT doc_id, $fpsSql AS fps, $HashedTokensSql AS th FROM documents),
+         SELECT doc_id, $fpsSql AS fps, $HashedTokensSql AS th FROM $from),
        x AS (SELECT doc_id, unnest(fps) AS fp FROM f),
        cand AS (
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -433,6 +436,8 @@ object DedupOps {
                  JOIN f fb ON cand.doc_b = fb.doc_id
        WHERE $score >= $ContainmentThreshold"""
   }
+
+  val dedupContainmentSql: String = containmentPairsSql("documents")
 
   // ------------------------------------------------- near-dup clustering
 

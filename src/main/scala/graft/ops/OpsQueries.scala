@@ -37,6 +37,11 @@ object OpsQueries {
       graft.api.Corpus.prepare(graft.core.Tables.documents(s, dir),
         org.apache.spark.sql.functions.col("doc_id"),
         org.apache.spark.sql.functions.col("text"))),
+    "corpus_prepare_containment" -> ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+      graft.api.Corpus.prepare(graft.core.Tables.documents(s, dir),
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"),
+        containmentThreshold = Some(DedupOps.ContainmentThreshold))),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -66,5 +71,6 @@ object OpsQueries {
     "agg_topk_sketch" -> TextOps.topkTokensSketchSql,
     "emb_quantize_int8" -> SimilarityOps.embQuantizeInt8Sql,
     "corpus_prepare" -> graft.api.Corpus.prepareSql,
+    "corpus_prepare_containment" -> graft.api.Corpus.prepareContainmentSql,
   )
 }

@@ -59,6 +59,32 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("containment stage merges sub-document duplicates minhash misses") {
+    // doc 2 is doc 1's first paragraph verbatim; doc 1 adds enough
+    // distinct vocabulary that symmetric jaccard stays under the
+    // minhash threshold while containment(|A inter B| / min) = 1.0.
+    // doc 3 is unrelated. All pass the quality gates.
+    // sizes pick the sketch's high-recall regime: the contained doc
+    // holds ~half the container's winnow windows, so a bottom-6
+    // fingerprint collision is near-certain (recall ~1-(1/2)^6)
+    val small = (1 to 50).map(i => s"alpha$i beta$i").mkString(" ")
+    val tail = (1 to 30).map(i => s"unique$i filler$i extra$i").mkString(" ")
+    val d = Seq((1L, s"$small $tail"), (2L, small),
+      (3L, (1 to 40).map(i => s"other$i word$i").mkString(" ")))
+      .toDF("my_id", "body")
+    val plain = Corpus.prepare(d, col("my_id"), col("body"))
+    // minhash alone: the embedded doc SURVIVES (low symmetric jaccard)
+    assert(plain.select("doc_id").as[Long].collect().sorted === Array(1L, 2L, 3L))
+    val contained = Corpus.prepare(d, col("my_id"), col("body"),
+      containmentThreshold = Some(DedupOps.ContainmentThreshold))
+    // containment edges merge 1 and 2 into one component; min id wins
+    assert(contained.select("doc_id").as[Long].collect().sorted === Array(1L, 3L))
+    // leakage safety holds for the merged component too: survivor's
+    // split hashes the component id
+    assert(contained.filter(col("doc_id") === 1L)
+      .select("component").as[Long].head() === 1L)
+  }
+
   test("quality rejects name a reason and are disjoint from the output") {
     val rejects = Corpus.qualityRejects(docs, col("my_id"), col("body"))
     val out = Corpus.prepare(docs, col("my_id"), col("body"))
