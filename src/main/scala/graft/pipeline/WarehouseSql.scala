@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.table.TableStore
+import graft.table.{MergeSql, TableStore, WarehouseWrites}
 
 /** S14: the ad-hoc SQL read surface (SURVEY.md S2.1, S3.3) -- the
   * engine twin of the reference's Athena queries. Warehouse tables
@@ -26,4 +26,11 @@ object WarehouseSql {
   }
 
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
+
+  /** SQL-text MERGE: the reference's `spark.sql("MERGE INTO ...")`
+    * statements run verbatim against a graft store (see
+    * [[graft.table.MergeSql]] for the recognized grammar). */
+  def merge(store: WarehouseWrites, statement: String,
+      partitionBy: Seq[String] = Nil): Unit =
+    MergeSql.merge(store, statement, partitionBy)
 }

@@ -1,0 +1,128 @@
+package graft.table
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The SQL-text MERGE shim must accept the reference's statements
+  * VERBATIM (build_stock_fact_table.py:104-111 update-all;
+  * build_stock_dimensions.py:88-102 selective) and produce results
+  * identical to the UpsertWriter API path. */
+class MergeSqlSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh() = new TableStore(spark,
+    Files.createTempDirectory("graft-mergesql").toString)
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.head, cols.tail: _*).collect().map(_.toString).sorted.toSeq
+  }
+
+  test("reference update-all MERGE verbatim == upsertAll") {
+    val target = Seq(
+      ("AAPL", "2024-01-02", 100.0), ("MSFT", "2024-01-02", 200.0))
+      .toDF("stock_symbol", "trade_date", "close_price")
+    val batch = Seq(
+      ("AAPL", "2024-01-02", 101.5), ("NVDA", "2024-01-02", 300.0))
+      .toDF("stock_symbol", "trade_date", "close_price")
+
+    val viaSql = fresh()
+    viaSql.createOrReplace(target, "fact_stock_daily_price")
+    batch.createOrReplaceTempView("new_fact_data")
+    // the statement exactly as the reference's f-string renders it
+    // (glue_catalog-qualified table name and all)
+    MergeSql.merge(viaSql, """
+            MERGE INTO glue_catalog.stock_db.fact_stock_daily_price t
+            USING new_fact_data s
+            ON t.stock_symbol = s.stock_symbol AND t.trade_date = s.trade_date
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+
+    val viaApi = fresh()
+    viaApi.createOrReplace(target, "fact_stock_daily_price")
+    UpsertWriter.upsertAll(viaApi, "fact_stock_daily_price", batch,
+      Seq("stock_symbol", "trade_date"))
+
+    assert(sortedRows(viaSql.read("fact_stock_daily_price")) ===
+      sortedRows(viaApi.read("fact_stock_daily_price")))
+    assert(viaSql.read("fact_stock_daily_price").count() === 3)
+  }
+
+  test("reference selective MERGE verbatim == upsertSelective (first_seen preserved)") {
+    val target = Seq(
+      ("AAPL", "Apple Inc", "tech", "2023-05-01", "2024-01-01"),
+      ("MSFT", "Microsoft", "tech", "2023-06-01", "2024-01-01"))
+      .toDF("symbol", "company_name", "sector", "first_seen_date", "last_seen_date")
+    val batch = Seq(
+      ("AAPL", "Apple Inc.", "technology", "2024-01-02", "2024-01-02"),
+      ("NVDA", "NVIDIA", "technology", "2024-01-02", "2024-01-02"))
+      .toDF("symbol", "company_name", "sector", "first_seen_date", "last_seen_date")
+
+    val viaSql = fresh()
+    viaSql.createOrReplace(target, "dim_stock")
+    batch.createOrReplaceTempView("new_dim_stock")
+    MergeSql.merge(viaSql, """
+            MERGE INTO glue_catalog.stock_db.dim_stock t
+            USING new_dim_stock s
+            ON t.symbol = s.symbol
+            WHEN MATCHED THEN UPDATE SET
+                t.company_name = s.company_name,
+                t.sector = s.sector,
+                t.last_seen_date = s.last_seen_date
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+
+    val viaApi = fresh()
+    viaApi.createOrReplace(target, "dim_stock")
+    UpsertWriter.upsertSelective(viaApi, "dim_stock", batch,
+      Seq("symbol"), preserve = Seq("first_seen_date"))
+
+    assert(sortedRows(viaSql.read("dim_stock")) ===
+      sortedRows(viaApi.read("dim_stock")))
+    // the matched row kept its original first_seen_date but took the
+    // new mutable fields; the inserted row carries its own values
+    val aapl = viaSql.read("dim_stock").filter($"symbol" === "AAPL")
+      .select("company_name", "first_seen_date", "last_seen_date")
+      .as[(String, String, String)].head()
+    assert(aapl === (("Apple Inc.", "2023-05-01", "2024-01-02")))
+  }
+
+  test("MERGE through the versioned store commits a rollback-able snapshot") {
+    val root = Files.createTempDirectory("graft-mergesql-v").toString
+    val vs = new VersionedTableStore(spark, root)
+    vs.commitFull(Seq(("AAPL", 100.0)).toDF("symbol", "px"), "t")
+    Seq(("AAPL", 101.0), ("NVDA", 300.0)).toDF("symbol", "px")
+      .createOrReplaceTempView("merge_batch")
+    MergeSql.merge(vs, """MERGE INTO t USING merge_batch s ON t.symbol = s.symbol
+      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    assert(vs.read("t").count() === 2)
+    vs.rollbackTo("t", 1)
+    assert(vs.read("t").as[(String, Double)].collect().toSeq === Seq(("AAPL", 100.0)))
+  }
+
+  test("statements outside the MERGE grammar fail loudly, naming the construct") {
+    val vs = fresh()
+    val bad1 = intercept[IllegalArgumentException] {
+      MergeSql.parse("""MERGE INTO t USING s ON t.k = s.k
+        WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(bad1.getMessage.contains("unsupported MERGE"))
+    val bad2 = intercept[IllegalArgumentException] {
+      MergeSql.parse("""MERGE INTO t USING s ON t.k < s.k
+        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(bad2.getMessage.contains("column equality"))
+    val bad3 = intercept[IllegalArgumentException] {
+      MergeSql.parse("""MERGE INTO t USING s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET t.v = s.v + 1
+        WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(bad3.getMessage.contains("SET assignment"))
+    assert(vs != null)
+  }
+}
