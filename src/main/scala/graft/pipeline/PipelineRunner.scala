@@ -4,7 +4,7 @@ import java.time.{Instant, LocalDate, ZoneOffset}
 
 import org.apache.spark.sql.SparkSession
 
-import graft.table.TableStore
+import graft.table.WarehouseWrites
 
 /** DAG-shaped orchestration (SURVEY.md S2.11) as a plain in-process
   * runner: the reference's Airflow DAG extract >> dims >> fact >>
@@ -15,12 +15,19 @@ import graft.table.TableStore
   *
   * The reference's process boundaries (Lambda, Glue polling, Athena)
   * collapse into function calls; the only boundaries left are Spark
-  * shuffles and TableStore commits -- which is the point of the
+  * shuffles and warehouse commits -- which is the point of the
   * Spark-native rebuild (SURVEY.md S3.1).
+  *
+  * The store is any [[WarehouseWrites]], kept at its concrete type:
+  * [[graft.table.TableStore]] gives the reference's destructive
+  * staged-swap warehouse; [[graft.table.VersionedTableStore]] makes
+  * every daily run a snapshot commit, so a bad day is one
+  * `rollbackTo` away (the reference's Iceberg recovery story,
+  * build_stock_fact_table.py:98-100).
   */
-class PipelineRunner(
+class PipelineRunner[S <: WarehouseWrites](
     spark: SparkSession,
-    val store: TableStore,
+    val store: S,
     rawRoot: String,
     symbols: Seq[String] = StarSchemaJobs.DefaultSymbols,
     clock: () => Instant = () => Instant.now(),

@@ -7,12 +7,16 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.model.Schemas
 import graft.sources.{DimSources, JsonlQuoteSource, QuoteGenerator}
-import graft.table.{TableStore, UpsertWriter}
+import graft.table.{UpsertWriter, WarehouseWrites}
 import graft.quality._
 
 /** The reference's three Glue transform jobs rebuilt as Spark-native
-  * functions over a [[TableStore]] (SURVEY.md S2, S3.1):
+  * functions over any [[WarehouseWrites]] store (SURVEY.md S2, S3.1):
   * extract -> dimensions -> fact -> aggregations -> validation.
+  * With a [[graft.table.VersionedTableStore]] every table build below
+  * is a snapshot commit (time travel + rollback); with a
+  * [[graft.table.TableStore]] it is the reference's destructive
+  * staged swap.
   *
   * Determinism pins (SURVEY.md S7.5): surrogate keys are
   * xxhash64(natural key) not monotonically_increasing_id; OHLC
@@ -20,7 +24,7 @@ import graft.quality._
   * unordered first/last; dedup is latest-extraction-wins with a
   * symbol tiebreak.
   */
-class StarSchemaJobs(spark: SparkSession, store: TableStore, rawRoot: String) {
+class StarSchemaJobs(spark: SparkSession, store: WarehouseWrites, rawRoot: String) {
   import StarSchemaJobs._
 
   private val D = Schemas.Money

@@ -16,7 +16,7 @@ import graft.table.TableStore
 class PipelineSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
-  private def freshRunner(): PipelineRunner = {
+  private def freshRunner(): PipelineRunner[TableStore] = {
     val base = Files.createTempDirectory("graft-pipeline").toString
     new PipelineRunner(spark, new TableStore(spark, s"$base/warehouse"),
       rawRoot = s"$base/raw", symbols = Seq("AAPL", "MSFT", "GOOGL"),
@@ -48,6 +48,28 @@ class PipelineSpec extends AnyFunSuite {
     val firstSeen = store.read("dim_stock").select("first_seen_date")
       .distinct().collect().map(_.getString(0)).toSeq
     assert(firstSeen === Seq("2026-02-09"))
+  }
+
+  test("versioned store pipeline: daily runs commit snapshots; a bad day rolls back") {
+    val base = Files.createTempDirectory("graft-pipeline-v").toString
+    val vs = new graft.table.VersionedTableStore(spark, s"$base/warehouse")
+    val r = new PipelineRunner(spark, vs, rawRoot = s"$base/raw",
+      symbols = Seq("AAPL", "MSFT", "GOOGL"),
+      clock = () => Instant.parse("2026-02-10T02:00:00Z"))
+    r.runDaily("2026-02-09")
+    val goodFact = vs.currentVersion("fact_stock_daily_price")
+    assert(vs.read("fact_stock_daily_price").count() === 3)
+    r.runDaily("2026-02-10")
+    assert(vs.read("fact_stock_daily_price").count() === 6)
+    // day 2 turns out bad: one rollback restores day-1 state, and the
+    // bad snapshot stays inspectable (time travel)
+    val badFact = vs.currentVersion("fact_stock_daily_price")
+    vs.rollbackTo("fact_stock_daily_price", goodFact)
+    assert(vs.read("fact_stock_daily_price").count() === 3)
+    assert(vs.readVersion("fact_stock_daily_price", badFact).count() === 6)
+    // validation is green on the restored day-1 state
+    val results = r.jobs.validate(forDate = Some("2026-02-09"))
+    assert(results.nonEmpty && results.forall(_.passed))
   }
 
   test("duplicate extraction within a day: latest extraction wins (W1)") {
