@@ -71,6 +71,21 @@ object Dedup {
     DedupOps.containmentPairs(
       docs.select(id.as("doc_id"), text.as("text")), threshold)
 
+  /** Embedding near-dup pairs via sign-LSH buckets (the scale path):
+    * candidates agree on every hyperplane sign, exact cosine verified
+    * inside the join condition. Size `planes` (2^planes buckets) and
+    * `dims` (embedding width) to the deployment; the defaults match
+    * the driver's 64-dim test tables. */
+  def embedLshPairs(vectors: DataFrame, id: Column, vec: Column,
+      threshold: Double = DedupOps.EmbedLshThreshold,
+      planes: Int = graft.ops.SimilarityOps.LshPlanes,
+      dims: Int = graft.ops.SimilarityOps.PlaneDims): DataFrame =
+    DedupOps.embedLshPairs(
+      vectors.repartition(DedupOps.JoinParallelism)
+        .select(id.as("vec_id"),
+          org.apache.spark.sql.functions.transform(vec, x => x.cast("double")).as("v")),
+      threshold, planes, dims)
+
   /** Connected components over an arbitrary undirected edge list:
     * (id, component) with component = min id of the component --
     * compose with any of the pair generators for cluster-level

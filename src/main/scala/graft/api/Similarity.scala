@@ -46,13 +46,17 @@ object Similarity {
 
   /** ANN via sign-LSH: probe only each query's hyperplane-sign
     * bucket, exact re-rank inside it. At scale, hash-partition the
-    * corpus by bucket id so a probe reads one partition. */
+    * corpus by bucket id so a probe reads one partition, and size
+    * `planes` to the corpus (2^planes buckets) and `dims` to the
+    * embedding width. */
   def annSignLsh(corpus: DataFrame, id: Column, vec: Column,
-      queries: DataFrame, qid: Column, qvec: Column, k: Int = 10): DataFrame = {
+      queries: DataFrame, qid: Column, qvec: Column, k: Int = 10,
+      planes: Int = SimilarityOps.LshPlanes,
+      dims: Int = SimilarityOps.PlaneDims): DataFrame = {
     val c = prepared(corpus, id, vec)
-      .withColumn("bucket", SimilarityOps.signBucket(col("v")))
+      .withColumn("bucket", SimilarityOps.signBucket(col("v"), planes, dims))
     val q = prepared(queries, qid, qvec)
-      .withColumn("bucket", SimilarityOps.signBucket(col("v")))
+      .withColumn("bucket", SimilarityOps.signBucket(col("v"), planes, dims))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("bucket"))
     rank(broadcast(q).join(c, Seq("bucket"))
@@ -70,14 +74,16 @@ object Similarity {
     * candidate pair and no DISTINCT is needed. */
   def annMultiProbe(corpus: DataFrame, id: Column, vec: Column,
       queries: DataFrame, qid: Column, qvec: Column,
-      extraProbes: Int = 2, k: Int = 10): DataFrame = {
-    val b = SimilarityOps.LshPlanes
+      extraProbes: Int = 2, k: Int = 10,
+      planes: Int = SimilarityOps.LshPlanes,
+      dims: Int = SimilarityOps.PlaneDims): DataFrame = {
+    val b = planes
     require(extraProbes >= 0 && extraProbes < b)
     val c = prepared(corpus, id, vec)
-      .withColumn("bucket", SimilarityOps.signBucket(col("v")))
+      .withColumn("bucket", SimilarityOps.signBucket(col("v"), planes, dims))
     val qm = prepared(queries, qid, qvec)
-      .withColumn("margins", SimilarityOps.planeMargins(col("v")))
-      .withColumn("bucket", SimilarityOps.bucketFromMargins(col("margins")))
+      .withColumn("margins", SimilarityOps.planeMargins(col("v"), planes, dims))
+      .withColumn("bucket", SimilarityOps.bucketFromMargins(col("margins"), planes))
     // flip order: planes by (|margin| asc, plane idx asc); flipping
     // plane p toggles bit p of the bucket id
     val bitOf = (p: Column) => element_at(

@@ -619,22 +619,32 @@ object DedupOps {
     * straddling a hyperplane are missed) -- raise LshPlanes bits or
     * add multi-probe for tighter recall, exactly as in
     * [[SimilarityOps]]. */
-  def dedupEmbedLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).repartition(JoinParallelism)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-    val bucketed = e.select(col("vec_id"), col("v"),
+  /** Parameterized core of the embedding-LSH dedup: `vectors` is a
+    * (vec_id, v: array<double>) projection; `planes`/`dims` size the
+    * bucket space to the deployment (2^planes buckets over
+    * `dims`-wide embeddings) instead of pinning the test-table
+    * defaults. */
+  private[graft] def embedLshPairs(vectors: DataFrame, threshold: Double,
+      planes: Int, dims: Int): DataFrame = {
+    val bucketed = vectors.select(col("vec_id"), col("v"),
       sqrt(SimilarityOps.dot(col("v"), col("v"))).as("nrm"),
-      SimilarityOps.signBucket(col("v")).as("bucket"))
+      SimilarityOps.signBucket(col("v"), planes, dims).as("bucket"))
     val a = bucketed.select(col("bucket"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("vec_b"),
       col("v").as("vb"), col("nrm").as("nb"))
     val cosine = round(SimilarityOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
     a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b") &&
-        cosine >= EmbedLshThreshold)
+        cosine >= threshold)
       .select(col("bucket"), col("vec_a"), col("vec_b"), cosine.as("cosine"))
   }
+
+  def dedupEmbedLsh(s: SparkSession, dir: String): DataFrame =
+    embedLshPairs(
+      Tables.embeddings(s, dir).repartition(JoinParallelism)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v")),
+      EmbedLshThreshold, SimilarityOps.LshPlanes, SimilarityOps.PlaneDims)
 
   val dedupEmbedLshSql: String =
     s"""WITH e AS (

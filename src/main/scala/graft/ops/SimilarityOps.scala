@@ -61,44 +61,49 @@ object SimilarityOps {
 
   // ------------------------------------------------------------- sign-LSH
 
+  /** Default hyperplane count: 16 buckets, right for the test-scale
+    * tables. At corpus scale pass a deployment-sized `planes` to the
+    * parameterized entries below (recall/selectivity trade: each
+    * extra plane halves the expected bucket occupancy). */
   val LshPlanes = 4
 
-  /** Embedding dimensionality of the driver's tables; plane literals
-    * are generated to this width (extra dims would need a wider
-    * constant -- parameterize per deployment). */
+  /** Default embedding dimensionality (the driver's tables); plane
+    * literals are generated to the `dims` each call site passes. */
   val PlaneDims = 64
 
   /** The +-1 hyperplane component for plane p, dimension j, derived
     * from the shared hash family (bit 0 of h15("plane:p:j")) --
     * computed driver-side and embedded as an array literal, so the
-    * per-row work is one native dot product instead of 64 interpreted
-    * md5 calls per plane. */
-  private def planeSigns(p: Int): Seq[Double] =
-    (0 until PlaneDims).map(j =>
+    * per-row work is one native dot product instead of `dims`
+    * interpreted md5 calls per plane. */
+  private def planeSigns(p: Int, dims: Int): Seq[Double] =
+    (0 until dims).map(j =>
       if ((h15Local(s"plane:$p:$j") & 1L) == 1L) 1.0 else -1.0)
 
   private def planeSignSql(p: Int): String =
     s"CASE WHEN ${h15Sql(s"concat('plane:$p:', CAST(j - 1 AS VARCHAR))")} & 1 = 1 THEN 1.0 ELSE -1.0 END"
 
   /** Per-plane margins (signed dot products with each +-1
-    * hyperplane) as a length-[[LshPlanes]] array -- the quantity
+    * hyperplane) as a length-`planes` array -- the quantity
     * multi-probe ordering needs. */
-  def planeMargins(v: Column): Column =
-    array((0 until LshPlanes).map { p =>
-      graft.functions.ArrayExprs.dot(v, array(planeSigns(p).map(lit): _*))
+  def planeMargins(v: Column, planes: Int = LshPlanes,
+      dims: Int = PlaneDims): Column =
+    array((0 until planes).map { p =>
+      graft.functions.ArrayExprs.dot(v, array(planeSigns(p, dims).map(lit): _*))
     }: _*)
 
   /** Bucket id from a margins array: bit p set iff margin p > 0. */
-  def bucketFromMargins(margins: Column): Column =
-    (0 until LshPlanes).map { p =>
+  def bucketFromMargins(margins: Column, planes: Int = LshPlanes): Column =
+    (0 until planes).map { p =>
       when(element_at(margins, p + 1) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** b-bit sign-LSH bucket id of a double-array column: bit p set iff
     * the dot product with +-1 hyperplane p is positive. */
-  def signBucket(v: Column): Column =
-    (0 until LshPlanes).map { p =>
-      val plane = array(planeSigns(p).map(lit): _*)
+  def signBucket(v: Column, planes: Int = LshPlanes,
+      dims: Int = PlaneDims): Column =
+    (0 until planes).map { p =>
+      val plane = array(planeSigns(p, dims).map(lit): _*)
       when(graft.functions.ArrayExprs.dot(v, plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 

@@ -57,6 +57,46 @@ class ApiParitySpec extends AnyFunSuite {
     assert(rows(api) === rows(SimilarityOps.annIvf(spark, dir)))
   }
 
+  test("LSH knobs parameterize: 16-dim embeddings, 6 planes (64 buckets)") {
+    import spark.implicits._
+    // a non-default deployment shape: 16-dim vectors (slice of the
+    // test embeddings), 6 hyperplanes instead of 4
+    val e16 = emb.select(col("eid"), slice(col("e"), 1, 16).as("e"))
+    val q = e16.filter(col("eid") < SimilarityOps.NumQueries)
+    val lsh = Similarity.annSignLsh(e16, col("eid"), col("e"),
+      q, col("eid"), col("e"), k = 10, planes = 6, dims = 16)
+    assert(lsh.count() > 0)
+    // every LSH hit's cosine is the EXACT cosine: compare against the
+    // brute-force ranking of the same pairs
+    val n = e16.count().toInt
+    val exact = Similarity.cosineTopK(e16, col("eid"), col("e"),
+      q, col("eid"), col("e"), k = n)
+      .select("query_id", "match_id", "cosine").as[(Long, Long, Double)]
+      .collect().map { case (a, b, c) => (a, b) -> c }.toMap
+    lsh.select("query_id", "match_id", "cosine").as[(Long, Long, Double)]
+      .collect().foreach { case (a, b, c) => assert(exact((a, b)) === c) }
+    // multi-probe at the same knobs dominates single-probe recall
+    val mp = Similarity.annMultiProbe(e16, col("eid"), col("e"),
+      q, col("eid"), col("e"), extraProbes = 2, k = 10, planes = 6, dims = 16)
+    def byRank(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "cosine").as[(Long, Int, Double)]
+        .collect().map { case (qid2, r, c) => (qid2, r) -> c }.toMap
+    val m = byRank(mp); val s = byRank(lsh)
+    s.foreach { case (key, c) => assert(m.getOrElse(key, Double.MinValue) >= c) }
+    // and the dedup facade takes the same knobs: pairs are unique,
+    // ordered, above threshold, with exact verified cosines
+    val pairs = Dedup.embedLshPairs(e16, col("eid"), col("e"),
+      threshold = 0.3, planes = 6, dims = 16)
+      .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, c) =>
+      assert(a < b); assert(c >= 0.3)
+      // symmetric pair exists in the exact map when a is a query id
+      if (a < SimilarityOps.NumQueries) assert(exact((a, b)) === c)
+    }
+    assert(pairs.map(p => (p._1, p._2)).distinct.length === pairs.length)
+  }
+
   test("quantizeInt8 matches the table-bound query") {
     val api = Similarity.quantizeInt8(emb, col("eid"), col("e"))
     assert(rows(api) === rows(SimilarityOps.embQuantizeInt8(spark, dir)))
