@@ -33,4 +33,28 @@ object JsonlQuoteSource {
       .schema(Schemas.rawQuote.add("date", "string"))
       .option("basePath", root)
       .json(s"$root/date=*")
+
+  /** Raw-zone retention: delete `date=` partition dirs strictly older
+    * than `asOf - keepDays` -- the engine op for the reference's S3
+    * lifecycle rule (terraform/modules/s3/main.tf:35-75, raw zone
+    * expires at 90 days). Purely a directory-name comparison (ISO
+    * dates sort lexically), no data scan; non-partition files and
+    * malformed dir names are never touched. Returns the expired
+    * dates. `asOf` is injectable so pipelines with a frozen clock
+    * stay deterministic. */
+  def expire(spark: SparkSession, root: String, keepDays: Int,
+      asOf: java.time.LocalDate = java.time.LocalDate.now()): Seq[String] = {
+    require(keepDays >= 0, "keepDays must be >= 0")
+    val cutoff = asOf.minusDays(keepDays.toLong).toString
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Nil
+    fs.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.matches("date=\\d{4}-\\d{2}-\\d{2}"))
+      .map(_.getPath)
+      .filter(_.getName.stripPrefix("date=") < cutoff)
+      .sortBy(_.getName)
+      .map { p => fs.delete(p, true); p.getName.stripPrefix("date=") }
+  }
 }
