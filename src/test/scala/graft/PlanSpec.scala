@@ -71,6 +71,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toString.contains("ExistingRDD"))
   }
 
+  test("benched approx stats is the one-scan HLL plan, not the exact-distinct Expand") {
+    // the ORACLE entry is the tolerance gate (computes exact NDV too:
+    // multi-column exact distinct = Expand, input x ncols+1, full
+    // shuffle); the BENCH override must be the production sketch --
+    // one narrow scan, map-side-combinable partials, no Expand
+    val prod = plan(SparkEntry.benchOverrides("s15_table_stats_approx")(spark, dir))
+    assert(!collectAll(prod)
+        .exists(_.isInstanceOf[org.apache.spark.sql.execution.ExpandExec]),
+      "production approx stats plans an Expand (exact-distinct shape)")
+    assert(!prod.toString.contains("count(distinct"))
+    val gate = plan(SparkEntry.queries("s15_table_stats_approx")(spark, dir))
+    assert(collectAll(gate)
+        .exists(_.isInstanceOf[org.apache.spark.sql.execution.ExpandExec]),
+      "gate lost its exact twin (band check no longer guards the sketch)")
+  }
+
+  test("versioned store reads partition-prune through the manifest union fan") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-planspec-v").toString
+    val vs = new graft.table.VersionedTableStore(spark, root)
+    vs.commitFull(Seq((1, "a", "d1"), (2, "b", "d2")).toDF("k", "v", "day"),
+      "pt", Seq("day"))
+    vs.commitPartitions(Seq((3, "c", "d3")).toDF("k", "v", "day"), "pt", Seq("day"))
+    val filtered = vs.read("pt").filter($"day" === "d3")
+    val scans = collectAll(filtered.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.size === 2, "manifest fan should be one scan per data dir")
+    scans.foreach(s => assert(s.partitionFilters.exists(_.toString.contains("d3")),
+      s"scan lost the day partition filter: ${s.partitionFilters}"))
+    assert(filtered.count() === 1)
+  }
+
   test("the similarity query side joins as a broadcast, never shuffled") {
     val q = graft.core.Tables.embeddings(spark, dir)
       .selectExpr("vec_id AS id", "embedding AS e")
