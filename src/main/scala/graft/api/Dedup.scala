@@ -71,6 +71,18 @@ object Dedup {
     DedupOps.containmentPairs(
       docs.select(id.as("doc_id"), text.as("text")), threshold)
 
+  /** Benchmark decontamination: every corpus doc sharing >= 1 hashed
+    * `n`-gram with the benchmark (eval) docs, as (doc_id, n_hits).
+    * The benchmark reduces to its distinct gram set and broadcasts;
+    * published practice uses n=13 (the default here matches the
+    * short synthetic test docs -- size per deployment). */
+  def decontaminationHits(corpus: DataFrame, id: Column, text: Column,
+      benchmark: DataFrame, btext: Column,
+      n: Int = DedupOps.DecontaminationN): DataFrame =
+    DedupOps.decontaminationHits(
+      corpus.select(id.as("doc_id"), text.as("text")),
+      benchmark.select(btext.as("text")), n)
+
   /** Embedding near-dup pairs via sign-LSH buckets (the scale path):
     * candidates agree on every hyperplane sign, exact cosine verified
     * inside the join condition. Size `planes` (2^planes buckets) and

@@ -83,6 +83,11 @@ object Text {
   def repetition(docs: DataFrame, id: Column, text: Column): DataFrame =
     TextOps.repetitionOf(docs.select(id.as("doc_id"), text.as("text")))
 
+  /** PII scrub: email/IPv4 match counts + the redacted text (typed
+    * placeholder tags). One narrow regex projection pass. */
+  def piiScrub(docs: DataFrame, id: Column, text: Column): DataFrame =
+    TextOps.piiScrubOf(docs.select(id.as("doc_id"), text.as("text")))
+
   /** Corpus vocabulary top-k by frequency (deterministic tiebreak). */
   def vocabTopK(docs: DataFrame, text: Column, k: Int = 20): DataFrame =
     docs.select(explode(TextOps.tokens(text)).as("token"))

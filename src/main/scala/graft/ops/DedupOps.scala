@@ -348,6 +348,60 @@ object DedupOps {
     lshJaccardPairsSql(hashedShinglesSql(NgramN), MinhashK, NgramBandCount,
       NgramLshRows, NgramThreshold, "ngram_jaccard")
 
+  // ------------------------------------------------- decontamination
+
+  /** N-gram width for benchmark decontamination. Published practice
+    * uses 13-gram collision (GPT-3 appendix C); the synthetic test
+    * docs are short, so the default sits at 8 (the winnow window) --
+    * the facade takes `n` per deployment. */
+  val DecontaminationN = 8
+
+  /** Benchmark decontamination -- the training-data op that keeps
+    * eval integrity: flag every corpus document sharing at least one
+    * hashed n-gram with the benchmark (eval-set) documents, with the
+    * matching-gram count as evidence strength.
+    *
+    * Inputs are (doc_id, text) projections. Scale shape: the
+    * benchmark side reduces to its DISTINCT hashed n-gram set --
+    * eval suites are tiny next to a training corpus, so it
+    * broadcasts; the corpus side is one narrow scan exploding each
+    * doc's (already distinct) gram set into a broadcast-hash
+    * semi-match and a map-side-combinable per-doc count. No shuffle
+    * of corpus text, no all-pairs anything; output is only the
+    * flagged docs. */
+  private[graft] def decontaminationHits(corpus: DataFrame,
+      benchmark: DataFrame, n: Int): DataFrame = {
+    val bench = benchmark
+      .select(explode(hashedShingles(col("text"), n)).as("g")).distinct()
+    val corp = corpus
+      .select(col("doc_id"), explode(hashedShingles(col("text"), n)).as("g"))
+    corp.join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Query binding: doc_id % 20 == 0 poses as the held-out benchmark,
+    * the rest as the training corpus (the synthetic corpus carries
+    * real duplicate groups, so contamination exists). */
+  def dedupDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    decontaminationHits(
+      docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+      DecontaminationN)
+  }
+
+  val dedupDecontaminateSql: String = {
+    val grams = hashedShinglesSql(DecontaminationN)
+    s"""WITH bench AS (
+         SELECT DISTINCT unnest($grams) AS g FROM documents WHERE doc_id % 20 = 0),
+       corp AS (
+         SELECT doc_id, unnest($grams) AS g FROM documents WHERE doc_id % 20 <> 0)
+       SELECT c.doc_id, count(*) AS n_hits
+       FROM corp c JOIN bench b ON c.g = b.g
+       GROUP BY 1"""
+  }
+
   // ----------------------------------------------------- containment
 
   val ContainmentThreshold = 0.8

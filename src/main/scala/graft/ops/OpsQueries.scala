@@ -13,6 +13,7 @@ object OpsQueries {
     "text_fingerprint" -> (TextOps.fingerprint _),
     "text_repetition" -> (TextOps.textRepetition _),
     "text_quality_gate" -> (TextOps.qualityGate _),
+    "text_pii_scrub" -> (TextOps.piiScrub _),
     "dedup_exact" -> (DedupOps.dedupExact _),
     "dedup_minhash_lsh" -> (DedupOps.dedupMinhashLsh _),
     "dedup_simhash" -> (DedupOps.dedupSimhash _),
@@ -20,6 +21,7 @@ object OpsQueries {
     "dedup_embed_cosine" -> (DedupOps.dedupEmbedCosine _),
     "dedup_embed_lsh" -> (DedupOps.dedupEmbedLsh _),
     "dedup_containment" -> (DedupOps.dedupContainment _),
+    "dedup_decontaminate" -> (DedupOps.dedupDecontaminate _),
     "dedup_clusters" -> (DedupOps.dedupClusters _),
     "sim_cosine_topk" -> (SimilarityOps.cosineTopK _),
     "sim_ann_signlsh" -> (SimilarityOps.annSignLsh _),
@@ -50,6 +52,7 @@ object OpsQueries {
     "text_fingerprint" -> TextOps.fingerprintSql,
     "text_repetition" -> TextOps.textRepetitionSql,
     "text_quality_gate" -> TextOps.qualityGateSql,
+    "text_pii_scrub" -> TextOps.piiScrubSql,
     "dedup_exact" -> DedupOps.dedupExactSql,
     "dedup_minhash_lsh" -> DedupOps.dedupMinhashLshSql,
     "dedup_simhash" -> DedupOps.dedupSimhashSql,
@@ -57,6 +60,7 @@ object OpsQueries {
     "dedup_embed_cosine" -> DedupOps.dedupEmbedCosineSql,
     "dedup_embed_lsh" -> DedupOps.dedupEmbedLshSql,
     "dedup_containment" -> DedupOps.dedupContainmentSql,
+    "dedup_decontaminate" -> DedupOps.dedupDecontaminateSql,
     "dedup_clusters" -> DedupOps.dedupClustersSql,
     "sim_cosine_topk" -> SimilarityOps.cosineTopKSql,
     "sim_ann_signlsh" -> SimilarityOps.annSignLshSql,

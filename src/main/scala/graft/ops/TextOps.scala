@@ -286,6 +286,42 @@ object TextOps {
          END AS drop_reason
        FROM r"""
 
+  /** Email pattern shared by both engines (Java regex and DuckDB's
+    * RE2 read it identically -- keep it free of lookarounds, which
+    * RE2 lacks). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad pattern; word-bounded so version strings like
+    * 1.2.3.4000 don't half-match. */
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII scrub -- the redaction stage a training-data pipeline runs
+    * before release: per-doc match counts for emails and IPv4
+    * literals plus the scrubbed text (matches replaced by typed
+    * placeholder tags). Pure per-row regex projections -- no shuffle,
+    * scan-scales; patterns are chosen to parse identically under
+    * Java regex and RE2 so the oracle gate pins behavior
+    * cross-engine. DataFrame-first: `docs` needs (doc_id, text). */
+  def piiScrubOf(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(Ipv4Pattern)).cast("long").as("n_ipv4"),
+      regexp_replace(
+        regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>").as("text_scrubbed"))
+
+  def piiScrub(s: SparkSession, dir: String): DataFrame =
+    piiScrubOf(Tables.documents(s, dir))
+
+  val piiScrubSql: String =
+    s"""SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '$EmailPattern')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '$Ipv4Pattern')) AS BIGINT) AS n_ipv4,
+       regexp_replace(regexp_replace(text, '$EmailPattern', '<EMAIL>', 'g'),
+         '$Ipv4Pattern', '<IP>', 'g') AS text_scrubbed
+       FROM documents"""
+
   /** Document fingerprinting: whole-document md5 plus a winnowing-style
     * rolling fingerprint (min 60-bit hash over all 8-token windows --
     * robust to local edits, the building block of containment dedup).

@@ -50,4 +50,51 @@ class ValidationLog(store: WarehouseWrites, val table: String = "validation_resu
 
   /** Only the failing rule rows -- the operator's alert feed. */
   def failures: DataFrame = history.filter(not(col("passed")))
+
+  /** The most recently validated run id (by stamp, then id for
+    * determinism under equal frozen-clock stamps). */
+  def latestRunId: String = {
+    import org.apache.spark.sql.functions.{max, struct}
+    history.agg(max(struct(col("validated_at"), col("run_id"))))
+      .head().getStruct(0).getString(1)
+  }
+
+  /** GX "data docs" analogue: one run's persisted results rendered as
+    * a human-readable markdown report (the reference uploads rendered
+    * docs per checkpoint run; the engine renders from the queryable
+    * history, so docs and history can never disagree). Driver-side
+    * string work over a rules-x-suites result set -- a report is tiny
+    * by construction. */
+  def renderDataDocs(runId: String): String = {
+    val rows = history.filter(col("run_id") === runId)
+      .select("suite", "rule", "detail", "passed", "violations",
+        "total_rows", "processing_date", "validated_at")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getBoolean(3), r.getLong(4), r.getLong(5), r.getString(6),
+        r.getString(7)))
+      .sortBy(t => (t._1, t._2, t._3))
+    require(rows.nonEmpty, s"no recorded validation run '$runId'")
+    val (date, at) = (rows.head._7, rows.head._8)
+    val sb = new StringBuilder
+    val nPass = rows.count(_._4)
+    val verdict = if (nPass == rows.length) "PASSED" else "FAILED"
+    sb ++= s"# Validation run `$runId` - $verdict\n\n"
+    sb ++= s"- processing_date: $date\n- validated_at: $at\n"
+    sb ++= s"- rules passed: $nPass/${rows.length}\n"
+    rows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (suite, rs) =>
+      val p = rs.count(_._4)
+      sb ++= s"\n## Suite `$suite` - $p/${rs.length} passed\n\n"
+      sb ++= "| rule | detail | status | violations | rows |\n"
+      sb ++= "|---|---|---|---|---|\n"
+      rs.foreach { case (_, rule, detail, passed, viol, total, _, _) =>
+        val status = if (passed) "pass" else "**FAIL**"
+        sb ++= s"| $rule | $detail | $status | $viol | $total |\n"
+      }
+    }
+    sb.toString
+  }
+
+  /** [[renderDataDocs]] for the latest recorded run. */
+  def renderLatestDataDocs(): String = renderDataDocs(latestRunId)
 }

@@ -99,6 +99,33 @@ class DedupApiSpec extends AnyFunSuite {
     assert(found >= 29, s"containment recall too low: $found/30")
   }
 
+  test("decontamination flags corpus docs sharing benchmark n-grams, and only those") {
+    import spark.implicits._
+    val gram = (1 to 8).map(i => s"eval$i token$i").mkString(" ") // 16 tokens
+    val corpus = Seq(
+      // contains the benchmark 8-grams verbatim inside other text
+      (1L, s"unrelated lead in text $gram trailing words here"),
+      // clean doc, no shared 8-gram
+      (2L, (1 to 30).map(i => s"clean$i word$i").mkString(" ")),
+      // partial overlap shorter than 8 tokens: must NOT flag
+      (3L, "eval1 token1 eval2 token2 then diverges completely " +
+        (1 to 20).map(i => s"x$i").mkString(" ")))
+      .toDF("my_id", "body")
+    val benchmark = Seq((100L, gram)).toDF("bid", "btext")
+    val hits = Dedup.decontaminationHits(corpus, col("my_id"), col("body"),
+      benchmark, col("btext"), n = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(hits.contains(1L), "contaminated doc not flagged")
+    assert(hits(1L) >= 1L)
+    assert(!hits.contains(2L), "clean doc falsely flagged")
+    assert(!hits.contains(3L), "sub-n overlap must stay below the resolution")
+    // facade == table-bound query on the driver tables
+    val api = Dedup.decontaminationHits(
+      renamedDocs.filter(pmod(col("my_id"), lit(20)) =!= 0), col("my_id"), col("body"),
+      renamedDocs.filter(pmod(col("my_id"), lit(20)) === 0), col("body"))
+    assert(rows(api) === rows(DedupOps.dedupDecontaminate(spark, dir)))
+  }
+
   test("string ids: salted pair join still finds duplicates (regression)") {
     import spark.implicits._
     // the salt used to be id % G, which coerces string ids to null on

@@ -52,6 +52,22 @@ class OpsSpec extends AnyFunSuite {
     assert(kept > 0 && kept < rows.length)
   }
 
+  test("pii scrub counts and redacts emails/IPv4, leaves clean text byte-identical") {
+    val docs = Seq(
+      (1L, "contact alice.smith+x@example.co.uk or 10.0.42.7 for access"),
+      (2L, "two mails a@b.io c@d.org and versions 1.2.3 are not 1.2.3.4 wait yes"),
+      (3L, "perfectly clean prose with no contact details at all"))
+      .toDF("doc_id", "text")
+    val out = TextOps.piiScrubOf(docs)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0)._2 === 1 && out(0)._3 === 1)
+    assert(out(0)._4 === "contact <EMAIL> or <IP> for access")
+    assert(out(1)._2 === 2 && out(1)._3 === 1)
+    assert(out(1)._4 === "two mails <EMAIL> <EMAIL> and versions 1.2.3 are not <IP> wait yes")
+    assert(out(2)._2 === 0 && out(2)._3 === 0)
+    assert(out(2)._4 === "perfectly clean prose with no contact details at all")
+  }
+
   test("langId picks a language consistent with its scores") {
     val rows = TextOps.langId(spark, dir).collect()
     rows.foreach { r =>

@@ -35,6 +35,26 @@ class ValidationLogSpec extends AnyFunSuite {
     assert(log.history.filter($"run_id" === "daily-2026-02-10").count() === 2)
   }
 
+  test("data docs render the persisted run: verdict, per-suite counts, FAIL rows") {
+    val log = fresh()
+    log.record(ValidationRun("daily-2026-02-09", "t1"), "2026-02-09",
+      Seq("fact" -> Seq(pass, fail), "dim" -> Seq(pass)))
+    log.record(ValidationRun("daily-2026-02-10", "t2"), "2026-02-10",
+      Seq("fact" -> Seq(pass, pass)))
+    val docs = log.renderDataDocs("daily-2026-02-09")
+    assert(docs.contains("`daily-2026-02-09` - FAILED"))
+    assert(docs.contains("rules passed: 2/3"))
+    assert(docs.contains("## Suite `fact` - 1/2 passed"))
+    assert(docs.contains("## Suite `dim` - 1/1 passed"))
+    assert(docs.contains("| unique | k | **FAIL** | 3 | 100 |"))
+    assert(docs.contains("| not_null | k | pass | 0 | 100 |"))
+    // latest = highest stamp; an all-green run renders PASSED
+    assert(log.latestRunId === "daily-2026-02-10")
+    assert(log.renderLatestDataDocs().contains("`daily-2026-02-10` - PASSED"))
+    // unknown runs fail loudly, not with an empty report
+    intercept[IllegalArgumentException] { log.renderDataDocs("nope") }
+  }
+
   test("re-recording a run id replaces its rows, never duplicates (retry-idempotent)") {
     val log = fresh()
     log.record(ValidationRun("daily-d", "t1"), "d", Seq("fact" -> Seq(pass, fail)))
