@@ -87,6 +87,14 @@ class PlanSpec extends AnyFunSuite {
       "gate lost its exact twin (band check no longer guards the sketch)")
   }
 
+  test("decontamination broadcasts the benchmark gram set, never a cartesian") {
+    val p = plan(graft.ops.DedupOps.dedupDecontaminate(spark, dir))
+    val all = collectAll(p)
+    assert(!all.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "benchmark gram set must broadcast (eval sets are tiny vs the corpus)")
+  }
+
   test("versioned store reads partition-prune through the manifest union fan") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-planspec-v").toString
