@@ -103,6 +103,21 @@ class PipelineRunner[S <: WarehouseWrites](
 
   def runDaily(): Unit = runDaily(processingDate())
 
+  /** Backfill: run the daily DAG for every date in [from, to],
+    * inclusive, in order -- the Airflow catchup/backfill surface as a
+    * plain loop (each day's run is idempotent, so a crashed backfill
+    * is re-runnable from the start or the failed date). Returns the
+    * dates run. */
+  def runBackfill(from: String, to: String): Seq[String] = {
+    val start = LocalDate.parse(from)
+    val end = LocalDate.parse(to)
+    require(!end.isBefore(start), s"backfill range is inverted: $from..$to")
+    val dates = Iterator.iterate(start)(_.plusDays(1))
+      .takeWhile(!_.isAfter(end)).map(_.toString).toSeq
+    dates.foreach(runDaily)
+    dates
+  }
+
   /** The reference's third DAG (`test_gx_production.py`: GX-context
     * check >> Athena-connection check >> table-query check) as an
     * engine health probe: (1) the validation rule engine evaluates,

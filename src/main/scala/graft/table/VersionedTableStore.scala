@@ -424,6 +424,25 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     debris.filter(p => fileVersion(p) <= floor).foreach(fs.delete(_, false))
   }
 
+  /** Snapshot audit surface (the Iceberg `table.snapshots` analogue):
+    * one row per LIVE snapshot -- version, partition columns, distinct
+    * data dirs (fan width a scan of that version pays), partition
+    * count, and whether it shares any data dir with its predecessor
+    * (delta commit or rollback alias). Driver-side manifest reads;
+    * manifests are tiny by construction. */
+  def snapshots(name: String): DataFrame = {
+    import spark.implicits._
+    val ms = versions(name).flatMap(v => manifestAt(name, v))
+    val rows = ms.zip(None +: ms.map(Some(_))).map { case (m, prev) =>
+      val dirs = m.mapping.map(_._2).distinct
+      val shared = prev.exists(_.mapping.map(_._2).toSet.intersect(dirs.toSet).nonEmpty)
+      (m.version, m.partitionBy.mkString(","), dirs.size.toLong,
+        m.mapping.size.toLong, shared)
+    }
+    rows.toDF("version", "partition_by", "n_data_dirs", "n_partitions",
+      "shares_parent_files")
+  }
+
   /** SQL surface: the current snapshot as a session temp view (a
     * manifest table spans dirs, so it registers as a view rather
     * than a single-location catalog table). */

@@ -72,6 +72,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(results.nonEmpty && results.forall(_.passed))
   }
 
+  test("backfill runs the daily DAG over the inclusive date range, idempotently") {
+    val r = freshRunner()
+    val dates = r.runBackfill("2026-02-08", "2026-02-10")
+    assert(dates === Seq("2026-02-08", "2026-02-09", "2026-02-10"))
+    assert(r.store.read("fact_stock_daily_price").count() === 9)
+    // a re-run of a slice (crash recovery) changes nothing
+    r.runBackfill("2026-02-09", "2026-02-10")
+    assert(r.store.read("fact_stock_daily_price").count() === 9)
+    intercept[IllegalArgumentException] {
+      r.runBackfill("2026-02-10", "2026-02-08")
+    }
+  }
+
   test("duplicate extraction within a day: latest extraction wins (W1)") {
     val base = Files.createTempDirectory("graft-pipeline").toString
     val store = new TableStore(spark, s"$base/warehouse")

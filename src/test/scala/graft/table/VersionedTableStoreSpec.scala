@@ -227,6 +227,22 @@ class VersionedTableStoreSpec extends AnyFunSuite {
       s"sub-floor debris survived: $names")
   }
 
+  test("snapshots audit reports versions, fan width, and file sharing") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a", "d1"), (2, "b", "d2")).toDF("k", "v", "day"),
+      "pt", Seq("day"))
+    vs.commitPartitions(Seq((3, "c", "d3")).toDF("k", "v", "day"), "pt", Seq("day"))
+    vs.rollbackTo("pt", 1)
+    val snaps = vs.snapshots("pt")
+      .as[(Long, String, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(snaps.map(_._1) === Seq(1L, 2L, 3L))
+    // v1: one dir, two partitions; v2 delta: two dirs (shares v1's);
+    // v3 rollback: v1's mapping verbatim (shares v2's d1/d2 dirs)
+    assert(snaps(0) === ((1L, "day", 1L, 2L, false)))
+    assert(snaps(1) === ((2L, "day", 2L, 3L, true)))
+    assert(snaps(2) === ((3L, "day", 1L, 2L, true)))
+  }
+
   test("compact collapses a delta chain into one data dir, same contents") {
     val vs = fresh()
     vs.commitFull(Seq((1, "a", "d1")).toDF("k", "v", "day"), "pt", Seq("day"))
