@@ -36,6 +36,23 @@ object Dedup {
       DedupOps.MinhashK, DedupOps.LshBandCount, DedupOps.LshRows,
       threshold, "jaccard")
 
+  /** Incremental MinHash-LSH dedup: near-dup pairs between an
+    * ARRIVING batch and an EXISTING corpus -- (new_id, existing_id,
+    * jaccard). The batch's band buckets join against the corpus's;
+    * new x new and existing x existing pairs are never generated, so
+    * continuous ingest pays for the batch's collisions, not the
+    * corpus pair space. */
+  def minhashPairsAgainst(newDocs: DataFrame, id: Column, text: Column,
+      existing: DataFrame, existingId: Column, existingText: Column,
+      threshold: Double = DedupOps.JaccardThreshold): DataFrame =
+    DedupOps.lshJaccardPairsBetween(
+      newDocs.repartition(DedupOps.JoinParallelism)
+        .select(id.as("doc_id"), DedupOps.hashedTokenSet(text).as("th")),
+      existing.repartition(DedupOps.JoinParallelism)
+        .select(existingId.as("doc_id"), DedupOps.hashedTokenSet(existingText).as("th")),
+      DedupOps.MinhashK, DedupOps.LshBandCount, DedupOps.LshRows,
+      threshold, "jaccard")
+
   /** Word-order-sensitive near-duplicate pairs over hashed n-gram
     * shingle sets: (doc_a, doc_b, ngram_jaccard). */
   def shinglePairs(docs: DataFrame, id: Column, text: Column,

@@ -95,4 +95,26 @@ object Text {
       .agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
+
+  /** Fixed context-window chunking: every token lands in exactly one
+    * chunk, last chunk keeps the remainder. Shuffle-free
+    * projection+explode. */
+  def chunk(docs: DataFrame, id: Column, text: Column,
+            chunkTokens: Int = TextOps.ChunkTokens): DataFrame =
+    TextOps.chunkOf(docs.select(id.as("doc_id"), text.as("text")), chunkTokens)
+
+  /** Concat-and-chunk packing offsets per stream: which training bin
+    * each doc starts/ends in and whether it straddles a boundary.
+    * `stream` bounds the window partitions -- at scale pass a
+    * (lang, shard) composite so no stream holds a whole language. */
+  def pack(docs: DataFrame, id: Column, text: Column, stream: Column,
+           budgetTokens: Long = TextOps.PackBudget): DataFrame =
+    TextOps.packOf(
+      docs.select(id.as("doc_id"), text.as("text"), stream.as("lang")),
+      budgetTokens)
+
+  /** Corpus-unigram LM score (CCNet-style quality signal): per doc,
+    * the average ln p(token) under the corpus unigram distribution. */
+  def unigramLogprob(docs: DataFrame, id: Column, text: Column): DataFrame =
+    TextOps.unigramLogprobOf(docs.select(id.as("doc_id"), text.as("text")))
 }

@@ -183,6 +183,89 @@ object DedupOps {
            / len(list_distinct(list_concat(da.th, db.th))), 4) >= $threshold"""
   }
 
+  /** Cross-corpus variant of [[lshJaccardPairs]] for INCREMENTAL
+    * dedup: the NEW batch's band buckets join against the EXISTING
+    * corpus's -- never new x new or base x base -- so a continuous-
+    * ingest pipeline dedups an arriving batch against a 100 TB corpus
+    * at cost proportional to the BATCH's bucket collisions, not the
+    * corpus pair space (and the base side's signatures can come
+    * precomputed from the corpus table: inputs are (doc_id, th)).
+    * Same banding curve, salt discipline, and inside-the-join
+    * merge-walk verification as the self-join path; per-pair single
+    * emission by the first-colliding-band rule. Returns
+    * (new_id, existing_id, scoreName). */
+  private[graft] def lshJaccardPairsBetween(newItems: DataFrame,
+      baseItems: DataFrame, k: Int, bandCount: Int, rows: Int,
+      threshold: Double, scoreName: String): DataFrame = {
+    def buckets(items: DataFrame): DataFrame =
+      materializeOnce(items.withColumn("bands", lshBands(
+          graft.functions.HashExprs.minhashSig(col("th"), k), bandCount, rows)))
+        .select(col("doc_id"), col("th"), col("bands"),
+          posexplode_outer(col("bands")).as(Seq("band_idx", "band_hash")))
+    val G = SaltGroups
+    val saltOf: Column => Column = id => pmod(xxhash64(id), lit(G)).cast("int")
+    val a = buckets(newItems).select(col("band_idx"), col("band_hash"),
+        col("doc_id").as("new_id"), col("th").as("th_a"), col("bands").as("bands_a"))
+      .withColumn("ga", saltOf(col("new_id")))
+      .withColumn("gb", explode(sequence(lit(0), lit(G - 1))))
+    val b = buckets(baseItems).select(col("band_idx").as("bi_b"), col("band_hash").as("bh_b"),
+        col("doc_id").as("existing_id"), col("th").as("th_b"), col("bands").as("bands_b"))
+      .withColumn("gb_b", saltOf(col("existing_id")))
+      .withColumn("ga_b", explode(sequence(lit(0), lit(G - 1))))
+    val firstCollidingBand = (0 until bandCount).map { i =>
+      col("band_idx") <= i || element_at(col("bands_a"), i + 1) =!= element_at(col("bands_b"), i + 1)
+    }.reduce(_ && _)
+    val jaccard =
+      round(graft.functions.ArrayExprs.sortedLongJaccard(col("th_a"), col("th_b")), 4)
+    val cond = col("band_idx") === col("bi_b") && col("band_hash") === col("bh_b") &&
+      col("ga") === col("ga_b") && col("gb") === col("gb_b") &&
+      firstCollidingBand && jaccard >= threshold
+    a.repartition(JoinParallelism, col("band_idx"), col("band_hash"), col("ga"), col("gb"))
+      .join(b.repartition(JoinParallelism, col("bi_b"), col("bh_b"), col("ga_b"), col("gb_b")),
+        cond)
+      .select(col("new_id"), col("existing_id"), jaccard.as(scoreName))
+  }
+
+  /** Incremental dedup over `documents`: odd doc_ids play the
+    * arriving batch, even doc_ids the existing corpus -- (new_id,
+    * existing_id, jaccard) at the standard 0.9 threshold. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).repartition(JoinParallelism)
+      .select(col("doc_id"), hashedTokenSet(col("text")).as("th"))
+    lshJaccardPairsBetween(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0),
+      MinhashK, LshBandCount, LshRows, JaccardThreshold, "jaccard")
+  }
+
+  val dedupIncrementalSql: String = {
+    val sig = minhashSigSql("th", MinhashK)
+    val bands = lshBandsSql("sig", LshBandCount, LshRows)
+    s"""WITH dn AS (
+         SELECT doc_id, $HashedTokensSql AS th FROM documents WHERE doc_id % 2 = 1),
+       dbs AS (
+         SELECT doc_id, $HashedTokensSql AS th FROM documents WHERE doc_id % 2 = 0),
+       bn AS (SELECT doc_id, $bands AS bands
+              FROM (SELECT doc_id, th, $sig AS sig FROM dn)),
+       bb AS (SELECT doc_id, $bands AS bands
+              FROM (SELECT doc_id, th, $sig AS sig FROM dbs)),
+       un AS (SELECT doc_id, i - 1 AS band_idx, bands[i] AS band_hash
+              FROM bn, generate_series(1, $LshBandCount) gs(i)),
+       ub AS (SELECT doc_id, i - 1 AS band_idx, bands[i] AS band_hash
+              FROM bb, generate_series(1, $LshBandCount) gs(i)),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS existing_id
+         FROM un a JOIN ub b
+           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash)
+       SELECT new_id, existing_id,
+         round(CAST(len(list_intersect(da.th, db2.th)) AS DOUBLE)
+           / len(list_distinct(list_concat(da.th, db2.th))), 4) AS jaccard
+       FROM cand JOIN dn da ON cand.new_id = da.doc_id
+                 JOIN dbs db2 ON cand.existing_id = db2.doc_id
+       WHERE round(CAST(len(list_intersect(da.th, db2.th)) AS DOUBLE)
+           / len(list_distinct(list_concat(da.th, db2.th))), 4) >= $JaccardThreshold"""
+  }
+
   /** MinHash + LSH near-dup pairs over the hashed TOKEN sets,
     * verified at jaccard >= 0.9 -- (doc_a, doc_b, jaccard). */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {

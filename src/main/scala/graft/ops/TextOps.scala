@@ -353,4 +353,214 @@ object TextOps {
                    i -> ${h15Sql(s"array_to_string(($TokensSql)[i:i+7], ' ')")}))
        END AS winnow_fp
        FROM documents"""
+
+  // ------------------------------------------------ chunking + packing
+
+  /** Context-window size (tokens) for [[chunkOf]]. 16 keeps the
+    * synthetic corpus multi-chunk; training deployments pass their
+    * model's context length through the [[graft.api.Text.chunk]]
+    * parameter. */
+  val ChunkTokens = 16
+
+  /** Fixed-window document chunking -- the "split each doc into
+    * context windows" stage of training-data prep. Non-overlapping
+    * windows of `size` tokens; the final window keeps the remainder
+    * (possibly short) so every token lands in exactly one chunk.
+    *
+    * Shape: per-row projection + posexplode -- NO shuffle; at 100 TB
+    * this is one WholeStageCodegen pass over the scan with only
+    * (doc_id, text) read, output rows ~ n_tokens/size per doc.
+    * `chunk_hash` feeds chunk-level exact dedup downstream. */
+  def chunkOf(docs: DataFrame, chunkTokens: Int = ChunkTokens): DataFrame = {
+    val t = tokens(col("text"))
+    val windows = transform(
+      sequence(lit(1), greatest(size(t), lit(1)), lit(chunkTokens)),
+      st => slice(t, st, lit(chunkTokens)))
+    docs
+      .select(col("doc_id"), posexplode(windows).as(Seq("chunk_id", "toks")))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("int").as("chunk_id"),
+        size(col("toks")).cast("long").as("n_chunk_tokens"),
+        array_join(col("toks"), " ").as("chunk_text"))
+      .withColumn("chunk_hash", h15(col("chunk_text")))
+  }
+
+  def chunk(s: SparkSession, dir: String): DataFrame =
+    chunkOf(Tables.documents(s, dir))
+
+  val chunkSql: String =
+    s"""WITH w AS (
+         SELECT doc_id, $TokensSql AS toks,
+           unnest(generate_series(1, greatest(len($TokensSql), 1), $ChunkTokens)) AS st
+         FROM documents)
+       SELECT doc_id,
+         CAST((st - 1) // $ChunkTokens AS INT) AS chunk_id,
+         CAST(len(toks[st:st + ${ChunkTokens - 1}]) AS BIGINT) AS n_chunk_tokens,
+         array_to_string(toks[st:st + ${ChunkTokens - 1}], ' ') AS chunk_text,
+         ${h15Sql(s"array_to_string(toks[st:st + ${ChunkTokens - 1}], ' ')")} AS chunk_hash
+       FROM w"""
+
+  /** Token budget per training bin for [[packOf]]. */
+  val PackBudget = 256L
+
+  /** Concat-and-chunk sequence packing: documents of one stream
+    * (here: `lang`) are laid end-to-end in doc_id order into a token
+    * stream that training slices into `budget`-token bins; the op
+    * reports each doc's start offset and first/last bin plus whether
+    * it straddles a bin boundary (= will be split across training
+    * sequences).
+    *
+    * Shape: one narrow projection, then a running sum over
+    * (partitionBy stream, orderBy doc_id) -- a single sort-shuffle.
+    * Packing is order-defined, so the per-stream prefix sum is
+    * inherent; at 100 TB partition the corpus into bounded streams
+    * first (e.g. (lang, shard)) so no single window partition holds
+    * a whole language -- [[graft.api.Text.pack]] takes the stream
+    * key as a parameter for exactly that. */
+  def packOf(docs: DataFrame, budget: Long = PackBudget,
+             stream: Column = col("lang")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = size(tokens(col("text"))).cast("long")
+    docs
+      .select(col("doc_id"), stream.as("stream"), n.as("n_tokens"))
+      .withColumn("end_offset", sum(col("n_tokens")).over(
+        Window.partitionBy(col("stream")).orderBy(col("doc_id"))))
+      .select(
+        col("doc_id"), col("stream"), col("n_tokens"),
+        (col("end_offset") - col("n_tokens")).as("start_offset"),
+        expr(s"(end_offset - n_tokens) DIV $budget").as("bin_first"),
+        expr(s"(end_offset - 1) DIV $budget").as("bin_last"))
+      .withColumn("straddles", col("bin_first") < col("bin_last"))
+  }
+
+  def pack(s: SparkSession, dir: String): DataFrame =
+    packOf(Tables.documents(s, dir))
+
+  val packSql: String =
+    s"""WITH s AS (
+         SELECT doc_id, lang AS stream,
+           CAST(len($TokensSql) AS BIGINT) AS n_tokens
+         FROM documents),
+       c AS (
+         SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id) AS BIGINT)
+           AS end_offset
+         FROM s)
+       SELECT doc_id, stream, n_tokens,
+         end_offset - n_tokens AS start_offset,
+         (end_offset - n_tokens) // $PackBudget AS bin_first,
+         (end_offset - 1) // $PackBudget AS bin_last,
+         ((end_offset - n_tokens) // $PackBudget) < ((end_offset - 1) // $PackBudget) AS straddles
+       FROM c"""
+
+  // ---------------------------------------------- corpus report card
+
+  /** Per-source corpus report card: doc counts, quality-gate keep
+    * rate, per-drop-reason counts, mean token length -- the summary a
+    * data curator reads before deciding which sources feed training.
+    *
+    * Shape: the quality-gate projection (narrow, shuffle-free) joined
+    * back to (doc_id, source) on the unique id, then one map-side-
+    * combinable groupBy(source). Sources are low-cardinality, so the
+    * final agg state is tiny; the join is id-to-id (no blowup). */
+  def corpusReport(s: SparkSession, dir: String): DataFrame = {
+    val g = qualityGate(s, dir)
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    def reasonCount(r: String): Column =
+      sum(when(col("drop_reason") === r, 1L).otherwise(0L)).as(s"n_$r")
+    g.join(src, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        reasonCount("too_short"),
+        reasonCount("low_diversity"),
+        reasonCount("repeated_top_token"),
+        reasonCount("repeated_3grams"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .select(
+        col("source"), col("n_docs"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs"), 4).as("keep_rate"),
+        col("n_too_short"), col("n_low_diversity"),
+        col("n_repeated_top_token"), col("n_repeated_3grams"),
+        round(col("sum_tokens").cast("double") / col("n_docs"), 2).as("avg_tokens"))
+  }
+
+  val corpusReportSql: String = {
+    def reasonCountSql(r: String): String =
+      s"CAST(sum(CASE WHEN g.drop_reason = '$r' THEN 1 ELSE 0 END) AS BIGINT) AS n_$r"
+    s"""WITH g AS ($qualityGateSql)
+       SELECT d.source,
+         count(*) AS n_docs,
+         CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         round(CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+           AS keep_rate,
+         ${reasonCountSql("too_short")},
+         ${reasonCountSql("low_diversity")},
+         ${reasonCountSql("repeated_top_token")},
+         ${reasonCountSql("repeated_3grams")},
+         round(CAST(sum(g.n_tokens) AS DOUBLE) / count(*), 2) AS avg_tokens
+       FROM g JOIN documents d USING (doc_id)
+       GROUP BY 1"""
+  }
+
+  // ------------------------------------------- unigram LM quality score
+
+  /** Fixed-point quantum for per-token log-probabilities: ln values
+    * are quantized to 1e-6 integers so the per-doc aggregation is an
+    * exact integer sum -- order-independent and bit-identical across
+    * engines (same trick as emb_centroids' quantized sums; a double
+    * sum's rounding would depend on Spark's partition order). */
+  val LogpQuantum = 1000000L
+
+  /** Corpus-unigram log-probability score per document -- the
+    * CCNet-style "LM perplexity" quality filter with the corpus
+    * itself as the language model: score(d) = avg over token
+    * occurrences of ln p(tok), p from corpus unigram counts.
+    * Unusually-worded / repetitive-rare-token docs score low.
+    *
+    * Shape: explode -> per-(doc,token) counts (map-side combinable),
+    * vocab = second map-side-combinable agg over that, then the
+    * per-doc score re-joins tf against the BROADCAST vocab (unigram
+    * vocabs are ~1e6-1e8 rows x 16 B -- broadcastable) and reduces
+    * by doc_id. Two shuffles of the (doc,token)-distinct stream, no
+    * all-pairs anything. `tf` is referenced twice: Spark recomputes
+    * the lineage; a production run at 100 TB persists tf (or the
+    * vocab comes precomputed from a prior corpus pass). */
+  def unigramLogprobOf(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).cast("double").as("n_total"))
+    val logp = vocab.crossJoin(broadcast(total))
+      .select(col("token"),
+        round(log(col("cnt") / col("n_total")) * LogpQuantum, 0)
+          .cast("long").as("logp_u"))
+    tf.join(broadcast(logp), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        sum(col("tf") * col("logp_u")).as("sum_u"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_u") / (col("n_tokens") * lit(LogpQuantum.toDouble)), 4)
+          .as("avg_logprob"))
+  }
+
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame =
+    unigramLogprobOf(Tables.documents(s, dir))
+
+  val unigramLogprobSql: String =
+    s"""WITH tf AS (
+         SELECT doc_id, tok AS token, count(*) AS tf
+         FROM (SELECT doc_id, unnest($TokensSql) AS tok FROM documents)
+         GROUP BY 1, 2),
+       v AS (SELECT token, sum(tf) AS cnt FROM tf GROUP BY 1),
+       t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM v),
+       lp AS (SELECT token, CAST(round(ln(cnt / n_total) * $LogpQuantum) AS BIGINT) AS logp_u
+              FROM v, t)
+       SELECT tf.doc_id,
+         CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         round(sum(tf.tf * lp.logp_u) / (sum(tf.tf) * $LogpQuantum.0), 4) AS avg_logprob
+       FROM tf JOIN lp USING (token)
+       GROUP BY 1"""
 }

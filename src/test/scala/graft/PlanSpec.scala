@@ -123,4 +123,33 @@ class PlanSpec extends AnyFunSuite {
     val s = plan(hits).toString
     assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"))
   }
+
+  test("chunking is one shuffle-free codegen pass over a two-column scan") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = SparkEntry.queries("text_chunk")(spark, dir)
+      .queryExecution.executedPlan
+    assert(!collectAll(p).exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "chunking must not shuffle")
+    val scan = collectAll(p).collect { case f: FileSourceScanExec => f }.head
+    assert(scan.requiredSchema.fieldNames.toSet === Set("doc_id", "text"),
+      s"chunk scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("packing plans exactly the one per-stream window sort-shuffle") {
+    // a shuffling plan is AQE-wrapped (AdaptiveSparkPlanExec is a
+    // leaf), so count exchanges in the rendered tree instead
+    val t = SparkEntry.queries("text_pack")(spark, dir)
+      .queryExecution.executedPlan.treeString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(t).size
+    assert(shuffles === 1,
+      s"packing should shuffle once (window partition), got $shuffles:\n$t")
+  }
+
+  test("unigram logprob broadcasts the vocab, never a cartesian") {
+    val p = plan(SparkEntry.queries("text_unigram_logprob")(spark, dir))
+    val all = collectAll(p)
+    assert(!all.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "tf->vocab join must broadcast the vocab side")
+  }
 }

@@ -126,6 +126,39 @@ class DedupApiSpec extends AnyFunSuite {
     assert(rows(api) === rows(DedupOps.dedupDecontaminate(spark, dir)))
   }
 
+  test("incremental dedup = exactly the cross-parity slice of the self-join pairs") {
+    import spark.implicits._
+    val full = DedupOps.dedupMinhashLsh(spark, dir)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    val expected = full.collect {
+      case (a, b, j) if a % 2 != b % 2 =>
+        (if (a % 2 == 1) (a, b) else (b, a), j)
+    }.toSet
+    val inc = DedupOps.dedupIncremental(spark, dir)
+      .select("new_id", "existing_id", "jaccard").as[(Long, Long, Double)].collect()
+    inc.foreach { case (n, e, _) =>
+      assert(n % 2 === 1 && e % 2 === 0, s"wrong-side pair ($n,$e)")
+    }
+    assert(inc.map { case (n, e, j) => ((n, e), j) }.toSet === expected)
+  }
+
+  test("minhashPairsAgainst never pairs within a side") {
+    import spark.implicits._
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val existing = Seq(("e1", txt), ("e2", txt + " lambda")).toDF("k", "body")
+    // n1 dups e1; n2 and n3 dup EACH OTHER but nothing existing
+    val fresh = Seq(("n1", txt), ("n2", "mu nu xi omicron pi rho sigma tau"),
+      ("n3", "mu nu xi omicron pi rho sigma tau")).toDF("k", "body")
+    val got = Dedup.minhashPairsAgainst(fresh, col("k"), col("body"),
+        existing, col("k"), col("body"))
+      .select("new_id", "existing_id").as[(String, String)].collect().toSet
+    assert(got.contains(("n1", "e1")))
+    assert(!got.exists { case (a, b) => a.startsWith("n") && b.startsWith("n") },
+      "new x new pair leaked into incremental output")
+    assert(!got.exists { case (a, b) => a.startsWith("e") && b.startsWith("e") },
+      "existing x existing pair leaked into incremental output")
+  }
+
   test("string ids: salted pair join still finds duplicates (regression)") {
     import spark.implicits._
     // the salt used to be id % G, which coerces string ids to null on

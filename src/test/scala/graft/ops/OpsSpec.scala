@@ -244,4 +244,91 @@ class OpsSpec extends AnyFunSuite {
       assert(math.abs(aNdv - ndv) <= tol, s"$c: approx $aNdv vs exact $ndv")
     }
   }
+
+  test("chunking covers every token exactly once and reassembles the doc") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val chunks = TextOps.chunkOf(docs)
+    val rebuilt = chunks
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(sort_array(collect_list(struct(col("chunk_id"), col("chunk_text"))))
+          .getField("chunk_text"), " ").as("rebuilt"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_chunk_tokens")).as("covered"))
+    val joined = docs
+      .select(col("doc_id"), col("text"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"))
+    val bad = joined.filter(
+      col("rebuilt") =!= col("text") || col("covered") =!= col("n_tokens") ||
+        col("n_chunks") =!= ceil(col("n_tokens").cast("double") / TextOps.ChunkTokens)
+          .cast("long")).count()
+    assert(bad === 0)
+    // every chunk but the last is exactly full-size
+    val shortNonFinal = chunks.join(
+        rebuilt.select(col("doc_id"), (col("n_chunks") - 1).as("last_id")), Seq("doc_id"))
+      .filter(col("chunk_id") < col("last_id") &&
+        col("n_chunk_tokens") =!= TextOps.ChunkTokens.toLong).count()
+    assert(shortNonFinal === 0)
+  }
+
+  test("packing offsets are contiguous per stream and bins are consistent") {
+    val rows = TextOps.pack(spark, dir)
+      .orderBy(col("stream"), col("doc_id")).collect()
+    assert(rows.nonEmpty)
+    var prevStream: String = null
+    var prevEnd = 0L
+    var straddlers = 0
+    rows.foreach { r =>
+      val (st, n, off) = (r.getAs[String]("stream"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("start_offset"))
+      if (st != prevStream) { prevStream = st; prevEnd = 0L }
+      assert(off === prevEnd, s"gap in stream $st at doc ${r.getAs[Long]("doc_id")}")
+      prevEnd = off + n
+      val (bf, bl) = (r.getAs[Long]("bin_first"), r.getAs[Long]("bin_last"))
+      assert(bf === off / TextOps.PackBudget)
+      assert(bl === (off + n - 1) / TextOps.PackBudget)
+      assert(r.getAs[Boolean]("straddles") === (bf < bl))
+      if (bf < bl) straddlers += 1
+    }
+    // budget must discriminate: some docs straddle, most don't
+    assert(straddlers > 0 && straddlers < rows.length)
+  }
+
+  test("corpus report card accounts for every doc exactly once per source") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val perSource = docs.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = TextOps.corpusReport(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("source")).toSet === perSource.keySet)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(n === perSource(r.getAs[String]("source")))
+      val reasons = Seq("n_too_short", "n_low_diversity",
+        "n_repeated_top_token", "n_repeated_3grams").map(r.getAs[Long](_)).sum
+      assert(r.getAs[Long]("n_kept") + reasons === n,
+        s"${r.getAs[String]("source")}: kept+dropped != total")
+      assert(r.getAs[Double]("keep_rate") ===
+        BigDecimal(r.getAs[Long]("n_kept").toDouble / n)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("unigram logprob equals the hand-computed value on a toy corpus") {
+    // corpus: tokens a:3 b:2 c:1, total 6
+    val docs = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextOps.unigramLogprobOf(docs)
+      .select(col("doc_id"), col("n_tokens"), col("avg_logprob"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, s) => id -> ((n, s)) }.toMap
+    def q(p: Double): Long = math.round(math.log(p) * 1e6)
+    val d1 = BigDecimal((2 * q(3.0 / 6) + q(2.0 / 6)) / (3 * 1e6))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d2 = BigDecimal((q(3.0 / 6) + q(2.0 / 6) + q(1.0 / 6)) / (3 * 1e6))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) === ((3L, d1)))
+    assert(got(2L) === ((3L, d2)))
+    // rarer-token doc must score strictly lower
+    assert(got(2L)._2 < got(1L)._2)
+  }
 }
