@@ -187,4 +187,66 @@ object Corpus {
       ("exact_dedup", n1, n2),
       ("near_dup_dedup", n2, n3)).toDF("stage", "rows_in", "rows_out")
   }
+
+  /** The last mile: [[prepare]] -> context-window chunking -> concat-
+    * and-chunk packing into `budgetTokens`-token training bins, one
+    * bin stream per SPLIT (train/val/test never share a bin). Returns
+    * one row per chunk: (doc_id, chunk_id, split, n_chunk_tokens,
+    * chunk_text, start_offset, bin_first, bin_last, straddles).
+    *
+    * Scale shape: chunking is the shuffle-free explode; the pack
+    * window shuffles (doc_id, chunk_id, split, n) -- never chunk
+    * text -- and the final id-to-id join re-attaches the text. At
+    * 100 TB give each split sharded streams (see [[Text.pack]]);
+    * here split is the stream so the oracle can pin the exact bin
+    * layout. */
+  def trainingChunks(docs: DataFrame, id: Column, text: Column,
+      t: QualityThresholds = QualityThresholds(),
+      containmentThreshold: Option[Double] = None,
+      chunkTokens: Int = TextOps.ChunkTokens,
+      budgetTokens: Long = TextOps.PackBudget): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prepared = prepare(docs, id, text, t, containmentThreshold)
+    val chunks = TextOps.chunkOf(
+      prepared.select(col("doc_id"), col("text")), chunkTokens)
+      .join(prepared.select(col("doc_id"), col("split")), Seq("doc_id"))
+    val w = Window.partitionBy(col("split")).orderBy(col("doc_id"), col("chunk_id"))
+    chunks
+      .withColumn("end_offset", sum(col("n_chunk_tokens")).over(w))
+      .select(
+        col("doc_id"), col("chunk_id"), col("split"), col("n_chunk_tokens"),
+        col("chunk_text"),
+        (col("end_offset") - col("n_chunk_tokens")).as("start_offset"),
+        expr(s"(end_offset - n_chunk_tokens) DIV $budgetTokens").as("bin_first"),
+        expr(s"(end_offset - 1) DIV $budgetTokens").as("bin_last"))
+      .withColumn("straddles", col("bin_first") < col("bin_last"))
+  }
+
+  /** DuckDB twin of [[trainingChunks]] at the defaults (no
+    * containment stage): chunk + pack CTEs layered over
+    * [[prepareSql]]. */
+  val trainingChunksSql: String = {
+    val ct = TextOps.ChunkTokens
+    val b = TextOps.PackBudget
+    s"""WITH p0 AS ($prepareSql),
+       w AS (
+         SELECT doc_id, split, string_split(text, ' ') AS toks,
+           unnest(generate_series(1, greatest(len(string_split(text, ' ')), 1), $ct)) AS st
+         FROM p0),
+       c AS (
+         SELECT doc_id, CAST((st - 1) // $ct AS INT) AS chunk_id, split,
+           CAST(len(toks[st:st + ${ct - 1}]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[st:st + ${ct - 1}], ' ') AS chunk_text
+         FROM w),
+       o AS (
+         SELECT *, CAST(sum(n_chunk_tokens)
+             OVER (PARTITION BY split ORDER BY doc_id, chunk_id) AS BIGINT) AS end_offset
+         FROM c)
+       SELECT doc_id, chunk_id, split, n_chunk_tokens, chunk_text,
+         end_offset - n_chunk_tokens AS start_offset,
+         (end_offset - n_chunk_tokens) // $b AS bin_first,
+         (end_offset - 1) // $b AS bin_last,
+         ((end_offset - n_chunk_tokens) // $b) < ((end_offset - 1) // $b) AS straddles
+       FROM o"""
+  }
 }

@@ -91,4 +91,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(rejects.filter(col("reject_reason").isNull).count() === 0)
     assert(out.join(rejects, Seq("doc_id"), "left_semi").count() === 0)
   }
+
+  test("trainingChunks: chunks cover the prepared corpus, bins never cross splits") {
+    import spark.implicits._
+    val prepared = Corpus.prepare(docs, col("my_id"), col("body"))
+    val chunks = Corpus.trainingChunks(docs, col("my_id"), col("body"))
+    // every prepared doc appears, with its full token count covered
+    val covered = chunks.groupBy(col("doc_id"))
+      .agg(org.apache.spark.sql.functions.sum(col("n_chunk_tokens")).as("covered"))
+    val mismatch = prepared
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), " ")).cast("long").as("n"))
+      .join(covered, Seq("doc_id"), "full_outer")
+      .filter(col("n").isNull || col("covered").isNull || col("n") =!= col("covered"))
+    assert(mismatch.count() === 0)
+    // a (split, bin) cell holds chunks of exactly one split by
+    // construction; offsets are contiguous within each split stream
+    val rows = chunks.select("split", "doc_id", "chunk_id", "n_chunk_tokens", "start_offset")
+      .as[(String, Long, Int, Long, Long)].collect()
+      .groupBy(_._1).values
+    rows.foreach { stream =>
+      var expected = 0L
+      stream.sortBy(r => (r._2, r._3)).foreach { case (_, d, c, n, off) =>
+        assert(off === expected, s"gap at ($d,$c)")
+        expected = off + n
+      }
+    }
+  }
 }
