@@ -228,10 +228,16 @@ object DedupOps {
 
   /** Incremental dedup over `documents`: odd doc_ids play the
     * arriving batch, even doc_ids the existing corpus -- (new_id,
-    * existing_id, jaccard) at the standard 0.9 threshold. */
+    * existing_id, jaccard) at the standard 0.9 threshold.
+    *
+    * Both sides here derive from ONE table, so the token-hash
+    * projection is materialized once and each side filters it --
+    * without this the md5 hashing (the expensive stage) runs twice.
+    * A real deployment feeds two different tables and skips this. */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).repartition(JoinParallelism)
-      .select(col("doc_id"), hashedTokenSet(col("text")).as("th"))
+    val docs = materializeOnce(Tables.documents(s, dir)
+      .repartition(JoinParallelism)
+      .select(col("doc_id"), hashedTokenSet(col("text")).as("th")))
     lshJaccardPairsBetween(
       docs.filter(col("doc_id") % 2 === 1),
       docs.filter(col("doc_id") % 2 === 0),

@@ -226,6 +226,23 @@ object TextOps {
        round(CAST($topTokenFreqSql AS DOUBLE) / len($TokensSql), 4) AS frac_top_token
        FROM documents"""
 
+  /** The quality gate's keep decision as ONE reusable Column -- the
+    * streaming intake path filters on this without materializing the
+    * per-rule report. MUST stay formula-identical to [[qualityGate]]
+    * (StreamingIngestSpec enforces stream/batch parity at runtime). */
+  def keepExpr(text: Column): Column = {
+    val t = tokens(text)
+    val n = size(t)
+    val nTok = n.cast("long")
+    val diversity = round(size(array_distinct(t)).cast("double") / n, 4)
+    val fracTop = round(topTokenFreq(t).cast("double") / nTok, 4)
+    val dup3 = fracDupKgram(t, n, 3)
+    coalesce(nTok >= QualityMinTokens, lit(false)) &&
+      coalesce(diversity >= QualityMinDiversity, lit(false)) &&
+      coalesce(fracTop <= QualityMaxTopTokenFrac, lit(false)) &&
+      coalesce(dup3 <= QualityMaxDup3gramFrac, lit(false))
+  }
+
   /** Composed quality gate (the filter stage a training-data pipeline
     * runs before dedup): per-rule booleans, an overall keep flag, and
     * the first failing rule as drop_reason. Thresholds are the

@@ -96,6 +96,23 @@ object StreamingIngest {
     q
   }
 
+  /** Streaming corpus intake: the STATELESS prefix of corpus prep --
+    * quality gate then context-window chunking -- over a document
+    * stream of (doc_id, text). Both stages are narrow projections
+    * (filter + posexplode), so they run unchanged under Structured
+    * Streaming: no state, no watermark, each micro-batch emits its
+    * docs' chunks. Compose with [[streamingExactDedup]] keyed on
+    * `chunk_hash` for streaming chunk-level dedup; the stateful dedup
+    * and clustering stages stay batch (they need corpus-global
+    * state). */
+  def qualityChunkStream(docs: DataFrame,
+      chunkTokens: Int = graft.ops.TextOps.ChunkTokens): DataFrame =
+    graft.ops.TextOps.chunkOf(
+      docs.filter(graft.ops.TextOps.keepExpr(org.apache.spark.sql.functions.col("text")))
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")),
+      chunkTokens)
+
   case class KeyedDoc(doc_id: Long, content_key: String)
 
   /** Streaming exact dedup: drop every document whose canonical

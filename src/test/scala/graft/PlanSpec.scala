@@ -145,6 +145,17 @@ class PlanSpec extends AnyFunSuite {
       s"packing should shuffle once (window partition), got $shuffles:\n$t")
   }
 
+  test("incremental dedup computes the shared signature projection once") {
+    val p = plan(graft.ops.DedupOps.dedupIncremental(spark, dir))
+    // both sides must branch from the one materialized token-hash
+    // table -- a parquet scan in either branch means the md5 hashing
+    // (the expensive stage) re-runs per side
+    val parquetScans = collectAll(p).collect { case f: FileSourceScanExec => f }
+    assert(parquetScans.isEmpty,
+      "incremental pair join recomputes the hash projection from the parquet scan")
+    assert(p.toString.contains("ExistingRDD"))
+  }
+
   test("unigram logprob broadcasts the vocab, never a cartesian") {
     val p = plan(SparkEntry.queries("text_unigram_logprob")(spark, dir))
     val all = collectAll(p)

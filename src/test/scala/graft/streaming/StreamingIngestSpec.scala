@@ -40,6 +40,29 @@ class StreamingIngestSpec extends AnyFunSuite {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("streaming quality gate + chunking matches the batch path") {
+    val src = tmp("graft-qc-src")
+    Tables.documents(spark, sfDir).select("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    StreamingIngest.runAvailableNow(
+      StreamingIngest.qualityChunkStream(stream), "qc_stream", "append",
+      tmp("graft-qc-ckpt"))
+    val got = spark.table("qc_stream")
+      .select("doc_id", "chunk_id", "chunk_text")
+      .as[(Long, Int, String)].collect().sorted.toSeq
+    // batch path: gate survivors (keep = true) chunked the same way
+    val survivors = graft.ops.TextOps.qualityGate(spark, sfDir)
+      .filter(col("keep")).select("doc_id")
+    val expected = graft.ops.TextOps.chunkOf(
+        Tables.documents(spark, sfDir).join(survivors, Seq("doc_id"), "left_semi"))
+      .select("doc_id", "chunk_id", "chunk_text")
+      .as[(Long, Int, String)].collect().sorted.toSeq
+    assert(expected.nonEmpty && got === expected)
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("foreachBatch upsert sink lands every event exactly once") {
     val src = tmp("graft-sink-src")
     val events = Tables.events(spark, sfDir)
