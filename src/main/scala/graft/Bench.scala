@@ -57,7 +57,12 @@ object Bench {
       }
       val two = Seq(run(1), run(2)).flatten
       val noisy = two.size == 2 && two.max > 2.0 * two.min
-      val good = if (two.size < 2 || noisy) two ++ run(3) else two
+      // sub-1.5s queries always get a third sample: box noise is the
+      // same absolute magnitude for every query, so it dominates the
+      // short ones -- a third run there costs little and the reported
+      // value is the min, so reps only improve stability, never total
+      val cheap = two.nonEmpty && two.min < 1.5
+      val good = if (two.size < 2 || noisy || cheap) two ++ run(3) else two
       name -> good.minOption
     }
     val qs = results.map {

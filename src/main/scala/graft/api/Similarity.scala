@@ -144,4 +144,15 @@ object Similarity {
         round(col("x") / col("scale")).cast("int").as("q"),
         round(col("scale"), 9).as("scale_r"))
   }
+
+  /** Product-quantization encode over arbitrary id/vector columns:
+    * (vec_id, subspace, code, dist2) -- `subspaces` codes of
+    * `log2(16)` bits replace 4*dims bytes per vector. Size
+    * `subspaces`/`subDim` to the deployment (subspaces * subDim must
+    * equal the embedding width). */
+  def pqEncode(vectors: DataFrame, id: Column, vec: Column,
+      subspaces: Int = graft.ops.SimilarityOps.PqSubspaces,
+      subDim: Int = graft.ops.SimilarityOps.PqSubDim): DataFrame =
+    graft.ops.SimilarityOps.pqEncodeOf(
+      vectors.select(id.as("vec_id"), asDouble(vec).as("v")), subspaces, subDim)
 }

@@ -236,6 +236,94 @@ object SimilarityOps {
          round(scale, 9) AS scale_r
        FROM sc, generate_series(1, 64) gs(i)"""
 
+  // ------------------------------------------- product quantization
+
+  val PqSubspaces = 4
+  val PqSubDim = 16
+
+  /** Product-quantization encode: split each vector into `m`
+    * contiguous `subDim`-wide subvectors, build one codebook per
+    * subspace, and emit each subvector's nearest code -- the
+    * compression step of an IVF-PQ index (m bytes per vector instead
+    * of 4*dims). Codebooks here are one deterministic Lloyd step:
+    * initial cells from the axis-sign pattern of the subvector's
+    * first 4 elements (an axis-aligned LSH -- cross-engine exact,
+    * unlike k-means++), centroids as 1e-6-quantized means, then every
+    * subvector re-assigned to its NEAREST centroid. Production would
+    * iterate Lloyd further; the plan shape is what scales:
+    *
+    * Scale shape: subspace explode is narrow (m rows per vector); the
+    * codebook agg is map-side combinable into m * 2^4 tiny rows; the
+    * encode pass joins the BROADCAST codebook and argmins 16
+    * centroids per subvector -- one shuffle-free scan over the
+    * corpus after the codebook agg. Distances via the native
+    * sequential dot (bit-identical to DuckDB's list_dot_product).
+    * Input: (vec_id, v double[]). Output: (vec_id, subspace, code,
+    * dist2). */
+  def pqEncodeOf(vectors: DataFrame, m: Int = PqSubspaces,
+      subDim: Int = PqSubDim): DataFrame = {
+    val sub = vectors
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("subspace"),
+        col("v"))
+      .select(col("vec_id"), col("subspace").cast("int").as("subspace"),
+        slice(col("v"), col("subspace") * subDim + 1, lit(subDim)).as("sv"))
+    val initBits = math.min(4, subDim)
+    val code0 = (0 until initBits).map(j =>
+      when(element_at(col("sv"), j + 1) > 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _).cast("int")
+    val cbPos = sub.withColumn("code", code0)
+      .select(col("subspace"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("subspace"), col("code"), col("pos"))
+      .agg(round(sum(round(col("x") * 1e6).cast("long")) /
+        (count(lit(1)) * lit(1e6)), 6).as("c"))
+    val codebook = cbPos.groupBy(col("subspace"), col("code").as("cb_code"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("c"))))
+        .getField("c").as("cv"))
+    // |a-b|^2 as dot(a,a) - 2 dot(a,b) + dot(b,b): every term is the
+    // proven-bit-identical sequential dot, so the argmin agrees with
+    // the oracle exactly
+    val d = dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) +
+      dot(col("cv"), col("cv"))
+    sub.join(broadcast(codebook), Seq("subspace"))
+      .groupBy(col("vec_id"), col("subspace"))
+      .agg(min(struct(d.as("d"), col("cb_code").as("code"))).as("best"))
+      .select(col("vec_id"), col("subspace"),
+        col("best.code").as("code"), round(col("best.d"), 6).as("dist2"))
+  }
+
+  def embPqEncode(s: SparkSession, dir: String): DataFrame =
+    pqEncodeOf(Tables.embeddings(s, dir).repartition(32)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+
+  val embPqEncodeSql: String = {
+    val sd = PqSubDim
+    val initSql = (0 until 4)
+      .map(j => s"(CASE WHEN sv[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       sub AS (
+         SELECT vec_id, CAST(m AS INT) AS subspace,
+           list_transform(generate_series(1, $sd), j -> v[m * $sd + j]) AS sv
+         FROM e, generate_series(0, ${PqSubspaces - 1}) gs(m)),
+       init AS (SELECT *, CAST($initSql AS INT) AS code FROM sub),
+       cbp AS (
+         SELECT subspace, code, i - 1 AS pos,
+           round(sum(CAST(round(sv[i] * 1e6) AS BIGINT)) / (count(*) * 1e6), 6) AS c
+         FROM init, generate_series(1, $sd) gs(i) GROUP BY 1, 2, 3),
+       cb AS (SELECT subspace, code AS cb_code, array_agg(c ORDER BY pos) AS cv
+              FROM cbp GROUP BY 1, 2),
+       scored AS (
+         SELECT s.vec_id, s.subspace, cb.cb_code,
+           list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, cb.cv)
+             + list_dot_product(cb.cv, cb.cv) AS d
+         FROM sub s JOIN cb ON s.subspace = cb.subspace)
+       SELECT vec_id, subspace, cb_code AS code, round(d, 6) AS dist2
+       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+               ORDER BY d, cb_code) AS rn FROM scored)
+       WHERE rn = 1"""
+  }
+
   val annSignLshSql: String =
     s"""WITH e AS (
          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -295,6 +295,24 @@ class OpsSpec extends AnyFunSuite {
     assert(straddlers > 0 && straddlers < rows.length)
   }
 
+  test("PQ encode: one code per (vector, subspace), geometry parameterized") {
+    val n = graft.core.Tables.embeddings(spark, dir).count()
+    val enc = SimilarityOps.embPqEncode(spark, dir)
+    assert(enc.count() === n * SimilarityOps.PqSubspaces)
+    assert(enc.filter(col("code") < 0 || col("code") > 15).count() === 0)
+    assert(enc.groupBy("vec_id", "subspace").count()
+      .filter(col("count") =!= 1).count() === 0)
+    // squared distance to the chosen centroid: algebraic form may go
+    // epsilon-negative, never materially
+    assert(enc.filter(col("dist2") < -1e-9).count() === 0)
+    // non-default geometry through the API: 8 subspaces x 8 dims
+    val e = graft.core.Tables.embeddings(spark, dir)
+    val alt = graft.api.Similarity.pqEncode(e, col("vec_id"), col("embedding"),
+      subspaces = 8, subDim = 8)
+    assert(alt.count() === n * 8)
+    assert(alt.select("subspace").distinct().count() === 8)
+  }
+
   test("corpus report card accounts for every doc exactly once per source") {
     val docs = graft.core.Tables.documents(spark, dir)
     val perSource = docs.groupBy(col("source")).count()
