@@ -156,6 +156,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toString.contains("ExistingRDD"))
   }
 
+  test("PQ encode broadcasts the codebook, never a cartesian") {
+    val p = plan(graft.ops.SimilarityOps.embPqEncode(spark, dir))
+    val all = collectAll(p)
+    assert(!all.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "encode pass must join the broadcast codebook")
+  }
+
   test("unigram logprob broadcasts the vocab, never a cartesian") {
     val p = plan(SparkEntry.queries("text_unigram_logprob")(spark, dir))
     val all = collectAll(p)
