@@ -206,7 +206,11 @@ object Corpus {
       chunkTokens: Int = TextOps.ChunkTokens,
       budgetTokens: Long = TextOps.PackBudget): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val prepared = prepare(docs, id, text, t, containmentThreshold)
+    // materialized once: both the chunk explode and the split join
+    // read the prepared corpus -- without this the whole prepare
+    // pipeline (LSH pair join + CC loop) executes twice
+    val prepared = DedupOps.materializeOnce(
+      prepare(docs, id, text, t, containmentThreshold))
     val chunks = TextOps.chunkOf(
       prepared.select(col("doc_id"), col("text")), chunkTokens)
       .join(prepared.select(col("doc_id"), col("split")), Seq("doc_id"))
