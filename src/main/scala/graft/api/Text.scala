@@ -78,6 +78,13 @@ object Text {
         round(col("tf") * log(col("n_docs") / col("df")), 4).as("tfidf"))
   }
 
+  /** Okapi BM25 per (doc, token): the lexical-retrieval ranking
+    * function. Doc length rides through the tf groupBy key (no extra
+    * join); corpus stats broadcast as one row. */
+  def bm25(docs: DataFrame, id: Column, text: Column): DataFrame =
+    graft.queries.AnalyticsQueries.bm25(
+      docs.select(id.as("doc_id"), text.as("text")))
+
   /** Gopher-style repetition metrics: top-token frequency/fraction,
     * duplicate 2-/3-gram fractions. One narrow projection pass. */
   def repetition(docs: DataFrame, id: Column, text: Column): DataFrame =

@@ -77,4 +77,74 @@ object SamplingOps {
             ELSE 'test' END AS split
        FROM documents"""
   }
+
+  /** Source mixture weights: named sources are upweighted relative to
+    * the default-1 remainder (the "3x Wikipedia" knob of a training
+    * mix). */
+  val MixtureWeights: Seq[(String, Int)] = Seq("src0" -> 4, "src1" -> 4, "src2" -> 2)
+  val MixtureDefaultWeight = 1
+
+  /** Char budget as a percent of the total corpus: the mixture keeps
+    * ~this much of the data overall, redistributed by weight. */
+  val MixtureBudgetPct = 40
+
+  /** Mixture sampling: downsample each source to its weighted share of
+    * a global char budget -- the canonical training-data mixing op
+    * (upweight curated sources, cap the crawl). Per-source keep rates
+    * derive from one map-side-combinable aggregate; all rate math is
+    * BIGINT division so both engines compute identical rates; the
+    * per-row keep decision is the usual content-free id-hash Bernoulli
+    * filter. Sources whose weighted share exceeds their size keep
+    * everything (rate clips at 100%) -- the leftover budget is NOT
+    * redistributed (single-pass waterfilling is deliberately out:
+    * iterative redistribution is a driver loop, and the point is one
+    * broadcast joinable 20-row rate table at any corpus size). */
+  def mixtureSample(s: SparkSession, dir: String): DataFrame =
+    mixtureSampleOf(Tables.documents(s, dir), MixtureWeights,
+      MixtureDefaultWeight, MixtureBudgetPct)
+
+  /** df-first form over any (doc_id, source, n_chars) frame. */
+  def mixtureSampleOf(docs: DataFrame, weights: Seq[(String, Int)],
+      defaultWeight: Int, budgetPct: Int): DataFrame = {
+    val w = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (src, p)) => when(col("source") === src, lit(p)).otherwise(acc)
+    }
+    // materialized: both the rate projection and the grand total read
+    // this 1-row-per-source aggregate -- without it each branch
+    // re-scans the corpus (verified in the executed plan)
+    val perSrc = DedupOps.materializeOnce(docs.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("chars_src"))
+      .withColumn("w", w.cast("long")))
+    val tot = perSrc.agg(sum(col("chars_src")).as("tot_chars"),
+      sum(col("w")).as("tot_w"))
+    val rates = perSrc.crossJoin(broadcast(tot)).select(
+      col("source"),
+      least(lit(10000L),
+        expr(s"((tot_chars * $budgetPct DIV 100) * w DIV tot_w) " +
+          "* 10000 DIV chars_src")).as("keep_bp"))
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(pmod(h15(concat(lit("mix:"), col("doc_id").cast("string"))),
+        lit(10000)) < col("keep_bp"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("keep_bp"))
+  }
+
+  val mixtureSampleSql: String = {
+    val w = MixtureWeights.reverse.foldLeft(MixtureDefaultWeight.toString) {
+      case (acc, (src, p)) => s"CASE WHEN source = '$src' THEN $p ELSE $acc END"
+    }
+    s"""WITH per AS (
+         SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars_src,
+           CAST($w AS BIGINT) AS w
+         FROM documents GROUP BY 1),
+       tot AS (SELECT CAST(sum(chars_src) AS BIGINT) AS tot_chars,
+                      CAST(sum(w) AS BIGINT) AS tot_w FROM per),
+       rates AS (
+         SELECT source,
+           least(10000, ((tot_chars * $MixtureBudgetPct // 100) * w // tot_w)
+             * 10000 // chars_src) AS keep_bp
+         FROM per CROSS JOIN tot)
+       SELECT d.doc_id, d.source, d.n_chars, r.keep_bp
+       FROM documents d JOIN rates r ON d.source = r.source
+       WHERE ${h15Sql("concat('mix:', CAST(doc_id AS VARCHAR))")} % 10000 < r.keep_bp"""
+  }
 }

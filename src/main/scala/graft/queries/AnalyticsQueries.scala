@@ -302,6 +302,132 @@ object AnalyticsQueries {
        FROM l ASOF LEFT JOIN r
          ON l.user_id = r.user_id AND l.ts_us >= r.ts_us"""
 
+  /** Interval length for [[j5RangeJoin]] windows: 5 minutes in us. */
+  val RangeWindowUs: Long = 300L * 1000 * 1000
+
+  /** Keyless range (interval) join: every error event opens a 5-minute
+    * incident window; count the events (and distinct users) falling in
+    * each window. With no equi key, Spark's naive plan for an interval
+    * predicate is BroadcastNestedLoopJoin (or worse, a cartesian) --
+    * quadratic and non-viable at scale. The scale shape used here is
+    * the bucket-explode equi-join: discretize time into buckets the
+    * size of the interval, explode each window to the (exactly 2)
+    * buckets it can overlap, tag each event with its single bucket,
+    * equi-join on the bucket, and apply the exact containment filter
+    * inside the join. Each qualifying (window, event) pair matches on
+    * exactly one bucket -- the event side has one bucket value -- so
+    * no DISTINCT pass is needed. The shuffle key is the time bucket;
+    * hot buckets (load spikes) salt the same way the LSH joins do. */
+  def j5RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val wins = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("window_id"), col("ts_us").as("lo"),
+        (col("ts_us") + RangeWindowUs).as("hi"))
+      .withColumn("bucket", explode(array(
+        expr(s"lo DIV $RangeWindowUs"), expr(s"lo DIV $RangeWindowUs + 1"))))
+    val pts = ev.select(col("event_id"), col("user_id"), col("ts_us"),
+      expr(s"ts_us DIV $RangeWindowUs").as("bucket"))
+    wins.join(pts, Seq("bucket"))
+      .filter(col("ts_us") >= col("lo") && col("ts_us") < col("hi"))
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"))
+  }
+
+  val j5RangeJoinSql: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type,
+           epoch_ns(ts)//1000 AS ts_us FROM events),
+       w AS (SELECT event_id AS window_id, ts_us AS lo,
+           ts_us + $RangeWindowUs AS hi FROM e WHERE event_type = 'error')
+       SELECT window_id, count(*) AS n_events,
+         count(DISTINCT e.user_id) AS n_users
+       FROM w JOIN e ON e.ts_us >= w.lo AND e.ts_us < w.hi
+       GROUP BY 1"""
+
+  /** Cohort retention: users bucketed by first-seen day; for each
+    * (cohort day, day offset) the count of distinct users still
+    * active. First-seen rides a per-user window min (one shuffle on
+    * user_id, no self-join), then one agg shuffle on the tiny
+    * (cohort, offset) key space. Days are integer us-epoch divisions
+    * -- timezone-free in both engines -- converted to DATE only at
+    * the output edge. */
+  def w6RetentionCohort(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000 * 1000
+    val wu = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts_us DIV $dayUs").as("day_n"))
+      .withColumn("cohort_n", min(col("day_n")).over(wu))
+      .groupBy(col("cohort_n"),
+        (col("day_n") - col("cohort_n")).cast("int").as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .select(
+        date_add(to_date(lit("1970-01-01")), col("cohort_n").cast("int"))
+          .as("cohort_day"),
+        col("day_offset"), col("n_users"))
+  }
+
+  val w6RetentionCohortSql: String =
+    """WITH d AS (SELECT user_id,
+           (epoch_ns(ts)//1000) // 86400000000 AS day_n FROM events),
+       c AS (SELECT user_id, day_n,
+           min(day_n) OVER (PARTITION BY user_id) AS cohort_n FROM d)
+       SELECT DATE '1970-01-01' + CAST(cohort_n AS INT) AS cohort_day,
+         CAST(day_n - cohort_n AS INT) AS day_offset,
+         count(DISTINCT user_id) AS n_users
+       FROM c GROUP BY 1, 2"""
+
+  /** BM25 parameters (Okapi defaults). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** Okapi BM25 relevance score per (doc, token) -- the ranking
+    * function under lexical retrieval. Same skeleton as [[textTfidf]]
+    * (exact integer tf/df so only the final float formula diverges)
+    * plus the doc-length normalization: dl rides THROUGH the tf
+    * groupBy key (it is functionally dependent on doc_id), so no
+    * extra per-doc join or shuffle is added; corpus stats (N, total
+    * length) ride in as one broadcast row. idf is the +1 smoothed
+    * variant, non-negative for df near N. */
+  def bm25(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).cast("double").as("sum_dl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") + lit(Bm25K1) *
+      (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / (col("sum_dl") / col("n_docs")))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("token"), col("tf"), col("dl"), col("df"),
+        round(idf * (col("tf") * lit(Bm25K1 + 1)) / denom, 4).as("bm25"))
+  }
+
+  def textBm25(s: SparkSession, dir: String): DataFrame =
+    bm25(Tables.documents(s, dir))
+
+  val textBm25Sql: String =
+    s"""WITH tok AS (SELECT doc_id, CAST(len($TokensSql) AS BIGINT) AS dl,
+           unnest($TokensSql) AS token FROM documents),
+       tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+       df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           CAST(sum(CAST(len($TokensSql) AS BIGINT)) AS DOUBLE) AS sum_dl
+           FROM documents)
+       SELECT doc_id, tf.token, tf, dl, df,
+         round(ln(CAST(1.0 AS DOUBLE)
+             + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+           * (tf * (CAST($Bm25K1 AS DOUBLE) + 1))
+           / (tf + CAST($Bm25K1 AS DOUBLE) * (CAST(${1.0 - Bm25B} AS DOUBLE)
+              + CAST($Bm25B AS DOUBLE) * dl / (sum_dl / n_docs))), 4) AS bm25
+       FROM tf JOIN df ON tf.token = df.token CROSS JOIN st"""
+
   /** Set operators: customers active in both 1995 and 1996, minus
     * those active in 1998 (INTERSECT / EXCEPT, distinct semantics). */
   def u1SetOps(s: SparkSession, dir: String): DataFrame = {
@@ -409,6 +535,9 @@ object AnalyticsQueries {
     "s15_table_stats_approx" -> (s15TableStatsApproxGate _),
     "u1_set_ops" -> (u1SetOps _),
     "j4_asof_join" -> (j4AsofJoin _),
+    "j5_range_join" -> (j5RangeJoin _),
+    "w6_retention_cohort" -> (w6RetentionCohort _),
+    "text_bm25" -> (textBm25 _),
     "a5_rollup" -> (a5Rollup _),
     "a6_pivot" -> (a6Pivot _),
     "f16_json_extract" -> (f16JsonExtract _),
@@ -435,6 +564,9 @@ object AnalyticsQueries {
     "a4_percentiles_approx" -> a4PercentilesApproxGateSql,
     "u1_set_ops" -> u1SetOpsSql,
     "j4_asof_join" -> j4AsofJoinSql,
+    "j5_range_join" -> j5RangeJoinSql,
+    "w6_retention_cohort" -> w6RetentionCohortSql,
+    "text_bm25" -> textBm25Sql,
     "a5_rollup" -> a5RollupSql,
     "a6_pivot" -> a6PivotSql,
     "f16_json_extract" -> f16JsonExtractSql,

@@ -164,6 +164,36 @@ class PlanSpec extends AnyFunSuite {
       "encode pass must join the broadcast codebook")
   }
 
+  test("range join is a bucket equi-join, never a nested-loop or cartesian") {
+    // the scale property of j5: the interval predicate must ride INSIDE
+    // a hash equi-join on the time bucket -- a BroadcastNestedLoopJoin
+    // (Spark's default for pure range predicates) is quadratic at scale
+    val all = collectAll(plan(SparkEntry.queries("j5_range_join")(spark, dir)))
+    assert(!all.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(!all.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "range join fell back to a nested-loop join")
+    assert(all.exists(p => p.isInstanceOf[BroadcastHashJoinExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+      "range join lost its bucket equi-join")
+  }
+
+  test("mixture sample broadcasts the per-source rate table") {
+    val all = collectAll(plan(SparkEntry.queries("p12_mixture_sample")(spark, dir)))
+    assert(!all.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "docs->rates join must broadcast the 20-row rate side")
+  }
+
+  test("bm25 never plans a cartesian; corpus stats ride a broadcast") {
+    val all = collectAll(plan(SparkEntry.queries("text_bm25")(spark, dir)))
+    assert(!all.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(all.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "1-row stats side must join as a broadcast")
+  }
+
   test("unigram logprob broadcasts the vocab, never a cartesian") {
     val p = plan(SparkEntry.queries("text_unigram_logprob")(spark, dir))
     val all = collectAll(p)

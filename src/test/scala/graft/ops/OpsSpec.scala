@@ -349,4 +349,84 @@ class OpsSpec extends AnyFunSuite {
     // rarer-token doc must score strictly lower
     assert(got(2L)._2 < got(1L)._2)
   }
+
+  test("range join equals the brute-force interval scan") {
+    val ev = graft.core.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val expected = ev.filter(_._4 == "error").map { case (wid, _, lo, _) =>
+      val in = ev.filter(e => e._3 >= lo && e._3 < lo + graft.queries.AnalyticsQueries.RangeWindowUs)
+      wid -> ((in.length.toLong, in.map(_._2).distinct.length.toLong))
+    }.toMap
+    val got = graft.queries.AnalyticsQueries.j5RangeJoin(spark, dir)
+      .as[(Long, Long, Long)].collect()
+      .map { case (wid, n, u) => wid -> ((n, u)) }.toMap
+    assert(got === expected)
+    // every window sees at least its own defining event
+    assert(got.values.forall(_._1 >= 1))
+  }
+
+  test("retention cohort: offset 0 equals cohort size and bounds every later offset") {
+    val rows = graft.queries.AnalyticsQueries.w6RetentionCohort(spark, dir)
+      .select(col("cohort_day").cast("string"), col("day_offset"), col("n_users"))
+      .as[(String, Int, Long)].collect()
+    val day0 = rows.filter(_._2 == 0).map(r => r._1 -> r._3).toMap
+    // every cohort has an offset-0 row (each user is active on its first day)
+    assert(rows.map(_._1).toSet === day0.keySet)
+    for ((cohort, off, n) <- rows) {
+      assert(off >= 0, s"negative offset $off in cohort $cohort")
+      assert(n <= day0(cohort),
+        s"cohort $cohort offset $off has $n users > cohort size ${day0(cohort)}")
+    }
+    // cohorts partition the user base: offset-0 counts sum to distinct users
+    val users = graft.core.Tables.events(spark, dir)
+      .select(countDistinct(col("user_id"))).as[Long].head()
+    assert(day0.values.sum === users)
+  }
+
+  test("mixture sample keep rates and kept rows match an independent recomputation") {
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .as[(Long, String, Long)].collect()
+    val wOf = SamplingOps.MixtureWeights.toMap
+    val perSrc = docs.groupBy(_._2).map { case (src, ds) =>
+      src -> ((ds.map(_._3).sum, wOf.getOrElse(src, SamplingOps.MixtureDefaultWeight).toLong))
+    }
+    val totChars = perSrc.values.map(_._1).sum
+    val totW = perSrc.values.map(_._2).sum
+    val keepBp = perSrc.map { case (src, (chars, w)) =>
+      src -> math.min(10000L,
+        totChars * SamplingOps.MixtureBudgetPct / 100 * w / totW * 10000 / chars)
+    }
+    val expected = docs.filter { case (id, src, _) =>
+      Hashing.h15Local(s"mix:$id") % 10000 < keepBp(src)
+    }.map { case (id, src, nc) => (id, src, nc, keepBp(src)) }.toSet
+    val got = SamplingOps.mixtureSample(spark, dir)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got === expected)
+    // the mixture must actually mix: some source clipped at keep-all,
+    // some source genuinely downsampled
+    assert(keepBp.values.exists(_ == 10000L) && keepBp.values.exists(_ < 10000L))
+  }
+
+  test("bm25 equals the hand-computed value on a toy corpus") {
+    // doc1 = "a a b" (dl 3), doc2 = "a c" (dl 2); N=2, avgdl=2.5
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = graft.queries.AnalyticsQueries.bm25(docs)
+      .select(col("doc_id"), col("token"), col("bm25"))
+      .as[(Long, String, Double)].collect()
+      .map { case (id, t, v) => (id, t) -> v }.toMap
+    val k1 = graft.queries.AnalyticsQueries.Bm25K1
+    val b = graft.queries.AnalyticsQueries.Bm25B
+    def score(tf: Long, dl: Long, df: Long): Double = {
+      val idf = math.log(1.0 + (2.0 - df + 0.5) / (df + 0.5))
+      val v = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / 2.5))
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got === Map(
+      (1L, "a") -> score(2, 3, 2), (1L, "b") -> score(1, 3, 1),
+      (2L, "a") -> score(1, 2, 2), (2L, "c") -> score(1, 2, 1)))
+    // rare terms outrank common ones at equal tf/dl
+    assert(got((2L, "c")) > got((2L, "a")))
+  }
 }
