@@ -147,4 +147,35 @@ object SamplingOps {
        FROM documents d JOIN rates r ON d.source = r.source
        WHERE ${h15Sql("concat('mix:', CAST(doc_id AS VARCHAR))")} % 10000 < r.keep_bp"""
   }
+
+  /** Curriculum binning: assign each document a 0..9 difficulty decile
+    * of a quality signal (here doc length) -- the ordering knob of
+    * curriculum training schedules. Decile boundaries come from ONE
+    * global aggregate broadcast as a single row; assignment is then a
+    * narrow comparison pass (bin = #boundaries <= value), so no global
+    * sort and no ntile window over one partition -- the plan that
+    * kills this op at scale. Exact percentile keeps the oracle
+    * hash-exact; at 100 TB swap `percentile` for `approx_percentile`
+    * (same plan shape, bounded sketch state). */
+  def curriculumBins(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val deciles = (1 to 9).map(_ / 10.0)
+    val bounds = docs.agg(
+      expr(s"percentile(n_chars, array(${deciles.mkString(",")}))").as("b"))
+    docs.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("n_chars"),
+        deciles.indices.map(i =>
+            when(col("n_chars") >= col("b")(i), 1).otherwise(0))
+          .reduce(_ + _).cast("int").as("bin"))
+  }
+
+  val curriculumBinsSql: String = {
+    val bins = (1 to 9)
+      .map(i => s"(CASE WHEN n_chars >= q[$i] THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH b AS (SELECT quantile_cont(n_chars,
+         [${(1 to 9).map(_ / 10.0).mkString(",")}]) AS q FROM documents)
+       SELECT doc_id, n_chars, CAST($bins AS INT) AS bin
+       FROM documents CROSS JOIN b"""
+  }
 }

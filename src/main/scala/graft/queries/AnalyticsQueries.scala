@@ -376,6 +376,50 @@ object AnalyticsQueries {
          count(DISTINCT user_id) AS n_users
        FROM c GROUP BY 1, 2"""
 
+  /** Ordered conversion funnel: per user, the first view, the first
+    * click strictly AFTER that view, and the first purchase strictly
+    * after that click -- stage = how deep the ordered sequence got
+    * (sequence order enforced, not mere presence). Three per-stage
+    * min-aggregates chained on user_id: after the first shuffle every
+    * stage is co-partitioned on the key, so the chain adds no extra
+    * exchanges of the event stream -- only tiny per-user timestamp
+    * tables join forward. */
+  def w7Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("user_id"), col("event_type"), col("ts_us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view"))
+    val c = e.filter(col("event_type") === "click").join(v, Seq("user_id"))
+      .filter(col("ts_us") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+      .filter(col("ts_us") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+          + when(col("t_purchase").isNotNull, 1).otherwise(0))
+          .cast("int").as("funnel_stage"))
+  }
+
+  val w7FunnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS ts_us
+           FROM events),
+       v AS (SELECT user_id, min(ts_us) AS t_view FROM e
+             WHERE event_type = 'view' GROUP BY 1),
+       c AS (SELECT e.user_id, min(e.ts_us) AS t_click
+             FROM e JOIN v ON e.user_id = v.user_id AND e.ts_us > v.t_view
+             WHERE e.event_type = 'click' GROUP BY 1),
+       p AS (SELECT e.user_id, min(e.ts_us) AS t_purchase
+             FROM e JOIN c ON e.user_id = c.user_id AND e.ts_us > c.t_click
+             WHERE e.event_type = 'purchase' GROUP BY 1)
+       SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+         CAST(1 + (CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END)
+            + (CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+           AS funnel_stage
+       FROM v LEFT JOIN c ON v.user_id = c.user_id
+              LEFT JOIN p ON v.user_id = p.user_id"""
+
   /** BM25 parameters (Okapi defaults). */
   val Bm25K1 = 1.2
   val Bm25B = 0.75
@@ -537,6 +581,7 @@ object AnalyticsQueries {
     "j4_asof_join" -> (j4AsofJoin _),
     "j5_range_join" -> (j5RangeJoin _),
     "w6_retention_cohort" -> (w6RetentionCohort _),
+    "w7_funnel" -> (w7Funnel _),
     "text_bm25" -> (textBm25 _),
     "a5_rollup" -> (a5Rollup _),
     "a6_pivot" -> (a6Pivot _),
@@ -566,6 +611,7 @@ object AnalyticsQueries {
     "j4_asof_join" -> j4AsofJoinSql,
     "j5_range_join" -> j5RangeJoinSql,
     "w6_retention_cohort" -> w6RetentionCohortSql,
+    "w7_funnel" -> w7FunnelSql,
     "text_bm25" -> textBm25Sql,
     "a5_rollup" -> a5RollupSql,
     "a6_pivot" -> a6PivotSql,

@@ -149,6 +149,53 @@ object LibraryQueries {
               CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_yr
        FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'"""
 
+  /** S17: CDC changelog between two snapshots of the versioned store
+    * (same two-upsert history as s16): inserts (new 1997 keys) and
+    * updates (re-priced 1996H2 keys) classified by the manifest-pruned
+    * full-outer diff -- unchanged partitions (1992-1995) never scan.
+    * No deletes: MERGE never removes target rows. */
+  def s17SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_orderdate").cast("date").as("order_date"),
+      col("o_totalprice"), col("o_orderstatus"))
+      .withColumn("order_yr", year(col("order_date")))
+    val target = o.filter(col("order_date") < lit("1997-01-01").cast("date"))
+    val source = o.filter(col("order_date") >= lit("1996-07-01").cast("date") &&
+        col("order_date") < lit("1997-07-01").cast("date"))
+      .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+      .withColumn("o_orderstatus", lit("R"))
+    val store = new VersionedTableStore(s,
+      Files.createTempDirectory("graft-q-s17").toString)
+    UpsertWriter.upsertAll(store, "orders_v", target, Seq("o_orderkey"),
+      partitionBy = Seq("order_yr"))
+    UpsertWriter.upsertAll(store, "orders_v", source, Seq("o_orderkey"),
+      partitionBy = Seq("order_yr"))
+    store.snapshotDiff("orders_v", 1, 2, Seq("o_orderkey"))
+  }
+
+  val s17SnapshotDiffSql: String =
+    """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+                         o_totalprice, o_orderstatus FROM orders),
+       t AS (SELECT *, CAST(year(order_date) AS INT) AS order_yr
+             FROM o WHERE order_date < DATE '1997-01-01'),
+       src AS (SELECT o_orderkey, order_date,
+                      round(o_totalprice * 1.1, 2) AS o_totalprice,
+                      'R' AS o_orderstatus,
+                      CAST(year(order_date) AS INT) AS order_yr
+               FROM o WHERE order_date >= DATE '1996-07-01'
+                 AND order_date < DATE '1997-07-01')
+       SELECT o_orderkey, 'insert' AS change_type, order_date,
+              o_totalprice, o_orderstatus, order_yr
+       FROM src WHERE o_orderkey NOT IN (SELECT o_orderkey FROM t)
+       UNION ALL
+       SELECT s.o_orderkey, 'update' AS change_type, s.order_date,
+              s.o_totalprice, s.o_orderstatus, s.order_yr
+       FROM src s JOIN t ON s.o_orderkey = t.o_orderkey
+       WHERE s.order_date IS DISTINCT FROM t.order_date
+          OR s.o_totalprice IS DISTINCT FROM t.o_totalprice
+          OR s.o_orderstatus IS DISTINCT FROM t.o_orderstatus"""
+
   /** Q1-Q8: the validation rule engine over lineitem, its per-rule
     * results as the query output (single-scan evaluation). */
   def qValidationSuite(s: SparkSession, dir: String): DataFrame = {
@@ -323,6 +370,7 @@ object LibraryQueries {
     "s7_merge_upsert" -> (s7MergeUpsert _),
     "s8_merge_selective" -> (s8MergeSelective _),
     "s16_versioned_rollback" -> (s16VersionedRollback _),
+    "s17_snapshot_diff" -> (s17SnapshotDiff _),
     "q_validation_suite" -> (qValidationSuite _),
     "q_validation_period" -> (qValidationPeriod _),
     "q_validation_history" -> (qValidationHistory _),
@@ -333,6 +381,7 @@ object LibraryQueries {
     "s7_merge_upsert" -> s7MergeUpsertSql,
     "s8_merge_selective" -> s8MergeSelectiveSql,
     "s16_versioned_rollback" -> s16VersionedRollbackSql,
+    "s17_snapshot_diff" -> s17SnapshotDiffSql,
     "q_validation_suite" -> qValidationSuiteSql,
     "q_validation_period" -> qValidationPeriodSql,
     "q_validation_history" -> qValidationHistorySql,

@@ -443,6 +443,48 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       "shares_parent_files")
   }
 
+  /** Changelog between two snapshots (the Iceberg CDC / changelog-scan
+    * analogue): one row per key whose row was inserted, updated, or
+    * deleted between `fromV` and `toV`. Values are the post-change row
+    * for insert/update and the deleted row for delete.
+    *
+    * Scale shape: because delta commits SHARE unchanged partitions'
+    * data dirs, any partition mapped to the same dir in both manifests
+    * is provably identical -- `pruneUnchanged` (default) drops those
+    * from BOTH scans before the full-outer key join, so the diff costs
+    * the changed partitions, not the table. Pruning assumes a key does
+    * not migrate between partitions across the two snapshots (true
+    * whenever the partition columns are function of the key, the
+    * MERGE-writer invariant); pass pruneUnchanged=false otherwise. */
+  def snapshotDiff(name: String, fromV: Long, toV: Long,
+      keys: Seq[String], pruneUnchanged: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val mFrom = manifestAt(name, fromV).getOrElse(throw new NoSuchElementException(
+      s"$name has no live snapshot $fromV"))
+    val mTo = manifestAt(name, toV).getOrElse(throw new NoSuchElementException(
+      s"$name has no live snapshot $toV"))
+    val (fm, tm) = (mFrom.mapping.toMap, mTo.mapping.toMap)
+    val changed: String => Boolean =
+      if (pruneUnchanged) rel => fm.get(rel) != tm.get(rel) else _ => true
+    val oldDf = load(name, mFrom.copy(mapping = mFrom.mapping.filter(p => changed(p._1))))
+    val newDf = load(name, mTo.copy(mapping = mTo.mapping.filter(p => changed(p._1))))
+    val dataCols = newDf.columns.filterNot(keys.contains).toSeq
+    val oldT = oldDf.select(keys.map(col) ++ Seq(lit(1).as("__in_old")) ++
+      dataCols.map(c => col(c).as(s"__o_$c")): _*)
+    val newT = newDf.select(keys.map(col) ++ Seq(lit(1).as("__in_new")) ++
+      dataCols.map(col): _*)
+    val rowChanged = dataCols.map(c => !(col(c) <=> col(s"__o_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val ctype = when(col("__in_old").isNull, "insert")
+      .when(col("__in_new").isNull, "delete")
+      .when(rowChanged, "update")
+    oldT.join(newT, keys, "full_outer")
+      .filter(ctype.isNotNull)
+      .select(keys.map(col) ++ Seq(ctype.as("change_type")) ++
+        dataCols.map(c =>
+          when(col("__in_new").isNull, col(s"__o_$c")).otherwise(col(c)).as(c)): _*)
+  }
+
   /** SQL surface: the current snapshot as a session temp view (a
     * manifest table spans dirs, so it registers as a view rather
     * than a single-location catalog table). */

@@ -194,6 +194,18 @@ class PlanSpec extends AnyFunSuite {
       "1-row stats side must join as a broadcast")
   }
 
+  test("curriculum binning is a broadcast-bounds projection, not a global sort") {
+    // the scale property: decile assignment must NOT plan ntile/Window
+    // over one partition or a global Sort of the corpus
+    val p = plan(SparkEntry.queries("p13_curriculum_bins")(spark, dir))
+    val s = p.toString
+    assert(!s.contains("Window"), "binning planned a window")
+    assert(!collectAll(p).exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      "binning planned a sort")
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
+      "decile bounds must ride a broadcast")
+  }
+
   test("unigram logprob broadcasts the vocab, never a cartesian") {
     val p = plan(SparkEntry.queries("text_unigram_logprob")(spark, dir))
     val all = collectAll(p)

@@ -409,6 +409,56 @@ class OpsSpec extends AnyFunSuite {
     assert(keepBp.values.exists(_ == 10000L) && keepBp.values.exists(_ < 10000L))
   }
 
+  test("curriculum bins match an independently interpolated decile assignment") {
+    val chars = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)].collect()
+    val sorted = chars.map(_._2.toDouble).sorted
+    // the shared (n-1)p linear-interpolation definition (Spark
+    // percentile == DuckDB quantile_cont, pinned by a4)
+    def q(p: Double): Double = {
+      val rank = (sorted.length - 1) * p
+      val lo = rank.toInt
+      if (lo + 1 >= sorted.length) sorted.last
+      else sorted(lo) + (rank - lo) * (sorted(lo + 1) - sorted(lo))
+    }
+    val bounds = (1 to 9).map(i => q(i / 10.0))
+    val expected = chars.map { case (id, n) =>
+      (id, n, bounds.count(b => n >= b))
+    }.toSet
+    val got = SamplingOps.curriculumBins(spark, dir)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === expected)
+    // deciles of a 500-doc corpus: every bin 0..9 is populated
+    assert(got.map(_._3) === (0 to 9).toSet)
+  }
+
+  test("funnel equals the brute-force per-user ordered-sequence scan") {
+    val ev = graft.core.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+      .as[(Long, String, Long)].collect()
+    val byUser = ev.groupBy(_._1)
+    val expected = byUser.flatMap { case (u, es) =>
+      val views = es.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None else {
+        val tv = views.min
+        val clicks = es.filter(e => e._2 == "click" && e._3 > tv).map(_._3)
+        val tc = if (clicks.isEmpty) None else Some(clicks.min)
+        val tp = tc.flatMap { t =>
+          val ps = es.filter(e => e._2 == "purchase" && e._3 > t).map(_._3)
+          if (ps.isEmpty) None else Some(ps.min)
+        }
+        Some((u, tv, tc, tp, 1 + tc.size + tp.size))
+      }
+    }.toSet
+    val got = graft.queries.AnalyticsQueries.w7Funnel(spark, dir)
+      .as[(Long, Long, Option[Long], Option[Long], Int)].collect().toSet
+    assert(got === expected)
+    // sequence order matters: every stage-3 user has t_view < t_click < t_purchase
+    got.filter(_._5 == 3).foreach { case (u, tv, tc, tp, _) =>
+      assert(tv < tc.get && tc.get < tp.get, s"user $u funnel out of order")
+    }
+  }
+
   test("bm25 equals the hand-computed value on a toy corpus") {
     // doc1 = "a a b" (dl 3), doc2 = "a c" (dl 2); N=2, avgdl=2.5
     val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")

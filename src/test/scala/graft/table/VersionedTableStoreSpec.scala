@@ -119,6 +119,48 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     assert(dataDirs.count(_.startsWith("v2-")) === 1)
   }
 
+  test("snapshotDiff classifies inserts, updates, and deletes between versions") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), "t")
+    vs.commitFull(Seq((1, "a"), (2, "B2"), (4, "d")).toDF("k", "v"), "t")
+    val diff = vs.snapshotDiff("t", 1, 2, Seq("k"))
+      .as[(Int, String, String)].collect().toSeq.sorted
+    assert(diff === Seq((2, "update", "B2"), (3, "delete", "c"), (4, "insert", "d")))
+    // reverse direction flips the classification
+    val back = vs.snapshotDiff("t", 2, 1, Seq("k"))
+      .as[(Int, String, String)].collect().toSeq.sorted
+    assert(back === Seq((2, "update", "b"), (3, "insert", "c"), (4, "delete", "d")))
+  }
+
+  test("snapshotDiff scans only partitions whose data dirs changed") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a", "d1"), (2, "b", "d2")).toDF("k", "v", "day"),
+      "pt", Seq("day"))
+    vs.commitPartitions(Seq((2, "B", "d2"), (3, "c", "d3")).toDF("k", "v", "day"),
+      "pt", Seq("day"))
+    val diff = vs.snapshotDiff("pt", 1, 2, Seq("k"))
+    // day=d1 maps to the SAME v1 dir in both manifests -> pruned from
+    // both scans; only the rewritten d2 and the new d3 files are read
+    assert(diff.inputFiles.nonEmpty)
+    assert(diff.inputFiles.forall(f => f.contains("day=d2") || f.contains("day=d3")),
+      s"diff read an unchanged partition: ${diff.inputFiles.mkString(",")}")
+    assert(diff.select("k", "change_type", "v").as[(Int, String, String)]
+      .collect().toSeq.sorted === Seq((2, "update", "B"), (3, "insert", "c")))
+    // unpruned variant reads everything but returns the same changelog
+    val full = vs.snapshotDiff("pt", 1, 2, Seq("k"), pruneUnchanged = false)
+    assert(full.inputFiles.exists(_.contains("day=d1")))
+    assert(full.select("k", "change_type", "v").as[(Int, String, String)]
+      .collect().toSeq.sorted === Seq((2, "update", "B"), (3, "insert", "c")))
+  }
+
+  test("snapshotDiff of identical snapshots is empty (rollback alias shares all dirs)") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a")).toDF("k", "v"), "t")
+    vs.commitFull(Seq((1, "bad")).toDF("k", "v"), "t")
+    vs.rollbackTo("t", 1)
+    assert(vs.snapshotDiff("t", 1, 3, Seq("k")).count() === 0L)
+  }
+
   test("UpsertWriter MERGE against the versioned store commits snapshots") {
     val vs = fresh()
     UpsertWriter.upsertAll(vs, "t", Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq("k"))
