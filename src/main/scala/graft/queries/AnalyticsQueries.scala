@@ -387,11 +387,16 @@ object AnalyticsQueries {
   def w7Funnel(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir).select(
       col("user_id"), col("event_type"), col("ts_us"))
-    val v = e.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view"))
-    val c = e.filter(col("event_type") === "click").join(v, Seq("user_id"))
-      .filter(col("ts_us") > col("t_view"))
-      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_click"))
+    // per-stage tables are one timestamp per user -- materialized so
+    // the stage-n aggregate isn't recomputed by both its consumers
+    // (the next stage's join AND the final assembly)
+    val v = graft.ops.DedupOps.materializeOnce(
+      e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view")))
+    val c = graft.ops.DedupOps.materializeOnce(
+      e.filter(col("event_type") === "click").join(v, Seq("user_id"))
+        .filter(col("ts_us") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_click")))
     val p = e.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
       .filter(col("ts_us") > col("t_click"))
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_purchase"))

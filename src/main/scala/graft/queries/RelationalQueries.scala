@@ -223,6 +223,52 @@ object RelationalQueries {
         count(lit(1)).as("count_order"))
   }
 
+  /** TPC-H Q3 (shipping-priority shape): the canonical 3-table join.
+    * Segment-filtered customers broadcast into the date-filtered
+    * orders FIRST (shrinks the dim side ~5x before any shuffle), the
+    * fact then equi-joins on orderkey, and the revenue top-10 cuts
+    * via TakeOrderedAndProject -- never a global sort.
+    * o_orderpriority stands in for Q3's o_shippriority (not in the
+    * driver schema); (order_date, l_orderkey) joins the tie-break so
+    * the top-10 cut is a total order cross-engine. */
+  def tpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val d84 = DecimalType(8, 4)
+    val cutoff = lit("1995-03-15 00:00:00").cast(TimestampNTZType)
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("order_date"), col("o_orderpriority"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast(D) *
+          (lit(1.0) - col("l_discount")).cast(d84)).as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("order_date"), col("o_orderpriority"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("order_date").asc, col("l_orderkey").asc)
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"), col("order_date"),
+        col("o_orderpriority"))
+  }
+
+  val tpchQ3Sql: String =
+    """SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+            * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+       CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+       FROM customer, orders, lineitem
+       WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         AND l_orderkey = o_orderkey
+         AND o_orderdate < TIMESTAMP '1995-03-15'
+         AND l_shipdate > TIMESTAMP '1995-03-15'
+       GROUP BY 1, 3, 4
+       ORDER BY revenue DESC, order_date ASC, l_orderkey ASC
+       LIMIT 10"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_scan_project" -> (s1ScanProject _),
     "p6_case_tier" -> (p6CaseTier _),
@@ -239,6 +285,7 @@ object RelationalQueries {
     "o1_topk" -> (o1TopK _),
     "s3_date_spine" -> (s3DateSpine _),
     "tpch_q1" -> (tpchQ1 _),
+    "tpch_q3" -> (tpchQ3 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -341,5 +388,6 @@ object RelationalQueries {
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus""",
+    "tpch_q3" -> tpchQ3Sql,
   )
 }

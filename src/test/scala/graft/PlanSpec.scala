@@ -194,6 +194,15 @@ class PlanSpec extends AnyFunSuite {
       "1-row stats side must join as a broadcast")
   }
 
+  test("tpch_q3 broadcasts the segment dim and cuts top-10 without a global sort") {
+    val p = plan(SparkEntry.queries("tpch_q3")(spark, dir))
+    assert(collectAll(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "customer side lost its broadcast")
+    assert(p.toString.contains("TakeOrderedAndProject"),
+      "top-10 must be TakeOrderedAndProject, not Sort+Limit")
+    assert(!collectAll(p).exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
   test("curriculum binning is a broadcast-bounds projection, not a global sort") {
     // the scale property: decile assignment must NOT plan ntile/Window
     // over one partition or a global Sort of the corpus

@@ -19,11 +19,10 @@ object ProbeMain {
       println(df.queryExecution.executedPlan.toString.take(6000))
     }
 
-    // r6 late additions: range join, retention, mixture, bm25
-    show("j5_range_join")(SparkEntry.queries("j5_range_join")(spark, dir))
-    show("w6_retention_cohort")(SparkEntry.queries("w6_retention_cohort")(spark, dir))
-    show("p12_mixture_sample")(SparkEntry.queries("p12_mixture_sample")(spark, dir))
-    show("text_bm25")(SparkEntry.queries("text_bm25")(spark, dir))
+    // r6 late additions: snapshot diff, curriculum bins, funnel
+    show("s17_snapshot_diff")(SparkEntry.queries("s17_snapshot_diff")(spark, dir))
+    show("p13_curriculum_bins")(SparkEntry.queries("p13_curriculum_bins")(spark, dir))
+    show("w7_funnel")(SparkEntry.queries("w7_funnel")(spark, dir))
 
     spark.stop()
   }
