@@ -46,6 +46,21 @@ object StreamingIngest {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Sliding event-time windows: every `slide`, counts over the
+    * trailing `window_` -- the streaming twin of the j5 bucketed
+    * range join's incident monitoring (each event lands in
+    * window_/slide overlapping buckets, the streaming analogue of
+    * j5's bucket explode; state per open window is one counter). */
+  def slidingCounts(events: DataFrame, tsCol: String, window_ : String,
+      slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"))
+
   case class EventRow(event_id: Long, user_id: Long, ts_us: Long,
       event_type: String, value: Double)
   case class LatestState(event_id: Long, ts_us: Long,

@@ -468,9 +468,16 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       if (pruneUnchanged) rel => fm.get(rel) != tm.get(rel) else _ => true
     val oldDf = load(name, mFrom.copy(mapping = mFrom.mapping.filter(p => changed(p._1))))
     val newDf = load(name, mTo.copy(mapping = mTo.mapping.filter(p => changed(p._1))))
+    // the diff is expressed in the TO snapshot's schema: columns added
+    // by an evolution read as null on the FROM side (so evolved rows
+    // classify as updates), dropped columns are not compared
     val dataCols = newDf.columns.filterNot(keys.contains).toSeq
+    val oldCols = oldDf.columns.toSet
     val oldT = oldDf.select(keys.map(col) ++ Seq(lit(1).as("__in_old")) ++
-      dataCols.map(c => col(c).as(s"__o_$c")): _*)
+      dataCols.map { c =>
+        (if (oldCols(c)) col(c)
+         else lit(null).cast(newDf.schema(c).dataType)).as(s"__o_$c")
+      }: _*)
     val newT = newDf.select(keys.map(col) ++ Seq(lit(1).as("__in_new")) ++
       dataCols.map(col): _*)
     val rowChanged = dataCols.map(c => !(col(c) <=> col(s"__o_$c")))

@@ -107,6 +107,32 @@ class StreamingIngestSpec extends AnyFunSuite {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("AvailableNow sliding windows match the batch sliding rollup") {
+    val src = tmp("graft-stream-slide")
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"))
+      .write.mode("overwrite").parquet(src)
+
+    val stream = StreamingIngest.readEventStream(spark, src, maxFilesPerTrigger = Some(2))
+    val agg = StreamingIngest.slidingCounts(stream, "ts", "1 day", "6 hours", "2 hours")
+    StreamingIngest.runAvailableNow(agg, "slide_counts", "append", tmp("graft-ckpt-sl"))
+
+    val got = spark.table("slide_counts")
+      .select("window_start", "event_type", "n_events")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val expected = spark.read.parquet(src)
+      .groupBy(window(col("ts"), "1 day", "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start"), col("event_type"), col("n_events"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+
+    // every event contributes to window/slide = 4 overlapping windows;
+    // append emits only watermark-closed ones, each exactly the batch value
+    assert(got.nonEmpty)
+    assert(got.subsetOf(expected))
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("streaming quote-zone ingest sees new date partitions incrementally") {
     val root = tmp("graft-stream-zone")
     val jobsDate1 = "2026-02-09"

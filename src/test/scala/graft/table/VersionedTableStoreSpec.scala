@@ -161,6 +161,25 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     assert(vs.snapshotDiff("t", 1, 3, Seq("k")).count() === 0L)
   }
 
+  test("schema evolution: every snapshot keeps ITS schema; diff spans the evolution") {
+    val vs = fresh()
+    UpsertWriter.upsertAll(vs, "t", Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq("k"))
+    UpsertWriter.upsertAll(vs, "t", Seq((2, "B", 9.5)).toDF("k", "v", "score"),
+      Seq("k"), allowSchemaEvolution = true)
+    assert(vs.read("t").columns.toSeq === Seq("k", "v", "score"))
+    assert(vs.read("t").as[(Int, String, Option[Double])].collect().toSeq.sorted ===
+      Seq((1, "a", None), (2, "B", Some(9.5))))
+    // time travel returns the ORIGINAL 2-column schema, not the head's
+    assert(vs.readVersion("t", 1).columns.toSeq === Seq("k", "v"))
+    // changelog across the evolution: expressed in the TO schema, the
+    // unchanged row differs only by the null-filled new column
+    // untouched row 1 reads (a, null) on both sides under the TO
+    // schema -- null-safe compare keeps it OUT of the changelog
+    val diff = vs.snapshotDiff("t", 1, 2, Seq("k"))
+      .as[(Int, String, String, Option[Double])].collect().toSeq.sorted
+    assert(diff === Seq((2, "update", "B", Some(9.5))))
+  }
+
   test("UpsertWriter MERGE against the versioned store commits snapshots") {
     val vs = fresh()
     UpsertWriter.upsertAll(vs, "t", Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq("k"))
