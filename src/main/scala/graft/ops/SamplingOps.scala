@@ -117,11 +117,15 @@ object SamplingOps {
       .withColumn("w", w.cast("long")))
     val tot = perSrc.agg(sum(col("chars_src")).as("tot_chars"),
       sum(col("w")).as("tot_w"))
+    // greatest(1, chars_src): an all-empty source otherwise divides by
+    // zero -- Spark DIV yields null (source silently dropped) while
+    // the DuckDB twin ERRORS; pinning the floor keeps both engines on
+    // the same (degenerate: keep-all) answer
     val rates = perSrc.crossJoin(broadcast(tot)).select(
       col("source"),
       least(lit(10000L),
         expr(s"((tot_chars * $budgetPct DIV 100) * w DIV tot_w) " +
-          "* 10000 DIV chars_src")).as("keep_bp"))
+          "* 10000 DIV greatest(1, chars_src)")).as("keep_bp"))
     docs.join(broadcast(rates), Seq("source"))
       .filter(pmod(h15(concat(lit("mix:"), col("doc_id").cast("string"))),
         lit(10000)) < col("keep_bp"))
@@ -141,7 +145,7 @@ object SamplingOps {
        rates AS (
          SELECT source,
            least(10000, ((tot_chars * $MixtureBudgetPct // 100) * w // tot_w)
-             * 10000 // chars_src) AS keep_bp
+             * 10000 // greatest(1, chars_src)) AS keep_bp
          FROM per CROSS JOIN tot)
        SELECT d.doc_id, d.source, d.n_chars, r.keep_bp
        FROM documents d JOIN rates r ON d.source = r.source

@@ -78,8 +78,13 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     * for unpartitioned tables), and the table schema as DDL -- so an
     * empty commit (zero-row daily batch) stays readable with the
     * right columns instead of bricking the head. */
+  /** `stats`: optional per-partition column min/max -- (rel, column,
+    * min, max) as strings -- the Iceberg manifest-stats analogue.
+    * Conservative by construction: a rel with no stats row for a
+    * column is never pruned. */
   private[table] case class Manifest(version: Long, partitionBy: Seq[String],
-      mapping: Seq[(String, String)], schemaDDL: String = "")
+      mapping: Seq[(String, String)], schemaDDL: String = "",
+      stats: Seq[(String, String, String, String)] = Nil)
 
   private val Header = "graft-manifest-v1"
   private val End = "end"
@@ -87,9 +92,11 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
   private def serialize(m: Manifest): String = {
     val entries = m.mapping.sortBy(_._1)
       .map { case (rel, d) => s"dir\t$d\t$rel" }
+    val statEntries = m.stats.sortBy(s => (s._1, s._2))
+      .map { case (rel, c, mn, mx) => s"stat\t$c\t$mn\t$mx\t$rel" }
     (Seq(Header, s"version=${m.version}",
       s"partitionBy=${m.partitionBy.mkString(",")}",
-      s"schema=${m.schemaDDL}") ++ entries :+ End)
+      s"schema=${m.schemaDDL}") ++ entries ++ statEntries :+ End)
       .mkString("\n")
   }
 
@@ -107,11 +114,15 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         case l if l.startsWith("dir\t") =>
           val Array(_, d, rel) = l.split("\t", 3); rel -> d
       }
+      val stats = lines.collect {
+        case l if l.startsWith("stat\t") =>
+          val Array(_, c, mn, mx, rel) = l.split("\t", 5); (rel, c, mn, mx)
+      }
       val pby = fields("partitionBy") match {
         case "" => Nil; case s => s.split(",").toSeq
       }
       Some(Manifest(fields("version").toLong, pby, mapping,
-        fields.getOrElse("schema", "")))
+        fields.getOrElse("schema", ""), stats))
     } else None
   }
 
@@ -209,6 +220,27 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
   def read(name: String): DataFrame =
     load(name, current(name)
       .getOrElse(throw new NoSuchElementException(s"no snapshots for $name")))
+
+  /** Range scan with manifest-stats data skipping: partitions whose
+    * recorded [min, max] for `column` is disjoint from [lo, hi] are
+    * dropped from the scan at PLAN time (zero file listing, zero
+    * tasks), then the exact filter applies to what remains -- the
+    * Iceberg scan-planning story. Partitions without stats for the
+    * column are always scanned (conservative), so readWhere is
+    * correct whether or not the commit recorded stats. Stats compare
+    * numerically; intended for integer-family columns. */
+  def readWhere(name: String, column: String, lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val m = current(name).getOrElse(
+      throw new NoSuchElementException(s"no snapshots for $name"))
+    val byRel = m.stats.filter(_._2 == column)
+      .map(s => s._1 -> ((BigDecimal(s._3), BigDecimal(s._4)))).toMap
+    val keep = m.mapping.filter { case (rel, _) =>
+      byRel.get(rel).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+    load(name, m.copy(mapping = keep))
+      .filter(col(column) >= lo && col(column) <= hi)
+  }
 
   /** Time travel: the table exactly as of snapshot `v`. */
   def readVersion(name: String, v: Long): DataFrame =
@@ -322,8 +354,35 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       .parquet(s"${dataRoot(name)}/$dirId")
   }
 
+  /** Per-rel min/max of `statsColumns` over `df` -- one extra
+    * aggregate pass (one output row per partition: manifest-sized by
+    * definition, so the driver collect is bounded). Rel strings are
+    * rebuilt as plain `col=value` paths; a value Spark's hive layout
+    * escapes differently simply never matches a mapping rel and its
+    * stats are ignored -- pruning stays conservative. */
+  private def columnStats(df: DataFrame, partitionBy: Seq[String],
+      statsColumns: Seq[String]): Seq[(String, String, String, String)] = {
+    if (statsColumns.isEmpty) return Nil
+    import org.apache.spark.sql.functions._
+    val relExpr =
+      if (partitionBy.isEmpty) lit(".")
+      else concat_ws("/", partitionBy.map(c =>
+        concat(lit(s"$c="), col(c).cast("string"))): _*)
+    val aggs = statsColumns.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"__mn_$c"),
+      max(col(c)).cast("string").as(s"__mx_$c")))
+    df.groupBy(relExpr.as("__rel")).agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq.flatMap { r =>
+        statsColumns.flatMap { c =>
+          val (mn, mx) = (r.getAs[String](s"__mn_$c"), r.getAs[String](s"__mx_$c"))
+          if (mn == null || mx == null) None
+          else Some((r.getAs[String]("__rel"), c, mn, mx))
+        }
+      }
+  }
+
   private def commit(name: String, df: DataFrame, partitionBy: Seq[String],
-      deltaPartitions: Boolean): Long = {
+      deltaPartitions: Boolean, statsColumns: Seq[String] = Nil): Long = {
     val parent = current(name)
     parent.foreach { m =>
       require(m.partitionBy == partitionBy,
@@ -342,8 +401,14 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         val overridden = written.map(_._1).toSet
         parent.get.mapping.filterNot { case (rel, _) => overridden(rel) } ++ written
       } else written
+    val writtenStats = columnStats(df, partitionBy, statsColumns)
+    val stats =
+      if (deltaPartitions && parent.isDefined) {
+        val overridden = written.map(_._1).toSet
+        parent.get.stats.filterNot(s => overridden(s._1)) ++ writtenStats
+      } else writtenStats
     beforeSwap(name, v)
-    try casManifest(name, Manifest(v, partitionBy, mapping, df.schema.toDDL))
+    try casManifest(name, Manifest(v, partitionBy, mapping, df.schema.toDDL, stats))
     catch { case e: ConcurrentWriteException =>
       fs.delete(new Path(s"${dataRoot(name)}/$dirId"), true); throw e
     }
@@ -351,18 +416,22 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     v
   }
 
-  /** Full-snapshot commit (create / replace). Returns the version. */
+  /** Full-snapshot commit (create / replace). Returns the version.
+    * `statsColumns`: record per-partition min/max of these columns in
+    * the manifest (costs one extra aggregate pass) -- [[readWhere]]
+    * prunes partitions with them at plan time. */
   def commitFull(df: DataFrame, name: String,
-      partitionBy: Seq[String] = Nil): Long =
-    commit(name, df, partitionBy, deltaPartitions = false)
+      partitionBy: Seq[String] = Nil,
+      statsColumns: Seq[String] = Nil): Long =
+    commit(name, df, partitionBy, deltaPartitions = false, statsColumns)
 
   /** Partition-delta commit: only `df`'s partitions get new files;
     * the rest of the new snapshot shares the parent's immutable
-    * dirs. Returns the version. */
+    * dirs (and their manifest stats). Returns the version. */
   def commitPartitions(df: DataFrame, name: String,
-      partitionBy: Seq[String]): Long = {
+      partitionBy: Seq[String], statsColumns: Seq[String] = Nil): Long = {
     require(partitionBy.nonEmpty, "commitPartitions needs partition columns")
-    commit(name, df, partitionBy, deltaPartitions = true)
+    commit(name, df, partitionBy, deltaPartitions = true, statsColumns)
   }
 
   /** Roll the table back to snapshot `v`: a NEW commit whose mapping
@@ -372,7 +441,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     val target = manifestAt(name, v).getOrElse(throw new NoSuchElementException(
       s"$name has no live snapshot $v to roll back to"))
     val next = Manifest(nextVersion(name), target.partitionBy, target.mapping,
-      target.schemaDDL)
+      target.schemaDDL, target.stats)
     casManifest(name, next)
     expireSnapshots(name)
     next.version
@@ -459,6 +528,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
   def snapshotDiff(name: String, fromV: Long, toV: Long,
       keys: Seq[String], pruneUnchanged: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, when}
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
     val mFrom = manifestAt(name, fromV).getOrElse(throw new NoSuchElementException(
       s"$name has no live snapshot $fromV"))
     val mTo = manifestAt(name, toV).getOrElse(throw new NoSuchElementException(

@@ -161,6 +161,45 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     assert(vs.snapshotDiff("t", 1, 3, Seq("k")).count() === 0L)
   }
 
+  test("manifest stats skip disjoint partitions at plan time; no stats = no skip") {
+    val vs = fresh()
+    val df = Seq((1, "d1"), (9, "d1"), (100, "d2"), (110, "d2"), (1000, "d3"))
+      .toDF("k", "day")
+    vs.commitFull(df, "pt", Seq("day"), statsColumns = Seq("k"))
+    val pruned = vs.readWhere("pt", "k", 0, 50)
+    // d2/d3 are disjoint from [0,50]: their files never enter the scan
+    assert(pruned.inputFiles.nonEmpty)
+    assert(pruned.inputFiles.forall(_.contains("day=d1")),
+      s"stats failed to skip: ${pruned.inputFiles.mkString(",")}")
+    assert(pruned.as[(Int, String)].collect().toSeq.sorted === Seq((1, "d1"), (9, "d1")))
+    // boundary overlap keeps the partition (inclusive ranges)
+    assert(vs.readWhere("pt", "k", 50, 100).as[(Int, String)].collect().toSeq ===
+      Seq((100, "d2")))
+    // a commit WITHOUT stats scans everything but filters identically
+    val vn = fresh()
+    vn.commitFull(df, "pt", Seq("day"))
+    val unpruned = vn.readWhere("pt", "k", 0, 50)
+    assert(unpruned.inputFiles.exists(_.contains("day=d3")))
+    assert(unpruned.as[(Int, String)].collect().toSeq.sorted === Seq((1, "d1"), (9, "d1")))
+  }
+
+  test("delta commits inherit untouched partitions' manifest stats") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "d1"), (100, "d2")).toDF("k", "day"),
+      "pt", Seq("day"), statsColumns = Seq("k"))
+    // rewrite d2 only; d1's stats must survive via the parent manifest
+    vs.commitPartitions(Seq((200, "d2")).toDF("k", "day"),
+      "pt", Seq("day"), statsColumns = Seq("k"))
+    val onlyD1 = vs.readWhere("pt", "k", 0, 50)
+    assert(onlyD1.inputFiles.forall(_.contains("day=d1")))
+    assert(onlyD1.as[(Int, String)].collect().toSeq === Seq((1, "d1")))
+    // the rewritten partition's NEW stats are live: old d2 max (100)
+    // no longer matches, new min (200) does
+    assert(vs.readWhere("pt", "k", 90, 110).count() === 0L)
+    assert(vs.readWhere("pt", "k", 150, 250).as[(Int, String)].collect().toSeq ===
+      Seq((200, "d2")))
+  }
+
   test("schema evolution: every snapshot keeps ITS schema; diff spans the evolution") {
     val vs = fresh()
     UpsertWriter.upsertAll(vs, "t", Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq("k"))
