@@ -61,6 +61,29 @@ object StreamingIngest {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"))
 
+  /** Stream-stream interval join (attribution): every purchase joins
+    * the same user's clicks from the preceding hour -- two watermarked
+    * streams carved out of one event stream (stream-stream self-join).
+    * The watermark plus the interval bound the join state: a click
+    * can leave state once no purchase within its hour can still
+    * arrive. The batch twin is the same join expression over static
+    * frames (spec-checked parity). */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      watermark: String): DataFrame =
+    clicks
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+      .join(
+        purchases.select(col("user_id").as("p_user_id"),
+          col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+          col("value")).withWatermark("purchase_ts", watermark),
+        expr("""user_id = p_user_id AND
+                purchase_ts >= click_ts AND
+                purchase_ts <= click_ts + INTERVAL 1 HOUR"""))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+
   case class EventRow(event_id: Long, user_id: Long, ts_us: Long,
       event_type: String, value: Double)
   case class LatestState(event_id: Long, ts_us: Long,

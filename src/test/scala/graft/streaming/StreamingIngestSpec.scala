@@ -133,6 +133,37 @@ class StreamingIngestSpec extends AnyFunSuite {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("stream-stream attribution join matches the batch interval join") {
+    val src = tmp("graft-stream-attr")
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(src)
+
+    def sides(df: org.apache.spark.sql.DataFrame) = (
+      df.filter(col("event_type") === "click"),
+      df.filter(col("event_type") === "purchase"))
+
+    val stream = StreamingIngest.readEventStream(spark, src, maxFilesPerTrigger = Some(2))
+    val (sc, sp) = sides(stream)
+    StreamingIngest.runAvailableNow(
+      StreamingIngest.attributionJoin(sc, sp, "2 hours"),
+      "attr_join", "append", tmp("graft-ckpt-attr"))
+    val got = spark.table("attr_join")
+      .select("click_id", "purchase_id")
+      .as[(Long, Long)].collect().toSet
+
+    val (bc, bp) = sides(spark.read.parquet(src))
+    val expected = StreamingIngest.attributionJoin(bc, bp, "2 hours")
+      .select("click_id", "purchase_id")
+      .as[(Long, Long)].collect().toSet
+
+    // inner stream-stream join in append mode emits exactly the
+    // batch pair set once both watermarks pass (AvailableNow drains)
+    assert(got.nonEmpty)
+    assert(got === expected)
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("streaming quote-zone ingest sees new date partitions incrementally") {
     val root = tmp("graft-stream-zone")
     val jobsDate1 = "2026-02-09"
