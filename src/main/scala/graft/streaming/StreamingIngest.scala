@@ -174,6 +174,20 @@ object StreamingIngest {
       }
   }
 
+  /** Bounded-state streaming dedup: like [[streamingExactDedup]] but
+    * state EXPIRES -- a key is only held while a duplicate could still
+    * arrive inside the watermark delay (dropDuplicatesWithinWatermark).
+    * The unbounded variant holds one state row per distinct key
+    * forever, which at corpus scale is the whole key space in executor
+    * state stores; this one holds the recent window only. Use it when
+    * duplicates cluster in time (re-crawls, retry storms) and the
+    * daily MERGE handles long-range dups. `tsCol` is the event-time
+    * column the watermark rides on. */
+  def streamingDedupWithinWatermark(docs: DataFrame, keyCol: String,
+      tsCol: String, watermark: String): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** foreachBatch MERGE sink: every micro-batch upserts into a
     * warehouse table on its natural key -- the streaming twin of the
     * daily MERGE jobs, and the standard Spark pattern for sinks whose

@@ -11,18 +11,20 @@ object ProbeMain {
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
+    import spark.implicits._
 
     def show(label: String)(df: DataFrame): Unit = {
       println(s"\n================ $label ================")
       df.collect()
-      println(df.queryExecution.executedPlan.toString.take(6000))
+      println(df.queryExecution.executedPlan.toString.take(4000))
     }
 
-    // r6 late additions: snapshot diff, curriculum bins, funnel
-    show("s17_snapshot_diff")(SparkEntry.queries("s17_snapshot_diff")(spark, dir))
-    show("p13_curriculum_bins")(SparkEntry.queries("p13_curriculum_bins")(spark, dir))
-    show("w7_funnel")(SparkEntry.queries("w7_funnel")(spark, dir))
+    // r6: readWhere -- does the residual range filter push into the scan?
+    val root = java.nio.file.Files.createTempDirectory("probe-stats").toString
+    val vs = new _root_.graft.table.VersionedTableStore(spark, root)
+    vs.commitFull(Seq((1, "d1"), (9, "d1"), (100, "d2"), (1000, "d3"))
+      .toDF("k", "day"), "pt", Seq("day"), statsColumns = Seq("k"))
+    show("readWhere k in [0,50]")(vs.readWhere("pt", "k", 0, 50))
 
     spark.stop()
   }

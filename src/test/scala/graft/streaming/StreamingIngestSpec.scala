@@ -133,6 +133,24 @@ class StreamingIngestSpec extends AnyFunSuite {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("watermark-bounded dedup drops every in-window duplicate (one survivor per key)") {
+    val src = tmp("graft-stream-wmdedup")
+    // events keyed by user: many duplicates per key, all within the
+    // 30-day span; a 90-day watermark keeps every key in state for
+    // the whole run, so exactly one row per user must survive
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .write.mode("overwrite").parquet(src)
+    val stream = StreamingIngest.readEventStream(spark, src, maxFilesPerTrigger = Some(2))
+    val dedup = StreamingIngest.streamingDedupWithinWatermark(
+      stream, "user_id", "ts", "90 days")
+    StreamingIngest.runAvailableNow(dedup, "wm_dedup", "append", tmp("graft-ckpt-wm"))
+    val got = spark.table("wm_dedup").select("user_id").as[Long].collect()
+    val users = spark.read.parquet(src).select("user_id").distinct().as[Long].collect()
+    assert(got.length === users.length, "duplicate keys leaked through")
+    assert(got.toSet === users.toSet)
+  }
+
   test("stream-stream attribution join matches the batch interval join") {
     val src = tmp("graft-stream-attr")
     Tables.events(spark, sfDir)
