@@ -241,6 +241,42 @@ object AnalyticsQueries {
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
        FROM orders GROUP BY ROLLUP (yr, prio)"""
 
+  /** CUBE grouping sets: all 4 (year x status) grouping combinations
+    * in one pass -- the full-lattice twin of [[a5Rollup]]'s hierarchy. */
+  def a7Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(year(col("o_orderdate")).as("yr"), col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D)).cast("double").as("total_price"))
+
+  val a7CubeSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus AS status,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+       FROM orders GROUP BY CUBE (yr, status)"""
+
+  /** RANGE-frame window: per user, the trailing-24h value sum keyed
+    * by event-time DISTANCE, not row count -- the frame class [[w2MovingAvg]]'s
+    * ROWS frame can't express. RANGE frames treat timestamp peers
+    * identically by definition, so the result is total-order-free
+    * deterministic; the decimal sum keeps it order-exact cross-engine. */
+  def w8RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000 * 1000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-dayUs, Window.currentRow)
+    Tables.events(s, dir).select(
+      col("user_id"), col("event_id"), col("ts_us"),
+      sum(col("value").cast(D)).over(w).cast("double").as("sum_24h"))
+  }
+
+  val w8RangeFrameSql: String =
+    """SELECT user_id, event_id, ts_us,
+       CAST(sum(CAST(value AS DECIMAL(18,4)))
+         OVER (PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+         AS DOUBLE) AS sum_24h
+       FROM (SELECT *, epoch_ns(ts)//1000 AS ts_us FROM events)"""
+
   /** Pivot: events wide per user over event_type counts. The oracle
     * expresses the same thing as conditional aggregation. */
   def a6Pivot(s: SparkSession, dir: String): DataFrame =
@@ -590,6 +626,8 @@ object AnalyticsQueries {
     "text_bm25" -> (textBm25 _),
     "a5_rollup" -> (a5Rollup _),
     "a6_pivot" -> (a6Pivot _),
+    "a7_cube" -> (a7Cube _),
+    "w8_range_frame" -> (w8RangeFrame _),
     "f16_json_extract" -> (f16JsonExtract _),
     "a4_percentiles" -> (a4Percentiles _),
     "a4_percentiles_approx" -> (a4PercentilesApproxGate _),
@@ -620,6 +658,8 @@ object AnalyticsQueries {
     "text_bm25" -> textBm25Sql,
     "a5_rollup" -> a5RollupSql,
     "a6_pivot" -> a6PivotSql,
+    "a7_cube" -> a7CubeSql,
+    "w8_range_frame" -> w8RangeFrameSql,
     "f16_json_extract" -> f16JsonExtractSql,
     "a4_percentiles" -> a4PercentilesSql,
     "w4_sessionize" -> w4SessionizeSql,
