@@ -168,6 +168,18 @@ object Corpus {
     * same inputs: one row per stage with rows_in/rows_out. Runs the
     * same stage predicates; intended for audit dashboards, not the
     * hot path. */
+  /** Deterministic source mixing over arbitrary columns: downsample
+    * each source to its weighted share of a global size budget (see
+    * [[graft.ops.SamplingOps.mixtureSampleOf]] for the rate math and
+    * scale shape). `size` is the per-doc size signal (chars, tokens,
+    * bytes). Returns (doc_id, source, n_chars, keep_bp). */
+  def mixtureSample(docs: DataFrame, id: Column, source: Column, size: Column,
+      weights: Seq[(String, Int)], defaultWeight: Int = 1,
+      budgetPct: Int = 40): DataFrame =
+    graft.ops.SamplingOps.mixtureSampleOf(
+      docs.select(id.as("doc_id"), source.as("source"), size.as("n_chars")),
+      weights, defaultWeight, budgetPct)
+
   def prepareStats(docs: DataFrame, id: Column, text: Column,
       t: QualityThresholds = QualityThresholds()): DataFrame = {
     val s = docs.sparkSession

@@ -129,4 +129,20 @@ class ApiParitySpec extends AnyFunSuite {
     val vt = Text.vocabTopK(docs, col("body"))
     assert(rows(vt) === rows(graft.queries.AnalyticsQueries.textVocabTopk(spark, dir)))
   }
+
+  test("Text.bm25 matches the analytics query") {
+    val api = Text.bm25(docs, col("my_id"), col("body"))
+    assert(rows(api) === rows(graft.queries.AnalyticsQueries.textBm25(spark, dir)))
+  }
+
+  test("Corpus.mixtureSample matches the table-bound sampler under renamed columns") {
+    val renamed = Tables.documents(spark, dir)
+      .select(col("doc_id").as("url"), col("source").as("origin"),
+        col("n_chars").as("sz"))
+    val api = Corpus.mixtureSample(renamed, col("url"), col("origin"), col("sz"),
+      graft.ops.SamplingOps.MixtureWeights,
+      graft.ops.SamplingOps.MixtureDefaultWeight,
+      graft.ops.SamplingOps.MixtureBudgetPct)
+    assert(rows(api) === rows(graft.ops.SamplingOps.mixtureSample(spark, dir)))
+  }
 }
