@@ -233,13 +233,21 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     import org.apache.spark.sql.functions.col
     val m = current(name).getOrElse(
       throw new NoSuchElementException(s"no snapshots for $name"))
-    val byRel = m.stats.filter(_._2 == column)
-      .map(s => s._1 -> ((BigDecimal(s._3), BigDecimal(s._4)))).toMap
+    // non-numeric stats (a date/string column someone recorded) fall
+    // back to "no stats" -- the scan stays conservative, never throws
+    val byRel = m.stats.filter(_._2 == column).flatMap { s =>
+      try Some(s._1 -> ((BigDecimal(s._3), BigDecimal(s._4))))
+      catch { case _: NumberFormatException => None }
+    }.toMap
     val keep = m.mapping.filter { case (rel, _) =>
       byRel.get(rel).forall { case (mn, mx) => mx >= lo && mn <= hi }
     }
-    load(name, m.copy(mapping = keep))
-      .filter(col(column) >= lo && col(column) <= hi)
+    val df = load(name, m.copy(mapping = keep))
+    val dt = df.schema(column).dataType
+    require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+      s"readWhere needs an integer-family column; $column is ${dt.typeName}" +
+        " (ANSI mode would throw casting non-numeric values mid-scan)")
+    df.filter(col(column) >= lo && col(column) <= hi)
   }
 
   /** Time travel: the table exactly as of snapshot `v`. */

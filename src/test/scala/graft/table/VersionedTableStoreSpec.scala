@@ -183,6 +183,19 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     assert(unpruned.as[(Int, String)].collect().toSeq.sorted === Seq((1, "d1"), (9, "d1")))
   }
 
+  test("readWhere on a non-integer column fails loudly at plan time") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "x", "d1"), (2, "y", "d2")).toDF("k", "v", "day"),
+      "pt", Seq("day"), statsColumns = Seq("v")) // string stats: recordable
+    // ...but range-reading a string column would hit ANSI cast errors
+    // mid-scan; the store rejects it with a clear message instead
+    val e = intercept[IllegalArgumentException] { vs.readWhere("pt", "v", 0, 10) }
+    assert(e.getMessage.contains("integer-family"))
+    // the integer column still range-reads fine alongside string stats
+    assert(vs.readWhere("pt", "k", 2, 5).as[(Int, String, String)]
+      .collect().toSeq === Seq((2, "y", "d2")))
+  }
+
   test("delta commits inherit untouched partitions' manifest stats") {
     val vs = fresh()
     vs.commitFull(Seq((1, "d1"), (100, "d2")).toDF("k", "day"),
