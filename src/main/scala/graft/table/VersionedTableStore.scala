@@ -576,6 +576,16 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
   def register(name: String): Unit =
     read(name).createOrReplaceTempView(name)
 
+  /** SQL-surface time travel (the `VERSION AS OF` analogue): snapshot
+    * `v` as the temp view `name_v{v}`, so a plain SQL query can join
+    * the table against its own past (audit / drift queries). Returns
+    * the view name. */
+  def registerVersion(name: String, v: Long): String = {
+    val view = s"${name}_v$v"
+    readVersion(name, v).createOrReplaceTempView(view)
+    view
+  }
+
   // WarehouseWrites: UpsertWriter merges through these, so a MERGE
   // against a versioned store is a snapshot commit with rollback.
   def createOrReplace(df: DataFrame, name: String,

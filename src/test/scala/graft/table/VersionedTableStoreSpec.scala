@@ -213,6 +213,18 @@ class VersionedTableStoreSpec extends AnyFunSuite {
       Seq((200, "d2")))
   }
 
+  test("registerVersion: plain SQL joins a table against its own past") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, 10), (2, 20)).toDF("k", "v"), "t")
+    vs.commitFull(Seq((1, 15), (2, 20)).toDF("k", "v"), "t")
+    val (v1, v2) = (vs.registerVersion("t", 1), vs.registerVersion("t", 2))
+    val drift = spark.sql(
+      s"""SELECT a.k, b.v - a.v AS delta FROM $v1 a JOIN $v2 b ON a.k = b.k
+          WHERE a.v <> b.v""")
+      .as[(Int, Int)].collect().toSeq
+    assert(drift === Seq((1, 5)))
+  }
+
   test("schema evolution: every snapshot keeps ITS schema; diff spans the evolution") {
     val vs = fresh()
     UpsertWriter.upsertAll(vs, "t", Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq("k"))
