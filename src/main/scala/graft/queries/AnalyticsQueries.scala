@@ -474,16 +474,21 @@ object AnalyticsQueries {
     * length) ride in as one broadcast row. idf is the +1 smoothed
     * variant, non-negative for df near N. */
   def bm25(docs: DataFrame): DataFrame = {
-    val tf = docs
+    // tokenize ONCE: tf is materialized, then df, the corpus stats,
+    // and the final join all read it -- without this the stats
+    // aggregate re-tokenizes the whole corpus a second time (split()
+    // never yields an empty array, so every doc appears in tf and
+    // count_distinct(doc_id) == corpus size)
+    val tf = graft.ops.DedupOps.materializeOnce(docs
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("dl"),
         explode(split(col("text"), " ")).as("token"))
       .groupBy(col("doc_id"), col("dl"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val stats = docs.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      sum(size(split(col("text"), " ")).cast("long")).cast("double").as("sum_dl"))
+    val stats = tf.agg(
+      count_distinct(col("doc_id")).cast("double").as("n_docs"),
+      sum(col("tf")).cast("double").as("sum_dl"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val denom = col("tf") + lit(Bm25K1) *
