@@ -241,6 +241,38 @@ object AnalyticsQueries {
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
        FROM orders GROUP BY ROLLUP (yr, prio)"""
 
+  /** Z-score anomaly top-k: the 20 most anomalous event values
+    * relative to their event_type's distribution -- the monitoring
+    * query over any metric stream. Per-type mean (decimal-exact sum)
+    * and stddev ride a broadcast 5-row table into a narrow scoring
+    * projection; the cut is TakeOrderedAndProject on the ROUNDED
+    * score with an id tiebreak, so last-ulp stddev differences
+    * cannot reorder the output. At scale this is one map-side
+    * combinable agg + one broadcast scan -- no shuffle of the
+    * event stream. */
+  def a8ZscoreTopk(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val stats = ev.groupBy(col("event_type")).agg(
+      (sum(col("value").cast(D)).cast("double") / count(lit(1))).as("mean_v"),
+      stddev_samp(col("value")).as("sd_v"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("mean_v")) / col("sd_v"), 4).as("z"))
+      .orderBy(abs(col("z")).desc, col("event_id").asc)
+      .limit(20)
+  }
+
+  val a8ZscoreTopkSql: String =
+    """WITH st AS (SELECT event_type,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mean_v,
+         stddev_samp(value) AS sd_v
+         FROM events GROUP BY 1)
+       SELECT event_id, e.event_type, value,
+         round((value - mean_v) / sd_v, 4) AS z
+       FROM events e JOIN st ON e.event_type = st.event_type
+       ORDER BY abs(round((value - mean_v) / sd_v, 4)) DESC, event_id ASC
+       LIMIT 20"""
+
   /** CUBE grouping sets: all 4 (year x status) grouping combinations
     * in one pass -- the full-lattice twin of [[a5Rollup]]'s hierarchy. */
   def a7Cube(s: SparkSession, dir: String): DataFrame =
@@ -632,6 +664,7 @@ object AnalyticsQueries {
     "a5_rollup" -> (a5Rollup _),
     "a6_pivot" -> (a6Pivot _),
     "a7_cube" -> (a7Cube _),
+    "a8_zscore_topk" -> (a8ZscoreTopk _),
     "w8_range_frame" -> (w8RangeFrame _),
     "f16_json_extract" -> (f16JsonExtract _),
     "a4_percentiles" -> (a4Percentiles _),
@@ -664,6 +697,7 @@ object AnalyticsQueries {
     "a5_rollup" -> a5RollupSql,
     "a6_pivot" -> a6PivotSql,
     "a7_cube" -> a7CubeSql,
+    "a8_zscore_topk" -> a8ZscoreTopkSql,
     "w8_range_frame" -> w8RangeFrameSql,
     "f16_json_extract" -> f16JsonExtractSql,
     "a4_percentiles" -> a4PercentilesSql,
