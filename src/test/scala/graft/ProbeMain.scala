@@ -7,24 +7,26 @@ import org.apache.spark.sql._
 object ProbeMain {
   def main(args: Array[String]): Unit = {
     val spark = _root_.graft.core.Sessions.tune(SparkSession.builder()
-      .master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
+    val dir = "/root/testdata/sf0.1"
 
-    def show(label: String)(df: DataFrame): Unit = {
-      println(s"\n================ $label ================")
-      df.collect()
-      println(df.queryExecution.executedPlan.toString.take(4000))
+    def time(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
-    // r6: readWhere -- does the residual range filter push into the scan?
-    val root = java.nio.file.Files.createTempDirectory("probe-stats").toString
-    val vs = new _root_.graft.table.VersionedTableStore(spark, root)
-    vs.commitFull(Seq((1, "d1"), (9, "d1"), (100, "d2"), (1000, "d3"))
-      .toDF("k", "day"), "pt", Seq("day"), statsColumns = Seq("k"))
-    show("readWhere k in [0,50]")(vs.readWhere("pt", "k", 0, 50))
+    // warmup
+    _root_.graft.queries.RelationalQueries.tpchQ1(spark, dir).collect()
+
+    // where does dedup_clusters time go? pairs vs CC loop
+    time("minhash pairs alone")(
+      _root_.graft.ops.DedupOps.dedupMinhashLsh(spark, dir).collect())
+    time("dedup_clusters total")(
+      _root_.graft.ops.DedupOps.dedupClusters(spark, dir).collect())
 
     spark.stop()
   }
