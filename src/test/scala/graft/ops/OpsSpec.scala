@@ -459,6 +459,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("zscore top-k tracks the brute-force scores and ordering") {
+    val rows = graft.queries.AnalyticsQueries.a8ZscoreTopk(spark, dir)
+      .select(col("event_id"), col("event_type"), col("z"))
+      .as[(Long, String, Double)].collect()
+    assert(rows.length === 20)
+    val absZ = rows.map(r => math.abs(r._3))
+    assert(absZ.zip(absZ.tail).forall { case (a, b) => a >= b }, "not sorted by |z|")
+    // brute force: per-type mean/sample-sd from the raw values
+    val ev = graft.core.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .as[(Long, String, Double)].collect()
+    val byType = ev.groupBy(_._2).map { case (t, es) =>
+      val vs = es.map(_._3)
+      val mean = vs.sum / vs.length
+      val sd = math.sqrt(vs.map(v => (v - mean) * (v - mean)).sum / (vs.length - 1))
+      t -> ((mean, sd))
+    }
+    rows.foreach { case (id, t, z) =>
+      val (mean, sd) = byType(t)
+      val v = ev.find(_._1 == id).get._3
+      assert(math.abs(z - (v - mean) / sd) < 1e-3, s"z drifted for event $id")
+    }
+    // the cut is genuinely the global top-20
+    val cutoff = absZ.last
+    val better = ev.count { case (_, t, v) =>
+      val (mean, sd) = byType(t); math.abs((v - mean) / sd) > cutoff + 1e-3
+    }
+    assert(better <= 20, "an event outside the result beats the cutoff")
+  }
+
   test("bm25 equals the hand-computed value on a toy corpus") {
     // doc1 = "a a b" (dl 3), doc2 = "a c" (dl 2); N=2, avgdl=2.5
     val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
