@@ -444,6 +444,39 @@ object AnalyticsQueries {
          count(DISTINCT user_id) AS n_users
        FROM c GROUP BY 1, 2"""
 
+  /** Native session windows: the same 1-hour-gap sessionization as
+    * [[w4Sessionize]] but through `session_window` -- Spark's
+    * dynamic-gap merging-session operator (MergingSessionsExec), the
+    * form that also runs under Structured Streaming with state.
+    * Boundary semantics: session_window splits at gap >= 1h (the
+    * window extends to last+gap, half-open), so the oracle mirrors
+    * ">=", where w4's lag rule is ">". Output pins session bounds to
+    * min/max event time (the window struct's end is last+gap -- an
+    * engine artifact, not data). */
+  def w5SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+      .agg(min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start_us"),
+        col("session_end_us"), col("n_events"))
+
+  val w5SessionWindowSql: String =
+    """WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS ts_us FROM events),
+       m AS (SELECT user_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w >= 3600000000
+              THEN 1 ELSE 0 END AS is_new
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+       s AS (SELECT user_id, ts_us,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM m)
+       SELECT user_id, min(ts_us) AS session_start_us,
+         max(ts_us) AS session_end_us, count(*) AS n_events
+       FROM s GROUP BY user_id, sid"""
+
   /** Ordered conversion funnel: per user, the first view, the first
     * click strictly AFTER that view, and the first purchase strictly
     * after that click -- stage = how deep the ordered sequence got
@@ -659,6 +692,7 @@ object AnalyticsQueries {
     "j4_asof_join" -> (j4AsofJoin _),
     "j5_range_join" -> (j5RangeJoin _),
     "w6_retention_cohort" -> (w6RetentionCohort _),
+    "w5_session_window" -> (w5SessionWindow _),
     "w7_funnel" -> (w7Funnel _),
     "text_bm25" -> (textBm25 _),
     "a5_rollup" -> (a5Rollup _),
@@ -692,6 +726,7 @@ object AnalyticsQueries {
     "j4_asof_join" -> j4AsofJoinSql,
     "j5_range_join" -> j5RangeJoinSql,
     "w6_retention_cohort" -> w6RetentionCohortSql,
+    "w5_session_window" -> w5SessionWindowSql,
     "w7_funnel" -> w7FunnelSql,
     "text_bm25" -> textBm25Sql,
     "a5_rollup" -> a5RollupSql,

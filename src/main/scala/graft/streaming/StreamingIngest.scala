@@ -174,6 +174,20 @@ object StreamingIngest {
       }
   }
 
+  /** Streaming sessionization via native session windows: dynamic-gap
+    * sessions per user, closed and emitted once the watermark passes
+    * the session's end -- stateful MergingSessions under the hood,
+    * the streaming twin of the batch w5_session_window query. */
+  def sessionCounts(events: DataFrame, tsCol: String, gap: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col("user_id"), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"))
+
   /** Bounded-state streaming dedup: like [[streamingExactDedup]] but
     * state EXPIRES -- a key is only held while a duplicate could still
     * arrive inside the watermark delay (dropDuplicatesWithinWatermark).

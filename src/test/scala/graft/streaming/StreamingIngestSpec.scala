@@ -133,6 +133,27 @@ class StreamingIngestSpec extends AnyFunSuite {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("streaming session windows match the batch session aggregation") {
+    val src = tmp("graft-stream-sess")
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .write.mode("overwrite").parquet(src)
+    val stream = StreamingIngest.readEventStream(spark, src, maxFilesPerTrigger = Some(2))
+    StreamingIngest.runAvailableNow(
+      StreamingIngest.sessionCounts(stream, "ts", "1 hour", "2 hours"),
+      "sess_counts", "append", tmp("graft-ckpt-sess"))
+    val got = spark.table("sess_counts")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    val expected = StreamingIngest.sessionCounts(
+      spark.read.parquet(src), "ts", "1 hour", "2 hours")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    // append emits watermark-closed sessions; each must equal its
+    // batch twin exactly (same start, same count)
+    assert(got.nonEmpty)
+    assert(got.subsetOf(expected))
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("watermark-bounded dedup drops every in-window duplicate (one survivor per key)") {
     val src = tmp("graft-stream-wmdedup")
     // events keyed by user: many duplicates per key, all within the
