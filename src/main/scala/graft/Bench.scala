@@ -44,7 +44,12 @@ object Bench {
     // in the JSON (an elapsed-to-failure number would make a 50 ms
     // AnalysisException indistinguishable from a fast query) and is
     // excluded from the total, which "failed" makes non-comparable.
-    val benchQueries = SparkEntry.queries ++ SparkEntry.benchOverrides
+    // optional 1st arg: comma-separated name filter (local iteration
+    // only; the driver always runs the full suite)
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    val benchQueries = (SparkEntry.queries ++ SparkEntry.benchOverrides)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(i: Int): Option[Double] = {
         val t0 = System.nanoTime()
