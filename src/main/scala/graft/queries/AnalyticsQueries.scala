@@ -273,6 +273,32 @@ object AnalyticsQueries {
        ORDER BY abs(round((value - mean_v) / sd_v, 4)) DESC, event_id ASC
        LIMIT 20"""
 
+  /** Equi-width histogram: per event_type, value counts over 10 equal
+    * bins spanning the GLOBAL [min, max] -- the data-profiling
+    * histogram. Bounds ride a broadcast 1-row aggregate; bin
+    * assignment is one arithmetic projection (floor of the scaled
+    * offset, top value clamped into the last bin); the final count
+    * groups on a tiny (type, bin) key. Identical IEEE arithmetic on
+    * both engines keeps bin edges bit-stable. */
+  def a9Histogram(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    ev.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        least(lit(9), floor((col("value") - col("lo")) * 10.0 /
+          (col("hi") - col("lo")))).cast("int").as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val a9HistogramSql: String =
+    """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+       SELECT event_type,
+         CAST(least(9, floor((value - lo) * 10.0 / (hi - lo))) AS INT) AS bin,
+         count(*) AS n
+       FROM events CROSS JOIN b
+       GROUP BY 1, 2"""
+
   /** CUBE grouping sets: all 4 (year x status) grouping combinations
     * in one pass -- the full-lattice twin of [[a5Rollup]]'s hierarchy. */
   def a7Cube(s: SparkSession, dir: String): DataFrame =
@@ -699,6 +725,7 @@ object AnalyticsQueries {
     "a6_pivot" -> (a6Pivot _),
     "a7_cube" -> (a7Cube _),
     "a8_zscore_topk" -> (a8ZscoreTopk _),
+    "a9_histogram" -> (a9Histogram _),
     "w8_range_frame" -> (w8RangeFrame _),
     "f16_json_extract" -> (f16JsonExtract _),
     "a4_percentiles" -> (a4Percentiles _),
@@ -733,6 +760,7 @@ object AnalyticsQueries {
     "a6_pivot" -> a6PivotSql,
     "a7_cube" -> a7CubeSql,
     "a8_zscore_topk" -> a8ZscoreTopkSql,
+    "a9_histogram" -> a9HistogramSql,
     "w8_range_frame" -> w8RangeFrameSql,
     "f16_json_extract" -> f16JsonExtractSql,
     "a4_percentiles" -> a4PercentilesSql,
