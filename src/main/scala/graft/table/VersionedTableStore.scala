@@ -461,7 +461,10 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
   def compact(name: String): Long = {
     val m = current(name).getOrElse(
       throw new NoSuchElementException(s"no snapshots for $name"))
-    commitFull(read(name).localCheckpoint(true), name, m.partitionBy)
+    // recompute stats for whichever columns the parent tracked, so
+    // compaction never silently turns readWhere pruning off
+    commitFull(read(name).localCheckpoint(true), name, m.partitionBy,
+      statsColumns = m.stats.map(_._2).distinct)
   }
 
   /** Drop LIVE snapshots beyond the last `keepSnapshots` and delete

@@ -196,6 +196,20 @@ class VersionedTableStoreSpec extends AnyFunSuite {
       .collect().toSeq === Seq((2, "y", "d2")))
   }
 
+  test("compact recomputes the parent's tracked stats (pruning survives compaction)") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "d1"), (100, "d2")).toDF("k", "day"),
+      "pt", Seq("day"), statsColumns = Seq("k"))
+    vs.commitPartitions(Seq((200, "d3")).toDF("k", "day"),
+      "pt", Seq("day"), statsColumns = Seq("k"))
+    vs.compact("pt")
+    val pruned = vs.readWhere("pt", "k", 0, 50)
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.forall(_.contains("day=d1")),
+      s"compaction lost the manifest stats: ${pruned.inputFiles.mkString(",")}")
+    assert(pruned.as[(Int, String)].collect().toSeq === Seq((1, "d1")))
+  }
+
   test("delta commits inherit untouched partitions' manifest stats") {
     val vs = fresh()
     vs.commitFull(Seq((1, "d1"), (100, "d2")).toDF("k", "day"),
