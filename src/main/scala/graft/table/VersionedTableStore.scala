@@ -62,8 +62,14 @@ class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
   * ([[expireSnapshots]], auto-run on commit keeping
   * `keepSnapshots`).
   */
+/** @param statsFor per-table manifest-stats columns for writes that
+  *   arrive through the [[WarehouseWrites]] interface (MERGE/pipeline
+  *   paths, which have no statsColumns argument of their own) --
+  *   direct commitFull/commitPartitions callers pass theirs
+  *   explicitly. Default: no stats. */
 class VersionedTableStore(val spark: SparkSession, val root: String,
-    val keepSnapshots: Int = 10) extends WarehouseWrites {
+    val keepSnapshots: Int = 10,
+    val statsFor: String => Seq[String] = _ => Nil) extends WarehouseWrites {
   require(keepSnapshots >= 1, "keepSnapshots must be >= 1")
 
   private def fs =
@@ -592,13 +598,19 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
   // WarehouseWrites: UpsertWriter merges through these, so a MERGE
   // against a versioned store is a snapshot commit with rollback.
   def createOrReplace(df: DataFrame, name: String,
-      partitionBy: Seq[String]): Unit = { commitFull(df, name, partitionBy); () }
+      partitionBy: Seq[String]): Unit = {
+    commitFull(df, name, partitionBy, statsFor(name)); ()
+  }
 
   private[table] def swapIn(df: DataFrame, name: String,
-      partitionBy: Seq[String]): Unit = { commitFull(df, name, partitionBy); () }
+      partitionBy: Seq[String]): Unit = {
+    commitFull(df, name, partitionBy, statsFor(name)); ()
+  }
 
   def overwritePartitions(df: DataFrame, name: String,
-      partitionBy: Seq[String]): Unit = { commitPartitions(df, name, partitionBy); () }
+      partitionBy: Seq[String]): Unit = {
+    commitPartitions(df, name, partitionBy, statsFor(name)); ()
+  }
 
   def drop(name: String): Unit = {
     spark.sql(s"DROP VIEW IF EXISTS `$name`")

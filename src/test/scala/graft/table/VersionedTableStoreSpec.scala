@@ -196,6 +196,23 @@ class VersionedTableStoreSpec extends AnyFunSuite {
       .collect().toSeq === Seq((2, "y", "d2")))
   }
 
+  test("statsFor: MERGE-path writes record manifest stats without explicit args") {
+    val vs = new VersionedTableStore(spark,
+      Files.createTempDirectory("graft-vstore").toString,
+      statsFor = name => if (name == "t") Seq("k") else Nil)
+    UpsertWriter.upsertAll(vs, "t",
+      Seq((1, "a", "d1"), (100, "b", "d2")).toDF("k", "v", "day"),
+      Seq("k"), partitionBy = Seq("day"))
+    UpsertWriter.upsertAll(vs, "t",
+      Seq((200, "c", "d3")).toDF("k", "v", "day"),
+      Seq("k"), partitionBy = Seq("day"))
+    val pruned = vs.readWhere("t", "k", 0, 50)
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.forall(_.contains("day=d1")),
+      s"MERGE commits recorded no stats: ${pruned.inputFiles.mkString(",")}")
+    assert(pruned.select("k", "v").as[(Int, String)].collect().toSeq === Seq((1, "a")))
+  }
+
   test("compact recomputes the parent's tracked stats (pruning survives compaction)") {
     val vs = fresh()
     vs.commitFull(Seq((1, "d1"), (100, "d2")).toDF("k", "day"),
