@@ -411,7 +411,10 @@ object AnalyticsQueries {
     * inside the join. Each qualifying (window, event) pair matches on
     * exactly one bucket -- the event side has one bucket value -- so
     * no DISTINCT pass is needed. The shuffle key is the time bucket;
-    * hot buckets (load spikes) salt the same way the LSH joins do. */
+    * time buckets are load-uniform unless the stream spikes -- a hot
+    * bucket WOULD be salted the way the LSH joins are (replicate the
+    * window side x G, key points by a hash salt group), not enabled
+    * here because the events stream has no such skew. */
   def j5RangeJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val wins = ev.filter(col("event_type") === "error")
