@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 import graft.quality._
-import graft.table.{TableStore, UpsertWriter, VersionedTableStore}
+import graft.table.{IncrementalAgg, TableStore, UpsertWriter, VersionedTableStore}
 
 /** Oracle-checked queries that exercise the LIBRARY layer (upsert
   * writer, validation engine) plus the remaining aggregation shapes --
@@ -196,6 +196,63 @@ object LibraryQueries {
           OR s.o_totalprice IS DISTINCT FROM t.o_totalprice
           OR s.o_orderstatus IS DISTINCT FROM t.o_orderstatus"""
 
+  /** S18: incremental aggregate maintenance -- the v1 yearly rollup
+    * updated to the v2 state by applying the snapshot changelog
+    * (IncrementalAgg over snapshotDiff pre-images), never rescanning
+    * the base. The oracle recomputes the v2 rollup from scratch: the
+    * maintained aggregate must hash-match it exactly. Money sums ride
+    * DECIMAL so the deltas are order-exact. */
+  def s18IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_orderdate").cast("date").as("order_date"),
+      col("o_totalprice"), col("o_orderstatus"))
+      .withColumn("order_yr", year(col("order_date")))
+    val target = o.filter(col("order_date") < lit("1997-01-01").cast("date"))
+    val source = o.filter(col("order_date") >= lit("1996-07-01").cast("date") &&
+        col("order_date") < lit("1997-07-01").cast("date"))
+      .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+      .withColumn("o_orderstatus", lit("R"))
+    val store = new VersionedTableStore(s,
+      Files.createTempDirectory("graft-q-s18").toString)
+    UpsertWriter.upsertAll(store, "orders_v", target, Seq("o_orderkey"),
+      partitionBy = Seq("order_yr"))
+    UpsertWriter.upsertAll(store, "orders_v", source, Seq("o_orderkey"),
+      partitionBy = Seq("order_yr"))
+    val agg1 = store.readVersion("orders_v", 1)
+      .groupBy(col("order_yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D)).as("o_totalprice"))
+    val diff = store.snapshotDiff("orders_v", 1, 2, Seq("o_orderkey"),
+        includePre = true)
+      .withColumn("o_totalprice", col("o_totalprice").cast(D))
+      .withColumn("pre_o_totalprice", col("pre_o_totalprice").cast(D))
+    val delta = IncrementalAgg.sumCountDelta(diff, Seq("order_yr"),
+      Seq("o_totalprice"))
+    IncrementalAgg.applyTo(agg1, delta, Seq("order_yr"), Seq("o_totalprice"),
+        "n_orders")
+      .select(col("order_yr"), col("n_orders"),
+        col("o_totalprice").cast("double").as("total_price"))
+  }
+
+  val s18IncrementalAggSql: String =
+    """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+                         o_totalprice, o_orderstatus FROM orders),
+       t AS (SELECT *, CAST(year(order_date) AS INT) AS order_yr
+             FROM o WHERE order_date < DATE '1997-01-01'),
+       src AS (SELECT o_orderkey, order_date,
+                      round(o_totalprice * 1.1, 2) AS o_totalprice,
+                      'R' AS o_orderstatus,
+                      CAST(year(order_date) AS INT) AS order_yr
+               FROM o WHERE order_date >= DATE '1996-07-01'
+                 AND order_date < DATE '1997-07-01'),
+       v2 AS (SELECT * FROM t
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+              UNION ALL SELECT * FROM src)
+       SELECT order_yr, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+       FROM v2 GROUP BY 1"""
+
   /** Q1-Q8: the validation rule engine over lineitem, its per-rule
     * results as the query output (single-scan evaluation). */
   def qValidationSuite(s: SparkSession, dir: String): DataFrame = {
@@ -371,6 +428,7 @@ object LibraryQueries {
     "s8_merge_selective" -> (s8MergeSelective _),
     "s16_versioned_rollback" -> (s16VersionedRollback _),
     "s17_snapshot_diff" -> (s17SnapshotDiff _),
+    "s18_incremental_agg" -> (s18IncrementalAgg _),
     "q_validation_suite" -> (qValidationSuite _),
     "q_validation_period" -> (qValidationPeriod _),
     "q_validation_history" -> (qValidationHistory _),
@@ -382,6 +440,7 @@ object LibraryQueries {
     "s8_merge_selective" -> s8MergeSelectiveSql,
     "s16_versioned_rollback" -> s16VersionedRollbackSql,
     "s17_snapshot_diff" -> s17SnapshotDiffSql,
+    "s18_incremental_agg" -> s18IncrementalAggSql,
     "q_validation_suite" -> qValidationSuiteSql,
     "q_validation_period" -> qValidationPeriodSql,
     "q_validation_history" -> qValidationHistorySql,

@@ -542,8 +542,14 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     * not migrate between partitions across the two snapshots (true
     * whenever the partition columns are function of the key, the
     * MERGE-writer invariant); pass pruneUnchanged=false otherwise. */
+  /** `includePre`: also emit each data column's FROM-side value as
+    * `pre_<col>` (null for inserts; for deletes pre equals the main
+    * columns, which carry the deleted row) -- the pre-image feed
+    * incremental aggregate maintenance needs (see
+    * [[IncrementalAgg]]). */
   def snapshotDiff(name: String, fromV: Long, toV: Long,
-      keys: Seq[String], pruneUnchanged: Boolean = true): DataFrame = {
+      keys: Seq[String], pruneUnchanged: Boolean = true,
+      includePre: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, when}
     require(keys.nonEmpty, "snapshotDiff needs at least one key column")
     val mFrom = manifestAt(name, fromV).getOrElse(throw new NoSuchElementException(
@@ -572,11 +578,14 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     val ctype = when(col("__in_old").isNull, "insert")
       .when(col("__in_new").isNull, "delete")
       .when(rowChanged, "update")
+    val preCols =
+      if (includePre) dataCols.map(c => col(s"__o_$c").as(s"pre_$c")) else Nil
     oldT.join(newT, keys, "full_outer")
       .filter(ctype.isNotNull)
       .select(keys.map(col) ++ Seq(ctype.as("change_type")) ++
         dataCols.map(c =>
-          when(col("__in_new").isNull, col(s"__o_$c")).otherwise(col(c)).as(c)): _*)
+          when(col("__in_new").isNull, col(s"__o_$c")).otherwise(col(c)).as(c)) ++
+        preCols: _*)
   }
 
   /** SQL surface: the current snapshot as a session temp view (a

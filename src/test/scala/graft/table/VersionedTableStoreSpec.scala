@@ -275,6 +275,29 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     assert(diff === Seq((2, "update", "B", Some(9.5))))
   }
 
+  test("incremental aggregate maintenance equals the full recompute") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val vs = fresh()
+    val v1 = Seq((1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40))
+      .toDF("k", "grp", "v")
+    // v2: value-only update (1), group-moving update (2), unchanged (3),
+    // delete (4 -- group c must vanish), insert (5)
+    val v2 = Seq((1, "a", 15), (2, "b", 20), (3, "b", 30), (5, "b", 5))
+      .toDF("k", "grp", "v")
+    vs.commitFull(v1, "t"); vs.commitFull(v2, "t")
+    def recompute(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("grp")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val diff = vs.snapshotDiff("t", 1, 2, Seq("k"), includePre = true)
+    val delta = IncrementalAgg.sumCountDelta(diff, Seq("grp"), Seq("v"))
+    val maintained = IncrementalAgg.applyTo(
+      recompute(v1).withColumnRenamed("sv", "v"), delta, Seq("grp"), Seq("v"), "n")
+      .withColumnRenamed("v", "sv")
+    assert(maintained.as[(String, Long, Long)].collect().toSet ===
+      recompute(v2).as[(String, Long, Long)].collect().toSet)
+    // the emptied group is gone, not zero-rowed
+    assert(!maintained.select("grp").as[String].collect().contains("c"))
+  }
+
   test("UpsertWriter MERGE against the versioned store commits snapshots") {
     val vs = fresh()
     UpsertWriter.upsertAll(vs, "t", Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq("k"))
