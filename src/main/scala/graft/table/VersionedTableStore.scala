@@ -256,6 +256,35 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     df.filter(col(column) >= lo && col(column) <= hi)
   }
 
+  /** Conjunctive multi-column range scan: a partition survives only
+    * if EVERY given column's recorded range intersects its bound --
+    * compound predicates prune multiplicatively. Same conservative
+    * semantics as [[readWhere]] per column. */
+  def readWhereAll(name: String, bounds: Map[String, (Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(bounds.nonEmpty, "readWhereAll needs at least one column bound")
+    val m = current(name).getOrElse(
+      throw new NoSuchElementException(s"no snapshots for $name"))
+    val byColRel = m.stats.flatMap { s =>
+      try Some(((s._2, s._1), (BigDecimal(s._3), BigDecimal(s._4))))
+      catch { case _: NumberFormatException => None }
+    }.toMap
+    val keep = m.mapping.filter { case (rel, _) =>
+      bounds.forall { case (c, (lo, hi)) =>
+        byColRel.get((c, rel)).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      }
+    }
+    val df = load(name, m.copy(mapping = keep))
+    bounds.keys.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+        s"readWhereAll needs integer-family columns; $c is ${dt.typeName}")
+    }
+    bounds.foldLeft(df) { case (d, (c, (lo, hi))) =>
+      d.filter(col(c) >= lo && col(c) <= hi)
+    }
+  }
+
   /** Time travel: the table exactly as of snapshot `v`. */
   def readVersion(name: String, v: Long): DataFrame =
     load(name, manifestAt(name, v).getOrElse(throw new NoSuchElementException(

@@ -213,6 +213,20 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     assert(pruned.select("k", "v").as[(Int, String)].collect().toSeq === Seq((1, "a")))
   }
 
+  test("readWhereAll prunes on the conjunction of column ranges") {
+    val vs = fresh()
+    // d1: k 1-9 / t 5; d2: k 1-9 / t 50; d3: k 100+ / t 5
+    vs.commitFull(Seq((1, 5, "d1"), (9, 5, "d1"), (2, 50, "d2"),
+        (8, 50, "d2"), (100, 5, "d3")).toDF("k", "t", "day"),
+      "pt", Seq("day"), statsColumns = Seq("k", "t"))
+    // k in [0,50] keeps d1+d2; ADDING t in [0,10] prunes d2 as well
+    val both = vs.readWhereAll("pt", Map("k" -> ((0L, 50L)), "t" -> ((0L, 10L))))
+    assert(both.inputFiles.nonEmpty && both.inputFiles.forall(_.contains("day=d1")),
+      s"conjunction failed to prune: ${both.inputFiles.mkString(",")}")
+    assert(both.select("k", "t").as[(Int, Int)].collect().toSeq.sorted ===
+      Seq((1, 5), (9, 5)))
+  }
+
   test("compact recomputes the parent's tracked stats (pruning survives compaction)") {
     val vs = fresh()
     vs.commitFull(Seq((1, "d1"), (100, "d2")).toDF("k", "day"),
