@@ -280,7 +280,9 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
         s"readWhereAll needs integer-family columns; $c is ${dt.typeName}")
     }
-    bounds.foldLeft(df) { case (d, (c, (lo, hi))) =>
+    // sorted fold: Map iteration order must not leak into the plan
+    // (stable explain output / canonical predicate order)
+    bounds.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, (lo, hi))) =>
       d.filter(col(c) >= lo && col(c) <= hi)
     }
   }
