@@ -273,6 +273,52 @@ object AnalyticsQueries {
        ORDER BY abs(round((value - mean_v) / sd_v, 4)) DESC, event_id ASC
        LIMIT 20"""
 
+  /** Correlation / covariance profiling: per returnflag, the
+    * co-movement of quantity and price columns -- the feature-
+    * correlation pass of dataset profiling. Both engines accumulate
+    * co-moments in merge order, so (like a3's stddev) the outputs are
+    * pinned at 4 decimals, far above the co-moment merge noise. */
+  def a10CorrStats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"))
+
+  val a10CorrStatsSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
+       FROM lineitem GROUP BY 1"""
+
+  /** Ranking-function suite: rank / dense_rank / percent_rank /
+    * cume_dist / ntile over one (type, value) ordering -- the ranking
+    * window classes in a single pass. The ORDER BY carries event_id
+    * so the order is total: rank ties (and therefore every rank
+    * family value) are identical cross-engine. percent_rank and
+    * cume_dist are exact small-integer ratios -- bit-stable doubles. */
+  def w9RankSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    Tables.events(s, dir).select(
+      col("event_type"), col("event_id"), col("value"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      round(percent_rank().over(w), 6).as("prnk"),
+      round(cume_dist().over(w), 6).as("cdist"),
+      ntile(10).over(w).as("decile"))
+  }
+
+  val w9RankSuiteSql: String =
+    """SELECT event_type, event_id, value,
+       CAST(rank() OVER w AS INT) AS rnk,
+       CAST(dense_rank() OVER w AS INT) AS drnk,
+       round(percent_rank() OVER w, 6) AS prnk,
+       round(cume_dist() OVER w, 6) AS cdist,
+       CAST(ntile(10) OVER w AS INT) AS decile
+       FROM events
+       WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC)"""
+
   /** Equi-width histogram: per event_type, value counts over 10 equal
     * bins spanning the GLOBAL [min, max] -- the data-profiling
     * histogram. Bounds ride a broadcast 1-row aggregate; bin
@@ -729,7 +775,9 @@ object AnalyticsQueries {
     "a7_cube" -> (a7Cube _),
     "a8_zscore_topk" -> (a8ZscoreTopk _),
     "a9_histogram" -> (a9Histogram _),
+    "a10_corr_stats" -> (a10CorrStats _),
     "w8_range_frame" -> (w8RangeFrame _),
+    "w9_rank_suite" -> (w9RankSuite _),
     "f16_json_extract" -> (f16JsonExtract _),
     "a4_percentiles" -> (a4Percentiles _),
     "a4_percentiles_approx" -> (a4PercentilesApproxGate _),
@@ -764,7 +812,9 @@ object AnalyticsQueries {
     "a7_cube" -> a7CubeSql,
     "a8_zscore_topk" -> a8ZscoreTopkSql,
     "a9_histogram" -> a9HistogramSql,
+    "a10_corr_stats" -> a10CorrStatsSql,
     "w8_range_frame" -> w8RangeFrameSql,
+    "w9_rank_suite" -> w9RankSuiteSql,
     "f16_json_extract" -> f16JsonExtractSql,
     "a4_percentiles" -> a4PercentilesSql,
     "w4_sessionize" -> w4SessionizeSql,
