@@ -106,6 +106,11 @@ object SamplingOps {
   /** df-first form over any (doc_id, source, n_chars) frame. */
   def mixtureSampleOf(docs: DataFrame, weights: Seq[(String, Int)],
       defaultWeight: Int, budgetPct: Int): DataFrame = {
+    // a repeated source would resolve last-entry-wins in this fold but
+    // first-entry-wins in the SQL CASE twin (built reversed) -- reject
+    // rather than let the engines diverge silently
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate sources in mixture weights: ${weights.map(_._1)}")
     val w = weights.foldLeft(lit(defaultWeight)) {
       case (acc, (src, p)) => when(col("source") === src, lit(p)).otherwise(acc)
     }
@@ -158,20 +163,37 @@ object SamplingOps {
     * global aggregate broadcast as a single row; assignment is then a
     * narrow comparison pass (bin = #boundaries <= value), so no global
     * sort and no ntile window over one partition -- the plan that
-    * kills this op at scale. Exact percentile keeps the oracle
-    * hash-exact; at 100 TB swap `percentile` for `approx_percentile`
-    * (same plan shape, bounded sketch state). */
-  def curriculumBins(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    * kills this op at scale.
+    *
+    * `exact = false` (the production default) computes the boundaries
+    * with `approx_percentile` -- a bounded KLL-style sketch, map-side
+    * combinable, the only viable state shape when the boundary
+    * aggregate spans 100 TB. `exact = true` exists for the oracle
+    * gate: exact `percentile` keeps the hash cross-engine
+    * reproducible, but its state is every value in one reducer --
+    * same gate-vs-production split as a4/s15. Both variants share the
+    * one-aggregate-broadcast plan shape. */
+  def curriculumBinsOf(docs: DataFrame, exact: Boolean): DataFrame = {
     val deciles = (1 to 9).map(_ / 10.0)
-    val bounds = docs.agg(
-      expr(s"percentile(n_chars, array(${deciles.mkString(",")}))").as("b"))
+    val pct =
+      if (exact) s"percentile(n_chars, array(${deciles.mkString(",")}))"
+      else s"approx_percentile(n_chars, array(${deciles.mkString(",")}), 10000)"
+    val bounds = docs.agg(expr(pct).as("b"))
     docs.crossJoin(broadcast(bounds))
       .select(col("doc_id"), col("n_chars"),
         deciles.indices.map(i =>
             when(col("n_chars") >= col("b")(i), 1).otherwise(0))
           .reduce(_ + _).cast("int").as("bin"))
   }
+
+  /** Production entry point: approx boundaries. */
+  def curriculumBins(s: SparkSession, dir: String): DataFrame =
+    curriculumBinsOf(Tables.documents(s, dir), exact = false)
+
+  /** Oracle-gate twin: exact boundaries, hash-matched by the DuckDB
+    * quantile_cont twin. */
+  def curriculumBinsExact(s: SparkSession, dir: String): DataFrame =
+    curriculumBinsOf(Tables.documents(s, dir), exact = true)
 
   val curriculumBinsSql: String = {
     val bins = (1 to 9)

@@ -457,12 +457,19 @@ object AnalyticsQueries {
     * inside the join. Each qualifying (window, event) pair matches on
     * exactly one bucket -- the event side has one bucket value -- so
     * no DISTINCT pass is needed. The shuffle key is the time bucket;
-    * time buckets are load-uniform unless the stream spikes -- a hot
-    * bucket WOULD be salted the way the LSH joins are (replicate the
-    * window side x G, key points by a hash salt group), not enabled
-    * here because the events stream has no such skew. */
-  def j5RangeJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    * time buckets are load-uniform unless the stream spikes -- for a
+    * spiky stream pass `saltG > 1`: the window side is replicated
+    * G ways and each point lands in ONE hash-salt group, so a hot
+    * bucket's points split across G reducers (same salting the LSH
+    * joins use) at the cost of a G-times-wider window side. The salt
+    * never changes which (window, event) pairs meet -- a point meets
+    * every window replica group exactly once via its own salt -- so
+    * the result is hash-identical to the unsalted plan (pinned by
+    * spec against a planted hot bucket). Default G=1 (the driver's
+    * uniform events table has no skew; salt column and key are
+    * omitted entirely, keeping the unsalted plan byte-identical). */
+  def j5RangeJoinOf(ev: DataFrame, saltG: Int = 1): DataFrame = {
+    require(saltG >= 1, s"saltG must be >= 1, got $saltG")
     val wins = ev.filter(col("event_type") === "error")
       .select(col("event_id").as("window_id"), col("ts_us").as("lo"),
         (col("ts_us") + RangeWindowUs).as("hi"))
@@ -470,12 +477,24 @@ object AnalyticsQueries {
         expr(s"lo DIV $RangeWindowUs"), expr(s"lo DIV $RangeWindowUs + 1"))))
     val pts = ev.select(col("event_id"), col("user_id"), col("ts_us"),
       expr(s"ts_us DIV $RangeWindowUs").as("bucket"))
-    wins.join(pts, Seq("bucket"))
+    val (winsK, ptsK, joinKeys) =
+      if (saltG == 1) (wins, pts, Seq("bucket"))
+      else (
+        wins.withColumn("salt",
+          explode(array((0 until saltG).map(g => lit(g.toLong)): _*))),
+        // salt by event id hash: uniform over points, independent of
+        // the time bucket, so the hot bucket splits G ways
+        pts.withColumn("salt", pmod(xxhash64(col("event_id")), lit(saltG.toLong))),
+        Seq("bucket", "salt"))
+    winsK.join(ptsK, joinKeys)
       .filter(col("ts_us") >= col("lo") && col("ts_us") < col("hi"))
       .groupBy(col("window_id"))
       .agg(count(lit(1)).as("n_events"),
         count_distinct(col("user_id")).as("n_users"))
   }
+
+  def j5RangeJoin(s: SparkSession, dir: String): DataFrame =
+    j5RangeJoinOf(Tables.events(s, dir))
 
   val j5RangeJoinSql: String =
     s"""WITH e AS (SELECT event_id, user_id, event_type,
@@ -794,6 +813,7 @@ object AnalyticsQueries {
   val benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s15_table_stats_approx" -> (s15TableStatsApprox _),
     "a4_percentiles_approx" -> (a4PercentilesApprox _),
+    "p13_curriculum_bins" -> (graft.ops.SamplingOps.curriculumBins _),
   )
 
   val oracleSql: Map[String, String] = Map(

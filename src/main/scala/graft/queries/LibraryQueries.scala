@@ -114,6 +114,50 @@ object LibraryQueries {
                    ELSE b1.last_batch END AS last_batch
        FROM b1 FULL OUTER JOIN b2 ON b1.c_custkey = b2.c_custkey"""
 
+  /** S19 matched-DELETE MERGE through the SQL shim (the standard third
+    * MERGE clause, MergeSql grammar): target = pre-1997 orders; source
+    * = the 1996H2..1997H1 restatement batch. Matched rows whose
+    * RESTATED price clears 150k are deleted, other matched rows stay
+    * AS THEY WERE (no update clause), unmatched source rows insert.
+    * Runs the statement text through [[graft.table.MergeSql]] against
+    * a [[VersionedTableStore]], so the oracle gates parser, planner,
+    * and snapshot commit together. */
+  def s19MergeDelete(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_orderdate").cast("date").as("order_date"),
+      col("o_totalprice"), col("o_orderstatus"))
+    val target = o.filter(col("order_date") < lit("1997-01-01").cast("date"))
+    val source = o.filter(col("order_date") >= lit("1996-07-01").cast("date") &&
+        col("order_date") < lit("1997-07-01").cast("date"))
+      .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+      .withColumn("o_orderstatus", lit("R"))
+    val store = new VersionedTableStore(s,
+      Files.createTempDirectory("graft-q-s19").toString)
+    store.commitFull(target, "orders_del")
+    source.createOrReplaceTempView("orders_restated")
+    graft.table.MergeSql.merge(store,
+      """MERGE INTO orders_del t USING orders_restated s
+         ON t.o_orderkey = s.o_orderkey
+         WHEN MATCHED AND s.o_totalprice > 150000 THEN DELETE
+         WHEN NOT MATCHED THEN INSERT *""")
+    store.read("orders_del")
+  }
+
+  val s19MergeDeleteSql: String =
+    """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+                         o_totalprice, o_orderstatus FROM orders),
+       t AS (SELECT * FROM o WHERE order_date < DATE '1997-01-01'),
+       src AS (SELECT o_orderkey, order_date,
+                      round(o_totalprice * 1.1, 2) AS o_totalprice,
+                      'R' AS o_orderstatus
+               FROM o WHERE order_date >= DATE '1996-07-01'
+                 AND order_date < DATE '1997-07-01')
+       SELECT * FROM t WHERE o_orderkey NOT IN (
+         SELECT o_orderkey FROM src WHERE o_totalprice > 150000)
+       UNION ALL
+       SELECT * FROM src WHERE o_orderkey NOT IN (SELECT o_orderkey FROM t)"""
+
   /** S16: snapshot MERGE + rollback through [[VersionedTableStore]] --
     * the Iceberg-recovery shape the reference gets from format-version-2
     * tables (build_stock_fact_table.py:98-100). A partitioned upsert
@@ -426,6 +470,7 @@ object LibraryQueries {
     "a2_monthly_rollup" -> (a2MonthlyRollup _),
     "s7_merge_upsert" -> (s7MergeUpsert _),
     "s8_merge_selective" -> (s8MergeSelective _),
+    "s19_merge_delete" -> (s19MergeDelete _),
     "s16_versioned_rollback" -> (s16VersionedRollback _),
     "s17_snapshot_diff" -> (s17SnapshotDiff _),
     "s18_incremental_agg" -> (s18IncrementalAgg _),
@@ -438,6 +483,7 @@ object LibraryQueries {
     "a2_monthly_rollup" -> a2MonthlyRollupSql,
     "s7_merge_upsert" -> s7MergeUpsertSql,
     "s8_merge_selective" -> s8MergeSelectiveSql,
+    "s19_merge_delete" -> s19MergeDeleteSql,
     "s16_versioned_rollback" -> s16VersionedRollbackSql,
     "s17_snapshot_diff" -> s17SnapshotDiffSql,
     "s18_incremental_agg" -> s18IncrementalAggSql,

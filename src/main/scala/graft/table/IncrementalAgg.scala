@@ -44,14 +44,20 @@ object IncrementalAgg {
   /** Apply a [[sumCountDelta]] to the aggregate table (columns:
     * groupKeys, `countCol`, the sum columns, same names as the base).
     * Groups whose maintained count reaches zero drop out -- exactly
-    * the rows a recompute would not produce. */
+    * the rows a recompute would not produce. A sum stays NULL when
+    * both sides are NULL (SQL sum over an all-NULL group is NULL, not
+    * 0 -- coalescing both sides to 0 would diverge from a recompute);
+    * one NULL side coalesces to 0 so the other side's value carries,
+    * which matches sum's NULL-skipping. */
   def applyTo(agg: DataFrame, delta: DataFrame, groupKeys: Seq[String],
       sums: Seq[String], countCol: String): DataFrame =
     agg.join(delta, groupKeys, "full_outer")
       .select(groupKeys.map(col) ++
         Seq((coalesce(col(countCol), lit(0L)) + coalesce(col("__dn"), lit(0L)))
           .as(countCol)) ++
-        sums.map(c => (coalesce(col(c), lit(0L)) +
-          coalesce(col(s"__dv_$c"), lit(0L))).as(c)): _*)
+        sums.map(c => when(col(c).isNull && col(s"__dv_$c").isNull,
+            lit(null))
+          .otherwise(coalesce(col(c), lit(0L)) +
+            coalesce(col(s"__dv_$c"), lit(0L))).as(c)): _*)
       .filter(col(countCol) > 0)
 }

@@ -86,6 +86,65 @@ object UpsertWriter {
     }
   }
 
+  /** S19 matched-DELETE MERGE -- the standard third MERGE clause:
+    * {{{
+    * WHEN MATCHED [AND <cond>] THEN DELETE
+    * [WHEN NOT MATCHED THEN INSERT *]
+    * }}}
+    * Matched target rows for which `matchCondition` is TRUE (NULL and
+    * FALSE both leave the row in place, per SQL MERGE clause-firing
+    * semantics) are removed; unmatched target rows are kept; with
+    * `insertUnmatched`, source rows matching no target key are
+    * inserted. `matchCondition` is a Spark SQL boolean expression over
+    * `targetAlias`.<col> / `sourceAlias`.<col> (None = unconditional
+    * delete on match). Same requirement as the upserts: `source` is
+    * key-unique.
+    *
+    * The plan is one left join on the natural key (AQE broadcasts the
+    * typical small daily source) plus, for inserts, one anti join.
+    * The commit is a FULL staged swap even for partitioned tables:
+    * dynamic partition overwrite cannot express a partition whose
+    * rows were ALL deleted (no output rows for the partition means
+    * the old files survive), so a partition-local delete commit needs
+    * delete manifests -- a metadata-store feature deliberately out of
+    * scope. `partitionBy` is still honored for the rewritten layout. */
+  def deleteMerge(store: WarehouseWrites, table: String, source: DataFrame,
+      keys: Seq[String], matchCondition: Option[String] = None,
+      insertUnmatched: Boolean = false,
+      targetAlias: String = "t", sourceAlias: String = "s",
+      partitionBy: Seq[String] = Nil): Unit = {
+    if (!store.exists(table)) {
+      // MERGE against a missing target: only the INSERT clause can
+      // produce rows (nothing exists to match, so no deletes fire)
+      if (insertUnmatched) store.createOrReplace(source, table, partitionBy)
+      else throw new NoSuchElementException(
+        s"deleteMerge target $table does not exist and no INSERT clause given")
+      return
+    }
+    val target = store.read(table)
+    if (insertUnmatched)
+      require(source.columns.toSeq.sorted == target.columns.toSeq.sorted,
+        s"schema mismatch: target=${target.columns.toSeq} source=${source.columns.toSeq}")
+    val cond = matchCondition.map(expr).getOrElse(lit(true))
+    val tA = target.alias(targetAlias)
+    val sA = source.withColumn("__s", lit(true)).alias(sourceAlias)
+    val joinCond = keys.map(k =>
+      col(s"$targetAlias.$k") === col(s"$sourceAlias.$k")).reduce(_ && _)
+    // clause fires only when cond IS TRUE: coalesce(false) keeps rows
+    // whose condition evaluates NULL (e.g. a comparison on a NULL
+    // source value), matching engine MERGE semantics
+    val fires = coalesce(col(s"$sourceAlias.__s").isNotNull && cond, lit(false))
+    val survivors = tA.join(sA, joinCond, "left_outer")
+      .filter(!fires)
+      .select(target.columns.toSeq.map(c => col(s"$targetAlias.$c").as(c)): _*)
+    val result =
+      if (!insertUnmatched) survivors
+      else survivors.unionByName(
+        source.join(target.select(keys.map(col): _*), keys, "left_anti")
+          .select(target.columns.toSeq.map(col): _*))
+    store.swapIn(result, table, partitionBy)
+  }
+
   /** S8 selective-update MERGE: matched rows take source values except
     * `preserve` columns (kept from target); unmatched target rows kept
     * as-is; unmatched source rows inserted (their own `preserve`

@@ -95,11 +95,26 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
   private val Header = "graft-manifest-v1"
   private val End = "end"
 
+  /** Stat fields are DATA-derived strings (min/max of arbitrary
+    * columns, rels built from raw partition values): a value holding
+    * a tab would shift fields, a newline would let row content inject
+    * whole manifest lines (`dir\t...`). Percent-encode exactly the
+    * delimiter alphabet before serializing; identity for the integer
+    * stats old manifests carry, so decode is backward-compatible. */
+  private def enc(s: String): String =
+    s.replace("%", "%25").replace("\t", "%09")
+      .replace("\n", "%0A").replace("\r", "%0D")
+
+  private def dec(s: String): String =
+    s.replace("%0D", "\r").replace("%0A", "\n")
+      .replace("%09", "\t").replace("%25", "%")
+
   private def serialize(m: Manifest): String = {
     val entries = m.mapping.sortBy(_._1)
       .map { case (rel, d) => s"dir\t$d\t$rel" }
     val statEntries = m.stats.sortBy(s => (s._1, s._2))
-      .map { case (rel, c, mn, mx) => s"stat\t$c\t$mn\t$mx\t$rel" }
+      .map { case (rel, c, mn, mx) =>
+        s"stat\t${enc(c)}\t${enc(mn)}\t${enc(mx)}\t${enc(rel)}" }
     (Seq(Header, s"version=${m.version}",
       s"partitionBy=${m.partitionBy.mkString(",")}",
       s"schema=${m.schemaDDL}") ++ entries ++ statEntries :+ End)
@@ -122,7 +137,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       }
       val stats = lines.collect {
         case l if l.startsWith("stat\t") =>
-          val Array(_, c, mn, mx, rel) = l.split("\t", 5); (rel, c, mn, mx)
+          val Array(_, c, mn, mx, rel) = l.split("\t", 5)
+          (dec(rel), dec(c), dec(mn), dec(mx))
       }
       val pby = fields("partitionBy") match {
         case "" => Nil; case s => s.split(",").toSeq
@@ -399,9 +415,11 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       .parquet(s"${dataRoot(name)}/$dirId")
   }
 
-  /** Per-rel min/max of `statsColumns` over `df` -- one extra
-    * aggregate pass (one output row per partition: manifest-sized by
-    * definition, so the driver collect is bounded). Rel strings are
+  /** Per-rel min/max of `statsColumns` over the given frame (always
+    * the re-read of a just-written data dir -- see [[commit]]) -- one
+    * extra aggregate pass (one output row per partition:
+    * manifest-sized by definition, so the driver collect is
+    * bounded). Rel strings are
     * rebuilt as plain `col=value` paths; a value Spark's hive layout
     * escapes differently simply never matches a mapping rel and its
     * stats are ignored -- pruning stays conservative. */
@@ -446,7 +464,24 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         val overridden = written.map(_._1).toSet
         parent.get.mapping.filterNot { case (rel, _) => overridden(rel) } ++ written
       } else written
-    val writtenStats = columnStats(df, partitionBy, statsColumns)
+    // stats come from a re-read of the files just written, never from
+    // `df`: a non-deterministic input (rand(), unseeded sample) would
+    // otherwise record min/max from a DIFFERENT evaluation than the
+    // rows on disk, and readWhere would prune partitions that hold
+    // matching rows -- the same reason Delta/Iceberg derive file stats
+    // from the written files. (written is empty only for an empty
+    // partitioned commit: no dirs, nothing to stat.)
+    val writtenStats =
+      if (statsColumns.isEmpty || written.isEmpty) Nil
+      else {
+        val base = s"${dataRoot(name)}/$dirId"
+        val reader = spark.read.schema(df.schema)
+        val backRead =
+          if (partitionBy.isEmpty) reader.parquet(base)
+          else reader.option("basePath", base)
+            .parquet(written.map { case (rel, _) => s"$base/$rel" }: _*)
+        columnStats(backRead, partitionBy, statsColumns)
+      }
     val stats =
       if (deltaPartitions && parent.isDefined) {
         val overridden = written.map(_._1).toSet

@@ -205,14 +205,62 @@ class PlanSpec extends AnyFunSuite {
 
   test("curriculum binning is a broadcast-bounds projection, not a global sort") {
     // the scale property: decile assignment must NOT plan ntile/Window
-    // over one partition or a global Sort of the corpus
-    val p = plan(SparkEntry.queries("p13_curriculum_bins")(spark, dir))
-    val s = p.toString
-    assert(!s.contains("Window"), "binning planned a window")
-    assert(!collectAll(p).exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
-      "binning planned a sort")
-    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
-      "decile bounds must ride a broadcast")
+    // over one partition or a global Sort of the corpus -- for BOTH
+    // the exact oracle gate and the approx production default
+    for ((label, fn) <- Seq(
+        "gate" -> SparkEntry.queries("p13_curriculum_bins"),
+        "production" -> SparkEntry.benchOverrides("p13_curriculum_bins"))) {
+      val p = plan(fn(spark, dir))
+      val s = p.toString
+      assert(!s.contains("Window"), s"$label binning planned a window")
+      assert(!collectAll(p).exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+        s"$label binning planned a sort")
+      assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
+        s"$label decile bounds must ride a broadcast")
+    }
+    // the gate computes exact percentile (hash-reproducible), the
+    // production path the bounded-state sketch -- don't let either
+    // silently become the other
+    val gateStr = plan(SparkEntry.queries("p13_curriculum_bins")(spark, dir)).toString
+    assert(gateStr.contains("percentile(") && !gateStr.contains("approx_percentile"),
+      "gate must compute exact percentile bounds")
+    assert(plan(SparkEntry.benchOverrides("p13_curriculum_bins")(spark, dir))
+      .toString.contains("approx_percentile"))
+  }
+
+  test("j5 salting splits a planted hot bucket and is result-identical to unsalted") {
+    import spark.implicits._
+    import graft.queries.AnalyticsQueries
+    val W = AnalyticsQueries.RangeWindowUs
+    // 2000 of 2100 events land in time bucket 0 (>50% hot); sparse tail
+    // spreads over buckets 10..109; every ~40th event opens a window
+    val hot = (0 until 2000).map { i =>
+      (i.toLong, (i % 50).toLong, (i.toLong * 997) % W,
+        if (i % 40 == 0) "error" else "click")
+    }
+    val sparse = (0 until 100).map { i =>
+      ((2000 + i).toLong, (i % 50).toLong, W * (10 + i) + 1234L,
+        if (i % 10 == 0) "error" else "click")
+    }
+    val ev = (hot ++ sparse)
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+    def rows(df: DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val unsalted = AnalyticsQueries.j5RangeJoinOf(ev, saltG = 1)
+    val salted = AnalyticsQueries.j5RangeJoinOf(ev, saltG = 8)
+    assert(rows(salted) === rows(unsalted), "salting changed the result")
+    assert(unsalted.count() > 0)
+    // the salted plan joins on (bucket, salt) -- the hot bucket's point
+    // rows hash across all 8 salt groups instead of one reducer
+    val t = salted.queryExecution.executedPlan.treeString
+    assert(t.contains("salt"), "salted plan lost its salt join key")
+    assert(!collectAll(plan(salted)).exists(_.isInstanceOf[CartesianProductExec]))
+    val saltSpread = ev.filter($"ts_us" < W)
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64($"event_id"),
+        org.apache.spark.sql.functions.lit(8L)).as("g"))
+      .distinct().count()
+    assert(saltSpread === 8, s"hot bucket spread over $saltSpread of 8 salt groups")
   }
 
   test("unigram logprob broadcasts the vocab, never a cartesian") {

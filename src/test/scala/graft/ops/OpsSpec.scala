@@ -425,11 +425,29 @@ class OpsSpec extends AnyFunSuite {
     val expected = chars.map { case (id, n) =>
       (id, n, bounds.count(b => n >= b))
     }.toSet
-    val got = SamplingOps.curriculumBins(spark, dir)
+    val got = SamplingOps.curriculumBinsExact(spark, dir)
       .as[(Long, Long, Int)].collect().toSet
     assert(got === expected)
     // deciles of a 500-doc corpus: every bin 0..9 is populated
     assert(got.map(_._3) === (0 to 9).toSet)
+    // the production (approx_percentile) default: boundaries are data
+    // values near the same ranks, so each doc's bin is within 1 of the
+    // exact assignment and monotone in n_chars
+    val exactOf = expected.map(t => t._1 -> t._3).toMap
+    val approx = SamplingOps.curriculumBins(spark, dir)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(approx.forall { case (id, _, b) => math.abs(b - exactOf(id)) <= 1 },
+      "approx bin strayed more than one decile from exact")
+    val byChars = approx.sortBy(r => (r._2, r._1)).map(_._3)
+    assert(byChars === byChars.sorted, "approx bins not monotone in n_chars")
+  }
+
+  test("mixture weights with a duplicate source are rejected (engines would diverge)") {
+    val docs = Seq(("1", "src0", 100L)).toDF("doc_id", "source", "n_chars")
+    val e = intercept[IllegalArgumentException] {
+      SamplingOps.mixtureSampleOf(docs, Seq("src0" -> 2, "src0" -> 3), 1, 40)
+    }
+    assert(e.getMessage.contains("duplicate"))
   }
 
   test("funnel equals the brute-force per-user ordered-sequence scan") {

@@ -105,13 +105,71 @@ class MergeSqlSpec extends AnyFunSuite {
     assert(vs.read("t").as[(String, Double)].collect().toSeq === Seq(("AAPL", 100.0)))
   }
 
+  test("matched-DELETE: unconditional, conditional, with and without INSERT") {
+    val target = Seq(("AAPL", 100.0), ("MSFT", 200.0), ("IBM", 50.0))
+      .toDF("symbol", "px")
+    val batch = Seq(("AAPL", 180.0), ("MSFT", 90.0), ("NVDA", 300.0))
+      .toDF("symbol", "px")
+
+    // conditional delete + insert: AAPL deleted (batch px > 150), MSFT
+    // kept (clause doesn't fire), IBM untouched, NVDA inserted
+    val st1 = fresh()
+    st1.createOrReplace(target, "fact_px")
+    batch.createOrReplaceTempView("px_batch")
+    MergeSql.merge(st1, """MERGE INTO stock_db.fact_px t USING px_batch s
+      ON t.symbol = s.symbol
+      WHEN MATCHED AND s.px > 150 THEN DELETE
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(sortedRows(st1.read("fact_px")) ===
+      sortedRows(Seq(("MSFT", 200.0), ("IBM", 50.0), ("NVDA", 300.0))
+        .toDF("symbol", "px")))
+
+    // unconditional delete, no insert: every matched key removed
+    val st2 = fresh()
+    st2.createOrReplace(target, "fact_px")
+    MergeSql.merge(st2, """MERGE INTO fact_px t USING px_batch s
+      ON t.symbol = s.symbol WHEN MATCHED THEN DELETE""")
+    assert(sortedRows(st2.read("fact_px")) ===
+      sortedRows(Seq(("IBM", 50.0)).toDF("symbol", "px")))
+
+    // SQL path == API path, on the versioned store (delete commits a
+    // rollback-able snapshot like any other MERGE)
+    val root = Files.createTempDirectory("graft-mergesql-del").toString
+    val vs = new VersionedTableStore(spark, root)
+    vs.commitFull(target, "fact_px")
+    MergeSql.merge(vs, """MERGE INTO fact_px t USING px_batch s
+      ON t.symbol = s.symbol
+      WHEN MATCHED AND s.px > 150 THEN DELETE
+      WHEN NOT MATCHED THEN INSERT *""")
+    val viaApi = fresh()
+    viaApi.createOrReplace(target, "fact_px")
+    UpsertWriter.deleteMerge(viaApi, "fact_px", batch, Seq("symbol"),
+      matchCondition = Some("s.px > 150"), insertUnmatched = true)
+    assert(sortedRows(vs.read("fact_px")) === sortedRows(viaApi.read("fact_px")))
+    vs.rollbackTo("fact_px", 1)
+    assert(vs.read("fact_px").count() === 3)
+  }
+
+  test("matched-DELETE condition on NULL evaluates to no-fire, keeping the row") {
+    val st = fresh()
+    st.createOrReplace(Seq(("A", 1.0), ("B", 2.0)).toDF("k", "v"), "tnull")
+    Seq(("A", Option.empty[Double]), ("B", Some(9.0)))
+      .toDF("k", "v").createOrReplaceTempView("null_batch")
+    MergeSql.merge(st, """MERGE INTO tnull t USING null_batch s
+      ON t.k = s.k WHEN MATCHED AND s.v > 5 THEN DELETE""")
+    // A's condition is NULL > 5 = NULL -> clause does not fire
+    assert(sortedRows(st.read("tnull")) ===
+      sortedRows(Seq(("A", 1.0)).toDF("k", "v")))
+  }
+
   test("statements outside the MERGE grammar fail loudly, naming the construct") {
     val vs = fresh()
     val bad1 = intercept[IllegalArgumentException] {
       MergeSql.parse("""MERGE INTO t USING s ON t.k = s.k
-        WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *""")
+        WHEN MATCHED THEN UPDATE SET * WHEN MATCHED THEN DELETE""")
     }
-    assert(bad1.getMessage.contains("unsupported MERGE"))
+    assert(bad1.getMessage.contains("unsupported MERGE") ||
+      bad1.getMessage.contains("column equality"))
     val bad2 = intercept[IllegalArgumentException] {
       MergeSql.parse("""MERGE INTO t USING s ON t.k < s.k
         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")

@@ -450,4 +450,62 @@ class VersionedTableStoreSpec extends AnyFunSuite {
       .map(_.getPath.getName).filter(_.startsWith(s"v$v-"))
     assert(dirs.length === 1)
   }
+
+  test("incremental maintenance keeps an all-NULL sum NULL (matches recompute)") {
+    // sum over an all-NULL group is NULL, not 0: g1 untouched stays
+    // NULL, g3 inserted with only NULL values starts NULL, g2's
+    // NULL-skipping arithmetic is unaffected
+    val agg = Seq(("g1", 2L, Option.empty[Long]), ("g2", 1L, Some(10L)))
+      .toDF("grp", "n", "v")
+    val delta = Seq(("g2", 1L, Some(5L)), ("g3", 1L, Option.empty[Long]))
+      .toDF("grp", "__dn", "__dv_v")
+    val out = IncrementalAgg.applyTo(agg, delta, Seq("grp"), Seq("v"), "n")
+      .as[(String, Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(out === Seq(("g1", 2L, None), ("g2", 2L, Some(15L)), ("g3", 1L, None)))
+  }
+
+  test("string stat values holding manifest delimiters cannot corrupt the table head") {
+    val vs = fresh()
+    // min/max land on values carrying tab, newline, AND a forged
+    // `dir\t...` manifest line -- unescaped, the tab shifts stat
+    // fields, the newline injects lines into the transaction log, and
+    // every later read of the head MatchErrors
+    val evil = Seq(
+      (1, "a\tb\tc"), (2, "z\ndir\tv9-forged\t."), (3, "%09 literal"))
+      .toDF("k", "v")
+    vs.commitFull(evil, "t", statsColumns = Seq("v", "k"))
+    assert(vs.currentVersion("t") === 1L)
+    assert(vs.read("t").as[(Int, String)].collect().toSeq.sorted ===
+      Seq((1, "a\tb\tc"), (2, "z\ndir\tv9-forged\t."), (3, "%09 literal")))
+    // the forged dir line did NOT become a mapping entry
+    assert(vs.versionsMapping("t").size === 1)
+    // the table keeps committing and reading; integer stats still prune
+    vs.commitFull(evil.filter($"k" === 1), "t", statsColumns = Seq("v", "k"))
+    assert(vs.versions("t") === Seq(1L, 2L))
+    assert(vs.readWhere("t", "k", 0, 10).count() === 1L)
+  }
+
+  test("manifest stats describe the files actually written, not a re-evaluation") {
+    import org.apache.spark.sql.functions.{col, floor, rand}
+    val vs = fresh()
+    // a non-deterministic input: every evaluation draws fresh values.
+    // Stats computed from a SECOND evaluation of this df would
+    // describe rows that were never written, and readWhere could
+    // prune partitions holding matching rows.
+    val nd = spark.range(0, 200).toDF("id")
+      .withColumn("day", (col("id") % 4).cast("string"))
+      .withColumn("v", floor(rand() * 1000000).cast("long"))
+    vs.commitFull(nd, "ndt", Seq("day"), statsColumns = Seq("v"))
+    val written = vs.read("ndt").select("id", "v")
+      .as[(Long, Long)].collect().toMap
+    // every written value must be findable through the pruned scan --
+    // the conservative-pruning guarantee
+    val probes = written.values.toSeq.sorted.take(5) ++
+      written.values.toSeq.sorted.takeRight(5)
+    probes.foreach { v =>
+      val got = vs.readWhere("ndt", "v", v, v).count()
+      val expect = written.values.count(_ == v).toLong
+      assert(got === expect, s"readWhere($v,$v) pruned away written rows")
+    }
+  }
 }
