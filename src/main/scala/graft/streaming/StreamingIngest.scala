@@ -209,7 +209,7 @@ object StreamingIngest {
     * effectively-exactly-once: the checkpoint makes delivery at-least-
     * once and the MERGE makes re-delivery a no-op. Runs over available
     * input and returns the finished query. */
-  def upsertSink(df: DataFrame, store: graft.table.TableStore, table: String,
+  def upsertSink(df: DataFrame, store: graft.table.WarehouseWrites, table: String,
       keys: Seq[String], partitionBy: Seq[String], checkpoint: String,
       queryName: String): StreamingQuery = {
     val q = df.writeStream
@@ -223,5 +223,70 @@ object StreamingIngest {
       .start()
     q.awaitTermination()
     q
+  }
+
+  /** One corpus chunk as [[graft.ops.TextOps.chunkOf]] emits it;
+    * `chunk_hash` (the 60-bit content fingerprint) is the dedup and
+    * MERGE key. */
+  case class ChunkRow(doc_id: Long, chunk_id: Int, n_chunk_tokens: Long,
+      chunk_text: String, chunk_hash: Long)
+
+  /** Streaming exact dedup at CHUNK granularity, carrying the full
+    * chunk payload: first batch to present a chunk_hash wins (within a
+    * batch, the min (doc_id, chunk_id) -- the batch survivor rule);
+    * later occurrences emit nothing. State is one boolean per distinct
+    * fingerprint, hash-partitioned across the state store. */
+  def streamingChunkDedup(chunks: Dataset[ChunkRow]): Dataset[ChunkRow] = {
+    import chunks.sparkSession.implicits._
+    chunks.groupByKey(_.chunk_hash)
+      .flatMapGroupsWithState[Boolean, ChunkRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[ChunkRow], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(r => (r.doc_id, r.chunk_id)))
+          }
+      }
+  }
+
+  /** The composed streaming corpus intake, end to end: quality gate ->
+    * context-window chunking (stateless, [[qualityChunkStream]]) ->
+    * exact dedup on the chunk fingerprint (stateful,
+    * [[streamingChunkDedup]]) -> foreachBatch MERGE committing a
+    * snapshot per micro-batch into any [[graft.table.WarehouseWrites]]
+    * store (against a [[graft.table.VersionedTableStore]], each batch
+    * is a rollback-able version).
+    *
+    * Durability: the checkpoint records source offsets AND dedup state
+    * per completed batch; the MERGE key (`chunk_hash`) makes replayed
+    * batches no-ops. A crash at ANY point -- including after the
+    * snapshot commit but before the batch completes, the partial-side-
+    * effect window -- therefore converges to the same table state on
+    * restart (spec-pinned by a planted mid-batch crash).
+    *
+    * `crashAfterBatch`: injectable fault for exactly that spec -- throw
+    * AFTER the given batch id's MERGE commits, simulating a worker
+    * dying in the at-least-once window. Production callers leave it
+    * None (same injectable-fault pattern as PipelineRunner's retry
+    * delay). Returns the started query; callers await it. */
+  def corpusIntakeToWarehouse(docs: DataFrame,
+      store: graft.table.WarehouseWrites, table: String,
+      checkpoint: String, queryName: String,
+      crashAfterBatch: Option[Long] = None): StreamingQuery = {
+    import docs.sparkSession.implicits._
+    val deduped = streamingChunkDedup(qualityChunkStream(docs).as[ChunkRow])
+    deduped.toDF().writeStream
+      .queryName(queryName)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.table.UpsertWriter.upsertAll(store, table, batch.toDF(),
+          keys = Seq("chunk_hash"))
+        if (crashAfterBatch.contains(batchId))
+          throw new RuntimeException(s"injected crash after batch $batchId commit")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
   }
 }

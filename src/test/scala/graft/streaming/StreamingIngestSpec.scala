@@ -229,6 +229,50 @@ class StreamingIngestSpec extends AnyFunSuite {
       === Map(jobsDate1 -> 2L, "2026-02-10" -> 1L))
   }
 
+  test("corpus intake: mid-batch crash + checkpoint restart converges to the clean run") {
+    import org.apache.spark.sql.streaming.StreamingQueryException
+    val src = tmp("graft-intake-src")
+    // four files -> four micro-batches under maxFilesPerTrigger=1
+    Tables.documents(spark, sfDir).select("doc_id", "text")
+      .repartition(4).write.mode("overwrite").parquet(src)
+    def docStream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    def chunksOf(store: graft.table.VersionedTableStore) =
+      store.read("chunks").select("doc_id", "chunk_id", "chunk_hash")
+        .as[(Long, Int, Long)].collect().sorted.toSeq
+
+    // reference: one uninterrupted run
+    val clean = new graft.table.VersionedTableStore(spark, tmp("graft-intake-clean"))
+    StreamingIngest.corpusIntakeToWarehouse(docStream, clean, "chunks",
+      tmp("graft-intake-ckpt-clean"), "intake_clean").awaitTermination()
+    val cleanRows = chunksOf(clean)
+    assert(cleanRows.nonEmpty)
+
+    // crash AFTER batch 1's snapshot commit but before the batch
+    // completes -- the at-least-once window where a side effect is
+    // durable but the offset is not
+    val wh = new graft.table.VersionedTableStore(spark, tmp("graft-intake-wh"))
+    val ckpt = tmp("graft-intake-ckpt")
+    val crashing = StreamingIngest.corpusIntakeToWarehouse(docStream, wh, "chunks",
+      ckpt, "intake_crash", crashAfterBatch = Some(1L))
+    intercept[StreamingQueryException] { crashing.awaitTermination() }
+    val mid = wh.read("chunks").count()
+    assert(mid > 0 && mid < cleanRows.size,
+      s"crash should leave a partial table, got $mid of ${cleanRows.size}")
+
+    // restart from the SAME checkpoint, fault removed: batch 1 replays
+    // (MERGE no-op on chunk_hash), remaining batches run, final state
+    // is row-identical to the clean run
+    StreamingIngest.corpusIntakeToWarehouse(docStream, wh, "chunks",
+      ckpt, "intake_resume").awaitTermination()
+    assert(chunksOf(wh) === cleanRows)
+    // the versioned history shows per-batch snapshot commits survived
+    // the crash (rollback-able intake)
+    assert(wh.versions("chunks").size >= 3)
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("stateful latest-event-per-user matches the batch W1 dedup") {
     val events = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"), col("value"))

@@ -485,6 +485,44 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     assert(vs.readWhere("t", "k", 0, 10).count() === 1L)
   }
 
+  test("manifest growth bound: 10k partitions parse fast, prune before any listing") {
+    // the growth surface is the MANIFEST (one dir line + stat lines per
+    // partition rel): commit a real one-partition table, then CAS a
+    // synthetic head whose mapping carries 10k rels -- 9,999 of them
+    // with stats disjoint from the probe, so readWhereAll must drop
+    // them at the manifest level BEFORE any file listing (their data
+    // paths do not exist; touching them would throw PATH_NOT_FOUND)
+    val vs = fresh()
+    val df = Seq((1, "d0"), (5, "d0")).toDF("k", "day")
+    vs.commitFull(df, "big", Seq("day"), statsColumns = Seq("k"))
+    val realDir = vs.versionsMapping("big").head._2
+    val mapping = ("day=d0" -> realDir) +:
+      (1 until 10000).map(i => s"day=d$i" -> realDir)
+    val stats = ("day=d0", "k", "1", "5") +:
+      (1 until 10000).map(i => (s"day=d$i", "k", s"${i * 100}", s"${i * 100 + 9}"))
+    val t0 = System.nanoTime()
+    vs.casManifest("big", vs.Manifest(2L, Seq("day"), mapping,
+      df.schema.toDDL, stats))
+    // parse the 10k-rel head (versionsMapping forces a full parse)
+    assert(vs.versionsMapping("big").size === 10000)
+    // probe hits only the real partition: 9,999 fake rels pruned from
+    // the plan without listing their (nonexistent) paths
+    val pruned = vs.readWhereAll("big", Map("k" -> ((0L, 10L))))
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.forall(_.contains("day=d0")))
+    assert(pruned.as[(Int, String)].collect().toSeq.sorted ===
+      Seq((1, "d0"), (5, "d0")))
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    // commit + parse + prune + scan of a 10k-partition manifest stays
+    // interactive; a super-linear manifest path would blow past this
+    assert(elapsed < 30.0, f"10k-partition manifest round-trip took $elapsed%.1f s")
+    // size check: ~60 B/rel (dir line + stat line) -- linear, no blowup
+    val fs = new Path(vs.root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getFileStatus(
+      new Path(s"${vs.path("big")}/_commits/c00000002")).getLen
+    assert(bytes < 2L * 1024 * 1024, s"10k-partition manifest is $bytes bytes")
+  }
+
   test("manifest stats describe the files actually written, not a re-evaluation") {
     import org.apache.spark.sql.functions.{col, floor, rand}
     val vs = fresh()
