@@ -158,6 +158,54 @@ object LibraryQueries {
        UNION ALL
        SELECT * FROM src WHERE o_orderkey NOT IN (SELECT o_orderkey FROM t)"""
 
+  /** S20 mixed-clause MERGE through the SQL shim (general ordered-
+    * clause executor): delete expensive restatements, update the rest
+    * with an EXPRESSION assignment (o_totalprice = s.o_totalprice + 1;
+    * order_date left unassigned, so preserved from the target), insert
+    * new keys -- first TRUE clause wins per row. */
+  def s20MergeMixed(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_orderdate").cast("date").as("order_date"),
+      col("o_totalprice"), col("o_orderstatus"))
+    val target = o.filter(col("order_date") < lit("1997-01-01").cast("date"))
+    val source = o.filter(col("order_date") >= lit("1996-07-01").cast("date") &&
+        col("order_date") < lit("1997-07-01").cast("date"))
+      .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+      .withColumn("o_orderstatus", lit("R"))
+    val store = new TableStore(s, Files.createTempDirectory("graft-q-s20").toString)
+    store.createOrReplace(target, "orders_mx")
+    source.createOrReplaceTempView("orders_restated_mx")
+    graft.table.MergeSql.merge(store,
+      """MERGE INTO orders_mx t USING orders_restated_mx s
+         ON t.o_orderkey = s.o_orderkey
+         WHEN MATCHED AND s.o_totalprice > 150000 THEN DELETE
+         WHEN MATCHED THEN UPDATE SET t.o_totalprice = s.o_totalprice + 1,
+             t.o_orderstatus = s.o_orderstatus
+         WHEN NOT MATCHED THEN INSERT *""")
+    store.read("orders_mx")
+  }
+
+  val s20MergeMixedSql: String =
+    """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+                         o_totalprice, o_orderstatus FROM orders),
+       t AS (SELECT * FROM o WHERE order_date < DATE '1997-01-01'),
+       src AS (SELECT o_orderkey, order_date,
+                      round(o_totalprice * 1.1, 2) AS o_totalprice,
+                      'R' AS o_orderstatus
+               FROM o WHERE order_date >= DATE '1996-07-01'
+                 AND order_date < DATE '1997-07-01')
+       SELECT t.o_orderkey, t.order_date,
+              CASE WHEN s.o_orderkey IS NOT NULL
+                   THEN s.o_totalprice + 1 ELSE t.o_totalprice END AS o_totalprice,
+              CASE WHEN s.o_orderkey IS NOT NULL
+                   THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus
+       FROM t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+       WHERE NOT (s.o_orderkey IS NOT NULL AND s.o_totalprice > 150000)
+       UNION ALL
+       SELECT o_orderkey, order_date, o_totalprice, o_orderstatus
+       FROM src WHERE o_orderkey NOT IN (SELECT o_orderkey FROM t)"""
+
   /** S16: snapshot MERGE + rollback through [[VersionedTableStore]] --
     * the Iceberg-recovery shape the reference gets from format-version-2
     * tables (build_stock_fact_table.py:98-100). A partitioned upsert
@@ -471,6 +519,7 @@ object LibraryQueries {
     "s7_merge_upsert" -> (s7MergeUpsert _),
     "s8_merge_selective" -> (s8MergeSelective _),
     "s19_merge_delete" -> (s19MergeDelete _),
+    "s20_merge_mixed" -> (s20MergeMixed _),
     "s16_versioned_rollback" -> (s16VersionedRollback _),
     "s17_snapshot_diff" -> (s17SnapshotDiff _),
     "s18_incremental_agg" -> (s18IncrementalAgg _),
@@ -484,6 +533,7 @@ object LibraryQueries {
     "s7_merge_upsert" -> s7MergeUpsertSql,
     "s8_merge_selective" -> s8MergeSelectiveSql,
     "s19_merge_delete" -> s19MergeDeleteSql,
+    "s20_merge_mixed" -> s20MergeMixedSql,
     "s16_versioned_rollback" -> s16VersionedRollbackSql,
     "s17_snapshot_diff" -> s17SnapshotDiffSql,
     "s18_incremental_agg" -> s18IncrementalAggSql,

@@ -145,6 +145,91 @@ object UpsertWriter {
     store.swapIn(result, table, partitionBy)
   }
 
+  /** One WHEN MATCHED clause of a general MERGE, in statement order.
+    * `cond` is a Spark SQL boolean over the statement's aliases (None
+    * = unconditional). */
+  sealed trait MatchedClause { def cond: Option[String] }
+  /** WHEN MATCHED [AND cond] THEN DELETE. */
+  case class MatchedDelete(cond: Option[String]) extends MatchedClause
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET ...; `assignments` maps
+    * target column -> Spark SQL expression text (empty + all=true for
+    * `SET *`). Unassigned columns keep their target values. */
+  case class MatchedUpdate(cond: Option[String], all: Boolean,
+      assignments: Seq[(String, String)]) extends MatchedClause
+
+  /** General MERGE executor: an ordered list of WHEN MATCHED clauses
+    * (first TRUE condition wins per row, SQL clause-order semantics;
+    * NULL conditions don't fire) plus an optional `WHEN NOT MATCHED
+    * THEN INSERT *`. Subsumes the specialized paths -- [[upsertAll]] /
+    * [[upsertSelective]] / [[deleteMerge]] remain the fast paths the
+    * statement shim prefers; this executor exists for the mixed and
+    * conditional statements they can't express (conditional update,
+    * update+delete in one statement, expression assignments).
+    *
+    * One full-outer join on the natural key; every clause condition
+    * and assignment expression evaluates under the statement's own
+    * aliases. Full staged swap (see [[deleteMerge]] for why deletes
+    * cannot ride dynamic partition overwrite). `source` must be
+    * key-unique, as everywhere. */
+  def runMerge(store: WarehouseWrites, table: String, source: DataFrame,
+      keys: Seq[String], clauses: Seq[MatchedClause], insertUnmatched: Boolean,
+      targetAlias: String = "t", sourceAlias: String = "s",
+      partitionBy: Seq[String] = Nil): Unit = {
+    require(clauses.nonEmpty || insertUnmatched, "MERGE with no clauses")
+    if (!store.exists(table)) {
+      if (insertUnmatched) store.createOrReplace(source, table, partitionBy)
+      else throw new NoSuchElementException(
+        s"runMerge target $table does not exist and no INSERT clause given")
+      return
+    }
+    val target = store.read(table)
+    val needsFullSource = insertUnmatched || clauses.exists {
+      case MatchedUpdate(_, true, _) => true; case _ => false
+    }
+    if (needsFullSource)
+      require(source.columns.toSeq.sorted == target.columns.toSeq.sorted,
+        s"schema mismatch: target=${target.columns.toSeq} source=${source.columns.toSeq}")
+    val cols = target.columns.toSeq
+    val tA = target.withColumn("__t", lit(true)).alias(targetAlias)
+    val sA = source.withColumn("__s", lit(true)).alias(sourceAlias)
+    val joined = tA.join(sA,
+      keys.map(k => col(s"$targetAlias.$k") === col(s"$sourceAlias.$k")).reduce(_ && _),
+      "full_outer")
+    val matched =
+      col(s"$targetAlias.__t").isNotNull && col(s"$sourceAlias.__s").isNotNull
+    // fire flags, mutually exclusive by construction: clause i fires
+    // iff matched, its condition is TRUE, and no earlier clause fired
+    // (first-TRUE-wins, SQL clause-order semantics)
+    val owns = clauses.map(c =>
+      coalesce(matched && c.cond.map(expr).getOrElse(lit(true)), lit(false)))
+    val exclusiveFires = owns.zipWithIndex.map { case (own, i) =>
+      owns.take(i).foldLeft(own)((acc, earlier) => acc && !earlier)
+    }
+    val deleted = clauses.zip(exclusiveFires).collect {
+      case (MatchedDelete(_), f) => f
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val keep = !deleted &&
+      (col(s"$targetAlias.__t").isNotNull ||
+        (if (insertUnmatched) col(s"$sourceAlias.__s").isNotNull else lit(false)))
+    val out = joined.filter(keep).select(cols.map { c =>
+      // base value: target rows keep t.c, pure-insert rows take s.c
+      val base = when(col(s"$targetAlias.__t").isNotNull, col(s"$targetAlias.$c"))
+        .otherwise(col(s"$sourceAlias.$c"))
+      val v = clauses.zip(exclusiveFires).foldLeft(base) {
+        case (acc, (MatchedUpdate(_, all, assigns), f)) =>
+          val updated =
+            if (all) col(s"$sourceAlias.$c")
+            else assigns.collectFirst {
+              case (tc, e) if tc.equalsIgnoreCase(c) => expr(e)
+            }.getOrElse(col(s"$targetAlias.$c"))
+          when(f, updated).otherwise(acc)
+        case (acc, _) => acc
+      }
+      v.as(c)
+    }: _*)
+    store.swapIn(out, table, partitionBy)
+  }
+
   /** S8 selective-update MERGE: matched rows take source values except
     * `preserve` columns (kept from target); unmatched target rows kept
     * as-is; unmatched source rows inserted (their own `preserve`

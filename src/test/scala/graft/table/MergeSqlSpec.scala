@@ -162,25 +162,101 @@ class MergeSqlSpec extends AnyFunSuite {
       sortedRows(Seq(("A", 1.0)).toDF("k", "v")))
   }
 
+  test("mixed DELETE + UPDATE + INSERT statement: first TRUE clause wins per row") {
+    val target = Seq(("AAPL", 100.0, "A"), ("MSFT", 200.0, "A"), ("IBM", 50.0, "A"))
+      .toDF("symbol", "px", "st")
+    val batch = Seq(("AAPL", 180.0, "R"), ("MSFT", 90.0, "R"), ("NVDA", 300.0, "R"))
+      .toDF("symbol", "px", "st")
+    val st = fresh()
+    st.createOrReplace(target, "fact_mixed")
+    batch.createOrReplaceTempView("mixed_batch")
+    MergeSql.merge(st, """MERGE INTO fact_mixed t USING mixed_batch s
+      ON t.symbol = s.symbol
+      WHEN MATCHED AND s.px > 150 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    // AAPL: delete fires; MSFT: delete misses, update-all fires;
+    // IBM untouched; NVDA inserted
+    assert(sortedRows(st.read("fact_mixed")) === sortedRows(Seq(
+      ("MSFT", 90.0, "R"), ("IBM", 50.0, "A"), ("NVDA", 300.0, "R"))
+      .toDF("symbol", "px", "st")))
+  }
+
+  test("clause order matters: UPDATE before DELETE shields rows both conditions hit") {
+    val target = Seq(("A", 10.0), ("B", 20.0)).toDF("k", "v")
+    val batch = Seq(("A", 100.0), ("B", 1.0)).toDF("k", "v")
+    val st = fresh()
+    st.createOrReplace(target, "t_ord")
+    batch.createOrReplaceTempView("ord_batch")
+    // A's source row satisfies BOTH conditions; the update clause is
+    // first, so A updates (not deleted); B fails both, stays as-is
+    MergeSql.merge(st, """MERGE INTO t_ord t USING ord_batch s ON t.k = s.k
+      WHEN MATCHED AND s.v > 50 THEN UPDATE SET *
+      WHEN MATCHED AND s.v > 50 THEN DELETE""")
+    assert(sortedRows(st.read("t_ord")) ===
+      sortedRows(Seq(("A", 100.0), ("B", 20.0)).toDF("k", "v")))
+  }
+
+  test("expression assignments: accumulator merge t.cnt = t.cnt + s.cnt") {
+    val target = Seq(("A", 5L, "x"), ("B", 7L, "y")).toDF("k", "cnt", "note")
+    val batch = Seq(("A", 3L, "ignored"), ("C", 1L, "new")).toDF("k", "cnt", "note")
+    val st = fresh()
+    st.createOrReplace(target, "t_acc")
+    batch.createOrReplaceTempView("acc_batch")
+    MergeSql.merge(st, """MERGE INTO t_acc t USING acc_batch s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET t.cnt = t.cnt + s.cnt
+      WHEN NOT MATCHED THEN INSERT *""")
+    // A: cnt 5+3, note preserved (unassigned); B untouched; C inserted
+    assert(sortedRows(st.read("t_acc")) === sortedRows(Seq(
+      ("A", 8L, "x"), ("B", 7L, "y"), ("C", 1L, "new")).toDF("k", "cnt", "note")))
+  }
+
+  test("conditional selective update only fires where the condition is TRUE") {
+    val target = Seq(("A", 1.0, "old"), ("B", 2.0, "old")).toDF("k", "v", "tag")
+    val batch = Seq(("A", 9.0, "new"), ("B", 0.5, "new")).toDF("k", "v", "tag")
+    val st = fresh()
+    st.createOrReplace(target, "t_cond")
+    batch.createOrReplaceTempView("cond_batch")
+    MergeSql.merge(st, """MERGE INTO t_cond t USING cond_batch s ON t.k = s.k
+      WHEN MATCHED AND s.v > t.v THEN UPDATE SET t.v = s.v, t.tag = s.tag""")
+    // A: 9 > 1 -> updated; B: 0.5 > 2 false -> untouched; no insert clause
+    assert(sortedRows(st.read("t_cond")) === sortedRows(Seq(
+      ("A", 9.0, "new"), ("B", 2.0, "old")).toDF("k", "v", "tag")))
+  }
+
   test("statements outside the MERGE grammar fail loudly, naming the construct") {
     val vs = fresh()
     val bad1 = intercept[IllegalArgumentException] {
       MergeSql.parse("""MERGE INTO t USING s ON t.k = s.k
-        WHEN MATCHED THEN UPDATE SET * WHEN MATCHED THEN DELETE""")
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
     }
-    assert(bad1.getMessage.contains("unsupported MERGE") ||
-      bad1.getMessage.contains("column equality"))
+    assert(bad1.getMessage.contains("unsupported MERGE"))
+    val badOrder = intercept[IllegalArgumentException] {
+      MergeSql.parse("""MERGE INTO t USING s ON t.k = s.k
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN MATCHED THEN DELETE""")
+    }
+    assert(badOrder.getMessage.contains("final clause"))
     val bad2 = intercept[IllegalArgumentException] {
       MergeSql.parse("""MERGE INTO t USING s ON t.k < s.k
         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
     }
     assert(bad2.getMessage.contains("column equality"))
+    // expression assignments are supported since r7; a SET item with
+    // no target column is still rejected
     val bad3 = intercept[IllegalArgumentException] {
       MergeSql.parse("""MERGE INTO t USING s ON t.k = s.k
-        WHEN MATCHED THEN UPDATE SET t.v = s.v + 1
+        WHEN MATCHED THEN UPDATE SET 5
         WHEN NOT MATCHED THEN INSERT *""")
     }
     assert(bad3.getMessage.contains("SET assignment"))
+    // ...and a SET target on the wrong alias is named in the error
+    val bad4 = intercept[IllegalArgumentException] {
+      MergeSql.parse("""MERGE INTO t USING s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET s.v = s.v
+        WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(bad4.getMessage.contains("not a target column"))
     assert(vs != null)
   }
 }
