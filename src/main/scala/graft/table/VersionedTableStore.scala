@@ -272,6 +272,39 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     df.filter(col(column) >= lo && col(column) <= hi)
   }
 
+  /** Range scan with manifest-stats skipping on a DATE column -- the
+    * single most common prune predicate in a warehouse. Spark casts
+    * DATE to ISO `yyyy-MM-dd` strings when the commit records stats,
+    * and ISO dates order lexicographically exactly as they do
+    * chronologically, so the recorded string min/max compare against
+    * the bound directly -- no numeric parse, no ANSI cast hazard.
+    * Same conservative semantics as [[readWhere]]: a rel without
+    * stats for the column always scans. `lo`/`hi` are inclusive ISO
+    * dates. */
+  def readWhereDate(name: String, column: String, lo: String,
+      hi: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val iso = "\\d{4}-\\d{2}-\\d{2}"
+    require(lo.matches(iso) && hi.matches(iso),
+      s"readWhereDate bounds must be ISO yyyy-MM-dd, got [$lo, $hi]")
+    val m = current(name).getOrElse(
+      throw new NoSuchElementException(s"no snapshots for $name"))
+    // non-ISO stat values (recorded from some other column type) fall
+    // back to "no stats": the scan stays conservative, never throws
+    val byRel = m.stats.filter(s => s._2 == column &&
+      s._3.matches(iso) && s._4.matches(iso))
+      .map(s => s._1 -> ((s._3, s._4))).toMap
+    val keep = m.mapping.filter { case (rel, _) =>
+      byRel.get(rel).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+    val df = load(name, m.copy(mapping = keep))
+    require(df.schema(column).dataType.typeName == "date",
+      s"readWhereDate needs a DATE column; $column is " +
+        df.schema(column).dataType.typeName)
+    df.filter(col(column) >= lit(lo).cast("date") &&
+      col(column) <= lit(hi).cast("date"))
+  }
+
   /** Conjunctive multi-column range scan: a partition survives only
     * if EVERY given column's recorded range intersects its bound --
     * compound predicates prune multiplicatively. Same conservative

@@ -213,6 +213,36 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     assert(pruned.select("k", "v").as[(Int, String)].collect().toSeq === Seq((1, "a")))
   }
 
+  test("readWhereDate skips partitions by ISO date stats; conservative without stats") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val vs = fresh()
+    val df = Seq(
+      (1, "2024-01-05", "m1"), (2, "2024-01-20", "m1"),
+      (3, "2024-02-10", "m2"), (4, "2024-03-15", "m3"))
+      .toDF("k", "d", "mo")
+      .withColumn("d", to_date(col("d")))
+    vs.commitFull(df, "dt", Seq("mo"), statsColumns = Seq("d"))
+    val pruned = vs.readWhereDate("dt", "d", "2024-01-01", "2024-01-31")
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.forall(_.contains("mo=m1")),
+      s"date stats failed to skip: ${pruned.inputFiles.mkString(",")}")
+    assert(pruned.select("k").as[Int].collect().sorted.toSeq === Seq(1, 2))
+    // boundary day is inclusive and keeps its partition
+    assert(vs.readWhereDate("dt", "d", "2024-02-10", "2024-02-10")
+      .select("k").as[Int].collect().toSeq === Seq(3))
+    // without stats: everything scans, the filter still applies
+    val vn = fresh()
+    vn.commitFull(df, "dt", Seq("mo"))
+    val unpruned = vn.readWhereDate("dt", "d", "2024-01-01", "2024-01-31")
+    assert(unpruned.inputFiles.exists(_.contains("mo=m3")))
+    assert(unpruned.select("k").as[Int].collect().sorted.toSeq === Seq(1, 2))
+    // malformed bound / non-date column fail loudly at plan time
+    intercept[IllegalArgumentException] {
+      vs.readWhereDate("dt", "d", "01/05/2024", "2024-01-31") }
+    intercept[IllegalArgumentException] {
+      vs.readWhereDate("dt", "k", "2024-01-01", "2024-01-31") }
+  }
+
   test("readWhereAll prunes on the conjunction of column ranges") {
     val vs = fresh()
     // d1: k 1-9 / t 5; d2: k 1-9 / t 50; d3: k 100+ / t 5
