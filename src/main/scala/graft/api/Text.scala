@@ -124,4 +124,10 @@ object Text {
     * the average ln p(token) under the corpus unigram distribution. */
   def unigramLogprob(docs: DataFrame, id: Column, text: Column): DataFrame =
     TextOps.unigramLogprobOf(docs.select(id.as("doc_id"), text.as("text")))
+
+  /** Corpus-bigram LM score with unigram-interpolated backoff --
+    * sensitive to unusual word ORDER, not just unusual words. Docs
+    * with fewer than two tokens drop (no bigrams). */
+  def bigramLogprob(docs: DataFrame, id: Column, text: Column): DataFrame =
+    TextOps.bigramLogprobOf(docs.select(id.as("doc_id"), text.as("text")))
 }

@@ -566,6 +566,92 @@ object TextOps {
   def unigramLogprob(s: SparkSession, dir: String): DataFrame =
     unigramLogprobOf(Tables.documents(s, dir))
 
+  /** Corpus-bigram LM score per document with unigram-interpolated
+    * backoff -- the next step up from [[unigramLogprobOf]] on the
+    * CCNet-style LM-quality-filter ladder, sensitive to unusual word
+    * ORDER, not just unusual words:
+    * {{{
+    * score(d) = avg over bigrams (w1,w2) of
+    *            ln ((c(w1,w2) + p_u(w2)) / (c1(w1) + 1))
+    * }}}
+    * (add-one interpolation: an unseen continuation backs off to the
+    * corpus unigram probability of w2). Documents with fewer than two
+    * tokens have no bigrams and drop from the output.
+    *
+    * Shape mirrors the unigram op: explode -> per-(doc,bigram) counts
+    * (map-side combinable) -> bigram vocab; first-word totals and the
+    * unigram model derive from the SAME vocab aggregates; the scoring
+    * join broadcasts the quantized-logp bigram table. Log values are
+    * 1e-6-quantized integers so per-doc sums are exact and
+    * order-independent ([[LogpQuantum]]). At 100 TB the vocab comes
+    * precomputed from a prior corpus pass, exactly like the unigram
+    * model. */
+  def bigramLogprobOf(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bf = docs
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("bf"))
+    val v2 = bf.groupBy(col("bigram")).agg(sum(col("bf")).as("c2"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    val c1 = v2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    // unigram model over ALL token occurrences (not just bigram
+    // starts), matching the unigram op's definition of p_u
+    val uni = docs
+      .select(explode(tokens(col("text"))).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("cnt"))
+    val total = uni.agg(sum(col("cnt")).cast("double").as("n_total"))
+    val lp = v2
+      .join(broadcast(c1), Seq("w1"))
+      .join(broadcast(uni), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("bigram"),
+        round(log((col("c2") + col("cnt") / col("n_total")) / (col("c1") + 1))
+          * LogpQuantum, 0).cast("long").as("logp_b"))
+    bf.join(broadcast(lp), Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bf")).cast("long").as("n_bigrams"),
+        sum(col("bf") * col("logp_b")).as("sum_b"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_b") / (col("n_bigrams") * lit(LogpQuantum.toDouble)), 4)
+          .as("avg_logprob2"))
+  }
+
+  def bigramLogprob(s: SparkSession, dir: String): DataFrame =
+    bigramLogprobOf(Tables.documents(s, dir))
+
+  val bigramLogprobSql: String =
+    s"""WITH toks AS (SELECT doc_id, $TokensSql AS toks FROM documents),
+       bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+              FROM (SELECT doc_id, toks,
+                      unnest(generate_series(1, len(toks) - 1)) AS i
+                    FROM toks WHERE len(toks) >= 2)),
+       bf AS (SELECT doc_id, bigram, count(*) AS bf FROM bg GROUP BY 1, 2),
+       v2 AS (SELECT bigram, sum(bf) AS c2,
+                     split_part(bigram, ' ', 1) AS w1,
+                     split_part(bigram, ' ', 2) AS w2
+              FROM bf GROUP BY 1),
+       c1 AS (SELECT w1, sum(c2) AS c1 FROM v2 GROUP BY 1),
+       uni AS (SELECT tok AS w2, count(*) AS cnt
+               FROM (SELECT unnest($TokensSql) AS tok FROM documents)
+               GROUP BY 1),
+       tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total
+               FROM (SELECT unnest($TokensSql) AS tok FROM documents)),
+       lp AS (SELECT bigram,
+                CAST(round(ln((c2 + cnt / n_total) / (c1 + 1)) * $LogpQuantum)
+                  AS BIGINT) AS logp_b
+              FROM v2 JOIN c1 USING (w1) JOIN uni USING (w2), tot)
+       SELECT bf.doc_id,
+         CAST(sum(bf.bf) AS BIGINT) AS n_bigrams,
+         round(sum(bf.bf * lp.logp_b) / (sum(bf.bf) * $LogpQuantum.0), 4)
+           AS avg_logprob2
+       FROM bf JOIN lp USING (bigram)
+       GROUP BY 1"""
+
   val unigramLogprobSql: String =
     s"""WITH tf AS (
          SELECT doc_id, tok AS token, count(*) AS tf

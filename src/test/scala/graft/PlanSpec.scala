@@ -270,4 +270,12 @@ class PlanSpec extends AnyFunSuite {
     assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
       "tf->vocab join must broadcast the vocab side")
   }
+
+  test("bigram logprob broadcasts its model tables, never a cartesian") {
+    val p = plan(SparkEntry.queries("text_bigram_logprob")(spark, dir))
+    val all = collectAll(p)
+    assert(!all.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "bigram scoring join must broadcast the quantized-logp model")
+  }
 }

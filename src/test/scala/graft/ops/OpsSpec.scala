@@ -350,6 +350,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2L)._2 < got(1L)._2)
   }
 
+  test("bigram logprob equals the hand-computed interpolated-backoff value") {
+    // corpus tokens: d1 = a b a, d2 = a b, d3 = c (no bigrams -> drops)
+    // bigram counts: "a b":2, "b a":1; c1: a->2, b->1
+    // unigram: a:3 b:2 c:1, total 6
+    val docs = Seq((1L, "a b a"), (2L, "a b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramLogprobOf(docs)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, s) => id -> ((n, s)) }.toMap
+    def q(x: Double): Long = math.round(math.log(x) * 1e6)
+    val lpAB = q((2.0 + 2.0 / 6) / (2 + 1)) // c2=2, p_u(b)=2/6, c1(a)=2
+    val lpBA = q((1.0 + 3.0 / 6) / (1 + 1)) // c2=1, p_u(a)=3/6, c1(b)=1
+    def avg(sum: Long, n: Long): Double =
+      BigDecimal(sum.toDouble / (n * 1e6))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet === Set(1L, 2L), "single-token doc must drop")
+    assert(got(1L) === ((2L, avg(lpAB + lpBA, 2))))
+    assert(got(2L) === ((1L, avg(lpAB, 1))))
+    // the common bigram scores higher than the rare one
+    assert(got(2L)._2 > avg(lpBA, 1))
+  }
+
   test("range join equals the brute-force interval scan") {
     val ev = graft.core.Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"))
