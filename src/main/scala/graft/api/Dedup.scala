@@ -137,4 +137,65 @@ object Dedup {
   def hashSample(df: DataFrame, keyCol: Column, fraction: Double): DataFrame =
     df.filter(Hashing.h15(keyCol.cast("string")) % 1000000L <
       (fraction * 1000000L).toLong)
+
+  /** Continuous dedup'd ingest against a PERSISTENT signature index --
+    * the production composition of [[minhashPairsAgainst]]: the corpus
+    * is never re-tokenized, because every batch's surviving token-hash
+    * signatures are MERGEd into `sigTable` (schema: doc_id, th) inside
+    * the given warehouse store, and the next batch's bands join against
+    * that index.
+    *
+    * Batch semantics, per arriving batch:
+    *  1. within-batch near-dup CLUSTERS (banded LSH self-join ->
+    *     connected components);
+    *  2. a cluster is dropped WHOLE if any member near-matches the
+    *     existing index (its content already lives in the corpus --
+    *     keeping a different cluster member would readmit it
+    *     transitively); otherwise its min-id member survives;
+    *  3. survivors' signatures MERGE into `sigTable` (idempotent on
+    *     doc_id: re-running a crashed batch is a no-op), and the
+    *     survivor ids are returned.
+    *
+    * Cost per batch: the batch's own signatures + its bucket
+    * collisions against the index -- the corpus is scanned, never
+    * paired with itself. Pair `store` with a
+    * [[graft.table.VersionedTableStore]] and every ingest batch is a
+    * rollback-able snapshot of the index. */
+  def ingestDeduped(store: graft.table.WarehouseWrites, sigTable: String,
+      batch: DataFrame, id: Column, text: Column,
+      threshold: Double = DedupOps.JaccardThreshold): DataFrame = {
+    val sigs = DedupOps.materializeOnce(
+      batch.repartition(DedupOps.JoinParallelism)
+        .select(id.as("doc_id"), DedupOps.hashedTokenSet(text).as("th")))
+    val within = DedupOps.lshJaccardPairs(sigs, DedupOps.MinhashK,
+      DedupOps.LshBandCount, DedupOps.LshRows, threshold, "jaccard")
+    val comps = connectedComponents(
+      sigs.select(col("doc_id").as("id")),
+      within.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    // matches against index entries whose id belongs to THIS batch are
+    // excluded: on a crash-retry the batch's own surviving signatures
+    // are already in the index, and counting them as corpus hits would
+    // empty the retry's survivor list (downstream would lose the
+    // batch). Requires the contract every MERGE key already carries:
+    // doc_ids are globally unique and stable across re-runs.
+    val corpusHits =
+      if (!store.exists(sigTable)) comps.limit(0).select(col("id"))
+      else DedupOps.lshJaccardPairsBetween(sigs, store.read(sigTable),
+        DedupOps.MinhashK, DedupOps.LshBandCount, DedupOps.LshRows,
+        threshold, "jaccard")
+        .join(sigs.select(col("doc_id").as("existing_id")),
+          Seq("existing_id"), "left_anti")
+        .select(col("new_id").as("id")).distinct()
+    val droppedClusters = comps.join(corpusHits, Seq("id"))
+      .select(col("component")).distinct()
+    val survivors = comps
+      .join(droppedClusters, Seq("component"), "left_anti")
+      .groupBy(col("component")).agg(min(col("id")).as("doc_id"))
+      .select(col("doc_id"))
+    val survivorSigs = sigs.join(survivors, Seq("doc_id"))
+      .localCheckpoint(true)
+    graft.table.UpsertWriter.upsertAll(store, sigTable, survivorSigs,
+      keys = Seq("doc_id"))
+    survivorSigs.select(col("doc_id"))
+  }
 }

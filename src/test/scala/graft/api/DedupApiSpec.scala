@@ -188,6 +188,47 @@ class DedupApiSpec extends AnyFunSuite {
     pairs.foreach { case (a, b) => assert(a < b) }
   }
 
+  test("ingestDeduped maintains a persistent signature index across batches") {
+    import spark.implicits._
+    val store = new graft.table.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-ingest").toString)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tC = "one two three four five six seven eight nine ten"
+    val tF = "red orange yellow green blue indigo violet black white gray"
+
+    // batch 1: 1 and 2 are duplicates (cluster survivor = 1); 3 distinct
+    val b1 = Seq((1L, tA), (2L, tA), (3L, tC)).toDF("id", "body")
+    val s1 = Dedup.ingestDeduped(store, "sig_index", b1, col("id"), col("body"))
+    assert(ids(s1) === Seq(1L, 3L))
+    assert(ids(store.read("sig_index")) === Seq(1L, 3L))
+
+    // batch 2: 10+11 duplicate batch-1 content (whole cluster dropped --
+    // keeping 11 would readmit 10's content transitively); 12 is new
+    val b2 = Seq((10L, tA), (11L, tA), (12L, tF)).toDF("id", "body")
+    val s2 = Dedup.ingestDeduped(store, "sig_index", b2, col("id"), col("body"))
+    assert(ids(s2) === Seq(12L))
+    assert(ids(store.read("sig_index")) === Seq(1L, 3L, 12L))
+
+    // crash-retry of batch 2 is a no-op: same survivors, index unchanged
+    val s2b = Dedup.ingestDeduped(store, "sig_index", b2, col("id"), col("body"))
+    assert(ids(s2b) === Seq(12L))
+    assert(ids(store.read("sig_index")) === Seq(1L, 3L, 12L))
+
+    // retry of a batch with an internal dup cluster: the dropped
+    // cluster-mate (21) now matches the batch's OWN surviving index
+    // entry (20) -- that hit must not kill the cluster, or the retry
+    // would lose doc 20
+    val tG = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    val b3 = Seq((20L, tG), (21L, tG)).toDF("id", "body")
+    assert(ids(Dedup.ingestDeduped(store, "sig_index", b3,
+      col("id"), col("body"))) === Seq(20L))
+    assert(ids(Dedup.ingestDeduped(store, "sig_index", b3,
+      col("id"), col("body"))) === Seq(20L), "retry lost the cluster survivor")
+    assert(ids(store.read("sig_index")) === Seq(1L, 3L, 12L, 20L))
+  }
+
   test("hashSample is deterministic and repartition-stable") {
     val a = Dedup.hashSample(renamedDocs, col("my_id"), 0.1)
       .select("my_id").collect().map(_.getLong(0)).sorted.toSeq
