@@ -464,6 +464,26 @@ class OpsSpec extends AnyFunSuite {
     assert(byChars === byChars.sorted, "approx bins not monotone in n_chars")
   }
 
+  test("keySkew reports the planted heavy key with the exact share") {
+    // 60 rows of "hot", 40 spread over 8 cold keys
+    val df = ((1 to 60).map(_ => "hot") ++ (1 to 40).map(i => s"cold${i % 8}"))
+      .toDF("k")
+    val got = DiagnosticsOps.keySkew(df, col("k"), k = 3)
+      .as[(Int, String, Long, Double)].collect().sortBy(_._1)
+    assert(got.head === ((1, "hot", 60L, 0.6)))
+    assert(got.length === 3)
+    assert(got.map(_._3).toSeq === got.map(_._3).sorted.reverse.toSeq,
+      "ranks must follow descending frequency")
+  }
+
+  test("partitionBalance accounts for every row and flags imbalance") {
+    val df = spark.range(1000).repartition(8).toDF("id")
+    val bal = DiagnosticsOps.partitionBalance(df)
+      .as[(Int, Long, Double)].collect()
+    assert(bal.map(_._2).sum === 1000L)
+    assert(bal.forall(_._3 >= 1.0))
+  }
+
   test("mixture weights with a duplicate source are rejected (engines would diverge)") {
     val docs = Seq(("1", "src0", 100L)).toDF("doc_id", "source", "n_chars")
     val e = intercept[IllegalArgumentException] {
