@@ -155,4 +155,61 @@ object Similarity {
       subDim: Int = graft.ops.SimilarityOps.PqSubDim): DataFrame =
     graft.ops.SimilarityOps.pqEncodeOf(
       vectors.select(id.as("vec_id"), asDouble(vec).as("v")), subspaces, subDim)
+
+  /** Persist an IVF index for a vector corpus into a warehouse store
+    * -- the production form of [[annIvf]], which rebuilds the
+    * quantizer per call. Two tables:
+    * {{{
+    *   {name}_cells      (cell, vec_id, v, nrm)  hive-partitioned BY CELL
+    *   {name}_centroids  (cell, cv, cn)          the coarse quantizer
+    * }}}
+    * Storing the corpus clustered by cell is the at-rest
+    * inverted-file layout: a query's probed cells resolve to
+    * PARTITION DIRECTORIES, so [[queryIvfIndex]] scans only the
+    * probed fraction of the index (dynamic partition pruning through
+    * the broadcast probe join) instead of the corpus. Centroid
+    * arithmetic is identical to [[annIvf]] (1e-6-quantized means), so
+    * a fresh index answers queries exactly as the in-line operator
+    * does. */
+  def buildIvfIndex(store: graft.table.WarehouseWrites, name: String,
+      corpus: DataFrame, id: Column, vec: Column, cell: Column): Unit = {
+    val c = corpus.select(cell.as("cell"), id.as("vec_id"), asDouble(vec).as("v"))
+      .withColumn("nrm", sqrt(SimilarityOps.dot(col("v"), col("v"))))
+    val cent = c.select(col("cell").as("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(sum(round(col("x") * 1e6).cast("long")) / (count(lit(1)) * 1e6), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        p => p.getField("c")).as("cv"))
+      .select(col("label").as("cell"), col("cv"),
+        sqrt(SimilarityOps.dot(col("cv"), col("cv"))).as("cn"))
+    store.createOrReplace(c, s"${name}_cells", partitionBy = Seq("cell"))
+    store.createOrReplace(cent, s"${name}_centroids", partitionBy = Nil)
+  }
+
+  /** ANN query against a persistent [[buildIvfIndex]] index: probe the
+    * `nprobe` nearest centroids per query, scan ONLY those cells'
+    * partitions of the stored corpus, re-rank exactly inside them.
+    * Returns (query_id, match_id, cosine, rank). */
+  def queryIvfIndex(store: graft.table.WarehouseWrites, name: String,
+      queries: DataFrame, qid: Column, qvec: Column,
+      nprobe: Int = SimilarityOps.IvfNProbe, k: Int = 10): DataFrame = {
+    val cent = store.read(s"${name}_centroids")
+    val q = prepared(queries, qid, qvec)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"),
+        round(SimilarityOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cscore"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("cell").asc)
+    val probed = probes.withColumn("prank", row_number().over(pw))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    val cells = store.read(s"${name}_cells")
+    rank(broadcast(probed).join(cells, Seq("cell"))
+      .select(col("query_id"), col("vec_id").as("match_id"),
+        round(SimilarityOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("cosine")), k)
+  }
 }

@@ -50,6 +50,23 @@ class ApiParitySpec extends AnyFunSuite {
     assert(mp.size >= sp.size)
   }
 
+  test("persistent IVF index answers exactly like the in-line annIvf") {
+    val store = new graft.table.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-ivf").toString)
+    Similarity.buildIvfIndex(store, "ivf", emb, col("eid"), col("e"), col("label"))
+    val q = emb.filter(col("eid") < SimilarityOps.NumQueries)
+    val got = Similarity.queryIvfIndex(store, "ivf", q, col("eid"), col("e"))
+    val expect = Similarity.annIvf(emb, col("eid"), col("e"), col("label"),
+      q, col("eid"), col("e"))
+    assert(rows(got) === rows(expect))
+    assert(got.collect().nonEmpty)
+    // the at-rest win: the probe join carries the cell partition
+    // column, so the stored corpus scan is prunable to the probed
+    // cells (partition filters / dynamic pruning on cell=)
+    val cellsAll = store.read("ivf_cells").inputFiles.length
+    assert(cellsAll > 1, "cells table should be partitioned by cell")
+  }
+
   test("annIvf matches the table-bound query") {
     val q = emb.filter(col("eid") < SimilarityOps.NumQueries)
     val api = Similarity.annIvf(emb, col("eid"), col("e"), col("label"),
