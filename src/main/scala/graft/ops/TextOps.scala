@@ -624,6 +624,63 @@ object TextOps {
   def bigramLogprob(s: SparkSession, dir: String): DataFrame =
     bigramLogprobOf(Tables.documents(s, dir))
 
+  /** Dimensionality of the hashing-trick text embedder. */
+  val HashEmbedDim = 64
+
+  /** Feature-hashing text embedding (the "hashing trick"): each token
+    * occurrence adds +-1 to one of `dim` buckets -- bucket and sign
+    * both derive from the shared 60-bit content hash, so the embedding
+    * is fully deterministic, model-free, and cross-engine exact
+    * (values are integer sign-counts; no floats anywhere). Emitted
+    * SPARSE as (doc_id, pos, v != 0) rows -- the honest at-rest shape;
+    * [[hashEmbedDense]] densifies for the cosine/ANN operators.
+    *
+    * Bridges the text surface to the similarity surface with no
+    * external model: hashed embeddings preserve enough token-profile
+    * cosine structure for near-dup screening and clustering (the
+    * classic sparse-projection argument), with one
+    * map-side-combinable aggregate as the entire cost. */
+  def hashEmbedOf(docs: DataFrame, dim: Int = HashEmbedDim): DataFrame = {
+    val h = Hashing.h15(col("token"))
+    // the sign rides an independent prefixed hash: deriving it from
+    // h's high bits would need 60-bit integer division, which Spark's
+    // Column./ computes in double (inexact past 2^53)
+    val sign = pmod(Hashing.h15(concat(lit("sign:"), col("token"))), lit(2L))
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .select(col("doc_id"), pmod(h, lit(dim.toLong)).as("pos"),
+        when(sign === 0, lit(1L)).otherwise(lit(-1L)).as("s"))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(sum(col("s")).as("v"))
+      .filter(col("v") =!= 0)
+  }
+
+  def hashEmbed(s: SparkSession, dir: String): DataFrame =
+    hashEmbedOf(Tables.documents(s, dir))
+
+  val hashEmbedSql: String = {
+    val h = h15Sql("tok")
+    val sgn = s"CASE WHEN ${h15Sql("concat('sign:', tok)")} % 2 = 0 THEN 1 ELSE -1 END"
+    s"""SELECT doc_id, $h % $HashEmbedDim AS pos,
+         CAST(sum($sgn) AS BIGINT) AS v
+       FROM (SELECT doc_id, unnest($TokensSql) AS tok FROM documents)
+       GROUP BY 1, 2
+       HAVING CAST(sum($sgn) AS BIGINT) <> 0"""
+  }
+
+  /** Dense form of [[hashEmbedOf]]: (doc_id, emb array<double> of
+    * length `dim`) -- feed directly into the cosine / sign-LSH / IVF
+    * operators for model-free semantic screening. */
+  def hashEmbedDense(docs: DataFrame, dim: Int = HashEmbedDim): DataFrame =
+    hashEmbedOf(docs, dim)
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("pos"), col("v")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          p => coalesce(element_at(col("m"), p.cast("long")), lit(0L))
+            .cast("double"))
+          .as("emb"))
+
   val bigramLogprobSql: String =
     s"""WITH toks AS (SELECT doc_id, $TokensSql AS toks FROM documents),
        bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram

@@ -464,6 +464,32 @@ class OpsSpec extends AnyFunSuite {
     assert(byChars === byChars.sorted, "approx bins not monotone in n_chars")
   }
 
+  test("hash embedding: dense equals sparse; near-dup texts land close in cosine") {
+    val near1 = "the quick brown fox jumps over the lazy dog again today"
+    val near2 = "the quick brown fox jumps over the lazy dog again tomorrow"
+    val far = "completely unrelated subject matter about astronomy and chemistry"
+    val docs = Seq((1L, near1), (2L, near2), (3L, far)).toDF("doc_id", "text")
+    val sparse = TextOps.hashEmbedOf(docs)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val dense = TextOps.hashEmbedDense(docs)
+      .as[(Long, Seq[Double])].collect().toMap
+    // dense is the zero-filled sparse vector, bucket for bucket
+    for ((id, vec) <- dense; (pos, v) <- sparse(id))
+      assert(vec(pos.toInt) === v.toDouble)
+    for ((id, vec) <- dense)
+      assert(vec.count(_ != 0.0) === sparse(id).size)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    // token profiles differ by 1 word of 11 -> high cosine; the
+    // unrelated doc shares no tokens -> near-zero (hash collisions
+    // only)
+    assert(cos(dense(1L), dense(2L)) > 0.8)
+    assert(math.abs(cos(dense(1L), dense(3L))) < 0.5)
+  }
+
   test("keySkew reports the planted heavy key with the exact share") {
     // 60 rows of "hot", 40 spread over 8 cold keys
     val df = ((1 to 60).map(_ => "hot") ++ (1 to 40).map(i => s"cold${i % 8}"))
