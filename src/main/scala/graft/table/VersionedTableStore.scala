@@ -480,10 +480,15 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
   private def commit(name: String, df: DataFrame, partitionBy: Seq[String],
       deltaPartitions: Boolean, statsColumns: Seq[String] = Nil): Long = {
     val parent = current(name)
-    parent.foreach { m =>
+    // a FULL commit owns its layout (each manifest carries its own
+    // partitionBy, so every snapshot stays readable under the layout
+    // it was written with -- layout evolution, see [[clusterBy]]); a
+    // DELTA commit shares the parent's files and must match it
+    if (deltaPartitions) parent.foreach { m =>
       require(m.partitionBy == partitionBy,
         s"$name is partitioned by ${m.partitionBy}, got $partitionBy" +
-          " (repartitioning a table requires a new table name)")
+          " (partition-delta commits cannot change the table layout;" +
+          " use commitFull for a layout-evolving rewrite)")
     }
     val v = nextVersion(name)
     val dirId = freshDataDir(name, v)
@@ -558,6 +563,37 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     casManifest(name, next)
     expireSnapshots(name)
     next.version
+  }
+
+  /** Range-cluster a table on a high-cardinality numeric column: the
+    * current snapshot is rewritten partitioned by a derived
+    * `__cluster` bucket (quantile boundaries via approx_percentile --
+    * near-equal bucket sizes under any distribution), with `column`'s
+    * min/max recorded per bucket. Because buckets are value ranges,
+    * the recorded stats are TIGHT, and [[readWhere]] on `column`
+    * prunes to the touched buckets -- data skipping for columns the
+    * natural partitioning can't express (Z-order-lite, one dimension).
+    *
+    * The synthetic `__cluster` column is visible in the schema (a
+    * path-addressed store cannot hide partition columns the way
+    * Iceberg's hidden partitioning does) -- drop it on read if
+    * unwanted. Earlier snapshots keep their own layout and stay
+    * readable/rollback-able: every manifest carries its own
+    * partitionBy. */
+  def clusterBy(name: String, column: String, nBuckets: Int): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, expr, when}
+    require(nBuckets >= 2, "clusterBy needs at least 2 buckets")
+    val df = read(name).drop("__cluster")
+    val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val bounds = df.agg(
+      expr(s"approx_percentile($column, array(${qs.mkString(",")}), 10000)").as("b"))
+    val clustered = df.crossJoin(broadcast(bounds))
+      .withColumn("__cluster",
+        qs.indices.map(i => when(col(column) >= col("b")(i), 1).otherwise(0))
+          .reduce(_ + _).cast("int"))
+      .drop("b")
+    commitFull(clustered.localCheckpoint(true), name, Seq("__cluster"),
+      statsColumns = Seq(column))
   }
 
   /** Rewrite the current snapshot as ONE data dir (a full commit of

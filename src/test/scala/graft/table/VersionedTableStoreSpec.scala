@@ -515,6 +515,38 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     assert(vs.readWhere("t", "k", 0, 10).count() === 1L)
   }
 
+  test("clusterBy: range buckets give tight stats skipping; old layouts stay readable") {
+    import org.apache.spark.sql.functions.col
+    val vs = fresh()
+    // unpartitioned table over a wide key range: no pruning possible
+    val df = spark.range(0, 1000).toDF("id")
+      .select(col("id").cast("int").as("k"),
+        (col("id") % 7).cast("string").as("v"))
+    vs.commitFull(df, "ct")
+    assert(vs.read("ct").inputFiles.nonEmpty)
+    val v2 = vs.clusterBy("ct", "k", nBuckets = 8)
+    // schema gained the synthetic bucket; contents unchanged
+    assert(vs.read("ct").columns.toSeq.sorted === Seq("__cluster", "k", "v"))
+    assert(vs.read("ct").select("k").as[Int].collect().sorted.toSeq ===
+      (0 until 1000).toSeq)
+    // a narrow range now touches 1-2 of 8 bucket dirs, not the table
+    val pruned = vs.readWhere("ct", "k", 10, 20)
+    val allFiles = vs.read("ct").inputFiles.length
+    assert(pruned.inputFiles.nonEmpty && pruned.inputFiles.length < allFiles / 2,
+      s"clustered scan read ${pruned.inputFiles.length} of $allFiles files")
+    assert(pruned.select("k").as[Int].collect().sorted.toSeq === (10 to 20).toSeq)
+    // layout evolution: v1 (unpartitioned) still reads and rolls back
+    assert(vs.readVersion("ct", 1).columns.toSeq.sorted === Seq("k", "v"))
+    vs.rollbackTo("ct", 1)
+    assert(vs.read("ct").columns.toSeq.sorted === Seq("k", "v"))
+    assert(vs.read("ct").count() === 1000L)
+    // re-cluster after rollback works (drop of a stale __cluster is a
+    // no-op on the clean layout)
+    vs.clusterBy("ct", "k", nBuckets = 4)
+    assert(vs.read("ct").count() === 1000L)
+    assert(v2 === 2L)
+  }
+
   test("manifest growth bound: 10k partitions parse fast, prune before any listing") {
     // the growth surface is the MANIFEST (one dir line + stat lines per
     // partition rel): commit a real one-partition table, then CAS a
