@@ -15,7 +15,7 @@ object Bench {
     * partial-run times. XOR is order-independent and cannot
     * overflow. */
   private def materialize(df: DataFrame): Unit = {
-    val cols = df.columns.map(col)
+    val cols = df.columns.toIndexedSeq.map(col)
     df.select(xxhash64(cols: _*).as("h")).agg(expr("bit_xor(h)")).collect()
     ()
   }
