@@ -33,4 +33,22 @@ object WarehouseSql {
   def merge(store: WarehouseWrites, statement: String,
       partitionBy: Seq[String] = Nil): Unit =
     MergeSql.merge(store, statement, partitionBy)
+
+  private val DeleteStmt =
+    "(?is)^\\s*DELETE\\s+FROM\\s+(\\S+?)(?:\\s+(?:AS\\s+)?(\\w+))?\\s+WHERE\\s+(.+?)\\s*;?\\s*$".r
+
+  /** SQL-text DELETE: `DELETE FROM tbl WHERE <cond>` dispatched to the
+    * store's [[WarehouseWrites.deleteWhere]] -- partition-granular
+    * copy-on-write on a versioned store, staged full rewrite on a
+    * plain one. The condition is any Spark SQL boolean over the
+    * table's columns. */
+  def delete(store: WarehouseWrites, statement: String,
+      partitionBy: Seq[String] = Nil): Unit = statement match {
+    case DeleteStmt(table, _, cond) =>
+      store.deleteWhere(table.split('.').last,
+        org.apache.spark.sql.functions.expr(cond), partitionBy)
+    case _ => throw new IllegalArgumentException(
+      s"unsupported DELETE statement (expected DELETE FROM tbl WHERE cond): " +
+        statement.take(120))
+  }
 }

@@ -206,6 +206,36 @@ object LibraryQueries {
        SELECT o_orderkey, order_date, o_totalprice, o_orderstatus
        FROM src WHERE o_orderkey NOT IN (SELECT o_orderkey FROM t)"""
 
+  /** S21: `DELETE FROM ... WHERE` through the SQL surface against the
+    * versioned store -- partition-granular copy-on-write: the delete
+    * targets 1996 high-price orders, so only the 1996 year-partition
+    * is rewritten; every other year keeps its files shared with the
+    * pre-delete snapshot (spec asserts the sharing; this oracle gates
+    * the row semantics incl. NULL-condition survival). */
+  def s21DeleteWhere(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_orderdate").cast("date").as("order_date"),
+      col("o_totalprice"), col("o_orderstatus"))
+      .withColumn("order_yr", year(col("order_date")))
+      .filter(col("order_date") < lit("1997-01-01").cast("date"))
+    val store = new VersionedTableStore(s,
+      Files.createTempDirectory("graft-q-s21").toString)
+    store.commitFull(o, "orders_d", Seq("order_yr"))
+    graft.pipeline.WarehouseSql.delete(store,
+      "DELETE FROM orders_d WHERE order_yr = 1996 AND o_totalprice > 150000")
+    store.read("orders_d")
+  }
+
+  val s21DeleteWhereSql: String =
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+              o_totalprice, o_orderstatus,
+              CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_yr
+       FROM orders
+       WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+         AND NOT (CAST(year(CAST(o_orderdate AS DATE)) AS INT) = 1996
+                  AND o_totalprice > 150000)"""
+
   /** S16: snapshot MERGE + rollback through [[VersionedTableStore]] --
     * the Iceberg-recovery shape the reference gets from format-version-2
     * tables (build_stock_fact_table.py:98-100). A partitioned upsert
@@ -520,6 +550,7 @@ object LibraryQueries {
     "s8_merge_selective" -> (s8MergeSelective _),
     "s19_merge_delete" -> (s19MergeDelete _),
     "s20_merge_mixed" -> (s20MergeMixed _),
+    "s21_delete_where" -> (s21DeleteWhere _),
     "s16_versioned_rollback" -> (s16VersionedRollback _),
     "s17_snapshot_diff" -> (s17SnapshotDiff _),
     "s18_incremental_agg" -> (s18IncrementalAgg _),
@@ -534,6 +565,7 @@ object LibraryQueries {
     "s8_merge_selective" -> s8MergeSelectiveSql,
     "s19_merge_delete" -> s19MergeDeleteSql,
     "s20_merge_mixed" -> s20MergeMixedSql,
+    "s21_delete_where" -> s21DeleteWhereSql,
     "s16_versioned_rollback" -> s16VersionedRollbackSql,
     "s17_snapshot_diff" -> s17SnapshotDiffSql,
     "s18_incremental_agg" -> s18IncrementalAggSql,

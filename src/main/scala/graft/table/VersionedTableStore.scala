@@ -565,6 +565,77 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     next.version
   }
 
+  /** `DELETE FROM name WHERE condition` as partition-granular
+    * copy-on-write -- the Iceberg DELETE analogue:
+    *  - partitions containing NO matching row (detected by one
+    *    column-pruned scan of the condition columns; Catalyst
+    *    partition-prunes it when the condition constrains partition
+    *    columns) keep their immutable dirs, SHARED with the parent
+    *    snapshot;
+    *  - touched partitions are rewritten filtered; a partition whose
+    *    rows ALL matched simply leaves the manifest (the mapping can
+    *    express removal -- dynamic partition overwrite cannot);
+    *  - manifest stats are inherited for untouched partitions and
+    *    recomputed from the rewritten files.
+    * A day-scoped delete on a years-deep table therefore rewrites one
+    * day. Rows where the condition is NULL survive (SQL DELETE
+    * semantics). No-op (no new snapshot) when nothing matches. The
+    * touched-file detection collects one path per matching FILE to
+    * the driver -- bounded by the touched partitions' file counts. */
+  override def deleteWhere(name: String,
+      condition: org.apache.spark.sql.Column,
+      partitionBy: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+    val m = current(name).getOrElse(
+      throw new NoSuchElementException(s"no snapshots for $name"))
+    val fires = coalesce(condition, lit(false))
+    if (m.partitionBy.isEmpty) {
+      // unpartitioned: a filtered full rewrite IS the minimal commit
+      commitFull(read(name).filter(not(fires)).localCheckpoint(true), name,
+        Nil, statsColumns = m.stats.map(_._2).distinct)
+      return
+    }
+    val files = read(name).filter(fires)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+    if (files.isEmpty) return
+    // rels are matched through the FILE PATHS (dir names on disk), not
+    // by rebuilding rel strings from values -- hive-escaped partition
+    // values would otherwise evade the rewrite and their rows would
+    // silently survive the delete
+    val touched = m.mapping.filter { case (rel, d) =>
+      files.exists(f => f.contains(s"/$d/") && f.contains(s"/$rel/"))
+    }
+    val touchedRels = touched.map(_._1).toSet
+    val survivors = load(name, m.copy(mapping = touched)).filter(not(fires))
+      .localCheckpoint(true)
+    val v = nextVersion(name)
+    val dirId = freshDataDir(name, v)
+    writeData(survivors, name, dirId, m.partitionBy)
+    val written = partitionRels(new Path(s"${dataRoot(name)}/$dirId"),
+      m.partitionBy.size).map(_ -> dirId)
+    val mapping = m.mapping.filterNot(e => touchedRels(e._1)) ++ written
+    val statsCols = m.stats.map(_._2).distinct
+    val writtenStats =
+      if (statsCols.isEmpty || written.isEmpty) Nil
+      else {
+        val base = s"${dataRoot(name)}/$dirId"
+        columnStats(spark.read.schema(survivors.schema)
+            .option("basePath", base)
+            .parquet(written.map { case (rel, _) => s"$base/$rel" }: _*),
+          m.partitionBy, statsCols)
+      }
+    val stats = m.stats.filterNot(s => touchedRels(s._1)) ++ writtenStats
+    beforeSwap(name, v)
+    try casManifest(name, Manifest(v, m.partitionBy, mapping, m.schemaDDL, stats))
+    catch { case e: ConcurrentWriteException =>
+      fs.delete(new Path(s"${dataRoot(name)}/$dirId"), true); throw e
+    }
+    expireSnapshots(name)
+    survivors.unpersist()
+    ()
+  }
+
   /** Range-cluster a table on a high-cardinality numeric column: the
     * current snapshot is rewritten partitioned by a derived
     * `__cluster` bucket (quantile boundaries via approx_percentile --

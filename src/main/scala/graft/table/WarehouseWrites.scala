@@ -1,6 +1,6 @@
 package graft.table
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** The write surface [[UpsertWriter]] merges through -- implemented
   * destructively by [[TableStore]] (staged swap, no history) and
@@ -29,4 +29,17 @@ trait WarehouseWrites {
     * in `df`, leaving every other partition's files untouched. */
   def overwritePartitions(df: DataFrame, name: String,
       partitionBy: Seq[String]): Unit
+
+  /** `DELETE FROM name WHERE condition` -- rows where the condition is
+    * TRUE are removed (NULL keeps the row, SQL DELETE semantics).
+    * Default implementation: full filtered rewrite through the staged
+    * swap. [[VersionedTableStore]] overrides with partition-granular
+    * copy-on-write (untouched partitions keep their files; emptied
+    * partitions leave the manifest). */
+  def deleteWhere(name: String, condition: Column,
+      partitionBy: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val kept = read(name).filter(not(coalesce(condition, lit(false))))
+    swapIn(kept, name, partitionBy)
+  }
 }

@@ -515,6 +515,45 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     assert(vs.readWhere("t", "k", 0, 10).count() === 1L)
   }
 
+  test("deleteWhere: copy-on-write per partition, emptied partitions leave the manifest") {
+    import org.apache.spark.sql.functions.col
+    val vs = fresh()
+    // d1 untouched, d2 partially deleted, d3 fully deleted; NULL
+    // condition value in d1 must survive (SQL DELETE semantics)
+    val df = Seq(
+      (1, Some(5), "d1"), (2, None, "d1"),
+      (3, Some(50), "d2"), (4, Some(5), "d2"),
+      (5, Some(99), "d3"))
+      .toDF("k", "x", "day")
+    vs.commitFull(df, "dt", Seq("day"), statsColumns = Seq("k"))
+    val before = vs.versionsMapping("dt").toMap
+    vs.deleteWhere("dt", col("x") > 10)
+    val after = vs.versionsMapping("dt").toMap
+    // d1 shares its untouched dir with the parent snapshot
+    assert(after("day=d1") === before("day=d1"), "untouched partition was rewritten")
+    assert(after("day=d2") !== before("day=d2"), "touched partition kept old files")
+    assert(!after.contains("day=d3"), "emptied partition still mapped")
+    assert(vs.read("dt").select("k").as[Int].collect().sorted.toSeq === Seq(1, 2, 4))
+    // time travel: pre-delete snapshot intact
+    assert(vs.readVersion("dt", 1).count() === 5L)
+    // stats: inherited for d1 (still prunes to d1 alone), recomputed
+    // for the rewritten d2 (k=4 now its only row -> prunes to d2)
+    assert(vs.readWhere("dt", "k", 1, 2).inputFiles.nonEmpty &&
+      vs.readWhere("dt", "k", 1, 2).inputFiles.forall(_.contains("day=d1")))
+    assert(vs.readWhere("dt", "k", 4, 4).inputFiles.nonEmpty &&
+      vs.readWhere("dt", "k", 4, 4).inputFiles.forall(_.contains("day=d2")))
+    // no-op delete: nothing matches, no new snapshot
+    val vBefore = vs.currentVersion("dt")
+    vs.deleteWhere("dt", col("x") > 1000)
+    assert(vs.currentVersion("dt") === vBefore)
+    // the plain store's default path deletes identically (full rewrite)
+    val ts = new TableStore(spark,
+      Files.createTempDirectory("graft-del-ts").toString)
+    ts.createOrReplace(df, "dt")
+    ts.deleteWhere("dt", col("x") > 10)
+    assert(ts.read("dt").select("k").as[Int].collect().sorted.toSeq === Seq(1, 2, 4))
+  }
+
   test("clusterBy: range buckets give tight stats skipping; old layouts stay readable") {
     import org.apache.spark.sql.functions.col
     val vs = fresh()
