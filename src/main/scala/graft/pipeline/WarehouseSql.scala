@@ -51,4 +51,29 @@ object WarehouseSql {
       s"unsupported DELETE statement (expected DELETE FROM tbl WHERE cond): " +
         statement.take(120))
   }
+
+  private val UpdateStmt =
+    ("(?is)^\\s*UPDATE\\s+(\\S+?)(?:\\s+(?:AS\\s+)?(\\w+))?" +
+      "\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+?)\\s*;?\\s*$").r
+  private val Assign = "(?s)^\\s*(\\w+)\\s*=\\s*(.+?)\\s*$".r
+
+  /** SQL-text UPDATE: `UPDATE tbl SET c = <expr>, ... WHERE <cond>`
+    * dispatched to [[WarehouseWrites.updateWhere]]. Assignments and
+    * the condition are Spark SQL over the table's columns; the SET
+    * list splits on top-level commas, so multi-argument function
+    * calls (`round(x, 2)`) work. */
+  def update(store: WarehouseWrites, statement: String,
+      partitionBy: Seq[String] = Nil): Unit = statement match {
+    case UpdateStmt(table, _, set, cond) =>
+      val assigns = MergeSql.splitAssignments(set).map {
+        case Assign(c, e) => c -> org.apache.spark.sql.functions.expr(e)
+        case a => throw new IllegalArgumentException(
+          s"unsupported UPDATE assignment `${a.trim}` (expected col = expr)")
+      }.toMap
+      store.updateWhere(table.split('.').last,
+        org.apache.spark.sql.functions.expr(cond), assigns, partitionBy)
+    case _ => throw new IllegalArgumentException(
+      s"unsupported UPDATE statement (expected UPDATE tbl SET ... WHERE ...): " +
+        statement.take(120))
+  }
 }

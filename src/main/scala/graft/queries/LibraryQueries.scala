@@ -236,6 +236,48 @@ object LibraryQueries {
          AND NOT (CAST(year(CAST(o_orderdate AS DATE)) AS INT) = 1996
                   AND o_totalprice > 150000)"""
 
+  /** S22: `UPDATE ... SET ... WHERE` through the SQL surface against
+    * the versioned store -- the 1996 partition's flagged orders are
+    * repriced in place (expressions see the PRE-update row); every
+    * other year keeps its files shared with the pre-update snapshot. */
+  def s22UpdateWhere(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_orderdate").cast("date").as("order_date"),
+      col("o_totalprice"), col("o_orderstatus"))
+      .withColumn("order_yr", year(col("order_date")))
+      .filter(col("order_date") < lit("1997-01-01").cast("date"))
+    val store = new VersionedTableStore(s,
+      Files.createTempDirectory("graft-q-s22").toString)
+    store.commitFull(o, "orders_u", Seq("order_yr"))
+    // money math rides DECIMAL: double*1.05 lands on .xx5 half
+    // boundaries whose binary representation rounds differently across
+    // engines (the cross-engine round() hazard)
+    graft.pipeline.WarehouseSql.update(store,
+      """UPDATE orders_u SET o_totalprice =
+           CAST(round(CAST(o_totalprice AS DECIMAL(18,4)) * 1.05, 2) AS DOUBLE),
+         o_orderstatus = 'R'
+         WHERE order_yr = 1996 AND o_totalprice > 150000""")
+    store.read("orders_u")
+  }
+
+  val s22UpdateWhereSql: String =
+    """WITH t AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+                         o_totalprice, o_orderstatus,
+                         CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_yr
+                  FROM orders
+                  WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01')
+       SELECT o_orderkey, order_date,
+              CASE WHEN order_yr = 1996 AND o_totalprice > 150000
+                   THEN CAST(round(CAST(o_totalprice AS DECIMAL(18,4)) * 1.05, 2)
+                             AS DOUBLE)
+                   ELSE o_totalprice
+              END AS o_totalprice,
+              CASE WHEN order_yr = 1996 AND o_totalprice > 150000
+                   THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+              order_yr
+       FROM t"""
+
   /** S16: snapshot MERGE + rollback through [[VersionedTableStore]] --
     * the Iceberg-recovery shape the reference gets from format-version-2
     * tables (build_stock_fact_table.py:98-100). A partitioned upsert
@@ -551,6 +593,7 @@ object LibraryQueries {
     "s19_merge_delete" -> (s19MergeDelete _),
     "s20_merge_mixed" -> (s20MergeMixed _),
     "s21_delete_where" -> (s21DeleteWhere _),
+    "s22_update_where" -> (s22UpdateWhere _),
     "s16_versioned_rollback" -> (s16VersionedRollback _),
     "s17_snapshot_diff" -> (s17SnapshotDiff _),
     "s18_incremental_agg" -> (s18IncrementalAgg _),
@@ -566,6 +609,7 @@ object LibraryQueries {
     "s19_merge_delete" -> s19MergeDeleteSql,
     "s20_merge_mixed" -> s20MergeMixedSql,
     "s21_delete_where" -> s21DeleteWhereSql,
+    "s22_update_where" -> s22UpdateWhereSql,
     "s16_versioned_rollback" -> s16VersionedRollbackSql,
     "s17_snapshot_diff" -> s17SnapshotDiffSql,
     "s18_incremental_agg" -> s18IncrementalAggSql,

@@ -67,6 +67,24 @@ object MergeSql {
   private def fail(why: String): Nothing =
     throw new IllegalArgumentException(s"unsupported MERGE statement: $why")
 
+  /** Split a SET list on TOP-LEVEL commas only, so multi-argument
+    * function calls inside an assignment (`round(x, 2)`) survive.
+    * Depth tracks parentheses; string literals containing commas or
+    * parens are outside the grammar and fail in the analyzer. */
+  private[graft] def splitAssignments(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; sb += '('
+      case ')' => depth -= 1; sb += ')'
+      case ',' if depth == 0 => out += sb.toString; sb.clear()
+      case ch => sb += ch
+    }
+    out += sb.toString
+    out.toSeq
+  }
+
   private[table] def parse(sql: String): Parsed = sql match {
     case Head(table, tAliasOrNull, source, sAliasOrNull, on, tail) =>
       val tName = table.split('.').last
@@ -100,9 +118,6 @@ object MergeSql {
       if (insertChunks.nonEmpty && !InsertClause.pattern
           .matcher(chunks.last).matches())
         fail("WHEN NOT MATCHED THEN INSERT * must be the final clause")
-      // splitting SET lists on commas is safe for the supported
-      // expression grammar (no function calls with multi-arg commas --
-      // those fail loudly in Spark's analyzer if smuggled through)
       val clauses: Seq[UpsertWriter.MatchedClause] = matchedChunks.map {
         case DeleteClause(condOrNull) =>
           UpsertWriter.MatchedDelete(
@@ -112,7 +127,7 @@ object MergeSql {
           val setTrim = set.trim
           if (setTrim == "*") UpsertWriter.MatchedUpdate(cond, all = true, Nil)
           else {
-            val assigns = setTrim.split(",").toSeq.map {
+            val assigns = splitAssignments(setTrim).map {
               case Assignment(aliasOrNull, c, e) =>
                 Option(aliasOrNull).foreach { a =>
                   if (!a.equalsIgnoreCase(tAlias))

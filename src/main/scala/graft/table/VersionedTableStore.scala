@@ -582,16 +582,23 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     * semantics). No-op (no new snapshot) when nothing matches. The
     * touched-file detection collects one path per matching FILE to
     * the driver -- bounded by the touched partitions' file counts. */
-  override def deleteWhere(name: String,
-      condition: org.apache.spark.sql.Column,
-      partitionBy: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+  /** Shared copy-on-write skeleton for row-level DML: detect the
+    * partitions holding rows where `fires` is TRUE (one column-pruned
+    * scan; Catalyst partition-prunes it when the condition constrains
+    * partition columns), apply `rewrite` to ONLY those partitions'
+    * rows, and commit a manifest where every untouched partition
+    * keeps its parent dir and a partition `rewrite` empties leaves
+    * the mapping. Touched rels are resolved through FILE PATHS (dir
+    * names on disk) rather than rebuilt rel strings -- hive-escaped
+    * partition values would otherwise evade the rewrite. */
+  private def copyOnWrite(name: String, fires: org.apache.spark.sql.Column,
+      rewrite: DataFrame => DataFrame): Unit = {
+    import org.apache.spark.sql.functions.input_file_name
     val m = current(name).getOrElse(
       throw new NoSuchElementException(s"no snapshots for $name"))
-    val fires = coalesce(condition, lit(false))
     if (m.partitionBy.isEmpty) {
-      // unpartitioned: a filtered full rewrite IS the minimal commit
-      commitFull(read(name).filter(not(fires)).localCheckpoint(true), name,
+      // unpartitioned: a rewritten full commit IS the minimal commit
+      commitFull(rewrite(read(name)).localCheckpoint(true), name,
         Nil, statsColumns = m.stats.map(_._2).distinct)
       return
     }
@@ -599,19 +606,15 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       .select(input_file_name().as("f")).distinct()
       .collect().map(_.getString(0))
     if (files.isEmpty) return
-    // rels are matched through the FILE PATHS (dir names on disk), not
-    // by rebuilding rel strings from values -- hive-escaped partition
-    // values would otherwise evade the rewrite and their rows would
-    // silently survive the delete
     val touched = m.mapping.filter { case (rel, d) =>
       files.exists(f => f.contains(s"/$d/") && f.contains(s"/$rel/"))
     }
     val touchedRels = touched.map(_._1).toSet
-    val survivors = load(name, m.copy(mapping = touched)).filter(not(fires))
+    val newRows = rewrite(load(name, m.copy(mapping = touched)))
       .localCheckpoint(true)
     val v = nextVersion(name)
     val dirId = freshDataDir(name, v)
-    writeData(survivors, name, dirId, m.partitionBy)
+    writeData(newRows, name, dirId, m.partitionBy)
     val written = partitionRels(new Path(s"${dataRoot(name)}/$dirId"),
       m.partitionBy.size).map(_ -> dirId)
     val mapping = m.mapping.filterNot(e => touchedRels(e._1)) ++ written
@@ -620,7 +623,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       if (statsCols.isEmpty || written.isEmpty) Nil
       else {
         val base = s"${dataRoot(name)}/$dirId"
-        columnStats(spark.read.schema(survivors.schema)
+        columnStats(spark.read.schema(newRows.schema)
             .option("basePath", base)
             .parquet(written.map { case (rel, _) => s"$base/$rel" }: _*),
           m.partitionBy, statsCols)
@@ -632,8 +635,39 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       fs.delete(new Path(s"${dataRoot(name)}/$dirId"), true); throw e
     }
     expireSnapshots(name)
-    survivors.unpersist()
+    newRows.unpersist()
     ()
+  }
+
+  override def deleteWhere(name: String,
+      condition: org.apache.spark.sql.Column,
+      partitionBy: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val fires = coalesce(condition, lit(false))
+    copyOnWrite(name, fires, _.filter(not(fires)))
+  }
+
+  /** `UPDATE name SET assignments WHERE condition` -- same
+    * partition-granular copy-on-write as [[deleteWhere]]: rows where
+    * the condition is TRUE take the assigned expressions (evaluated
+    * against the pre-update row, standard UPDATE semantics), all
+    * others -- including NULL-condition rows -- pass through
+    * byte-identical, and untouched partitions keep their files shared
+    * with the parent snapshot. */
+  override def updateWhere(name: String,
+      condition: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      partitionBy: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val cols = read(name).columns.toSeq
+    assignments.keys.foreach(c => require(cols.contains(c),
+      s"UPDATE assigns unknown column `$c` (table has ${cols.mkString(",")})"))
+    val fires = coalesce(condition, lit(false))
+    copyOnWrite(name, fires, df => df.select(cols.map { c =>
+      assignments.get(c)
+        .map(a => when(fires, a).otherwise(col(c)).as(c))
+        .getOrElse(col(c))
+    }: _*))
   }
 
   /** Range-cluster a table on a high-cardinality numeric column: the

@@ -42,4 +42,26 @@ trait WarehouseWrites {
     val kept = read(name).filter(not(coalesce(condition, lit(false))))
     swapIn(kept, name, partitionBy)
   }
+
+  /** `UPDATE name SET assignments WHERE condition` -- rows where the
+    * condition is TRUE take the assigned expressions (evaluated
+    * against the pre-update row); NULL/FALSE rows pass through.
+    * Default implementation: full rewrite through the staged swap.
+    * [[VersionedTableStore]] overrides with partition-granular
+    * copy-on-write. */
+  def updateWhere(name: String, condition: Column,
+      assignments: Map[String, Column],
+      partitionBy: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val df = read(name)
+    val cols = df.columns.toSeq
+    assignments.keys.foreach(c => require(cols.contains(c),
+      s"UPDATE assigns unknown column `$c` (table has ${cols.mkString(",")})"))
+    val fires = coalesce(condition, lit(false))
+    swapIn(df.select(cols.map { c =>
+      assignments.get(c)
+        .map(a => when(fires, a).otherwise(col(c)).as(c))
+        .getOrElse(col(c))
+    }: _*), name, partitionBy)
+  }
 }

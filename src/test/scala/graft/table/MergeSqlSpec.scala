@@ -211,6 +211,19 @@ class MergeSqlSpec extends AnyFunSuite {
       ("A", 8L, "x"), ("B", 7L, "y"), ("C", 1L, "new")).toDF("k", "cnt", "note")))
   }
 
+  test("SET list splits on top-level commas only (multi-arg calls survive)") {
+    val target = Seq(("A", 1.234), ("B", 5.678)).toDF("k", "v")
+    val batch = Seq(("A", 2.0)).toDF("k", "v")
+    val st = fresh()
+    st.createOrReplace(target, "t_round")
+    batch.createOrReplaceTempView("round_batch")
+    MergeSql.merge(st, """MERGE INTO t_round t USING round_batch s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET t.v = round(t.v + s.v, 1)
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(sortedRows(st.read("t_round")) === sortedRows(
+      Seq(("A", 3.2), ("B", 5.678)).toDF("k", "v")))
+  }
+
   test("conditional selective update only fires where the condition is TRUE") {
     val target = Seq(("A", 1.0, "old"), ("B", 2.0, "old")).toDF("k", "v", "tag")
     val batch = Seq(("A", 9.0, "new"), ("B", 0.5, "new")).toDF("k", "v", "tag")

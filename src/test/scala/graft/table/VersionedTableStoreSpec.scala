@@ -554,6 +554,39 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     assert(ts.read("dt").select("k").as[Int].collect().sorted.toSeq === Seq(1, 2, 4))
   }
 
+  test("updateWhere: copy-on-write per partition; assignments see the pre-update row") {
+    import org.apache.spark.sql.functions.col
+    val vs = fresh()
+    val df = Seq((1, 10, 100, "d1"), (2, 20, 200, "d2"), (3, 30, 300, "d2"))
+      .toDF("k", "x", "y", "day")
+    vs.commitFull(df, "ut", Seq("day"), statsColumns = Seq("x"))
+    val before = vs.versionsMapping("ut").toMap
+    // x and y swap-ish: both assignments must read the OLD row
+    vs.updateWhere("ut", col("k") >= 2,
+      Map("x" -> (col("x") + col("y")), "y" -> col("x")))
+    val after = vs.versionsMapping("ut").toMap
+    assert(after("day=d1") === before("day=d1"), "untouched partition rewritten")
+    assert(after("day=d2") !== before("day=d2"))
+    assert(vs.read("ut").select("k", "x", "y").as[(Int, Int, Int)]
+      .collect().sorted.toSeq ===
+      Seq((1, 10, 100), (2, 220, 20), (3, 330, 30)))
+    // pre-update snapshot intact; rewritten stats live (x now 220-330)
+    assert(vs.readVersion("ut", 1).select("x").as[Int].collect().sorted.toSeq ===
+      Seq(10, 20, 30))
+    assert(vs.readWhere("ut", "x", 0, 50).inputFiles.forall(_.contains("day=d1")))
+    // unknown column fails loudly; plain-store default path agrees
+    intercept[IllegalArgumentException] {
+      vs.updateWhere("ut", col("k") === 1, Map("nope" -> col("x"))) }
+    val ts = new TableStore(spark,
+      Files.createTempDirectory("graft-upd-ts").toString)
+    ts.createOrReplace(df, "ut")
+    ts.updateWhere("ut", col("k") >= 2,
+      Map("x" -> (col("x") + col("y")), "y" -> col("x")))
+    assert(ts.read("ut").select("k", "x", "y").as[(Int, Int, Int)]
+      .collect().sorted.toSeq ===
+      Seq((1, 10, 100), (2, 220, 20), (3, 330, 30)))
+  }
+
   test("clusterBy: range buckets give tight stats skipping; old layouts stay readable") {
     import org.apache.spark.sql.functions.col
     val vs = fresh()
