@@ -371,6 +371,27 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     parts.reduce(_.unionByName(_))
   }
 
+  /** Live commits or expiry tombstones with a version beyond
+    * `observedParent`, other than the writer's own `selfV` -- evidence
+    * that another writer landed a snapshot this writer's staging never
+    * saw (below selfV: the classic stale-parent lost update; above
+    * selfV: someone already committed a newer head, so selfV would
+    * land invisibly below it). Debris (unparseable `c{q}`) is a dead
+    * writer, not a commit, and is ignored. */
+  private def conflictsBeyond(name: String, observedParent: Long,
+      selfV: Long): Seq[Long] = {
+    val dir = commitsPath(name)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName.matches("[cx]\\d{8}"))
+      .filter { p =>
+        val q = fileVersion(p)
+        q > observedParent && q != selfV &&
+          (p.getName.startsWith("x") || readManifest(p).isDefined)
+      }
+      .map(fileVersion)
+  }
+
   /** The pointer swap: create-no-overwrite of the commit file (the
     * conditional-put primitive). Exactly one writer creates `c{v}`;
     * losers throw [[ConcurrentWriteException]], never overwrite --
@@ -380,7 +401,17 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     * freshly committed manifest). Debris burns its version number;
     * the allocator skips past it and expiry reclaims it later.
     *
-    * Three guards close the stale-writer races:
+    * `observedParent` is the head version the writer BUILT ON (0 for
+    * a fresh table). Four guards close the stale-writer races:
+    *  - parent check: any live commit (or tombstone) beyond the
+    *    observed parent, other than this writer's own version, means
+    *    another writer landed changes this manifest silently drops
+    *    (below us: the delta/DML lost-update window between head-read
+    *    and version allocation; above us: a newer head we would land
+    *    invisibly beneath) -- rejected before AND re-checked after
+    *    create. Two same-parent racers can transiently BOTH retract
+    *    (each sees the other's create); correctness holds and retries
+    *    proceed singly -- the standard optimistic-CC trade;
     *  - pre-check: versions at or below the expiry floor are rejected
     *    before create (an expired `c{v}` no longer exists, so create
     *    alone would "succeed" -- invisibly below the current head);
@@ -391,12 +422,19 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     *    between pre-check and create, the commit is below-head and
     *    unreachable -- self-delete (provably still ours: verify-read
     *    just matched) and throw. */
-  private[table] def casManifest(name: String, m: Manifest): Unit = {
+  private[table] def casManifest(name: String, m: Manifest,
+      observedParent: Long): Unit = {
     fs.mkdirs(commitsPath(name))
     if (m.version <= expiryFloor(name))
       throw new ConcurrentWriteException(
         s"$name snapshot ${m.version} is at or below the expiry floor; " +
           "the observed parent was expired while this commit was staged")
+    val early = conflictsBeyond(name, observedParent, m.version)
+    if (early.nonEmpty)
+      throw new ConcurrentWriteException(
+        s"$name snapshots ${early.mkString(",")} were committed after this " +
+          s"writer read parent $observedParent; committing ${m.version} " +
+          "would silently drop them -- re-read and retry")
     val p = commitFile(name, m.version)
     val payload = serialize(m)
     try {
@@ -411,11 +449,18 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     if (!readText(p).contains(payload))
       throw new ConcurrentWriteException(
         s"$name snapshot ${m.version} was reclaimed by concurrent expiry mid-write")
-    if (m.version <= expiryFloor(name)) {
+    def selfDelete(why: String): Nothing = {
       fs.delete(p, false)
-      throw new ConcurrentWriteException(
-        s"$name snapshot ${m.version} fell below the expiry floor before commit")
+      throw new ConcurrentWriteException(why)
     }
+    if (m.version <= expiryFloor(name))
+      selfDelete(
+        s"$name snapshot ${m.version} fell below the expiry floor before commit")
+    val late = conflictsBeyond(name, observedParent, m.version)
+    if (late.nonEmpty)
+      selfDelete(
+        s"$name snapshots ${late.mkString(",")} landed beyond parent " +
+          s"$observedParent during the swap -- retracting ${m.version}")
   }
 
   /** Test seam: runs after data files are staged, before the manifest
@@ -526,7 +571,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         parent.get.stats.filterNot(s => overridden(s._1)) ++ writtenStats
       } else writtenStats
     beforeSwap(name, v)
-    try casManifest(name, Manifest(v, partitionBy, mapping, df.schema.toDDL, stats))
+    try casManifest(name, Manifest(v, partitionBy, mapping, df.schema.toDDL, stats),
+      observedParent = parent.map(_.version).getOrElse(0L))
     catch { case e: ConcurrentWriteException =>
       fs.delete(new Path(s"${dataRoot(name)}/$dirId"), true); throw e
     }
@@ -558,9 +604,10 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
   def rollbackTo(name: String, v: Long): Long = {
     val target = manifestAt(name, v).getOrElse(throw new NoSuchElementException(
       s"$name has no live snapshot $v to roll back to"))
+    val observed = currentVersion(name)
     val next = Manifest(nextVersion(name), target.partitionBy, target.mapping,
       target.schemaDDL, target.stats)
-    casManifest(name, next)
+    casManifest(name, next, observedParent = observed)
     expireSnapshots(name)
     next.version
   }
@@ -630,7 +677,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       }
     val stats = m.stats.filterNot(s => touchedRels(s._1)) ++ writtenStats
     beforeSwap(name, v)
-    try casManifest(name, Manifest(v, m.partitionBy, mapping, m.schemaDDL, stats))
+    try casManifest(name, Manifest(v, m.partitionBy, mapping, m.schemaDDL, stats),
+      observedParent = m.version)
     catch { case e: ConcurrentWriteException =>
       fs.delete(new Path(s"${dataRoot(name)}/$dirId"), true); throw e
     }

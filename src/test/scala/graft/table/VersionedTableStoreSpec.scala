@@ -68,11 +68,31 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     val vs = fresh()
     vs.commitFull(Seq((1, "a")).toDF("k", "v"), "t")
     // two writers race: both observed version 1, both stage version 2
-    vs.casManifest("t", vs.Manifest(2, Nil, vs.versionsMapping("t")))
+    vs.casManifest("t", vs.Manifest(2, Nil, vs.versionsMapping("t")),
+      observedParent = 1L)
     val e = intercept[ConcurrentWriteException] {
-      vs.casManifest("t", vs.Manifest(2, Nil, vs.versionsMapping("t")))
+      vs.casManifest("t", vs.Manifest(2, Nil, vs.versionsMapping("t")),
+        observedParent = 1L)
     }
     assert(e.getMessage.contains("another writer"))
+  }
+
+  test("stale-parent commit is rejected: intervening snapshots are never dropped") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a")).toDF("k", "v"), "t") // v1
+    vs.commitFull(Seq((2, "b")).toDF("k", "v"), "t") // v2: the intervening writer
+    // a writer that READ v1, then allocated past v2: committing v3
+    // would make v2's changes silently vanish from the head's lineage
+    val e = intercept[ConcurrentWriteException] {
+      vs.casManifest("t", vs.Manifest(3, Nil, vs.versionsMapping("t")),
+        observedParent = 1L)
+    }
+    assert(e.getMessage.contains("silently drop"))
+    assert(vs.currentVersion("t") === 2L)
+    // the same version built on the CURRENT head commits fine
+    vs.casManifest("t", vs.Manifest(3, Nil, vs.versionsMapping("t")),
+      observedParent = 2L)
+    assert(vs.currentVersion("t") === 3L)
   }
 
   test("end-to-end race: the losing commit throws and cleans up its staged data") {
@@ -96,6 +116,35 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataDirs = fs.listStatus(new Path(s"$root/t/_data")).map(_.getPath.getName)
     assert(dataDirs.length === 2, s"orphaned dirs: ${dataDirs.mkString(",")}")
+  }
+
+  test("DML race: a losing deleteWhere throws, cleans its staging, loses no data") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-vstore-dmlrace").toString
+    val winner = new VersionedTableStore(spark, root)
+    winner.commitFull(Seq((1, 5, "d1"), (2, 50, "d2")).toDF("k", "x", "day"),
+      "t", Seq("day"))
+    var raced = false
+    val loser = new VersionedTableStore(spark, root) {
+      override protected def beforeSwap(name: String, v: Long): Unit =
+        if (!raced) { raced = true
+          winner.commitPartitions(Seq((3, 7, "d3")).toDF("k", "x", "day"),
+            name, Seq("day")) }
+    }
+    intercept[ConcurrentWriteException] {
+      loser.deleteWhere("t", col("x") > 10)
+    }
+    // the winner's commit stands; the loser's delete did NOT apply and
+    // its staged rewrite dir was removed
+    assert(winner.read("t").select("k").as[Int].collect().sorted.toSeq ===
+      Seq(1, 2, 3))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDirs = fs.listStatus(new Path(s"$root/t/_data")).map(_.getPath.getName)
+    assert(dataDirs.length === 2, s"orphaned dirs: ${dataDirs.mkString(",")}")
+    // a retry against the fresh head applies cleanly
+    loser.deleteWhere("t", col("x") > 10)
+    assert(winner.read("t").select("k").as[Int].collect().sorted.toSeq ===
+      Seq(1, 3))
   }
 
   test("partition-delta commit shares untouched partitions' files with the parent") {
@@ -415,7 +464,8 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     // must reject it -- create-no-overwrite alone would "succeed"
     // since c00000002 was expired, landing an invisible commit
     val e = intercept[ConcurrentWriteException] {
-      vs.casManifest("t", vs.Manifest(2, Nil, vs.versionsMapping("t")))
+      vs.casManifest("t", vs.Manifest(2, Nil, vs.versionsMapping("t")),
+        observedParent = 1L)
     }
     assert(e.getMessage.contains("expiry floor"))
     assert(vs.currentVersion("t") === 5L)
@@ -636,7 +686,7 @@ class VersionedTableStoreSpec extends AnyFunSuite {
       (1 until 10000).map(i => (s"day=d$i", "k", s"${i * 100}", s"${i * 100 + 9}"))
     val t0 = System.nanoTime()
     vs.casManifest("big", vs.Manifest(2L, Seq("day"), mapping,
-      df.schema.toDDL, stats))
+      df.schema.toDDL, stats), observedParent = 1L)
     // parse the 10k-rel head (versionsMapping forces a full parse)
     assert(vs.versionsMapping("big").size === 10000)
     // probe hits only the real partition: 9,999 fake rels pruned from
