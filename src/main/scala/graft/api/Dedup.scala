@@ -160,10 +160,18 @@ object Dedup {
     * collisions against the index -- the corpus is scanned, never
     * paired with itself. Pair `store` with a
     * [[graft.table.VersionedTableStore]] and every ingest batch is a
-    * rollback-able snapshot of the index. */
+    * rollback-able snapshot of the index.
+    *
+    * `batchId`: at scale, PASS IT. The index then partitions by
+    * batch, and the MERGE commits ONLY this batch's partition -- an
+    * unpartitioned index is rewritten wholesale on every merge, which
+    * is fine for small corpora and O(corpus) per batch beyond that.
+    * Batch ids must be unique per logical batch and stable across
+    * retries (the retry then rewrites its own partition only). */
   def ingestDeduped(store: graft.table.WarehouseWrites, sigTable: String,
       batch: DataFrame, id: Column, text: Column,
-      threshold: Double = DedupOps.JaccardThreshold): DataFrame = {
+      threshold: Double = DedupOps.JaccardThreshold,
+      batchId: Option[String] = None): DataFrame = {
     val sigs = DedupOps.materializeOnce(
       batch.repartition(DedupOps.JoinParallelism)
         .select(id.as("doc_id"), DedupOps.hashedTokenSet(text).as("th")))
@@ -192,10 +200,15 @@ object Dedup {
       .join(droppedClusters, Seq("component"), "left_anti")
       .groupBy(col("component")).agg(min(col("id")).as("doc_id"))
       .select(col("doc_id"))
-    val survivorSigs = sigs.join(survivors, Seq("doc_id"))
-      .localCheckpoint(true)
+    val survivorSigs0 = sigs.join(survivors, Seq("doc_id"))
+    val (survivorSigs, partitionBy) = batchId match {
+      case Some(b) =>
+        (survivorSigs0.withColumn("batch_id", lit(b)).localCheckpoint(true),
+          Seq("batch_id"))
+      case None => (survivorSigs0.localCheckpoint(true), Nil)
+    }
     graft.table.UpsertWriter.upsertAll(store, sigTable, survivorSigs,
-      keys = Seq("doc_id"))
+      keys = Seq("doc_id"), partitionBy = partitionBy)
     survivorSigs.select(col("doc_id"))
   }
 }

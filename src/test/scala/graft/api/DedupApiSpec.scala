@@ -229,6 +229,38 @@ class DedupApiSpec extends AnyFunSuite {
     assert(ids(store.read("sig_index")) === Seq(1L, 3L, 12L, 20L))
   }
 
+  test("ingestDeduped with batch ids: the index MERGE is partition-local") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest-b").toString
+    val vs = new graft.table.VersionedTableStore(spark, root)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tF = "red orange yellow green blue indigo violet black white gray"
+    def b1Files = vs.read("sig_b").inputFiles
+      .filter(_.contains("batch_id=b1")).sorted.toSeq
+    Dedup.ingestDeduped(vs, "sig_b",
+      Seq((1L, tA)).toDF("id", "body"), col("id"), col("body"),
+      batchId = Some("b1"))
+    val afterB1 = b1Files
+    assert(afterB1.nonEmpty)
+    Dedup.ingestDeduped(vs, "sig_b",
+      Seq((2L, tA), (3L, tF)).toDF("id", "body"), col("id"), col("body"),
+      batchId = Some("b2"))
+    // batch 2 committed ONLY its own partition: b1's files are shared
+    // (identical paths inside batch 1's original data dir)
+    assert(b1Files === afterB1,
+      "batch-1 partition was rewritten by batch 2's merge")
+    // dedup semantics unchanged: 2 duplicates corpus doc 1, 3 is new
+    assert(ids(vs.read("sig_b")) === Seq(1L, 3L))
+    // retry rewrites its own partition only, same result
+    Dedup.ingestDeduped(vs, "sig_b",
+      Seq((2L, tA), (3L, tF)).toDF("id", "body"), col("id"), col("body"),
+      batchId = Some("b2"))
+    assert(ids(vs.read("sig_b")) === Seq(1L, 3L))
+    assert(b1Files === afterB1)
+  }
+
   test("hashSample is deterministic and repartition-stable") {
     val a = Dedup.hashSample(renamedDocs, col("my_id"), 0.1)
       .select("my_id").collect().map(_.getLong(0)).sorted.toSeq
