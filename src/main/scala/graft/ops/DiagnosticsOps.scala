@@ -26,9 +26,11 @@ object DiagnosticsOps {
     * discipline) or pre-aggregate. */
   def keySkew(df: DataFrame, key: Column, k: Int = 20,
       capacity: Int = 4096): DataFrame = {
-    val keyed = DedupOps.materializeOnce(
-      df.select(key.cast("string").as("key_value"))
-        .withColumn("kh", h15(col("key_value"))))
+    // deliberately NOT materialized: the projection is 2 narrow
+    // columns, and two pushed-down scans beat checkpointing the whole
+    // keyed stream at any real size
+    val keyed = df.select(key.cast("string").as("key_value"))
+      .withColumn("kh", h15(col("key_value")))
     val sk = keyed.agg(topkFreq(col("kh"), k, capacity).as("top"),
       count(lit(1)).as("n_rows"))
     val top = sk

@@ -280,8 +280,15 @@ object StreamingIngest {
       .queryName(queryName)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.table.UpsertWriter.upsertAll(store, table, batch.toDF(),
-          keys = Seq("chunk_hash"))
+        // the chunk table partitions by micro-batch: each MERGE commits
+        // only its own partition (a replay rewrites the same partition
+        // idempotently), so table maintenance stays O(batch) -- an
+        // unpartitioned merge would rewrite the whole corpus of chunks
+        // every trigger
+        graft.table.UpsertWriter.upsertAll(store, table,
+          batch.toDF().withColumn("batch_id",
+            org.apache.spark.sql.functions.lit(batchId)),
+          keys = Seq("chunk_hash"), partitionBy = Seq("batch_id"))
         if (crashAfterBatch.contains(batchId))
           throw new RuntimeException(s"injected crash after batch $batchId commit")
       }
