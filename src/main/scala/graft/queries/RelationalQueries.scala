@@ -255,6 +255,79 @@ object RelationalQueries {
         col("o_orderpriority"))
   }
 
+  /** TPC-H Q5 (local supplier revenue by nation): the canonical
+    * 6-table star join -- region filter reduces nation, nation
+    * reduces supplier, all dims BROADCAST down onto the fact chain
+    * (customer JOIN orders JOIN lineitem), so the only big shuffles
+    * are the fact joins on their natural keys and the 5-row final
+    * aggregate. Money math rides the q1/q3 DECIMAL discipline. */
+  def tpchQ5(s: SparkSession, dir: String): DataFrame = {
+    val d84 = DecimalType(8, 4)
+    val lo = lit("1994-01-01 00:00:00").cast(TimestampNTZType)
+    val hi = lit("1995-01-01 00:00:00").cast(TimestampNTZType)
+    val asiaNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)
+          .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast(D) *
+          (lit(1.0) - col("l_discount")).cast(d84)).as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+  }
+
+  val tpchQ5Sql: String =
+    """SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+            * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+       FROM customer, orders, lineitem, supplier, nation, region
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1994-01-01'
+         AND o_orderdate < TIMESTAMP '1995-01-01'
+       GROUP BY 1"""
+
+  /** TPC-H Q6 (forecasting revenue change): pure filter + aggregate --
+    * every predicate pushes to the parquet scan, the whole query is
+    * one map-side-combinable partial sum. Discount band adapted to the
+    * driver data's [0, 0.05] discount range. */
+  def tpchQ6(s: SparkSession, dir: String): DataFrame = {
+    val d84 = DecimalType(8, 4)
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1994-01-01 00:00:00").cast(TimestampNTZType) &&
+        col("l_shipdate") < lit("1995-01-01 00:00:00").cast(TimestampNTZType) &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+        col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast(D) * col("l_discount").cast(d84))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val tpchQ6Sql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+              * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+         AND l_shipdate < TIMESTAMP '1995-01-01'
+         AND l_discount >= 0.02 AND l_discount <= 0.04
+         AND l_quantity < 24"""
+
   val tpchQ3Sql: String =
     """SELECT l_orderkey,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
@@ -286,6 +359,8 @@ object RelationalQueries {
     "s3_date_spine" -> (s3DateSpine _),
     "tpch_q1" -> (tpchQ1 _),
     "tpch_q3" -> (tpchQ3 _),
+    "tpch_q5" -> (tpchQ5 _),
+    "tpch_q6" -> (tpchQ6 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -389,5 +464,7 @@ object RelationalQueries {
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus""",
     "tpch_q3" -> tpchQ3Sql,
+    "tpch_q5" -> tpchQ5Sql,
+    "tpch_q6" -> tpchQ6Sql,
   )
 }

@@ -203,6 +203,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!collectAll(p).exists(_.isInstanceOf[CartesianProductExec]))
   }
 
+  test("tpch_q5 broadcasts the dim chain; q6 pushes every predicate to the scan") {
+    val q5 = plan(SparkEntry.queries("tpch_q5")(spark, dir))
+    assert(collectAll(q5).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "q5 lost its dim broadcasts")
+    assert(!collectAll(q5).exists(_.isInstanceOf[CartesianProductExec]))
+    val q6scans = collectAll(plan(SparkEntry.queries("tpch_q6")(spark, dir)))
+      .collect { case f: FileSourceScanExec => f }
+    assert(q6scans.nonEmpty && q6scans.head.dataFilters.nonEmpty,
+      "q6 predicates not pushed")
+    assert(q6scans.head.requiredSchema.fields.length <= 4,
+      s"q6 scan reads ${q6scans.head.requiredSchema.fields.length} cols")
+  }
+
   test("curriculum binning is a broadcast-bounds projection, not a global sort") {
     // the scale property: decile assignment must NOT plan ntile/Window
     // over one partition or a global Sort of the corpus -- for BOTH
