@@ -710,6 +710,17 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     val cols = read(name).columns.toSeq
     assignments.keys.foreach(c => require(cols.contains(c),
       s"UPDATE assigns unknown column `$c` (table has ${cols.mkString(",")})"))
+    // updating a partition column would MOVE rows between partitions:
+    // the partition-local rewrite would then write into rels the
+    // untouched mapping still references (duplicate rel entries) --
+    // the same restriction Iceberg/Delta place on in-place updates of
+    // partition values. Delete + re-insert, or commitFull a rewrite.
+    current(name).foreach { m =>
+      assignments.keys.foreach(c =>
+        require(!m.partitionBy.exists(_.equalsIgnoreCase(c)),
+          s"UPDATE cannot assign partition column `$c`; delete and" +
+            " re-insert, or rewrite with commitFull"))
+    }
     val fires = coalesce(condition, lit(false))
     copyOnWrite(name, fires, df => df.select(cols.map { c =>
       assignments.get(c)

@@ -627,6 +627,12 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     // unknown column fails loudly; plain-store default path agrees
     intercept[IllegalArgumentException] {
       vs.updateWhere("ut", col("k") === 1, Map("nope" -> col("x"))) }
+    // assigning a partition column would move rows between partitions
+    // under a partition-local rewrite -- rejected, like Iceberg/Delta
+    val pe = intercept[IllegalArgumentException] {
+      vs.updateWhere("ut", col("k") === 1,
+        Map("day" -> org.apache.spark.sql.functions.lit("d9"))) }
+    assert(pe.getMessage.contains("partition column"))
     val ts = new TableStore(spark,
       Files.createTempDirectory("graft-upd-ts").toString)
     ts.createOrReplace(df, "ut")
