@@ -342,6 +342,301 @@ object RelationalQueries {
        ORDER BY revenue DESC, order_date ASC, l_orderkey ASC
        LIMIT 10"""
 
+  /** TPC-H Q4 shape (order-priority checking): the canonical EXISTS ->
+    * LEFT-SEMI rewrite. The driver's lineitem carries no
+    * commitdate/receiptdate, so "late line" becomes "returned line"
+    * (l_returnflag = 'R') -- same plan shape: a date-sliced orders
+    * scan semi-joined against a filtered fact. Both sides are
+    * fact-sized at 100 TB, so the semi join shuffles on orderkey;
+    * the 3-month orders slice keeps the build side partition-prunable
+    * and AQE free to broadcast it when small. */
+  def tpchQ4(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01 00:00:00").cast(TimestampNTZType)
+    val hi = lit("1996-04-01 00:00:00").cast(TimestampNTZType)
+    val returned = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val tpchQ4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1996-04-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+       GROUP BY 1"""
+
+  /** TPC-H Q10 shape (returned-item reporting): revenue lost to
+    * returns in one quarter, top-20 customers. Fact chain
+    * lineitem ⨝ orders ⨝ customer shuffles on its natural keys;
+    * nation (25 rows) broadcasts; the top-20 cuts via
+    * TakeOrderedAndProject with (revenue, c_custkey) a total order. */
+  def tpchQ10(s: SparkSession, dir: String): DataFrame = {
+    val d84 = DecimalType(8, 4)
+    val lo = lit("1998-01-01 00:00:00").cast(TimestampNTZType)
+    val hi = lit("1998-04-01 00:00:00").cast(TimestampNTZType)
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast(D) *
+          (lit(1.0) - col("l_discount")).cast(d84)).as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+  }
+
+  val tpchQ10Sql: String =
+    """SELECT c_custkey, c_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+            * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+       c_acctbal, n_name
+       FROM customer, orders, lineitem, nation
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND o_orderdate >= TIMESTAMP '1998-01-01'
+         AND o_orderdate < TIMESTAMP '1998-04-01'
+         AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+       GROUP BY 1, 2, 4, 5
+       ORDER BY revenue DESC, c_custkey ASC LIMIT 20"""
+
+  /** TPC-H Q12 shape (shipping-mode priority counts): conditional
+    * aggregation over a fact-fact join. l_linestatus stands in for
+    * l_shipmode (not in the driver schema). Counts use
+    * count(CASE...) -- BIGINT in both engines, where sum(int) would
+    * be DuckDB HUGEINT and hash-diverge. */
+  def tpchQ12(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-01-01 00:00:00").cast(TimestampNTZType)
+    val hi = lit("1998-01-01 00:00:00").cast(TimestampNTZType)
+    val hiPrio = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_orderkey"), col("l_linestatus"))
+      .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(count(when(hiPrio, lit(1))).as("high_line_count"),
+        count(when(!hiPrio, lit(1))).as("low_line_count"))
+  }
+
+  val tpchQ12Sql: String =
+    """SELECT l_linestatus,
+       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS high_line_count,
+       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS low_line_count
+       FROM orders, lineitem
+       WHERE o_orderkey = l_orderkey
+         AND l_shipdate >= TIMESTAMP '1997-01-01'
+         AND l_shipdate < TIMESTAMP '1998-01-01'
+       GROUP BY 1"""
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    * join with the predicate on the JOIN side (filtering the orders
+    * input, never the join result, so zero-order customers survive),
+    * then a two-level aggregate. Both aggregates shuffle on keys that
+    * shrink monotonically (custkey -> count value); no driver-side
+    * loop anywhere. */
+  def tpchQ13(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val tpchQ13Sql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+         SELECT c_custkey, count(o_orderkey) AS c_count
+         FROM customer LEFT OUTER JOIN orders
+           ON c_custkey = o_custkey
+          AND o_orderpriority <> '4-NOT SPECIFIED'
+         GROUP BY c_custkey)
+       GROUP BY c_count"""
+
+  /** TPC-H Q14 shape (promotion effect): single-row percentage over a
+    * month of fact joined to part. Numerator/denominator are exact
+    * decimal sums cast to double; the ratio divides those two doubles
+    * in the same association order in both engines, so the output is
+    * bit-identical. The part join is a plain equi-join -- AQE
+    * broadcasts the month-sliced fact side when it fits, and at
+    * 100 TB both sides shuffle on partkey. */
+  def tpchQ14(s: SparkSession, dir: String): DataFrame = {
+    val d84 = DecimalType(8, 4)
+    val lo = lit("1997-09-01 00:00:00").cast(TimestampNTZType)
+    val hi = lit("1997-10-01 00:00:00").cast(TimestampNTZType)
+    val zero = lit(0).cast(DecimalType(28, 8))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_partkey"),
+        (col("l_extendedprice").cast(D) *
+          (lit(1.0) - col("l_discount")).cast(d84)).as("rev"))
+      .join(Tables.part(s, dir).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev")).otherwise(zero))
+          .cast("double").as("promo_revenue"),
+        sum(col("rev")).cast("double").as("total_revenue"))
+      .select(
+        (lit(100.0) * col("promo_revenue") / col("total_revenue"))
+          .as("promo_pct"),
+        col("promo_revenue"), col("total_revenue"))
+  }
+
+  val tpchQ14Sql: String =
+    """SELECT 100.0 * promo_revenue / total_revenue AS promo_pct,
+              promo_revenue, total_revenue
+       FROM (SELECT
+         CAST(sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                       * CAST(1.0 - l_discount AS DECIMAL(8,4))
+                  ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE) AS promo_revenue,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+              * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS total_revenue
+         FROM lineitem, part
+         WHERE l_partkey = p_partkey
+           AND l_shipdate >= TIMESTAMP '1997-09-01'
+           AND l_shipdate < TIMESTAMP '1997-10-01')"""
+
+  /** TPC-H Q18 shape (large-volume customers): grouped-HAVING IN
+    * rewritten as join against the qualifying aggregate. The
+    * sum-per-order aggregate is the only full-fact shuffle; its
+    * HAVING filter (> 250 qty, ~p99) cuts it to a sliver BEFORE the
+    * orders/customer joins, so AQE broadcasts the qualified side at
+    * runtime. The per-order sum rides the join -- no second pass
+    * over lineitem. Top-20 cuts via TakeOrderedAndProject on the
+    * (o_totalprice, o_orderkey) total order. */
+  def tpchQ18(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(D)).as("sum_qty_d"))
+      .filter(col("sum_qty_d") > 250)
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        col("o_totalprice"), col("sum_qty_d").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+  }
+
+  val tpchQ18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date, o_totalprice,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+       FROM customer, orders, lineitem
+       WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+           HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 250)
+         AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+       GROUP BY 1, 2, 3, 4, 5
+       ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"""
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicate):
+    * three OR'd brand/size/quantity bands. The union quantity band
+    * [1, 30] is stated as a SEPARATE conjunct so it pushes to the
+    * parquet scan (the raw disjunction references part columns and
+    * cannot); the brand IN-list prunes part to dimension size, which
+    * then broadcasts with the full disjunction evaluated inside the
+    * join condition -- never a post-join filter over a wide
+    * intermediate. */
+  def tpchQ19(s: SparkSession, dir: String): DataFrame = {
+    val d84 = DecimalType(8, 4)
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val band =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice").cast(D) *
+          (lit(1.0) - col("l_discount")).cast(d84)).as("rev"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey") && band)
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val tpchQ19Sql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+            * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+       FROM lineitem, part
+       WHERE l_partkey = p_partkey
+         AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30))"""
+
+  /** TPC-H Q22 shape (global sales opportunity): scalar subquery +
+    * NOT EXISTS. c_nationkey stands in for the phone country code
+    * (not in the driver schema), and -- every driver customer has
+    * orders -- the anti join runs against RECENT orders only, keeping
+    * the result non-degenerate. The scalar average is a 1-row
+    * broadcast (never a per-row subquery); the anti join shuffles on
+    * custkey against a date-pruned orders slice. avg = exact decimal
+    * sum cast double / count, the cross-engine-deterministic form. */
+  def tpchQ22(s: SparkSession, dir: String): DataFrame = {
+    val codes = Seq(1, 3, 5, 7, 9, 11, 13).map(lit(_))
+    val recentCut = lit("2001-01-01 00:00:00").cast(TimestampNTZType)
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_nationkey").isin(codes: _*))
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast(D)).cast("double") / count(lit(1)))
+        .as("avg_bal"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= recentCut).select(col("o_custkey"))
+    cust
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .groupBy(col("c_nationkey").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast(D)).cast("double").as("totacctbal"))
+  }
+
+  val tpchQ22Sql: String =
+    """SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+       FROM customer
+       WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+         AND c_acctbal > (
+           SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                  / count(*)
+           FROM customer WHERE c_acctbal > 0.0
+             AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+         AND NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '2001-01-01')
+       GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_scan_project" -> (s1ScanProject _),
     "p6_case_tier" -> (p6CaseTier _),
@@ -359,8 +654,16 @@ object RelationalQueries {
     "s3_date_spine" -> (s3DateSpine _),
     "tpch_q1" -> (tpchQ1 _),
     "tpch_q3" -> (tpchQ3 _),
+    "tpch_q4" -> (tpchQ4 _),
     "tpch_q5" -> (tpchQ5 _),
     "tpch_q6" -> (tpchQ6 _),
+    "tpch_q10" -> (tpchQ10 _),
+    "tpch_q12" -> (tpchQ12 _),
+    "tpch_q13" -> (tpchQ13 _),
+    "tpch_q14" -> (tpchQ14 _),
+    "tpch_q18" -> (tpchQ18 _),
+    "tpch_q19" -> (tpchQ19 _),
+    "tpch_q22" -> (tpchQ22 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -464,7 +767,15 @@ object RelationalQueries {
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus""",
     "tpch_q3" -> tpchQ3Sql,
+    "tpch_q4" -> tpchQ4Sql,
     "tpch_q5" -> tpchQ5Sql,
     "tpch_q6" -> tpchQ6Sql,
+    "tpch_q10" -> tpchQ10Sql,
+    "tpch_q12" -> tpchQ12Sql,
+    "tpch_q13" -> tpchQ13Sql,
+    "tpch_q14" -> tpchQ14Sql,
+    "tpch_q18" -> tpchQ18Sql,
+    "tpch_q19" -> tpchQ19Sql,
+    "tpch_q22" -> tpchQ22Sql,
   )
 }

@@ -216,6 +216,41 @@ class PlanSpec extends AnyFunSuite {
       s"q6 scan reads ${q6scans.head.requiredSchema.fields.length} cols")
   }
 
+  test("tpch q4/q22 plan semi/anti joins, never a per-row subquery or cartesian") {
+    import org.apache.spark.sql.catalyst.plans.{LeftSemi, LeftAnti}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val q4 = collectAll(plan(SparkEntry.queries("tpch_q4")(spark, dir)))
+    assert(q4.collect { case j: BaseJoinExec => j.joinType }.contains(LeftSemi),
+      "q4 EXISTS must plan a left-semi join")
+    val q22 = collectAll(plan(SparkEntry.queries("tpch_q22")(spark, dir)))
+    assert(q22.collect { case j: BaseJoinExec => j.joinType }.contains(LeftAnti),
+      "q22 NOT EXISTS must plan a left-anti join")
+    assert(!(q4 ++ q22).exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
+  test("tpch q10/q18 cut their top-20 via TakeOrderedAndProject") {
+    for (q <- Seq("tpch_q10", "tpch_q18")) {
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(p.toString.contains("TakeOrderedAndProject"),
+        s"$q top-20 must be TakeOrderedAndProject, not Sort+Limit")
+      assert(!collectAll(p).exists(_.isInstanceOf[CartesianProductExec]))
+    }
+  }
+
+  test("tpch_q19 pushes the union quantity band and broadcasts the brand slice") {
+    val p = plan(SparkEntry.queries("tpch_q19")(spark, dir))
+    val all = collectAll(p)
+    assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "brand-pruned part side lost its broadcast")
+    // the separate [1,30] conjunct is the only disjunction part that can
+    // reach the fact scan -- losing it means scanning every quantity
+    val liScan = all.collect { case f: FileSourceScanExec => f }
+      .find(_.requiredSchema.fieldNames.contains("l_quantity"))
+    assert(liScan.exists(_.dataFilters.exists(_.toString.contains("l_quantity"))),
+      "union quantity band not pushed to the lineitem scan")
+    assert(!all.exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
   test("curriculum binning is a broadcast-bounds projection, not a global sort") {
     // the scale property: decile assignment must NOT plan ntile/Window
     // over one partition or a global Sort of the corpus -- for BOTH
