@@ -115,6 +115,22 @@ object Dedup {
           org.apache.spark.sql.functions.transform(vec, x => x.cast("double")).as("v")),
       threshold, planes, dims)
 
+  /** SemDeDup-shape semantic dedup survivors: coarse-cluster the
+    * embedding space (per-`seed` means become the quantizer
+    * centroids; final cells come from the argmax re-assignment),
+    * prune cosine-near-duplicate pairs INSIDE each cell keeping the
+    * min-id representative. Returns (vec_id, cell). Grow the number
+    * of distinct seeds with the corpus to bound cell size -- the
+    * pair stage is sum-of-cell-squared, never corpus squared. */
+  def semanticSurvivors(vectors: DataFrame, id: Column, vec: Column,
+      seed: Column,
+      threshold: Double = DedupOps.SemanticThreshold): DataFrame =
+    DedupOps.semanticSurvivors(
+      vectors.repartition(DedupOps.JoinParallelism)
+        .select(seed.as("label"), id.as("vec_id"),
+          org.apache.spark.sql.functions.transform(vec, x => x.cast("double")).as("v")),
+      threshold)
+
   /** Connected components over an arbitrary undirected edge list:
     * (id, component) with component = min id of the component --
     * compose with any of the pair generators for cluster-level

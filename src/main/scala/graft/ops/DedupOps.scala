@@ -798,4 +798,110 @@ object DedupOps {
          round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
        FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $EmbedLshThreshold"""
+
+  // ------------------------------------------------------------- SemDeDup
+
+  /** Within-cell near-dup bar for the semantic pass: the cluster-then-
+    * prune family (SemDeDup) prunes pairs that a global threshold
+    * would, but only looks inside one coarse cell. */
+  val SemanticThreshold = 0.4
+
+  /** SemDeDup-shape semantic dedup: coarse-cluster the embedding
+    * space, then prune near-duplicate pairs INSIDE each cell only,
+    * keeping the min-vec_id representative. Survivors out as
+    * (vec_id, cell).
+    *
+    * The three stages and their 100 TB shapes:
+    *  1. cell assignment -- each vector scores against the coarse
+    *     centroids (per-label 1e-6-quantized means, the same
+    *     quantizer [[graft.api.Similarity.annIvf]] builds) via a
+    *     BROADCAST of the k-row centroid table; argmax cell resolves
+    *     with a (cscore desc, cell asc) row_number so float ties
+    *     cannot diverge across engines. k is constant per deployment,
+    *     so the assignment is one narrow pass.
+    *  2. within-cell pairing -- a cell EQUI-join with the rounded
+    *     cosine evaluated inside the join condition (never a
+    *     post-join filter over a materialized pair set); sized by
+    *     sum of cell^2, the SemDeDup contract (grow k with the
+    *     corpus to bound cell size), never corpus^2.
+    *  3. survivor cut -- drop set = right ends of qualifying pairs,
+    *     LEFT ANTI back onto the assignment. The assignment frame
+    *     feeds both pair sides and the anti join, so it materializes
+    *     ONCE ([[materializeOnce]]) instead of recomputing the
+    *     centroid scores per branch. */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    semanticSurvivors(
+      Tables.embeddings(s, dir).repartition(JoinParallelism)
+        .select(col("label"), col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v")),
+      SemanticThreshold)
+
+  /** Parameterized SemDeDup core: `vectors` is a (label, vec_id,
+    * v: array<double>) projection, `label` seeding the coarse
+    * quantizer (per-label means become the centroids; any
+    * partition-ish column works -- the final cells come from the
+    * argmax re-assignment, not the seed). */
+  private[graft] def semanticSurvivors(vectors: DataFrame,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vectors.withColumn("nrm", sqrt(SimilarityOps.dot(col("v"), col("v"))))
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(sum(round(col("x") * 1e6).cast("long")) /
+        (count(lit(1)) * 1e6), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        p => p.getField("c")).as("cv"))
+      .select(col("label").as("cell"), col("cv"),
+        sqrt(SimilarityOps.dot(col("cv"), col("cv"))).as("cn"))
+    val scored = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        round(SimilarityOps.dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
+          .as("cscore"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("cell").asc)
+    val assigned = materializeOnce(scored
+      .withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("v"), col("nrm")))
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val cosine = round(SimilarityOps.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+    val drops = a.join(b, col("cell") === col("cell_b") &&
+        col("vec_a") < col("vec_b") && cosine >= threshold)
+      .select(col("vec_b")).distinct()
+    assigned
+      .join(drops, col("vec_id") === col("vec_b"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
+  val dedupSemanticSql: String =
+    s"""WITH e AS (
+         SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       n AS (SELECT label, vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       cent AS (
+         SELECT label AS cell, list(c ORDER BY pos) AS cv FROM (
+           SELECT label, CAST(i - 1 AS INT) AS pos,
+             round(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT))
+               / (count(*) * 1e6), 6) AS c
+           FROM embeddings, generate_series(1, 64) gs(i)
+           GROUP BY 1, 2)
+         GROUP BY 1),
+       cn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+       asg AS (
+         SELECT vec_id, cell, v, nrm FROM (
+           SELECT n.vec_id, cn.cell, n.v, n.nrm,
+             row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY round(list_dot_product(n.v, cn.cv) / (n.nrm * cn.cn), 6) DESC,
+                        cn.cell ASC) AS rn
+           FROM n, cn)
+         WHERE rn = 1),
+       drops AS (
+         SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+           ON a.cell = b.cell AND a.vec_id < b.vec_id
+         WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+               >= $SemanticThreshold)
+       SELECT vec_id, cell FROM asg
+       WHERE vec_id NOT IN (SELECT vec_id FROM drops)"""
 }

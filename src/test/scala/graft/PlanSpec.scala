@@ -251,6 +251,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!all.exists(_.isInstanceOf[CartesianProductExec]))
   }
 
+  test("semantic dedup pairs inside cells from one materialized assignment") {
+    val p = plan(SparkEntry.queries("dedup_semantic")(spark, dir))
+    val all = collectAll(p)
+    assert(!all.exists(_.isInstanceOf[CartesianProductExec]),
+      "within-cell pairing must be a cell equi-join, never corpus x corpus")
+    // both pair sides and the anti join must read the checkpointed
+    // assignment, not re-score every vector against the centroids
+    val parquetScans = all.collect { case f: FileSourceScanExec => f }
+    assert(parquetScans.isEmpty,
+      "pair join recomputes the cell assignment from the parquet scan")
+    assert(p.toString.contains("ExistingRDD"))
+  }
+
   test("curriculum binning is a broadcast-bounds projection, not a global sort") {
     // the scale property: decile assignment must NOT plan ntile/Window
     // over one partition or a global Sort of the corpus -- for BOTH

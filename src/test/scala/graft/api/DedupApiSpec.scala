@@ -48,6 +48,18 @@ class DedupApiSpec extends AnyFunSuite {
     assert(rows(api) === rows(DedupOps.dedupExact(spark, dir)))
   }
 
+  test("semanticSurvivors matches dedupSemantic on renamed columns") {
+    val renamed = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("eid"), col("embedding").as("e"),
+        col("label").as("topic"))
+    val api = Dedup.semanticSurvivors(renamed, col("eid"), col("e"), col("topic"))
+    assert(rows(api) === rows(DedupOps.dedupSemantic(spark, dir)))
+    // pruning is real and the survivor set is a strict subset
+    val total = renamed.count()
+    val kept = api.count()
+    assert(kept < total && kept > 0, s"degenerate pruning: $kept of $total")
+  }
+
   test("LSH banding recall: exact-set dups always found, high-jaccard mostly") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
