@@ -637,6 +637,478 @@ object RelationalQueries {
                            AND o_orderdate >= TIMESTAMP '2001-01-01')
        GROUP BY 1"""
 
+  /** TPC-H Q2 shape (min-cost supplier): the canonical correlated
+    * scalar subquery, rewritten as aggregate + join-back. The driver
+    * schema has no partsupp, so the part-supplier cost catalog is
+    * DERIVED once as DISTINCT (l_partkey, l_suppkey, l_extendedprice)
+    * -- one fact-sized shuffle that stands in for the partsupp scan.
+    * Dims chain region -> nation -> supplier and BROADCAST down; the
+    * per-part min is a map-side-combinable aggregate; the join-back
+    * on (partkey, cost) equality replaces the per-row correlated
+    * subquery with ONE partkey-shuffled join. min over raw doubles is
+    * exact (no arithmetic), so the equality join-back is
+    * engine-deterministic. (p_partkey, s_suppkey) is unique after the
+    * min cut, making the top-100 a total order. */
+  def tpchQ2(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"),
+        col("l_extendedprice").as("ps_cost")).distinct()
+    val europe = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)
+          .filter(col("r_name") === "EUROPE").select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(europe), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val eps = ps.join(broadcast(supp), col("ps_suppkey") === col("s_suppkey"))
+    val minCost = eps.groupBy(col("ps_partkey").as("mc_partkey"))
+      .agg(min(col("ps_cost")).as("min_cost"))
+    val parts = Tables.part(s, dir)
+      .filter(col("p_type") === "STANDARD" && col("p_size") <= 15)
+      .select(col("p_partkey"))
+    eps.join(minCost, col("ps_partkey") === col("mc_partkey") &&
+        col("ps_cost") === col("min_cost"))
+      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("ps_partkey").as("p_partkey"), col("s_suppkey"),
+        col("ps_cost").as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name").asc, col("s_name").asc,
+        col("p_partkey").asc, col("s_suppkey").asc)
+      .limit(100)
+  }
+
+  val tpchQ2Sql: String =
+    """WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey,
+           l_suppkey AS ps_suppkey, l_extendedprice AS ps_cost FROM lineitem)
+       SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey,
+              s_suppkey, ps_cost AS supply_cost
+       FROM part, ps, supplier, nation, region
+       WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+         AND p_type = 'STANDARD' AND p_size <= 15
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'EUROPE'
+         AND ps_cost = (
+           SELECT min(ps2.ps_cost) FROM ps ps2, supplier s2, nation n2, region r2
+           WHERE ps2.ps_partkey = ps.ps_partkey AND s2.s_suppkey = ps2.ps_suppkey
+             AND s2.s_nationkey = n2.n_nationkey
+             AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+       ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+       LIMIT 100"""
+
+  /** TPC-H Q7 shape (volume shipping between two nations): the
+    * OR-of-nation-pairs join. Both nation filters prune their dim
+    * BEFORE any fact touch: the 2-nation supplier slice BROADCASTS
+    * into the date-sliced fact (cutting it to ~2/25 of rows), and
+    * only then does the orders/customer chain shuffle on its natural
+    * keys -- the pair disjunction is evaluated post-join on the
+    * already-pruned stream, where it is a constant-width filter, not
+    * a join explosion. Year extraction casts to long so Spark's INT
+    * meets DuckDB's BIGINT. */
+  def tpchQ7(s: SparkSession, dir: String): DataFrame = {
+    val d84 = DecimalType(8, 4)
+    val pair = Tables.nation(s, dir)
+      .filter(col("n_name").isin("NATION_9", "NATION_11"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(pair), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(pair), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1999-01-01 00:00:00").cast(TimestampNTZType) &&
+        col("l_shipdate") < lit("2001-01-01 00:00:00").cast(TimestampNTZType))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        (col("l_extendedprice").cast(D) *
+          (lit(1.0) - col("l_discount")).cast(d84)).as("volume"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === "NATION_9" &&
+          col("cust_nation") === "NATION_11") ||
+        (col("supp_nation") === "NATION_11" &&
+          col("cust_nation") === "NATION_9"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("volume")).cast("double").as("revenue"))
+  }
+
+  val tpchQ7Sql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume) AS DOUBLE) AS revenue FROM (
+         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           CAST(l_extendedprice AS DECIMAL(18,4))
+             * CAST(1.0 - l_discount AS DECIMAL(8,4)) AS volume
+         FROM supplier, lineitem, orders, customer, nation n1, nation n2
+         WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+           AND c_custkey = o_custkey
+           AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+           AND ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_11')
+             OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_9'))
+           AND l_shipdate >= TIMESTAMP '1999-01-01'
+           AND l_shipdate < TIMESTAMP '2001-01-01')
+       GROUP BY 1, 2, 3"""
+
+  /** TPC-H Q8 shape (national market share): conditional share of a
+    * two-year, one-region, one-part-type volume. Part and supplier
+    * slices BROADCAST onto the fact; orders carries its year through
+    * the orderkey join; the region-pruned customer side joins on
+    * custkey (fact-sized at 100 TB -- a shuffle, broadcastable under
+    * AQE at smaller scales). The share divides two exact decimal sums
+    * cast to double, the engine-deterministic form. */
+  def tpchQ8(s: SparkSession, dir: String): DataFrame = {
+    val d84 = DecimalType(8, 4)
+    val zero = lit(0).cast(DecimalType(28, 8))
+    val p = Tables.part(s, dir)
+      .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val amerNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)
+          .filter(col("r_name") === "AMERICA").select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("an_nationkey"))
+    val amerCust = Tables.customer(s, dir)
+      .join(broadcast(amerNations), col("c_nationkey") === col("an_nationkey"))
+      .select(col("c_custkey"))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01 00:00:00").cast(TimestampNTZType) &&
+        col("o_orderdate") < lit("1997-01-01 00:00:00").cast(TimestampNTZType))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast(D) *
+          (lit(1.0) - col("l_discount")).cast(d84)).as("volume"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(amerCust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_9", col("volume"))
+          .otherwise(zero)).cast("double") /
+        sum(col("volume")).cast("double")).as("mkt_share"))
+  }
+
+  val tpchQ8Sql: String =
+    """SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN volume
+                ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE)
+         / CAST(sum(volume) AS DOUBLE) AS mkt_share
+       FROM (SELECT year(o_orderdate) AS o_year,
+           CAST(l_extendedprice AS DECIMAL(18,4))
+             * CAST(1.0 - l_discount AS DECIMAL(8,4)) AS volume,
+           n2.n_name AS supp_nation
+         FROM part, supplier, lineitem, orders, customer,
+              nation n1, nation n2, region
+         WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+           AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+           AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+           AND o_orderdate >= TIMESTAMP '1995-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+           AND p_type = 'ECONOMY')
+       GROUP BY 1"""
+
+  /** TPC-H Q9 shape (product-type profit by nation and year): the
+    * LIKE-pruned part slice carries a precomputed exact unit cost
+    * (p_retailprice * 0.1 stands in for ps_supplycost -- cast to
+    * DECIMAL(18,4) first so every product downstream stays exact),
+    * and both part and supplier-nation BROADCAST onto the fact; the
+    * only fact-sized shuffle is the orderkey join that fetches the
+    * order year. profit = exact decimal revenue minus exact decimal
+    * cost, summed in decimal, cast double once at the end. */
+  def tpchQ9(s: SparkSession, dir: String): DataFrame = {
+    val d84 = DecimalType(8, 4)
+    val p = Tables.part(s, dir).filter(col("p_name").like("%gear%"))
+      .select(col("p_partkey"),
+        (col("p_retailprice").cast(D) * lit(0.1).cast(d84)).cast(D)
+          .as("unit_cost"))
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("nation"), col("o_year"),
+        (col("l_extendedprice").cast(D) *
+          (lit(1.0) - col("l_discount")).cast(d84) -
+          col("unit_cost") * col("l_quantity").cast(D)).as("amount"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(col("amount")).cast("double").as("sum_profit"))
+  }
+
+  val tpchQ9Sql: String =
+    """SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+       FROM (SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(l_extendedprice AS DECIMAL(18,4))
+             * CAST(1.0 - l_discount AS DECIMAL(8,4))
+           - CAST(CAST(p_retailprice AS DECIMAL(18,4))
+                  * CAST(0.1 AS DECIMAL(8,4)) AS DECIMAL(18,4))
+             * CAST(l_quantity AS DECIMAL(18,4)) AS amount
+         FROM part, supplier, lineitem, orders, nation
+         WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+           AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+           AND p_name LIKE '%gear%')
+       GROUP BY 1, 2"""
+
+  /** TPC-H Q11 shape (important stock value): grouped HAVING against
+    * a scalar-subquery fraction of the global total. The one-nation
+    * supplier slice BROADCASTS into the fact; per-part value is a
+    * map-side-combinable decimal sum; the global threshold aggregates
+    * the SAME pruned stream once and joins back as a 1-row BROADCAST
+    * -- never a per-group subquery. Both sides of the comparison are
+    * exact decimal sums cast double, so the cut is
+    * engine-deterministic. l_extendedprice stands in for
+    * ps_supplycost * ps_availqty (no partsupp in the driver schema). */
+  def tpchQ11(s: SparkSession, dir: String): DataFrame = {
+    val suppN = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+          .filter(col("n_name") === "NATION_9").select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val liN = Tables.lineitem(s, dir)
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("l_extendedprice").cast(D).as("val_d"))
+    val byPart = liN.groupBy(col("l_partkey").as("ps_partkey"))
+      .agg(sum(col("val_d")).cast("double").as("part_value"))
+    val total = liN.agg((sum(col("val_d")).cast("double") * lit(0.001))
+      .as("threshold"))
+    byPart.join(broadcast(total))
+      .filter(col("part_value") > col("threshold"))
+      .select(col("ps_partkey"), col("part_value"))
+  }
+
+  val tpchQ11Sql: String =
+    """SELECT l_partkey AS ps_partkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS part_value
+       FROM lineitem, supplier, nation
+       WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         AND n_name = 'NATION_9'
+       GROUP BY 1
+       HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) > (
+         SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                * 0.001
+         FROM lineitem, supplier, nation
+         WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+           AND n_name = 'NATION_9')"""
+
+  /** TPC-H Q15 shape (top supplier): the revenue view + scalar max.
+    * Per-supplier quarterly revenue is one map-side-combinable
+    * aggregate over the date-pruned fact; the max is a 1-row
+    * BROADCAST joined back (never a rank/window over the whole
+    * view); supplier names BROADCAST onto the one surviving row.
+    * Equality on total_revenue compares doubles derived by the
+    * identical exact-decimal path on both engines. */
+  def tpchQ15(s: SparkSession, dir: String): DataFrame = {
+    val d84 = DecimalType(8, 4)
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("2000-01-01 00:00:00").cast(TimestampNTZType) &&
+        col("l_shipdate") < lit("2000-04-01 00:00:00").cast(TimestampNTZType))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast(D) *
+          (lit(1.0) - col("l_discount")).cast(d84))
+        .cast("double").as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("max_rev"))
+    rev.join(broadcast(mx))
+      .filter(col("total_revenue") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  val tpchQ15Sql: String =
+    """WITH revenue AS (
+         SELECT l_suppkey AS supplier_no,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+           AND l_shipdate < TIMESTAMP '2000-04-01'
+         GROUP BY 1)
+       SELECT s_suppkey, s_name, total_revenue FROM supplier, revenue
+       WHERE s_suppkey = supplier_no
+         AND total_revenue = (SELECT max(total_revenue) FROM revenue)"""
+
+  /** TPC-H Q16 shape (supplier count by part attributes): DISTINCT
+    * part-supplier pairs (the partsupp analogue -- one fact-sized
+    * shuffle) against a NOT-IN exclusion list rewritten LEFT ANTI.
+    * The attribute-filtered part slice and the (tiny) excluded
+    * supplier list both BROADCAST; count(DISTINCT) shuffles once on
+    * the (brand, type, size) group key. Negative account balance
+    * stands in for the comment-complaints predicate. */
+  def tpchQ16(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey")).distinct()
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val bad = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    ps.join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(bad), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+  }
+
+  val tpchQ16Sql: String =
+    """SELECT p_brand, p_type, p_size,
+       count(DISTINCT ps_suppkey) AS supplier_cnt
+       FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+               l_suppkey AS ps_suppkey FROM lineitem) ps, part
+       WHERE p_partkey = ps_partkey AND p_brand <> 'Brand#5'
+         AND p_type <> 'PROMO'
+         AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+         AND ps_suppkey NOT IN (
+           SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       GROUP BY 1, 2, 3"""
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): the per-part
+    * correlated average rewritten as aggregate + join-back. The
+    * brand/size part slice BROADCASTS into the fact; the per-part
+    * average quantity aggregates the SAME pruned stream
+    * (map-side-combinable) and joins back on partkey -- at 100 TB
+    * both sides of that join shuffle on partkey, with AQE free to
+    * broadcast the per-part aggregate (one row per surviving part).
+    * The 0.2 * avg bar uses avg = exact decimal sum cast double over
+    * count, the engine-deterministic form. */
+  def tpchQ17(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#3" && col("p_size") < 11)
+      .select(col("p_partkey"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val avgQ = li.groupBy(col("l_partkey").as("aq_partkey"))
+      .agg((lit(0.2) * (sum(col("l_quantity").cast(D)).cast("double") /
+        count(lit(1)))).as("qty_bar"))
+    li.join(avgQ, col("l_partkey") === col("aq_partkey"))
+      .filter(col("l_quantity") < col("qty_bar"))
+      .agg((sum(col("l_extendedprice").cast(D)).cast("double") / lit(7.0))
+        .as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val tpchQ17Sql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+              / 7.0 AS avg_yearly,
+       count(*) AS n_lines
+       FROM lineitem, part
+       WHERE p_partkey = l_partkey AND p_brand = 'Brand#3' AND p_size < 11
+         AND l_quantity < (
+           SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,4)))
+                         AS DOUBLE) / count(*))
+           FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"""
+
+  /** TPC-H Q20 shape (potential part promotion): the nested-IN chain
+    * rewritten as aggregate -> HAVING -> LEFT SEMI. The name-pruned
+    * part slice BROADCASTS into the year-sliced fact; the per
+    * (supplier, part) quantity sum is map-side-combinable and its
+    * HAVING cut (> 40, the availqty stand-in) shrinks it to a sliver
+    * BEFORE the distinct-supplier projection; the supplier table then
+    * semi-joins that sliver -- at driver scale the qualified set
+    * broadcasts, at 100 TB the semi join shuffles on suppkey, which
+    * is as small as this query gets. */
+  def tpchQ20(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_name").like("small%")).select(col("p_partkey"))
+    val qualified = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1998-01-01 00:00:00").cast(TimestampNTZType) &&
+        col("l_shipdate") < lit("1999-01-01 00:00:00").cast(TimestampNTZType))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast(D)).as("q"))
+      .filter(col("q") > 40)
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+          .filter(col("n_name") === "NATION_6").select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name").asc)
+  }
+
+  val tpchQ20Sql: String =
+    """SELECT s_name, s_acctbal FROM supplier, nation
+       WHERE s_suppkey IN (
+           SELECT l_suppkey FROM lineitem
+           WHERE l_partkey IN (
+               SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+             AND l_shipdate >= TIMESTAMP '1998-01-01'
+             AND l_shipdate < TIMESTAMP '1999-01-01'
+           GROUP BY l_suppkey, l_partkey
+           HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 40)
+         AND s_nationkey = n_nationkey AND n_name = 'NATION_6'
+       ORDER BY s_name"""
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the
+    * EXISTS / NOT-EXISTS self-join pair, rewritten LEFT SEMI + LEFT
+    * ANTI with the inequality (different supplier) INSIDE each join
+    * condition. "Late" maps to l_returnflag = 'R' (the driver fact
+    * has no receipt/commit dates). All three lineitem legs shuffle on
+    * orderkey -- co-partitioned, so the semi and anti stack without
+    * re-shuffling; the one-nation supplier slice BROADCASTS. The
+    * top-100 cuts on (numwait desc, s_name), a total order since
+    * s_name is unique. */
+  def tpchQ21(s: SparkSession, dir: String): DataFrame = {
+    val l1 = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val l2 = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("l2_orderkey"),
+        col("l_suppkey").as("l2_suppkey"))
+    val l3 = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("l3_orderkey"),
+        col("l_suppkey").as("l3_suppkey"))
+    val suppN = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+          .filter(col("n_name") === "NATION_9").select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    l1.join(Tables.orders(s, dir)
+          .filter(col("o_orderstatus") === "F").select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .join(l2, col("l_orderkey") === col("l2_orderkey") &&
+        col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
+      .join(l3, col("l_orderkey") === col("l3_orderkey") &&
+        col("l_suppkey") =!= col("l3_suppkey"), "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(100)
+  }
+
+  val tpchQ21Sql: String =
+    """SELECT s_name, count(*) AS numwait
+       FROM supplier, lineitem l1, orders, nation
+       WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+         AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_returnflag = 'R')
+         AND s_nationkey = n_nationkey AND n_name = 'NATION_9'
+       GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_scan_project" -> (s1ScanProject _),
     "p6_case_tier" -> (p6CaseTier _),
@@ -653,16 +1125,26 @@ object RelationalQueries {
     "o1_topk" -> (o1TopK _),
     "s3_date_spine" -> (s3DateSpine _),
     "tpch_q1" -> (tpchQ1 _),
+    "tpch_q2" -> (tpchQ2 _),
     "tpch_q3" -> (tpchQ3 _),
     "tpch_q4" -> (tpchQ4 _),
     "tpch_q5" -> (tpchQ5 _),
     "tpch_q6" -> (tpchQ6 _),
+    "tpch_q7" -> (tpchQ7 _),
+    "tpch_q8" -> (tpchQ8 _),
+    "tpch_q9" -> (tpchQ9 _),
     "tpch_q10" -> (tpchQ10 _),
+    "tpch_q11" -> (tpchQ11 _),
     "tpch_q12" -> (tpchQ12 _),
     "tpch_q13" -> (tpchQ13 _),
     "tpch_q14" -> (tpchQ14 _),
+    "tpch_q15" -> (tpchQ15 _),
+    "tpch_q16" -> (tpchQ16 _),
+    "tpch_q17" -> (tpchQ17 _),
     "tpch_q18" -> (tpchQ18 _),
     "tpch_q19" -> (tpchQ19 _),
+    "tpch_q20" -> (tpchQ20 _),
+    "tpch_q21" -> (tpchQ21 _),
     "tpch_q22" -> (tpchQ22 _),
   )
 
@@ -766,16 +1248,26 @@ object RelationalQueries {
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus""",
+    "tpch_q2" -> tpchQ2Sql,
     "tpch_q3" -> tpchQ3Sql,
     "tpch_q4" -> tpchQ4Sql,
     "tpch_q5" -> tpchQ5Sql,
     "tpch_q6" -> tpchQ6Sql,
+    "tpch_q7" -> tpchQ7Sql,
+    "tpch_q8" -> tpchQ8Sql,
+    "tpch_q9" -> tpchQ9Sql,
     "tpch_q10" -> tpchQ10Sql,
+    "tpch_q11" -> tpchQ11Sql,
     "tpch_q12" -> tpchQ12Sql,
     "tpch_q13" -> tpchQ13Sql,
     "tpch_q14" -> tpchQ14Sql,
+    "tpch_q15" -> tpchQ15Sql,
+    "tpch_q16" -> tpchQ16Sql,
+    "tpch_q17" -> tpchQ17Sql,
     "tpch_q18" -> tpchQ18Sql,
     "tpch_q19" -> tpchQ19Sql,
+    "tpch_q20" -> tpchQ20Sql,
+    "tpch_q21" -> tpchQ21Sql,
     "tpch_q22" -> tpchQ22Sql,
   )
 }

@@ -237,6 +237,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("tpch_q21 stacks semi and anti self-joins without a cartesian") {
+    import org.apache.spark.sql.catalyst.plans.{LeftSemi, LeftAnti}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val all = collectAll(plan(SparkEntry.queries("tpch_q21")(spark, dir)))
+    val types = all.collect { case j: BaseJoinExec => j.joinType }
+    assert(types.contains(LeftSemi), "EXISTS leg must plan a left-semi join")
+    assert(types.contains(LeftAnti), "NOT EXISTS leg must plan a left-anti join")
+    assert(!all.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "one-nation supplier slice lost its broadcast")
+  }
+
+  test("tpch q2/q17 rewrite correlated subqueries as joins; q11/q15 broadcast scalars") {
+    // the scale property for all four: the per-group or global scalar
+    // must come from ONE aggregate joined back, never a re-executed
+    // per-row subquery, and nothing may plan a cartesian product
+    for (q <- Seq("tpch_q2", "tpch_q17", "tpch_q11", "tpch_q15")) {
+      val all = collectAll(plan(SparkEntry.queries(q)(spark, dir)))
+      assert(!all.exists(_.isInstanceOf[CartesianProductExec]),
+        s"$q plans a cartesian product")
+      assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"$q lost its dim/scalar broadcast")
+    }
+  }
+
   test("tpch_q19 pushes the union quantity band and broadcasts the brand slice") {
     val p = plan(SparkEntry.queries("tpch_q19")(spark, dir))
     val all = collectAll(p)
