@@ -662,7 +662,10 @@ object RelationalQueries {
     val supp = Tables.supplier(s, dir)
       .join(broadcast(europe), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
-    val eps = ps.join(broadcast(supp), col("ps_suppkey") === col("s_suppkey"))
+    // both the min aggregate and the join-back read this frame; one
+    // materialization saves re-running the fact-sized DISTINCT
+    val eps = graft.ops.DedupOps.materializeOnce(
+      ps.join(broadcast(supp), col("ps_suppkey") === col("s_suppkey")))
     val minCost = eps.groupBy(col("ps_partkey").as("mc_partkey"))
       .agg(min(col("ps_cost")).as("min_cost"))
     val parts = Tables.part(s, dir)
