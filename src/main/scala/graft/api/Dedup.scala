@@ -115,6 +115,18 @@ object Dedup {
           org.apache.spark.sql.functions.transform(vec, x => x.cast("double")).as("v")),
       threshold, planes, dims)
 
+  /** Exact-substring repetition report (ExactSubstr-family): per
+    * affected document, the count of >= `gramLen`-token windows that
+    * repeat VERBATIM anywhere in the corpus, the number of merged
+    * repeat spans, and the repeated-token coverage/fraction. The
+    * removal policy (drop the doc, cut the spans) is a downstream
+    * projection over this report. Gram stream and hash joins scale
+    * linearly in corpus tokens; nothing is all-pairs. */
+  def repeatedSpans(docs: DataFrame, id: Column, text: Column,
+      gramLen: Int = DedupOps.SubstrGramLen): DataFrame =
+    DedupOps.substrSpans(
+      docs.select(id.as("doc_id"), text.as("text")), gramLen)
+
   /** SemDeDup-shape semantic dedup survivors: coarse-cluster the
     * embedding space (per-`seed` means become the quantizer
     * centroids; final cells come from the argmax re-assignment),

@@ -799,6 +799,117 @@ object DedupOps {
        FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $EmbedLshThreshold"""
 
+  // ------------------------------------------- exact-substring repetition
+
+  /** Tokens per repeated gram for the exact-substring pass. The
+    * ExactSubstr family (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better") uses ~50-token windows on web
+    * corpora; 8 matches the driver documents' length scale. */
+  val SubstrGramLen = 8
+
+  /** Exact-substring repetition detection: flag every maximal span of
+    * >= [[SubstrGramLen]] tokens that appears VERBATIM more than once
+    * anywhere in the corpus (across documents or within one). The
+    * suffix-array formulation of ExactSubstr is inherently
+    * single-machine; this is its scalable equi-join equivalent with
+    * the window length fixed.
+    *
+    * Shape per stage, and why it scales:
+    *  1. gram stream -- one narrow projection per doc:
+    *     (doc_id, start, 60-bit gram hash), ~n_tokens rows per doc of
+    *     ~24 bytes, built by a transform over the token array (no
+    *     per-gram shuffle, no re-tokenize).
+    *  2. repeated grams -- ONE map-side-combinable count on the gram
+    *     hash; hashes with count > 1 semi-join back onto the stream
+    *     (equi-join on the hash -- both sides shuffle on it, never a
+    *     broadcast assumption: at corpus scale the repeated set is
+    *     itself corpus-sized).
+    *  3. span merge -- overlapping hit windows coalesce into islands
+    *     via the classic prev-running-max window trick, one doc_id
+    *     shuffle over the HIT positions only (sparse unless the doc
+    *     is mostly duplicated -- exactly when you want the signal).
+    *
+    * Output per affected doc: repeated-gram count, merged span count,
+    * repeated-token coverage and fraction -- the removal decision
+    * (drop doc / cut spans) is a downstream projection. */
+  def dedupSubstrSpans(s: SparkSession, dir: String): DataFrame =
+    substrSpans(Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      SubstrGramLen)
+
+  /** Parameterized core over any (doc_id, text) projection. */
+  private[graft] def substrSpans(docs: DataFrame, gramLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens(col("text"))
+    val toks = docs
+      .select(col("doc_id"), t.as("t"), size(t).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= gramLen)
+    val grams = toks.select(col("doc_id"), col("n_tokens"),
+        explode(transform(sequence(lit(0), size(col("t")) - gramLen),
+          i => struct(i.as("start"),
+            h15(concat_ws(" ", slice(col("t"), i + 1, lit(gramLen))))
+              .as("gh")))).as("g"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("g.start").as("start"), col("g.gh").as("gh"))
+    val rep = grams.groupBy(col("gh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("gh"))
+    val hits = grams.join(rep, Seq("gh"), "left_semi")
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn("prev_max", max(col("start")).over(wPrev))
+      .withColumn("is_new", when(col("prev_max").isNull ||
+        col("start") >= col("prev_max") + gramLen, 1).otherwise(0))
+      .withColumn("island", sum(col("is_new")).over(wRun))
+      .groupBy(col("doc_id"), col("n_tokens"), col("island"))
+      .agg(count(lit(1)).as("gi"),
+        (max(col("start")) - min(col("start")) + gramLen).cast("long").as("cov"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(sum(col("gi")).as("n_rep_grams"), count(lit(1)).as("n_spans"),
+        sum(col("cov")).as("rep_tokens"))
+      .select(col("doc_id"), col("n_rep_grams"), col("n_spans"),
+        col("rep_tokens"),
+        round(col("rep_tokens").cast("double") / col("n_tokens"), 4)
+          .as("rep_frac"))
+  }
+
+  val dedupSubstrSpansSql: String = {
+    val L = SubstrGramLen
+    s"""WITH toks AS (
+         SELECT doc_id, $TokensSql AS t, len($TokensSql) AS n_tokens
+         FROM documents WHERE len($TokensSql) >= $L),
+       g AS (
+         SELECT doc_id, n_tokens, i - 1 AS start,
+           ${h15Sql(s"array_to_string(t[i:i+${L - 1}], ' ')")} AS gh
+         FROM (SELECT doc_id, n_tokens, t,
+                 unnest(range(1, n_tokens - ${L - 2})) AS i FROM toks)),
+       rep AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1),
+       hits AS (SELECT g.* FROM g WHERE gh IN (SELECT gh FROM rep)),
+       marked AS (
+         SELECT doc_id, n_tokens, start,
+           CASE WHEN max(start) OVER w IS NULL
+                  OR start >= max(start) OVER w + $L
+                THEN 1 ELSE 0 END AS is_new
+         FROM hits
+         WINDOW w AS (PARTITION BY doc_id ORDER BY start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       isl AS (
+         SELECT doc_id, n_tokens, start,
+           sum(is_new) OVER (PARTITION BY doc_id ORDER BY start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         FROM marked),
+       agg1 AS (
+         SELECT doc_id, n_tokens, island, count(*) AS gi,
+                max(start) - min(start) + $L AS cov
+         FROM isl GROUP BY 1, 2, 3)
+       SELECT doc_id, CAST(sum(gi) AS BIGINT) AS n_rep_grams,
+         count(*) AS n_spans, CAST(sum(cov) AS BIGINT) AS rep_tokens,
+         round(CAST(sum(cov) AS BIGINT) / CAST(n_tokens AS DOUBLE), 4)
+           AS rep_frac
+       FROM agg1 GROUP BY doc_id, n_tokens"""
+  }
+
   // ------------------------------------------------------------- SemDeDup
 
   /** Within-cell near-dup bar for the semantic pass: the cluster-then-

@@ -16,8 +16,13 @@ class PlanSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   private def plan(df: DataFrame): SparkPlan = df.queryExecution.sparkPlan
+  // subqueries is erased to Seq[Any] at runtime and a checkpointed
+  // plan's LogicalRDD can surface LOGICAL subquery plans through it --
+  // keep only genuine physical nodes
   private def collectAll(p: SparkPlan): Seq[SparkPlan] =
-    (p +: p.children.flatMap(collectAll)) ++ p.subqueries.flatMap(collectAll)
+    (p +: p.children.flatMap(collectAll)) ++
+      p.subqueries.asInstanceOf[Seq[Any]]
+        .collect { case sp: SparkPlan => sp }.flatMap(collectAll)
 
   test("p3_filter pushes predicate and projection into the parquet scan") {
     val scans = collectAll(plan(SparkEntry.queries("p3_filter")(spark, dir)))
@@ -274,6 +279,18 @@ class PlanSpec extends AnyFunSuite {
     assert(liScan.exists(_.dataFilters.exists(_.toString.contains("l_quantity"))),
       "union quantity band not pushed to the lineitem scan")
     assert(!all.exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
+  test("substr-span dedup joins on the gram hash, never a cartesian") {
+    val p = plan(SparkEntry.queries("dedup_substr_spans")(spark, dir))
+    val all = collectAll(p)
+    assert(!all.exists(_.isInstanceOf[CartesianProductExec]),
+      "repeated-gram hit recovery must be an equi-join on the gram hash")
+    // the gram stream is built by a projection over the token array --
+    // exactly two parquet scans (gram build + semi-join probe side),
+    // never one per gram
+    val scans = all.collect { case f: FileSourceScanExec => f }
+    assert(scans.size <= 2, s"gram stream re-scans the corpus: ${scans.size} scans")
   }
 
   test("semantic dedup pairs inside cells from one materialized assignment") {

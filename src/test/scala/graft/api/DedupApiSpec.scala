@@ -48,6 +48,37 @@ class DedupApiSpec extends AnyFunSuite {
     assert(rows(api) === rows(DedupOps.dedupExact(spark, dir)))
   }
 
+  test("repeatedSpans: planted repeats merge into the right spans") {
+    import spark.implicits._
+    // doc 1 and doc 2 share a verbatim 10-token run (tokens r0..r9);
+    // doc 3 repeats a 8-token run of doc 1 AND a separate 8-token run
+    // of doc 2 with unique filler between -> two merged spans.
+    val r = (0 until 10).map(i => s"r$i").mkString(" ")      // shared run
+    val s1 = (0 until 8).map(i => s"s$i").mkString(" ")      // run 2
+    def uniq(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${uniq("a", 6)} $r ${uniq("b", 6)}"),
+      (2L, s"${uniq("c", 6)} $r $s1"),
+      (3L, s"$s1 ${uniq("d", 6)} $r"),
+    ).toDF("id", "body")
+    val out = Dedup.repeatedSpans(docs, col("id"), col("body"), gramLen = 8)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // doc 1: one 10-token span (3 overlapping 8-grams merged)
+    assert(out(1L) === ((3L, 1L, 10L)))
+    // doc 2: r-run and s1 are adjacent but DISJOINT repeats (the
+    // 18-token concatenation never recurs verbatim): 3 + 1 grams,
+    // two spans of 10 + 8 tokens
+    assert(out(2L) === ((4L, 2L, 18L)))
+    // doc 3: two separated spans (8 + 10 tokens)
+    assert(out(3L) === ((4L, 2L, 18L)))
+  }
+
+  test("repeatedSpans matches dedupSubstrSpans on renamed columns") {
+    val api = Dedup.repeatedSpans(renamedDocs, col("my_id"), col("body"))
+    assert(rows(api) === rows(DedupOps.dedupSubstrSpans(spark, dir)))
+  }
+
   test("semanticSurvivors matches dedupSemantic on renamed columns") {
     val renamed = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("eid"), col("embedding").as("e"),
