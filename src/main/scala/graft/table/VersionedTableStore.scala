@@ -760,6 +760,78 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       statsColumns = Seq(column))
   }
 
+  /** Multi-column Z-order clustering (the Delta `OPTIMIZE ZORDER BY`
+    * analogue; [[clusterBy]] is the 1-D special case): rewrite the
+    * current snapshot partitioned by a derived `__zbucket` whose value
+    * interleaves the bits of each column's quantile RANK -- rows close
+    * in every clustered dimension land in the same cell, so the
+    * recorded per-cell min/max stay tight on ALL columns at once and
+    * [[readWhereAll]] prunes multiplicatively on compound predicates
+    * (the thing 1-D range clustering structurally cannot do: tight on
+    * its column, useless on every other).
+    *
+    * Cell count is the smallest power of two >= `nBuckets` (each
+    * column needs >= 1 rank bit); quantile boundaries come from one
+    * `approx_percentile` pass broadcast as a single row, so cells are
+    * near-equal-sized under any distribution -- at 100 TB this is one
+    * sketch aggregate + one partitioned rewrite, no global sort (the
+    * classic Z-order-by-sort needs a range partitioner over the
+    * interleaved key; bucketing by the key's high bits gives the same
+    * pruning with a hash-free one-pass shuffle). Bits are dealt to
+    * columns round-robin LSB-first, earlier columns first, so an
+    * uneven budget (e.g. 5 bits over 2 columns) favors the leading
+    * column -- order `columns` by expected predicate selectivity.
+    *
+    * Like [[clusterBy]], the synthetic `__zbucket` partition column is
+    * schema-visible; earlier snapshots keep their own layout. */
+  def clusterByZ(name: String, columns: Seq[String], nBuckets: Int): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, expr, lit, shiftleft, shiftright, when}
+    require(columns.size >= 2,
+      "clusterByZ needs >= 2 columns (clusterBy covers one)")
+    require(nBuckets >= (1 << columns.size),
+      s"clusterByZ needs >= ${1 << columns.size} buckets for" +
+        s" ${columns.size} columns (one rank bit each)")
+    val nc = columns.size
+    val bitsTotal = math.max(nc,
+      64 - java.lang.Long.numberOfLeadingZeros((nBuckets - 1).toLong)).toInt
+    val bits = columns.indices.map(i =>
+      bitsTotal / nc + (if (i < bitsTotal % nc) 1 else 0))
+    // global bit position of each column's rank bit j: deal positions
+    // LSB-first, one bit per column per round, skipping columns whose
+    // budget is spent -- low-order bits of every column interleave
+    // first, which is what gives Z-cells their all-dimension locality
+    val positions: Seq[Seq[Int]] = {
+      val res = Array.fill(nc)(List.newBuilder[Int])
+      var pos = 0
+      for (round <- 0 until bits.max; c <- 0 until nc if round < bits(c)) {
+        res(c) += pos; pos += 1
+      }
+      res.map(_.result()).toSeq
+    }
+    val df = read(name).drop("__zbucket")
+    val aggs = columns.zip(bits).map { case (c, b) =>
+      val qs = (1 until (1 << b)).map(i => i.toDouble / (1 << b))
+      expr(s"approx_percentile($c, array(${qs.mkString(",")}), 10000)")
+        .as(s"__b_$c")
+    }
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
+    val ranks = columns.zip(bits).map { case (c, b) =>
+      (0 until (1 << b) - 1)
+        .map(i => when(col(c) >= col(s"__b_$c")(i), 1).otherwise(0))
+        .reduce(_ + _)
+    }
+    val z = columns.indices.flatMap { c =>
+      positions(c).zipWithIndex.map { case (p, j) =>
+        shiftleft(shiftright(ranks(c), j).bitwiseAND(lit(1)), p)
+      }
+    }.reduce(_ + _)
+    val clustered = df.crossJoin(broadcast(bounds))
+      .withColumn("__zbucket", z.cast("int"))
+      .drop(columns.map(c => s"__b_$c"): _*)
+    commitFull(clustered.localCheckpoint(true), name, Seq("__zbucket"),
+      statsColumns = columns)
+  }
+
   /** Rewrite the current snapshot as ONE data dir (a full commit of
     * its own contents) -- collapses a long delta chain, the compaction
     * every manifest-sharing store eventually runs. */

@@ -675,6 +675,48 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     assert(v2 === 2L)
   }
 
+  test("clusterByZ: compound predicates prune multiplicatively; contents unchanged") {
+    import org.apache.spark.sql.functions.col
+    val vs = fresh()
+    // a 64x64 grid of independent x/y values: 1-D clustering on x
+    // would be useless for a y predicate and vice versa
+    val df = spark.range(0, 4096).toDF("id")
+      .select(col("id").cast("int").as("id"),
+        (col("id") % 64).cast("int").as("x"),
+        (col("id") / 64).cast("int").as("y"))
+    vs.commitFull(df, "zt")
+    val v2 = vs.clusterByZ("zt", Seq("x", "y"), nBuckets = 16)
+    assert(v2 === 2L)
+    // 16 cells = 2 rank bits per column; contents byte-identical
+    assert(vs.read("zt").columns.toSeq.sorted === Seq("__zbucket", "id", "x", "y"))
+    assert(vs.read("zt").select("id").as[Int].collect().sorted.toSeq ===
+      (0 until 4096).toSeq)
+    val cells = vs.read("zt").select("__zbucket").distinct().count()
+    assert(cells === 16L, s"expected 16 z-cells, got $cells")
+    // a corner query (both columns constrained to the low quartile)
+    // touches ~1 of 16 cells; assert strictly fewer files than half
+    val pruned = vs.readWhereAll("zt",
+      Map("x" -> (0L, 10L), "y" -> (0L, 10L)))
+    val allFiles = vs.read("zt").inputFiles.length
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.length < allFiles / 4,
+      s"z-clustered corner scan read ${pruned.inputFiles.length} of $allFiles files")
+    // and BOTH single-column predicates prune too -- the property 1-D
+    // clustering cannot give
+    for (c <- Seq("x", "y")) {
+      val one = vs.readWhere("zt", c, 0, 10)
+      assert(one.inputFiles.length < allFiles,
+        s"$c-only predicate pruned nothing")
+      assert(one.select(col(c)).as[Int].collect().forall(_ <= 10))
+    }
+    // results hash-match the unpruned filter
+    val expect = df.filter(col("x") <= 10 && col("y") <= 10)
+      .select("id").as[Int].collect().sorted.toSeq
+    assert(pruned.select("id").as[Int].collect().sorted.toSeq === expect)
+    // old layout still readable
+    assert(vs.readVersion("zt", 1).columns.toSeq.sorted === Seq("id", "x", "y"))
+  }
+
   test("manifest growth bound: 10k partitions parse fast, prune before any listing") {
     // the growth surface is the MANIFEST (one dir line + stat lines per
     // partition rel): commit a real one-partition table, then CAS a
