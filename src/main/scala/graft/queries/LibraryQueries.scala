@@ -278,6 +278,34 @@ object LibraryQueries {
               order_yr
        FROM t"""
 
+  /** S23: multi-column Z-order clustering through the versioned store
+    * (the `OPTIMIZE ZORDER BY` shape): orders rewritten into Z-cells
+    * over (o_orderkey, o_custkey), then a compound corner predicate
+    * reads back through [[VersionedTableStore.readWhereAll]] -- the
+    * manifest prunes cells whose per-cell min/max are disjoint on
+    * EITHER column before any file is listed, and the exact filter
+    * applies to the survivors. The oracle is the plain filtered
+    * select: if pruning ever dropped a cell that held matching rows
+    * (the conservative guarantee broken), the hash gate fails. The
+    * synthetic `__zbucket` is layout, not data, so it is dropped. */
+  def s23ClusterZ(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"), col("o_orderstatus"))
+    val store = new VersionedTableStore(s,
+      Files.createTempDirectory("graft-q-s23").toString)
+    store.commitFull(o, "orders_z")
+    store.clusterByZ("orders_z", Seq("o_orderkey", "o_custkey"), nBuckets = 64)
+    store.readWhereAll("orders_z",
+        Map("o_orderkey" -> ((0L, 7500L)), "o_custkey" -> ((0L, 180L))))
+      .drop("__zbucket")
+  }
+
+  val s23ClusterZSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+       FROM orders
+       WHERE o_orderkey BETWEEN 0 AND 7500 AND o_custkey BETWEEN 0 AND 180"""
+
   /** S16: snapshot MERGE + rollback through [[VersionedTableStore]] --
     * the Iceberg-recovery shape the reference gets from format-version-2
     * tables (build_stock_fact_table.py:98-100). A partitioned upsert
@@ -594,6 +622,7 @@ object LibraryQueries {
     "s20_merge_mixed" -> (s20MergeMixed _),
     "s21_delete_where" -> (s21DeleteWhere _),
     "s22_update_where" -> (s22UpdateWhere _),
+    "s23_cluster_z" -> (s23ClusterZ _),
     "s16_versioned_rollback" -> (s16VersionedRollback _),
     "s17_snapshot_diff" -> (s17SnapshotDiff _),
     "s18_incremental_agg" -> (s18IncrementalAgg _),
@@ -610,6 +639,7 @@ object LibraryQueries {
     "s20_merge_mixed" -> s20MergeMixedSql,
     "s21_delete_where" -> s21DeleteWhereSql,
     "s22_update_where" -> s22UpdateWhereSql,
+    "s23_cluster_z" -> s23ClusterZSql,
     "s16_versioned_rollback" -> s16VersionedRollbackSql,
     "s17_snapshot_diff" -> s17SnapshotDiffSql,
     "s18_incremental_agg" -> s18IncrementalAggSql,
