@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Graph analytics over edge lists -- the web-graph side of a
+  * pretraining corpus pipeline (link-graph centrality is a standard
+  * document-quality prior: pages that the graph endorses get sampled
+  * up; see also [[DedupOps.connectedComponents]] for the dedup-graph
+  * twin of this iterative shape).
+  *
+  * PageRank here is FIXED-POINT INTEGER arithmetic: ranks are bigint
+  * micro-units at scale 1e12 and every division truncates. That makes
+  * the iteration engine-exact -- summation order cannot perturb a
+  * single unit, so the DuckDB oracle hash-matches bit-for-bit, the
+  * thing no double-based PageRank can promise across engines. The
+  * truncation loss (< 1 unit = 1e-12 of mass per node per round) is
+  * far below any ranking-relevant signal.
+  */
+object GraphOps {
+
+  /** Rank mass scale: 1.0 of probability mass = 1e12 units. */
+  val Scale: Long = 1000000000000L
+
+  /** Power iteration over a directed edge list (`src`, `dst`).
+    * Callers must dedup edges and ensure every node has at least one
+    * out-edge (an undirected graph fed as both directions satisfies
+    * this; true dangling-node handling would need a mass-reclaim term
+    * whose global sum is a second aggregate per round). Damping 0.85,
+    * teleport share 0.15, both exact integer ops.
+    *
+    * Per round: contribution = rank div outdegree (node-sized join),
+    * one fact-sized equi-join contribution-to-edges, one map-side
+    * combinable sum per destination, one left join back to the node
+    * spine. The node count rides a 1-row broadcast (no driver
+    * action), and lineage is cut per round exactly like the CC loop
+    * -- at 100 TB each round is shuffle-bound on the edge join, which
+    * is the optimal shape (PageRank IS repeated sparse matvec).
+    */
+  def pageRank(edges0: DataFrame, iters: Int): DataFrame = {
+    val edges = DedupOps.materializeOnce(edges0.select(col("src"), col("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    var pr = DedupOps.materializeOnce(
+      nodes.crossJoin(broadcast(nn))
+        .select(col("id"), expr(s"${Scale}L div n").as("rank")))
+    for (_ <- 1 to iters) {
+      val contrib = pr.join(deg, pr("id") === deg("src"))
+        .select(deg("src"), expr("rank div deg").as("contrib"))
+      val incoming = edges.join(contrib, "src")
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("inc"))
+      val next = nodes
+        .join(incoming, nodes("id") === incoming("dst"), "left")
+        .crossJoin(broadcast(nn))
+        .select(nodes("id"),
+          (expr(s"(${Scale}L * 15) div (100 * n)") +
+            expr("(85 * coalesce(inc, 0L)) div 100")).as("rank"))
+      pr.unpersist()
+      pr = DedupOps.materializeOnce(next)
+    }
+    pr
+  }
+
+  /** PageRank over the customer-supplier transaction graph: an
+    * undirected bipartite edge per (customer, supplier) pair that
+    * traded (orders joined to lineitem, both directions emitted so no
+    * node dangles; supplier ids offset into their own range). 8
+    * rounds -- past the point where top-rank ordering stabilizes on
+    * this graph. */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val fwd = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(100000L)).as("dst"))
+      .distinct()
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    pageRank(edges, iters = 8)
+  }
+
+  /** The same 8 rounds as chained CTEs; all integer ops (`//` floors,
+    * Spark's `div` truncates -- identical on the all-positive ranks),
+    * final cast pins DuckDB's hugeint sums back to bigint. */
+  val graphPagerankSql: String = {
+    def step(prev: String, cur: String): String =
+      s"""$cur AS (
+         SELECT n.id,
+                CAST(($Scale * 15) // (100 * (SELECT n FROM nn))
+                     + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS rank
+         FROM nodes n LEFT JOIN (
+           SELECT e.dst AS id, sum(r.rank // d.deg) AS s
+           FROM $prev r JOIN deg d ON r.id = d.src
+                        JOIN edges e ON e.src = r.id
+           GROUP BY e.dst) i ON n.id = i.id)"""
+    val steps = (1 to 8).map(i => step(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH fwd AS (
+         SELECT DISTINCT o_custkey AS src, l_suppkey + 100000 AS dst
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       edges AS (SELECT src, dst FROM fwd
+                 UNION ALL SELECT dst AS src, src AS dst FROM fwd),
+       deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       nodes AS (SELECT DISTINCT src AS id FROM edges),
+       nn AS (SELECT count(*) AS n FROM nodes),
+       r0 AS (SELECT id, CAST($Scale // (SELECT n FROM nn) AS BIGINT) AS rank
+              FROM nodes),
+       $steps
+       SELECT id, rank FROM r8"""
+  }
+}

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Structural invariants for the fixed-point-integer PageRank; exact
+  * value parity is the oracle gate's job (graph_pagerank). */
+class GraphOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int = 8): Map[Long, Long] =
+    GraphOps.pageRank(edges.toDF("src", "dst"), iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("star graph: the hub outranks every leaf, ranks positive") {
+    // undirected star 0 -- {1..5}, fed as both directions
+    val fwd = (1L to 5L).map(i => (0L, i))
+    val r = ranks(fwd ++ fwd.map(_.swap))
+    assert(r.size === 6)
+    assert(r.values.forall(_ > 0L))
+    for (leaf <- 1L to 5L) assert(r(0L) > r(leaf),
+      s"hub ${r(0L)} must outrank leaf $leaf ${r(leaf)}")
+    // leaves are symmetric: identical integer ranks, no tie-noise
+    assert(r.filterKeys(_ != 0L).values.toSet.size === 1)
+  }
+
+  test("mass conservation within truncation loss") {
+    val fwd = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L))
+    val edges = fwd ++ fwd.map(_.swap)
+    val r = ranks(edges.distinct)
+    val total = r.values.sum
+    // each node loses < 1 unit per div, twice per round, 8 rounds
+    val maxLoss = r.size.toLong * 2 * 8
+    assert(total <= GraphOps.Scale)
+    assert(total >= GraphOps.Scale - maxLoss,
+      s"mass $total leaked more than truncation allows")
+  }
+
+  test("disconnected symmetric pairs rank identically") {
+    val fwd = Seq((1L, 2L), (3L, 4L))
+    val r = ranks(fwd ++ fwd.map(_.swap))
+    assert(r.values.toSet.size === 1, s"all four nodes symmetric: $r")
+  }
+}
