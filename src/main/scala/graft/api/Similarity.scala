@@ -212,4 +212,29 @@ object Similarity {
         round(SimilarityOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
           .as("cosine")), k)
   }
+
+  /** k-NN majority-vote classification: each query takes the label
+    * held by most of its k cosine-nearest corpus vectors. Ties break
+    * deterministically: higher summed cosine of the voting neighbors
+    * (summed as DECIMAL so accumulation order cannot flip a tie),
+    * then smaller label. Returns (query_id, pred_label, votes,
+    * score). The neighbor set is [[cosineTopK]]'s exact top-k; swap
+    * in an ANN tier's candidates upstream for corpus scale -- the
+    * voting shape is identical (the vote table is queries x k rows,
+    * broadcast into the label join; the corpus is touched only by the
+    * neighbor search itself). */
+  def knnClassify(corpus: DataFrame, id: Column, vec: Column, label: Column,
+      queries: DataFrame, qid: Column, qvec: Column, k: Int = 15): DataFrame = {
+    val nn = cosineTopK(corpus, id, vec, queries, qid, qvec, k)
+    val labels = corpus.select(id.as("match_id"), label.as("nlabel"))
+    val votes = labels.join(broadcast(nn), "match_id")
+      .groupBy(col("query_id"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"),
+        sum(col("cosine").cast("decimal(18,6)")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("score").desc, col("nlabel").asc)
+    votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("query_id"), col("nlabel").as("pred_label"),
+        col("votes"), col("score").cast("double").as("score"))
+  }
 }

@@ -59,6 +59,51 @@ object SimilarityOps {
          FROM scored)
        SELECT query_id, match_id, cosine, rank FROM ranked WHERE rank <= $TopK"""
 
+  /** Query split for the knn-classify gate: held-out vectors vs the
+    * labeled rest. */
+  val KnnQueries = 20
+  val KnnK = 15
+
+  /** k-NN majority-vote classification: vectors 0..19 held out as
+    * unlabeled queries, classified by their 15 cosine-nearest labeled
+    * neighbors (the embedding-space label-transfer op: tag new
+    * documents with the cluster/topic/quality label of their
+    * neighborhood). Deterministic tie-break: votes desc, DECIMAL
+    * cosine mass desc, label asc. */
+  def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).repartition(32)
+    graft.api.Similarity.knnClassify(
+      e.filter(col("vec_id") >= KnnQueries), col("vec_id"), col("embedding"),
+      col("label"),
+      e.filter(col("vec_id") < KnnQueries), col("vec_id"), col("embedding"),
+      KnnK)
+  }
+
+  val knnClassifySql: String =
+    s"""WITH e AS (
+         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       scored AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS match_id, c.label,
+           round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+         FROM n q, n c
+         WHERE q.vec_id < $KnnQueries AND c.vec_id >= $KnnQueries),
+       ranked AS (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, match_id ASC) AS rank
+         FROM scored),
+       votes AS (
+         SELECT query_id, label, count(*) AS votes,
+                sum(CAST(cosine AS DECIMAL(18,6))) AS score
+         FROM ranked WHERE rank <= $KnnK GROUP BY 1, 2),
+       best AS (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY votes DESC, score DESC, label ASC) AS rk
+         FROM votes)
+       SELECT query_id, label AS pred_label, CAST(votes AS BIGINT) AS votes,
+              CAST(score AS DOUBLE) AS score
+       FROM best WHERE rk = 1"""
+
   // ------------------------------------------------------------- sign-LSH
 
   /** Default hyperplane count: 16 buckets, right for the test-scale
