@@ -204,4 +204,46 @@ object SamplingOps {
        SELECT doc_id, n_chars, CAST($bins AS INT) AS bin
        FROM documents CROSS JOIN b"""
   }
+
+  // ------------------------------------------------- per-source quota cap
+
+  val SourceCapN = 50
+  private val CapSalt = 8
+
+  /** Cap every source at its top-N documents by a deterministic
+    * priority (here: longest first, doc_id tie-break) -- the source
+    * balancer that stops one crawl from dominating a training mix.
+    *
+    * Exact top-N-per-group, computed skew-proof in two bounded
+    * stages: a salted window takes each (source, shard)'s local
+    * top-N (a hot source's stream splits over [[CapSalt]] shards, so
+    * no single task sorts the whole source), then the G*N finalists
+    * per source -- a few hundred rows regardless of source size --
+    * meet in the exact final window. Same cost model as a single
+    * window on uniform data, bounded per-task work under any skew. */
+  def sourceCapOf(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pri = Seq(col("n_chars").desc, col("doc_id").asc)
+    val local = Window
+      .partitionBy(col("source"), pmod(col("doc_id"), lit(CapSalt)))
+      .orderBy(pri: _*)
+    val fin = Window.partitionBy(col("source")).orderBy(pri: _*)
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("__lr", row_number().over(local)).filter(col("__lr") <= n)
+      .withColumn("rank_in_source", row_number().over(fin))
+      .filter(col("rank_in_source") <= n)
+      .drop("__lr")
+  }
+
+  def sourceCap(s: SparkSession, dir: String): DataFrame =
+    sourceCapOf(Tables.documents(s, dir), SourceCapN)
+
+  val sourceCapSql: String =
+    s"""SELECT doc_id, source, n_chars,
+              CAST(rank_in_source AS INT) AS rank_in_source
+       FROM (SELECT doc_id, source, n_chars,
+                    row_number() OVER (PARTITION BY source
+                      ORDER BY n_chars DESC, doc_id ASC) AS rank_in_source
+             FROM documents)
+       WHERE rank_in_source <= $SourceCapN"""
 }

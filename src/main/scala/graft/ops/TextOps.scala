@@ -81,6 +81,58 @@ object TextOps {
        CAST(len(regexp_extract_all(text, '$BpeishPattern')) AS BIGINT) AS n_bpeish_tokens
        FROM documents"""
 
+  /** Character-distribution Shannon entropy per document (nats) --
+    * the classic gibberish detector: natural text sits in a narrow
+    * entropy band, while base64 blobs / key dumps / single-char spam
+    * fall far outside it, so a band filter on this column is a
+    * standard pretraining quality gate.
+    *
+    * Entirely within-row (split -> per-distinct-char counts ->
+    * fold), so it rides the same single WholeStageCodegen scan pass
+    * as [[textStats]] -- no explode, no shuffle, scan-linear at
+    * 100 TB. Per-char log terms are quantized to 1e-6 integers
+    * ([[LogpQuantum]]) and folded in array order, so the per-doc sum
+    * is exact and the cross-engine hash matches; charset size is
+    * bounded (ASCII here, Unicode blocks at worst), so the
+    * distinct-chars inner filter is O(charset * len), not
+    * O(len^2). */
+  def charEntropyOf(docs: DataFrame): DataFrame = {
+    val chars = split(col("text"), "")
+    val n = size(chars)
+    val counts = transform(array_distinct(chars),
+      d => size(filter(chars, c => c === d)).cast("long"))
+    val sumU = aggregate(counts, lit(0L),
+      (a, cnt) => a +
+        cnt * round(log(n.cast("double") / cnt) * LogpQuantum, 0).cast("long"))
+    docs.select(
+      col("doc_id"),
+      n.cast("long").as("n_chars"),
+      size(array_distinct(chars)).cast("long").as("n_charset"),
+      round(sumU.cast("double") / (n.cast("double") * LogpQuantum), 4)
+        .as("char_entropy"))
+  }
+
+  def charEntropy(s: SparkSession, dir: String): DataFrame =
+    charEntropyOf(Tables.documents(s, dir))
+
+  val charEntropySql: String =
+    """WITH c AS (
+         SELECT doc_id, string_split(text, '') AS chars,
+                CAST(length(text) AS BIGINT) AS n
+         FROM documents),
+       u AS (
+         SELECT doc_id, n, chars,
+           list_transform(list_distinct(chars),
+             d -> CAST(len(list_filter(chars, ch -> ch = d)) AS BIGINT)) AS counts
+         FROM c)
+       SELECT doc_id, n AS n_chars,
+         CAST(len(list_distinct(chars)) AS BIGINT) AS n_charset,
+         round(CAST(list_sum(list_transform(counts,
+             cnt -> cnt * CAST(round(ln(CAST(n AS DOUBLE) / cnt) * 1000000, 0)
+                             AS BIGINT))) AS DOUBLE)
+           / (n * 1000000.0), 4) AS char_entropy
+       FROM u"""
+
   /** Marker-based language ID: per-language marker occurrence counts
     * with a deterministic argmax (ties and all-zero fall through to
     * 'und'). */

@@ -140,6 +140,17 @@ class PlanSpec extends AnyFunSuite {
       s"chunk scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
   }
 
+  test("char entropy is one shuffle-free codegen pass reading only doc_id+text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = SparkEntry.queries("text_entropy")(spark, dir)
+      .queryExecution.executedPlan
+    assert(!collectAll(p).exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "char entropy must not shuffle")
+    val scan = collectAll(p).collect { case f: FileSourceScanExec => f }.head
+    assert(scan.requiredSchema.fieldNames.toSet === Set("doc_id", "text"),
+      s"entropy scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
+  }
+
   test("packing plans exactly the one per-stream window sort-shuffle") {
     // a shuffling plan is AQE-wrapped (AdaptiveSparkPlanExec is a
     // leaf), so count exchanges in the rendered tree instead
