@@ -41,25 +41,40 @@ object GraphOps {
     */
   def pageRank(edges0: DataFrame, iters: Int): DataFrame = {
     val edges = DedupOps.materializeOnce(edges0.select(col("src"), col("dst")))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = edges.select(col("src").as("id")).distinct()
+    // degree table and node spine are loop-invariant: materialize once
+    // so each round pays only its own joins, not their re-derivation
+    val deg = DedupOps.materializeOnce(
+      edges.groupBy("src").agg(count(lit(1)).as("deg")))
+    val nodes = DedupOps.materializeOnce(
+      edges.select(col("src").as("id")).distinct())
     val nn = nodes.agg(count(lit(1)).as("n"))
     var pr = DedupOps.materializeOnce(
       nodes.crossJoin(broadcast(nn))
         .select(col("id"), expr(s"${Scale}L div n").as("rank")))
-    for (_ <- 1 to iters) {
-      val contrib = pr.join(deg, pr("id") === deg("src"))
-        .select(deg("src"), expr("rank div deg").as("contrib"))
-      val incoming = edges.join(contrib, "src")
-        .groupBy(col("dst")).agg(sum(col("contrib")).as("inc"))
-      val next = nodes
-        .join(incoming, nodes("id") === incoming("dst"), "left")
+    for (i <- 1 to iters) {
+      // joins resolve through DATASET aliases (p/g/e/c/v/i): rounds
+      // without a lineage cut carry deg/nodes attribute ids inside
+      // pr's plan, so column-object conditions would be ambiguous
+      // self-join references
+      val contrib = pr.as("p").join(deg.as("g"), expr("p.id = g.src"))
+        .selectExpr("g.src AS csrc", "p.rank div g.deg AS contrib")
+      val incoming = edges.as("e").join(contrib.as("c"), expr("e.src = c.csrc"))
+        .groupBy(col("e.dst").as("ddst"))
+        .agg(sum(col("c.contrib")).as("inc"))
+      val next = nodes.as("v")
+        .join(incoming.as("i"), expr("v.id = i.ddst"), "left")
         .crossJoin(broadcast(nn))
-        .select(nodes("id"),
-          (expr(s"(${Scale}L * 15) div (100 * n)") +
-            expr("(85 * coalesce(inc, 0L)) div 100")).as("rank"))
-      pr.unpersist()
-      pr = DedupOps.materializeOnce(next)
+        .selectExpr("v.id AS id",
+          s"(${Scale}L * 15) div (100 * n)" +
+            " + (85 * coalesce(i.inc, 0L)) div 100 AS rank")
+      // lineage cut every second round: two rounds of joins stay well
+      // inside planner limits, and each skipped materialization saves
+      // a full pass over the rank table
+      if (i % 2 == 0 || i == iters) {
+        val m = DedupOps.materializeOnce(next)
+        pr.unpersist()
+        pr = m
+      } else pr = next
     }
     pr
   }
