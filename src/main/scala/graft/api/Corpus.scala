@@ -180,6 +180,16 @@ object Corpus {
       docs.select(id.as("doc_id"), source.as("source"), size.as("n_chars")),
       weights, defaultWeight, budgetPct)
 
+  /** Cap every source at its top-n docs by `priority` (descending,
+    * id tie-break) -- the balancer that stops one crawl dominating a
+    * mix. Exact under any skew: salted shard-local top-n, then the
+    * finalists meet in the final per-source window. */
+  def sourceCap(docs: DataFrame, id: Column, source: Column,
+      priority: Column, n: Int): DataFrame =
+    graft.ops.SamplingOps.sourceCapOf(
+      docs.select(id.as("doc_id"), source.as("source"),
+        priority.as("n_chars")), n)
+
   def prepareStats(docs: DataFrame, id: Column, text: Column,
       t: QualityThresholds = QualityThresholds()): DataFrame = {
     val s = docs.sparkSession

@@ -130,4 +130,10 @@ object Text {
     * with fewer than two tokens drop (no bigrams). */
   def bigramLogprob(docs: DataFrame, id: Column, text: Column): DataFrame =
     TextOps.bigramLogprobOf(docs.select(id.as("doc_id"), text.as("text")))
+
+  /** Char-distribution Shannon entropy (nats) -- the gibberish /
+    * base64-blob / single-char-spam band filter. Within-row, no
+    * shuffle. */
+  def charEntropy(docs: DataFrame, id: Column, text: Column): DataFrame =
+    TextOps.charEntropyOf(docs.select(id.as("doc_id"), text.as("text")))
 }
