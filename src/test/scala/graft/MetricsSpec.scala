@@ -71,6 +71,17 @@ class MetricsSpec extends AnyFunSuite {
       s"j2 shuffled $b bytes -- broadcast or partial agg lost?")
   }
 
+  test("text_entropy exchanges zero bytes: pure within-row fold") {
+    assert(shuffleBytes(q("text_entropy")) === 0L)
+  }
+
+  test("p14_source_cap shuffles only narrow (id, source, len) rows") {
+    val b = shuffleBytes(q("p14_source_cap"))
+    assert(b > 0L, "the per-source windows must exchange their rows")
+    assert(b < 64L * 1024,
+      s"source cap shuffled $b bytes for 500 docs -- is text riding along?")
+  }
+
   test("dedup_exact shuffles narrow keys, never the text column") {
     val b = shuffleBytes(q("dedup_exact"))
     assert(b > 0L, "exact dedup must exchange its content-hash groups")

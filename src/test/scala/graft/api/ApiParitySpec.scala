@@ -162,4 +162,26 @@ class ApiParitySpec extends AnyFunSuite {
       graft.ops.SamplingOps.MixtureBudgetPct)
     assert(rows(api) === rows(graft.ops.SamplingOps.mixtureSample(spark, dir)))
   }
+
+  test("Text.charEntropy matches the table-bound query under renamed columns") {
+    val api = Text.charEntropy(docs, col("my_id"), col("body"))
+    assert(rows(api) === rows(TextOps.charEntropy(spark, dir)))
+  }
+
+  test("Corpus.sourceCap matches the table-bound cap under renamed columns") {
+    val renamed = Tables.documents(spark, dir)
+      .select(col("doc_id").as("url"), col("source").as("origin"),
+        col("n_chars").as("quality"))
+    val api = Corpus.sourceCap(renamed, col("url"), col("origin"),
+      col("quality"), graft.ops.SamplingOps.SourceCapN)
+    assert(rows(api) === rows(graft.ops.SamplingOps.sourceCap(spark, dir)))
+  }
+
+  test("Similarity.knnClassify matches the table-bound query under renamed columns") {
+    val q = emb.filter(col("eid") < SimilarityOps.KnnQueries)
+    val c = emb.filter(col("eid") >= SimilarityOps.KnnQueries)
+    val api = Similarity.knnClassify(c, col("eid"), col("e"), col("label"),
+      q, col("eid"), col("e"), SimilarityOps.KnnK)
+    assert(rows(api) === rows(SimilarityOps.knnClassify(spark, dir)))
+  }
 }
