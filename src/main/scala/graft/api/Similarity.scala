@@ -109,14 +109,8 @@ object Similarity {
       nprobe: Int = SimilarityOps.IvfNProbe, k: Int = 10): DataFrame = {
     val c = corpus.select(cell.as("label"), id.as("vec_id"), asDouble(vec).as("v"))
       .withColumn("nrm", sqrt(SimilarityOps.dot(col("v"), col("v"))))
-    val cent = c.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
-      .agg(round(sum(round(col("x") * 1e6).cast("long")) / (count(lit(1)) * 1e6), 6).as("c"))
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        p => p.getField("c")).as("cv"))
-      .select(col("label").as("cell"), col("cv"),
-        sqrt(SimilarityOps.dot(col("cv"), col("cv"))).as("cn"))
+    val cent = SimilarityOps.labelCentroids(c, col("label"), col("v"))
+      .select(col("label").as("cell"), col("cv"), col("cn"))
     val q = prepared(queries, qid, qvec)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val probes = q.crossJoin(broadcast(cent))
@@ -175,14 +169,8 @@ object Similarity {
       corpus: DataFrame, id: Column, vec: Column, cell: Column): Unit = {
     val c = corpus.select(cell.as("cell"), id.as("vec_id"), asDouble(vec).as("v"))
       .withColumn("nrm", sqrt(SimilarityOps.dot(col("v"), col("v"))))
-    val cent = c.select(col("cell").as("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
-      .agg(round(sum(round(col("x") * 1e6).cast("long")) / (count(lit(1)) * 1e6), 6).as("c"))
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        p => p.getField("c")).as("cv"))
-      .select(col("label").as("cell"), col("cv"),
-        sqrt(SimilarityOps.dot(col("cv"), col("cv"))).as("cn"))
+    val cent = SimilarityOps.labelCentroids(c, col("cell"), col("v"))
+      .select(col("label").as("cell"), col("cv"), col("cn"))
     store.createOrReplace(c, s"${name}_cells", partitionBy = Seq("cell"))
     store.createOrReplace(cent, s"${name}_centroids", partitionBy = Nil)
   }

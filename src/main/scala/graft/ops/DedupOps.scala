@@ -601,6 +601,23 @@ object DedupOps {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint(true)
 
+  /** Free the executor storage of a frame [[materializeOnce]]
+    * returned. `Dataset.unpersist` cannot do this -- a local
+    * checkpoint's blocks live on the RDD, not in the cache manager,
+    * so unpersisting the Dataset is silently a no-op and an iterative
+    * loop accumulates every superseded rank/label table for the
+    * session. Matches ONLY a bare checkpoint scan (a frame with any
+    * further lineage is left alone, so loop code may call this
+    * unconditionally on its loop variable). Callers must have
+    * materialized every downstream consumer first: a local checkpoint
+    * has no lineage to recompute evicted blocks from. */
+  private[graft] def releaseOnce(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Cut loop lineage: [[materializeOnce]] at a loop-proportional
     * partition count. */
   private def loopCheckpoint(df: DataFrame, parts: Int): DataFrame =
@@ -660,14 +677,17 @@ object DedupOps {
           .select(col("ca").as("doc_a"), col("cb").as("doc_b"))
           .distinct(),
         edgeParts)
-      labels.unpersist()
-      edges.unpersist()
+      // updated/contracted are eager checkpoints: the superseded
+      // round's blocks are unreferenced now (releaseOnce, because
+      // Dataset.unpersist cannot free local-checkpoint storage)
+      releaseOnce(labels)
+      releaseOnce(edges)
       labels = updated
       edges = contracted
       nEdges = edges.count()
       iter += 1
     }
-    edges.unpersist()
+    releaseOnce(edges)
     // Edge-emptiness means all classes merged, but docs deep in a
     // representative chain can lag the per-round two-level jump:
     // pointer-jump the (small) label table to its true fixpoint. The
@@ -675,6 +695,9 @@ object DedupOps {
     // costs a limit-1 probe on checkpointed data, not an extra join.
     var stable = false
     var jiter = 0
+    // the loop variable is a lazy projection after round one, so
+    // track the MATERIALIZED label table for release separately
+    var lastLabels = labels
     while (!stable && jiter < 20) {
       val jumped = loopCheckpoint(
         labels.as("x")
@@ -683,7 +706,8 @@ object DedupOps {
             (col("x.cluster_id") =!= col("y.cluster_id")).as("__chg")),
         labelParts)
       stable = jumped.filter(col("__chg")).isEmpty
-      labels.unpersist()
+      releaseOnce(lastLabels)
+      lastLabels = jumped
       labels = jumped.select(col("doc_id"), col("cluster_id"))
       jiter += 1
     }
@@ -956,15 +980,8 @@ object DedupOps {
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = vectors.withColumn("nrm", sqrt(SimilarityOps.dot(col("v"), col("v"))))
-    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
-      .agg(round(sum(round(col("x") * 1e6).cast("long")) /
-        (count(lit(1)) * 1e6), 6).as("c"))
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        p => p.getField("c")).as("cv"))
-      .select(col("label").as("cell"), col("cv"),
-        sqrt(SimilarityOps.dot(col("cv"), col("cv"))).as("cn"))
+    val cent = SimilarityOps.labelCentroids(e, col("label"), col("v"))
+      .select(col("label").as("cell"), col("cv"), col("cn"))
     val scored = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
         round(SimilarityOps.dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)

@@ -51,6 +51,10 @@ object GraphOps {
     var pr = DedupOps.materializeOnce(
       nodes.crossJoin(broadcast(nn))
         .select(col("id"), expr(s"${Scale}L div n").as("rank")))
+    // the last MATERIALIZED rank table -- the frame whose checkpoint
+    // blocks the next materialization supersedes (pr itself holds a
+    // lazy plan on odd rounds, where releasing would free nothing)
+    var lastMat = pr
     for (i <- 1 to iters) {
       // joins resolve through DATASET aliases (p/g/e/c/v/i): rounds
       // without a lineage cut carry deg/nodes attribute ids inside
@@ -71,8 +75,11 @@ object GraphOps {
       // inside planner limits, and each skipped materialization saves
       // a full pass over the rank table
       if (i % 2 == 0 || i == iters) {
+        // m is eager: once it exists, the previous checkpoint's
+        // blocks are unreferenced and can be freed
         val m = DedupOps.materializeOnce(next)
-        pr.unpersist()
+        DedupOps.releaseOnce(lastMat)
+        lastMat = m
         pr = m
       } else pr = next
     }

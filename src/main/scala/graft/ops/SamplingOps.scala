@@ -208,7 +208,7 @@ object SamplingOps {
   // ------------------------------------------------- per-source quota cap
 
   val SourceCapN = 50
-  private val CapSalt = 8
+  private[graft] val CapSalt = 8
 
   /** Cap every source at its top-N documents by a deterministic
     * priority (here: longest first, doc_id tie-break) -- the source
@@ -224,8 +224,14 @@ object SamplingOps {
   def sourceCapOf(docs: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pri = Seq(col("n_chars").desc, col("doc_id").asc)
+    // salt on a HASH of the id: pmod on the raw column would be NULL
+    // for every row under a non-numeric id (string URLs through
+    // Corpus.sourceCap), silently collapsing the "salted" window to
+    // one shard per source -- exactly the hot-source skew this
+    // two-stage shape exists to bound
     val local = Window
-      .partitionBy(col("source"), pmod(col("doc_id"), lit(CapSalt)))
+      .partitionBy(col("source"),
+        pmod(xxhash64(col("doc_id").cast("string")), lit(CapSalt)))
       .orderBy(pri: _*)
     val fin = Window.partitionBy(col("source")).orderBy(pri: _*)
     docs.select(col("doc_id"), col("source"), col("n_chars"))

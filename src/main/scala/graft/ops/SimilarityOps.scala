@@ -33,6 +33,26 @@ object SimilarityOps {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Per-label centroids of a vector frame: (label, cv, cn) where cv
+    * is the per-position 1e-6-quantized exact mean (integer sums, so
+    * engine- and partition-count-invariant) and cn its norm. This is
+    * THE coarse quantizer -- annIvf, the persistent IVF index build,
+    * and SemDeDup must score against byte-identical centroids, so
+    * every surface calls this one helper instead of keeping copies in
+    * sync by hand. */
+  private[graft] def labelCentroids(vecs: DataFrame, label: Column,
+      vec: Column): DataFrame =
+    vecs.select(label.as("label"), vec.as("v"))
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(sum(round(col("x") * 1e6).cast("long")) /
+        (count(lit(1)) * 1e6), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        p => p.getField("c")).as("cv"))
+      .select(col("label"), col("cv"),
+        sqrt(dot(col("cv"), col("cv"))).as("cn"))
+
   val TopK = 10
   val NumQueries = 5
 

@@ -37,6 +37,23 @@ object WarehouseSql {
   private val DeleteStmt =
     "(?is)^\\s*DELETE\\s+FROM\\s+(\\S+?)(?:\\s+(?:AS\\s+)?(\\w+))?\\s+WHERE\\s+(.+?)\\s*;?\\s*$".r
 
+  /** The DELETE/UPDATE grammar admits a target-table alias
+    * (`DELETE FROM t AS u WHERE u.x > 1`), but the store evaluates
+    * conditions against the bare table frame where no alias resolves.
+    * The target is the ONLY relation in scope, so the qualifier is
+    * pure naming: strip `alias.` wherever it qualifies an identifier,
+    * leaving single-quoted literals untouched. */
+  private def stripAlias(text: String, alias: String): String =
+    if (alias == null || alias.isEmpty) text
+    else {
+      val p = ("('(?:[^']|'')*')|(?i)\\b" +
+        java.util.regex.Pattern.quote(alias) + "\\.(?=`?\\w)").r
+      p.replaceAllIn(text, m =>
+        if (m.group(1) != null)
+          java.util.regex.Matcher.quoteReplacement(m.group(1))
+        else "")
+    }
+
   /** SQL-text DELETE: `DELETE FROM tbl WHERE <cond>` dispatched to the
     * store's [[WarehouseWrites.deleteWhere]] -- partition-granular
     * copy-on-write on a versioned store, staged full rewrite on a
@@ -44,9 +61,9 @@ object WarehouseSql {
     * table's columns. */
   def delete(store: WarehouseWrites, statement: String,
       partitionBy: Seq[String] = Nil): Unit = statement match {
-    case DeleteStmt(table, _, cond) =>
+    case DeleteStmt(table, alias, cond) =>
       store.deleteWhere(table.split('.').last,
-        org.apache.spark.sql.functions.expr(cond), partitionBy)
+        org.apache.spark.sql.functions.expr(stripAlias(cond, alias)), partitionBy)
     case _ => throw new IllegalArgumentException(
       s"unsupported DELETE statement (expected DELETE FROM tbl WHERE cond): " +
         statement.take(120))
@@ -64,14 +81,15 @@ object WarehouseSql {
     * calls (`round(x, 2)`) work. */
   def update(store: WarehouseWrites, statement: String,
       partitionBy: Seq[String] = Nil): Unit = statement match {
-    case UpdateStmt(table, _, set, cond) =>
-      val assigns = MergeSql.splitAssignments(set).map {
+    case UpdateStmt(table, alias, set, cond) =>
+      val assigns = MergeSql.splitAssignments(stripAlias(set, alias)).map {
         case Assign(c, e) => c -> org.apache.spark.sql.functions.expr(e)
         case a => throw new IllegalArgumentException(
           s"unsupported UPDATE assignment `${a.trim}` (expected col = expr)")
       }.toMap
       store.updateWhere(table.split('.').last,
-        org.apache.spark.sql.functions.expr(cond), assigns, partitionBy)
+        org.apache.spark.sql.functions.expr(stripAlias(cond, alias)), assigns,
+        partitionBy)
     case _ => throw new IllegalArgumentException(
       s"unsupported UPDATE statement (expected UPDATE tbl SET ... WHERE ...): " +
         statement.take(120))

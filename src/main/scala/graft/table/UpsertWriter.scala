@@ -212,9 +212,16 @@ object UpsertWriter {
       (col(s"$targetAlias.__t").isNotNull ||
         (if (insertUnmatched) col(s"$sourceAlias.__s").isNotNull else lit(false)))
     val out = joined.filter(keep).select(cols.map { c =>
-      // base value: target rows keep t.c, pure-insert rows take s.c
-      val base = when(col(s"$targetAlias.__t").isNotNull, col(s"$targetAlias.$c"))
-        .otherwise(col(s"$sourceAlias.$c"))
+      // base value: target rows keep t.c, pure-insert rows take s.c.
+      // Without an INSERT clause every kept row IS a target row (keep
+      // filters source-only rows), so the base must not reference
+      // s.c at all -- a source narrower than the target (SELECT of
+      // just the key + updated columns) is valid in that shape.
+      val base =
+        if (insertUnmatched)
+          when(col(s"$targetAlias.__t").isNotNull, col(s"$targetAlias.$c"))
+            .otherwise(col(s"$sourceAlias.$c"))
+        else col(s"$targetAlias.$c")
       val v = clauses.zip(exclusiveFires).foldLeft(base) {
         case (acc, (MatchedUpdate(_, all, assigns), f)) =>
           val updated =

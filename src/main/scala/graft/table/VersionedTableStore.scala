@@ -408,10 +408,16 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     *    another writer landed changes this manifest silently drops
     *    (below us: the delta/DML lost-update window between head-read
     *    and version allocation; above us: a newer head we would land
-    *    invisibly beneath) -- rejected before AND re-checked after
-    *    create. Two same-parent racers can transiently BOTH retract
-    *    (each sees the other's create); correctness holds and retries
-    *    proceed singly -- the standard optimistic-CC trade;
+    *    invisibly beneath) -- rejected before create. The post-create
+    *    re-check retracts ONLY on below-self conflicts: once our
+    *    commit file is visible, a version above ours either chained
+    *    on it (a legitimate successor whose manifest may share our
+    *    data dirs -- retracting would delete files its head still
+    *    references) or raced from a staler parent, in which case ITS
+    *    re-check sees our lower version and retracts itself. The
+    *    below-self filter also guarantees same-parent racers resolve
+    *    to exactly one winner (the lowest surviving version), never
+    *    zero;
     *  - pre-check: versions at or below the expiry floor are rejected
     *    before create (an expired `c{v}` no longer exists, so create
     *    alone would "succeed" -- invisibly below the current head);
@@ -449,6 +455,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     if (!readText(p).contains(payload))
       throw new ConcurrentWriteException(
         s"$name snapshot ${m.version} was reclaimed by concurrent expiry mid-write")
+    beforeLateCheck(name, m.version)
     def selfDelete(why: String): Nothing = {
       fs.delete(p, false)
       throw new ConcurrentWriteException(why)
@@ -456,7 +463,12 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     if (m.version <= expiryFloor(name))
       selfDelete(
         s"$name snapshot ${m.version} fell below the expiry floor before commit")
+    // Below-self only: a conflict ABOVE our now-visible commit is not
+    // retractable (see the parent-check note above) -- it is either a
+    // successor chained on us or a staler racer that will retract
+    // itself when its own re-check sees us.
     val late = conflictsBeyond(name, observedParent, m.version)
+      .filter(_ < m.version)
     if (late.nonEmpty)
       selfDelete(
         s"$name snapshots ${late.mkString(",")} landed beyond parent " +
@@ -467,6 +479,12 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     * CAS -- lets a spec interleave a competing commit into the race
     * window deterministically. */
   protected def beforeSwap(name: String, v: Long): Unit = ()
+
+  /** Test seam: runs inside [[casManifest]] after the commit file is
+    * created and verified, before the post-create conflict re-check --
+    * the window where a successor can already have chained on this
+    * commit. */
+  protected def beforeLateCheck(name: String, v: Long): Unit = ()
 
   private def freshDataDir(name: String, v: Long): String =
     s"v$v-${UUID.randomUUID().toString.take(8)}"
@@ -644,7 +662,11 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     val m = current(name).getOrElse(
       throw new NoSuchElementException(s"no snapshots for $name"))
     if (m.partitionBy.isEmpty) {
-      // unpartitioned: a rewritten full commit IS the minimal commit
+      // unpartitioned: a rewritten full commit IS the minimal commit --
+      // but only when a row actually fires. A no-match DML must stay a
+      // no-op (the documented contract), not burn a snapshot on a
+      // byte-identical full rewrite. One column-pruned limit-1 probe.
+      if (read(name).filter(fires).isEmpty) return
       commitFull(rewrite(read(name)).localCheckpoint(true), name,
         Nil, statsColumns = m.stats.map(_._2).distinct)
       return

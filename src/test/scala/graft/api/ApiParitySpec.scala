@@ -177,6 +177,34 @@ class ApiParitySpec extends AnyFunSuite {
     assert(rows(api) === rows(graft.ops.SamplingOps.sourceCap(spark, dir)))
   }
 
+  test("Corpus.sourceCap stays exact AND salted under a STRING id column") {
+    import org.apache.spark.sql.expressions.Window
+    val asUrl = Tables.documents(spark, dir).select(
+      concat(lit("https://ex.com/"), col("doc_id")).as("url"),
+      col("source"), col("n_chars"))
+    val n = graft.ops.SamplingOps.SourceCapN
+    val api = Corpus.sourceCap(asUrl, col("url"), col("source"),
+      col("n_chars"), n)
+    // exactness vs the single-window brute force (string-ordered
+    // tie-break, same as the op's id ordering)
+    val brute = asUrl
+      .withColumn("rank_in_source", row_number().over(Window
+        .partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("url").asc)))
+      .filter(col("rank_in_source") <= n)
+      .select(col("url").as("doc_id"), col("source"), col("n_chars"),
+        col("rank_in_source"))
+    assert(rows(api) === rows(brute))
+    // and the salt expression is live for strings: pmod on a raw
+    // string id is NULL (one shard = the skew hazard); the hashed
+    // salt must spread rows over more than one shard
+    val shards = asUrl.select(
+      pmod(xxhash64(col("url").cast("string")),
+        lit(graft.ops.SamplingOps.CapSalt)).as("sh"))
+      .filter(col("sh").isNotNull).distinct().count()
+    assert(shards > 1, "string ids landed in a single salt shard")
+  }
+
   test("Similarity.knnClassify matches the table-bound query under renamed columns") {
     val q = emb.filter(col("eid") < SimilarityOps.KnnQueries)
     val c = emb.filter(col("eid") >= SimilarityOps.KnnQueries)

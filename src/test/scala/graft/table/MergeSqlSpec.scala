@@ -272,4 +272,36 @@ class MergeSqlSpec extends AnyFunSuite {
     assert(bad4.getMessage.contains("not a target column"))
     assert(vs != null)
   }
+
+  test("UPDATE-only MERGE accepts a source NARROWER than the target") {
+    // Iceberg/Delta allow it: with no INSERT clause and no SET *, the
+    // source only needs its join keys and the columns it assigns --
+    // nothing may force schema parity or reference absent s.columns
+    val store = fresh()
+    store.createOrReplace(
+      Seq(("a", 1, "keepA"), ("b", 2, "keepB")).toDF("k", "v", "tag"), "t")
+    Seq(("a", 10), ("c", 30)).toDF("k", "v").createOrReplaceTempView("nsrc")
+    MergeSql.merge(store, """
+      MERGE INTO t t USING nsrc s ON t.k = s.k
+      WHEN MATCHED AND s.v > t.v THEN UPDATE SET t.v = s.v
+    """)
+    assert(sortedRows(store.read("t")) === sortedRows(
+      Seq(("a", 10, "keepA"), ("b", 2, "keepB")).toDF("k", "v", "tag")))
+  }
+
+  test("DELETE/UPDATE statements accept a target alias; literals survive") {
+    import graft.pipeline.WarehouseSql
+    import org.apache.spark.sql.functions.col
+    val store = fresh()
+    store.createOrReplace(
+      Seq((1, 5, "u.y"), (2, 50, "b"), (3, 7, "c")).toDF("k", "x", "s"), "t")
+    WarehouseSql.delete(store, "DELETE FROM t AS u WHERE u.x > 10")
+    assert(store.read("t").select("k").as[Int].collect().sorted.toSeq === Seq(1, 3))
+    WarehouseSql.update(store, "UPDATE t u SET u.x = u.x + 1 WHERE u.k = 1")
+    assert(store.read("t").filter(col("k") === 1)
+      .select("x").as[Int].head() === 6)
+    // a string literal that happens to contain `u.` is not rewritten
+    WarehouseSql.delete(store, "DELETE FROM t AS u WHERE u.s = 'u.y'")
+    assert(store.read("t").select("k").as[Int].collect().sorted.toSeq === Seq(3))
+  }
 }

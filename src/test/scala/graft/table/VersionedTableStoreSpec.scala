@@ -95,6 +95,62 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     assert(vs.currentVersion("t") === 3L)
   }
 
+  test("late re-check never retracts a commit a successor already chained on") {
+    // The hazard: W1 creates c2 (visible head); before W1's post-create
+    // re-check runs, W2 reads head v2 and chains c3 on it (a delta
+    // commit may even share v2's data dirs). If W1 then retracted c2,
+    // the live head v3 would reference deleted files. The re-check
+    // must treat an above-self conflict as a successor, not a race.
+    val root = Files.createTempDirectory("graft-vstore-chain").toString
+    val base = new VersionedTableStore(spark, root)
+    base.commitFull(Seq((1, "a")).toDF("k", "v"), "t") // v1
+    val successor = new VersionedTableStore(spark, root)
+    var chained = false
+    val writer = new VersionedTableStore(spark, root) {
+      override protected def beforeLateCheck(name: String, v: Long): Unit =
+        if (!chained) { chained = true
+          successor.commitFull(Seq((1, "chained")).toDF("k", "v"), name) }
+    }
+    // must NOT throw: the successor chained on our visible commit
+    assert(writer.commitFull(Seq((1, "mine")).toDF("k", "v"), "t") === 2L)
+    assert(base.currentVersion("t") === 3L)
+    assert(rows(base.read("t")) === Seq((1, "chained")))
+    // our commit is durable history, not debris
+    assert(rows(base.readVersion("t", 2)) === Seq((1, "mine")))
+  }
+
+  test("late re-check still retracts when a LOWER version lands in its window") {
+    // The lost-update direction: a writer that observed parent v1 and
+    // allocated v3 (past burned debris at v2) must retract itself if a
+    // real v2 commit materializes between its create and its re-check
+    // -- committing would silently hide v2 beneath the v3 head.
+    val rootDir = Files.createTempDirectory("graft-vstore-lostupd").toString
+    val vs0 = new VersionedTableStore(spark, rootDir)
+    vs0.commitFull(Seq((1, "a")).toDF("k", "v"), "t") // v1
+    val mapping = vs0.versionsMapping("t")
+    val fs = new Path(rootDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var injected = false
+    val vs = new VersionedTableStore(spark, rootDir) {
+      override protected def beforeLateCheck(name: String, v: Long): Unit =
+        if (!injected) { injected = true
+          // a competing v2 manifest lands (same bytes a real writer
+          // would produce: reuses v1's data mapping)
+          val txt = ("graft-manifest-v1\nversion=2\npartitionBy=\n" +
+            "schema=k INT,v STRING\n" +
+            mapping.map { case (rel, d) => s"dir\t$d\t$rel" }.mkString("\n") +
+            "\nend")
+          val out = fs.create(new Path(s"$rootDir/t/_commits/c00000002"), false)
+          out.write(txt.getBytes("UTF-8")); out.close()
+        }
+    }
+    val e = intercept[ConcurrentWriteException] {
+      vs.casManifest("t", vs.Manifest(3, Nil, mapping), observedParent = 1L)
+    }
+    assert(e.getMessage.contains("retracting"))
+    // the injected v2 is the surviving head; v3 was self-deleted
+    assert(vs0.currentVersion("t") === 2L)
+  }
+
   test("end-to-end race: the losing commit throws and cleans up its staged data") {
     // interleave a competitor into the race window via the beforeSwap
     // seam: the loser stages its data, then the winner commits the
@@ -602,6 +658,23 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     ts.createOrReplace(df, "dt")
     ts.deleteWhere("dt", col("x") > 10)
     assert(ts.read("dt").select("k").as[Int].collect().sorted.toSeq === Seq(1, 2, 4))
+  }
+
+  test("no-match DML on an UNPARTITIONED table burns no snapshot") {
+    import org.apache.spark.sql.functions.col
+    val vs = fresh()
+    vs.commitFull(Seq((1, 5), (2, 50)).toDF("k", "x"), "u")
+    val v = vs.currentVersion("u")
+    // the documented no-op contract must hold without partitions too:
+    // a periodic conditional-delete job that never matches must not
+    // burn a snapshot + full rewrite per run
+    vs.deleteWhere("u", col("x") > 1000)
+    vs.updateWhere("u", col("x") > 1000, Map("x" -> (col("x") + 1)))
+    assert(vs.currentVersion("u") === v)
+    // a matching DML still commits exactly one new snapshot
+    vs.deleteWhere("u", col("x") > 10)
+    assert(vs.currentVersion("u") === v + 1)
+    assert(vs.read("u").select("k").as[Int].collect().toSeq === Seq(1))
   }
 
   test("updateWhere: copy-on-write per partition; assignments see the pre-update row") {
