@@ -225,4 +225,19 @@ object Similarity {
       .select(col("query_id"), col("nlabel").as("pred_label"),
         col("votes"), col("score").cast("double").as("score"))
   }
+
+  /** Spherical k-means cell assignment over arbitrary columns -- the
+    * self-contained coarse quantizer: feed its (vec_id, cell) output
+    * straight into [[annIvf]]/[[buildIvfIndex]] as the `cell` column
+    * when no natural label exists. Deterministic (hash init,
+    * quantized means, smallest-cell tie-break); see
+    * [[graft.ops.SimilarityOps.kmeansAssignOf]] for the scale shape
+    * (per round: one broadcast one-row centroid list into a corpus
+    * projection + one map-side-combinable mean -- zero corpus
+    * shuffles). */
+  def kmeans(vectors: DataFrame, id: Column, vec: Column,
+      k: Int = SimilarityOps.KmeansK,
+      iters: Int = SimilarityOps.KmeansIters): DataFrame =
+    SimilarityOps.kmeansAssignOf(
+      vectors.select(id.as("vec_id"), asDouble(vec).as("v")), k, iters)
 }

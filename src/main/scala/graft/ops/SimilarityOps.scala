@@ -283,6 +283,105 @@ object SimilarityOps {
            ORDER BY cosine DESC, match_id ASC) AS INT) AS rank FROM scored)
        SELECT query_id, match_id, cosine, rank FROM ranked WHERE rank <= $TopK"""
 
+  val KmeansK = 8
+  val KmeansIters = 3
+
+  /** Spherical k-means (Lloyd's) over a (vec_id, v: double[]) frame:
+    * `iters` rounds of assign-to-max-cosine-centroid, then per-cell
+    * quantized-mean update. Returns the final (vec_id, cell) -- the
+    * self-contained coarse quantizer for [[annIvf]]/SemDeDup when no
+    * seed label column exists.
+    *
+    * Deterministic across engines AND partition counts (what lets an
+    * iterative clusterer sit under the hash gate): init cells come
+    * from the shared md5 hash of the id (never rand()), means sum
+    * 1e-6-quantized integers ([[labelCentroids]]), cosine is rounded
+    * to 1e-6, and argmax ties keep the smallest cell.
+    *
+    * Scale shape: the k x dim centroid table collapses to ONE row
+    * (collect_list) broadcast into a corpus-sized PROJECTION -- the
+    * per-row argmax is a fold over k constant-size structs, so
+    * assignment costs zero shuffles and no window; the mean update is
+    * one map-side-combinable aggregate. Per round the corpus is
+    * scanned, never reshuffled (Spark ML's KMeans makes the same
+    * trade, driver-collecting its centroids). Cells may go empty
+    * (standard Lloyd's); k caps the cell count. */
+  def kmeansAssignOf(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    val init = DedupOps.materializeOnce(
+      vectors.select(col("vec_id"), col("v"),
+        sqrt(dot(col("v"), col("v"))).as("nrm"),
+        pmod(h15(col("vec_id").cast("string")), lit(k)).cast("long").as("cell")))
+    var assigned = init
+    var lastMat = init
+    for (_ <- 1 to iters) {
+      val m = DedupOps.materializeOnce(kmeansRound(assigned))
+      DedupOps.releaseOnce(lastMat)
+      assigned = m
+      lastMat = m
+    }
+    assigned.select(col("vec_id"), col("cell"))
+  }
+
+  /** One Lloyd round: per-cell centroids of the incoming assignment,
+    * then re-assign every vector to its max-cosine centroid. The
+    * round IS the scale claim, so it is factored out for the plan
+    * spec: the centroid table collapses to ONE broadcast row and the
+    * argmax is a per-row fold -- no window, no corpus shuffle. */
+  private[graft] def kmeansRound(assigned: DataFrame): DataFrame = {
+    // one row holding every live centroid, cell-ascending so the
+    // strict-> fold below keeps the SMALLEST cell on score ties
+    val cents = labelCentroids(assigned, col("cell"), col("v"))
+      .agg(sort_array(collect_list(
+        struct(col("label").as("cell"), col("cv"), col("cn")))).as("cents"))
+    val seed = struct(lit(-2.0).as("score"), lit(-1L).as("cell"))
+    val best = aggregate(col("cents"), seed, (acc, c) => {
+      // coalesce(-2.0) so a NULL score (zero-norm vector) still
+      // resolves to the first cell, matching the oracle's
+      // NULLS-LAST ordering
+      val sc = coalesce(
+        round(dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cn")), 6),
+        lit(-2.0))
+      when(sc > acc.getField("score"),
+        struct(sc.as("score"), c.getField("cell").as("cell"))).otherwise(acc)
+    })
+    assigned.drop("cell").crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        best.getField("cell").as("cell"))
+  }
+
+  /** Table-bound twin over `embeddings`. */
+  def embKmeans(s: SparkSession, dir: String): DataFrame =
+    kmeansAssignOf(
+      Tables.embeddings(s, dir).repartition(32)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v")),
+      KmeansK, KmeansIters)
+
+  /** The same `KmeansIters` rounds unrolled as chained CTEs; DuckDB's
+    * row_number argmax with the same coalesce(-2.0) + cell-asc
+    * tie-break. */
+  val embKmeansSql: String = {
+    def roundSql(prev: String, t: Int): String =
+      s"""c${t}p AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+           round(sum(CAST(round(v[i] * 1e6) AS BIGINT)) / (count(*) * 1e6), 6) AS c
+         FROM $prev, generate_series(1, 64) gs(i) GROUP BY 1, 2),
+       c$t AS (SELECT cell, list(c ORDER BY pos) AS cv FROM c${t}p GROUP BY 1),
+       c${t}n AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c$t),
+       a$t AS (SELECT vec_id, v, nrm, cell FROM (
+           SELECT a.vec_id, a.v, a.nrm, c.cell,
+             row_number() OVER (PARTITION BY a.vec_id ORDER BY
+               coalesce(round(list_dot_product(a.v, c.cv) / (a.nrm * c.cn), 6),
+                 -2.0) DESC, c.cell ASC) AS rn
+           FROM $prev a CROSS JOIN c${t}n c) WHERE rn = 1)"""
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       a0 AS (SELECT vec_id, v, nrm,
+                CAST(${Hashing.h15Sql("CAST(vec_id AS VARCHAR)")} % $KmeansK AS BIGINT) AS cell
+              FROM n),
+       ${(1 to KmeansIters).map(t => roundSql(s"a${t - 1}", t)).mkString(",\n")}
+       SELECT vec_id, cell FROM a$KmeansIters"""
+  }
+
   /** Int8 vector quantization (per-vector absmax scaling) -- the
     * storage-compression step of a large vector index (4x smaller
     * than float32). Flat (vec_id, pos, q) output; scale rounded for

@@ -317,6 +317,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toString.contains("ExistingRDD"))
   }
 
+  test("kmeans assignment is a broadcast projection: no window, no corpus shuffle") {
+    // the scale property: per round the k x dim centroids collapse to
+    // one broadcast row and the argmax is a per-row fold. The round
+    // plan itself is pinned (the op's final frame is a checkpoint
+    // scan -- rounds execute eagerly): NO Window, NO sort, NO
+    // cartesian over the corpus
+    import org.apache.spark.sql.functions.{col, lit, pmod, sqrt, transform}
+    val e = graft.core.Tables.embeddings(spark, dir)
+    val assigned0 = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(graft.functions.ArrayExprs.dot(col("v"), col("v"))))
+      .withColumn("cell", pmod(graft.ops.Hashing.h15(col("vec_id").cast("string")),
+        lit(graft.ops.SimilarityOps.KmeansK)).cast("long"))
+    val p = plan(graft.ops.SimilarityOps.kmeansRound(assigned0))
+    val s = p.toString
+    assert(!s.contains("Window"), "kmeans argmax planned a window")
+    assert(!s.contains("CartesianProduct"), "kmeans planned a cartesian")
+    assert(!collectAll(p).exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      "kmeans planned a sort")
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
+      "centroid row must ride a broadcast")
+  }
+
   test("curriculum binning is a broadcast-bounds projection, not a global sort") {
     // the scale property: decile assignment must NOT plan ntile/Window
     // over one partition or a global Sort of the corpus -- for BOTH

@@ -205,6 +205,11 @@ class ApiParitySpec extends AnyFunSuite {
     assert(shards > 1, "string ids landed in a single salt shard")
   }
 
+  test("Similarity.kmeans matches the table-bound query under renamed columns") {
+    val api = Similarity.kmeans(emb, col("eid"), col("e"))
+    assert(rows(api) === rows(SimilarityOps.embKmeans(spark, dir)))
+  }
+
   test("Similarity.knnClassify matches the table-bound query under renamed columns") {
     val q = emb.filter(col("eid") < SimilarityOps.KnnQueries)
     val c = emb.filter(col("eid") >= SimilarityOps.KnnQueries)

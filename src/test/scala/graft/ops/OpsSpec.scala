@@ -295,6 +295,31 @@ class OpsSpec extends AnyFunSuite {
     assert(straddlers > 0 && straddlers < rows.length)
   }
 
+  test("kmeans: one cell per vector, k-bounded, partition-count invariant") {
+    val e = graft.core.Tables.embeddings(spark, dir)
+    val n = e.count()
+    val out = SimilarityOps.embKmeans(spark, dir)
+    assert(out.count() === n, "every vector assigned exactly once")
+    assert(out.filter(col("cell") < 0 ||
+      col("cell") >= SimilarityOps.KmeansK).count() === 0)
+    // the hash-gate property: identical assignment under a different
+    // physical partitioning (quantized integer means + deterministic
+    // argmax -- no float-sum ordering leak)
+    val vecs7 = e.repartition(7).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val alt = SimilarityOps.kmeansAssignOf(vecs7,
+      SimilarityOps.KmeansK, SimilarityOps.KmeansIters)
+    assert(alt.collect().map(_.toString).sorted.toSeq ===
+      out.collect().map(_.toString).sorted.toSeq)
+    // the clustering moved someone: final assignment differs from the
+    // hash init (otherwise the loop is decorative)
+    val init = e.select(col("vec_id"),
+      pmod(graft.ops.Hashing.h15(col("vec_id").cast("string")),
+        lit(SimilarityOps.KmeansK)).cast("long").as("cell"))
+    assert(out.join(init, "vec_id")
+      .filter(out("cell") =!= init("cell")).count() > 0)
+  }
+
   test("PQ encode: one code per (vector, subspace), geometry parameterized") {
     val n = graft.core.Tables.embeddings(spark, dir).count()
     val enc = SimilarityOps.embPqEncode(spark, dir)
