@@ -87,28 +87,24 @@ object TextOps {
     * fall far outside it, so a band filter on this column is a
     * standard pretraining quality gate.
     *
-    * Entirely within-row (split -> per-distinct-char counts ->
-    * fold), so it rides the same single WholeStageCodegen scan pass
-    * as [[textStats]] -- no explode, no shuffle, scan-linear at
-    * 100 TB. Per-char log terms are quantized to 1e-6 integers
-    * ([[LogpQuantum]]) and folded in array order, so the per-doc sum
-    * is exact and the cross-engine hash matches; charset size is
-    * bounded (ASCII here, Unicode blocks at worst), so the
-    * distinct-chars inner filter is O(charset * len), not
-    * O(len^2). */
+    * Entirely within-row via the native
+    * [[graft.functions.CharEntropy]] expression (one codepoint pass
+    * into a charset-bounded count table, inside WholeStageCodegen) --
+    * no explode, no shuffle, O(len) per row. The HOF formulation this
+    * replaced (split -> per-distinct-char filter fold) measured
+    * ~2 us/char at every sweep scale, the whole cost of the op.
+    * Per-char log terms are quantized to 1e-6 integers
+    * ([[LogpQuantum]]) and summed as exact integers, so the per-doc
+    * sum is order-invariant and the cross-engine hash matches the
+    * oracle's per-distinct-char formulation term for term. */
   def charEntropyOf(docs: DataFrame): DataFrame = {
-    val chars = split(col("text"), "")
-    val n = size(chars)
-    val counts = transform(array_distinct(chars),
-      d => size(filter(chars, c => c === d)).cast("long"))
-    val sumU = aggregate(counts, lit(0L),
-      (a, cnt) => a +
-        cnt * round(log(n.cast("double") / cnt) * LogpQuantum, 0).cast("long"))
+    val st = graft.functions.CharEntropy.stats(col("text"))
     docs.select(
       col("doc_id"),
-      n.cast("long").as("n_chars"),
-      size(array_distinct(chars)).cast("long").as("n_charset"),
-      round(sumU.cast("double") / (n.cast("double") * LogpQuantum), 4)
+      st.getField("n_chars").as("n_chars"),
+      st.getField("n_charset").as("n_charset"),
+      round(st.getField("sum_u").cast("double") /
+        (st.getField("n_chars").cast("double") * LogpQuantum), 4)
         .as("char_entropy"))
   }
 

@@ -86,6 +86,40 @@ class ArrayExprsSpec extends AnyFunSuite {
     assert(top.head._2 >= 500L) // SpaceSaving overestimates, never under
   }
 
+  test("CharEntropyStats matches the HOF formulation term for term") {
+    // the expression replaced a split -> per-distinct-char filter
+    // fold; values must be IDENTICAL (quantized integer terms, order-
+    // invariant sum), including the empty-string edge where Java
+    // split("") yields one empty token
+    def hof(text: String): (Long, Long, Long) = {
+      val chars = text.split("")
+      val n = chars.length.toLong
+      val byChar = chars.groupBy(identity)
+      val sumU = byChar.values.map { g =>
+        val c = g.length.toLong
+        c * java.math.BigDecimal.valueOf(math.log(n.toDouble / c) * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      }.sum
+      (n, byChar.size.toLong, sumU)
+    }
+    val cases = Seq("", "a", "aaaa", "abab", "the quick brown fox",
+      "aAbB  __12", "zyxzyxzyx!", Seq.fill(500)("abcdefg").mkString(" "))
+    val got = cases.toDF("text")
+      .select(CharEntropy.stats(col("text")).as("s"))
+      .select(col("s.n_chars"), col("s.n_charset"), col("s.sum_u"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === cases.map(hof))
+    // growth path: a wide charset forces the count table to resize
+    val wide = (0 until 300).map(i => ('!' + (i % 90)).toChar)
+      .mkString + "éü中文"
+    val (wn, wk, ws) = hof(wide)
+    val wideGot = Seq(wide).toDF("text")
+      .select(CharEntropy.stats(col("text")).as("s"))
+      .select(col("s.n_chars"), col("s.n_charset"), col("s.sum_u"))
+      .as[(Long, Long, Long)].head()
+    assert(wideGot === ((wn, wk, ws)))
+  }
+
   test("expressions survive codegen inside a join (many rows)") {
     val n = 500
     val df = spark.range(n).select(col("id"),
