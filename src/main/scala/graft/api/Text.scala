@@ -136,4 +136,15 @@ object Text {
     * shuffle. */
   def charEntropy(docs: DataFrame, id: Column, text: Column): DataFrame =
     TextOps.charEntropyOf(docs.select(id.as("doc_id"), text.as("text")))
+
+  /** Multinomial Naive Bayes: fit on `labeled`, score `unlabeled` --
+    * the fastText-quality-filter / learned-lang-id shape, hash-exact
+    * by integer counts + quantized log terms. Returns (doc_id,
+    * pred_label, score). */
+  def nbClassify(labeled: DataFrame, lid: Column, ltext: Column,
+      label: Column, unlabeled: DataFrame, uid: Column,
+      utext: Column): DataFrame =
+    TextOps.nbClassifyOf(
+      labeled.select(lid.as("doc_id"), ltext.as("text"), label.as("label")),
+      unlabeled.select(uid.as("doc_id"), utext.as("text")))
 }

@@ -757,6 +757,128 @@ object TextOps {
        FROM bf JOIN lp USING (bigram)
        GROUP BY 1"""
 
+  /** Multinomial Naive Bayes classifier -- the TRAINABLE rung of the
+    * curation ladder (the fastText-quality-filter / learned-lang-id
+    * shape: fit on a small labeled set, score the whole corpus).
+    * Add-one smoothing, class priors from doc counts, unseen tokens
+    * back off to each class's smoothing floor.
+    *
+    * Deterministic end-to-end, so an ML-ish op sits under the hash
+    * gate: the model is integer token counts, every log term is
+    * 1e-6-quantized ([[LogpQuantum]]) before the per-(doc, class)
+    * integer sum (order-invariant), and the argmax breaks ties on the
+    * smaller label.
+    *
+    * Shape: the model is two map-side-combinable count aggregates
+    * (class-token, class totals) plus 1-row vocab/doc counts, all
+    * BROADCAST (vocab x classes rows -- the same broadcastability
+    * argument as the unigram vocab); scoring joins the (doc, token)
+    * count stream against the broadcast model, reduces at
+    * (doc, class), and takes a doc-sized argmax window. The corpus
+    * never reshuffles wider than its (doc, token) stream. At 100 TB
+    * the model comes precomputed from the labeled set, leaving
+    * scoring a single broadcast-join pass. */
+  def nbClassifyOf(labeled: DataFrame, unlabeled: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tfTrain = labeled
+      .select(col("label"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("label"), col("token")).agg(count(lit(1)).as("cnt"))
+    val classTotals = tfTrain.groupBy(col("label")).agg(sum(col("cnt")).as("tot"))
+    val priors = labeled.groupBy(col("label")).agg(count(lit(1)).as("nc"))
+    val nDocs = labeled.agg(count(lit(1)).cast("double").as("n_docs"))
+    val vocab = tfTrain.select(col("token")).distinct()
+    val vsize = vocab.agg(count(lit(1)).as("v_size"))
+    val classes = classTotals.join(priors, "label")
+      .crossJoin(broadcast(nDocs)).crossJoin(broadcast(vsize))
+      .select(col("label"),
+        round(log(col("nc") / col("n_docs")) * LogpQuantum, 0)
+          .cast("long").as("qprior"),
+        round(log(lit(1.0) / (col("tot") + col("v_size"))) * LogpQuantum, 0)
+          .cast("long").as("qdefault"),
+        (col("tot") + col("v_size")).as("denom"))
+    // DENSE over vocab x classes: an in-vocab token ABSENT from one
+    // class's counts contributes that class's smoothing floor
+    // ln(1/denom), not nothing -- a sparse model silently rewards the
+    // class that never saw the token
+    val model = vocab
+      .crossJoin(broadcast(classes.select(col("label"), col("denom"))))
+      .join(tfTrain, Seq("label", "token"), "left")
+      .select(col("label"), col("token"),
+        round(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") / col("denom"))
+          * LogpQuantum, 0).cast("long").as("qlogp"))
+    val tfTest = unlabeled
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val flagged = tfTest
+      .join(broadcast(vocab.withColumn("in_v", lit(1))), Seq("token"), "left")
+    val matched = flagged.filter(col("in_v").isNotNull)
+      .join(broadcast(model), "token")
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(col("tf") * col("qlogp")).as("m_u"))
+    val unseen = flagged.filter(col("in_v").isNull)
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("u_tf"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_u").desc, col("label").asc)
+    unlabeled.select(col("doc_id"))
+      .crossJoin(broadcast(classes.select(col("label"), col("qprior"), col("qdefault"))))
+      .join(matched, Seq("doc_id", "label"), "left")
+      .join(unseen, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("label"),
+        (col("qprior") + coalesce(col("m_u"), lit(0L)) +
+          coalesce(col("u_tf"), lit(0L)) * col("qdefault")).as("score_u"))
+      .withColumn("rk", row_number().over(byDoc)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("label").as("pred_label"),
+        round(col("score_u").cast("double") / LogpQuantum, 4).as("score"))
+  }
+
+  /** Table-bound twin: train on even doc_ids (class = lang), classify
+    * the odd half -- the established even/odd split convention. */
+  def textNbClassify(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    nbClassifyOf(
+      d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), col("lang").as("label")),
+      d.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text")))
+  }
+
+  val textNbClassifySql: String =
+    s"""WITH tr AS (SELECT doc_id, text, lang AS label FROM documents WHERE doc_id % 2 = 0),
+       te AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+       tf_tr AS (SELECT label, tok AS token, count(*) AS cnt
+                 FROM (SELECT label, unnest($TokensSql) AS tok FROM tr)
+                 GROUP BY 1, 2),
+       tot AS (SELECT label, sum(cnt) AS tot FROM tf_tr GROUP BY 1),
+       pri AS (SELECT label, count(*) AS nc FROM tr GROUP BY 1),
+       nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM tr),
+       voc AS (SELECT DISTINCT token FROM tf_tr),
+       vs AS (SELECT count(*) AS v_size FROM voc),
+       cls AS (SELECT t.label,
+                 CAST(round(ln(p.nc / n.n_docs) * $LogpQuantum) AS BIGINT) AS qprior,
+                 CAST(round(ln(1.0 / (t.tot + v.v_size)) * $LogpQuantum) AS BIGINT) AS qdefault,
+                 t.tot + v.v_size AS denom
+               FROM tot t JOIN pri p USING (label) CROSS JOIN nd n CROSS JOIN vs v),
+       model AS (SELECT c.label, v.token,
+                   CAST(round(ln(CAST(COALESCE(f.cnt, 0) + 1 AS DOUBLE) / c.denom) * $LogpQuantum) AS BIGINT) AS qlogp
+                 FROM voc v CROSS JOIN cls c
+                 LEFT JOIN tf_tr f ON f.label = c.label AND f.token = v.token),
+       tf_te AS (SELECT doc_id, tok AS token, count(*) AS tf
+                 FROM (SELECT doc_id, unnest($TokensSql) AS tok FROM te)
+                 GROUP BY 1, 2),
+       m AS (SELECT t.doc_id, mo.label, CAST(sum(t.tf * mo.qlogp) AS BIGINT) AS m_u
+             FROM tf_te t JOIN model mo USING (token) GROUP BY 1, 2),
+       u AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS u_tf FROM tf_te
+             WHERE token NOT IN (SELECT token FROM voc) GROUP BY 1),
+       sc AS (SELECT d.doc_id, c.label,
+                c.qprior + COALESCE(m.m_u, 0) + COALESCE(u.u_tf, 0) * c.qdefault AS score_u
+              FROM (SELECT doc_id FROM te) d CROSS JOIN cls c
+              LEFT JOIN m ON m.doc_id = d.doc_id AND m.label = c.label
+              LEFT JOIN u ON u.doc_id = d.doc_id)
+       SELECT doc_id, label AS pred_label,
+         round(CAST(score_u AS DOUBLE) / $LogpQuantum, 4) AS score
+       FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY score_u DESC, label ASC) AS rk FROM sc)
+       WHERE rk = 1"""
+
   val unigramLogprobSql: String =
     s"""WITH tf AS (
          SELECT doc_id, tok AS token, count(*) AS tf

@@ -177,6 +177,18 @@ class ApiParitySpec extends AnyFunSuite {
     assert(rows(api) === rows(graft.ops.SamplingOps.sourceCap(spark, dir)))
   }
 
+  test("Text.nbClassify matches the table-bound query under renamed columns") {
+    val d = Tables.documents(spark, dir)
+    val api = Text.nbClassify(
+      d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("u"), col("text").as("b"), col("lang").as("y")),
+      col("u"), col("b"), col("y"),
+      d.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").as("u"), col("text").as("b")),
+      col("u"), col("b"))
+    assert(rows(api) === rows(graft.ops.TextOps.textNbClassify(spark, dir)))
+  }
+
   test("Corpus.sourceCap stays exact AND salted under a STRING id column") {
     import org.apache.spark.sql.expressions.Window
     val asUrl = Tables.documents(spark, dir).select(

@@ -295,6 +295,38 @@ class OpsSpec extends AnyFunSuite {
     assert(straddlers > 0 && straddlers < rows.length)
   }
 
+  test("NB classifier learns a planted separable vocabulary") {
+    // the driver corpus's lang tag is INDEPENDENT of its text (one
+    // shared token distribution -- verified: max per-lang frequency
+    // spread ~1%), so learning is proven on planted data; the oracle
+    // entry proves the arithmetic on the real table
+    val train = Seq(
+      (1L, "good great fine good", "pos"), (2L, "great good nice fine", "pos"),
+      (3L, "bad awful poor bad", "neg"), (4L, "awful bad dire poor", "neg"),
+      (5L, "good fine", "pos"), (6L, "poor dire", "neg"))
+      .toDF("doc_id", "text", "label")
+    val test = Seq(
+      (10L, "good great poor"),  // 2 pos markers outvote 1 neg
+      (11L, "bad awful fine"),   // 2 neg markers outvote 1 pos
+      (12L, "zzz qqq"))          // all-unseen: equal priors+floors tie
+    .toDF("doc_id", "text")
+    val pred = graft.api.Text.nbClassify(train,
+      col("doc_id"), col("text"), col("label"),
+      test, col("doc_id"), col("text"))
+    val m = pred.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(10L) === "pos")
+    assert(m(11L) === "neg")
+    // symmetric classes -> the all-unseen doc ties exactly and takes
+    // the smaller label: the documented deterministic tie-break
+    assert(m(12L) === "neg")
+    // the table-bound twin emits one finite score per held-out doc
+    val tb = TextOps.textNbClassify(spark, dir)
+    val nOdd = graft.core.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 2 === 1).count()
+    assert(tb.count() === nOdd)
+    assert(tb.filter(col("score").isNull || col("score").isNaN).count() === 0)
+  }
+
   test("kmeans: one cell per vector, k-bounded, partition-count invariant") {
     val e = graft.core.Tables.embeddings(spark, dir)
     val n = e.count()
