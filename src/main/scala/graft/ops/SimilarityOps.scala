@@ -357,10 +357,27 @@ object SimilarityOps {
           transform(col("embedding"), x => x.cast("double")).as("v")),
       KmeansK, KmeansIters)
 
-  /** The same `KmeansIters` rounds unrolled as chained CTEs; DuckDB's
-    * row_number argmax with the same coalesce(-2.0) + cell-asc
-    * tie-break. */
-  val embKmeansSql: String = {
+  /** [[annIvf]] with its coarse cells DERIVED by [[kmeansAssignOf]]
+    * instead of the table's label column -- the hash-gated proof of
+    * the composition claim (kmeans output IS a valid `cell` input;
+    * no seed label needed anywhere). Same probe/re-rank machinery. */
+  def annIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).repartition(32)
+    val cells = kmeansAssignOf(
+      e.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v")),
+      KmeansK, KmeansIters)
+    val corpus = e.join(cells, "vec_id")
+    graft.api.Similarity.annIvf(corpus, col("vec_id"), col("embedding"),
+      col("cell"), e.filter(col("vec_id") < NumQueries),
+      col("vec_id"), col("embedding"), IvfNProbe, TopK)
+  }
+
+  /** The `KmeansIters` rounds unrolled as chained CTEs (shared by the
+    * emb_kmeans oracle and the kmeans->IVF composition oracle);
+    * DuckDB's row_number argmax with the same coalesce(-2.0) +
+    * cell-asc tie-break. */
+  private def kmeansCtes: String = {
     def roundSql(prev: String, t: Int): String =
       s"""c${t}p AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
            round(sum(CAST(round(v[i] * 1e6) AS BIGINT)) / (count(*) * 1e6), 6) AS c
@@ -378,9 +395,38 @@ object SimilarityOps {
        a0 AS (SELECT vec_id, v, nrm,
                 CAST(${Hashing.h15Sql("CAST(vec_id AS VARCHAR)")} % $KmeansK AS BIGINT) AS cell
               FROM n),
-       ${(1 to KmeansIters).map(t => roundSql(s"a${t - 1}", t)).mkString(",\n")}
-       SELECT vec_id, cell FROM a$KmeansIters"""
+       ${(1 to KmeansIters).map(t => roundSql(s"a${t - 1}", t)).mkString(",\n")}"""
   }
+
+  val embKmeansSql: String =
+    s"""$kmeansCtes
+       SELECT vec_id, cell FROM a$KmeansIters"""
+
+  /** Composition oracle: the kmeans chain's final assignment becomes
+    * the IVF label set, then the standard probe/re-rank (identical to
+    * [[annIvfSql]] with `label` = the learned cell). */
+  val annIvfKmeansSql: String =
+    s"""$kmeansCtes,
+       kn AS (SELECT a.cell AS label, a.vec_id, a.v, a.nrm FROM a$KmeansIters a),
+       cp AS (SELECT label, i - 1 AS pos,
+                round(sum(CAST(round(v[i] * 1e6) AS BIGINT)) / (count(*) * 1e6), 6) AS c
+              FROM kn, generate_series(1, 64) gs(i) GROUP BY 1, 2),
+       cent AS (SELECT label AS cell2, array_agg(c ORDER BY pos) AS cv FROM cp GROUP BY 1),
+       cn2 AS (SELECT cell2, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+       q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+             WHERE vec_id < $NumQueries),
+       probes AS (SELECT query_id, qv, qn, cell2,
+           round(list_dot_product(qv, cv) / (qn * cn), 6) AS cscore FROM q, cn2),
+       probed AS (SELECT query_id, qv, qn, cell2 FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cscore DESC, cell2 ASC) AS prank FROM probes)
+         WHERE prank <= $IvfNProbe),
+       scored AS (SELECT p.query_id, c.vec_id AS match_id,
+           round(list_dot_product(p.qv, c.v) / (p.qn * c.nrm), 6) AS cosine
+         FROM probed p JOIN kn c ON p.cell2 = c.label),
+       ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, match_id ASC) AS INT) AS rank FROM scored)
+       SELECT query_id, match_id, cosine, rank FROM ranked WHERE rank <= $TopK"""
 
   /** Int8 vector quantization (per-vector absmax scaling) -- the
     * storage-compression step of a large vector index (4x smaller
