@@ -78,10 +78,12 @@ object CharEntropy {
             }
             j += 1
           }
+          // cp was inserted before the growth check, so the migration
+          // loop has already carried it into the new table -- just
+          // re-locate its slot for the count bump below
           slot = (cp * 0x9E3779B9) >>> (32 - Integer.numberOfTrailingZeros(cap))
-          while (keys(slot) != -1 && keys(slot) != cp)
+          while (keys(slot) != cp)
             slot = (slot + 1) & (cap - 1)
-          if (keys(slot) == -1) { keys(slot) = cp }
         }
       }
       cnts(slot) += 1

@@ -83,6 +83,12 @@ object GraphOps {
         pr = m
       } else pr = next
     }
+    // the returned rank table is materialized: the loop-invariant
+    // edge/degree/node checkpoints (three graph-scale block sets) are
+    // no longer referenced and must not stay resident for the session
+    DedupOps.releaseOnce(edges)
+    DedupOps.releaseOnce(deg)
+    DedupOps.releaseOnce(nodes)
     pr
   }
 

@@ -333,14 +333,20 @@ object SimilarityOps {
     val cents = labelCentroids(assigned, col("cell"), col("v"))
       .agg(sort_array(collect_list(
         struct(col("label").as("cell"), col("cv"), col("cn")))).as("cents"))
-    val seed = struct(lit(-2.0).as("score"), lit(-1L).as("cell"))
+    // seed score strictly BELOW the -2.0 null-coalesce floor: a
+    // zero-norm vector scores -2.0 against every cell, and -2.0 must
+    // BEAT the seed so the fold lands on the first (smallest) cell --
+    // a seed AT -2.0 would tie, keep the sentinel, and emit cell -1
+    val seed = struct(lit(-3.0).as("score"), lit(-1L).as("cell"))
     val best = aggregate(col("cents"), seed, (acc, c) => {
-      // coalesce(-2.0) so a NULL score (zero-norm vector) still
-      // resolves to the first cell, matching the oracle's
-      // NULLS-LAST ordering
-      val sc = coalesce(
-        round(dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cn")), 6),
-        lit(-2.0))
+      // an explicit zero-norm guard, not NULL-coalescing: ANSI mode
+      // (the Spark 4 default) throws DIVIDE_BY_ZERO where legacy mode
+      // yielded NULL, and DuckDB yields NaN/inf -- the CASE floor is
+      // the one formulation all engines agree on, and it resolves a
+      // degenerate vector (or centroid) to the first cell
+      val sc = when(col("nrm") === 0.0 || c.getField("cn") === 0.0, lit(-2.0))
+        .otherwise(
+          round(dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cn")), 6))
       when(sc > acc.getField("score"),
         struct(sc.as("score"), c.getField("cell").as("cell"))).otherwise(acc)
     })
@@ -387,8 +393,9 @@ object SimilarityOps {
        a$t AS (SELECT vec_id, v, nrm, cell FROM (
            SELECT a.vec_id, a.v, a.nrm, c.cell,
              row_number() OVER (PARTITION BY a.vec_id ORDER BY
-               coalesce(round(list_dot_product(a.v, c.cv) / (a.nrm * c.cn), 6),
-                 -2.0) DESC, c.cell ASC) AS rn
+               CASE WHEN a.nrm = 0 OR c.cn = 0 THEN -2.0
+                    ELSE round(list_dot_product(a.v, c.cv) / (a.nrm * c.cn), 6)
+               END DESC, c.cell ASC) AS rn
            FROM $prev a CROSS JOIN c${t}n c) WHERE rn = 1)"""
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),

@@ -788,7 +788,13 @@ object TextOps {
     val nDocs = labeled.agg(count(lit(1)).cast("double").as("n_docs"))
     val vocab = tfTrain.select(col("token")).distinct()
     val vsize = vocab.agg(count(lit(1)).as("v_size"))
-    val classes = classTotals.join(priors, "label")
+    // priors drive the class list (LEFT join): a label whose training
+    // docs yield no tokens must still exist as a prior-only class --
+    // an inner join would silently drop it while its docs inflate
+    // n_docs, skewing every surviving prior
+    val classes = priors
+      .join(classTotals, Seq("label"), "left")
+      .withColumn("tot", coalesce(col("tot"), lit(0L)))
       .crossJoin(broadcast(nDocs)).crossJoin(broadcast(vsize))
       .select(col("label"),
         round(log(col("nc") / col("n_docs")) * LogpQuantum, 0)
@@ -852,11 +858,11 @@ object TextOps {
        nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM tr),
        voc AS (SELECT DISTINCT token FROM tf_tr),
        vs AS (SELECT count(*) AS v_size FROM voc),
-       cls AS (SELECT t.label,
+       cls AS (SELECT p.label,
                  CAST(round(ln(p.nc / n.n_docs) * $LogpQuantum) AS BIGINT) AS qprior,
-                 CAST(round(ln(1.0 / (t.tot + v.v_size)) * $LogpQuantum) AS BIGINT) AS qdefault,
-                 t.tot + v.v_size AS denom
-               FROM tot t JOIN pri p USING (label) CROSS JOIN nd n CROSS JOIN vs v),
+                 CAST(round(ln(1.0 / (COALESCE(t.tot, 0) + v.v_size)) * $LogpQuantum) AS BIGINT) AS qdefault,
+                 COALESCE(t.tot, 0) + v.v_size AS denom
+               FROM pri p LEFT JOIN tot t USING (label) CROSS JOIN nd n CROSS JOIN vs v),
        model AS (SELECT c.label, v.token,
                    CAST(round(ln(CAST(COALESCE(f.cnt, 0) + 1 AS DOUBLE) / c.denom) * $LogpQuantum) AS BIGINT) AS qlogp
                  FROM voc v CROSS JOIN cls c

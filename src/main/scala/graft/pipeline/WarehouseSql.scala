@@ -42,11 +42,13 @@ object WarehouseSql {
     * conditions against the bare table frame where no alias resolves.
     * The target is the ONLY relation in scope, so the qualifier is
     * pure naming: strip `alias.` wherever it qualifies an identifier,
-    * leaving single-quoted literals untouched. */
+    * leaving string literals untouched -- BOTH quote forms, since
+    * Spark's expr() reads double-quoted text as a string literal too
+    * (backslash and doubled-quote escapes covered). */
   private def stripAlias(text: String, alias: String): String =
     if (alias == null || alias.isEmpty) text
     else {
-      val p = ("('(?:[^']|'')*')|(?i)\\b" +
+      val p = ("('(?:\\\\.|''|[^'\\\\])*'|\"(?:\\\\.|\"\"|[^\"\\\\])*\")|(?i)\\b" +
         java.util.regex.Pattern.quote(alias) + "\\.(?=`?\\w)").r
       p.replaceAllIn(text, m =>
         if (m.group(1) != null)

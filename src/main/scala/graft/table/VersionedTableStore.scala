@@ -443,14 +443,33 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
           "would silently drop them -- re-read and retry")
     val p = commitFile(name, m.version)
     val payload = serialize(m)
-    try {
-      val out = fs.create(p, false)
-      try out.write(payload.getBytes("UTF-8")) finally out.close()
-    } catch {
-      case _: FileAlreadyExistsException |
-           _: org.apache.hadoop.fs.PathExistsException =>
-        throw new ConcurrentWriteException(
-          s"$name snapshot ${m.version} was committed (or burned) by another writer")
+    // Stage the FULL payload under a dot-temp name (invisible to the
+    // [cx]-prefixed listings), then rename into place: a visible
+    // c{v} is therefore always COMPLETE. Without this, a racer's
+    // conflict scan could observe a mid-write commit file, classify
+    // the in-flight version as dead debris, allocate past it, and
+    // commit above it -- and the below-self-only late re-check would
+    // then let BOTH writers report success while the in-flight
+    // version silently fell out of the head lineage. A crash between
+    // stage and rename leaves only a dot-temp (never a truncated
+    // commit file); the exists pre-check + verify-read pair carries
+    // the same winner-election guarantees the old
+    // create-no-overwrite had (local-FS rename can overwrite, which
+    // the verify-read catches exactly as it caught create races).
+    val tmp = new Path(commitsPath(name),
+      f".tmp-c${m.version}%08d-${UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(payload.getBytes("UTF-8")) finally out.close()
+    val won =
+      try !fs.exists(p) && fs.rename(tmp, p)
+      catch {
+        case _: FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.PathExistsException => false
+      }
+    if (!won) {
+      fs.delete(tmp, false)
+      throw new ConcurrentWriteException(
+        s"$name snapshot ${m.version} was committed (or burned) by another writer")
     }
     if (!readText(p).contains(payload))
       throw new ConcurrentWriteException(

@@ -319,6 +319,20 @@ class OpsSpec extends AnyFunSuite {
     // symmetric classes -> the all-unseen doc ties exactly and takes
     // the smaller label: the documented deterministic tie-break
     assert(m(12L) === "neg")
+    // a class whose training docs yield no tokens (NULL text) must
+    // survive as a prior-only class, not silently vanish from the
+    // model: its smoothing floor ln(1/(0+V)) beats the token-heavy
+    // classes' ln(1/(10+V)) on an all-unseen doc by more than its
+    // prior deficit, so it must WIN doc 12
+    val train2 = train.union(Seq(
+      (7L, null.asInstanceOf[String], "mute"),
+      (8L, null.asInstanceOf[String], "mute")).toDF("doc_id", "text", "label"))
+    val pred2 = graft.api.Text.nbClassify(train2,
+      col("doc_id"), col("text"), col("label"),
+      test, col("doc_id"), col("text"))
+    val m2 = pred2.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m2(10L) === "pos" && m2(11L) === "neg")
+    assert(m2(12L) === "mute", "tokenless class dropped from the model")
     // the table-bound twin emits one finite score per held-out doc
     val tb = TextOps.textNbClassify(spark, dir)
     val nOdd = graft.core.Tables.documents(spark, dir)
@@ -350,6 +364,18 @@ class OpsSpec extends AnyFunSuite {
         lit(SimilarityOps.KmeansK)).cast("long").as("cell"))
     assert(out.join(init, "vec_id")
       .filter(out("cell") =!= init("cell")).count() > 0)
+    // a zero-norm vector (NULL cosine against every centroid) must
+    // land in a REAL cell (the smallest), matching the oracle's
+    // coalesced NULLS-LAST argmax -- not the fold's -1 sentinel
+    val planted = Seq(
+      (100L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (101L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (102L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (103L, Seq(0.9, 0.1, 0.0, 0.0))).toDF("vec_id", "v")
+    val pz = SimilarityOps.kmeansAssignOf(planted, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pz.values.forall(c => c >= 0 && c < 2),
+      s"zero-norm vector escaped the cell range: $pz")
   }
 
   test("PQ encode: one code per (vector, subspace), geometry parameterized") {

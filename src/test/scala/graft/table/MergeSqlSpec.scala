@@ -301,7 +301,12 @@ class MergeSqlSpec extends AnyFunSuite {
     assert(store.read("t").filter(col("k") === 1)
       .select("x").as[Int].head() === 6)
     // a string literal that happens to contain `u.` is not rewritten
-    WarehouseSql.delete(store, "DELETE FROM t AS u WHERE u.s = 'u.y'")
+    // -- in EITHER quote form (Spark expr() reads double-quoted text
+    // as a string literal too)
+    WarehouseSql.delete(store, "DELETE FROM t AS u WHERE u.s = \"u.y\"")
+    assert(store.read("t").select("k").as[Int].collect().sorted.toSeq ===
+      Seq(3), "double-quoted literal was rewritten (matched s = 'y')")
+    WarehouseSql.delete(store, "DELETE FROM t AS u WHERE u.s = 'u.zzz'")
     assert(store.read("t").select("k").as[Int].collect().sorted.toSeq === Seq(3))
   }
 }
