@@ -317,6 +317,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toString.contains("ExistingRDD"))
   }
 
+  test("NB scoring rides broadcast joins: no cartesian over the token stream") {
+    // the model/vocab/class tables must BROADCAST into the
+    // (doc, token) stream; the only shuffle joins allowed are the two
+    // DOC-SPINE left joins (matched scores + unseen mass onto the
+    // doc x class spine -- both sides doc-sized, where a shuffle join
+    // is the correct plan) plus the doc-sized argmax window
+    val p = plan(SparkEntry.queries("text_nb_classify")(spark, dir))
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), "NB planned a cartesian")
+    val smj = "SortMergeJoin".r.findAllIn(s).size
+    assert(smj <= 2,
+      s"NB planned $smj shuffle joins -- a model-sized table stopped broadcasting")
+    val bcast = "Broadcast(Hash|NestedLoop)Join".r.findAllIn(s).size
+    assert(bcast >= 2,
+      s"NB model/vocab/class tables must ride broadcasts (saw $bcast)")
+  }
+
   test("kmeans assignment is a broadcast projection: no window, no corpus shuffle") {
     // the scale property: per round the k x dim centroids collapse to
     // one broadcast row and the argmax is a per-row fold. The round
