@@ -88,9 +88,18 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     * min, max) as strings -- the Iceberg manifest-stats analogue.
     * Conservative by construction: a rel with no stats row for a
     * column is never pruned. */
+  /** `parent` = the head version the writer OBSERVED when staging
+    * (stamped by casManifest from its observedParent argument; -1 in
+    * pre-r7 manifests where it was not recorded). The durable lineage
+    * record: [[snapshots]] checks each live version's parent against
+    * its predecessor, which is what makes the optimistic protocol's
+    * residual triple-race window (a below-head commit surviving a
+    * doubly-raced swap) DETECTABLE after the fact instead of
+    * silent. */
   private[table] case class Manifest(version: Long, partitionBy: Seq[String],
       mapping: Seq[(String, String)], schemaDDL: String = "",
-      stats: Seq[(String, String, String, String)] = Nil)
+      stats: Seq[(String, String, String, String)] = Nil,
+      parent: Long = -1L)
 
   private val Header = "graft-manifest-v1"
   private val End = "end"
@@ -116,6 +125,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       .map { case (rel, c, mn, mx) =>
         s"stat\t${enc(c)}\t${enc(mn)}\t${enc(mx)}\t${enc(rel)}" }
     (Seq(Header, s"version=${m.version}",
+      s"parent=${m.parent}",
       s"partitionBy=${m.partitionBy.mkString(",")}",
       s"schema=${m.schemaDDL}") ++ entries ++ statEntries :+ End)
       .mkString("\n")
@@ -144,7 +154,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         case "" => Nil; case s => s.split(",").toSeq
       }
       Some(Manifest(fields("version").toLong, pby, mapping,
-        fields.getOrElse("schema", ""), stats))
+        fields.getOrElse("schema", ""), stats,
+        fields.getOrElse("parent", "-1").toLong))
     } else None
   }
 
@@ -442,7 +453,9 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
           s"writer read parent $observedParent; committing ${m.version} " +
           "would silently drop them -- re-read and retry")
     val p = commitFile(name, m.version)
-    val payload = serialize(m)
+    // stamp the observed parent into the durable record -- the
+    // lineage audit trail [[snapshots]] checks
+    val payload = serialize(m.copy(parent = observedParent))
     // Stage the FULL payload under a dot-temp name (invisible to the
     // [cx]-prefixed listings), then rename into place: a visible
     // c{v} is therefore always COMPLETE. Without this, a racer's
@@ -923,22 +936,34 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
   }
 
   /** Snapshot audit surface (the Iceberg `table.snapshots` analogue):
-    * one row per LIVE snapshot -- version, partition columns, distinct
-    * data dirs (fan width a scan of that version pays), partition
-    * count, and whether it shares any data dir with its predecessor
-    * (delta commit or rollback alias). Driver-side manifest reads;
+    * one row per LIVE snapshot -- version, the parent version the
+    * writer observed (-1 in pre-r7 manifests), partition columns,
+    * distinct data dirs (fan width a scan of that version pays),
+    * partition count, whether it shares any data dir with its
+    * predecessor (delta commit or rollback alias), and `lineage_ok`:
+    * the recorded parent IS the preceding live version (or the
+    * predecessor was expired / parent unrecorded). A false row is the
+    * after-the-fact signature of the optimistic protocol's residual
+    * race (a commit that landed below a head that never saw it) --
+    * detectable here instead of silent. Driver-side manifest reads;
     * manifests are tiny by construction. */
   def snapshots(name: String): DataFrame = {
     import spark.implicits._
     val ms = versions(name).flatMap(v => manifestAt(name, v))
+    val floor = expiryFloor(name)
     val rows = ms.zip(None +: ms.map(Some(_))).map { case (m, prev) =>
       val dirs = m.mapping.map(_._2).distinct
       val shared = prev.exists(_.mapping.map(_._2).toSet.intersect(dirs.toSet).nonEmpty)
-      (m.version, m.partitionBy.mkString(","), dirs.size.toLong,
-        m.mapping.size.toLong, shared)
+      val lineageOk = m.parent == -1L ||
+        prev.map(_.version == m.parent)
+          // first live snapshot: parent must be pre-history (a fresh
+          // table's 0) or expired below the floor
+          .getOrElse(m.parent == 0L || m.parent <= floor)
+      (m.version, m.parent, m.partitionBy.mkString(","), dirs.size.toLong,
+        m.mapping.size.toLong, shared, lineageOk)
     }
-    rows.toDF("version", "partition_by", "n_data_dirs", "n_partitions",
-      "shares_parent_files")
+    rows.toDF("version", "parent_version", "partition_by", "n_data_dirs",
+      "n_partitions", "shares_parent_files", "lineage_ok")
   }
 
   /** Changelog between two snapshots (the Iceberg CDC / changelog-scan

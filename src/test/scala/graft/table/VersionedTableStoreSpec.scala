@@ -563,13 +563,40 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     vs.commitPartitions(Seq((3, "c", "d3")).toDF("k", "v", "day"), "pt", Seq("day"))
     vs.rollbackTo("pt", 1)
     val snaps = vs.snapshots("pt")
-      .as[(Long, String, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+      .as[(Long, Long, String, Long, Long, Boolean, Boolean)]
+      .collect().toSeq.sortBy(_._1)
     assert(snaps.map(_._1) === Seq(1L, 2L, 3L))
     // v1: one dir, two partitions; v2 delta: two dirs (shares v1's);
-    // v3 rollback: v1's mapping verbatim (shares v2's d1/d2 dirs)
-    assert(snaps(0) === ((1L, "day", 1L, 2L, false)))
-    assert(snaps(1) === ((2L, "day", 2L, 3L, true)))
-    assert(snaps(2) === ((3L, "day", 1L, 2L, true)))
+    // v3 rollback: v1's mapping verbatim (shares v2's d1/d2 dirs).
+    // Each commit's recorded parent is the version it observed, and
+    // the lineage audit holds on a clean chain.
+    assert(snaps(0) === ((1L, 0L, "day", 1L, 2L, false, true)))
+    assert(snaps(1) === ((2L, 1L, "day", 2L, 3L, true, true)))
+    assert(snaps(2) === ((3L, 2L, "day", 1L, 2L, true, true)))
+  }
+
+  test("lineage audit flags a commit whose observed parent skipped the live head") {
+    // simulate the residual-race signature by planting a manifest
+    // whose recorded parent is NOT its live predecessor: parent=1
+    // at version 3 while v2 is live -> lineage_ok=false on v3
+    val rootDir2 = Files.createTempDirectory("graft-vstore-lineage").toString
+    val vs = new VersionedTableStore(spark, rootDir2)
+    vs.commitFull(Seq((1, "a")).toDF("k", "v"), "t") // v1 (parent 0)
+    vs.commitFull(Seq((1, "b")).toDF("k", "v"), "t") // v2 (parent 1)
+    val mapping = vs.versionsMapping("t")
+    val fs = new Path(rootDir2).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val txt = ("graft-manifest-v1\nversion=3\nparent=1\npartitionBy=\n" +
+      "schema=k INT,v STRING\n" +
+      mapping.map { case (rel, d) => s"dir\t$d\t$rel" }.mkString("\n") +
+      "\nend")
+    val out = fs.create(new Path(s"$rootDir2/t/_commits/c00000003"), false)
+    out.write(txt.getBytes("UTF-8")); out.close()
+    val flags = vs.snapshots("t")
+      .select("version", "lineage_ok")
+      .as[(Long, Boolean)].collect().toMap
+    assert(flags(1L) && flags(2L))
+    assert(!flags(3L), "a below-head parent must be flagged")
   }
 
   test("compact collapses a delta chain into one data dir, same contents") {
