@@ -344,9 +344,14 @@ object SimilarityOps {
       // yielded NULL, and DuckDB yields NaN/inf -- the CASE floor is
       // the one formulation all engines agree on, and it resolves a
       // degenerate vector (or centroid) to the first cell
-      val sc = when(col("nrm") === 0.0 || c.getField("cn") === 0.0, lit(-2.0))
-        .otherwise(
-          round(dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cn")), 6))
+      // outer coalesce: a NULL input vector (NULL nrm -> NULL CASE ->
+      // NULL score) must also land on the floor, not leave the fold
+      // stuck on the seed's -1 sentinel
+      val sc = coalesce(
+        when(col("nrm") === 0.0 || c.getField("cn") === 0.0, lit(-2.0))
+          .otherwise(
+            round(dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cn")), 6)),
+        lit(-2.0))
       when(sc > acc.getField("score"),
         struct(sc.as("score"), c.getField("cell").as("cell"))).otherwise(acc)
     })

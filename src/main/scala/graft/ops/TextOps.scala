@@ -799,8 +799,12 @@ object TextOps {
       .select(col("label"),
         round(log(col("nc") / col("n_docs")) * LogpQuantum, 0)
           .cast("long").as("qprior"),
-        round(log(lit(1.0) / (col("tot") + col("v_size"))) * LogpQuantum, 0)
-          .cast("long").as("qdefault"),
+        // empty-vocab corpus (all training text NULL/tokenless):
+        // denom would be 0 and ln(1/0) throws under ANSI -- degrade
+        // to qdefault 0 so NB degenerates to priors-only, honestly
+        when(col("tot") + col("v_size") === 0, lit(0L))
+          .otherwise(round(log(lit(1.0) / (col("tot") + col("v_size"))) * LogpQuantum, 0)
+            .cast("long")).as("qdefault"),
         (col("tot") + col("v_size")).as("denom"))
     // DENSE over vocab x classes: an in-vocab token ABSENT from one
     // class's counts contributes that class's smoothing floor
@@ -860,7 +864,9 @@ object TextOps {
        vs AS (SELECT count(*) AS v_size FROM voc),
        cls AS (SELECT p.label,
                  CAST(round(ln(p.nc / n.n_docs) * $LogpQuantum) AS BIGINT) AS qprior,
-                 CAST(round(ln(1.0 / (COALESCE(t.tot, 0) + v.v_size)) * $LogpQuantum) AS BIGINT) AS qdefault,
+                 CASE WHEN COALESCE(t.tot, 0) + v.v_size = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(round(ln(1.0 / (COALESCE(t.tot, 0) + v.v_size)) * $LogpQuantum) AS BIGINT)
+                 END AS qdefault,
                  COALESCE(t.tot, 0) + v.v_size AS denom
                FROM pri p LEFT JOIN tot t USING (label) CROSS JOIN nd n CROSS JOIN vs v),
        model AS (SELECT c.label, v.token,

@@ -28,21 +28,29 @@ class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
   *     are NEVER reused, see below);
   *  2. write new data files to a fresh uuid-suffixed dir under
   *     `_data/` -- concurrent writers never collide on data paths;
-  *  3. compare-and-swap the pointer: atomically create commit file
-  *     `c{v}` (create-no-overwrite -- a conditional put on object
-  *     stores, O_EXCL on HDFS/posix). Exactly one writer wins; the
+  *  3. compare-and-swap the pointer: stage the COMPLETE manifest
+  *     under an invisible `.tmp-c{v}-*` name, then publish it as
+  *     `c{v}` with an atomic no-overwrite primitive (hard link on
+  *     local FS -- POSIX link(2) fails EEXIST atomically; rename on
+  *     HDFS-like stores, where it is atomic and refuses an existing
+  *     destination; an object store would need a conditional put /
+  *     LogStore coordinator here). Exactly one writer wins; the
   *     loser gets [[ConcurrentWriteException]] and its orphaned data
-  *     dir is removed.
+  *     dir is removed. Because the payload is staged before publish,
+  *     a VISIBLE `c{v}` is always complete -- no reader can
+  *     misclassify an in-flight commit as dead debris.
   * A crash between (2) and (3) leaves an unreferenced data dir and
-  * the OLD pointer intact; a crash mid-(3) leaves a truncated
-  * manifest, which readers skip (manifests must end with their
-  * `end` marker line to be live).
+  * the OLD pointer intact; a crash mid-(3) leaves only an invisible
+  * dot-temp (reclaimed by expiry once its version falls below the
+  * floor). Truncated `c{v}` files can therefore only be legacy or
+  * foreign debris; readers still skip them (manifests must end with
+  * their `end` marker line to be live).
   *
-  * Version numbers are burned, never reused: a truncated `c{v}` is a
-  * dead writer's debris -- it stays in place (no writer ever deletes
-  * or moves a commit-path file another writer might own, which would
-  * reopen a delete/recreate race) and the allocator simply skips past
-  * it. Expiry reclaims debris once it falls below the floor.
+  * Version numbers are burned, never reused: a dead writer's debris
+  * stays in place (no writer ever deletes or moves a commit-path
+  * file another writer might own, which would reopen a
+  * delete/recreate race) and the allocator simply skips past it.
+  * Expiry reclaims debris once it falls below the floor.
   *
   * Expiry is floor-monotonic: [[expireSnapshots]] RENAMES expired
   * commit files to tombstones (`x{v}`, atomic) rather than deleting
@@ -457,33 +465,46 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     // lineage audit trail [[snapshots]] checks
     val payload = serialize(m.copy(parent = observedParent))
     // Stage the FULL payload under a dot-temp name (invisible to the
-    // [cx]-prefixed listings), then rename into place: a visible
+    // [cx]-prefixed listings), then publish atomically: a visible
     // c{v} is therefore always COMPLETE. Without this, a racer's
     // conflict scan could observe a mid-write commit file, classify
     // the in-flight version as dead debris, allocate past it, and
     // commit above it -- and the below-self-only late re-check would
     // then let BOTH writers report success while the in-flight
     // version silently fell out of the head lineage. A crash between
-    // stage and rename leaves only a dot-temp (never a truncated
-    // commit file); the exists pre-check + verify-read pair carries
-    // the same winner-election guarantees the old
-    // create-no-overwrite had (local-FS rename can overwrite, which
-    // the verify-read catches exactly as it caught create races).
+    // stage and publish leaves only a dot-temp (never a truncated
+    // commit file), reclaimed by expiry once below the floor.
     val tmp = new Path(commitsPath(name),
       f".tmp-c${m.version}%08d-${UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, false)
     try out.write(payload.getBytes("UTF-8")) finally out.close()
+    // Publish atomically with no-overwrite winner election:
+    //  - local FS: hard-link into place -- POSIX link(2) fails
+    //    EEXIST atomically (plain rename would OVERWRITE an existing
+    //    destination, letting two same-version racers both succeed);
+    //  - HDFS-like: rename, which is atomic and returns false on an
+    //    existing destination (the conditional-put primitive).
+    // Object stores without a conditional put would need a LogStore-
+    // style coordinator here, exactly as Delta documents. The
+    // verify-read below stays as the backstop for any FS whose
+    // primitive is weaker than advertised.
     val won =
-      try !fs.exists(p) && fs.rename(tmp, p)
-      catch {
-        case _: FileAlreadyExistsException |
-             _: org.apache.hadoop.fs.PathExistsException => false
+      if (fs.getScheme == "file") {
+        val src = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri)
+        val dst = java.nio.file.Paths.get(fs.makeQualified(p).toUri)
+        try { java.nio.file.Files.createLink(dst, src); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        try !fs.exists(p) && fs.rename(tmp, p)
+        catch {
+          case _: FileAlreadyExistsException |
+               _: org.apache.hadoop.fs.PathExistsException => false
+        }
       }
-    if (!won) {
-      fs.delete(tmp, false)
+    fs.delete(tmp, false)
+    if (!won)
       throw new ConcurrentWriteException(
         s"$name snapshot ${m.version} was committed (or burned) by another writer")
-    }
     if (!readText(p).contains(payload))
       throw new ConcurrentWriteException(
         s"$name snapshot ${m.version} was reclaimed by concurrent expiry mid-write")
@@ -933,6 +954,13 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     }
     val floor = expiryFloor(name)
     debris.filter(p => fileVersion(p) <= floor).foreach(fs.delete(_, false))
+    // orphaned staging files (writer died between stage and publish):
+    // the embedded version tells us when one is provably dead -- a
+    // live writer's dot-temp is always at a version ABOVE the floor
+    fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName.matches("\\.tmp-c\\d{8}-.*") &&
+        p.getName.drop(6).takeWhile(_.isDigit).toLong <= floor)
+      .foreach(fs.delete(_, false))
   }
 
   /** Snapshot audit surface (the Iceberg `table.snapshots` analogue):
@@ -950,15 +978,20 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
   def snapshots(name: String): DataFrame = {
     import spark.implicits._
     val ms = versions(name).flatMap(v => manifestAt(name, v))
+    // floor read AFTER the manifest reads: an expiry racing this scan
+    // can remove versions mid-listing, and any parent at or below the
+    // post-scan floor is an expired predecessor, not a lineage break
+    // (conservative: a real race whose parent also expired is missed,
+    // never a clean chain falsely flagged)
     val floor = expiryFloor(name)
     val rows = ms.zip(None +: ms.map(Some(_))).map { case (m, prev) =>
       val dirs = m.mapping.map(_._2).distinct
       val shared = prev.exists(_.mapping.map(_._2).toSet.intersect(dirs.toSet).nonEmpty)
-      val lineageOk = m.parent == -1L ||
+      val lineageOk = m.parent == -1L || m.parent <= floor ||
         prev.map(_.version == m.parent)
           // first live snapshot: parent must be pre-history (a fresh
           // table's 0) or expired below the floor
-          .getOrElse(m.parent == 0L || m.parent <= floor)
+          .getOrElse(m.parent == 0L)
       (m.version, m.parent, m.partitionBy.mkString(","), dirs.size.toLong,
         m.mapping.size.toLong, shared, lineageOk)
     }

@@ -294,19 +294,25 @@ class MergeSqlSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     val store = fresh()
     store.createOrReplace(
-      Seq((1, 5, "u.y"), (2, 50, "b"), (3, 7, "c")).toDF("k", "x", "s"), "t")
+      Seq((1, 5, "u.y"), (2, 50, "b"), (3, 7, "c"), (4, 8, "u.z"))
+        .toDF("k", "x", "s"), "t")
     WarehouseSql.delete(store, "DELETE FROM t AS u WHERE u.x > 10")
-    assert(store.read("t").select("k").as[Int].collect().sorted.toSeq === Seq(1, 3))
+    assert(store.read("t").select("k").as[Int].collect().sorted.toSeq ===
+      Seq(1, 3, 4))
     WarehouseSql.update(store, "UPDATE t u SET u.x = u.x + 1 WHERE u.k = 1")
     assert(store.read("t").filter(col("k") === 1)
       .select("x").as[Int].head() === 6)
     // a string literal that happens to contain `u.` is not rewritten
     // -- in EITHER quote form (Spark expr() reads double-quoted text
-    // as a string literal too)
-    WarehouseSql.delete(store, "DELETE FROM t AS u WHERE u.s = \"u.y\"")
+    // as a string literal too). Each probe targets a row that ONLY
+    // matches when the literal survives intact: a stripper regression
+    // (matching s = 'y' / 'z' instead) would leave the row alive and
+    // fail the assertion.
+    WarehouseSql.delete(store, "DELETE FROM t AS u WHERE u.s = 'u.y'")
     assert(store.read("t").select("k").as[Int].collect().sorted.toSeq ===
-      Seq(3), "double-quoted literal was rewritten (matched s = 'y')")
-    WarehouseSql.delete(store, "DELETE FROM t AS u WHERE u.s = 'u.zzz'")
-    assert(store.read("t").select("k").as[Int].collect().sorted.toSeq === Seq(3))
+      Seq(3, 4), "single-quoted literal was rewritten")
+    WarehouseSql.delete(store, "DELETE FROM t AS u WHERE u.s = \"u.z\"")
+    assert(store.read("t").select("k").as[Int].collect().sorted.toSeq ===
+      Seq(3), "double-quoted literal was rewritten")
   }
 }
