@@ -190,6 +190,15 @@ object Corpus {
       docs.select(id.as("doc_id"), source.as("source"),
         priority.as("n_chars")), n)
 
+  /** Exact uniform k-sample per group (hash-ranked: deterministic,
+    * re-run- and partition-stable -- the reservoir-sample twin
+    * without rand()). Skew-proof two-stage windows like
+    * [[sourceCap]]. */
+  def groupSample(docs: DataFrame, id: Column, group: Column,
+      n: Int): DataFrame =
+    graft.ops.SamplingOps.groupSampleOf(
+      docs.select(id.as("doc_id"), group.as("grp")), n)
+
   def prepareStats(docs: DataFrame, id: Column, text: Column,
       t: QualityThresholds = QualityThresholds()): DataFrame = {
     val s = docs.sparkSession

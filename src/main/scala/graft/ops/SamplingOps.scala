@@ -244,6 +244,47 @@ object SamplingOps {
   def sourceCap(s: SparkSession, dir: String): DataFrame =
     sourceCapOf(Tables.documents(s, dir), SourceCapN)
 
+  val GroupSampleN = 40
+
+  /** Exact uniform k-sample per group, deterministically: rank each
+    * group's rows by the salted content-hash of the id (a uniform,
+    * re-run- and partition-stable permutation -- the reservoir-sample
+    * twin without rand()) and keep the first n. Same skew-proof
+    * two-stage shape as [[sourceCapOf]]: salted shard-local top-n
+    * windows bound per-task sort state under any group skew, then the
+    * G x n finalists meet in the exact final window. */
+  def groupSampleOf(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = docs.select(col("doc_id"), col("grp"),
+      h15(concat(lit("gs:"), col("doc_id").cast("string"))).as("hrank"))
+    val pri = Seq(col("hrank").asc, col("doc_id").asc)
+    val local = Window
+      .partitionBy(col("grp"),
+        pmod(xxhash64(col("doc_id").cast("string")), lit(CapSalt)))
+      .orderBy(pri: _*)
+    val fin = Window.partitionBy(col("grp")).orderBy(pri: _*)
+    ranked
+      .withColumn("__lr", row_number().over(local)).filter(col("__lr") <= n)
+      .withColumn("rank_in_group", row_number().over(fin))
+      .filter(col("rank_in_group") <= n)
+      .drop("__lr", "hrank")
+  }
+
+  /** Table-bound twin: a uniform 40-doc sample per language. */
+  def groupSample(s: SparkSession, dir: String): DataFrame =
+    groupSampleOf(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang").as("grp")),
+      GroupSampleN)
+
+  val groupSampleSql: String =
+    s"""SELECT doc_id, grp, CAST(rank_in_group AS INT) AS rank_in_group
+       FROM (SELECT doc_id, lang AS grp,
+                    row_number() OVER (PARTITION BY lang
+                      ORDER BY ${Hashing.h15Sql("concat('gs:', CAST(doc_id AS VARCHAR))")} ASC,
+                               doc_id ASC) AS rank_in_group
+             FROM documents)
+       WHERE rank_in_group <= $GroupSampleN"""
+
   val sourceCapSql: String =
     s"""SELECT doc_id, source, n_chars,
               CAST(rank_in_source AS INT) AS rank_in_source

@@ -189,6 +189,14 @@ class ApiParitySpec extends AnyFunSuite {
     assert(rows(api) === rows(graft.ops.TextOps.textNbClassify(spark, dir)))
   }
 
+  test("Corpus.groupSample matches the table-bound query under renamed columns") {
+    val renamed = Tables.documents(spark, dir)
+      .select(col("doc_id").as("u"), col("lang").as("g"))
+    val api = Corpus.groupSample(renamed, col("u"), col("g"),
+      graft.ops.SamplingOps.GroupSampleN)
+    assert(rows(api) === rows(graft.ops.SamplingOps.groupSample(spark, dir)))
+  }
+
   test("Corpus.sourceCap stays exact AND salted under a STRING id column") {
     import org.apache.spark.sql.expressions.Window
     val asUrl = Tables.documents(spark, dir).select(

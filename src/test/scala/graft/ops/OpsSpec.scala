@@ -295,6 +295,36 @@ class OpsSpec extends AnyFunSuite {
     assert(straddlers > 0 && straddlers < rows.length)
   }
 
+  test("group sample: exact per-group counts, hash-uniform, skew-proof parity") {
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("grp"))
+    val n = graft.ops.SamplingOps.GroupSampleN
+    val out = graft.ops.SamplingOps.groupSample(spark, dir)
+    // per-group counts are exactly min(n, group size)
+    val expect = d.groupBy("grp").count()
+      .select(col("grp"), least(col("count"), lit(n.toLong)).as("want"))
+    val got = out.groupBy("grp").count()
+    assert(got.join(expect, "grp").filter(col("count") =!= col("want"))
+      .count() === 0)
+    // the salted two-stage result equals the brute-force single window
+    val brute = d.select(col("doc_id"), col("grp"),
+      graft.ops.Hashing.h15(concat(lit("gs:"), col("doc_id").cast("string")))
+        .as("hrank"))
+      .withColumn("rank_in_group", row_number().over(Window
+        .partitionBy(col("grp"))
+        .orderBy(col("hrank").asc, col("doc_id").asc)))
+      .filter(col("rank_in_group") <= n).drop("hrank")
+    assert(out.collect().map(_.toString).sorted.toSeq ===
+      brute.collect().map(_.toString).sorted.toSeq)
+    // hash-ranked means NOT the first n ids: the sample is a
+    // permutation draw, not a prefix
+    val prefix = d.withColumn("r", row_number().over(Window
+      .partitionBy(col("grp")).orderBy(col("doc_id").asc)))
+      .filter(col("r") <= n)
+    assert(out.join(prefix, Seq("doc_id"), "left_anti").count() > 0)
+  }
+
   test("NB classifier learns a planted separable vocabulary") {
     // the driver corpus's lang tag is INDEPENDENT of its text (one
     // shared token distribution -- verified: max per-lang frequency
