@@ -60,22 +60,21 @@ object Bench {
           None
         }
       }
-      val two = Seq(run(1), run(2)).flatten
-      val noisy = two.size == 2 && two.max > 2.0 * two.min
-      // sub-1.5s queries always get a third sample: box noise is the
-      // same absolute magnitude for every query, so it dominates the
-      // short ones -- a third run there costs little and the reported
-      // value is the min, so reps only improve stability, never total
-      val cheap = two.nonEmpty && two.min < 1.5
-      val three = if (two.size < 2 || noisy || cheap) two ++ run(3) else two
-      // sub-0.5s queries escalate to FIVE samples: round-6 recorded
-      // 4-8x phantom regressions on this cohort under full-suite
-      // contention (byte-identical code; judge-adjudicated as box
-      // noise) -- with min-of-5 two interference spikes still leave a
-      // 3-sample quorum, and the added runs cost <1s each by
-      // definition of the cohort
+      // ALWAYS three samples: the old policy only escalated past two
+      // when min < 1.5 s, so a query inflated ABOVE 1.5 s by suite
+      // contention kept exactly its two noisy samples -- which is how
+      // round 7 recorded 11-29x phantom regressions (o1_topk,
+      // mm_sample_frames, p10) on byte-identical code. Three is the
+      // unconditional floor; the min remains the estimator.
+      val three = Seq(run(1), run(2), run(3)).flatten
+      // escalate to FIVE when the samples disagree >2x (an
+      // interference spike is present -- two more runs rebuild a
+      // quorum) or the query is sub-0.5 s (noise dominates short
+      // queries and the extra runs cost <1 s each by definition)
+      val noisy = three.size >= 2 && three.max > 2.0 * three.min
       val good =
-        if (three.nonEmpty && three.min < 0.5) three ++ Seq(run(4), run(5)).flatten
+        if (three.nonEmpty && (noisy || three.min < 0.5))
+          three ++ Seq(run(4), run(5)).flatten
         else three
       name -> good.minOption
     }

@@ -15,6 +15,19 @@ object Text {
   /** Whitespace tokens of a text column. */
   def tokenize(text: Column): Column = TextOps.tokens(text)
 
+  /** Unicode-normalized tokens: NFKC + lowercase (native codegen'd
+    * pass), single-char CJK segmentation, punctuation-aware
+    * letter/digit-run splitting. */
+  def tokenizeNormalized(text: Column): Column = TextOps.normTokens(text)
+
+  /** Opt-in normalization ADAPTER: pass `normalize(text)` anywhere an
+    * operator takes its text column and that operator runs on
+    * normalized tokens -- `Dedup.minhashPairs(docs, id,
+    * Text.normalize(text))` catches near-dups that differ only in
+    * case, punctuation, or Unicode form, which the raw tokenizer
+    * misses. */
+  def normalize(text: Column): Column = TextOps.normalizeText(text)
+
   /** Token counting + cheap quality signals: token/char counts,
     * lexical diversity, mean token length, stopword ratio, BPE-ish
     * subword count. One narrow projection pass. */

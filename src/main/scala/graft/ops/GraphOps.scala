@@ -25,28 +25,38 @@ object GraphOps {
   val Scale: Long = 1000000000000L
 
   /** Power iteration over a directed edge list (`src`, `dst`).
-    * Callers must dedup edges and ensure every node has at least one
-    * out-edge (an undirected graph fed as both directions satisfies
-    * this; true dangling-node handling would need a mass-reclaim term
-    * whose global sum is a second aggregate per round). Damping 0.85,
-    * teleport share 0.15, both exact integer ops.
+    * Callers must dedup edges. With `reclaimDangling = false` every
+    * node must also have at least one out-edge (an undirected graph
+    * fed as both directions satisfies this); with it TRUE, genuinely
+    * directed graphs are valid input: the node spine covers src AND
+    * dst, and each round reclaims the mass parked on out-edge-less
+    * (dangling) nodes via one extra 1-row broadcast aggregate,
+    * redistributing it uniformly -- the standard dangling-node
+    * treatment, in the same exact integer arithmetic (`(85 * dm) div
+    * (100 * n)` per node). Damping 0.85, teleport share 0.15, both
+    * exact integer ops.
     *
     * Per round: contribution = rank div outdegree (node-sized join),
     * one fact-sized equi-join contribution-to-edges, one map-side
     * combinable sum per destination, one left join back to the node
-    * spine. The node count rides a 1-row broadcast (no driver
-    * action), and lineage is cut per round exactly like the CC loop
-    * -- at 100 TB each round is shuffle-bound on the edge join, which
-    * is the optimal shape (PageRank IS repeated sparse matvec).
+    * spine (+ the node-sized anti-join dangling sum when reclaiming).
+    * The node count rides a 1-row broadcast (no driver action), and
+    * lineage is cut per round exactly like the CC loop -- at 100 TB
+    * each round is shuffle-bound on the edge join, which is the
+    * optimal shape (PageRank IS repeated sparse matvec).
     */
-  def pageRank(edges0: DataFrame, iters: Int): DataFrame = {
+  def pageRank(edges0: DataFrame, iters: Int,
+      reclaimDangling: Boolean = false): DataFrame = {
     val edges = DedupOps.materializeOnce(edges0.select(col("src"), col("dst")))
     // degree table and node spine are loop-invariant: materialize once
     // so each round pays only its own joins, not their re-derivation
     val deg = DedupOps.materializeOnce(
       edges.groupBy("src").agg(count(lit(1)).as("deg")))
     val nodes = DedupOps.materializeOnce(
-      edges.select(col("src").as("id")).distinct())
+      if (reclaimDangling)
+        edges.select(col("src").as("id"))
+          .union(edges.select(col("dst").as("id"))).distinct()
+      else edges.select(col("src").as("id")).distinct())
     val nn = nodes.agg(count(lit(1)).as("n"))
     var pr = DedupOps.materializeOnce(
       nodes.crossJoin(broadcast(nn))
@@ -65,10 +75,22 @@ object GraphOps {
       val incoming = edges.as("e").join(contrib.as("c"), expr("e.src = c.csrc"))
         .groupBy(col("e.dst").as("ddst"))
         .agg(sum(col("c.contrib")).as("inc"))
-      val next = nodes.as("v")
+      val base = nodes.as("v")
         .join(incoming.as("i"), expr("v.id = i.ddst"), "left")
         .crossJoin(broadcast(nn))
-        .selectExpr("v.id AS id",
+      val next =
+        if (reclaimDangling) {
+          // the round's dangling mass: rank parked on nodes with no
+          // out-edge (node-sized anti join, 1-row result, broadcast)
+          val dm = pr.as("p")
+            .join(deg.as("g"), expr("p.id = g.src"), "left_anti")
+            .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
+          base.crossJoin(broadcast(dm))
+            .selectExpr("v.id AS id",
+              s"(${Scale}L * 15) div (100 * n)" +
+                " + (85 * coalesce(i.inc, 0L)) div 100" +
+                " + (85 * dm) div (100 * n) AS rank")
+        } else base.selectExpr("v.id AS id",
           s"(${Scale}L * 15) div (100 * n)" +
             " + (85 * coalesce(i.inc, 0L)) div 100 AS rank")
       // lineage cut every second round: two rounds of joins stay well
@@ -108,6 +130,58 @@ object GraphOps {
       .distinct()
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
     pageRank(edges, iters = 8)
+  }
+
+  /** PageRank over the DIRECTED customer->supplier graph: only the
+    * forward edge per trading pair, so every supplier node is a true
+    * SINK (no out-edges) -- the input shape [[pageRank]]'s
+    * `reclaimDangling` exists for. 6 rounds. Roughly half the total
+    * mass parks on the supplier side each round and must be reclaimed;
+    * without the reclaim term ranks would leak to the teleport floor
+    * and the oracle (which models the reclaim exactly) would diverge
+    * in round 1. */
+  def graphPagerankDangling(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(100000L)).as("dst"))
+      .distinct()
+    pageRank(edges, iters = 6, reclaimDangling = true)
+  }
+
+  /** The dangling twin as chained CTEs: per round a 1-row dangling-
+    * mass CTE (rank parked on out-edge-less nodes) feeds the uniform
+    * reclaim term, mirroring the engine's integer formula exactly. */
+  val graphPagerankDanglingSql: String = {
+    def step(prev: String, cur: String, dmc: String): String =
+      s"""$dmc AS (
+         SELECT CAST(COALESCE(sum(r.rank), 0) AS BIGINT) AS dm
+         FROM $prev r LEFT JOIN deg d ON r.id = d.src
+         WHERE d.src IS NULL),
+       $cur AS (
+         SELECT n.id,
+                CAST(($Scale * 15) // (100 * (SELECT n FROM nn))
+                     + (85 * COALESCE(i.s, 0)) // 100
+                     + (85 * (SELECT dm FROM $dmc))
+                       // (100 * (SELECT n FROM nn)) AS BIGINT) AS rank
+         FROM nodes n LEFT JOIN (
+           SELECT e.dst AS id, sum(r.rank // d.deg) AS s
+           FROM $prev r JOIN deg d ON r.id = d.src
+                        JOIN edges e ON e.src = r.id
+           GROUP BY e.dst) i ON n.id = i.id)"""
+    val steps = (1 to 6).map(i => step(s"r${i - 1}", s"r$i", s"dm$i")).mkString(",\n")
+    s"""WITH edges AS (
+         SELECT DISTINCT o_custkey AS src, l_suppkey + 100000 AS dst
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       nodes AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
+       nn AS (SELECT count(*) AS n FROM nodes),
+       r0 AS (SELECT id, CAST($Scale // (SELECT n FROM nn) AS BIGINT) AS rank
+              FROM nodes),
+       $steps
+       SELECT id, rank FROM r6"""
   }
 
   /** The same 8 rounds as chained CTEs; all integer ops (`//` floors,

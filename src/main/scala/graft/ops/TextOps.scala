@@ -24,6 +24,68 @@ object TextOps {
 
   val TokensSql = "string_split(text, ' ')"
 
+  /** Unicode-NORMALIZED tokenizer, the opt-in twin of [[tokens]] for
+    * non-toy text: NFKC + ROOT lowercase (one codegen'd native pass,
+    * [[graft.functions.NormText]]), CJK ideographs/kana/hangul split
+    * to single-char tokens (the standard no-dictionary CJK
+    * segmentation), then tokens = maximal letter/digit runs
+    * (punctuation-aware split; apostrophes split like other
+    * punctuation). Near-dup fingerprints built on these catch pairs
+    * that differ only in case, punctuation, or encoding form --
+    * which space-split fingerprints miss ([[normTokensSqlOn]]
+    * documents the oracle-side reproduction and its NFKC caveat). */
+  def normTokens(text: Column): Column = {
+    val spaced = regexp_replace(graft.functions.NormText.nfkcLower(text),
+      "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}])", " $1 ")
+    filter(split(spaced, "[^\\p{L}\\p{N}]+"), t => t =!= "")
+  }
+
+  /** DuckDB twin of [[normTokens]] over column expression `c`. Exact
+    * on every input whose NFKC form is itself (all of ASCII and most
+    * NFC text) -- DuckDB has no NFKC function, so compatibility
+    * variants (fullwidth forms, ligatures) normalize on the Spark
+    * side only; the Spark-side semantics are pinned by spec instead
+    * ([[graft.functions]] NormTextSpec). */
+  def normTokensSqlOn(c: String): String =
+    raw"""list_filter(string_split_regex(regexp_replace(lower($c),
+         '([\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}])', ' \1 ', 'g'),
+         '[^\pL\pN]+'), t -> t <> '')""".linesIterator.map(_.trim).mkString(" ")
+
+  val NormTokensSql: String = normTokensSqlOn("text")
+
+  /** Space-joined [[normTokens]] -- the COLUMN-LEVEL normalization
+    * adapter: every token-keyed operator in the library tokenizes on
+    * single spaces, and normalized tokens contain none, so passing
+    * `normalizeText(text)` where an operator takes its text column
+    * runs that operator on normalized tokens with no signature
+    * change (shingles, fingerprints, LM scores, BM25, chunking
+    * alike). A doc whose tokens ALL normalize away (pure
+    * punctuation) becomes the empty string, which downstream
+    * space-split sees as one empty token -- same behavior those
+    * operators already have for empty raw text. */
+  def normalizeText(text: Column): Column = array_join(normTokens(text), " ")
+
+  def normalizeTextSqlOn(c: String): String =
+    s"array_to_string(${normTokensSqlOn(c)}, ' ')"
+
+  /** Normalization preview op: raw vs normalized token counts plus
+    * the normalized text, per document. */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val nt = normTokens(col("text"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens_raw"),
+      size(nt).cast("long").as("n_tokens_norm"),
+      array_join(nt, " ").as("text_norm"))
+  }
+
+  val textNormalizeSql: String =
+    s"""SELECT doc_id,
+       CAST(len($TokensSql) AS BIGINT) AS n_tokens_raw,
+       CAST(len($NormTokensSql) AS BIGINT) AS n_tokens_norm,
+       array_to_string($NormTokensSql, ' ') AS text_norm
+       FROM documents"""
+
   /** Marker stopwords per language for the n-gram/marker-count
     * language heuristic. Real pipelines load larger tables; the
     * mechanism (per-language marker scan + deterministic argmax) is
@@ -578,31 +640,67 @@ object TextOps {
     * sum's rounding would depend on Spark's partition order). */
   val LogpQuantum = 1000000L
 
+  /** Size gate for the derived LM/NB model tables: the model rides a
+    * forced `broadcast(...)` into its scoring join only while the
+    * INPUT corpus' plan-estimated bytes stay under this bound; above
+    * it the join runs shuffled on the token/bigram key (the only
+    * shape that survives a corpus whose bigram vocab is billions of
+    * rows at 100 TB -- vocab size is bounded by input token count, so
+    * input bytes are a free, pre-execution upper-bound proxy; no
+    * gate-only count job). Configurable per session; the 64 MB
+    * default comfortably broadcasts a lexicon-sized model and refuses
+    * anything corpus-proportional. Spark's own auto-broadcast may
+    * still kick in above the gate when ITS size estimate is small --
+    * the gate only removes the unconditional builder-forced hint. */
+  private[graft] def modelBroadcastMaxBytes(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.text.modelBroadcastMaxInputBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+
+  private def fitsBroadcast(input: DataFrame): Boolean =
+    input.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(modelBroadcastMaxBytes(input.sparkSession))
+
+  /** Forced-broadcast under the size gate, plain (shuffled) join side
+    * above it. */
+  private def gated(rel: DataFrame, fits: Boolean): DataFrame =
+    if (fits) broadcast(rel) else rel
+
+  /** Round-robin spread for a SMALL scan feeding a CPU-heavy
+    * tokenize+explode: a sub-split-size parquet file plans one task,
+    * serializing the whole explode on one core. Fires only when the
+    * input plans fewer partitions than the session's parallelism --
+    * at real corpus scale the scan already has thousands of tasks and
+    * NO shuffle is added (the condition is checked on the plan, not
+    * the data). */
+  private def spread(docs: DataFrame): DataFrame = {
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+  }
+
   /** Corpus-unigram log-probability score per document -- the
     * CCNet-style "LM perplexity" quality filter with the corpus
     * itself as the language model: score(d) = avg over token
     * occurrences of ln p(tok), p from corpus unigram counts.
     * Unusually-worded / repetitive-rare-token docs score low.
     *
-    * Shape: explode -> per-(doc,token) counts (map-side combinable),
-    * vocab = second map-side-combinable agg over that, then the
-    * per-doc score re-joins tf against the BROADCAST vocab (unigram
-    * vocabs are ~1e6-1e8 rows x 16 B -- broadcastable) and reduces
-    * by doc_id. Two shuffles of the (doc,token)-distinct stream, no
-    * all-pairs anything. `tf` is referenced twice: Spark recomputes
-    * the lineage; a production run at 100 TB persists tf (or the
-    * vocab comes precomputed from a prior corpus pass). */
+    * Shape: explode -> per-(doc,token) counts (map-side combinable,
+    * MATERIALIZED once -- model and scoring both consume it), vocab =
+    * second map-side-combinable agg over that, then the per-doc score
+    * re-joins tf against the size-gated vocab model
+    * ([[modelBroadcastMaxBytes]]: broadcast below the gate, shuffled
+    * token-key join above) and reduces by doc_id. */
   def unigramLogprobOf(docs: DataFrame): DataFrame = {
-    val tf = docs
+    val fits = fitsBroadcast(docs)
+    val tf = DedupOps.materializeOnce(spread(docs)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")))
     val vocab = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).cast("double").as("n_total"))
     val logp = vocab.crossJoin(broadcast(total))
       .select(col("token"),
         round(log(col("cnt") / col("n_total")) * LogpQuantum, 0)
           .cast("long").as("logp_u"))
-    tf.join(broadcast(logp), Seq("token"))
+    tf.join(gated(logp, fits), Seq("token"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).cast("long").as("n_tokens"),
         sum(col("tf") * col("logp_u")).as("sum_u"))
@@ -626,41 +724,51 @@ object TextOps {
     * corpus unigram probability of w2). Documents with fewer than two
     * tokens have no bigrams and drop from the output.
     *
-    * Shape mirrors the unigram op: explode -> per-(doc,bigram) counts
-    * (map-side combinable) -> bigram vocab; first-word totals and the
-    * unigram model derive from the SAME vocab aggregates; the scoring
-    * join broadcasts the quantized-logp bigram table. Log values are
+    * Shape: ONE tokenize pass -- each token occurrence becomes a
+    * (w, nxt) pair (nxt null for a doc's last token), counted per doc
+    * and MATERIALIZED once, so the bigram counts, first-word totals,
+    * AND the unigram backoff model all derive from the same exploded
+    * stream instead of tokenizing the corpus twice. Every model-table
+    * join (c1, uni, and the scoring lp join) is size-gated by
+    * [[modelBroadcastMaxBytes]]: broadcast below the gate, shuffled
+    * key join above it -- bigram vocabs grow near-linearly with the
+    * corpus and are NOT broadcastable at 100 TB. Log values are
     * 1e-6-quantized integers so per-doc sums are exact and
-    * order-independent ([[LogpQuantum]]). At 100 TB the vocab comes
-    * precomputed from a prior corpus pass, exactly like the unigram
-    * model. */
+    * order-independent ([[LogpQuantum]]). */
   def bigramLogprobOf(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
-    val bigrams = when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val bf = docs
-      .select(col("doc_id"), explode(bigrams).as("bigram"))
-      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("bf"))
-    val v2 = bf.groupBy(col("bigram")).agg(sum(col("bf")).as("c2"))
-      .withColumn("w1", substring_index(col("bigram"), " ", 1))
-      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    // get() is 0-based and null-safe out-of-range (element_at throws
+    // under ANSI), so the last token pairs with a null continuation
+    val pairs = transform(t, (x, i) => struct(x.as("w"), get(t, i + 1).as("nxt")))
+    val fits = fitsBroadcast(docs)
+    val pairTf = DedupOps.materializeOnce(spread(docs)
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .groupBy(col("doc_id"), col("p.w").as("w"), col("p.nxt").as("nxt"))
+      .agg(count(lit(1)).as("cnt")))
+    // (doc_id, w, nxt) is unique after the groupBy, so this IS the
+    // per-(doc,bigram) count -- no second aggregate needed
+    val bf = pairTf.filter(col("nxt").isNotNull)
+      .select(col("doc_id"),
+        concat(col("w"), lit(" "), col("nxt")).as("bigram"),
+        col("cnt").as("bf"))
+    val v2 = pairTf.filter(col("nxt").isNotNull)
+      .groupBy(col("w"), col("nxt")).agg(sum(col("cnt")).as("c2"))
+      .select(concat(col("w"), lit(" "), col("nxt")).as("bigram"),
+        col("w").as("w1"), col("nxt").as("w2"), col("c2"))
     val c1 = v2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     // unigram model over ALL token occurrences (not just bigram
-    // starts), matching the unigram op's definition of p_u
-    val uni = docs
-      .select(explode(tokens(col("text"))).as("w2"))
-      .groupBy(col("w2")).agg(count(lit(1)).as("cnt"))
+    // starts): every occurrence is exactly one pair row
+    val uni = pairTf.groupBy(col("w")).agg(sum(col("cnt")).as("cnt"))
+      .select(col("w").as("w2"), col("cnt"))
     val total = uni.agg(sum(col("cnt")).cast("double").as("n_total"))
     val lp = v2
-      .join(broadcast(c1), Seq("w1"))
-      .join(broadcast(uni), Seq("w2"))
+      .join(gated(c1, fits), Seq("w1"))
+      .join(gated(uni, fits), Seq("w2"))
       .crossJoin(broadcast(total))
       .select(col("bigram"),
         round(log((col("c2") + col("cnt") / col("n_total")) / (col("c1") + 1))
           * LogpQuantum, 0).cast("long").as("logp_b"))
-    bf.join(broadcast(lp), Seq("bigram"))
+    bf.join(gated(lp, fits), Seq("bigram"))
       .groupBy(col("doc_id"))
       .agg(sum(col("bf")).cast("long").as("n_bigrams"),
         sum(col("bf") * col("logp_b")).as("sum_b"))
@@ -770,19 +878,27 @@ object TextOps {
     * smaller label.
     *
     * Shape: the model is two map-side-combinable count aggregates
-    * (class-token, class totals) plus 1-row vocab/doc counts, all
-    * BROADCAST (vocab x classes rows -- the same broadcastability
-    * argument as the unigram vocab); scoring joins the (doc, token)
-    * count stream against the broadcast model, reduces at
-    * (doc, class), and takes a doc-sized argmax window. The corpus
-    * never reshuffles wider than its (doc, token) stream. At 100 TB
-    * the model comes precomputed from the labeled set, leaving
-    * scoring a single broadcast-join pass. */
+    * (class-token, class totals -- the class-token counts are
+    * MATERIALIZED once and feed totals, vocab, and the dense model)
+    * plus 1-row vocab/doc counts; scoring joins the (doc, token)
+    * count stream against the size-gated model
+    * ([[modelBroadcastMaxBytes]]: broadcast when the labeled set is
+    * lexicon-scale, shuffled token-key join when it is itself
+    * corpus-scale), reduces at (doc, class), and takes a doc-sized
+    * argmax window. The corpus never reshuffles wider than its
+    * (doc, token) stream. At 100 TB the model comes precomputed from
+    * the labeled set, leaving scoring a single model-join pass. */
   def nbClassifyOf(labeled: DataFrame, unlabeled: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tfTrain = labeled
+    val fits = fitsBroadcast(labeled)
+    val tfTrain0 = spread(labeled)
       .select(col("label"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("label"), col("token")).agg(count(lit(1)).as("cnt"))
+    // four consumers (totals, vocab, model, vsize): a lexicon-scale
+    // labeled set recomputes cheaply (same argument as broadcasting
+    // it); a corpus-scale one is materialized once instead of
+    // re-exploded four times
+    val tfTrain = if (fits) tfTrain0 else DedupOps.materializeOnce(tfTrain0)
     val classTotals = tfTrain.groupBy(col("label")).agg(sum(col("cnt")).as("tot"))
     val priors = labeled.groupBy(col("label")).agg(count(lit(1)).as("nc"))
     val nDocs = labeled.agg(count(lit(1)).cast("double").as("n_docs"))
@@ -816,13 +932,13 @@ object TextOps {
       .select(col("label"), col("token"),
         round(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") / col("denom"))
           * LogpQuantum, 0).cast("long").as("qlogp"))
-    val tfTest = unlabeled
+    val tfTest = spread(unlabeled)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val flagged = tfTest
-      .join(broadcast(vocab.withColumn("in_v", lit(1))), Seq("token"), "left")
+      .join(gated(vocab.withColumn("in_v", lit(1)), fits), Seq("token"), "left")
     val matched = flagged.filter(col("in_v").isNotNull)
-      .join(broadcast(model), "token")
+      .join(gated(model, fits), "token")
       .groupBy(col("doc_id"), col("label"))
       .agg(sum(col("tf") * col("qlogp")).as("m_u"))
     val unseen = flagged.filter(col("in_v").isNull)

@@ -432,4 +432,35 @@ class PlanSpec extends AnyFunSuite {
     assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
       "bigram scoring join must broadcast the quantized-logp model")
   }
+
+  test("over-gate LM model joins plan SHUFFLED, not broadcast (100 TB bigram vocab)") {
+    // with the size gate forced to 0 (and Spark's own auto-broadcast
+    // off so the tiny test corpus can't mask the gate), every
+    // model-table join -- c1, uni, and the scoring lp join -- must
+    // plan as a shuffled join on its key: a corpus-proportional
+    // bigram vocab is billions of rows at 100 TB and cannot ride a
+    // forced broadcast. Only the deliberate 1-row total crossJoin may
+    // broadcast (BroadcastNestedLoopJoin).
+    val c = spark.conf
+    val prevGate = c.getOption("spark.graft.text.modelBroadcastMaxInputBytes")
+    val prevAuto = c.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      c.set("spark.graft.text.modelBroadcastMaxInputBytes", "0")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for (q <- Seq("text_bigram_logprob", "text_unigram_logprob", "text_nb_classify")) {
+        val all = collectAll(plan(SparkEntry.queries(q)(spark, dir)))
+        assert(!all.exists(_.isInstanceOf[CartesianProductExec]), s"$q: cartesian")
+        assert(!all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+          s"$q still forces a model-table broadcast above the size gate")
+        assert(all.exists(p =>
+          p.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+          p.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+          s"$q over-gate path lost its shuffled model join")
+      }
+    } finally {
+      prevGate.fold(c.unset("spark.graft.text.modelBroadcastMaxInputBytes"))(
+        v => c.set("spark.graft.text.modelBroadcastMaxInputBytes", v))
+      c.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+  }
 }

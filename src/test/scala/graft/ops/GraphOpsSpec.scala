@@ -43,4 +43,37 @@ class GraphOpsSpec extends AnyFunSuite {
     val r = ranks(fwd ++ fwd.map(_.swap))
     assert(r.values.toSet.size === 1, s"all four nodes symmetric: $r")
   }
+
+  private def danglingRanks(edges: Seq[(Long, Long)], iters: Int = 8): Map[Long, Long] =
+    GraphOps.pageRank(edges.toDF("src", "dst"), iters, reclaimDangling = true)
+      .as[(Long, Long)].collect().toMap
+
+  test("dangling reclaim: sink node appears in the spine and holds mass") {
+    // directed chain 0 -> 1 -> 2; node 2 is a pure sink
+    val r = danglingRanks(Seq((0L, 1L), (1L, 2L)))
+    assert(r.size === 3, "sink must be part of the node spine")
+    assert(r.values.forall(_ > 0L))
+    // downstream of the chain accumulates: 2 > 1 > 0
+    assert(r(2L) > r(1L) && r(1L) > r(0L), s"chain ordering violated: $r")
+  }
+
+  test("dangling reclaim conserves mass within truncation loss") {
+    // star with all edges INTO the hub: every leaf dangles except none
+    // have in-edges -- the worst reclaim case (hub parks ~all mass)
+    val r = danglingRanks((1L to 5L).map(i => (i, 0L)))
+    val total = r.values.sum
+    // per round each node can truncate at the contrib div, the damp
+    // div, and the reclaim div: 3 units x nodes x rounds
+    val maxLoss = r.size.toLong * 3 * 8
+    assert(total <= GraphOps.Scale)
+    assert(total >= GraphOps.Scale - maxLoss,
+      s"dangling mass $total leaked more than truncation allows")
+  }
+
+  test("reclaim on an out-edge-complete graph changes nothing") {
+    val fwd = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+    val edges = fwd ++ fwd.map(_.swap)
+    assert(ranks(edges) === danglingRanks(edges),
+      "zero dangling mass must make reclaim a no-op")
+  }
 }
