@@ -42,8 +42,12 @@ object CharEntropy {
     val str = s.toString
     // Java split("") on an empty string yields [""], one empty token:
     // preserve the historical split-based engine behavior (n=1, one
-    // "distinct char", zero entropy) so the rewrite is
-    // value-identical on every input
+    // "distinct char", zero entropy) so the rewrite is value-identical
+    // on BMP input. Non-BMP text diverges BY DESIGN: this walk counts
+    // CODEPOINTS (an emoji is one char), where split("") counted
+    // UTF-16 code units (a surrogate pair as two) -- the codepoint
+    // semantics also match the DuckDB oracle's length()/string_split;
+    // ArrayExprsSpec pins a surrogate-pair case
     if (str.isEmpty)
       return new GenericInternalRow(Array[Any](1L, 1L, 0L))
     var cap = 128

@@ -561,4 +561,50 @@ object SimilarityOps {
            ORDER BY cosine DESC, match_id ASC) AS INT) AS rank
          FROM scored)
        SELECT query_id, match_id, cosine, rank FROM ranked WHERE rank <= $TopK"""
+
+  /** Recall@k instrumentation for the ANN ladder: every approximate
+    * tier's top-k joined against the EXACT [[cosineTopK]] top-k on
+    * the same queries -- one (tier, hits, recall) row per tier, the
+    * measured target any nprobe/band/plane tuning needs. Exact top-k
+    * is computed once (materialized; it is 50 rows) and semi-joins
+    * each tier's result; the tiers themselves run their production
+    * plans unchanged. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = DedupOps.materializeOnce(
+      cosineTopK(s, dir).select(col("query_id"), col("match_id")))
+    val denom = NumQueries * TopK
+    Seq(
+      "ivf" -> annIvf(s, dir),
+      "ivf_kmeans" -> annIvfKmeans(s, dir),
+      "multiprobe" -> annMultiProbe(s, dir),
+      "signlsh" -> annSignLsh(s, dir)).map { case (name, approx) =>
+      approx.select(col("query_id"), col("match_id"))
+        .join(exact, Seq("query_id", "match_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("tier"),
+          lit(denom.toLong).as("n_exact"),
+          col("hits"),
+          round(col("hits") / lit(denom.toDouble), 4).as("recall_at_k"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Each tier's full oracle SQL rides as a nested-WITH subquery; the
+    * recall arithmetic on top mirrors the engine exactly. */
+  val annRecallSql: String = {
+    def tierSql(name: String, sql: String): String =
+      s"""SELECT '$name' AS tier,
+         CAST(${NumQueries * TopK} AS BIGINT) AS n_exact,
+         (SELECT CAST(count(*) AS BIGINT) FROM ($sql) a
+          WHERE EXISTS (SELECT 1 FROM exact x
+            WHERE x.query_id = a.query_id AND x.match_id = a.match_id)) AS hits,
+         round((SELECT count(*) FROM ($sql) a2
+          WHERE EXISTS (SELECT 1 FROM exact x
+            WHERE x.query_id = a2.query_id AND x.match_id = a2.match_id))
+           / ${(NumQueries * TopK).toDouble}, 4) AS recall_at_k"""
+    s"""WITH exact AS (SELECT query_id, match_id FROM ($cosineTopKSql) ex)
+       ${tierSql("ivf", annIvfSql)}
+       UNION ALL ${tierSql("ivf_kmeans", annIvfKmeansSql)}
+       UNION ALL ${tierSql("multiprobe", annMultiProbeSql)}
+       UNION ALL ${tierSql("signlsh", annSignLshSql)}"""
+  }
 }

@@ -41,14 +41,18 @@ object WarehouseSql {
     * (`DELETE FROM t AS u WHERE u.x > 1`), but the store evaluates
     * conditions against the bare table frame where no alias resolves.
     * The target is the ONLY relation in scope, so the qualifier is
-    * pure naming: strip `alias.` wherever it qualifies an identifier,
-    * leaving string literals untouched -- BOTH quote forms, since
-    * Spark's expr() reads double-quoted text as a string literal too
-    * (backslash and doubled-quote escapes covered). */
+    * pure naming: strip `alias.` wherever it STARTS an identifier
+    * path, leaving untouched string literals (BOTH quote forms, since
+    * Spark's expr() reads double-quoted text as a string literal too;
+    * backslash and doubled-quote escapes covered), backtick-quoted
+    * identifiers (a column literally named `u.x`), and mid-path
+    * segments (`a.u.b` is a struct path whose middle field happens to
+    * equal the alias -- the lookbehind keeps it intact). */
   private def stripAlias(text: String, alias: String): String =
     if (alias == null || alias.isEmpty) text
     else {
-      val p = ("('(?:\\\\.|''|[^'\\\\])*'|\"(?:\\\\.|\"\"|[^\"\\\\])*\")|(?i)\\b" +
+      val p = ("('(?:\\\\.|''|[^'\\\\])*'|\"(?:\\\\.|\"\"|[^\"\\\\])*\"|`[^`]*`)" +
+        "|(?i)(?<![.`\\w])" +
         java.util.regex.Pattern.quote(alias) + "\\.(?=`?\\w)").r
       p.replaceAllIn(text, m =>
         if (m.group(1) != null)

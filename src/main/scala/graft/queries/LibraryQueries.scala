@@ -206,6 +206,104 @@ object LibraryQueries {
        SELECT o_orderkey, order_date, o_totalprice, o_orderstatus
        FROM src WHERE o_orderkey NOT IN (SELECT o_orderkey FROM t)"""
 
+  /** S24: the `WHEN NOT MATCHED BY SOURCE` family (CDC full-sync)
+    * through the SQL shim against the VERSIONED store: matched rows
+    * take the restated price, stale target rows older than 1996 are
+    * deleted, the remaining stale rows are flagged 'X' (first
+    * BY SOURCE clause wins), and new keys insert. */
+  def s24MergeBySource(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_orderdate").cast("date").as("order_date"),
+      col("o_totalprice"), col("o_orderstatus"))
+    val target = o.filter(col("order_date") < lit("1997-01-01").cast("date"))
+    val source = o.filter(col("order_date") >= lit("1996-07-01").cast("date") &&
+        col("order_date") < lit("1997-07-01").cast("date"))
+      .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+      .withColumn("o_orderstatus", lit("R"))
+    val store = new VersionedTableStore(s,
+      Files.createTempDirectory("graft-q-s24").toString)
+    store.commitFull(target, "orders_bs")
+    source.createOrReplaceTempView("orders_sync_src")
+    graft.table.MergeSql.merge(store,
+      """MERGE INTO orders_bs t USING orders_sync_src s
+         ON t.o_orderkey = s.o_orderkey
+         WHEN MATCHED THEN UPDATE SET t.o_totalprice = s.o_totalprice
+         WHEN NOT MATCHED BY SOURCE AND t.order_date < DATE '1996-01-01'
+           THEN DELETE
+         WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.o_orderstatus = 'X'
+         WHEN NOT MATCHED THEN INSERT *""")
+    store.read("orders_bs")
+  }
+
+  val s24MergeBySourceSql: String =
+    """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+                         o_totalprice, o_orderstatus FROM orders),
+       t AS (SELECT * FROM o WHERE order_date < DATE '1997-01-01'),
+       src AS (SELECT o_orderkey, order_date,
+                      round(o_totalprice * 1.1, 2) AS o_totalprice,
+                      'R' AS o_orderstatus
+               FROM o WHERE order_date >= DATE '1996-07-01'
+                 AND order_date < DATE '1997-07-01')
+       SELECT t.o_orderkey, t.order_date,
+              CASE WHEN s.o_orderkey IS NOT NULL
+                   THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+              CASE WHEN s.o_orderkey IS NULL
+                   THEN 'X' ELSE t.o_orderstatus END AS o_orderstatus
+       FROM t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+       WHERE NOT (s.o_orderkey IS NULL AND t.order_date < DATE '1996-01-01')
+       UNION ALL
+       SELECT o_orderkey, order_date, o_totalprice, o_orderstatus
+       FROM src WHERE o_orderkey NOT IN (SELECT o_orderkey FROM t)"""
+
+  /** S25: conditional column-list INSERT through the SQL shim (plain
+    * store): matched expensive restatements flip status, cheap new
+    * keys insert ONLY their listed columns (+1000 price bump) with
+    * the unassigned status NULL, expensive new keys are blocked by
+    * the insert condition. */
+  def s25MergeInsertCols(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_orderdate").cast("date").as("order_date"),
+      col("o_totalprice"), col("o_orderstatus"))
+    val target = o.filter(col("order_date") < lit("1997-01-01").cast("date"))
+    val source = o.filter(col("order_date") >= lit("1996-07-01").cast("date") &&
+        col("order_date") < lit("1997-07-01").cast("date"))
+      .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+      .withColumn("o_orderstatus", lit("R"))
+    val store = new TableStore(s, Files.createTempDirectory("graft-q-s25").toString)
+    store.createOrReplace(target, "orders_ic")
+    source.createOrReplaceTempView("orders_ic_src")
+    graft.table.MergeSql.merge(store,
+      """MERGE INTO orders_ic t USING orders_ic_src s
+         ON t.o_orderkey = s.o_orderkey
+         WHEN MATCHED AND s.o_totalprice > 150000
+           THEN UPDATE SET t.o_orderstatus = s.o_orderstatus
+         WHEN NOT MATCHED AND s.o_totalprice <= 300000
+           THEN INSERT (o_orderkey, order_date, o_totalprice)
+           VALUES (s.o_orderkey, s.order_date, s.o_totalprice + 1000)""")
+    store.read("orders_ic")
+  }
+
+  val s25MergeInsertColsSql: String =
+    """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+                         o_totalprice, o_orderstatus FROM orders),
+       t AS (SELECT * FROM o WHERE order_date < DATE '1997-01-01'),
+       src AS (SELECT o_orderkey, order_date,
+                      round(o_totalprice * 1.1, 2) AS o_totalprice,
+                      'R' AS o_orderstatus
+               FROM o WHERE order_date >= DATE '1996-07-01'
+                 AND order_date < DATE '1997-07-01')
+       SELECT t.o_orderkey, t.order_date, t.o_totalprice,
+              CASE WHEN s.o_orderkey IS NOT NULL AND s.o_totalprice > 150000
+                   THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus
+       FROM t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+       UNION ALL
+       SELECT o_orderkey, order_date, o_totalprice + 1000,
+              CAST(NULL AS VARCHAR) AS o_orderstatus
+       FROM src WHERE o_orderkey NOT IN (SELECT o_orderkey FROM t)
+         AND o_totalprice <= 300000"""
+
   /** S21: `DELETE FROM ... WHERE` through the SQL surface against the
     * versioned store -- partition-granular copy-on-write: the delete
     * targets 1996 high-price orders, so only the 1996 year-partition
@@ -620,6 +718,8 @@ object LibraryQueries {
     "s8_merge_selective" -> (s8MergeSelective _),
     "s19_merge_delete" -> (s19MergeDelete _),
     "s20_merge_mixed" -> (s20MergeMixed _),
+    "s24_merge_by_source" -> (s24MergeBySource _),
+    "s25_merge_insert_cols" -> (s25MergeInsertCols _),
     "s21_delete_where" -> (s21DeleteWhere _),
     "s22_update_where" -> (s22UpdateWhere _),
     "s23_cluster_z" -> (s23ClusterZ _),
@@ -637,6 +737,8 @@ object LibraryQueries {
     "s8_merge_selective" -> s8MergeSelectiveSql,
     "s19_merge_delete" -> s19MergeDeleteSql,
     "s20_merge_mixed" -> s20MergeMixedSql,
+    "s24_merge_by_source" -> s24MergeBySourceSql,
+    "s25_merge_insert_cols" -> s25MergeInsertColsSql,
     "s21_delete_where" -> s21DeleteWhereSql,
     "s22_update_where" -> s22UpdateWhereSql,
     "s23_cluster_z" -> s23ClusterZSql,

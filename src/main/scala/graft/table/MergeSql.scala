@@ -10,8 +10,11 @@ import java.util.Locale
   * MERGE INTO db.tbl [AS] t USING src [AS] s
   * ON t.k1 = s.k1 [AND t.k2 = s.k2 ...]
   * { WHEN MATCHED [AND <cond>] THEN UPDATE SET { * | t.c = <expr>, ... }
-  * | WHEN MATCHED [AND <cond>] THEN DELETE } ...
-  * [WHEN NOT MATCHED THEN INSERT *]
+  * | WHEN MATCHED [AND <cond>] THEN DELETE
+  * | WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET t.c = <expr>, ...
+  * | WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE } ...
+  * [WHEN NOT MATCHED [BY TARGET] [AND <cond>]
+  *    THEN INSERT { * | (c1, ...) VALUES (<expr>, ...) }]
   * }}}
   *
   * Covers the reference's two statement shapes verbatim
@@ -20,18 +23,19 @@ import java.util.Locale
   * constructs a real Iceberg/Delta user ports next: matched-DELETE,
   * conditional WHEN clauses (first TRUE condition wins per row, SQL
   * clause-order semantics), multiple matched clauses in one statement,
-  * and expression assignments (`t.cnt = t.cnt + s.cnt`). Conditions
-  * and assignment expressions are Spark SQL, evaluated under the
+  * expression assignments (`t.cnt = t.cnt + s.cnt`), conditional and
+  * column-list INSERT (unassigned target columns NULL), and the
+  * `NOT MATCHED BY SOURCE` family (the CDC full-sync side: delete or
+  * flag target rows the source no longer carries). Conditions and
+  * assignment expressions are Spark SQL, evaluated under the
   * statement's own aliases.
   *
   * Still a statement shim, not a SQL engine: the ON clause must be a
-  * same-name equi-key conjunction, INSERT is `INSERT *` only, and the
-  * NOT MATCHED clause is unconditional. Anything else -- `NOT MATCHED
-  * BY SOURCE`, `INSERT (cols) VALUES ...`, conditional inserts --
-  * fails loudly with the unsupported construct named, rather than
-  * approximating different semantics. The USING relation is resolved
-  * through the session catalog (`spark.table`), matching the
-  * reference's createOrReplaceTempView-then-MERGE pattern.
+  * same-name equi-key conjunction. Anything else fails loudly with
+  * the unsupported construct named, rather than approximating
+  * different semantics. The USING relation is resolved through the
+  * session catalog (`spark.table`), matching the reference's
+  * createOrReplaceTempView-then-MERGE pattern.
   *
   * Dispatch: the three statement shapes with specialized executors --
   * unconditional update-all (-> [[UpsertWriter.upsertAll]], which
@@ -46,7 +50,9 @@ object MergeSql {
   /** A recognized MERGE statement. */
   private[table] case class Parsed(table: String, source: String,
       tAlias: String, sAlias: String, keys: Seq[String],
-      clauses: Seq[UpsertWriter.MatchedClause], insert: Boolean)
+      clauses: Seq[UpsertWriter.MatchedClause],
+      bySource: Seq[UpsertWriter.BySourceClause],
+      insert: Option[UpsertWriter.InsertSpec])
 
   private val Head = ("(?is)^\\s*MERGE\\s+INTO\\s+(\\S+?)(?:\\s+(?:AS\\s+)?(\\w+))?" +
     "\\s+USING\\s+(\\S+?)(?:\\s+(?:AS\\s+)?(\\w+))?" +
@@ -56,8 +62,17 @@ object MergeSql {
     "(?is)^WHEN\\s+MATCHED\\s+(?:AND\\s+(.+?)\\s+)?THEN\\s+DELETE\\s*$".r
   private val UpdateClause =
     "(?is)^WHEN\\s+MATCHED\\s+(?:AND\\s+(.+?)\\s+)?THEN\\s+UPDATE\\s+SET\\s+(.+?)\\s*$".r
+  // BY TARGET is the standard no-op qualifier on the insert side
   private val InsertClause =
-    "(?is)^WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*\\s*$".r
+    ("(?is)^WHEN\\s+NOT\\s+MATCHED\\s+(?:BY\\s+TARGET\\s+)?" +
+      "(?:AND\\s+(.+?)\\s+)?THEN\\s+INSERT\\s+(.+?)\\s*$").r
+  private val InsertBody = "(?is)^\\((.*?)\\)\\s*VALUES\\s*\\((.*)\\)\\s*$".r
+  private val BySourceDeleteClause =
+    ("(?is)^WHEN\\s+NOT\\s+MATCHED\\s+BY\\s+SOURCE\\s+" +
+      "(?:AND\\s+(.+?)\\s+)?THEN\\s+DELETE\\s*$").r
+  private val BySourceUpdateClause =
+    ("(?is)^WHEN\\s+NOT\\s+MATCHED\\s+BY\\s+SOURCE\\s+" +
+      "(?:AND\\s+(.+?)\\s+)?THEN\\s+UPDATE\\s+SET\\s+(.+?)\\s*$").r
 
   private val Equality =
     "(?s)^\\s*(\\w+)\\.(\\w+)\\s*=\\s*(\\w+)\\.(\\w+)\\s*$".r
@@ -108,45 +123,83 @@ object MergeSql {
         case term => fail(s"ON term `${term.trim}` is not a column equality" +
           " (only AND-conjoined equi-key conditions are supported)")
       }
-      // split the clause tail at each WHEN keyword; a condition whose
-      // text itself contains ` WHEN ` is outside the grammar and fails
-      // in the per-clause match below
-      val chunks = tail.split("(?i)\\s+(?=WHEN\\s)").toSeq
-      val (matchedChunks, insertChunks) =
-        chunks.partition(c => !InsertClause.pattern.matcher(c).matches())
-      if (insertChunks.size > 1) fail("more than one INSERT clause")
-      if (insertChunks.nonEmpty && !InsertClause.pattern
-          .matcher(chunks.last).matches())
-        fail("WHEN NOT MATCHED THEN INSERT * must be the final clause")
-      val clauses: Seq[UpsertWriter.MatchedClause] = matchedChunks.map {
-        case DeleteClause(condOrNull) =>
-          UpsertWriter.MatchedDelete(
-            Option(condOrNull).map(_.trim).filter(_.nonEmpty))
-        case UpdateClause(condOrNull, set) =>
-          val cond = Option(condOrNull).map(_.trim).filter(_.nonEmpty)
-          val setTrim = set.trim
-          if (setTrim == "*") UpsertWriter.MatchedUpdate(cond, all = true, Nil)
-          else {
-            val assigns = splitAssignments(setTrim).map {
-              case Assignment(aliasOrNull, c, e) =>
+      def opt(condOrNull: String): Option[String] =
+        Option(condOrNull).map(_.trim).filter(_.nonEmpty)
+      def parseAssigns(set: String): Seq[(String, String)] =
+        splitAssignments(set).map {
+          case Assignment(aliasOrNull, c, e) =>
+            Option(aliasOrNull).foreach { a =>
+              if (!a.equalsIgnoreCase(tAlias))
+                fail(s"SET target `$a.$c` is not a target column" +
+                  s" (target alias is `$tAlias`)")
+            }
+            c -> e
+          case a => fail(s"SET assignment `${a.trim}` is not" +
+            " `t.col = <expr>`")
+        }
+      def parseInsert(condOrNull: String, body: String): UpsertWriter.InsertSpec =
+        body.trim match {
+          case "*" => UpsertWriter.InsertSpec(opt(condOrNull))
+          case InsertBody(colList, valList) =>
+            val cs = colList.split(",").toSeq.map(_.trim).map {
+              case ColRef(aliasOrNull, c) =>
                 Option(aliasOrNull).foreach { a =>
                   if (!a.equalsIgnoreCase(tAlias))
-                    fail(s"SET target `$a.$c` is not a target column" +
+                    fail(s"INSERT column `$a.$c` is not a target column" +
                       s" (target alias is `$tAlias`)")
                 }
-                c -> e
-              case a => fail(s"SET assignment `${a.trim}` is not" +
-                " `t.col = <expr>`")
+                c
+              case c => fail(s"INSERT column `$c` is not a column name")
             }
-            UpsertWriter.MatchedUpdate(cond, all = false, assigns)
-          }
+            val vs = splitAssignments(valList).map(_.trim)
+            if (cs.size != vs.size)
+              fail(s"INSERT column list has ${cs.size} columns but" +
+                s" VALUES has ${vs.size} expressions")
+            UpsertWriter.InsertSpec(opt(condOrNull), cs, vs)
+          case other => fail(s"INSERT body `${other.take(60)}` is neither" +
+            " `*` nor `(cols) VALUES (exprs)`")
+        }
+      // split the clause tail at each WHEN keyword; a condition whose
+      // text itself contains ` WHEN ` is outside the grammar and fails
+      // in the per-clause match below. Clause ORDER matters only
+      // within a family (matched / by-source); the row populations
+      // are disjoint across families.
+      val chunks = tail.split("(?i)\\s+(?=WHEN\\s)").toSeq
+      val matchedB = Seq.newBuilder[UpsertWriter.MatchedClause]
+      val bySourceB = Seq.newBuilder[UpsertWriter.BySourceClause]
+      var insert: Option[UpsertWriter.InsertSpec] = None
+      chunks.foreach {
+        case BySourceDeleteClause(condOrNull) =>
+          bySourceB += UpsertWriter.BySourceDelete(opt(condOrNull))
+        case BySourceUpdateClause(condOrNull, set) =>
+          if (set.trim == "*")
+            fail("WHEN NOT MATCHED BY SOURCE ... UPDATE SET * has no" +
+              " source row to copy from")
+          bySourceB += UpsertWriter.BySourceUpdate(opt(condOrNull),
+            parseAssigns(set.trim))
+        case DeleteClause(condOrNull) =>
+          matchedB += UpsertWriter.MatchedDelete(opt(condOrNull))
+        case UpdateClause(condOrNull, set) =>
+          val cond = opt(condOrNull)
+          val setTrim = set.trim
+          matchedB +=
+            (if (setTrim == "*") UpsertWriter.MatchedUpdate(cond, all = true, Nil)
+             else UpsertWriter.MatchedUpdate(cond, all = false,
+               parseAssigns(setTrim)))
+        case InsertClause(condOrNull, body) =>
+          if (insert.nonEmpty) fail("more than one INSERT clause")
+          insert = Some(parseInsert(condOrNull, body))
         case other => fail(s"clause `${other.trim.take(80)}` is not WHEN" +
-          " MATCHED [AND cond] THEN UPDATE SET ... | DELETE, or WHEN NOT" +
-          " MATCHED THEN INSERT *")
+          " MATCHED [AND cond] THEN UPDATE SET ... | DELETE, WHEN NOT" +
+          " MATCHED [BY TARGET] [AND cond] THEN INSERT { * | (cols)" +
+          " VALUES (exprs) }, or WHEN NOT MATCHED BY SOURCE [AND cond]" +
+          " THEN UPDATE SET ... | DELETE")
       }
-      if (clauses.isEmpty && insertChunks.isEmpty) fail("no WHEN clauses")
-      Parsed(tName, source, tAlias, sAlias, keys, clauses,
-        insert = insertChunks.nonEmpty)
+      val clauses = matchedB.result()
+      val bySource = bySourceB.result()
+      if (clauses.isEmpty && bySource.isEmpty && insert.isEmpty)
+        fail("no WHEN clauses")
+      Parsed(tName, source, tAlias, sAlias, keys, clauses, bySource, insert)
     case _ => fail("expected MERGE INTO ... USING ... ON ... WHEN ...")
   }
 
@@ -179,11 +232,14 @@ object MergeSql {
     val p = parse(sql)
     val source = store.spark.table(p.source)
     import UpsertWriter._
-    (p.clauses, p.insert) match {
-      case (Seq(MatchedUpdate(None, true, _)), true) =>
+    // the specialized fast paths apply only to the plain-insert
+    // shapes (unconditional INSERT *, no BY SOURCE clauses)
+    val plainInsert = p.insert.exists(i => i.isStar && i.cond.isEmpty)
+    (p.clauses, p.bySource) match {
+      case (Seq(MatchedUpdate(None, true, _)), Nil) if plainInsert =>
         upsertAll(store, p.table, source, p.keys, partitionBy)
-      case (Seq(MatchedUpdate(None, false, assigns)), true)
-          if identityAssigns(assigns, p.sAlias).isDefined =>
+      case (Seq(MatchedUpdate(None, false, assigns)), Nil)
+          if plainInsert && identityAssigns(assigns, p.sAlias).isDefined =>
         val updated = identityAssigns(assigns, p.sAlias).get
         // preserve = every target column the SET list does not assign
         // (keys are equal on match by definition, so their bucket is
@@ -195,13 +251,14 @@ object MergeSql {
                 updated.exists(_.equalsIgnoreCase(c)))
           else Nil
         upsertSelective(store, p.table, source, p.keys, preserve, partitionBy)
-      case (Seq(MatchedDelete(cond)), ins) =>
+      case (Seq(MatchedDelete(cond)), Nil)
+          if p.insert.isEmpty || plainInsert =>
         deleteMerge(store, p.table, source, p.keys, cond,
-          insertUnmatched = ins, targetAlias = p.tAlias,
+          insertUnmatched = p.insert.nonEmpty, targetAlias = p.tAlias,
           sourceAlias = p.sAlias, partitionBy = partitionBy)
-      case (clauses, ins) =>
-        runMerge(store, p.table, source, p.keys, clauses, ins,
-          targetAlias = p.tAlias, sourceAlias = p.sAlias,
+      case (clauses, bySource) =>
+        runMerge(store, p.table, source, p.keys, clauses, p.insert,
+          bySource, targetAlias = p.tAlias, sourceAlias = p.sAlias,
           partitionBy = partitionBy)
     }
   }

@@ -1,6 +1,6 @@
 package graft.table
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** MERGE-equivalent upsert semantics without Iceberg (SURVEY.md S7.4).
@@ -157,14 +157,46 @@ object UpsertWriter {
   case class MatchedUpdate(cond: Option[String], all: Boolean,
       assignments: Seq[(String, String)]) extends MatchedClause
 
+  /** The WHEN NOT MATCHED [AND cond] THEN INSERT clause. Empty
+    * `columns` = `INSERT *` (schema-aligned source required); a
+    * column list inserts each VALUES expression (Spark SQL over the
+    * statement's aliases -- in practice the source alias; target
+    * columns are all NULL on these rows) into its named target
+    * column and leaves every other target column NULL, cast to the
+    * target column type. */
+  case class InsertSpec(cond: Option[String],
+      columns: Seq[String] = Nil, values: Seq[String] = Nil) {
+    require(columns.size == values.size,
+      s"INSERT column list (${columns.size}) and VALUES (${values.size}) differ")
+    def isStar: Boolean = columns.isEmpty
+  }
+
+  /** One WHEN NOT MATCHED BY SOURCE clause -- fires on TARGET rows
+    * with no source match (the CDC full-sync side of MERGE: delete or
+    * flag rows that vanished from the source). Same first-TRUE-wins
+    * ordering among BY SOURCE clauses; source-alias references inside
+    * `cond`/assignments see NULLs on these rows (a NULL condition
+    * doesn't fire). */
+  sealed trait BySourceClause { def cond: Option[String] }
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE. */
+  case class BySourceDelete(cond: Option[String]) extends BySourceClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET ... */
+  case class BySourceUpdate(cond: Option[String],
+      assignments: Seq[(String, String)]) extends BySourceClause
+
   /** General MERGE executor: an ordered list of WHEN MATCHED clauses
     * (first TRUE condition wins per row, SQL clause-order semantics;
-    * NULL conditions don't fire) plus an optional `WHEN NOT MATCHED
-    * THEN INSERT *`. Subsumes the specialized paths -- [[upsertAll]] /
+    * NULL conditions don't fire), an optional `WHEN NOT MATCHED
+    * [AND cond] THEN INSERT { * | (cols) VALUES (exprs) }`, and an
+    * ordered list of WHEN NOT MATCHED BY SOURCE clauses (own
+    * first-TRUE-wins ordering; the three row populations -- matched,
+    * source-only, target-only -- are disjoint, so the families never
+    * interact). Subsumes the specialized paths -- [[upsertAll]] /
     * [[upsertSelective]] / [[deleteMerge]] remain the fast paths the
     * statement shim prefers; this executor exists for the mixed and
     * conditional statements they can't express (conditional update,
-    * update+delete in one statement, expression assignments).
+    * update+delete in one statement, expression assignments,
+    * column-list inserts, BY SOURCE full-sync).
     *
     * One full-outer join on the natural key; every clause condition
     * and assignment expression evaluates under the statement's own
@@ -172,24 +204,45 @@ object UpsertWriter {
     * cannot ride dynamic partition overwrite). `source` must be
     * key-unique, as everywhere. */
   def runMerge(store: WarehouseWrites, table: String, source: DataFrame,
-      keys: Seq[String], clauses: Seq[MatchedClause], insertUnmatched: Boolean,
+      keys: Seq[String], clauses: Seq[MatchedClause],
+      insert: Option[InsertSpec],
+      bySource: Seq[BySourceClause] = Nil,
       targetAlias: String = "t", sourceAlias: String = "s",
       partitionBy: Seq[String] = Nil): Unit = {
-    require(clauses.nonEmpty || insertUnmatched, "MERGE with no clauses")
+    require(clauses.nonEmpty || insert.nonEmpty || bySource.nonEmpty,
+      "MERGE with no clauses")
     if (!store.exists(table)) {
-      if (insertUnmatched) store.createOrReplace(source, table, partitionBy)
-      else throw new NoSuchElementException(
-        s"runMerge target $table does not exist and no INSERT clause given")
+      insert match {
+        case Some(ins) if ins.isStar && ins.cond.isEmpty =>
+          store.createOrReplace(source, table, partitionBy)
+        case Some(_) => throw new NoSuchElementException(
+          s"runMerge target $table does not exist; a conditional or" +
+            " column-list INSERT needs the target schema")
+        case None => throw new NoSuchElementException(
+          s"runMerge target $table does not exist and no INSERT clause given")
+      }
       return
     }
     val target = store.read(table)
-    val needsFullSource = insertUnmatched || clauses.exists {
+    val needsFullSource = insert.exists(_.isStar) || clauses.exists {
       case MatchedUpdate(_, true, _) => true; case _ => false
     }
     if (needsFullSource)
       require(source.columns.toSeq.sorted == target.columns.toSeq.sorted,
         s"schema mismatch: target=${target.columns.toSeq} source=${source.columns.toSeq}")
     val cols = target.columns.toSeq
+    // every named target column must exist -- a typo'd SET/INSERT
+    // column would otherwise be silently ignored by the fold below
+    def requireTargetCol(what: String, c: String): Unit =
+      require(cols.exists(_.equalsIgnoreCase(c)),
+        s"$what names `$c`, not a target column of $table (${cols.mkString(", ")})")
+    clauses.foreach { case MatchedUpdate(_, false, assigns) =>
+      assigns.foreach { case (tc, _) => requireTargetCol("SET", tc) }
+      case _ => () }
+    bySource.foreach { case BySourceUpdate(_, assigns) =>
+      assigns.foreach { case (tc, _) => requireTargetCol("SET", tc) }
+      case _ => () }
+    insert.foreach(_.columns.foreach(requireTargetCol("INSERT column list", _)))
     val tA = target.withColumn("__t", lit(true)).alias(targetAlias)
     val sA = source.withColumn("__s", lit(true)).alias(sourceAlias)
     val joined = tA.join(sA,
@@ -197,32 +250,50 @@ object UpsertWriter {
       "full_outer")
     val matched =
       col(s"$targetAlias.__t").isNotNull && col(s"$sourceAlias.__s").isNotNull
+    val targetOnly =
+      col(s"$targetAlias.__t").isNotNull && col(s"$sourceAlias.__s").isNull
+    val sourceOnly =
+      col(s"$targetAlias.__t").isNull && col(s"$sourceAlias.__s").isNotNull
     // fire flags, mutually exclusive by construction: clause i fires
     // iff matched, its condition is TRUE, and no earlier clause fired
     // (first-TRUE-wins, SQL clause-order semantics)
-    val owns = clauses.map(c =>
-      coalesce(matched && c.cond.map(expr).getOrElse(lit(true)), lit(false)))
-    val exclusiveFires = owns.zipWithIndex.map { case (own, i) =>
-      owns.take(i).foldLeft(own)((acc, earlier) => acc && !earlier)
-    }
-    val deleted = clauses.zip(exclusiveFires).collect {
-      case (MatchedDelete(_), f) => f
-    }.reduceOption(_ || _).getOrElse(lit(false))
+    def exclusive(owns: Seq[Column]): Seq[Column] =
+      owns.zipWithIndex.map { case (own, i) =>
+        owns.take(i).foldLeft(own)((acc, earlier) => acc && !earlier)
+      }
+    val fires = exclusive(clauses.map(c =>
+      coalesce(matched && c.cond.map(expr).getOrElse(lit(true)), lit(false))))
+    val bsFires = exclusive(bySource.map(c =>
+      coalesce(targetOnly && c.cond.map(expr).getOrElse(lit(true)), lit(false))))
+    val insFire = insert.map(ins =>
+      coalesce(sourceOnly && ins.cond.map(expr).getOrElse(lit(true)), lit(false)))
+    val deleted =
+      (clauses.zip(fires).collect { case (MatchedDelete(_), f) => f } ++
+        bySource.zip(bsFires).collect { case (BySourceDelete(_), f) => f })
+        .reduceOption(_ || _).getOrElse(lit(false))
     val keep = !deleted &&
-      (col(s"$targetAlias.__t").isNotNull ||
-        (if (insertUnmatched) col(s"$sourceAlias.__s").isNotNull else lit(false)))
+      (col(s"$targetAlias.__t").isNotNull || insFire.getOrElse(lit(false)))
     val out = joined.filter(keep).select(cols.map { c =>
-      // base value: target rows keep t.c, pure-insert rows take s.c.
-      // Without an INSERT clause every kept row IS a target row (keep
-      // filters source-only rows), so the base must not reference
-      // s.c at all -- a source narrower than the target (SELECT of
-      // just the key + updated columns) is valid in that shape.
-      val base =
-        if (insertUnmatched)
+      // base value: target rows keep t.c, pure-insert rows take the
+      // INSERT value (s.c for `INSERT *`, the VALUES expression or
+      // NULL for a column list). Without an INSERT clause every kept
+      // row IS a target row (keep filters source-only rows), so the
+      // base must not reference s.c at all -- a source narrower than
+      // the target (SELECT of just the key + updated columns) is
+      // valid in that shape.
+      val base = insert match {
+        case Some(ins) if ins.isStar =>
           when(col(s"$targetAlias.__t").isNotNull, col(s"$targetAlias.$c"))
             .otherwise(col(s"$sourceAlias.$c"))
-        else col(s"$targetAlias.$c")
-      val v = clauses.zip(exclusiveFires).foldLeft(base) {
+        case Some(ins) =>
+          val iv = ins.columns.zip(ins.values).collectFirst {
+            case (ic, e) if ic.equalsIgnoreCase(c) => expr(e)
+          }.getOrElse(lit(null)).cast(target.schema(c).dataType)
+          when(col(s"$targetAlias.__t").isNotNull, col(s"$targetAlias.$c"))
+            .otherwise(iv)
+        case None => col(s"$targetAlias.$c")
+      }
+      val v = clauses.zip(fires).foldLeft(base) {
         case (acc, (MatchedUpdate(_, all, assigns), f)) =>
           val updated =
             if (all) col(s"$sourceAlias.$c")
@@ -232,7 +303,15 @@ object UpsertWriter {
           when(f, updated).otherwise(acc)
         case (acc, _) => acc
       }
-      v.as(c)
+      val v2 = bySource.zip(bsFires).foldLeft(v) {
+        case (acc, (BySourceUpdate(_, assigns), f)) =>
+          val updated = assigns.collectFirst {
+            case (tc, e) if tc.equalsIgnoreCase(c) => expr(e)
+          }.getOrElse(col(s"$targetAlias.$c"))
+          when(f, updated).otherwise(acc)
+        case (acc, _) => acc
+      }
+      v2.as(c)
     }: _*)
     store.swapIn(out, table, partitionBy)
   }

@@ -270,8 +270,11 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     * column are always scanned (conservative), so readWhere is
     * correct whether or not the commit recorded stats. Stats compare
     * numerically; intended for integer-family columns. */
-  def readWhere(name: String, column: String, lo: Long, hi: Long): DataFrame = {
-    import org.apache.spark.sql.functions.col
+  /** Manifest-stat partition prune shared by the range and point
+    * readers: keep only rels whose recorded [min, max] intersects
+    * [lo, hi]; rels without stats always scan (conservative). */
+  private def statsPruned(name: String, column: String, lo: Long,
+      hi: Long): DataFrame = {
     val m = current(name).getOrElse(
       throw new NoSuchElementException(s"no snapshots for $name"))
     // non-numeric stats (a date/string column someone recorded) fall
@@ -288,7 +291,27 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
       s"readWhere needs an integer-family column; $column is ${dt.typeName}" +
         " (ANSI mode would throw casting non-numeric values mid-scan)")
-    df.filter(col(column) >= lo && col(column) <= hi)
+    df
+  }
+
+  def readWhere(name: String, column: String, lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    statsPruned(name, column, lo, hi)
+      .filter(col(column) >= lo && col(column) <= hi)
+  }
+
+  /** Point lookup: manifest-stat prune at [value, value] plus a
+    * pushed EQUALITY predicate -- deliberately `===`, not the
+    * [[readWhere]] range pair, because parquet bloom filters serve
+    * only equality: on a table committed through
+    * [[commitFullIndexed]] with a bloom on `column`, the reader
+    * skips every row group whose bloom excludes the value --
+    * file-level secondary-index latency without any clustering
+    * requirement on the key. */
+  def readPoint(name: String, column: String, value: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    statsPruned(name, column, value, value)
+      .filter(col(column) === lit(value))
   }
 
   /** Range scan with manifest-stats skipping on a DATE column -- the
@@ -509,10 +532,24 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       throw new ConcurrentWriteException(
         s"$name snapshot ${m.version} was reclaimed by concurrent expiry mid-write")
     beforeLateCheck(name, m.version)
-    def selfDelete(why: String): Nothing = {
-      fs.delete(p, false)
-      throw new ConcurrentWriteException(why)
+    // A successor whose RECORDED parent is this commit has already
+    // chained on it in the late-check window: this commit (and its
+    // staged data dirs, which a delta child shares) are referenced
+    // lineage now -- retracting would hand the child dangling file
+    // references the audit can flag but never repair. The race
+    // resolves in this writer's favor instead: the commit stands.
+    def hasLiveChild: Boolean = {
+      val dir = commitsPath(name)
+      fs.exists(dir) && fs.listStatus(dir).toSeq.map(_.getPath)
+        .filter(q => q.getName.matches("c\\d{8}") &&
+          fileVersion(q) > m.version)
+        .exists(q => readManifest(q).exists(_.parent == m.version))
     }
+    def selfDelete(why: String): Unit =
+      if (!hasLiveChild) {
+        fs.delete(p, false)
+        throw new ConcurrentWriteException(why)
+      }
     if (m.version <= expiryFloor(name))
       selfDelete(
         s"$name snapshot ${m.version} fell below the expiry floor before commit")
@@ -558,8 +595,20 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
   }
 
   private def writeData(df: DataFrame, name: String, dirId: String,
-      partitionBy: Seq[String]): Unit = {
-    val w = df.write.mode(SaveMode.ErrorIfExists)
+      partitionBy: Seq[String], bloomFilterColumns: Seq[String] = Nil,
+      parquetBlockSize: Option[Long] = None,
+      bloomExpectedNdv: Option[Long] = None): Unit = {
+    var w = df.write.mode(SaveMode.ErrorIfExists)
+    // per-column parquet bloom filters: the file-level secondary index
+    // for point lookups on a NON-clustered high-cardinality key --
+    // row-group min/max can't prune a key in random order, a bloom
+    // can skip every row group that provably lacks the value
+    bloomFilterColumns.foreach { c =>
+      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      bloomExpectedNdv.foreach(n =>
+        w = w.option(s"parquet.bloom.filter.expected.ndv#$c", n.toString))
+    }
+    parquetBlockSize.foreach(b => w = w.option("parquet.block.size", b.toString))
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(s"${dataRoot(name)}/$dirId")
   }
@@ -594,7 +643,10 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
   }
 
   private def commit(name: String, df: DataFrame, partitionBy: Seq[String],
-      deltaPartitions: Boolean, statsColumns: Seq[String] = Nil): Long = {
+      deltaPartitions: Boolean, statsColumns: Seq[String] = Nil,
+      bloomFilterColumns: Seq[String] = Nil,
+      parquetBlockSize: Option[Long] = None,
+      bloomExpectedNdv: Option[Long] = None): Long = {
     val parent = current(name)
     // a FULL commit owns its layout (each manifest carries its own
     // partitionBy, so every snapshot stays readable under the layout
@@ -608,7 +660,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     }
     val v = nextVersion(name)
     val dirId = freshDataDir(name, v)
-    writeData(df, name, dirId, partitionBy)
+    writeData(df, name, dirId, partitionBy, bloomFilterColumns,
+      parquetBlockSize, bloomExpectedNdv)
     val written: Seq[(String, String)] =
       if (partitionBy.isEmpty) Seq("." -> dirId)
       else partitionRels(new Path(s"${dataRoot(name)}/$dirId"), partitionBy.size)
@@ -659,6 +712,30 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       partitionBy: Seq[String] = Nil,
       statsColumns: Seq[String] = Nil): Long =
     commit(name, df, partitionBy, deltaPartitions = false, statsColumns)
+
+  /** [[commitFull]] with a file-level secondary index: per-column
+    * parquet BLOOM FILTERS on `bloomFilterColumns` (plus an optional
+    * row-group size override so large files hold many independently
+    * skippable row groups). Point lookups on a non-clustered
+    * high-cardinality key -- doc_id in a signature index, event_id in
+    * a log -- then skip every row group whose bloom provably lacks
+    * the value, the gap manifest min/max stats and Z-clustering leave
+    * open (both need the key ORDERED to prune; a bloom doesn't).
+    * Read side needs no special path: Spark pushes the equality
+    * predicate into the parquet reader, which consults row-group
+    * stats, dictionaries, and blooms (see [[readPoint]]). DML
+    * rewrites (deleteWhere/updateWhere/upsert) currently rewrite
+    * touched partitions WITHOUT re-applying bloom options -- re-run a
+    * bloom-indexed commitFull after heavy DML if lookup latency
+    * regresses. */
+  def commitFullIndexed(df: DataFrame, name: String,
+      bloomFilterColumns: Seq[String],
+      partitionBy: Seq[String] = Nil,
+      statsColumns: Seq[String] = Nil,
+      parquetBlockSize: Option[Long] = None,
+      bloomExpectedNdv: Option[Long] = None): Long =
+    commit(name, df, partitionBy, deltaPartitions = false, statsColumns,
+      bloomFilterColumns, parquetBlockSize, bloomExpectedNdv)
 
   /** Partition-delta commit: only `df`'s partitions get new files;
     * the rest of the new snapshot shares the parent's immutable
@@ -956,10 +1033,17 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     debris.filter(p => fileVersion(p) <= floor).foreach(fs.delete(_, false))
     // orphaned staging files (writer died between stage and publish):
     // the embedded version tells us when one is provably dead -- a
-    // live writer's dot-temp is always at a version ABOVE the floor
+    // live writer's dot-temp is always at a version ABOVE the floor.
+    // Digits are matched open-endedly (%08d GROWS past 8 digits at
+    // version 1e8 -- a fixed {8} would leak those forever), and
+    // LocalFileSystem checksum sidecars (..tmp-*.crc) are swept with
+    // their temp
+    val Orphan = "\\.?\\.tmp-c(\\d+)-.*?(\\.crc)?".r
     fs.listStatus(dir).toSeq.map(_.getPath)
-      .filter(p => p.getName.matches("\\.tmp-c\\d{8}-.*") &&
-        p.getName.drop(6).takeWhile(_.isDigit).toLong <= floor)
+      .filter(p => p.getName match {
+        case Orphan(v, _) => v.toLong <= floor
+        case _ => false
+      })
       .foreach(fs.delete(_, false))
   }
 

@@ -120,6 +120,19 @@ class ArrayExprsSpec extends AnyFunSuite {
     assert(wideGot === ((wn, wk, ws)))
   }
 
+  test("CharEntropyStats counts CODEPOINTS on non-BMP input (pinned)") {
+    // the intended semantics (matching the DuckDB oracle's
+    // codepoint-based length/string_split), NOT the UTF-16 code-unit
+    // count the old split("") formulation produced: one emoji is one
+    // character, a repeated emoji is one distinct character
+    val got = Seq("😀a😀").toDF("text")
+      .select(CharEntropy.stats(col("text")).as("s"))
+      .select(col("s.n_chars"), col("s.n_charset"), col("s.sum_u"))
+      .as[(Long, Long, Long)].head()
+    assert(got._1 === 3L, s"surrogate pair split into code units: $got")
+    assert(got._2 === 2L)
+  }
+
   test("expressions survive codegen inside a join (many rows)") {
     val n = 500
     val df = spark.range(n).select(col("id"),

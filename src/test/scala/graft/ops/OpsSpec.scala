@@ -708,4 +708,20 @@ class OpsSpec extends AnyFunSuite {
     // rare terms outrank common ones at equal tf/dl
     assert(got((2L, "c")) > got((2L, "a")))
   }
+
+  test("ANN recall ladder: measured floors on the testdata (tuning target)") {
+    val r = SimilarityOps.annRecall(spark, dir)
+      .select(col("tier"), col("recall_at_k")).as[(String, Double)]
+      .collect().toMap
+    assert(r.keySet === Set("ivf", "ivf_kmeans", "multiprobe", "signlsh"))
+    // floors sit WELL below the measured sf0.001 values (ivf 0.28,
+    // ivf_kmeans 0.58, multiprobe 0.42, signlsh 0.20) -- they exist
+    // to catch a tier whose candidate generation silently collapses
+    // (recall ~0), not to pin exact numbers on synthetic data
+    assert(r("ivf") >= 0.2, s"IVF nprobe=2 recall collapsed: ${r("ivf")}")
+    assert(r.values.forall(_ > 0.0), s"a tier returned zero recall: $r")
+    // multi-probe exists to beat plain sign-LSH at the same planes
+    assert(r("multiprobe") >= r("signlsh"),
+      s"multi-probe ${r("multiprobe")} fell below sign-LSH ${r("signlsh")}")
+  }
 }

@@ -239,17 +239,29 @@ class MergeSqlSpec extends AnyFunSuite {
 
   test("statements outside the MERGE grammar fail loudly, naming the construct") {
     val vs = fresh()
-    val bad1 = intercept[IllegalArgumentException] {
+    // column-list INSERT and INSERT-before-MATCHED are grammar since
+    // r8 -- both must parse (functional coverage below + oracle gates)
+    MergeSql.parse("""MERGE INTO t USING s ON t.k = s.k
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    MergeSql.parse("""MERGE INTO t USING s ON t.k = s.k
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN MATCHED THEN DELETE""")
+    val badCount = intercept[IllegalArgumentException] {
       MergeSql.parse("""MERGE INTO t USING s ON t.k = s.k
-        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k)""")
     }
-    assert(bad1.getMessage.contains("unsupported MERGE"))
-    val badOrder = intercept[IllegalArgumentException] {
+    assert(badCount.getMessage.contains("VALUES"))
+    val badStar = intercept[IllegalArgumentException] {
+      MergeSql.parse("""MERGE INTO t USING s ON t.k = s.k
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *""")
+    }
+    assert(badStar.getMessage.contains("no source row"))
+    val badTwoIns = intercept[IllegalArgumentException] {
       MergeSql.parse("""MERGE INTO t USING s ON t.k = s.k
         WHEN NOT MATCHED THEN INSERT *
-        WHEN MATCHED THEN DELETE""")
+        WHEN NOT MATCHED THEN INSERT *""")
     }
-    assert(badOrder.getMessage.contains("final clause"))
+    assert(badTwoIns.getMessage.contains("more than one INSERT"))
     val bad2 = intercept[IllegalArgumentException] {
       MergeSql.parse("""MERGE INTO t USING s ON t.k < s.k
         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
@@ -314,5 +326,79 @@ class MergeSqlSpec extends AnyFunSuite {
     WarehouseSql.delete(store, "DELETE FROM t AS u WHERE u.s = \"u.z\"")
     assert(store.read("t").select("k").as[Int].collect().sorted.toSeq ===
       Seq(3), "double-quoted literal was rewritten")
+  }
+
+  test("alias stripping spares a struct path whose middle segment = alias") {
+    import org.apache.spark.sql.functions.{col, struct}
+    import graft.pipeline.WarehouseSql
+    val store = fresh()
+    // column a holds struct u holds field b: the condition path a.u.b
+    // contains the target alias `u` MID-PATH -- stripping it would
+    // yield the unresolvable (or worse, wrong) a.b
+    val df = Seq((1, 7), (2, 99)).toDF("k", "b")
+      .select(col("k"), struct(struct(col("b")).as("u")).as("a"))
+    store.createOrReplace(df, "ts_path")
+    WarehouseSql.delete(store, "DELETE FROM ts_path AS u WHERE a.u.b > 10")
+    assert(store.read("ts_path").select("k").as[Int].collect().toSeq === Seq(1))
+    // ...while a genuine alias qualifier still strips, backtick form
+    // included
+    WarehouseSql.delete(store, "DELETE FROM ts_path AS u WHERE u.`k` = 1")
+    assert(store.read("ts_path").count() === 0L)
+  }
+
+  test("NOT MATCHED BY SOURCE: delete and flag target rows the source dropped") {
+    val store = fresh()
+    store.createOrReplace(Seq(
+      ("a", 1.0, "live"), ("b", 2.0, "live"), ("c", 3.0, "live"),
+      ("d", 4.0, "live")).toDF("k", "v", "status"), "t_sync")
+    Seq(("a", 10.0, "live"), ("e", 50.0, "live"))
+      .toDF("k", "v", "status").createOrReplaceTempView("sync_src")
+    MergeSql.merge(store, """
+      MERGE INTO t_sync t USING sync_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET t.v = s.v
+      WHEN NOT MATCHED BY SOURCE AND t.v >= 3 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.status = 'orphaned'
+      WHEN NOT MATCHED THEN INSERT *""")
+    // a: matched update; b: target-only, v<3 -> flagged; c,d: target-
+    // only v>=3 -> deleted (first BY SOURCE clause wins); e: inserted
+    assert(sortedRows(store.read("t_sync")) === sortedRows(Seq(
+      ("a", 10.0, "live"), ("b", 2.0, "orphaned"), ("e", 50.0, "live"))
+      .toDF("k", "v", "status")))
+  }
+
+  test("column-list INSERT: unassigned target columns NULL, condition honored") {
+    val store = fresh()
+    store.createOrReplace(
+      Seq(("a", 1.0, "tag-a")).toDF("k", "v", "tag"), "t_ins")
+    Seq(("a", 10.0), ("b", 20.0), ("c", 999.0))
+      .toDF("k", "v").createOrReplaceTempView("ins_src")
+    MergeSql.merge(store, """
+      MERGE INTO t_ins t USING ins_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET t.v = s.v
+      WHEN NOT MATCHED AND s.v < 100 THEN INSERT (k, v) VALUES (s.k, s.v * 2)""")
+    // b inserted with tag NULL and v doubled; c blocked by the insert
+    // condition; the narrower source is legal with a column list
+    val rows = store.read("t_ins").collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        if (r.isNullAt(2)) "NULL" else r.getString(2))).sorted.toSeq
+    assert(rows === Seq(("a", 10.0, "tag-a"), ("b", 40.0, "NULL")))
+  }
+
+  test("BY SOURCE through the versioned store matches the plain store") {
+    val plain = fresh()
+    val versioned = new VersionedTableStore(spark,
+      Files.createTempDirectory("graft-mergesql-vs").toString)
+    for (store <- Seq[WarehouseWrites](plain, versioned)) {
+      store.createOrReplace(
+        Seq(("x", 1.0), ("y", 2.0)).toDF("k", "v"), "t_bs2")
+      Seq(("x", 5.0)).toDF("k", "v").createOrReplaceTempView("bs2_src")
+      MergeSql.merge(store, """
+        MERGE INTO t_bs2 t USING bs2_src s ON t.k = s.k
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    }
+    assert(sortedRows(plain.read("t_bs2")) ===
+      sortedRows(versioned.read("t_bs2")))
+    assert(sortedRows(plain.read("t_bs2")) ===
+      sortedRows(Seq(("x", 1.0)).toDF("k", "v")))
   }
 }

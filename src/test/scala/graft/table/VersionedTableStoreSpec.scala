@@ -151,6 +151,76 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     assert(vs0.currentVersion("t") === 2L)
   }
 
+  test("lower-version retraction is SKIPPED once a successor chained on us") {
+    // the combined hazard: a successor chains on our visible commit
+    // AND a lower version lands, both inside the late-check window.
+    // Retracting now would delete a commit (and staged data a delta
+    // child shares) that live lineage references -- the child's parent
+    // record must win over the lost-update rule.
+    val rootDir = Files.createTempDirectory("graft-vstore-chainlow").toString
+    val vs0 = new VersionedTableStore(spark, rootDir)
+    vs0.commitFull(Seq((1, "a")).toDF("k", "v"), "t") // v1
+    val mapping = vs0.versionsMapping("t")
+    val fs = new Path(rootDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val successor = new VersionedTableStore(spark, rootDir)
+    var fired = false
+    val vs = new VersionedTableStore(spark, rootDir) {
+      override protected def beforeLateCheck(name: String, v: Long): Unit =
+        if (!fired) { fired = true
+          // 1) a fast successor chains on our now-visible commit
+          successor.commitFull(Seq((1, "child")).toDF("k", "v"), name)
+          // 2) then the lower v2 materializes
+          val txt = ("graft-manifest-v1\nversion=2\npartitionBy=\n" +
+            "schema=k INT,v STRING\n" +
+            mapping.map { case (rel, d) => s"dir\t$d\t$rel" }.mkString("\n") +
+            "\nend")
+          val out = fs.create(new Path(s"$rootDir/t/_commits/c00000002"), false)
+          out.write(txt.getBytes("UTF-8")); out.close()
+        }
+    }
+    // must NOT throw: retraction is skipped because c4 records parent 3
+    vs.casManifest("t", vs.Manifest(3, Nil, mapping), observedParent = 1L)
+    assert(vs0.currentVersion("t") === 4L)
+    // our commit survives as referenced history; the child reads fine
+    assert(rows(vs0.readVersion("t", 3)) === Seq((1, "a")))
+    assert(rows(vs0.read("t")) === Seq((1, "child")))
+  }
+
+  test("bloom-indexed point lookup skips row groups a plain table must scan") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val n = 200000L
+    // high-cardinality key in RANDOM order: every row group's min/max
+    // spans nearly the full 64-bit range, so stats cannot prove a
+    // value absent -- only the bloom can
+    val data = spark.range(n).select(
+      xxhash64(col("id")).as("doc_id"), col("id").as("payload"))
+      .repartition(1)
+    val root = Files.createTempDirectory("graft-vstore-bloom").toString
+    val vs = new VersionedTableStore(spark, root)
+    // same small row groups on both tables; only `idx` gets the bloom
+    vs.commitFullIndexed(data, "idx", Seq("doc_id"),
+      parquetBlockSize = Some(96 * 1024), bloomExpectedNdv = Some(8192))
+    vs.commitFullIndexed(data, "plain", Nil,
+      parquetBlockSize = Some(96 * 1024))
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .collect { case f: FileSourceScanExec => f }
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val absent = 123456789L // not an xxhash64 image of 0..n-1 (p ~ n/2^64)
+    val viaBloom = scanRows(vs.readPoint("idx", "doc_id", absent))
+    val viaStats = scanRows(vs.readPoint("plain", "doc_id", absent))
+    assert(viaStats > n / 2,
+      s"plain table should scan nearly everything, scanned $viaStats")
+    assert(viaBloom < viaStats / 4,
+      s"bloom index failed to skip row groups: $viaBloom vs $viaStats")
+    // correctness: a present key still returns its row
+    val k = data.select(col("doc_id")).as[Long].head()
+    assert(vs.readPoint("idx", "doc_id", k).count() === 1L)
+  }
+
   test("end-to-end race: the losing commit throws and cleans up its staged data") {
     // interleave a competitor into the race window via the beforeSwap
     // seam: the loser stages its data, then the winner commits the
