@@ -287,6 +287,30 @@ object DedupOps {
     lshJaccardPairsSql(HashedTokensSql, MinhashK, LshBandCount, LshRows,
       JaccardThreshold, "jaccard")
 
+  /** MinHash-LSH over the NORMALIZED tokenizer -- the hash-gated
+    * proof of the normalization adapter composition ([[graft.api.Text.normalize]]
+    * riding through the existing text parameter): near-dup pairs that
+    * differ only in case/punctuation now collide. The DuckDB twin
+    * round-trips through array_to_string/string_split exactly as the
+    * adapter does, so the empty-normalization edge (pure-punctuation
+    * doc -> one empty token) matches bit-for-bit too. */
+  def dedupMinhashNorm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).repartition(JoinParallelism)
+      .select(col("doc_id"),
+        hashedTokenSet(TextOps.normalizeText(col("text"))).as("th"))
+    lshJaccardPairs(docs, MinhashK, LshBandCount, LshRows,
+      JaccardThreshold, "jaccard")
+  }
+
+  val dedupMinhashNormSql: String = {
+    val normTokens =
+      s"string_split(${TextOps.normalizeTextSqlOn("text")}, ' ')"
+    val set =
+      s"list_sort(list_distinct(list_transform($normTokens, t -> ${h31Sql("t")})))"
+    lshJaccardPairsSql(set, MinhashK, LshBandCount, LshRows,
+      JaccardThreshold, "jaccard")
+  }
+
   // -------------------------------------------------------------- simhash
 
   val SimhashBits = 31
