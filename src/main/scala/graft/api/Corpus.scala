@@ -180,6 +180,17 @@ object Corpus {
       docs.select(id.as("doc_id"), source.as("source"), size.as("n_chars")),
       weights, defaultWeight, budgetPct)
 
+  /** Temperature-rebalanced mixture (alpha = 0.5): per-source budget
+    * share proportional to sqrt(source size) -- up-weights small
+    * sources with NO hand-set weight list, the multilingual
+    * exponent-smoothing recipe. alpha fixed at 0.5 for cross-engine
+    * exactness (IEEE sqrt is correctly rounded; pow is not). */
+  def temperatureMixture(docs: DataFrame, id: Column, source: Column,
+      size: Column, budgetPct: Int = 40): DataFrame =
+    graft.ops.SamplingOps.temperatureMixtureOf(
+      docs.select(id.as("doc_id"), source.as("source"), size.as("n_chars")),
+      budgetPct)
+
   /** Cap every source at its top-n docs by `priority` (descending,
     * id tie-break) -- the balancer that stops one crawl dominating a
     * mix. Exact under any skew: salted shard-local top-n, then the

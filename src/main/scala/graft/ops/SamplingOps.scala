@@ -157,6 +157,57 @@ object SamplingOps {
        WHERE ${h15Sql("concat('mix:', CAST(doc_id AS VARCHAR))")} % 10000 < r.keep_bp"""
   }
 
+  /** Temperature-rebalanced mixture sample at alpha = 0.5 (the
+    * standard tau=2 multilingual rebalancing: per-source budget share
+    * proportional to sqrt(source size), so small sources are
+    * UP-weighted relative to their share without any hand-set weight
+    * list -- the mBERT/XLM-R exponent-smoothing recipe). alpha is
+    * intentionally FIXED at 0.5: IEEE-754 mandates correctly-rounded
+    * sqrt, so floor(sqrt(chars)) is bit-identical across engines,
+    * while a general pow/exp/ln is not correctly-rounded and would
+    * break the hash gate; other temperatures belong to the explicit
+    * integer-weight [[mixtureSampleOf]]. Same BIGINT rate machinery,
+    * broadcast per-source rate table, id-hash Bernoulli keep. */
+  def temperatureMixtureOf(docs: DataFrame, budgetPct: Int): DataFrame = {
+    val perSrc = DedupOps.materializeOnce(docs.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("chars_src"))
+      .withColumn("w",
+        greatest(lit(1L), floor(sqrt(col("chars_src"))).cast("long"))))
+    val tot = perSrc.agg(sum(col("chars_src")).as("tot_chars"),
+      sum(col("w")).as("tot_w"))
+    val rates = perSrc.crossJoin(broadcast(tot)).select(
+      col("source"),
+      least(lit(10000L),
+        expr(s"((tot_chars * $budgetPct DIV 100) * w DIV tot_w) " +
+          "* 10000 DIV greatest(1, chars_src)")).as("keep_bp"))
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(pmod(h15(concat(lit("tmix:"), col("doc_id").cast("string"))),
+        lit(10000)) < col("keep_bp"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("keep_bp"))
+  }
+
+  def temperatureMixture(s: SparkSession, dir: String): DataFrame =
+    temperatureMixtureOf(Tables.documents(s, dir), MixtureBudgetPct)
+
+  val temperatureMixtureSql: String =
+    s"""WITH per AS (
+         SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars_src
+         FROM documents GROUP BY 1),
+       perw AS (
+         SELECT source, chars_src,
+           greatest(1, CAST(floor(sqrt(chars_src)) AS BIGINT)) AS w
+         FROM per),
+       tot AS (SELECT CAST(sum(chars_src) AS BIGINT) AS tot_chars,
+                      CAST(sum(w) AS BIGINT) AS tot_w FROM perw),
+       rates AS (
+         SELECT source,
+           least(10000, ((tot_chars * $MixtureBudgetPct // 100) * w // tot_w)
+             * 10000 // greatest(1, chars_src)) AS keep_bp
+         FROM perw CROSS JOIN tot)
+       SELECT d.doc_id, d.source, d.n_chars, r.keep_bp
+       FROM documents d JOIN rates r ON d.source = r.source
+       WHERE ${h15Sql("concat('tmix:', CAST(doc_id AS VARCHAR))")} % 10000 < r.keep_bp"""
+
   /** Curriculum binning: assign each document a 0..9 difficulty decile
     * of a quality signal (here doc length) -- the ordering knob of
     * curriculum training schedules. Decile boundaries come from ONE

@@ -723,9 +723,11 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     * open (both need the key ORDERED to prune; a bloom doesn't).
     * Read side needs no special path: Spark pushes the equality
     * predicate into the parquet reader, which consults row-group
-    * stats, dictionaries, and blooms (see [[readPoint]]). DML
-    * rewrites (deleteWhere/updateWhere/upsert) currently rewrite
-    * touched partitions WITHOUT re-applying bloom options -- re-run a
+    * stats, dictionaries, and blooms (see [[readPoint]]).
+    * [[commitPartitions]] takes the same knobs, so delta-maintained
+    * tables keep their index on appended partitions; DML rewrites
+    * (deleteWhere/updateWhere/upsert) currently rewrite touched
+    * partitions WITHOUT re-applying bloom options -- re-run a
     * bloom-indexed commitFull after heavy DML if lookup latency
     * regresses. */
   def commitFullIndexed(df: DataFrame, name: String,
@@ -741,9 +743,13 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     * the rest of the new snapshot shares the parent's immutable
     * dirs (and their manifest stats). Returns the version. */
   def commitPartitions(df: DataFrame, name: String,
-      partitionBy: Seq[String], statsColumns: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String], statsColumns: Seq[String] = Nil,
+      bloomFilterColumns: Seq[String] = Nil,
+      parquetBlockSize: Option[Long] = None,
+      bloomExpectedNdv: Option[Long] = None): Long = {
     require(partitionBy.nonEmpty, "commitPartitions needs partition columns")
-    commit(name, df, partitionBy, deltaPartitions = true, statsColumns)
+    commit(name, df, partitionBy, deltaPartitions = true, statsColumns,
+      bloomFilterColumns, parquetBlockSize, bloomExpectedNdv)
   }
 
   /** Roll the table back to snapshot `v`: a NEW commit whose mapping

@@ -12,7 +12,7 @@ object BigramProbeMain {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("PROBE_DIR", "/root/testdata/sf0.1")
 
     def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -21,8 +21,9 @@ object BigramProbeMain {
       r
     }
 
-    // warmup
-    _root_.graft.queries.RelationalQueries.tpchQ1(spark, dir).collect()
+    // warmup (documents-only so upsampled doc corpora work too)
+    _root_.graft.ops.TextOps.textStats(spark, dir).write
+      .format("noop").mode("overwrite").save()
 
     val docs = _root_.graft.core.Tables.documents(spark, dir)
     val t = _root_.graft.ops.TextOps.tokens(col("text"))

@@ -433,6 +433,21 @@ class PlanSpec extends AnyFunSuite {
       "bigram scoring join must broadcast the quantized-logp model")
   }
 
+  test("round-8 ops: no cartesian anywhere, pagerank reclaim adds only a 1-row broadcast") {
+    for (q <- Seq("graph_pagerank_dangling", "sim_ann_recall",
+        "dedup_minhash_norm", "text_normalize", "s24_merge_by_source")) {
+      val all = collectAll(plan(SparkEntry.queries(q)(spark, dir)))
+      assert(!all.exists(_.isInstanceOf[CartesianProductExec]),
+        s"$q plans CartesianProduct")
+    }
+    // text_normalize is a pure projection: shuffle-free, 2-column scan
+    val p = plan(SparkEntry.queries("text_normalize")(spark, dir))
+    assert(!p.toString.contains("Exchange"), "text_normalize gained a shuffle")
+    val scans = collectAll(p).collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty && scans.head.requiredSchema.fields.length <= 2,
+      "text_normalize reads more than (doc_id, text)")
+  }
+
   test("over-gate LM model joins plan SHUFFLED, not broadcast (100 TB bigram vocab)") {
     // with the size gate forced to 0 (and Spark's own auto-broadcast
     // off so the tiny test corpus can't mask the gate), every

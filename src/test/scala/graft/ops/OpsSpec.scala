@@ -623,6 +623,36 @@ class OpsSpec extends AnyFunSuite {
     assert(bal.forall(_._3 >= 1.0))
   }
 
+  test("temperature mixture up-weights small sources by the sqrt rule (planted)") {
+    // big: 10,000 chars -> w = 100; small1/small2: 100 chars -> w = 10.
+    // budget 40% of 10,200 = 4,080; tot_w = 120.
+    //   big share  = 4080 * 100 div 120 = 3400 of 10000 -> keep_bp 3400
+    //   small share = 4080 * 10 div 120 = 340 of 100 -> clipped keep-all
+    // hand-derived on paper, not from the oracle SQL
+    val docs = (
+      (1 to 100).map(i => (i.toLong, "big", 100L)) ++
+      (1 to 10).map(i => (1000L + i, "small1", 10L)) ++
+      (1 to 10).map(i => (2000L + i, "small2", 10L))
+    ).toDF("doc_id", "source", "n_chars")
+    val got = SamplingOps.temperatureMixtureOf(docs, budgetPct = 40)
+    val bp = got.select(col("source"), col("keep_bp")).distinct()
+      .as[(String, Long)].collect().toMap
+    assert(bp.get("small1").forall(_ === 10000L) &&
+      bp.get("small2").forall(_ === 10000L),
+      s"small sources must clip at keep-all: $bp")
+    // all 20 small-source docs survive; big keeps ~34%
+    assert(got.filter(col("source") =!= "big").count() === 20L)
+    val bigKept = got.filter(col("source") === "big").count()
+    assert(bigKept > 0 && bigKept < 100,
+      s"big source must be down-sampled, kept $bigKept/100")
+    // the keep_bp the big source carries is exactly the derived 3400
+    assert(bp("big") === 3400L)
+    // determinism: re-running yields the identical kept set
+    val again = SamplingOps.temperatureMixtureOf(docs, budgetPct = 40)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again === got.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("mixture weights with a duplicate source are rejected (engines would diverge)") {
     val docs = Seq(("1", "src0", 100L)).toDF("doc_id", "source", "n_chars")
     val e = intercept[IllegalArgumentException] {
