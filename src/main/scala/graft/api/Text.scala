@@ -28,6 +28,20 @@ object Text {
     * misses. */
   def normalize(text: Column): Column = TextOps.normalizeText(text)
 
+  /** Learn BPE merge rules from a corpus (word-frequency table = the
+    * one corpus-sized aggregate; the merge loop is vocab-sized).
+    * Deterministic: freq-desc / pair-asc argmax per round. */
+  def bpeTrain(docs: DataFrame, text: Column,
+      merges: Int = TextOps.BpeMerges): Seq[(String, String)] =
+    TextOps.bpeTrain(docs.select(text.as("text")), merges)
+
+  /** Encode a corpus with learned BPE rules (applied in rank order --
+    * classic greedy left-to-right merging): per-doc normalized-token
+    * and subword-piece counts. */
+  def bpeEncode(docs: DataFrame, id: Column, text: Column,
+      merges: Seq[(String, String)]): DataFrame =
+    TextOps.bpeEncodeOf(docs.select(id.as("doc_id"), text.as("text")), merges)
+
   /** Token counting + cheap quality signals: token/char counts,
     * lexical diversity, mean token length, stopword ratio, BPE-ish
     * subword count. One narrow projection pass. */

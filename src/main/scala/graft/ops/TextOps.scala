@@ -1021,4 +1021,195 @@ object TextOps {
          round(sum(tf.tf * lp.logp_u) / (sum(tf.tf) * $LogpQuantum.0), 4) AS avg_logprob
        FROM tf JOIN lp USING (token)
        GROUP BY 1"""
+
+  // --------------------------------------------- BPE subword tokenizer
+
+  /** Merge rounds for the demo BPE gate. Small ON PURPOSE: the oracle
+    * unrolls training as chained CTEs, one block per round. The
+    * DISTRIBUTED portion of BPE training is corpus -> word-frequency
+    * table (one map-side-combinable aggregate, the only corpus-sized
+    * step); the merge loop itself runs over the VOCAB table, whose
+    * size is corpus-independent past saturation -- a production 30k-
+    * merge run changes the loop count, not the scale shape. */
+  val BpeMerges = 12
+
+  /** A token as a spaced-symbol string: chars separated and flanked by
+    * single spaces, so a learned merge (a, b) applies as the literal
+    * string replace of " a b " -> " ab ". One global replace consumes
+    * BOTH flanking spaces, so adjacent occurrences sharing a space
+    * (" a b a b ") merge only alternately -- and RE2 (the oracle
+    * engine) has no lookahead to fix that in one pass. Each merge
+    * therefore applies as TWO sequential global replaces
+    * ([[bpeApply]]): pass 1 takes the 1st/3rd/5th... occurrence of
+    * any run, leaving every remaining occurrence isolated (its
+    * neighbors are merged symbols), so pass 2 is a fixpoint -- a
+    * merge can never create its own pair (the merged symbol a+b is a
+    * single new symbol). The result equals classic greedy
+    * left-to-right BPE merging, identically under Java regex and RE2.
+    * Symbols stay regex-safe because BPE runs on [[normTokens]]
+    * output (letters/digits only). BMP caveat as [[CharEntropy]]:
+    * split("") splits UTF-16 code units; NFKC folds most
+    * compatibility chars first and non-BMP letters are rare -- the
+    * oracle's string_split(c, '') is codepoint-based, matching on all
+    * BMP text. */
+  private def bpeSpaced(tok: Column): Column =
+    concat(lit(" "), array_join(split(tok, ""), " "), lit(" "))
+
+  private def bpeApply(c: Column, a: String, b: String): Column = {
+    val once = regexp_replace(c, lit(s" $a $b "), lit(s" $a$b "))
+    regexp_replace(once, lit(s" $a $b "), lit(s" $a$b "))
+  }
+
+  /** Learn `merges` BPE merge rules from a corpus: word-frequency
+    * table from the normalized tokens (the corpus-sized aggregate),
+    * then per round ONE vocab-sized adjacent-pair count and a
+    * deterministic argmax (freq desc, pair asc -- ties can never
+    * diverge cross-engine), applying each winner to the vocab table
+    * before the next round. Returns the rules in rank order; the
+    * driver holds only the M-pair rule list (model-sized, like every
+    * model surface here). Stops early if no pair repeats. */
+  def bpeTrain(docs: DataFrame, merges: Int = BpeMerges): Seq[(String, String)] = {
+    var words = DedupOps.materializeOnce(docs
+      .select(explode(normTokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .select(bpeSpaced(col("tok")).as("w"), col("freq")))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    for (_ <- 1 to merges if !done) {
+      val s = split(trim(col("w")), " ")
+      val pairs = words
+        .select(col("freq"), explode(when(size(s) >= 2,
+          transform(sequence(lit(1), size(s) - 1),
+            i => struct(element_at(s, i).as("a"), element_at(s, i + 1).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < 2) done = true
+      else {
+        val (a, b) = (top.head.getString(0), top.head.getString(1))
+        out += ((a, b))
+        val next = DedupOps.materializeOnce(words.select(
+          bpeApply(col("w"), a, b).as("w"), col("freq")))
+        DedupOps.releaseOnce(words)
+        words = next
+      }
+    }
+    DedupOps.releaseOnce(words)
+    out.toSeq
+  }
+
+  /** Encode a corpus with learned merge rules: each normalized token
+    * becomes its spaced-symbol string and the rules apply IN RANK
+    * ORDER (the defining BPE encode), then per-doc piece accounting.
+    * One narrow projection pass with `merges.size` chained regex
+    * replaces -- shuffle-free until the per-doc aggregate. */
+  def bpeEncodeOf(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val enc = merges.foldLeft(bpeSpaced(col("tok"))) {
+      case (acc, (a, b)) => bpeApply(acc, a, b)
+    }
+    docs.select(col("doc_id"), explode(normTokens(col("text"))).as("tok"))
+      .select(col("doc_id"), size(split(trim(enc), " ")).cast("long").as("n_pc"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens_norm"), sum(col("n_pc")).as("n_pieces"))
+      .select(col("doc_id"), col("n_tokens_norm"), col("n_pieces"),
+        round(col("n_pieces") / col("n_tokens_norm"), 4).as("pieces_per_token"))
+  }
+
+  /** Table-bound twin: train on the corpus, encode the same corpus --
+    * the gate covers training AND encoding end to end. */
+  def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    bpeEncodeOf(d, bpeTrain(d))
+  }
+
+  /** The learned rule list itself as a queryable frame (rank, a, b,
+    * merged) -- the model artifact a deployment persists. */
+  def textBpeVocab(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val spark = s
+    import spark.implicits._
+    bpeTrain(d).zipWithIndex
+      .map { case ((a, b), i) => (i + 1L, a, b, a + b) }
+      .toDF("rank", "a", "b", "merged")
+  }
+
+  /** The M training rounds unrolled as chained CTEs: per round a
+    * pair-count CTE, a 1-row argmax CTE (cnt desc, pair asc), and the
+    * vocab table with the winner applied -- regexp_replace with the
+    * same spaced-literal pattern the engine uses, so the learned
+    * rules (and every downstream piece count) match bit for bit. */
+  private def bpeTrainCtes: String = {
+    // MATERIALIZED is load-bearing: each round's scalar subqueries
+    // reference m_k several times, and an inlining optimizer would
+    // re-expand the whole prefix chain per reference -- exponential
+    // plan growth across 12 rounds (observed as a file-handle
+    // explosion). Materializing pins each round to one evaluation.
+    def round(prev: String, k: Int): String =
+      s"""p$k AS MATERIALIZED (
+           SELECT s[i] AS a, s[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+           FROM (SELECT string_split(trim(w), ' ') AS s, freq FROM $prev),
+                unnest(range(1, len(s))) gs(i)
+           GROUP BY 1, 2),
+         m$k AS MATERIALIZED (SELECT a, b FROM p$k WHERE cnt >= 2
+                 ORDER BY cnt DESC, a, b LIMIT 1),
+         w$k AS MATERIALIZED (
+           SELECT CASE WHEN (SELECT count(*) FROM m$k) = 0 THEN w
+             ELSE regexp_replace(regexp_replace(w,
+               ' ' || (SELECT a FROM m$k) || ' ' || (SELECT b FROM m$k) || ' ',
+               ' ' || (SELECT a FROM m$k) || (SELECT b FROM m$k) || ' ', 'g'),
+               ' ' || (SELECT a FROM m$k) || ' ' || (SELECT b FROM m$k) || ' ',
+               ' ' || (SELECT a FROM m$k) || (SELECT b FROM m$k) || ' ', 'g')
+             END AS w, freq
+           FROM $prev)"""
+    (1 to BpeMerges).map(k => round(s"w${k - 1}", k)).mkString(",\n")
+  }
+
+  val textBpeEncodeSql: String =
+    s"""WITH toks AS MATERIALIZED (
+         SELECT tok, count(*) AS freq
+         FROM (SELECT unnest($NormTokensSql) AS tok FROM documents)
+         GROUP BY 1),
+       w0 AS MATERIALIZED (
+         SELECT ' ' || array_to_string(string_split(tok, ''), ' ') || ' ' AS w,
+                freq
+         FROM toks),
+       $bpeTrainCtes,
+       dt AS MATERIALIZED (SELECT doc_id, tok
+              FROM (SELECT doc_id, unnest($NormTokensSql) AS tok FROM documents)),
+       enc0 AS MATERIALIZED (SELECT doc_id,
+                  ' ' || array_to_string(string_split(tok, ''), ' ') || ' ' AS e
+                FROM dt),
+       ${(1 to BpeMerges).map(k =>
+           s"""enc$k AS MATERIALIZED (SELECT doc_id,
+              CASE WHEN (SELECT count(*) FROM m$k) = 0 THEN e
+                ELSE regexp_replace(regexp_replace(e,
+                  ' ' || (SELECT a FROM m$k) || ' ' || (SELECT b FROM m$k) || ' ',
+                  ' ' || (SELECT a FROM m$k) || (SELECT b FROM m$k) || ' ', 'g'),
+                  ' ' || (SELECT a FROM m$k) || ' ' || (SELECT b FROM m$k) || ' ',
+                  ' ' || (SELECT a FROM m$k) || (SELECT b FROM m$k) || ' ', 'g')
+                END AS e
+              FROM enc${k - 1})""").mkString(",\n")}
+       SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens_norm,
+         CAST(sum(len(string_split(trim(e), ' '))) AS BIGINT) AS n_pieces,
+         round(sum(len(string_split(trim(e), ' '))) / count(*), 4)
+           AS pieces_per_token
+       FROM enc$BpeMerges
+       GROUP BY 1"""
+
+  val textBpeVocabSql: String =
+    s"""WITH toks AS MATERIALIZED (
+         SELECT tok, count(*) AS freq
+         FROM (SELECT unnest($NormTokensSql) AS tok FROM documents)
+         GROUP BY 1),
+       w0 AS MATERIALIZED (
+         SELECT ' ' || array_to_string(string_split(tok, ''), ' ') || ' ' AS w,
+                freq
+         FROM toks),
+       $bpeTrainCtes
+       ${(1 to BpeMerges).map(k =>
+           s"""SELECT CAST($k AS BIGINT) AS rank, a, b, a || b AS merged
+               FROM m$k""").mkString("\nUNION ALL ")}"""
 }

@@ -623,6 +623,28 @@ class OpsSpec extends AnyFunSuite {
     assert(bal.forall(_._3 >= 1.0))
   }
 
+  test("BPE: planted corpus learns the hand-derived merges and piece counts") {
+    // corpus tokens: "abab" x4, "ab" x2, "aaa" x1 (all single-doc).
+    // round 1 pairs: (a,b) cnt 4*2+2 = 10, (b,a) 4, (a,a) 2 -> merge (a,b)
+    // round 2 (after " a b "->" ab "): (ab,ab) 4, (a,a) 2 -> merge (ab,ab)
+    // round 3: (a,a) cnt 2 -> merge (a,a); round 4: best below 2 -> stop
+    val docs = Seq(
+      (1L, "abab abab abab abab ab ab aaa")).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(docs)
+    assert(merges === Seq(("a", "b"), ("ab", "ab"), ("a", "a")))
+    // encode: abab -> [abab] (1 piece); ab -> [ab]; aaa -> greedy
+    // left-to-right (a,a) gives [aa, a] (2 pieces) -- NOT 1
+    val enc = TextOps.bpeEncodeOf(docs, merges)
+      .select("n_tokens_norm", "n_pieces").as[(Long, Long)].head()
+    assert(enc === ((7L, 4L * 1 + 2 * 1 + 2)),
+      s"pieces: 4x abab@1 + 2x ab@1 + aaa@2 = 8, got $enc")
+    // rank order matters: applying (ab,ab) before (a,b) could never
+    // fire on raw chars -- encoding with the list REVERSED must differ
+    val rev = TextOps.bpeEncodeOf(docs, merges.reverse)
+      .select("n_pieces").as[Long].head()
+    assert(rev > enc._2, "rank-order application must beat reversed order")
+  }
+
   test("temperature mixture up-weights small sources by the sqrt rule (planted)") {
     // big: 10,000 chars -> w = 100; small1/small2: 100 chars -> w = 10.
     // budget 40% of 10,200 = 4,080; tot_w = 120.
