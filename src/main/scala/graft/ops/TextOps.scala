@@ -1069,7 +1069,7 @@ object TextOps {
     * driver holds only the M-pair rule list (model-sized, like every
     * model surface here). Stops early if no pair repeats. */
   def bpeTrain(docs: DataFrame, merges: Int = BpeMerges): Seq[(String, String)] = {
-    var words = DedupOps.materializeOnce(docs
+    var words = DedupOps.materializeOnce(spread(docs)
       .select(explode(normTokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
       .select(bpeSpaced(col("tok")).as("w"), col("freq")))
@@ -1109,7 +1109,8 @@ object TextOps {
     val enc = merges.foldLeft(bpeSpaced(col("tok"))) {
       case (acc, (a, b)) => bpeApply(acc, a, b)
     }
-    docs.select(col("doc_id"), explode(normTokens(col("text"))).as("tok"))
+    spread(docs)
+      .select(col("doc_id"), explode(normTokens(col("text"))).as("tok"))
       .select(col("doc_id"), size(split(trim(enc), " ")).cast("long").as("n_pc"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens_norm"), sum(col("n_pc")).as("n_pieces"))
