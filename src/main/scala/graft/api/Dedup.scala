@@ -127,6 +127,20 @@ object Dedup {
     DedupOps.substrSpans(
       docs.select(id.as("doc_id"), text.as("text")), gramLen)
 
+  /** Corpus-wide duplicate-paragraph removal (the CCNet/C4 line-dedup
+    * step): paragraphs split on `splitRegex` (blank lines by
+    * default), content-hashed, the FIRST occurrence corpus-wide
+    * survives, every later occurrence is cut, and documents are
+    * reassembled from their surviving paragraphs in order --
+    * boilerplate (headers, navigation, license blocks) disappears
+    * even where whole-doc dedup sees nothing. Output: (doc_id,
+    * n_paras, n_kept, text_dedup). One paragraph-hash shuffle + one
+    * doc-keyed reassembly shuffle; never pairwise. */
+  def paragraphDedup(docs: DataFrame, id: Column, text: Column,
+      splitRegex: String = "\\n+", joinSep: String = "\n"): DataFrame =
+    DedupOps.paragraphDedupOf(
+      DedupOps.paragraphsOf(docs, id, text, splitRegex), joinSep)
+
   /** SemDeDup-shape semantic dedup survivors: coarse-cluster the
     * embedding space (per-`seed` means become the quantizer
     * centroids; final cells come from the argmax re-assignment),

@@ -56,6 +56,101 @@ object DedupOps {
        min(doc_id) AS survivor_id, count(*) AS n_docs
        FROM documents GROUP BY 1"""
 
+  // ---------------------------------------------------- paragraph dedup
+
+  /** Block width (tokens) for the oracle entry's segmentation -- the
+    * driver's synthetic corpus has no newline structure, so the gate
+    * segments into fixed-width token blocks; production corpora pass
+    * a newline/regex segmenter through [[graft.api.Dedup.paragraphDedup]]. */
+  val ParaBlockTokens = 20
+
+  /** Corpus-wide duplicate-paragraph removal -- the CCNet/C4
+    * line-level dedup step: every paragraph is content-hashed, the
+    * FIRST occurrence corpus-wide (smallest (doc_id, idx)) survives,
+    * every later occurrence (including repeats inside one document)
+    * is cut, and each document is reassembled from its surviving
+    * paragraphs in original order. Removes boilerplate (headers,
+    * navigation, license blocks) that exact whole-doc dedup cannot
+    * see and MinHash only blurs into lowered similarity.
+    *
+    * Input: a (doc_id, idx, para) paragraph stream (see
+    * [[paragraphsOf]] / the fixed-width [[paraBlocksOf]]). Output one
+    * row per document: (doc_id, n_paras, n_kept, text_dedup).
+    *
+    * Scale shape: the stream is narrow (id, int, paragraph text);
+    * first-occurrence election is a map-side-combinable min-struct
+    * aggregate keyed on the paragraph hash (ONE shuffle on pk, no
+    * window over the corpus); the keep-filter join reuses the same pk
+    * partitioning; reassembly is the one doc-keyed shuffle. Nothing
+    * is ever pairwise -- cost is O(paragraphs), the same discipline
+    * as exact dedup. At 100 TB pk is the natural hash-partition key
+    * and the hottest key's bucket is one paragraph-group, not a
+    * skew hazard (groups collapse in the map-side combine). */
+  def paragraphDedupOf(paras: DataFrame, joinSep: String = " "): DataFrame = {
+    val keyed = paras.select(col("doc_id"), col("idx"), col("para"),
+      md5(col("para")).as("pk"))
+    val first = keyed.groupBy(col("pk"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+    keyed.join(first, Seq("pk"))
+      .withColumn("kept",
+        col("doc_id") === col("f.doc_id") && col("idx") === col("f.idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        concat_ws(joinSep, transform(
+          filter(
+            sort_array(collect_list(struct(col("idx"),
+              when(col("kept"), col("para")).as("para")))),
+            p => p.getField("para").isNotNull),
+          p => p.getField("para"))).as("text_dedup"))
+  }
+
+  /** Regex-segmented (doc_id, idx, para) paragraph stream: the
+    * production segmentation (split on blank lines / newlines), empty
+    * segments dropped with original positions kept. */
+  def paragraphsOf(docs: DataFrame, id: Column, text: Column,
+      splitRegex: String = "\\n+"): DataFrame =
+    docs.select(id.as("doc_id"),
+        posexplode(split(text, splitRegex)).as(Seq("idx", "para")))
+      .filter(length(trim(col("para"))) > 0)
+
+  /** Fixed-width token-block segmentation -- the oracle-gate
+    * paragraph definition for the newline-free synthetic corpus. */
+  def paraBlocksOf(docs: DataFrame, id: Column, text: Column,
+      width: Int = ParaBlockTokens): DataFrame =
+    docs.select(id.as("doc_id"), tokens(text).as("tk"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            ceil(size(col("tk")) / lit(width.toDouble)).cast("int") - 1),
+          i => concat_ws(" ", slice(col("tk"), i * width + 1, lit(width)))))
+          .as(Seq("idx", "para")))
+
+  def dedupParagraph(s: SparkSession, dir: String): DataFrame =
+    paragraphDedupOf(paraBlocksOf(Tables.documents(s, dir),
+      col("doc_id"), col("text")))
+
+  val dedupParagraphSql: String = {
+    val w = ParaBlockTokens
+    s"""WITH tk AS (SELECT doc_id, $TokensSql AS tk FROM documents),
+       seg0 AS (SELECT doc_id,
+           unnest(list_transform(
+             generate_series(0, CAST(ceil(len(tk) / $w.0) AS INT) - 1),
+             i -> {'idx': CAST(i AS INT),
+                   'para': array_to_string(
+                     tk[i*$w+1 : least((i+1)*$w, len(tk))], ' ')})) AS s
+         FROM tk),
+       seg AS (SELECT doc_id, s.idx AS idx, s.para AS para FROM seg0),
+       k AS (SELECT doc_id, idx, para,
+           (row_number() OVER (PARTITION BY md5(para)
+              ORDER BY doc_id, idx) = 1) AS kept FROM seg)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         coalesce(array_to_string(array_agg(para ORDER BY idx)
+           FILTER (WHERE kept), ' '), '') AS text_dedup
+       FROM k GROUP BY 1"""
+  }
+
   // ---------------------------------------------------------- minhash+LSH
 
   val MinhashK = 16

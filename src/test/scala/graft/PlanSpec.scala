@@ -433,6 +433,44 @@ class PlanSpec extends AnyFunSuite {
       "bigram scoring join must broadcast the quantized-logp model")
   }
 
+  test("paragraph dedup: pk-keyed hash aggregation, no window over the corpus, no cartesian") {
+    val all = collectAll(plan(SparkEntry.queries("dedup_paragraph")(spark, dir)))
+    assert(!all.exists(_.isInstanceOf[CartesianProductExec]),
+      "dedup_paragraph plans CartesianProduct")
+    // first-occurrence election must stay a map-side-combinable agg,
+    // never a corpus-wide window (partial HashAggregate before the pk
+    // exchange is the scale property)
+    assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "dedup_paragraph grew a window -- first-occurrence election should be a min-struct agg")
+    val aggs = all.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a.toString
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a.toString
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a.toString
+    }
+    assert(aggs.exists(_.contains("partial_min")),
+      "pk first-occurrence agg lost its map-side partial")
+  }
+
+  test("hybrid RRF: query terms broadcast into the BM25 stream; sparse top-k is salted two-stage") {
+    val all = collectAll(plan(SparkEntry.queries("ret_hybrid_rrf")(spark, dir)))
+    assert(!all.exists(_.isInstanceOf[CartesianProductExec]),
+      "ret_hybrid_rrf plans CartesianProduct")
+    // the corpus-sized BM25 (doc, token) stream joins the TINY query
+    // term list -- that join must be broadcast, never a shuffle of
+    // the stream onto token
+    assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "query-term join lost its broadcast")
+    // two window passes per ranking stage (salted local + exact
+    // final) bound per-task sort state; fusion adds one more --
+    // sanity: windows exist but none partitions on nothing (a global
+    // window would sort the corpus on one task)
+    val wins = all.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty)
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "a ranking window lost its partition spec (global single-task sort)")
+  }
+
   test("round-8 ops: no cartesian anywhere, pagerank reclaim adds only a 1-row broadcast") {
     for (q <- Seq("graph_pagerank_dangling", "sim_ann_recall",
         "dedup_minhash_norm", "text_normalize", "s24_merge_by_source")) {

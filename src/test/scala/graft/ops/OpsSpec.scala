@@ -776,4 +776,75 @@ class OpsSpec extends AnyFunSuite {
     assert(r("multiprobe") >= r("signlsh"),
       s"multi-probe ${r("multiprobe")} fell below sign-LSH ${r("signlsh")}")
   }
+
+  test("hybrid RRF fusion: hand-computed ranks, one-sided candidates, tie on match_id") {
+    val docs = Seq(
+      (0L, "apple banana apple"),
+      (1L, "apple cherry"),
+      (2L, "durian elderberry")
+    ).toDF("doc_id", "text")
+    // hand-made dense ranking: doc 2 first, doc 1 second (doc 0 absent)
+    val dense = Seq((0L, 2L, 1), (0L, 1L, 2))
+      .toDF("query_id", "match_id", "rank")
+    val got = RetrievalOps.hybridRrf(docs, col("doc_id"), col("text"),
+      docs.filter(col("doc_id") === 0L), dense, 10)
+      .orderBy("fused_rank").collect()
+    // sparse side: query terms {apple, banana}; doc 0 outranks doc 1
+    // (tf 2 + exclusive banana), doc 2 matches nothing
+    // RRF: doc1 = 1/62 + 1/62; doc0 = 1/61 (sparse only);
+    //      doc2 = 1/61 (dense only) -- doc0/doc2 tie-break on id
+    assert(got.map(_.getAs[Long]("match_id")).toSeq === Seq(1L, 0L, 2L))
+    assert(got.map(_.getAs[Int]("fused_rank")).toSeq === Seq(1, 2, 3))
+    val d1 = got(0)
+    assert(d1.getAs[Int]("dense_rank") === 2 && d1.getAs[Int]("sparse_rank") === 2)
+    assert(math.abs(d1.getAs[Double]("rrf") - (1.0 / 62 + 1.0 / 62)) < 1e-9)
+    // one-sided rows carry NULL on the missing side
+    assert(got(1).isNullAt(got(1).fieldIndex("dense_rank")))
+    assert(got(2).isNullAt(got(2).fieldIndex("sparse_rank")))
+  }
+
+  test("paragraph dedup: first occurrence survives, later repeats cut, docs reassembled") {
+    val docs = Seq(
+      (1L, "copyright header\nreal content one\nfooter nav"),
+      (2L, "copyright header\nreal content two\nfooter nav"),
+      (3L, "copyright header\ncopyright header\nunique tail"),
+      (4L, "all original here")
+    ).toDF("doc_id", "text")
+    val byId = graft.api.Dedup.paragraphDedup(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_paras"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("text_dedup"))).toMap
+    // doc 1 is first everywhere: keeps all three paragraphs
+    assert(byId(1L) === ((3L, 3L,
+      "copyright header\nreal content one\nfooter nav")))
+    // doc 2 loses the boilerplate seen first in doc 1
+    assert(byId(2L) === ((3L, 1L, "real content two")))
+    // doc 3: its FIRST "copyright header" already lost to doc 1; the
+    // in-doc repeat is also cut
+    assert(byId(3L) === ((3L, 1L, "unique tail")))
+    assert(byId(4L) === ((1L, 1L, "all original here")))
+  }
+
+  test("paragraph dedup oracle entry: block accounting consistent, removals exist") {
+    val rows = DedupOps.dedupParagraph(spark, dir).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val (n, k) = (r.getAs[Long]("n_paras"), r.getAs[Long]("n_kept"))
+      assert(k >= 0 && k <= n)
+      val blocks = r.getAs[String]("text_dedup") match {
+        case "" => 0L
+        case t  =>
+          val toks = t.split(" ").length.toLong
+          (toks + DedupOps.ParaBlockTokens - 1) / DedupOps.ParaBlockTokens
+      }
+      // kept blocks are full-width except at most the doc's last one,
+      // so reassembled token count implies at LEAST n_kept blocks
+      assert(blocks <= r.getAs[Long]("n_paras"))
+    }
+    // the synthetic corpus carries real duplicate blocks -- the op
+    // must find some (sf0.001 slice of the 59-removal sf0.01 signal)
+    val removed = rows.map(r =>
+      r.getAs[Long]("n_paras") - r.getAs[Long]("n_kept")).sum
+    assert(removed > 0, "no duplicate paragraphs found on the test corpus")
+  }
 }
