@@ -128,6 +128,77 @@ object Similarity {
           .as("cosine")), k)
   }
 
+  /** IVF-PQ with asymmetric distance computation (ADC) -- the
+    * at-scale ANN composition (Jegou et al., PAMI'11): IVF cells
+    * bound WHICH vectors are scored, PQ codes bound WHAT is read per
+    * candidate (m small ints instead of 4*dims bytes), and queries
+    * score candidates from a per-query 16-entry-per-subspace lookup
+    * table -- the candidate's full-precision embedding is never
+    * touched. Approximate cosine = ADC dot / (query norm *
+    * reconstructed-codeword norm), both derivable from codes + LUT.
+    *
+    * Scale shape: at 100 TB the (cell, codes) table IS the index --
+    * hash-partition it by cell and a query reads nprobe partitions
+    * of m-byte codes. Here the corpus explodes ONCE into subvectors
+    * feeding codebook and codes; LUT = queries x m x 16 rows rides a
+    * broadcast; ADC scoring is one map-side-combinable sum of m rows
+    * per (query, candidate). Determinism: LUT entries and codeword
+    * norm terms are 1e-6-quantized longs (order-invariant sums); the
+    * final cosine is one fixed-shape IEEE expression; ranks
+    * tie-break on match_id. */
+  def annIvfPq(corpus: DataFrame, id: Column, vec: Column, cell: Column,
+      queries: DataFrame, qid: Column, qvec: Column,
+      nprobe: Int = SimilarityOps.IvfNProbe, k: Int = 10,
+      subspaces: Int = SimilarityOps.PqSubspaces,
+      subDim: Int = SimilarityOps.PqSubDim): DataFrame = {
+    val c = corpus.select(cell.as("label"), id.as("vec_id"), asDouble(vec).as("v"))
+    val cent = SimilarityOps.labelCentroids(c, col("label"), col("v"))
+      .select(col("label").as("cell"), col("cv"), col("cn"))
+    val q = prepared(queries, qid, qvec)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    // coarse probes: byte-identical arithmetic to annIvf
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("cell"),
+        round(SimilarityOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cscore"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("cell").asc)
+    val probed = probes.withColumn("prank", row_number().over(pw))
+      .filter(col("prank") <= nprobe).select(col("query_id"), col("cell"))
+    // PQ model: one subvector explode feeds codebook AND codes
+    val sub = SimilarityOps.pqSubOf(
+      c.select(col("vec_id"), col("v")), subspaces, subDim)
+    val cb = SimilarityOps.pqCodebookOf(sub, subDim)
+    val codes = SimilarityOps.pqAssign(sub, cb)
+      .select(col("vec_id"), col("subspace"), col("code"))
+    // per-query LUT (+ the codeword norm term riding the same row)
+    val qsub = q.select(col("query_id"),
+        explode(sequence(lit(0), lit(subspaces - 1))).as("m"), col("qv"))
+      .select(col("query_id"), col("m").cast("int").as("subspace"),
+        slice(col("qv"), col("m") * subDim + 1, lit(subDim)).as("qsv"))
+    val lut = qsub.join(broadcast(cb), Seq("subspace"))
+      .select(col("query_id"), col("subspace"), col("cb_code").as("code"),
+        round(SimilarityOps.dot(col("qsv"), col("cv")) * 1e6).cast("long").as("lutd"),
+        round(SimilarityOps.dot(col("cv"), col("cv")) * 1e6).cast("long").as("nv"))
+    // candidates from the probed cells, scored from codes alone
+    val cand = broadcast(probed)
+      .join(c.select(col("vec_id"), col("label")), probed("cell") === col("label"))
+      .select(col("query_id"), col("vec_id"))
+    val adc = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "subspace", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("lutd")).as("s"), sum(col("nv")).as("nv2"))
+    val scored = adc
+      .join(broadcast(q.select(col("query_id"), col("qn"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("match_id"),
+        round((col("s") / 1e6) / (col("qn") * sqrt(col("nv2") / 1e6)), 6)
+          .as("adc_cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cosine").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-vector absmax int8 quantization: flat (vec_id, pos, q,
     * scale_r) rows, 4x smaller storage, dequant error <= scale/2. */
   def quantizeInt8(vectors: DataFrame, id: Column, vec: Column): DataFrame = {

@@ -484,23 +484,40 @@ object SimilarityOps {
     * dist2). */
   def pqEncodeOf(vectors: DataFrame, m: Int = PqSubspaces,
       subDim: Int = PqSubDim): DataFrame = {
-    val sub = vectors
+    val sub = pqSubOf(vectors, m, subDim)
+    pqAssign(sub, pqCodebookOf(sub, subDim))
+  }
+
+  /** Subspace split: (vec_id, subspace, sv) -- m narrow rows per
+    * vector, the shared first stage of PQ encode and ADC scoring. */
+  private[graft] def pqSubOf(vectors: DataFrame, m: Int,
+      subDim: Int): DataFrame =
+    vectors
       .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("subspace"),
         col("v"))
       .select(col("vec_id"), col("subspace").cast("int").as("subspace"),
         slice(col("v"), col("subspace") * subDim + 1, lit(subDim)).as("sv"))
+
+  /** Per-subspace codebook (subspace, cb_code, cv) from a subvector
+    * stream: axis-sign init cells, one quantized-mean Lloyd step --
+    * m * 2^4 tiny rows from one map-side-combinable aggregate. */
+  private[graft] def pqCodebookOf(sub: DataFrame, subDim: Int): DataFrame = {
     val initBits = math.min(4, subDim)
     val code0 = (0 until initBits).map(j =>
       when(element_at(col("sv"), j + 1) > 0, lit(1 << j)).otherwise(lit(0)))
       .reduce(_ + _).cast("int")
-    val cbPos = sub.withColumn("code", code0)
+    sub.withColumn("code", code0)
       .select(col("subspace"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
       .groupBy(col("subspace"), col("code"), col("pos"))
       .agg(round(sum(round(col("x") * 1e6).cast("long")) /
         (count(lit(1)) * lit(1e6)), 6).as("c"))
-    val codebook = cbPos.groupBy(col("subspace"), col("code").as("cb_code"))
+      .groupBy(col("subspace"), col("code").as("cb_code"))
       .agg(sort_array(collect_list(struct(col("pos"), col("c"))))
         .getField("c").as("cv"))
+  }
+
+  /** Nearest-codeword assignment: (vec_id, subspace, code, dist2). */
+  private[graft] def pqAssign(sub: DataFrame, codebook: DataFrame): DataFrame = {
     // |a-b|^2 as dot(a,a) - 2 dot(a,b) + dot(b,b): every term is the
     // proven-bit-identical sequential dot, so the argmin agrees with
     // the oracle exactly
@@ -546,6 +563,112 @@ object SimilarityOps {
        WHERE rn = 1"""
   }
 
+  // ------------------------------------------------------------ IVF-PQ
+
+  /** IVF-PQ with asymmetric distance computation (ADC) -- the
+    * at-scale ANN composition (Jegou et al., PAMI'11): coarse IVF
+    * cells bound WHICH vectors are scored, PQ codes bound WHAT is
+    * read per vector (m bytes instead of 4*dims), and the query side
+    * scores candidates without ever touching the original embeddings
+    * -- per query a 2^4-entry lookup table per subspace (LUT) is
+    * computed against the full-precision query vector, and each
+    * candidate's approximate dot product is the sum of its m code
+    * lookups. The approximate cosine divides by the RECONSTRUCTED
+    * vector norm (norm of the candidate's concatenated codewords),
+    * derivable from the codes alone.
+    *
+    * Scale shape: at 100 TB the (codes, cell) table IS the index --
+    * narrow (id, m small ints), hash-partitioned by cell; a query
+    * reads nprobe partitions of m-byte codes, not embeddings. Here
+    * the corpus explodes ONCE into subvectors feeding codebook and
+    * codes; LUT = queries x m x 16 rows rides a broadcast; scoring is
+    * one map-side-combinable sum over m rows per (query, candidate).
+    * The full-precision corpus is touched only by the (index-build)
+    * encode pass, exactly as a deployed IVF-PQ index would.
+    *
+    * Determinism: LUT entries and codeword norm terms are
+    * 1e-6-quantized longs, so the per-candidate sums are
+    * order-invariant; the final cosine is one fixed-shape IEEE
+    * expression over exact longs; ranks tie-break on match_id. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).repartition(32)
+    graft.api.Similarity.annIvfPq(e, col("vec_id"), col("embedding"), col("label"),
+      e.filter(col("vec_id") < NumQueries), col("vec_id"), col("embedding"),
+      IvfNProbe, TopK)
+  }
+
+  val annIvfPqSql: String = {
+    val sd = PqSubDim
+    val m = PqSubspaces
+    val initSql = (0 until 4)
+      .map(j => s"(CASE WHEN sv[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (
+         SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       n AS (SELECT label, vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       cp AS (SELECT label, i - 1 AS pos,
+                round(sum(CAST(round(v[i] * 1e6) AS BIGINT)) / (count(*) * 1e6), 6) AS c
+              FROM e, generate_series(1, 64) gs(i) GROUP BY 1, 2),
+       cent AS (SELECT label AS cell, array_agg(c ORDER BY pos) AS cv FROM cp GROUP BY 1),
+       cn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+       q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+             WHERE vec_id < $NumQueries),
+       probes AS (SELECT query_id, cell,
+           round(list_dot_product(qv, cv) / (qn * cn), 6) AS cscore FROM q, cn),
+       probed AS (SELECT query_id, cell FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cscore DESC, cell ASC) AS prank FROM probes)
+         WHERE prank <= $IvfNProbe),
+       sub AS (
+         SELECT vec_id, CAST(m AS INT) AS subspace,
+           list_transform(generate_series(1, $sd), j -> v[m * $sd + j]) AS sv
+         FROM e, generate_series(0, ${m - 1}) gs(m)),
+       init AS (SELECT *, CAST($initSql AS INT) AS code FROM sub),
+       cbp AS (
+         SELECT subspace, code, i - 1 AS pos,
+           round(sum(CAST(round(sv[i] * 1e6) AS BIGINT)) / (count(*) * 1e6), 6) AS c
+         FROM init, generate_series(1, $sd) gs(i) GROUP BY 1, 2, 3),
+       cb AS (SELECT subspace, code AS cb_code, array_agg(c ORDER BY pos) AS cv
+              FROM cbp GROUP BY 1, 2),
+       pqs AS (
+         SELECT s.vec_id, s.subspace, cb.cb_code,
+           list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, cb.cv)
+             + list_dot_product(cb.cv, cb.cv) AS d
+         FROM sub s JOIN cb ON s.subspace = cb.subspace),
+       codes AS (
+         SELECT vec_id, subspace, cb_code AS code
+         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                 ORDER BY d, cb_code) AS rn FROM pqs)
+         WHERE rn = 1),
+       qsub AS (
+         SELECT query_id, CAST(m AS INT) AS subspace,
+           list_transform(generate_series(1, $sd), j -> qv[m * $sd + j]) AS qsv
+         FROM q, generate_series(0, ${m - 1}) gs(m)),
+       lut AS (
+         SELECT query_id, qs.subspace, cb.cb_code AS code,
+           CAST(round(list_dot_product(qsv, cb.cv) * 1e6) AS BIGINT) AS lutd,
+           CAST(round(list_dot_product(cb.cv, cb.cv) * 1e6) AS BIGINT) AS nv
+         FROM qsub qs JOIN cb ON qs.subspace = cb.subspace),
+       cand AS (SELECT p.query_id, nn.vec_id
+                FROM probed p JOIN n nn ON p.cell = nn.label),
+       adc AS (
+         SELECT c.query_id, c.vec_id AS match_id,
+           sum(l.lutd) AS s, sum(l.nv) AS nv2
+         FROM cand c
+         JOIN codes k ON c.vec_id = k.vec_id
+         JOIN lut l ON l.query_id = c.query_id
+           AND l.subspace = k.subspace AND l.code = k.code
+         GROUP BY 1, 2),
+       sc AS (
+         SELECT a.query_id, a.match_id,
+           round((s / 1e6) / (qq.qn * sqrt(nv2 / 1e6)), 6) AS adc_cosine
+         FROM adc a JOIN q qq ON a.query_id = qq.query_id)
+       SELECT query_id, match_id, adc_cosine, CAST(rr AS INT) AS rank
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY adc_cosine DESC, match_id ASC) AS rr FROM sc)
+       WHERE rr <= $TopK"""
+  }
+
   val annSignLshSql: String =
     s"""WITH e AS (
          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -576,6 +699,7 @@ object SimilarityOps {
     Seq(
       "ivf" -> annIvf(s, dir),
       "ivf_kmeans" -> annIvfKmeans(s, dir),
+      "ivfpq" -> annIvfPq(s, dir),
       "multiprobe" -> annMultiProbe(s, dir),
       "signlsh" -> annSignLsh(s, dir)).map { case (name, approx) =>
       approx.select(col("query_id"), col("match_id"))
@@ -604,6 +728,7 @@ object SimilarityOps {
     s"""WITH exact AS (SELECT query_id, match_id FROM ($cosineTopKSql) ex)
        ${tierSql("ivf", annIvfSql)}
        UNION ALL ${tierSql("ivf_kmeans", annIvfKmeansSql)}
+       UNION ALL ${tierSql("ivfpq", annIvfPqSql)}
        UNION ALL ${tierSql("multiprobe", annMultiProbeSql)}
        UNION ALL ${tierSql("signlsh", annSignLshSql)}"""
   }

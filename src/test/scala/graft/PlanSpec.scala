@@ -472,7 +472,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("round-8 ops: no cartesian anywhere, pagerank reclaim adds only a 1-row broadcast") {
-    for (q <- Seq("graph_pagerank_dangling", "sim_ann_recall",
+    for (q <- Seq("graph_pagerank_dangling", "sim_ann_recall", "sim_ann_ivfpq",
         "dedup_minhash_norm", "text_normalize", "s24_merge_by_source")) {
       val all = collectAll(plan(SparkEntry.queries(q)(spark, dir)))
       assert(!all.exists(_.isInstanceOf[CartesianProductExec]),

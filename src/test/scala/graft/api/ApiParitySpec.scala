@@ -74,6 +74,34 @@ class ApiParitySpec extends AnyFunSuite {
     assert(rows(api) === rows(SimilarityOps.annIvf(spark, dir)))
   }
 
+  test("annIvfPq matches the table-bound query under renamed columns") {
+    val q = emb.filter(col("eid") < SimilarityOps.NumQueries)
+    val api = Similarity.annIvfPq(emb, col("eid"), col("e"), col("label"),
+      q, col("eid"), col("e"))
+    assert(rows(api) === rows(SimilarityOps.annIvfPq(spark, dir)))
+  }
+
+  test("annIvfPq ADC is EXACT when every vector coincides with its codeword") {
+    import spark.implicits._
+    // dim 8, m=2, subDim=4: within each subspace every sign-init cell
+    // holds ONE distinct subvector value, so the one-step codebook
+    // centroid IS the subvector and PQ reconstruction is lossless --
+    // ADC cosine must then equal the exact cosine bit for bit
+    // (paper-derived, not engine-vs-oracle: cos(a,b) = -0.5 below)
+    val a = Seq(1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0)
+    val b = Seq(1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0)
+    val corpus = Seq((1L, a, 0), (2L, b, 0), (3L, a, 0))
+      .toDF("vid", "v", "cell")
+    val queries = Seq((100L, a)).toDF("vid", "v")
+    val got = Similarity.annIvfPq(corpus, col("vid"), col("v"), col("cell"),
+      queries, col("vid"), col("v"), nprobe = 1, k = 10,
+      subspaces = 2, subDim = 4)
+      .select("match_id", "adc_cosine", "rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3)
+    // dot(a,b) = (1-1+1-1) + (-1-1-1-1) = -4; |a||b| = 8 -> -0.5
+    assert(got.toSeq === Seq((1L, 1.0, 1), (3L, 1.0, 2), (2L, -0.5, 3)))
+  }
+
   test("LSH knobs parameterize: 16-dim embeddings, 6 planes (64 buckets)") {
     import spark.implicits._
     // a non-default deployment shape: 16-dim vectors (slice of the

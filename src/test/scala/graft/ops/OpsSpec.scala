@@ -765,7 +765,7 @@ class OpsSpec extends AnyFunSuite {
     val r = SimilarityOps.annRecall(spark, dir)
       .select(col("tier"), col("recall_at_k")).as[(String, Double)]
       .collect().toMap
-    assert(r.keySet === Set("ivf", "ivf_kmeans", "multiprobe", "signlsh"))
+    assert(r.keySet === Set("ivf", "ivf_kmeans", "ivfpq", "multiprobe", "signlsh"))
     // floors sit WELL below the measured sf0.001 values (ivf 0.28,
     // ivf_kmeans 0.58, multiprobe 0.42, signlsh 0.20) -- they exist
     // to catch a tier whose candidate generation silently collapses
