@@ -525,6 +525,63 @@ object LibraryQueries {
         col("o_totalprice").cast("double").as("total_price"))
   }
 
+  /** S26: min/max incremental maintenance over the same v1->v2
+    * scenario as S18 -- the NON-invertible aggregates: the v1 per-year
+    * (min, max) of o_totalprice maintained to the v2 state through
+    * [[IncrementalAgg.minMaxMaintain]] (least/greatest folds where no
+    * extreme was removed; semi-join-pruned base recompute where one
+    * was). The 1.1x re-price of every 1996H2 order removes the old
+    * extremes of the touched years, so both paths execute. Oracle
+    * recomputes the v2 rollup from scratch. Min/max compare values
+    * (never accumulate), so raw doubles are already engine-exact. */
+  def s26IncrementalMinmax(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_orderdate").cast("date").as("order_date"),
+      col("o_totalprice"), col("o_orderstatus"))
+      .withColumn("order_yr", year(col("order_date")))
+    val target = o.filter(col("order_date") < lit("1997-01-01").cast("date"))
+    val source = o.filter(col("order_date") >= lit("1996-07-01").cast("date") &&
+        col("order_date") < lit("1997-07-01").cast("date"))
+      .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+      .withColumn("o_orderstatus", lit("R"))
+    val store = new VersionedTableStore(s,
+      Files.createTempDirectory("graft-q-s26").toString)
+    UpsertWriter.upsertAll(store, "orders_v", target, Seq("o_orderkey"),
+      partitionBy = Seq("order_yr"))
+    UpsertWriter.upsertAll(store, "orders_v", source, Seq("o_orderkey"),
+      partitionBy = Seq("order_yr"))
+    val agg1 = store.readVersion("orders_v", 1)
+      .groupBy(col("order_yr"))
+      .agg(min(col("o_totalprice")).as("min_o_totalprice"),
+        max(col("o_totalprice")).as("max_o_totalprice"))
+    val diff = store.snapshotDiff("orders_v", 1, 2, Seq("o_orderkey"),
+      includePre = true)
+    IncrementalAgg.minMaxMaintain(store.readVersion("orders_v", 2),
+        agg1, diff, Seq("order_yr"), Seq("o_totalprice"))
+      .select(col("order_yr"),
+        col("min_o_totalprice").cast("double").as("min_price"),
+        col("max_o_totalprice").cast("double").as("max_price"))
+  }
+
+  val s26IncrementalMinmaxSql: String =
+    """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+                         o_totalprice, o_orderstatus FROM orders),
+       t AS (SELECT *, CAST(year(order_date) AS INT) AS order_yr
+             FROM o WHERE order_date < DATE '1997-01-01'),
+       src AS (SELECT o_orderkey, order_date,
+                      round(o_totalprice * 1.1, 2) AS o_totalprice,
+                      'R' AS o_orderstatus,
+                      CAST(year(order_date) AS INT) AS order_yr
+               FROM o WHERE order_date >= DATE '1996-07-01'
+                 AND order_date < DATE '1997-07-01'),
+       v2 AS (SELECT * FROM t
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+              UNION ALL SELECT * FROM src)
+       SELECT order_yr, CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+              CAST(max(o_totalprice) AS DOUBLE) AS max_price
+       FROM v2 GROUP BY 1"""
+
   val s18IncrementalAggSql: String =
     """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
                          o_totalprice, o_orderstatus FROM orders),
@@ -726,6 +783,7 @@ object LibraryQueries {
     "s16_versioned_rollback" -> (s16VersionedRollback _),
     "s17_snapshot_diff" -> (s17SnapshotDiff _),
     "s18_incremental_agg" -> (s18IncrementalAgg _),
+    "s26_incremental_minmax" -> (s26IncrementalMinmax _),
     "q_validation_suite" -> (qValidationSuite _),
     "q_validation_period" -> (qValidationPeriod _),
     "q_validation_history" -> (qValidationHistory _),
@@ -745,6 +803,7 @@ object LibraryQueries {
     "s16_versioned_rollback" -> s16VersionedRollbackSql,
     "s17_snapshot_diff" -> s17SnapshotDiffSql,
     "s18_incremental_agg" -> s18IncrementalAggSql,
+    "s26_incremental_minmax" -> s26IncrementalMinmaxSql,
     "q_validation_suite" -> qValidationSuiteSql,
     "q_validation_period" -> qValidationPeriodSql,
     "q_validation_history" -> qValidationHistorySql,

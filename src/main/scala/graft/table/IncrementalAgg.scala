@@ -60,4 +60,77 @@ object IncrementalAgg {
           .otherwise(coalesce(col(c), lit(0L)) +
             coalesce(col(s"__dv_$c"), lit(0L))).as(c)): _*)
       .filter(col(countCol) > 0)
+
+  // ------------------------------------------------------------ min/max
+
+  /** Changelog analysis for min/max maintenance: one row per touched
+    * group carrying the post-side candidate extremes (__pmin_c /
+    * __pmax_c), the pre-side removed extremes (__rmin_c / __rmax_c),
+    * and the per-group `__recompute` verdict. A removed value can
+    * only change a group's extreme if it WAS the extreme, so a group
+    * flags for recompute exactly when some pre-side (deleted or
+    * pre-update) value equals the aggregate's current min or max
+    * (null-safe compare: a pre-side row against a NULL current
+    * extreme flags conservatively). Insert-only churn never flags:
+    * min/max are monotone under inserts. */
+  private[table] def minMaxDelta(agg: DataFrame, diff: DataFrame,
+      groupKeys: Seq[String], cols: Seq[String]): DataFrame = {
+    val keys = groupKeys.map(col)
+    val postAggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"__pmin_$c"), max(col(c)).as(s"__pmax_$c")))
+    val post = diff.filter(col("change_type") =!= "delete")
+      .groupBy(keys: _*).agg(postAggs.head, postAggs.tail: _*)
+    val preAggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"__rmin_$c"), max(col(c)).as(s"__rmax_$c"))) :+
+      count(lit(1)).as("__rn")
+    val pre = diff.filter(col("change_type") =!= "insert")
+      .select(groupKeys.map(k => col(s"pre_$k").as(k)) ++
+        cols.map(c => col(s"pre_$c").as(c)): _*)
+      .groupBy(keys: _*).agg(preAggs.head, preAggs.tail: _*)
+    val flagged = cols.map(c =>
+      (col(s"__rmin_$c") <=> col(s"min_$c")) ||
+        (col(s"__rmax_$c") <=> col(s"max_$c")))
+      .reduce(_ || _)
+    agg.join(post.join(pre, groupKeys, "full_outer"), groupKeys, "full_outer")
+      .withColumn("__recompute", col("__rn").isNotNull && flagged)
+  }
+
+  /** Incremental maintenance of `SELECT keys, min(c), max(c)...
+    * GROUP BY keys` (columns named min_<c> / max_<c>): min/max are
+    * NOT invertible under deletes, so touched groups split --
+    *  - groups whose removed values never hit the current extreme
+    *    fold the post-side candidates in with least/greatest:
+    *    O(changed rows), zero base access;
+    *  - groups where a removed value equals the current min or max
+    *    recompute from the CURRENT `base`, restricted by a semi-join
+    *    to exactly those groups: O(flagged groups' rows).
+    * Emptied groups always flag (their extreme row was removed) and
+    * drop out via the recompute yielding no row -- exactly what a
+    * full recompute produces.
+    *
+    * Scale shape: the changelog collapses map-side per touched group;
+    * the join against the aggregate is view-sized and key-partitioned;
+    * the only base access is the semi-join-pruned recompute of the
+    * flagged groups -- under extreme-preserving churn (the common
+    * case: appends and mid-range updates) the base is never read. */
+  def minMaxMaintain(base: DataFrame, agg: DataFrame, diff: DataFrame,
+      groupKeys: Seq[String], cols: Seq[String]): DataFrame = {
+    val keys = groupKeys.map(col)
+    val joined = minMaxDelta(agg, diff, groupKeys, cols)
+    val kept = joined.filter(!col("__recompute"))
+      // drop agg-absent, post-absent residue (pre-only unflagged rows
+      // still carry their group via the agg side)
+      .filter(cols.map(c => col(s"min_$c").isNotNull ||
+        col(s"__pmin_$c").isNotNull).reduce(_ || _))
+      .select(keys ++ cols.flatMap(c => Seq(
+        least(col(s"min_$c"), col(s"__pmin_$c")).as(s"min_$c"),
+        greatest(col(s"max_$c"), col(s"__pmax_$c")).as(s"max_$c"))): _*)
+    val recomputeKeys = joined.filter(col("__recompute"))
+      .select(keys: _*)
+    val recomputeAggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val recomputed = base.join(recomputeKeys, groupKeys, "left_semi")
+      .groupBy(keys: _*).agg(recomputeAggs.head, recomputeAggs.tail: _*)
+    kept.unionByName(recomputed)
+  }
 }

@@ -517,6 +517,46 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     assert(!maintained.select("grp").as[String].collect().contains("c"))
   }
 
+  test("min/max maintenance: least/greatest fold vs extreme-removal recompute, per group") {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val vs = fresh()
+    // groups exercise every path (paper-derived expectations):
+    //  a: insert-only churn (new min arrives)          -> fold, no flag
+    //  b: delete of a MID value                        -> fold, unchanged
+    //  c: delete of the MIN row                        -> flagged recompute
+    //  d: emptied entirely                             -> flagged, drops out
+    //  e: update moves the MAX row into group f        -> e flagged (max left),
+    //                                                     f folds it in
+    //  g: brand new group                              -> fold from post only
+    val v1 = Seq((1, "a", 10), (2, "a", 20),
+      (3, "b", 10), (4, "b", 20), (5, "b", 30),
+      (6, "c", 10), (7, "c", 20),
+      (8, "d", 99),
+      (9, "e", 1), (10, "e", 50),
+      (11, "f", 5)).toDF("k", "grp", "v")
+    val v2 = Seq((1, "a", 10), (2, "a", 20), (12, "a", 3),
+      (3, "b", 10), (5, "b", 30),
+      (7, "c", 20),
+      (9, "e", 1), (10, "f", 50),
+      (11, "f", 5),
+      (13, "g", 7)).toDF("k", "grp", "v")
+    vs.commitFull(v1, "t"); vs.commitFull(v2, "t")
+    def recompute(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("grp")).agg(min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+    val diff = vs.snapshotDiff("t", 1, 2, Seq("k"), includePre = true)
+    // flag verdicts are part of the contract: only c (min removed),
+    // d (emptied) and e (max moved away) may touch the base
+    val flags = IncrementalAgg.minMaxDelta(recompute(v1), diff, Seq("grp"), Seq("v"))
+      .select(col("grp"), col("__recompute")).as[(String, Boolean)].collect().toMap
+    assert(flags === Map("a" -> false, "b" -> false, "c" -> true,
+      "d" -> true, "e" -> true, "f" -> false, "g" -> false))
+    val maintained = IncrementalAgg.minMaxMaintain(
+      vs.readVersion("t", 2), recompute(v1), diff, Seq("grp"), Seq("v"))
+    assert(maintained.as[(String, Int, Int)].collect().toSet ===
+      recompute(vs.readVersion("t", 2)).as[(String, Int, Int)].collect().toSet)
+    assert(!maintained.select("grp").as[String].collect().contains("d"))
+  }
+
   test("UpsertWriter MERGE against the versioned store commits snapshots") {
     val vs = fresh()
     UpsertWriter.upsertAll(vs, "t", Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq("k"))
