@@ -65,8 +65,18 @@ object Corpus {
     * crawl-style corpora. */
   def prepare(docs: DataFrame, id: Column, text: Column,
       t: QualityThresholds = QualityThresholds(),
-      containmentThreshold: Option[Double] = None): DataFrame = {
-    val base = docs.select(id.as("doc_id"), text.as("text"))
+      containmentThreshold: Option[Double] = None,
+      paragraphSegmenter: Option[(DataFrame, Column, Column) => DataFrame]
+        = None): DataFrame = {
+    val raw = docs.select(id.as("doc_id"), text.as("text"))
+    // 0. (opt-in) corpus-wide paragraph dedup BEFORE doc-level gating
+    //    -- the CCNet order: boilerplate cut first so doc-level
+    //    stats/fingerprints see real content; docs stripped to
+    //    nothing fall to the quality gate's too_short rule
+    val base = paragraphSegmenter.fold(raw) { seg =>
+      DedupOps.paragraphDedupOf(seg(raw, col("doc_id"), col("text")))
+        .select(col("doc_id"), col("text_dedup").as("text"))
+    }
     // 1. quality gate (anti-join on the reject list: one narrow pass)
     val rejects = qualityRejects(base, col("doc_id"), col("text"), t)
     val clean = base.join(rejects, Seq("doc_id"), "left_anti")
@@ -108,7 +118,8 @@ object Corpus {
     * gate, exact dedup, LSH pair graph, optional containment pair
     * graph, recursive-CTE connected components, split hashing)
     * reproduced exactly for the oracle gate. */
-  private def prepareSqlWith(containment: Boolean): String = {
+  private def prepareSqlWith(containment: Boolean,
+      paragraph: Boolean = false): String = {
     val t = TextOps.TokensSql
     val th = QualityThresholds()
     val minhashSql = DedupOps.lshJaccardPairsSql(DedupOps.HashedTokensSql,
@@ -122,7 +133,26 @@ object Corpus {
               FROM (${DedupOps.containmentPairsSql(from = "exact")}) cp"""
     val splitBucket =
       s"${Hashing.h15Sql("concat('split:', CAST(component AS VARCHAR))")} % 100"
-    s"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+    val w = DedupOps.ParaBlockTokens
+    val baseSql =
+      if (!paragraph) "base AS (SELECT doc_id, text FROM documents)"
+      else s"""ptk AS (SELECT doc_id, $t AS tk FROM documents),
+       pseg0 AS (SELECT doc_id,
+           unnest(list_transform(
+             generate_series(0, CAST(ceil(len(tk) / $w.0) AS INT) - 1),
+             i -> {'idx': CAST(i AS INT),
+                   'para': array_to_string(
+                     tk[i*$w+1 : least((i+1)*$w, len(tk))], ' ')})) AS s
+         FROM ptk),
+       pseg AS (SELECT doc_id, s.idx AS idx, s.para AS para FROM pseg0),
+       pk AS (SELECT doc_id, idx, para,
+           (row_number() OVER (PARTITION BY md5(para)
+              ORDER BY doc_id, idx) = 1) AS kept FROM pseg),
+       base AS (SELECT doc_id,
+           coalesce(array_to_string(array_agg(para ORDER BY idx)
+             FILTER (WHERE kept), ' '), '') AS text
+         FROM pk GROUP BY 1)"""
+    s"""WITH RECURSIVE $baseSql,
        st AS (SELECT doc_id,
            len($t) AS n_tokens,
            round(CAST(len(list_distinct($t)) AS DOUBLE) / len($t), 4) AS lexical_diversity,
@@ -163,6 +193,12 @@ object Corpus {
 
   /** Oracle twin of [[prepare]] with the containment stage on. */
   val prepareContainmentSql: String = prepareSqlWith(containment = true)
+
+  /** Oracle twin of [[prepare]] with the paragraph-dedup stage on
+    * (fixed-width block segmentation -- the oracle corpus has no
+    * newline structure). */
+  val prepareParagraphSql: String =
+    prepareSqlWith(containment = false, paragraph = true)
 
   /** Per-stage corpus-loss accounting for a [[prepare]] run over the
     * same inputs: one row per stage with rows_in/rows_out. Runs the

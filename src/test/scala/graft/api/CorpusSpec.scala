@@ -46,6 +46,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(residual.count() === 0)
   }
 
+  test("paragraph stage runs FIRST: boilerplate cut before gating and dedup") {
+    // two long docs identical except for shared boilerplate and one
+    // content sentence; a third doc that is ONLY boilerplate.
+    // Without the paragraph stage: doc 3 survives (unique enough
+    // text). With it: doc 3 strips to nothing -> too_short reject;
+    // docs 1/2 lose the shared header but keep their content.
+    val boiler = "terms of service apply to all visitors of this site"
+    val docs = Seq(
+      (1L, s"$boiler\nalpha beta gamma delta facts one two three"),
+      (2L, s"$boiler\nomega psi chi phi facts four five six seven"),
+      (3L, boiler)
+    ).toDF("my_id", "body")
+    val seg = (d: org.apache.spark.sql.DataFrame,
+        id: org.apache.spark.sql.Column, tx: org.apache.spark.sql.Column) =>
+      DedupOps.paragraphsOf(d, id, tx)
+    val out = Corpus.prepare(docs, col("my_id"), col("body"),
+      paragraphSegmenter = Some(seg))
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    assert(out.keySet === Set(1L, 2L))
+    // doc 1 (first occurrence) keeps the boilerplate; doc 2 loses it
+    assert(out(1L) === s"$boiler alpha beta gamma delta facts one two three")
+    assert(out(2L) === "omega psi chi phi facts four five six seven")
+    // without the stage, the pure-boilerplate doc passes the gate
+    val without = Corpus.prepare(docs, col("my_id"), col("body"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(without.contains(3L))
+  }
+
   test("prepareStats accounts monotone per-stage loss") {
     val stats = Corpus.prepareStats(docs, col("my_id"), col("body"))
       .as[(String, Long, Long)].collect().toSeq
