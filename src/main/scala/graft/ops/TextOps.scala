@@ -528,6 +528,109 @@ object TextOps {
          ${h15Sql(s"array_to_string(toks[st:st + ${ChunkTokens - 1}], ' ')")} AS chunk_hash
        FROM w"""
 
+  // ------------------------------------ content-defined chunking (CDC)
+
+  /** Rolling-window tokens per CDC boundary test. */
+  val CdcWindow = 4
+  /** Boundary when the window hash % divisor == 0 -> ~divisor-token
+    * average chunks (geometric lengths). */
+  val CdcDivisor = 16
+  /** Hard cap: sub-boundaries at chunk-relative multiples of this, so
+    * a hash-unlucky run cannot produce unbounded chunks. P(content
+    * chunk > 64) = (15/16)^64 ~ 1.6%, so the cap is the tail guard,
+    * not the common path. */
+  val CdcMaxTokens = 64
+
+  /** Content-defined chunking: a boundary falls AFTER token i exactly
+    * when the rolling `window`-token hash ending at i is 0 mod
+    * `divisor` -- the rsync/LBFS trick on tokens. Unlike fixed-width
+    * [[chunkOf]], boundaries depend only on LOCAL content, so an
+    * insert or delete re-chunks the edit's neighborhood and NOTHING
+    * else: every chunk whose span lies beyond the edit keeps its
+    * exact text and hash -- the property that makes chunk-level dedup
+    * and delta storage work across document versions. The `maxTokens`
+    * cap adds sub-boundaries at chunk-relative offsets (alignment is
+    * preserved: chunk starts are content-defined, so relative offsets
+    * shift with them).
+    *
+    * Scale shape: one narrow (doc, pos, token, boundary-flag) stream
+    * off the scan (the rolling hash is a per-row expression over the
+    * in-row token array -- no self-join); chunk ids are per-DOC
+    * running sums -- doc-keyed windows whose per-task state is
+    * bounded by document length, the same cost class as [[packOf]]'s
+    * stream windows; then one (doc, chunk) aggregation. Nothing is
+    * corpus-wide but the final group-by. */
+  def cdcChunkOf(docs: DataFrame, window: Int = CdcWindow,
+      divisor: Int = CdcDivisor, maxTokens: Int = CdcMaxTokens): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val t = tokens(col("text"))
+    val pos = docs.select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"),
+        posexplode(transform(col("t"), (tok, i) =>
+          struct(tok.as("tok"),
+            when(i >= window - 1,
+              pmod(h15(concat_ws(" ",
+                slice(col("t"), i - lit(window - 2), lit(window)))),
+                lit(divisor)) === 0)
+              .otherwise(lit(false)).as("b")))).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"),
+        col("s.tok").as("tok"), col("s.b").as("b"))
+    val wPrev = W.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val cids = pos.withColumn("cid",
+      coalesce(sum(col("b").cast("long")).over(wPrev), lit(0L)))
+    val sub = cids.withColumn("cstart",
+        min(col("pos")).over(W.partitionBy(col("doc_id"), col("cid"))))
+      .withColumn("scid",
+        ((col("pos") - col("cstart")) / lit(maxTokens)).cast("long"))
+    sub.groupBy(col("doc_id"), col("cid"), col("scid"))
+      .agg(min(col("pos")).as("start_pos"),
+        count(lit(1)).as("n_chunk_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          p => p.getField("tok"))).as("chunk_text"))
+      .withColumn("chunk_idx", (row_number().over(
+        W.partitionBy(col("doc_id")).orderBy(col("start_pos"))) - 1).cast("int"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_pos"),
+        col("n_chunk_tokens"), col("chunk_text"),
+        h15(col("chunk_text")).as("chunk_hash"))
+  }
+
+  def cdcChunk(s: SparkSession, dir: String): DataFrame =
+    cdcChunkOf(Tables.documents(s, dir))
+
+  val cdcChunkSql: String = {
+    val w = CdcWindow
+    val d = CdcDivisor
+    val m = CdcMaxTokens
+    val winHash = h15Sql(s"array_to_string(t[i-${w - 1}:i], ' ')")
+    s"""WITH tk AS (SELECT doc_id, $TokensSql AS t FROM documents),
+       p0 AS (SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t)), i ->
+             {'pos': CAST(i - 1 AS INT), 'tok': t[i],
+              'b': CASE WHEN i >= $w THEN ($winHash) % $d = 0
+                   ELSE false END})) AS s
+         FROM tk),
+       p AS (SELECT doc_id, s.pos AS pos, s.tok AS tok, s.b AS b FROM p0),
+       c AS (SELECT *, coalesce(sum(CASE WHEN b THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+         FROM p),
+       s2 AS (SELECT *, min(pos) OVER (PARTITION BY doc_id, cid) AS cstart
+              FROM c),
+       g AS (SELECT doc_id, cid, (pos - cstart) // $m AS scid,
+               min(pos) AS start_pos,
+               CAST(count(*) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(array_agg(tok ORDER BY pos), ' ') AS chunk_text
+             FROM s2 GROUP BY 1, 2, 3)
+       SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_pos) - 1
+           AS INT) AS chunk_idx,
+         start_pos, n_chunk_tokens, chunk_text,
+         ${h15Sql("chunk_text")} AS chunk_hash
+       FROM g"""
+  }
+
   /** Token budget per training bin for [[packOf]]. */
   val PackBudget = 256L
 

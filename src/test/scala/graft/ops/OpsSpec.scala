@@ -777,6 +777,40 @@ class OpsSpec extends AnyFunSuite {
       s"multi-probe ${r("multiprobe")} fell below sign-LSH ${r("signlsh")}")
   }
 
+  test("CDC chunking: prefix edit re-chunks ONLY the edit's neighborhood; fixed-width loses everything") {
+    val toks = (0 until 300).map(i => s"t${i * 31 % 101}x${i * 7 % 13}")
+    val base = toks.mkString(" ")
+    val edited = "zz1 zz2 zz3 " + base
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val out = TextOps.cdcChunkOf(docs)
+      .select("doc_id", "start_pos", "chunk_hash", "chunk_text")
+      .as[(Long, Int, Long, String)].collect()
+    val a = out.filter(_._1 == 1L).sortBy(_._2)
+    val bHashes = out.filter(_._1 == 2L).map(_._3).toSet
+    assert(a.length >= 3, s"expected several chunks, got ${a.length}")
+    // boundaries are window-local, so every A-chunk except the FIRST
+    // starts at a boundary that exists (shifted by 3) in B -> its
+    // exact text and hash reappear
+    val missing = a.tail.filterNot(c => bHashes.contains(c._3))
+    assert(missing.isEmpty,
+      s"CDC lost ${missing.length}/${a.length - 1} suffix chunks under a prefix edit")
+    // the fixed-width chunker shifts every chunk: the same assertion
+    // must FAIL there (this is CDC's reason to exist)
+    val fw = TextOps.chunkOf(docs)
+      .select("doc_id", "chunk_id", "chunk_hash")
+      .as[(Long, Int, Long)].collect()
+    val fwA = fw.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val fwB = fw.filter(_._1 == 2L).map(_._3).toSet
+    assert(!fwA.tail.forall(fwB.contains),
+      "fixed-width chunks unexpectedly survived a prefix edit")
+    // coverage: CDC chunks reassemble the document exactly, in order
+    assert(a.map(_._4).mkString(" ") === base)
+    // cap: no chunk exceeds maxTokens
+    val maxLen = TextOps.cdcChunkOf(docs)
+      .agg(max(col("n_chunk_tokens"))).as[Long].head()
+    assert(maxLen <= TextOps.CdcMaxTokens)
+  }
+
   test("hybrid RRF fusion: hand-computed ranks, one-sided candidates, tie on match_id") {
     val docs = Seq(
       (0L, "apple banana apple"),
