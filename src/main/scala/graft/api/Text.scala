@@ -137,6 +137,16 @@ object Text {
             chunkTokens: Int = TextOps.ChunkTokens): DataFrame =
     TextOps.chunkOf(docs.select(id.as("doc_id"), text.as("text")), chunkTokens)
 
+  /** Content-defined chunking: rolling-hash boundaries (edit-stable
+    * -- an insert/delete re-chunks only its neighborhood, so
+    * chunk-level dedup survives document versioning) with a length
+    * cap. See [[TextOps.cdcChunkOf]] for the scale shape. */
+  def cdcChunk(docs: DataFrame, id: Column, text: Column,
+      window: Int = TextOps.CdcWindow, divisor: Int = TextOps.CdcDivisor,
+      maxTokens: Int = TextOps.CdcMaxTokens): DataFrame =
+    TextOps.cdcChunkOf(docs.select(id.as("doc_id"), text.as("text")),
+      window, divisor, maxTokens)
+
   /** Concat-and-chunk packing offsets per stream: which training bin
     * each doc starts/ends in and whether it straddles a boundary.
     * `stream` bounds the window partitions -- at scale pass a
