@@ -212,4 +212,123 @@ object GraphOps {
        $steps
        SELECT id, rank FROM r8"""
   }
+
+  // --------------------------------------------------- triangle counting
+
+  /** Sortable (degree, id) orientation key: ids must stay below 1e9
+    * (testdata supplier/customer keys are far below; callers with
+    * larger id spaces re-key first). */
+  private val OrientK = 1000000000L
+
+  /** Per-node triangle participation over an UNDIRECTED canonical
+    * edge list (`u` < `v`, deduped) -- the local-clustering signal
+    * (n_tri vs the wedge capacity deg*(deg-1)/2) that spam/link-farm
+    * quality priors read. Output: (node_id, n_tri, n_wedges), one row
+    * per node of the graph.
+    *
+    * Shape: DEGREE ORIENTATION, the standard distributed-triangle
+    * trick (MPC/vertex-ordering literature; same algorithm Spark's
+    * GraphX LPA-free triangleCount uses) -- each undirected edge is
+    * directed from its lower to its higher endpoint in the total
+    * order (deg, id). Every triangle then has exactly ONE "apex" node
+    * with two out-edges, so the wedge self-join `o(a,b) x o(a,c),
+    * key(b) < key(c)` enumerates each triangle once, and a LEFT SEMI
+    * probe of the oriented edge set on (b, c) confirms it. Out-degree
+    * under this orientation is bounded by O(sqrt(2m)) regardless of
+    * raw degree skew, so the wedge fan-out is at most m^1.5 even on a
+    * power-law graph whose highest-degree hub would make the naive
+    * neighbor self-join quadratic: the orientation join is exactly
+    * what makes this survive a web-scale graph. All joins are
+    * equi-joins (PlanSpec-pinnable: no cartesian anywhere); the
+    * orientation key rides each edge row so the wedge join needs no
+    * extra degree lookup. */
+  def triangleCounts(edges0: DataFrame): DataFrame = {
+    val edges = DedupOps.materializeOnce(edges0.select(col("u"), col("v")))
+    val deg = DedupOps.materializeOnce(
+      edges.select(col("u").as("id"))
+        .unionAll(edges.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg")))
+    def key(d: String, n: String) = s"$d.deg * ${OrientK}L + $n"
+    val lower = s"${key("du", "e.u")} < ${key("dv", "e.v")}"
+    val o = DedupOps.materializeOnce(
+      edges.as("e")
+        .join(deg.as("du"), expr("e.u = du.id"))
+        .join(deg.as("dv"), expr("e.v = dv.id"))
+        .selectExpr(
+          s"CASE WHEN $lower THEN e.u ELSE e.v END AS src",
+          s"CASE WHEN $lower THEN e.v ELSE e.u END AS dst",
+          s"CASE WHEN $lower THEN ${key("dv", "e.v")}" +
+            s" ELSE ${key("du", "e.u")} END AS kdst"))
+    val wedges = o.as("o1")
+      .join(o.as("o2"), expr("o1.src = o2.src AND o1.kdst < o2.kdst"))
+      .selectExpr("o1.src AS a", "o1.dst AS b", "o2.dst AS c")
+    // (src, dst) is unique in o (edges are distinct, orientation is a
+    // bijection), so the semi join is a pure existence probe
+    val tri = wedges.as("w")
+      .join(o.as("o3"), expr("w.b = o3.src AND w.c = o3.dst"), "left_semi")
+    val perNode = tri.selectExpr("a AS id")
+      .unionAll(tri.selectExpr("b AS id"))
+      .unionAll(tri.selectExpr("c AS id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    val out = deg.as("d")
+      .join(perNode.as("p"), expr("d.id = p.id"), "left")
+      .selectExpr("d.id AS node_id",
+        "CAST(coalesce(p.n_tri, 0L) AS BIGINT) AS n_tri",
+        "CAST(d.deg * (d.deg - 1) div 2 AS BIGINT) AS n_wedges")
+    DedupOps.releaseOnce(edges)
+    out
+  }
+
+  /** Triangle counts over the high-quantity co-supplier graph: two
+    * suppliers are adjacent when they both ship a >= 46-quantity item
+    * on the same order (the quantity floor keeps the graph sparse --
+    * the co-occurrence self-join is bounded per order by order size,
+    * a data constant, and the filter pushes down to the lineitem
+    * scan). */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val hi = Tables.lineitem(s, dir)
+      .filter(col("l_quantity") >= 46)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val edges = hi.as("a")
+      .join(hi.as("b"), expr("a.ok = b.ok AND a.sk < b.sk"))
+      .selectExpr("a.sk AS u", "b.sk AS v").distinct()
+    triangleCounts(edges)
+  }
+
+  /** The same orientation + wedge-probe pipeline as chained CTEs; all
+    * integer arithmetic, so the per-node counts hash-match exactly. */
+  val graphTrianglesSql: String =
+    s"""WITH hi AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+            FROM lineitem WHERE l_quantity >= 46),
+       edges AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+                 FROM hi a JOIN hi b ON a.ok = b.ok AND a.sk < b.sk),
+       deg AS (SELECT id, count(*) AS deg
+               FROM (SELECT u AS id FROM edges
+                     UNION ALL SELECT v AS id FROM edges)
+               GROUP BY id),
+       o AS (SELECT CASE WHEN du.deg * $OrientK + e.u < dv.deg * $OrientK + e.v
+                         THEN e.u ELSE e.v END AS src,
+                    CASE WHEN du.deg * $OrientK + e.u < dv.deg * $OrientK + e.v
+                         THEN e.v ELSE e.u END AS dst,
+                    CASE WHEN du.deg * $OrientK + e.u < dv.deg * $OrientK + e.v
+                         THEN dv.deg * $OrientK + e.v
+                         ELSE du.deg * $OrientK + e.u END AS kdst
+             FROM edges e JOIN deg du ON e.u = du.id
+                          JOIN deg dv ON e.v = dv.id),
+       tri AS (SELECT w.a, w.b, w.c
+               FROM (SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+                     FROM o o1 JOIN o o2
+                       ON o1.src = o2.src AND o1.kdst < o2.kdst) w
+               WHERE EXISTS (SELECT 1 FROM o o3
+                             WHERE o3.src = w.b AND o3.dst = w.c)),
+       pernode AS (SELECT id, count(*) AS n_tri FROM (
+           SELECT a AS id FROM tri
+           UNION ALL SELECT b AS id FROM tri
+           UNION ALL SELECT c AS id FROM tri)
+           GROUP BY id)
+       SELECT d.id AS node_id,
+              CAST(COALESCE(p.n_tri, 0) AS BIGINT) AS n_tri,
+              CAST(d.deg * (d.deg - 1) // 2 AS BIGINT) AS n_wedges
+       FROM deg d LEFT JOIN pernode p ON d.id = p.id"""
 }

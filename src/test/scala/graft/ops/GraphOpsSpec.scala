@@ -76,4 +76,35 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(ranks(edges) === danglingRanks(edges),
       "zero dangling mass must make reclaim a no-op")
   }
+
+  private def triangles(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+    GraphOps.triangleCounts(edges.toDF("u", "v"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("K4 plus a pendant: per-node triangle and wedge counts") {
+    // complete graph on {0,1,2,3} (4 triangles, each node in 3 of
+    // them) plus pendant 4 -- 3 (node 4 in none, node 3's degree rises
+    // to 4). Canonical u < v edges.
+    val k4 = for (u <- 0L to 3L; v <- (u + 1) to 3L) yield (u, v)
+    val t = triangles(k4 :+ (3L, 4L))
+    assert(t(0L) === ((3L, 3L)) && t(1L) === ((3L, 3L)) && t(2L) === ((3L, 3L)))
+    assert(t(3L) === ((3L, 6L)), "deg-4 node: 3 triangles, C(4,2)=6 wedges")
+    assert(t(4L) === ((0L, 0L)), "pendant participates in nothing")
+  }
+
+  test("triangle-free bipartite graph counts zero everywhere") {
+    val edges = for (u <- 0L to 2L; v <- 10L to 12L) yield (u, v)
+    val t = triangles(edges)
+    assert(t.size === 6 && t.values.forall(_._1 === 0L))
+    // K(3,3): every node has degree 3 -> 3 wedges
+    assert(t.values.forall(_._2 === 3L))
+  }
+
+  test("triangle plans stay cartesian-free (degree orientation joins)") {
+    val k4 = for (u <- 0L to 3L; v <- (u + 1) to 3L) yield (u, v)
+    val plan = GraphOps.triangleCounts(k4.toDF("u", "v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"triangle pipeline must be pure equi-joins:\n$plan")
+  }
 }
