@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.functions.KmvSketch.kmv
 import graft.functions.TopKFreq.topkFreq
 import graft.ops.Hashing._
 
@@ -60,6 +61,79 @@ object DiagnosticsOps {
       .select(col("partition_id"), col("n_rows"),
         round(col("mx") / col("mean"), 2).as("max_over_mean"))
   }
+
+  /** Distinct-key overlap between every pair of sides (partitions /
+    * snapshots / sources) via per-side KMV sketches: one
+    * map-side-combinable pass builds a bounded k-min synopsis per
+    * side, then all pair arithmetic runs on the side-count-sized
+    * sketch table -- the raw key sets are never shuffled, which is
+    * the only way a "how much do these 100 TB sources overlap"
+    * diagnostic is answerable. Below capacity (`saturated = false`
+    * on both sides) every number is EXACT -- the oracle regime;
+    * above it the standard KMV estimators take over: D ~ (k-1)/u(k)
+    * per side and |A ^ B| ~ J(K) * D(A u B) over the combined k-min
+    * set (Beyer et al., SIGMOD'07).
+    *
+    * Output: (side_a, side_b, n_a, n_b, n_common) for side_a <
+    * side_b. */
+  def keyOverlap(df: DataFrame, side: Column, key: Column,
+      k: Int = 32768): DataFrame = {
+    val sk = df.select(side.as("side"), xxhash64(key).as("kh"))
+      .groupBy(col("side")).agg(kmv(col("kh"), k).as("sk"))
+    // flipped-long -> uniform [0,1): (v + 2^63) / 2^64 in doubles --
+    // approximate-path only, so the double rounding is immaterial
+    def u(c: String) =
+      s"(CAST($c AS DOUBLE) + 9.223372036854776E18) / 1.8446744073709552E19"
+    def nd(p: String) =
+      s"""CASE WHEN NOT $p.sk.saturated
+            THEN CAST(size($p.sk.mins) AS BIGINT)
+            ELSE CAST(round((${k - 1})
+              / greatest(${u(s"element_at($p.sk.mins, $k)")}, 1e-18))
+              AS BIGINT) END"""
+    sk.as("a").join(sk.as("b"), expr("a.side < b.side"))
+      .selectExpr("a.side AS side_a", "b.side AS side_b",
+        s"${nd("a")} AS n_a", s"${nd("b")} AS n_b",
+        "array_intersect(a.sk.mins, b.sk.mins) AS inter0",
+        "array_sort(array_union(a.sk.mins, b.sk.mins)) AS us",
+        "a.sk.saturated OR b.sk.saturated AS sat")
+      .selectExpr("side_a", "side_b", "n_a", "n_b", "inter0", "us", "sat",
+        s"least(size(us), $k) AS keff")
+      .selectExpr("side_a", "side_b", "n_a", "n_b",
+        s"""CASE WHEN NOT sat THEN CAST(size(inter0) AS BIGINT)
+            ELSE CAST(round(
+              (CAST(size(array_intersect(slice(us, 1, keff), inter0))
+                    AS DOUBLE) / keff)
+              * (keff - 1)
+              / greatest(${u("element_at(us, keff)")}, 1e-18))
+              AS BIGINT) END AS n_common""")
+  }
+
+  /** Oracle-gated binding: distinct-customer overlap between order
+    * years 1995-1997 (three side pairs; per-year NDV is far below the
+    * 32k capacity at the gate's scale, so the sketch runs exact and
+    * hash-matches the DuckDB DISTINCT/INTERSECT twin). */
+  def aggKmvOverlap(s: SparkSession, dir: String): DataFrame =
+    keyOverlap(
+      Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")).between(1995, 1997)),
+      year(col("o_orderdate")).cast("int"), col("o_custkey"))
+      .withColumnRenamed("side_a", "year_a")
+      .withColumnRenamed("side_b", "year_b")
+
+  val aggKmvOverlapSql: String =
+    """WITH y AS (SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS yr,
+                o_custkey AS ck
+         FROM orders
+         WHERE year(o_orderdate) BETWEEN 1995 AND 1997),
+       n AS (SELECT yr, count(*) AS nd FROM y GROUP BY yr),
+       c AS (SELECT a.yr AS ya, b.yr AS yb, count(*) AS nc
+             FROM y a JOIN y b ON a.ck = b.ck AND a.yr < b.yr
+             GROUP BY 1, 2)
+       SELECT na.yr AS year_a, nb.yr AS year_b,
+              CAST(na.nd AS BIGINT) AS n_a, CAST(nb.nd AS BIGINT) AS n_b,
+              CAST(COALESCE(c.nc, 0) AS BIGINT) AS n_common
+       FROM n na JOIN n nb ON na.yr < nb.yr
+       LEFT JOIN c ON c.ya = na.yr AND c.yb = nb.yr"""
 
   /** Oracle-gated binding: heaviest user_ids in the events stream
     * (distinct users << capacity, so the sketch is exact and
