@@ -38,6 +38,69 @@ object AnalyticsQueries {
                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS mavg_5
        FROM (SELECT *, epoch_ns(ts)//1000 AS ts_us FROM events)"""
 
+  /** A11: volume-weighted average price (VWAP) per supplier-year --
+    * the canonical execution-quality benchmark of an equity
+    * warehouse, here as sum(notional)/sum(quantity) over lineitem
+    * fills. Both sums run in decimal(18,4) (exact under any
+    * partition order), the division happens once in doubles on the
+    * already-exact sums -- the established cross-engine money-math
+    * discipline (RelationalQueries header). Map-side-combinable
+    * single aggregation; the two grouping columns prune the scan to
+    * four columns. */
+  def a11Vwap(s: SparkSession, dir: String): DataFrame = {
+    val notional = sum(col("l_extendedprice").cast(D)).cast("double")
+    val qty = sum(col("l_quantity").cast(D)).cast("double")
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey"), year(col("l_shipdate")).cast("int").as("yr"))
+      .agg(round(notional / qty, 4).as("vwap"),
+        qty.as("total_qty"),
+        count(lit(1)).as("n_fills"))
+  }
+
+  val a11VwapSql: String =
+    """SELECT l_suppkey, CAST(year(l_shipdate) AS INT) AS yr,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           / CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS vwap,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
+       count(*) AS n_fills
+       FROM lineitem GROUP BY 1, 2"""
+
+  /** A12: maximum drawdown per stream -- running peak via an
+    * unbounded-preceding cummax frame (tie-broken on event_id so the
+    * running sequence is engine-identical), per-row drawdown
+    * (peak - value) / peak with the ANSI-safe zero-peak guard
+    * (CASE -> NULL, max ignores nulls), then one max per user. All
+    * double ops are fixed-shape IEEE expressions on identical
+    * operands, so the result hash-matches without decimal detours. */
+  def drawdownOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("value"),
+        max(col("value")).over(w).as("peak"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(max(when(col("peak") =!= 0.0,
+          (col("peak") - col("value")) / col("peak"))) * 100.0, 4)
+          .as("max_dd_pct"))
+  }
+
+  def a12Drawdown(s: SparkSession, dir: String): DataFrame =
+    drawdownOf(Tables.events(s, dir))
+
+  val a12DrawdownSql: String =
+    """WITH e AS (SELECT *, epoch_ns(ts)//1000 AS ts_us FROM events),
+       p AS (SELECT user_id, value,
+               max(value) OVER (PARTITION BY user_id
+                 ORDER BY ts_us ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+             FROM e)
+       SELECT user_id, count(*) AS n_events,
+              round(max(CASE WHEN peak <> 0 THEN (peak - value) / peak END)
+                    * 100, 4) AS max_dd_pct
+       FROM p GROUP BY user_id"""
+
   /** lag(): per-user delta vs previous event (daily-return shape). */
   def w3LagDelta(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
@@ -795,6 +858,8 @@ object AnalyticsQueries {
     "a8_zscore_topk" -> (a8ZscoreTopk _),
     "a9_histogram" -> (a9Histogram _),
     "a10_corr_stats" -> (a10CorrStats _),
+    "a11_vwap" -> (a11Vwap _),
+    "a12_drawdown" -> (a12Drawdown _),
     "w8_range_frame" -> (w8RangeFrame _),
     "w9_rank_suite" -> (w9RankSuite _),
     "f16_json_extract" -> (f16JsonExtract _),
@@ -833,6 +898,8 @@ object AnalyticsQueries {
     "a8_zscore_topk" -> a8ZscoreTopkSql,
     "a9_histogram" -> a9HistogramSql,
     "a10_corr_stats" -> a10CorrStatsSql,
+    "a11_vwap" -> a11VwapSql,
+    "a12_drawdown" -> a12DrawdownSql,
     "w8_range_frame" -> w8RangeFrameSql,
     "w9_rank_suite" -> w9RankSuiteSql,
     "f16_json_extract" -> f16JsonExtractSql,

@@ -198,6 +198,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("max drawdown matches the hand-computed planted price path") {
+    import graft.queries.AnalyticsQueries
+    // user 1: 100 -> 120 -> 90 -> 110 -> 60: peak path 100,120,120,120,
+    // 120 -> worst drawdown (120-60)/120 = 50%. user 2 monotone up ->
+    // 0%. user 3 all zeros -> NULL (guarded division).
+    val rows = Seq(
+      (1L, 1L, 100.0), (1L, 2L, 120.0), (1L, 3L, 90.0),
+      (1L, 4L, 110.0), (1L, 5L, 60.0),
+      (2L, 1L, 10.0), (2L, 2L, 20.0), (2L, 3L, 30.0),
+      (3L, 1L, 0.0), (3L, 2L, 0.0))
+      .map { case (u, i, v) => (u, i, i * 1000L, v) }
+    val got = AnalyticsQueries.drawdownOf(
+        rows.toDF("user_id", "event_id", "ts_us", "value"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(got(1L) === ((5L, Some(50.0))))
+    assert(got(2L) === ((3L, Some(0.0))))
+    assert(got(3L) === ((2L, None)), "all-zero peaks must yield NULL, not /0")
+  }
+
   test("approx percentiles land inside the q+-0.01 exact rank band") {
     import graft.queries.AnalyticsQueries
     // rank-error framing: approx_percentile returns an actual data
