@@ -213,6 +213,91 @@ object GraphOps {
        SELECT id, rank FROM r8"""
   }
 
+  // ----------------------------------------------- label propagation
+
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007) over an undirected edge list fed as BOTH directions:
+    * labels start as node ids; each round every node adopts the most
+    * frequent label among its neighbors, ties broken toward the
+    * SMALLEST label -- the deterministic variant (classic LPA breaks
+    * ties randomly, which no cross-engine oracle could pin). Fixed
+    * round count: LPA's fixpoint can oscillate under synchronous
+    * update, so a bounded sweep is the honest distributed contract.
+    *
+    * Per round: one edge-sized equi-join labels-to-edges, one
+    * map-side-combinable (node, label) count, then the argmax per
+    * node as `max(struct(cnt, -label))` -- a pure aggregate, no
+    * window shuffle; -label turns "min label on cnt ties" into max
+    * semantics. Same lineage-cut discipline as [[pageRank]]. */
+  def labelPropagation(edges0: DataFrame, iters: Int): DataFrame = {
+    val edges = DedupOps.materializeOnce(edges0.select(col("src"), col("dst")))
+    val nodes = DedupOps.materializeOnce(
+      edges.select(col("src").as("id")).distinct())
+    var lab = nodes.select(col("id"), col("id").as("label"))
+    var lastMat: DataFrame = null
+    for (i <- 1 to iters) {
+      val votes = edges.as("e")
+        .join(lab.as("l"), expr("e.src = l.id"))
+        .groupBy(col("e.dst").as("vid"), col("l.label").as("vlabel"))
+        .agg(count(lit(1)).as("cnt"))
+      val next = votes
+        .groupBy(col("vid").as("id"))
+        .agg(max(struct(col("cnt"), (-col("vlabel")).as("neg"))).as("top"))
+        .select(col("id"), (-col("top.neg")).as("label"))
+      if (i % 2 == 0 || i == iters) {
+        val m = DedupOps.materializeOnce(next)
+        if (lastMat != null) DedupOps.releaseOnce(lastMat)
+        lastMat = m
+        lab = m
+      } else lab = next
+    }
+    DedupOps.releaseOnce(edges)
+    DedupOps.releaseOnce(nodes)
+    lab
+  }
+
+  /** LPA over the high-quantity co-supplier graph (see
+    * [[graphTriangles]]), 4 synchronous rounds, both edge directions
+    * fed so the neighborhood is symmetric. */
+  def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val hi = Tables.lineitem(s, dir)
+      .filter(col("l_quantity") >= 46)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val fwd = hi.as("a")
+      .join(hi.as("b"), expr("a.ok = b.ok AND a.sk < b.sk"))
+      .selectExpr("a.sk AS src", "b.sk AS dst").distinct()
+    labelPropagation(
+      fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst"))),
+      iters = 4)
+  }
+
+  /** The same 4 deterministic sweeps as chained CTEs; the oracle
+    * breaks argmax ties with a row_number window (cnt DESC, label
+    * ASC) -- value-identical to the engine's max(struct(cnt,
+    * -label)) aggregate. */
+  val graphLabelPropSql: String = {
+    def step(prev: String, cur: String): String =
+      s"""$cur AS (
+         SELECT vid AS id, vlabel AS label FROM (
+           SELECT e.dst AS vid, l.label AS vlabel, count(*) AS cnt,
+                  row_number() OVER (PARTITION BY e.dst
+                    ORDER BY count(*) DESC, l.label ASC) AS rn
+           FROM edges e JOIN $prev l ON e.src = l.id
+           GROUP BY e.dst, l.label)
+         WHERE rn = 1)"""
+    val steps = (1 to 4).map(i => step(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH hi AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+            FROM lineitem WHERE l_quantity >= 46),
+       fwd AS (SELECT DISTINCT a.sk AS src, b.sk AS dst
+               FROM hi a JOIN hi b ON a.ok = b.ok AND a.sk < b.sk),
+       edges AS (SELECT src, dst FROM fwd
+                 UNION ALL SELECT dst AS src, src AS dst FROM fwd),
+       r0 AS (SELECT DISTINCT src AS id, src AS label FROM edges),
+       $steps
+       SELECT id, label FROM r4"""
+  }
+
   // --------------------------------------------------- triangle counting
 
   /** Sortable (degree, id) orientation key: ids must stay below 1e9

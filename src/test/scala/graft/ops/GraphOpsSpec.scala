@@ -77,6 +77,20 @@ class GraphOpsSpec extends AnyFunSuite {
       "zero dangling mass must make reclaim a no-op")
   }
 
+  test("LPA: two bridged triangles settle into two communities (hand-traced)") {
+    // triangle {0,1,2} + triangle {10,11,12} + bridge 2-10; the
+    // deterministic min-tie sweep traced by hand gives {0,1,2}->0 and
+    // {10,11,12}->2 after 4 synchronous rounds (label 2 rides the
+    // bridge into the right clique and wins as its smallest import)
+    val fwd = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (2L, 10L))
+    val edges = fwd ++ fwd.map(_.swap)
+    val got = GraphOps.labelPropagation(edges.toDF("src", "dst"), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 2L, 11L -> 2L, 12L -> 2L))
+  }
+
   private def triangles(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
     GraphOps.triangleCounts(edges.toDF("u", "v"))
       .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
