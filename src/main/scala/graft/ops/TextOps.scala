@@ -927,6 +927,121 @@ object TextOps {
        HAVING CAST(sum($sgn) AS BIGINT) <> 0"""
   }
 
+  /** Batch perceptron over the hashing-trick features -- the
+    * TRAINABLE linear classifier rung that, unlike every
+    * sigmoid/softmax learner, runs in PURE INTEGER arithmetic: lr=1
+    * weights are exact sums of {-1,+1}-weighted feature counts, so
+    * training is partition-order-invariant and the fitted model
+    * hash-matches across engines -- no other trainable-model family
+    * offers that (NB needed log quantization; logistic regression
+    * cannot be pinned at all because exp() bit-parity across libm
+    * implementations is not a contract).
+    *
+    * Batch (not online) update, the distributed-natural variant:
+    * epoch = score every doc under the current weights (one
+    * broadcast-model join + map-side-combinable per-doc sum), collect
+    * the misclassified set (y * margin <= 0, so the all-zero initial
+    * model marks everything misclassified -- the textbook first
+    * step), add sum(y * x) over it to the weights and sum(y) to the
+    * bias. The feature table is materialized once and re-streamed per
+    * epoch; the model (<= dim rows) rides a broadcast both ways --
+    * nothing corpus-sized ever shuffles, epochs scale as one scan
+    * each.
+    *
+    * Output: (doc_id, margin, pred in {-1, 1}) under the fitted
+    * weights. */
+  def perceptronOf(docs: DataFrame, label: Column, epochs: Int = 3,
+      dim: Int = HashEmbedDim): DataFrame = {
+    val feats = DedupOps.materializeOnce(hashEmbedOf(docs, dim))
+    val labels = DedupOps.materializeOnce(
+      docs.select(col("doc_id"), label.cast("long").as("y")))
+    var w = feats.select(col("pos").as("j")).distinct()
+      .select(col("j"), lit(0L).as("wv"))
+    var b = labels.sparkSession.range(1).select(lit(0L).as("bv"))
+    def margins = {
+      val dot = feats.as("f")
+        .join(broadcast(w).as("w"), expr("f.pos = w.j"))
+        .groupBy(col("f.doc_id").as("mdoc"))
+        .agg(sum(col("f.v") * col("w.wv")).as("dot"))
+      labels.as("l")
+        .join(dot.as("d"), expr("l.doc_id = d.mdoc"), "left")
+        .crossJoin(broadcast(b))
+        .select(col("l.doc_id"), col("l.y"),
+          (coalesce(col("d.dot"), lit(0L)) + col("bv")).as("m"))
+    }
+    for (_ <- 1 to epochs) {
+      val mis = margins.filter(col("y") * col("m") <= 0)
+        .select(col("doc_id"), col("y"))
+      // the misclassified set can be corpus-sized in epoch 1 (every
+      // doc under zero weights) -- NOT broadcastable; a plain doc_id
+      // equi-join lets AQE pick, and the (j, g) gradient that comes
+      // out is model-sized
+      val gw = feats.as("f")
+        .join(mis.as("mi"), expr("f.doc_id = mi.doc_id"))
+        .groupBy(col("f.pos").as("j")).agg(sum(col("f.v") * col("mi.y")).as("g"))
+      // rebuild w eagerly so the loop never stacks un-evaluated
+      // model lineage
+      w = DedupOps.materializeOnce(
+        w.as("w").join(gw.as("g"), expr("w.j = g.j"), "left")
+          .select(col("w.j").as("j"),
+            (col("w.wv") + coalesce(col("g.g"), lit(0L))).as("wv")))
+      b = DedupOps.materializeOnce(
+        b.crossJoin(mis.agg(coalesce(sum(col("y")), lit(0L)).as("gy")))
+          .select((col("bv") + col("gy")).as("bv")))
+    }
+    // materialize the scored output BEFORE dropping the feature /
+    // label checkpoints it is built from
+    val out = DedupOps.materializeOnce(margins
+      .select(col("doc_id"), col("m").as("margin"),
+        when(col("m") > 0, lit(1)).otherwise(lit(-1)).as("pred")))
+    DedupOps.releaseOnce(feats)
+    DedupOps.releaseOnce(labels)
+    out
+  }
+
+  /** Oracle binding: English-vs-rest perceptron on the documents
+    * table (y = +1 for lang = 'en'), 3 epochs. */
+  def textPerceptron(s: SparkSession, dir: String): DataFrame =
+    perceptronOf(Tables.documents(s, dir),
+      when(col("lang") === "en", 1L).otherwise(-1L))
+
+  /** The same 3 batch epochs as chained CTEs: per epoch a margin CTE
+    * under the previous weights, the misclassified set, and the
+    * weight/bias update -- integer throughout. */
+  val textPerceptronSql: String = {
+    def margin(w: String, bb: String, m: String): String =
+      s"""$m AS (SELECT l.doc_id, l.y, COALESCE(d.dot, 0) + (SELECT bv FROM $bb) AS m
+           FROM lab l LEFT JOIN (
+             SELECT f.doc_id, sum(f.v * $w.wv) AS dot
+             FROM feat f JOIN $w ON f.pos = $w.j GROUP BY 1) d
+           ON l.doc_id = d.doc_id)"""
+    def upd(mPrev: String, wPrev: String, bPrev: String,
+        mis: String, w: String, bb: String): String =
+      s"""$mis AS (SELECT doc_id, y FROM $mPrev WHERE y * m <= 0),
+         $w AS (SELECT $wPrev.j, $wPrev.wv + COALESCE(g.g, 0) AS wv
+                FROM $wPrev LEFT JOIN (
+                  SELECT f.pos AS j, sum(f.v * mi.y) AS g
+                  FROM feat f JOIN $mis mi ON f.doc_id = mi.doc_id
+                  GROUP BY 1) g ON $wPrev.j = g.j),
+         $bb AS (SELECT (SELECT bv FROM $bPrev)
+                   + COALESCE((SELECT sum(y) FROM $mis), 0) AS bv)"""
+    s"""WITH feat AS ($hashEmbedSql),
+       lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+               FROM documents),
+       w0 AS (SELECT DISTINCT pos AS j, 0 AS wv FROM feat),
+       b0 AS (SELECT 0 AS bv),
+       ${margin("w0", "b0", "m1")},
+       ${upd("m1", "w0", "b0", "mis1", "w1", "b1")},
+       ${margin("w1", "b1", "m2")},
+       ${upd("m2", "w1", "b1", "mis2", "w2", "b2")},
+       ${margin("w2", "b2", "m3")},
+       ${upd("m3", "w2", "b2", "mis3", "w3", "b3")},
+       ${margin("w3", "b3", "m4")}
+       SELECT doc_id, CAST(m AS BIGINT) AS margin,
+              CASE WHEN m > 0 THEN 1 ELSE -1 END AS pred
+       FROM m4"""
+  }
+
   /** Dense form of [[hashEmbedOf]]: (doc_id, emb array<double> of
     * length `dim`) -- feed directly into the cosine / sign-LSH / IVF
     * operators for model-free semantic screening. */

@@ -198,6 +198,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("perceptron separates a linearly separable planted corpus") {
+    import org.apache.spark.sql.functions.{col, when, lit}
+    // 'alpha' and 'omega' hash to distinct buckets (59 vs 52 mod 64,
+    // precomputed), so the classes are orthogonal features -- the
+    // perceptron convergence theorem guarantees separation within the
+    // 3 batch epochs
+    val docs = Seq(
+      (1L, "alpha alpha alpha", "en"), (2L, "alpha alpha", "en"),
+      (3L, "omega omega omega", "fr"), (4L, "omega omega", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val y = when(col("lang") === "en", lit(1L)).otherwise(lit(-1L))
+    val got = TextOps.perceptronOf(docs, y)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got(1L)._2 === 1 && got(2L)._2 === 1,
+      s"positive class misclassified: $got")
+    assert(got(3L)._2 === -1 && got(4L)._2 === -1,
+      s"negative class misclassified: $got")
+    // margins scale with the token count inside a class
+    assert(got(1L)._1 > got(2L)._1 && got(3L)._1 < got(4L)._1)
+  }
+
   test("max drawdown matches the hand-computed planted price path") {
     import graft.queries.AnalyticsQueries
     // user 1: 100 -> 120 -> 90 -> 110 -> 60: peak path 100,120,120,120,
