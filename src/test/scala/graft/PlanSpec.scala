@@ -516,4 +516,30 @@ class PlanSpec extends AnyFunSuite {
       c.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
     }
   }
+
+  test("triangle counting: equi-joins + left-semi probe, no cartesian") {
+    // the degree orientation exists precisely so the wedge join and
+    // the (b,c) existence probe are EQUI-joins bounded by m^1.5; a
+    // cartesian (or a nested-loop on edge-sized inputs) here would be
+    // the quadratic naive plan the orientation kills
+    val p = plan(SparkEntry.queries("graph_triangles")(spark, dir))
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), "triangles planned a cartesian")
+    assert(s.contains("LeftSemi"),
+      "the (b,c) edge probe must plan as a left-semi existence join")
+  }
+
+  test("kmv overlap: map-side-combinable sketch agg over a 2-column scan") {
+    val all = collectAll(plan(SparkEntry.queries("agg_kmv_overlap")(spark, dir)))
+    val scans = all.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty && scans.forall(_.output.size <= 2),
+      s"overlap scan must prune to (o_orderdate, o_custkey): " +
+        scans.map(_.output.map(_.name)).mkString(";"))
+    // TypedImperativeAggregate plans as ObjectHashAggregate; partial +
+    // final pair = sketches merge map-side, the property that makes
+    // the pass 100 TB-viable
+    val oha = all.count(_.getClass.getSimpleName.contains("ObjectHashAggregate"))
+    assert(oha >= 2, s"expected partial+final ObjectHashAggregate, saw $oha")
+    assert(!all.exists(_.isInstanceOf[CartesianProductExec]))
+  }
 }
