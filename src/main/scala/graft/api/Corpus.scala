@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, Hashing, TextOps}
+import graft.ops.{DedupOps, Hashing, SamplingOps, TextOps}
 
 /** End-to-end training-corpus preparation: the composition a data
   * pipeline actually runs -- quality filter -> exact dedup -> near-dup
@@ -245,6 +245,42 @@ object Corpus {
       n: Int): DataFrame =
     graft.ops.SamplingOps.groupSampleOf(
       docs.select(id.as("doc_id"), group.as("grp")), n)
+
+  /** Deterministic global training-order shuffle + shard assignment
+    * over an arbitrary id column: (doc_id, ord, global_pos, shard,
+    * pos_in_shard), where global_pos is the doc's exact 0-based rank
+    * in a hash-pseudorandom permutation -- computed with NO global
+    * sort (see [[graft.ops.SamplingOps.shuffleShardOf]] for the
+    * two-phase bucket-rank shape). */
+  def shuffleShard(docs: DataFrame, id: Column,
+      buckets: Int = SamplingOps.ShuffleBuckets,
+      shardDocs: Int = SamplingOps.ShardDocs): DataFrame =
+    SamplingOps.shuffleShardOf(docs.select(id.as("doc_id")), buckets, shardDocs)
+
+  /** Export the corpus as size-bounded, order-reproducible training
+    * shards: every doc lands in exactly one `shard=N/` hive dir
+    * (`shardDocs` docs per shard, the last one partial), rows inside
+    * a shard file are stored in the global pseudorandom training
+    * order, and the entire layout -- membership AND order -- is
+    * bit-reproducible across re-runs, input partitionings, and
+    * cluster sizes (the property rand()-based shuffles cannot give).
+    * Cost on top of the assignment plan: one broadcast-joinable or
+    * key-shuffled id join plus the shard repartition; each shard
+    * hashes to exactly one task, so a shard is one file. */
+  def exportShards(docs: DataFrame, id: Column, outPath: String,
+      shardDocs: Int = SamplingOps.ShardDocs,
+      buckets: Int = SamplingOps.ShuffleBuckets): Unit = {
+    val base = docs.withColumn("__sid", id)
+    val assign = SamplingOps.shuffleShardOf(
+      docs.select(id.as("doc_id")), buckets, shardDocs)
+      .select(col("doc_id").as("__sid"), col("global_pos"),
+        col("shard"), col("pos_in_shard"))
+    base.join(assign, "__sid").drop("__sid")
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos_in_shard"))
+      .write.partitionBy("shard")
+      .mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(outPath)
+  }
 
   def prepareStats(docs: DataFrame, id: Column, text: Column,
       t: QualityThresholds = QualityThresholds()): DataFrame = {

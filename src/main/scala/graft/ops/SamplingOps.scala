@@ -344,4 +344,69 @@ object SamplingOps {
                       ORDER BY n_chars DESC, doc_id ASC) AS rank_in_source
              FROM documents)
        WHERE rank_in_source <= $SourceCapN"""
+
+  val ShuffleBuckets = 16
+  val ShardDocs = 64
+
+  /** Deterministic global training-order shuffle + shard assignment --
+    * the export "last mile": every surviving document gets an exact
+    * 0-based position in a hash-pseudorandom permutation and the
+    * shard file that position lands in, with NO global sort and NO
+    * corpus-wide window.
+    *
+    * The permutation key is a salted content-hash of the id (re-run-
+    * and partition-stable, oracle-reproducible -- the same argument
+    * as every sampler above). Exact global ranks come from the
+    * two-phase zipWithIndex shape, declaratively: the key's HIGH bits
+    * pick one of `buckets` range buckets (bucket order == key order,
+    * so bucket-local rank + the bucket's cumulative offset IS the
+    * global rank); per-bucket counts are one map-side-combinable agg
+    * whose `buckets`-row running total broadcasts back; the only
+    * window partitions by bucket, so per-task sort state is
+    * corpus/buckets -- grow `buckets` with the corpus and no task
+    * ever holds more than a shard-sized slice. A single-partition
+    * `row_number() OVER (ORDER BY ...)` -- the plan Spark would give
+    * the naive formulation -- serializes the entire corpus through
+    * one task; this shape is how the engine refuses it.
+    *
+    * Downstream, `shard` is the write partition: `.repartition($N,
+    * col("shard"))` + partitionBy(shard) emits size-bounded training
+    * shards whose contents and order are bit-reproducible across
+    * re-runs, engines, and cluster sizes. */
+  def shuffleShardOf(docs: DataFrame, buckets: Int = ShuffleBuckets,
+      shardDocs: Int = ShardDocs): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets > 0 && shardDocs > 0, "buckets and shardDocs must be positive")
+    // h15 is uniform on [0, 2^60): equal-width high-bit ranges are
+    // equal-probability buckets, and bucket id is monotone in ord.
+    val bucketWidth = (1L << 60) / buckets + (if ((1L << 60) % buckets == 0) 0 else 1)
+    val keyed = docs
+      .select(col("doc_id"),
+        h15(concat(lit("shuf:"), col("doc_id").cast("string"))).as("ord"))
+      .withColumn("bucket", expr(s"ord DIV $bucketWidth"))
+    val offsets = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      // running offset over the buckets-row table (tiny by contract)
+      .withColumn("offset",
+        coalesce(sum(col("n")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("n")
+    val w = Window.partitionBy(col("bucket")).orderBy(col("ord").asc, col("doc_id").asc)
+    keyed.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("global_pos", col("offset") + row_number().over(w) - 1)
+      .select(col("doc_id"), col("ord"), col("global_pos"),
+        expr(s"global_pos DIV $shardDocs").as("shard"),
+        pmod(col("global_pos"), lit(shardDocs.toLong)).as("pos_in_shard"))
+  }
+
+  def shuffleShard(s: SparkSession, dir: String): DataFrame =
+    shuffleShardOf(Tables.documents(s, dir))
+
+  val shuffleShardSql: String = {
+    val ord = h15Sql("concat('shuf:', CAST(doc_id AS VARCHAR))")
+    s"""SELECT doc_id, ord,
+              row_number() OVER (ORDER BY ord ASC, doc_id ASC) - 1 AS global_pos,
+              (row_number() OVER (ORDER BY ord ASC, doc_id ASC) - 1) // $ShardDocs AS shard,
+              (row_number() OVER (ORDER BY ord ASC, doc_id ASC) - 1) % $ShardDocs AS pos_in_shard
+       FROM (SELECT doc_id, $ord AS ord FROM documents)"""
+  }
 }

@@ -756,6 +756,31 @@ object AnalyticsQueries {
        EXCEPT
        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998"""
 
+  /** Set operators under BAG (multiset) semantics -- `INTERSECT ALL`
+    * keeps min(n_left, n_right) copies of each value, `EXCEPT ALL`
+    * subtracts multiplicities -- the row-accounting twin of [[u1SetOps]]
+    * (reconciliation workloads need the copies: "how many 1995
+    * shipments does 1996 match, shipment for shipment"). Spark plans
+    * both as one count-aggregate per side (map-side combinable) + a
+    * key join + replicate -- the value key is the only shuffle, never
+    * a distinct-then-rejoin of raw rows. */
+  def u2BagOps(s: SparkSession, dir: String): DataFrame = {
+    def shippedIn(yr: Int) = Tables.lineitem(s, dir)
+      .filter(year(col("l_shipdate")) === yr)
+      .select(col("l_suppkey"))
+    shippedIn(1995).intersectAll(shippedIn(1996)).exceptAll(shippedIn(1994))
+  }
+
+  // standard precedence: INTERSECT binds tighter than EXCEPT, so the
+  // SQL reads as (1995 INTERSECT ALL 1996) EXCEPT ALL 1994 -- the
+  // same association as the Scala chain
+  val u2BagOpsSql: String =
+    """SELECT l_suppkey FROM lineitem WHERE year(l_shipdate) = 1995
+       INTERSECT ALL
+       SELECT l_suppkey FROM lineitem WHERE year(l_shipdate) = 1996
+       EXCEPT ALL
+       SELECT l_suppkey FROM lineitem WHERE year(l_shipdate) = 1994"""
+
   /** ANALYZE-style column statistics (count / nulls / exact NDV /
     * min / max) for optimizer-feeding metadata -- one scan computes
     * all columns' stats, then unpivots. */
@@ -846,6 +871,7 @@ object AnalyticsQueries {
     "s15_table_stats" -> (s15TableStats _),
     "s15_table_stats_approx" -> (s15TableStatsApproxGate _),
     "u1_set_ops" -> (u1SetOps _),
+    "u2_bag_ops" -> (u2BagOps _),
     "j4_asof_join" -> (j4AsofJoin _),
     "j5_range_join" -> (j5RangeJoin _),
     "w6_retention_cohort" -> (w6RetentionCohort _),
@@ -886,6 +912,7 @@ object AnalyticsQueries {
     "s15_table_stats_approx" -> s15TableStatsApproxGateSql,
     "a4_percentiles_approx" -> a4PercentilesApproxGateSql,
     "u1_set_ops" -> u1SetOpsSql,
+    "u2_bag_ops" -> u2BagOpsSql,
     "j4_asof_join" -> j4AsofJoinSql,
     "j5_range_join" -> j5RangeJoinSql,
     "w6_retention_cohort" -> w6RetentionCohortSql,

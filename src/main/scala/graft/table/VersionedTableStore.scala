@@ -1002,6 +1002,106 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       statsColumns = m.stats.map(_._2).distinct)
   }
 
+  val DefaultTargetFileBytes: Long = 128L << 20
+
+  /** OPTIMIZE (small-file bin-packing): rewrite ONLY the partitions
+    * whose data sits in more under-sized files than a ~`targetBytes`
+    * packing needs, coalescing each to ceil(bytes/targetBytes) files;
+    * every well-packed partition keeps its files SHARED with the
+    * parent snapshot (same mapping entry, zero I/O). [[compact]]
+    * collapses a delta CHAIN by rewriting the whole table; this is
+    * the file-granular maintenance pass a delta-maintained table
+    * needs instead -- daily MERGE/append commits leave a trickle of
+    * small files per touched partition, and at 100 TB rewriting the
+    * table to fix yesterday's partitions is the difference between
+    * O(day) and O(table). No-op (no new snapshot) when nothing needs
+    * packing, so it is safe on a schedule.
+    *
+    * Rewrites are identity on content: touched partitions re-read,
+    * repartitioned to their packed file count (a k-way salted spread
+    * when one partition wants several output files), re-stated, and
+    * committed with the untouched mapping entries carried over --
+    * readWhere pruning keeps working on the repacked files. */
+  def optimizeSmallFiles(name: String,
+      targetBytes: Long = DefaultTargetFileBytes, minFiles: Int = 2): Long = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    require(targetBytes > 0, "targetBytes must be positive")
+    require(minFiles >= 2, "minFiles < 2 would rewrite already-packed partitions")
+    val m = current(name).getOrElse(
+      throw new NoSuchElementException(s"no snapshots for $name"))
+    def dataFileSizes(dir: String): Seq[Long] = {
+      val p = new Path(dir)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(_.getLen)
+    }
+    def packedCount(bytes: Long): Int =
+      math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+
+    if (m.partitionBy.isEmpty) {
+      val sizes = dataFileSizes(s"${dataRoot(name)}/${m.mapping.head._2}")
+      val k = packedCount(sizes.sum)
+      if (sizes.size < minFiles || sizes.size <= k) return m.version
+      // coalesce, not repartition: packing needs no shuffle
+      return commitFull(read(name).coalesce(k).localCheckpoint(true), name,
+        Nil, statsColumns = m.stats.map(_._2).distinct)
+    }
+    val touched = m.mapping.flatMap { case (rel, d) =>
+      val sizes = dataFileSizes(s"${dataRoot(name)}/$d/$rel")
+      val k = packedCount(sizes.sum)
+      if (sizes.size >= minFiles && sizes.size > k) Some((rel, d, k)) else None
+    }
+    if (touched.isEmpty) return m.version
+    val touchedRels = touched.map(_._1).toSet
+    val statsCols = m.stats.map(_._2).distinct
+    val v = nextVersion(name)
+    val staged = scala.collection.mutable.ListBuffer.empty[String]
+    try {
+      // one write per distinct packed-file-count k: repartitioning on
+      // (partition cols) alone gives 1 file/rel; adding a k-way row
+      // salt gives k -- different k values can't share one shuffle
+      val results = touched.groupBy(_._3).toSeq.sortBy(_._1).map {
+        case (k, group) =>
+          val rows = load(name,
+            m.copy(mapping = group.map { case (rel, d, _) => (rel, d) }))
+          val pcols = m.partitionBy.map(col)
+          val keys =
+            if (k == 1) pcols
+            else pcols :+ pmod(xxhash64(rows.columns.map(col): _*), lit(k.toLong))
+          val packed = rows.repartition(keys: _*)
+          val dirId = freshDataDir(name, v)
+          staged += dirId
+          writeData(packed, name, dirId, m.partitionBy)
+          val written = partitionRels(new Path(s"${dataRoot(name)}/$dirId"),
+            m.partitionBy.size).map(_ -> dirId)
+          val writtenStats =
+            if (statsCols.isEmpty || written.isEmpty) Nil
+            else {
+              val base = s"${dataRoot(name)}/$dirId"
+              columnStats(spark.read.schema(rows.schema)
+                  .option("basePath", base)
+                  .parquet(written.map { case (rel, _) => s"$base/$rel" }: _*),
+                m.partitionBy, statsCols)
+            }
+          (written, writtenStats)
+      }
+      val written = results.flatMap(_._1)
+      val stats = m.stats.filterNot(s => touchedRels(s._1)) ++
+        results.flatMap(_._2)
+      val mapping = m.mapping.filterNot(e => touchedRels(e._1)) ++ written
+      beforeSwap(name, v)
+      casManifest(name, Manifest(v, m.partitionBy, mapping, m.schemaDDL, stats),
+        observedParent = m.version)
+    } catch { case e: Throwable =>
+      staged.foreach(d => fs.delete(new Path(s"${dataRoot(name)}/$d"), true))
+      throw e
+    }
+    expireSnapshots(name)
+    v
+  }
+
   /** Drop LIVE snapshots beyond the last `keepSnapshots` and delete
     * data dirs no retained snapshot references. Retention counts live
     * manifests only -- debris (truncated manifests) must not displace

@@ -382,6 +382,35 @@ class PlanSpec extends AnyFunSuite {
       .toString.contains("approx_percentile"))
   }
 
+  test("p17 shuffle-shard: bucket-partitioned rank + broadcast offsets, no global corpus sort") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan(SparkEntry.queries("p17_shuffle_shard")(spark, dir))
+    val wins = collectAll(p).collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected window nodes")
+    // the corpus-sized rank window must partition by bucket; the only
+    // legal UNpartitioned window is the running offset over the
+    // buckets-row aggregate (tiny by contract) -- its input must be
+    // an aggregate, never the raw corpus scan
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(collectAll(w.child).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec]),
+        "a global window runs over something other than the bucket aggregate")
+    }
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "corpus rank lost its bucket partitioning (single-task global sort)")
+    assert(collectAll(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "bucket offsets must ride a broadcast join")
+    assert(!collectAll(p).exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
+  test("u2 bag ops plan count-aggregated set ops, no cartesian") {
+    val p = plan(SparkEntry.queries("u2_bag_ops")(spark, dir))
+    assert(!collectAll(p).exists(_.isInstanceOf[CartesianProductExec]))
+    // INTERSECT/EXCEPT ALL compile to per-side count aggregates +
+    // a key join + replicate -- never a distinct-then-rejoin of rows
+    assert(p.toString.contains("Generate") || p.toString.contains("HashAggregate"))
+  }
+
   test("j5 salting splits a planted hot bucket and is result-identical to unsalted") {
     import spark.implicits._
     import graft.queries.AnalyticsQueries

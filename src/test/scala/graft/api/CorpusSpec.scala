@@ -113,6 +113,46 @@ class CorpusSpec extends AnyFunSuite {
       .select("component").as[Long].head() === 1L)
   }
 
+  test("exportShards: one file per shard, reproducible membership AND order") {
+    val out1 = java.nio.file.Files.createTempDirectory("graft-shards1").toString + "/s"
+    val out2 = java.nio.file.Files.createTempDirectory("graft-shards2").toString + "/s"
+    Corpus.exportShards(docs, col("my_id"), out1, shardDocs = 40)
+    Corpus.exportShards(docs.repartition(9), col("my_id"), out2, shardDocs = 40)
+    val n = docs.count()
+    val back = spark.read.parquet(out1)
+    assert(back.count() === n)
+    // every shard is ONE file and holds exactly shardDocs docs
+    // except the last; pos_in_shard is dense 0..size-1
+    val sizes = back.groupBy("shard").count().orderBy("shard")
+      .as[(Long, Long)].collect()
+    sizes.dropRight(1).foreach { case (_, c) => assert(c === 40L) }
+    val shardDirs = new java.io.File(out1).listFiles()
+      .filter(_.getName.startsWith("shard="))
+    shardDirs.foreach { d =>
+      assert(d.listFiles().count(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith(".") &&
+        !f.getName.endsWith(".crc")) === 1,
+        s"${d.getName} not packed to one file")
+    }
+    assert(back.groupBy("shard").agg(min("pos_in_shard"), max("pos_in_shard"),
+        count(lit(1))).collect().forall(r =>
+      r.getLong(1) === 0L && r.getLong(2) === r.getLong(3) - 1))
+    // identical layout from a differently-partitioned input
+    val a = back.select("my_id", "global_pos", "shard", "pos_in_shard")
+      .collect().map(_.toString).sorted.toSeq
+    val b = spark.read.parquet(out2)
+      .select("my_id", "global_pos", "shard", "pos_in_shard")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+    // rows inside a shard file are STORED in training order: a
+    // no-sort read returns pos_in_shard ascending per shard file
+    val shard0 = shardDirs.minBy(_.getName)
+    val stored = spark.read.parquet(shard0.listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).head.getPath)
+      .select("pos_in_shard").as[Long].collect().toSeq
+    assert(stored === stored.sorted, "shard file rows not in training order")
+  }
+
   test("quality rejects name a reason and are disjoint from the output") {
     val rejects = Corpus.qualityRejects(docs, col("my_id"), col("body"))
     val out = Corpus.prepare(docs, col("my_id"), col("body"))

@@ -367,6 +367,46 @@ class OpsSpec extends AnyFunSuite {
     assert(out.join(prefix, Seq("doc_id"), "left_anti").count() > 0)
   }
 
+  test("shuffle shard: exact permutation, shard sizes, bruteforce parity") {
+    import org.apache.spark.sql.expressions.Window
+    val out = graft.ops.SamplingOps.shuffleShard(spark, dir).cache()
+    val n = graft.core.Tables.documents(spark, dir).count()
+    // global_pos is a permutation of 0..n-1
+    assert(out.count() === n)
+    assert(out.agg(min("global_pos"), max("global_pos"),
+      count_distinct(col("global_pos"))).as[(Long, Long, Long)].head() ===
+      ((0L, n - 1, n)))
+    // every shard except the last is exactly ShardDocs docs, and
+    // pos_in_shard is consistent with global_pos
+    val sd = graft.ops.SamplingOps.ShardDocs
+    val sizes = out.groupBy("shard").count().orderBy("shard")
+      .as[(Long, Long)].collect()
+    sizes.dropRight(1).foreach { case (_, c) => assert(c === sd.toLong) }
+    assert(sizes.map(_._2).sum === n)
+    assert(out.filter(col("global_pos") =!=
+      col("shard") * sd + col("pos_in_shard")).count() === 0)
+    // the bucketed two-phase ranks equal the single global window
+    val brute = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.ops.Hashing.h15(
+        concat(lit("shuf:"), col("doc_id").cast("string"))).as("ord"))
+      .withColumn("global_pos", row_number().over(
+        Window.orderBy(col("ord").asc, col("doc_id").asc)).cast("long") - 1)
+    assert(out.select("doc_id", "global_pos")
+      .collect().map(_.toString).sorted.toSeq ===
+      brute.select("doc_id", "global_pos")
+        .collect().map(_.toString).sorted.toSeq)
+    // a pseudorandom permutation, not id order
+    assert(out.filter(col("doc_id") - 1 === col("global_pos")).count() < n / 2)
+    // stable under input repartitioning (the rand() failure mode)
+    val re = graft.ops.SamplingOps.shuffleShardOf(
+      graft.core.Tables.documents(spark, dir).repartition(7))
+    assert(re.select("doc_id", "global_pos")
+      .collect().map(_.toString).sorted.toSeq ===
+      out.select("doc_id", "global_pos")
+        .collect().map(_.toString).sorted.toSeq)
+    out.unpersist()
+  }
+
   test("NB classifier learns a planted separable vocabulary") {
     // the driver corpus's lang tag is INDEPENDENT of its text (one
     // shared token distribution -- verified: max per-lang frequency

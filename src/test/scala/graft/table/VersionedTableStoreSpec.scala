@@ -724,6 +724,68 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     assert(dirs.length === 1)
   }
 
+  test("optimizeSmallFiles packs only small-file partitions; others share parent files") {
+    import org.apache.spark.sql.functions.col
+    val vs = fresh()
+    // d1 lands as ONE file (already packed); d2 accumulates 4 tiny
+    // files through repeated partition-delta appends rewriting the
+    // partition as multi-file unions
+    vs.commitFull(Seq((1, "a", "d1"), (2, "b", "d2")).toDF("k", "v", "day")
+      .repartition(1), "pt", Seq("day"), statsColumns = Seq("k"))
+    (3 to 5).foreach { i =>
+      val prior = vs.read("pt").filter(col("day") === "d2").drop("day")
+        .withColumn("day", org.apache.spark.sql.functions.lit("d2"))
+      vs.commitPartitions(prior.union(
+          Seq((i, s"x$i", "d2")).toDF("k", "v", "day")).repartition(4),
+        "pt", Seq("day"), statsColumns = Seq("k"))
+    }
+    val before = vs.read("pt").as[(Int, String, String)].collect().toSeq.sorted
+    def filesIn(rel: String): Seq[String] = {
+      val fs = new Path(vs.root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      vs.versionsMapping("pt").filter(_._1 == rel).flatMap { case (_, d) =>
+        fs.listStatus(new Path(s"${vs.path("pt")}/_data/$d/$rel")).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+          .map(_.getPath.toString)
+      }.sorted
+    }
+    val d1Before = filesIn("day=d1")
+    assert(filesIn("day=d2").size > 1)
+    val vBefore = vs.currentVersion("pt")
+    val v = vs.optimizeSmallFiles("pt")
+    assert(v > vBefore)
+    // contents identical, d2 packed to one file, d1's files untouched
+    // (same physical paths -- shared with the parent snapshot)
+    assert(vs.read("pt").as[(Int, String, String)].collect().toSeq.sorted
+      === before)
+    assert(filesIn("day=d2").size === 1)
+    assert(filesIn("day=d1") === d1Before)
+    // stats carried through the repack: a k-range read still prunes
+    val pruned = vs.readWhere("pt", "k", 1, 1)
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.forall(_.contains("day=d1")),
+      s"repack lost pruning stats: ${pruned.inputFiles.mkString(",")}")
+    // second run: everything already packed -- no-op, no new snapshot
+    assert(vs.optimizeSmallFiles("pt") === v)
+    assert(vs.currentVersion("pt") === v)
+    // time travel across the repack still serves the old files
+    assert(vs.readVersion("pt", vBefore)
+      .as[(Int, String, String)].collect().toSeq.sorted === before)
+  }
+
+  test("optimizeSmallFiles on an unpartitioned table coalesces in place") {
+    val vs = fresh()
+    vs.commitFull(Seq.tabulate(8)(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(6), "u", Nil, statsColumns = Seq("k"))
+    val before = rows(vs.read("u"))
+    val v0 = vs.currentVersion("u")
+    val v = vs.optimizeSmallFiles("u")
+    assert(v > v0)
+    assert(rows(vs.read("u")) === before)
+    assert(vs.read("u").inputFiles.length === 1)
+    assert(vs.optimizeSmallFiles("u") === v)
+  }
+
   test("incremental maintenance keeps an all-NULL sum NULL (matches recompute)") {
     // sum over an all-NULL group is NULL, not 0: g1 untouched stays
     // NULL, g3 inserted with only NULL values starts NULL, g2's
