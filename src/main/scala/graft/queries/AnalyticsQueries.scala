@@ -781,6 +781,48 @@ object AnalyticsQueries {
        EXCEPT ALL
        SELECT l_suppkey FROM lineitem WHERE year(l_shipdate) = 1994"""
 
+  /** Winsorized (outlier-clipped) robust statistics: per event_type,
+    * clamp values into the exact [p01, p99] band and report clip
+    * counts + the clipped sum/mean -- the standard robust-metric
+    * pre-step before any mean-based monitoring (a single corrupt
+    * reading stops moving the aggregate). Bounds are ONE exact
+    * percentile aggregate (group-sized output) broadcast back into a
+    * narrow clamp projection; the event stream shuffles once for each
+    * aggregate and never sorts globally. clamp is pure comparison
+    * (no arithmetic), so doubles stay bit-identical cross-engine; the
+    * clipped sum rides decimal(18,4) like every money sum here. */
+  def a13Winsorize(s: SparkSession, dir: String): DataFrame =
+    winsorizeOf(Tables.events(s, dir))
+
+  /** [[a13Winsorize]] over any (event_type, value) frame. */
+  def winsorizeOf(ev: DataFrame): DataFrame = {
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.01, 0.99))").as("b"))
+      .select(col("event_type"), col("b")(0).as("lo"), col("b")(1).as("hi"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        sum(least(greatest(col("value"), col("lo")), col("hi")).cast(D))
+          .cast("double").as("w_sum"),
+        min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .withColumn("w_mean", round(col("w_sum") / col("n"), 4))
+  }
+
+  val a13WinsorizeSql: String =
+    """WITH b AS (SELECT event_type,
+         quantile_cont(value, 0.01) AS lo, quantile_cont(value, 0.99) AS hi
+       FROM events GROUP BY 1)
+       SELECT event_type, count(*) AS n,
+         CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+         CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+         CAST(sum(CAST(least(greatest(value, lo), hi) AS DECIMAL(18,4))) AS DOUBLE) AS w_sum,
+         min(lo) AS lo, max(hi) AS hi,
+         round(CAST(sum(CAST(least(greatest(value, lo), hi) AS DECIMAL(18,4))) AS DOUBLE)
+           / count(*), 4) AS w_mean
+       FROM events JOIN b USING (event_type) GROUP BY 1"""
+
   /** ANALYZE-style column statistics (count / nulls / exact NDV /
     * min / max) for optimizer-feeding metadata -- one scan computes
     * all columns' stats, then unpivots. */
@@ -872,6 +914,7 @@ object AnalyticsQueries {
     "s15_table_stats_approx" -> (s15TableStatsApproxGate _),
     "u1_set_ops" -> (u1SetOps _),
     "u2_bag_ops" -> (u2BagOps _),
+    "a13_winsorize" -> (a13Winsorize _),
     "j4_asof_join" -> (j4AsofJoin _),
     "j5_range_join" -> (j5RangeJoin _),
     "w6_retention_cohort" -> (w6RetentionCohort _),
@@ -913,6 +956,7 @@ object AnalyticsQueries {
     "a4_percentiles_approx" -> a4PercentilesApproxGateSql,
     "u1_set_ops" -> u1SetOpsSql,
     "u2_bag_ops" -> u2BagOpsSql,
+    "a13_winsorize" -> a13WinsorizeSql,
     "j4_asof_join" -> j4AsofJoinSql,
     "j5_range_join" -> j5RangeJoinSql,
     "w6_retention_cohort" -> w6RetentionCohortSql,

@@ -240,6 +240,34 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) === ((2L, None)), "all-zero peaks must yield NULL, not /0")
   }
 
+  test("winsorize clips exactly the planted outliers; clean groups untouched") {
+    import graft.queries.AnalyticsQueries
+    // g1: 100 values 1..100 with two planted outliers far outside;
+    // p01/p99 of the 102 values pin the clip band so exactly the
+    // outliers clip. g2: constant stream -- lo=hi, nothing clips.
+    val g1 = (1 to 100).map(i => ("g1", i.toDouble)) ++
+      Seq(("g1", -1e6), ("g1", 1e6))
+    val g2 = (1 to 50).map(_ => ("g2", 7.0))
+    val out = AnalyticsQueries.winsorizeOf((g1 ++ g2).toDF("event_type", "value"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val r1 = out("g1")
+    assert(r1.getAs[Long]("n") === 102L)
+    // interpolated p01 over the 102 sorted values sits at rank 1.01
+    // (between 1 and 2), p99 at rank 99.99 (between 99 and 100): the
+    // outlier AND the adjacent extreme clip on each side
+    val (lo1, hi1) = (r1.getAs[Double]("lo"), r1.getAs[Double]("hi"))
+    assert(math.abs(lo1 - 1.01) < 1e-9 && math.abs(hi1 - 99.99) < 1e-9)
+    assert(r1.getAs[Long]("n_clip_lo") === 2L, "-1e6 and 1 sit below p01")
+    assert(r1.getAs[Long]("n_clip_hi") === 2L, "1e6 and 100 sit above p99")
+    // clipped sum = sum(2..99) + 2*lo + 2*hi (four rows take a bound)
+    assert(math.abs(r1.getAs[Double]("w_sum") - (4949.0 + 2 * lo1 + 2 * hi1)) < 1e-3)
+    val r2 = out("g2")
+    assert(r2.getAs[Long]("n_clip_lo") === 0L)
+    assert(r2.getAs[Long]("n_clip_hi") === 0L)
+    assert(r2.getAs[Double]("w_sum") === 350.0)
+    assert(r2.getAs[Double]("w_mean") === 7.0)
+  }
+
   test("approx percentiles land inside the q+-0.01 exact rank band") {
     import graft.queries.AnalyticsQueries
     // rank-error framing: approx_percentile returns an actual data
