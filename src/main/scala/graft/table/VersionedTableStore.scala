@@ -1102,6 +1102,74 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     v
   }
 
+  private def tagsPath(name: String) = new Path(s"${path(name)}/_tags")
+  private def tagFile(name: String, tag: String) =
+    new Path(tagsPath(name), s"t-$tag")
+  private def requireValidTag(tag: String): Unit =
+    require(tag.matches("[A-Za-z0-9._-]+"),
+      s"tag name `$tag` must match [A-Za-z0-9._-]+")
+
+  /** Pin snapshot `v` (default -1 = current head) under a named tag --
+    * the Iceberg tag / git-tag analogue for reproducible experiment
+    * refs: [[expireSnapshots]] never tombstones a tagged snapshot or
+    * reclaims the dirs its manifest references, so `readTag` serves
+    * the exact bytes a training run saw regardless of table churn.
+    * Drop the tag to release it back to normal retention. Tags are
+    * human-named refs, not concurrency primitives: retargeting needs
+    * `replace = true` and is last-writer-wins. Returns the pinned
+    * version. */
+  def tagSnapshot(name: String, tag: String, v: Long = -1L,
+      replace: Boolean = false): Long = {
+    requireValidTag(tag)
+    val target = if (v == -1L) currentVersion(name) else v
+    require(manifestAt(name, target).isDefined,
+      s"$name has no live snapshot $target to tag")
+    val f = tagFile(name, tag)
+    if (!replace) require(!fs.exists(f),
+      s"$name already has tag `$tag` (pass replace = true to retarget)")
+    fs.mkdirs(tagsPath(name))
+    val tmp = new Path(tagsPath(name),
+      s".tmp-t-$tag-${UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(target.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(f)) fs.delete(f, false)
+    if (!fs.rename(tmp, f)) {
+      fs.delete(tmp, false)
+      throw new ConcurrentWriteException(s"tag `$tag` raced another writer")
+    }
+    target
+  }
+
+  /** All tags of a table as (tag, version), tag-name order. */
+  def tags(name: String): Seq[(String, Long)] = {
+    val dir = tagsPath(name)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("t-"))
+      .flatMap(p => readText(p).flatMap(_.trim.toLongOption)
+        .map(p.getName.drop(2) -> _))
+      .sortBy(_._1)
+  }
+
+  /** Resolve a tag to its pinned version (throws on unknown tags). */
+  def tagVersion(name: String, tag: String): Long = {
+    requireValidTag(tag)
+    readText(tagFile(name, tag)).flatMap(_.trim.toLongOption).getOrElse(
+      throw new NoSuchElementException(s"$name has no tag `$tag`"))
+  }
+
+  /** Read the snapshot a tag pins -- time travel by name. */
+  def readTag(name: String, tag: String): DataFrame =
+    readVersion(name, tagVersion(name, tag))
+
+  /** Remove a tag; the snapshot returns to normal retention (a later
+    * [[expireSnapshots]] may reclaim it). */
+  def dropTag(name: String, tag: String): Unit = {
+    requireValidTag(tag)
+    fs.delete(tagFile(name, tag), false)
+    ()
+  }
+
   /** Drop LIVE snapshots beyond the last `keepSnapshots` and delete
     * data dirs no retained snapshot references. Retention counts live
     * manifests only -- debris (truncated manifests) must not displace
@@ -1121,19 +1189,26 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       .filter(_.getPath.getName.matches("c\\d{8}")).map(_.getPath)
       .sortBy(_.getName)
     val (live, debris) = commits.partition(p => readManifest(p).isDefined)
+    // tagged snapshots are pinned: retention never tombstones them or
+    // reclaims dirs their manifests reference (drop the tag to free)
+    val tagged = tags(name).map(_._2).toSet
     if (live.size > keepSnapshots) {
-      val (expired, retained) = live.splitAt(live.size - keepSnapshots)
-      val liveDirs = retained.flatMap(readManifest).flatMap(_.mapping.map(_._2)).toSet
-      expired.foreach(p => fs.rename(p, tombstoneFile(name, fileVersion(p))))
-      val maxExpired = expired.map(fileVersion).max
-      val dRoot = new Path(dataRoot(name))
-      if (fs.exists(dRoot)) fs.listStatus(dRoot).toSeq.map(_.getPath)
-        .filter { p =>
-          val n = p.getName
-          !liveDirs(n) && n.matches("v\\d+-.*") &&
-            n.drop(1).takeWhile(_.isDigit).toLong <= maxExpired
-        }
-        .foreach(fs.delete(_, true))
+      val expired = live.dropRight(keepSnapshots)
+        .filterNot(p => tagged(fileVersion(p)))
+      if (expired.nonEmpty) {
+        val retained = live.filterNot(expired.contains)
+        val liveDirs = retained.flatMap(readManifest).flatMap(_.mapping.map(_._2)).toSet
+        expired.foreach(p => fs.rename(p, tombstoneFile(name, fileVersion(p))))
+        val maxExpired = expired.map(fileVersion).max
+        val dRoot = new Path(dataRoot(name))
+        if (fs.exists(dRoot)) fs.listStatus(dRoot).toSeq.map(_.getPath)
+          .filter { p =>
+            val n = p.getName
+            !liveDirs(n) && n.matches("v\\d+-.*") &&
+              n.drop(1).takeWhile(_.isDigit).toLong <= maxExpired
+          }
+          .foreach(fs.delete(_, true))
+      }
     }
     val floor = expiryFloor(name)
     debris.filter(p => fileVersion(p) <= floor).foreach(fs.delete(_, false))

@@ -600,6 +600,31 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     assert(p.read("pt").count() === 4)
   }
 
+  test("tags pin snapshots through expiry; dropTag releases them") {
+    val vs = fresh(keep = 2)
+    vs.commitFull(Seq((1, "baseline")).toDF("k", "v"), "t")
+    assert(vs.tagSnapshot("t", "exp-1") === 1L)
+    // churn far past the retention window
+    (2 to 6).foreach(i => vs.commitFull(Seq((i, s"v$i")).toDF("k", "v"), "t"))
+    // untagged old snapshots expired, the tagged one survives intact
+    intercept[NoSuchElementException] { vs.readVersion("t", 2) }
+    assert(vs.versions("t").contains(1L))
+    assert(rows(vs.readTag("t", "exp-1")) === Seq((1, "baseline")))
+    assert(vs.tags("t") === Seq(("exp-1", 1L)))
+    // duplicate tag refused without replace; retarget allowed with it
+    intercept[IllegalArgumentException] { vs.tagSnapshot("t", "exp-1") }
+    assert(vs.tagSnapshot("t", "exp-1", replace = true) === 6L)
+    assert(vs.tagVersion("t", "exp-1") === 6L)
+    // v1 lost its pin: the next expiry reclaims it
+    vs.expireSnapshots("t")
+    intercept[NoSuchElementException] { vs.readVersion("t", 1) }
+    // dropTag -> unknown-tag reads fail loudly
+    vs.dropTag("t", "exp-1")
+    intercept[NoSuchElementException] { vs.readTag("t", "exp-1") }
+    // invalid names rejected before touching the filesystem
+    intercept[IllegalArgumentException] { vs.tagSnapshot("t", "bad/name") }
+  }
+
   test("empty commit stays readable with the committed schema (no bricked head)") {
     val vs = fresh()
     val schema = Seq((1, "a", "d1")).toDF("k", "v", "day").schema
