@@ -199,6 +199,34 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Two-stage ANN: IVF-PQ ADC candidate generation ([[annIvfPq]] at
+    * a `pool`-sized cut), then exact-cosine rerank of ONLY the pool
+    * -- the production retrieval composition: codes prune the corpus,
+    * full-precision vectors are fetched for pool x queries candidate
+    * rows (a candidate-keyed equi join against the vector table,
+    * never a corpus scan), and the final top-k ordering is exact
+    * within the pool. Recall can only improve over raw ADC ranking:
+    * ADC ordering error inside the pool is repaired for free. */
+  def annIvfPqRerank(corpus: DataFrame, id: Column, vec: Column, cell: Column,
+      queries: DataFrame, qid: Column, qvec: Column,
+      nprobe: Int = SimilarityOps.IvfNProbe, k: Int = 10,
+      pool: Int = SimilarityOps.RerankPool,
+      subspaces: Int = SimilarityOps.PqSubspaces,
+      subDim: Int = SimilarityOps.PqSubDim): DataFrame = {
+    require(pool >= k, s"rerank pool $pool must cover the final top-$k")
+    val cand = annIvfPq(corpus, id, vec, cell, queries, qid, qvec,
+      nprobe, pool, subspaces, subDim)
+      .select(col("query_id"), col("match_id"))
+    val c = prepared(corpus, id, vec)
+      .select(col("vec_id").as("match_id"), col("v"), col("nrm"))
+    val q = prepared(queries, qid, qvec)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    rank(cand.join(c, Seq("match_id")).join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("match_id"),
+        round(SimilarityOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("cosine")), k)
+  }
+
   /** Per-vector absmax int8 quantization: flat (vec_id, pos, q,
     * scale_r) rows, 4x smaller storage, dequant error <= scale/2. */
   def quantizeInt8(vectors: DataFrame, id: Column, vec: Column): DataFrame = {

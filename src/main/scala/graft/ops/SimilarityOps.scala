@@ -597,7 +597,11 @@ object SimilarityOps {
       IvfNProbe, TopK)
   }
 
-  val annIvfPqSql: String = {
+  val annIvfPqSql: String = annIvfPqSqlK(TopK)
+
+  /** [[annIvfPqSql]] at an arbitrary cut `k` -- the rerank oracle
+    * nests the pool-sized variant as its candidate CTE. */
+  def annIvfPqSqlK(k: Int): String = {
     val sd = PqSubDim
     val m = PqSubspaces
     val initSql = (0 until 4)
@@ -666,8 +670,46 @@ object SimilarityOps {
        SELECT query_id, match_id, adc_cosine, CAST(rr AS INT) AS rank
        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                ORDER BY adc_cosine DESC, match_id ASC) AS rr FROM sc)
-       WHERE rr <= $TopK"""
+       WHERE rr <= $k"""
   }
+
+  /** Candidate pool the rerank tier re-scores exactly: wide enough
+    * that ADC ordering errors inside the pool cannot cost recall,
+    * small enough that full-precision vectors are fetched for a
+    * constant number of candidates per query. */
+  val RerankPool = 30
+
+  /** Two-stage retrieval at its production shape: IVF-PQ ADC prunes
+    * the corpus to [[RerankPool]] candidates per query from codes
+    * alone, then ONLY those candidates' full-precision vectors are
+    * fetched and exact-cosine re-ranked to the final top-k -- the
+    * standard ADC-then-rerank composition. At 100 TB the rerank join
+    * touches pool x queries rows of the corpus (candidate-keyed equi
+    * join against the vector table), never the corpus itself. */
+  def annIvfPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).repartition(32)
+    graft.api.Similarity.annIvfPqRerank(e, col("vec_id"), col("embedding"),
+      col("label"), e.filter(col("vec_id") < NumQueries), col("vec_id"),
+      col("embedding"), IvfNProbe, TopK, RerankPool)
+  }
+
+  val annIvfPqRerankSql: String =
+    s"""WITH n2 AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+             CAST(embedding AS DOUBLE[]))) AS nrm
+         FROM embeddings),
+       cand AS (SELECT query_id, match_id FROM (${annIvfPqSqlK(RerankPool)})),
+       ex AS (
+         SELECT c.query_id, c.match_id,
+           round(list_dot_product(qv.v, cv.v) / (qv.nrm * cv.nrm), 6) AS cosine
+         FROM cand c
+         JOIN n2 qv ON qv.vec_id = c.query_id
+         JOIN n2 cv ON cv.vec_id = c.match_id)
+       SELECT query_id, match_id, cosine, CAST(rr AS INT) AS rank
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, match_id ASC) AS rr FROM ex)
+       WHERE rr <= $TopK"""
 
   val annSignLshSql: String =
     s"""WITH e AS (
@@ -700,6 +742,7 @@ object SimilarityOps {
       "ivf" -> annIvf(s, dir),
       "ivf_kmeans" -> annIvfKmeans(s, dir),
       "ivfpq" -> annIvfPq(s, dir),
+      "ivfpq_rr" -> annIvfPqRerank(s, dir),
       "multiprobe" -> annMultiProbe(s, dir),
       "signlsh" -> annSignLsh(s, dir)).map { case (name, approx) =>
       approx.select(col("query_id"), col("match_id"))
@@ -729,6 +772,7 @@ object SimilarityOps {
        ${tierSql("ivf", annIvfSql)}
        UNION ALL ${tierSql("ivf_kmeans", annIvfKmeansSql)}
        UNION ALL ${tierSql("ivfpq", annIvfPqSql)}
+       UNION ALL ${tierSql("ivfpq_rr", annIvfPqRerankSql)}
        UNION ALL ${tierSql("multiprobe", annMultiProbeSql)}
        UNION ALL ${tierSql("signlsh", annSignLshSql)}"""
   }

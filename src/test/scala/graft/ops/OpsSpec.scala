@@ -875,7 +875,12 @@ class OpsSpec extends AnyFunSuite {
     val r = SimilarityOps.annRecall(spark, dir)
       .select(col("tier"), col("recall_at_k")).as[(String, Double)]
       .collect().toMap
-    assert(r.keySet === Set("ivf", "ivf_kmeans", "ivfpq", "multiprobe", "signlsh"))
+    assert(r.keySet ===
+      Set("ivf", "ivf_kmeans", "ivfpq", "ivfpq_rr", "multiprobe", "signlsh"))
+    // exact rerank of the ADC pool can only repair ordering errors
+    // inside the pool -- never lose recall vs raw ADC ranking
+    assert(r("ivfpq_rr") >= r("ivfpq"),
+      s"rerank ${r("ivfpq_rr")} fell below raw ADC ${r("ivfpq")}")
     // floors sit WELL below the measured sf0.001 values (ivf 0.28,
     // ivf_kmeans 0.58, multiprobe 0.42, signlsh 0.20) -- they exist
     // to catch a tier whose candidate generation silently collapses
@@ -885,6 +890,29 @@ class OpsSpec extends AnyFunSuite {
     // multi-probe exists to beat plain sign-LSH at the same planes
     assert(r("multiprobe") >= r("signlsh"),
       s"multi-probe ${r("multiprobe")} fell below sign-LSH ${r("signlsh")}")
+  }
+
+  test("IVF-PQ rerank is the exact-cosine ranking of exactly the ADC pool") {
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.core.Tables.embeddings(spark, dir).repartition(8)
+    val qs = e.filter(col("vec_id") < SimilarityOps.NumQueries)
+    val pool = graft.api.Similarity.annIvfPq(e, col("vec_id"), col("embedding"),
+        col("label"), qs, col("vec_id"), col("embedding"),
+        SimilarityOps.IvfNProbe, SimilarityOps.RerankPool)
+      .select("query_id", "match_id")
+    val allExact = graft.api.Similarity.cosineTopK(e, col("vec_id"),
+        col("embedding"), qs, col("vec_id"), col("embedding"), k = 1000000)
+      .select("query_id", "match_id", "cosine")
+    val expect = pool.join(allExact, Seq("query_id", "match_id"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("match_id").asc)).cast("int"))
+      .filter(col("rank") <= SimilarityOps.TopK)
+    val got = SimilarityOps.annIvfPqRerank(spark, dir)
+    assert(got.collect().map(_.toString).sorted.toSeq ===
+      expect.select("query_id", "match_id", "cosine", "rank")
+        .collect().map(_.toString).sorted.toSeq)
+    // the pool must genuinely be wider than the final cut
+    assert(pool.count() > got.count())
   }
 
   test("CDC chunking: prefix edit re-chunks ONLY the edit's neighborhood; fixed-width loses everything") {
