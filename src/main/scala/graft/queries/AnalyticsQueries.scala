@@ -290,6 +290,92 @@ object AnalyticsQueries {
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
        FROM events GROUP BY 1"""
 
+  /** NULL-semantics parity suite: the cross-engine traps -- NULL
+    * grouping keys group together, count(col) skips NULLs, null-safe
+    * equality (`<=>` / IS NOT DISTINCT FROM) matches NULL=NULL where
+    * plain `=` never does, coalesce defaults inside decimal sums.
+    * Keys are nullified deliberately (the generator emits no NULLs);
+    * the pair counts ride a 1-row broadcast so the suite is one fact
+    * aggregate + dim-sized joins. */
+  def f17NullSemantics(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.orders(s, dir).select(
+      expr("nullif(o_orderpriority, '1-URGENT')").as("k"),
+      col("o_totalprice"))
+    val grouped = keyed.groupBy(col("k")).agg(
+      count(lit(1)).as("n_rows"),
+      count(col("k")).as("n_nonnull_key"),
+      sum(coalesce(col("o_totalprice").cast(D), lit(0).cast(D)))
+        .cast("double").as("total"))
+    val dims = keyed.select(col("k")).distinct()
+    val pairCounts = dims.as("a")
+      .join(dims.as("b"), col("a.k") <=> col("b.k")).agg(
+        count(lit(1)).as("n_nullsafe_pairs"))
+      .crossJoin(dims.as("c")
+        .join(dims.as("d"), col("c.k") === col("d.k")).agg(
+          count(lit(1)).as("n_eq_pairs")))
+    grouped.crossJoin(broadcast(pairCounts))
+  }
+
+  val f17NullSemanticsSql: String =
+    """WITH keyed AS (
+         SELECT nullif(o_orderpriority, '1-URGENT') AS k, o_totalprice
+         FROM orders),
+       g AS (SELECT k, count(*) AS n_rows, count(k) AS n_nonnull_key,
+               CAST(sum(coalesce(CAST(o_totalprice AS DECIMAL(18,4)),
+                 CAST(0 AS DECIMAL(18,4)))) AS DOUBLE) AS total
+             FROM keyed GROUP BY 1),
+       dims AS (SELECT DISTINCT k FROM keyed),
+       c AS (SELECT
+         (SELECT count(*) FROM dims a JOIN dims b
+            ON a.k IS NOT DISTINCT FROM b.k) AS n_nullsafe_pairs,
+         (SELECT count(*) FROM dims a JOIN dims b ON a.k = b.k) AS n_eq_pairs)
+       SELECT g.*, c.* FROM g CROSS JOIN c"""
+
+  /** Calendar-arithmetic parity suite: month-end-clamping add_months,
+    * last_day, month truncation, day diffs from an epoch anchor, ISO
+    * day-of-week -- one narrow codegen projection over the scan (the
+    * date functions a daily pipeline leans on, pinned cross-engine
+    * including the Jan-31 + 1 month = Feb-end clamp). */
+  def f19Dates(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_orderdate"),
+      add_months(col("o_orderdate"), 3).as("plus3m"),
+      last_day(col("o_orderdate")).as("month_end"),
+      trunc(col("o_orderdate"), "month").as("month_start"),
+      datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).as("days_since"),
+      (weekday(col("o_orderdate")) + 1).as("iso_dow"))
+
+  val f19DatesSql: String =
+    """SELECT o_orderkey, o_orderdate,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+       last_day(o_orderdate) AS month_end,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS INT) AS days_since,
+       CAST(isodow(o_orderdate) AS INT) AS iso_dow
+       FROM orders"""
+
+  /** String-function parity suite: levenshtein (the fuzzy-match
+    * primitive), regexp_extract groups, translate, lpad, reverse --
+    * one narrow projection, every function pinned to its cross-engine
+    * twin. */
+  def f18Strings(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_orderpriority"),
+      levenshtein(col("o_orderpriority"), lit("1-URGENT")).as("lev_urgent"),
+      regexp_extract(col("o_orderpriority"), "([0-9]+)", 1).as("prio_num"),
+      translate(col("o_orderpriority"), "-", "_").as("translated"),
+      lpad(col("o_orderstatus"), 4, "*").as("padded"),
+      reverse(col("o_orderpriority")).as("reversed"))
+
+  val f18StringsSql: String =
+    """SELECT o_orderkey, o_orderpriority,
+       CAST(levenshtein(o_orderpriority, '1-URGENT') AS INT) AS lev_urgent,
+       regexp_extract(o_orderpriority, '([0-9]+)', 1) AS prio_num,
+       translate(o_orderpriority, '-', '_') AS translated,
+       lpad(o_orderstatus, 4, '*') AS padded,
+       reverse(o_orderpriority) AS reversed
+       FROM orders"""
+
   /** Hierarchical totals via ROLLUP (grouping sets): per (year,
     * priority), per year, and grand total in one pass. */
   def a5Rollup(s: SparkSession, dir: String): DataFrame =
@@ -932,6 +1018,9 @@ object AnalyticsQueries {
     "w8_range_frame" -> (w8RangeFrame _),
     "w9_rank_suite" -> (w9RankSuite _),
     "f16_json_extract" -> (f16JsonExtract _),
+    "f17_null_semantics" -> (f17NullSemantics _),
+    "f18_strings" -> (f18Strings _),
+    "f19_dates" -> (f19Dates _),
     "a4_percentiles" -> (a4Percentiles _),
     "a4_percentiles_approx" -> (a4PercentilesApproxGate _),
     "w4_sessionize" -> (w4Sessionize _),
@@ -974,6 +1063,9 @@ object AnalyticsQueries {
     "w8_range_frame" -> w8RangeFrameSql,
     "w9_rank_suite" -> w9RankSuiteSql,
     "f16_json_extract" -> f16JsonExtractSql,
+    "f17_null_semantics" -> f17NullSemanticsSql,
+    "f18_strings" -> f18StringsSql,
+    "f19_dates" -> f19DatesSql,
     "a4_percentiles" -> a4PercentilesSql,
     "w4_sessionize" -> w4SessionizeSql,
     "w2_moving_avg" -> w2MovingAvgSql,
