@@ -118,6 +118,30 @@ class PipelineRunner[S <: WarehouseWrites](
     dates
   }
 
+  /** Scheduled table maintenance -- the OPTIMIZE/VACUUM companion DAG
+    * a delta-maintained lakehouse runs beside the daily pipeline. On a
+    * VERSIONED store: bin-pack small files on every table in the
+    * warehouse (daily MERGE commits leave a per-partition trickle;
+    * `optimizeSmallFiles` touches only the partitions that need it and
+    * no-ops when clean), apply snapshot retention, and optionally pin
+    * the post-maintenance fact head under a `daily-<date>` tag -- the
+    * release ref training/reporting jobs read for exact
+    * reproducibility. On a plain store there is nothing versioned to
+    * maintain: returns Nil. Returns (table, headVersionAfter). */
+  def runMaintenance(tagFactAs: Option[String] = None,
+      targetBytes: Long = 128L << 20): Seq[(String, Long)] = store match {
+    case vs: graft.table.VersionedTableStore =>
+      val acts = vs.tables().map { t =>
+        val v = withRetry(s"optimize:$t")(vs.optimizeSmallFiles(t, targetBytes))
+        vs.expireSnapshots(t)
+        t -> v
+      }
+      tagFactAs.foreach(d => vs.tagSnapshot("fact_stock_daily_price",
+        s"daily-$d", replace = true))
+      acts
+    case _ => Nil
+  }
+
   /** The reference's third DAG (`test_gx_production.py`: GX-context
     * check >> Athena-connection check >> table-query check) as an
     * engine health probe: (1) the validation rule engine evaluates,

@@ -1102,6 +1102,17 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     v
   }
 
+  /** Every table in this store root (a dir holding a `_commits`
+    * dir), name order -- the maintenance scheduler's work list. */
+  def tables(): Seq[String] = {
+    val rootP = new Path(root)
+    if (!fs.exists(rootP)) Nil
+    else fs.listStatus(rootP).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => fs.exists(new Path(s"$root/$n/_commits")))
+      .sorted
+  }
+
   private def tagsPath(name: String) = new Path(s"${path(name)}/_tags")
   private def tagFile(name: String, tag: String) =
     new Path(tagsPath(name), s"t-$tag")

@@ -72,6 +72,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(results.nonEmpty && results.forall(_.passed))
   }
 
+  test("maintenance DAG: optimize + retention + release tag over the whole warehouse") {
+    val base = Files.createTempDirectory("graft-pipeline-m").toString
+    val vs = new graft.table.VersionedTableStore(spark, s"$base/warehouse")
+    val r = new PipelineRunner(spark, vs, rawRoot = s"$base/raw",
+      symbols = Seq("AAPL", "MSFT", "GOOGL"),
+      clock = () => Instant.parse("2026-02-11T02:00:00Z"))
+    r.runDaily("2026-02-09")
+    r.runDaily("2026-02-10")
+    val tables = vs.tables()
+    assert(tables.contains("fact_stock_daily_price") &&
+      tables.contains("dim_stock"))
+    val before = tables.map(t => t -> vs.read(t).count()).toMap
+    val acts = r.runMaintenance(tagFactAs = Some("2026-02-10"))
+    assert(acts.map(_._1) === tables)
+    // contents untouched, every table still readable, fact packed to
+    // at most a file per partition
+    tables.foreach(t => assert(vs.read(t).count() === before(t), t))
+    assert(vs.readTag("fact_stock_daily_price", "daily-2026-02-10")
+      .count() === before("fact_stock_daily_price"))
+    // maintenance is idempotent: a second run packs nothing new
+    val acts2 = r.runMaintenance()
+    assert(acts2.map(_._2) === acts.map(_._2),
+      "second maintenance run burned snapshots on packed tables")
+    // a plain-store pipeline has nothing versioned to maintain
+    assert(freshRunner().runMaintenance() === Nil)
+  }
+
   test("backfill runs the daily DAG over the inclusive date range, idempotently") {
     val r = freshRunner()
     val dates = r.runBackfill("2026-02-08", "2026-02-10")
