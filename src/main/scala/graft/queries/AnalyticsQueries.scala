@@ -494,6 +494,32 @@ object AnalyticsQueries {
        FROM events CROSS JOIN b
        GROUP BY 1, 2"""
 
+  /** Explicit GROUPING SETS with grouping_id: per-year totals and
+    * per-priority totals in ONE pass over the facts -- the two
+    * independent rollup axes a dashboard wants, without the cross
+    * combinations CUBE would add (and a quarter of its Expand width).
+    * grouping_id disambiguates which axis a row belongs to (NULL key
+    * vs NULL-from-grouping, the classic trap). */
+  def a14GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(year(col("o_orderdate")).as("yr"),
+        col("o_orderpriority").as("prio"),
+        col("o_totalprice"))
+    o.createOrReplaceTempView("graft_a14_orders")
+    s.sql(s"""SELECT yr, prio, CAST(grouping_id(yr, prio) AS INT) AS gid,
+        count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+      FROM graft_a14_orders
+      GROUP BY GROUPING SETS ((yr), (prio))""")
+  }
+
+  val a14GroupingSetsSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderpriority AS prio,
+       CAST(grouping(yr) * 2 + grouping(prio) AS INT) AS gid,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+       FROM orders GROUP BY GROUPING SETS ((yr), (prio))"""
+
   /** CUBE grouping sets: all 4 (year x status) grouping combinations
     * in one pass -- the full-lattice twin of [[a5Rollup]]'s hierarchy. */
   def a7Cube(s: SparkSession, dir: String): DataFrame =
@@ -1001,6 +1027,7 @@ object AnalyticsQueries {
     "u1_set_ops" -> (u1SetOps _),
     "u2_bag_ops" -> (u2BagOps _),
     "a13_winsorize" -> (a13Winsorize _),
+    "a14_grouping_sets" -> (a14GroupingSets _),
     "j4_asof_join" -> (j4AsofJoin _),
     "j5_range_join" -> (j5RangeJoin _),
     "w6_retention_cohort" -> (w6RetentionCohort _),
@@ -1046,6 +1073,7 @@ object AnalyticsQueries {
     "u1_set_ops" -> u1SetOpsSql,
     "u2_bag_ops" -> u2BagOpsSql,
     "a13_winsorize" -> a13WinsorizeSql,
+    "a14_grouping_sets" -> a14GroupingSetsSql,
     "j4_asof_join" -> j4AsofJoinSql,
     "j5_range_join" -> j5RangeJoinSql,
     "w6_retention_cohort" -> w6RetentionCohortSql,
