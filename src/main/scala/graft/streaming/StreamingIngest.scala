@@ -118,6 +118,46 @@ object StreamingIngest {
       .option("basePath", root)
       .json(s"$root/date=*")
 
+  /** Stream a VERSIONED table's appends as a Structured Streaming
+    * SOURCE -- the read-side twin of the [[upsertSink]] /
+    * [[corpusIntakeToWarehouse]] write path. The store's data dirs are
+    * immutable and every commit stages NEW files, so the file source's
+    * checkpointed file log gives exactly-once accounting of appended
+    * files with no custom Source implementation: downstream jobs
+    * (rollup maintenance, index builds, exports) follow the table
+    * incrementally instead of rescanning it.
+    *
+    * Partition columns are re-derived from the hive `col=value` path
+    * segments (recursive file listing does not surface them as
+    * columns), cast back to the table schema's types.
+    *
+    * Contract: APPEND-ONLY maintenance (commitPartitions landing new
+    * partitions/files). Rewrites -- optimizeSmallFiles, DML
+    * copy-on-write, compact, full commits -- stage rewritten copies of
+    * old rows as new files, which this source re-delivers:
+    * at-least-once under maintenance. Pair with
+    * [[streamingDedupWithinWatermark]] or a keyed MERGE sink for
+    * effectively-once, exactly as the intake pipeline does. */
+  def tableAppendStream(spark: SparkSession,
+      vs: graft.table.VersionedTableStore, name: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val full = vs.read(name).schema
+    val pcols = vs.partitionColumns(name)
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      full.filterNot(f => pcols.contains(f.name)))
+    var r = spark.readStream.schema(dataSchema)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+    maxFilesPerTrigger.foreach(n => r = r.option("maxFilesPerTrigger", n))
+    val base = r.parquet(s"${vs.path(name)}/_data")
+    val withParts = pcols.foldLeft(base) { (df, c) =>
+      df.withColumn(c,
+        regexp_extract(col("_metadata").getField("file_path"),
+          s"/$c=([^/]+)/", 1).cast(full(c).dataType))
+    }
+    withParts.select(full.fieldNames.map(col).toSeq: _*)
+  }
+
   /** Run a streaming DataFrame to completion over currently-available
     * input (batch-parity mode) into an in-memory table; returns the
     * finished query. */

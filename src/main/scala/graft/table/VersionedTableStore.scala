@@ -1102,6 +1102,12 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     v
   }
 
+  /** The head snapshot's partition columns (empty when the table is
+    * unpartitioned or absent) -- streaming sources re-derive hive
+    * partition values from file paths with this. */
+  def partitionColumns(name: String): Seq[String] =
+    current(name).map(_.partitionBy).getOrElse(Nil)
+
   /** Every table in this store root (a dir holding a `_commits`
     * dir), name order -- the maintenance scheduler's work list. */
   def tables(): Seq[String] = {

@@ -21,6 +21,41 @@ class StreamingIngestSpec extends AnyFunSuite {
 
   private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
 
+  test("versioned table as a streaming source: appends arrive once, partitions recovered") {
+    val vs = new graft.table.VersionedTableStore(spark, tmp("graft-tstream-store"))
+    vs.commitFull(Seq((1L, "a", "d1"), (2L, "b", "d1")).toDF("k", "v", "day"),
+      "ev", Seq("day"))
+    val ckpt = tmp("graft-tstream-ckpt")
+    val out = tmp("graft-tstream-out")
+    val src = StreamingIngest.tableAppendStream(spark, vs, "ev")
+    // output schema == the batch read's schema, partition col recovered
+    assert(src.schema.fieldNames.toSeq === vs.read("ev").schema.fieldNames.toSeq)
+    def drain(): Unit = {
+      val q = StreamingIngest.tableAppendStream(spark, vs, "ev")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def delivered(): Seq[(Long, String, String)] =
+      spark.read.parquet(out).select("k", "v", "day")
+        .as[(Long, String, String)].collect().sorted.toSeq
+    drain()
+    assert(delivered() === Seq((1L, "a", "d1"), (2L, "b", "d1")))
+    // an appended partition: the SAME checkpoint delivers ONLY the
+    // new files to the next drain (exactly-once file accounting)
+    vs.commitPartitions(Seq((3L, "c", "d2")).toDF("k", "v", "day"),
+      "ev", Seq("day"))
+    drain()
+    assert(delivered() ===
+      Seq((1L, "a", "d1"), (2L, "b", "d1"), (3L, "c", "d2")))
+    // nothing new -> nothing re-delivered
+    drain()
+    assert(delivered() ===
+      Seq((1L, "a", "d1"), (2L, "b", "d1"), (3L, "c", "d2")))
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("streaming exact dedup matches the batch survivor set") {
     import StreamingIngest.KeyedDoc
     val src = tmp("graft-dedup-src")
