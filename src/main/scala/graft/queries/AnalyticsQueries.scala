@@ -494,6 +494,27 @@ object AnalyticsQueries {
        FROM events CROSS JOIN b
        GROUP BY 1, 2"""
 
+  /** Conditional-aggregate suite: count_if / bool_and / bool_or and a
+    * FILTER-ed decimal sum -- the predicate-inside-the-aggregate
+    * family (one pass computes every conditional metric; the naive
+    * twin is N filtered scans). All map-side combinable. */
+  def f20CondAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).groupBy(col("l_returnflag")).agg(
+      count_if(col("l_quantity") > 25).as("n_heavy"),
+      bool_and(col("l_discount") <= 0.05).as("all_low_disc"),
+      bool_or(col("l_tax") > 0.07).as("any_high_tax"),
+      sum(when(col("l_linestatus") === "F", col("l_quantity").cast(D)))
+        .cast("double").as("qty_f"))
+
+  val f20CondAggSql: String =
+    """SELECT l_returnflag,
+       CAST(count(*) FILTER (l_quantity > 25) AS BIGINT) AS n_heavy,
+       bool_and(l_discount <= 0.05) AS all_low_disc,
+       bool_or(l_tax > 0.07) AS any_high_tax,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
+         FILTER (l_linestatus = 'F') AS DOUBLE) AS qty_f
+       FROM lineitem GROUP BY 1"""
+
   /** Explicit GROUPING SETS with grouping_id: per-year totals and
     * per-priority totals in ONE pass over the facts -- the two
     * independent rollup axes a dashboard wants, without the cross
@@ -1048,6 +1069,7 @@ object AnalyticsQueries {
     "f17_null_semantics" -> (f17NullSemantics _),
     "f18_strings" -> (f18Strings _),
     "f19_dates" -> (f19Dates _),
+    "f20_cond_agg" -> (f20CondAgg _),
     "a4_percentiles" -> (a4Percentiles _),
     "a4_percentiles_approx" -> (a4PercentilesApproxGate _),
     "w4_sessionize" -> (w4Sessionize _),
@@ -1094,6 +1116,7 @@ object AnalyticsQueries {
     "f17_null_semantics" -> f17NullSemanticsSql,
     "f18_strings" -> f18StringsSql,
     "f19_dates" -> f19DatesSql,
+    "f20_cond_agg" -> f20CondAggSql,
     "a4_percentiles" -> a4PercentilesSql,
     "w4_sessionize" -> w4SessionizeSql,
     "w2_moving_avg" -> w2MovingAvgSql,
