@@ -494,6 +494,34 @@ object AnalyticsQueries {
        FROM events CROSS JOIN b
        GROUP BY 1, 2"""
 
+  /** Median absolute deviation: the robust dispersion twin of
+    * stddev (a 50%-breakdown estimator -- one corrupt feed cannot
+    * move it, where variance chases the outlier). Two exact-median
+    * aggregates with a broadcast join between them: per-type median,
+    * then the median of |value - median|; both group-sized outputs.
+    * At 100 TB each median swaps for approx_percentile with the same
+    * two-agg shape (a4's documented trade). */
+  def a15Mad(s: SparkSession, dir: String): DataFrame =
+    madOf(Tables.events(s, dir))
+
+  /** [[a15Mad]] over any (event_type, value) frame. */
+  def madOf(ev: DataFrame): DataFrame = {
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"), count(lit(1)).as("n"))
+    ev.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
+        min(col("med")).as("med"), min(col("n")).as("n"))
+      .select(col("event_type"), col("n"), col("med"), col("mad"))
+  }
+
+  val a15MadSql: String =
+    """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med,
+         count(*) AS n FROM events GROUP BY 1)
+       SELECT event_type, n, med,
+         quantile_cont(abs(value - med), 0.5) AS mad
+       FROM events JOIN m USING (event_type) GROUP BY 1, 2, 3"""
+
   /** Conditional-aggregate suite: count_if / bool_and / bool_or and a
     * FILTER-ed decimal sum -- the predicate-inside-the-aggregate
     * family (one pass computes every conditional metric; the naive
@@ -1049,6 +1077,7 @@ object AnalyticsQueries {
     "u2_bag_ops" -> (u2BagOps _),
     "a13_winsorize" -> (a13Winsorize _),
     "a14_grouping_sets" -> (a14GroupingSets _),
+    "a15_mad" -> (a15Mad _),
     "j4_asof_join" -> (j4AsofJoin _),
     "j5_range_join" -> (j5RangeJoin _),
     "w6_retention_cohort" -> (w6RetentionCohort _),
@@ -1096,6 +1125,7 @@ object AnalyticsQueries {
     "u2_bag_ops" -> u2BagOpsSql,
     "a13_winsorize" -> a13WinsorizeSql,
     "a14_grouping_sets" -> a14GroupingSetsSql,
+    "a15_mad" -> a15MadSql,
     "j4_asof_join" -> j4AsofJoinSql,
     "j5_range_join" -> j5RangeJoinSql,
     "w6_retention_cohort" -> w6RetentionCohortSql,

@@ -268,6 +268,23 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("w_mean") === 7.0)
   }
 
+  test("MAD shrugs off the outlier that owns the stddev") {
+    import graft.queries.AnalyticsQueries
+    // {1..7}: med 4, deviations {0,1,1,2,2,3,3} -> mad 2. Adding a
+    // 1000 outlier moves the mean by >100 and stddev by >300; med
+    // shifts to 4.5, deviations sort to {.5,.5,1.5,1.5,2.5,2.5,3.5,
+    // 995.5} whose interpolated median is (1.5+2.5)/2 = 2 -- the
+    // outlier contributes one rank and nothing else (50% breakdown)
+    val clean = (1 to 7).map(i => ("g", i.toDouble))
+    val dirty = clean :+ (("g", 1000.0))
+    val m1 = AnalyticsQueries.madOf(clean.toDF("event_type", "value"))
+      .select("med", "mad").as[(Double, Double)].head()
+    assert(m1 === ((4.0, 2.0)))
+    val m2 = AnalyticsQueries.madOf(dirty.toDF("event_type", "value"))
+      .select("med", "mad").as[(Double, Double)].head()
+    assert(m2 === ((4.5, 2.0)))
+  }
+
   test("approx percentiles land inside the q+-0.01 exact rank band") {
     import graft.queries.AnalyticsQueries
     // rank-error framing: approx_percentile returns an actual data
