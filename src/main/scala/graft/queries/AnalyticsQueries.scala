@@ -522,6 +522,44 @@ object AnalyticsQueries {
          quantile_cont(abs(value - med), 0.5) AS mad
        FROM events JOIN m USING (event_type) GROUP BY 1, 2, 3"""
 
+  /** Production (100 TB) twin of [[a15Mad]]: both medians via
+    * approx_percentile (bounded KLL sketch state, map-side combinable)
+    * instead of exact percentile's full per-group sorted collection --
+    * identical two-agg broadcast shape, so swapping is a one-word
+    * change. Benched under the same name ([[benchOverrides]]); the
+    * exact twin stays the oracle gate. */
+  def a15MadApprox(s: SparkSession, dir: String): DataFrame =
+    madApproxOf(Tables.events(s, dir))
+
+  def madApproxOf(ev: DataFrame): DataFrame = {
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, 0.5, 10000)").as("med"),
+        count(lit(1)).as("n"))
+    ev.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(expr("approx_percentile(abs(value - med), 0.5, 10000)").as("mad"),
+        min(col("med")).as("med"), min(col("n")).as("n"))
+      .select(col("event_type"), col("n"), col("med"), col("mad"))
+  }
+
+  /** Production twin of [[a13Winsorize]]: approx_percentile clip
+    * bounds, same broadcast-clamp shape ([[benchOverrides]]). */
+  def a13WinsorizeApprox(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, array(0.01, 0.99), 10000)").as("b"))
+      .select(col("event_type"), col("b")(0).as("lo"), col("b")(1).as("hi"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        sum(least(greatest(col("value"), col("lo")), col("hi")).cast(D))
+          .cast("double").as("w_sum"),
+        min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .withColumn("w_mean", round(col("w_sum") / col("n"), 4))
+  }
+
   /** Conditional-aggregate suite: count_if / bool_and / bool_or and a
     * FILTER-ed decimal sum -- the predicate-inside-the-aggregate
     * family (one pass computes every conditional metric; the naive
@@ -1115,6 +1153,8 @@ object AnalyticsQueries {
     "s15_table_stats_approx" -> (s15TableStatsApprox _),
     "a4_percentiles_approx" -> (a4PercentilesApprox _),
     "p13_curriculum_bins" -> (graft.ops.SamplingOps.curriculumBins _),
+    "a13_winsorize" -> (a13WinsorizeApprox _),
+    "a15_mad" -> (a15MadApprox _),
   )
 
   val oracleSql: Map[String, String] = Map(

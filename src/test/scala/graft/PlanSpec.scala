@@ -382,6 +382,17 @@ class PlanSpec extends AnyFunSuite {
       .toString.contains("approx_percentile"))
   }
 
+  test("a13/a15 production paths plan the percentile sketch; the gates stay exact") {
+    for (q <- Seq("a13_winsorize", "a15_mad")) {
+      val gate = plan(SparkEntry.queries(q)(spark, dir)).toString
+      assert(gate.contains("percentile(") && !gate.contains("approx_percentile"),
+        s"$q gate must compute exact percentiles")
+      val prod = plan(SparkEntry.benchOverrides(q)(spark, dir)).toString
+      assert(prod.contains("approx_percentile"),
+        s"$q production path lost the bounded-state sketch")
+    }
+  }
+
   test("p17 shuffle-shard: bucket-partitioned rank + broadcast offsets, no global corpus sort") {
     import org.apache.spark.sql.execution.window.WindowExec
     val p = plan(SparkEntry.queries("p17_shuffle_shard")(spark, dir))

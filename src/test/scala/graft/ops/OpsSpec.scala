@@ -285,6 +285,26 @@ class OpsSpec extends AnyFunSuite {
     assert(m2 === ((4.5, 2.0)))
   }
 
+  test("approx winsorize/MAD track their exact gates on the real table") {
+    import graft.queries.AnalyticsQueries
+    val exactM = AnalyticsQueries.a15Mad(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("med"), r.getAs[Double]("mad"))).toMap
+    AnalyticsQueries.a15MadApprox(spark, dir).collect().foreach { r =>
+      val (med, mad) = exactM(r.getString(0))
+      assert(math.abs(r.getAs[Double]("med") - med) <= 0.25 * math.max(mad, 1e-9),
+        s"approx median drifted: ${r.getString(0)}")
+      assert(math.abs(r.getAs[Double]("mad") - mad) <= 0.35 * math.max(mad, 1e-9),
+        s"approx MAD drifted: ${r.getString(0)}")
+    }
+    val exactW = AnalyticsQueries.a13Winsorize(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("w_mean")).toMap
+    AnalyticsQueries.a13WinsorizeApprox(spark, dir).collect().foreach { r =>
+      val em = exactW(r.getString(0))
+      assert(math.abs(r.getAs[Double]("w_mean") - em) <= 0.05 * math.abs(em),
+        s"approx winsorized mean drifted: ${r.getString(0)}")
+    }
+  }
+
   test("approx percentiles land inside the q+-0.01 exact rank band") {
     import graft.queries.AnalyticsQueries
     // rank-error framing: approx_percentile returns an actual data
