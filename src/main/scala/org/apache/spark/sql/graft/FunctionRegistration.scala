@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.ArrayExprs.{DoubleDot, SimHash, SortedLongJaccard}
+import graft.functions.CharEntropyStats
 import graft.functions.HashExprs.{Md5ShingleSet, MinhashSig}
+import graft.functions.NfkcLower
 
 /** SQL registration for graft's native expressions, so
   * `spark.sql("SELECT graft_dot(a, b) ...")` works alongside the
@@ -56,6 +58,15 @@ object FunctionRegistration {
         case other => throw new IllegalArgumentException(
           s"graft_minhash_sig k must be an integer literal, got $other")
       }),
+    (FunctionIdentifier("graft_nfkc_lower"),
+      info(classOf[NfkcLower], "graft_nfkc_lower",
+        "graft_nfkc_lower(s) - NFKC normalization + ROOT lowercase in one pass"),
+      (es: Seq[Expression]) => NfkcLower(es.head)),
+    (FunctionIdentifier("graft_char_stats"),
+      info(classOf[CharEntropyStats], "graft_char_stats",
+        "graft_char_stats(s) - struct(n_chars, n_charset, sum_u) codepoint" +
+          " distribution statistics (quantized entropy terms)"),
+      (es: Seq[Expression]) => CharEntropyStats(es.head)),
   )
 
   /** Register into a live session (idempotent). */

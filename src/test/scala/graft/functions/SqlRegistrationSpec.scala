@@ -26,6 +26,14 @@ class SqlRegistrationSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.col("toks"), 2), 4))
       .as[Seq[Long]].head()
     assert(viaSql === viaApi)
+    // round-8 expressions: normalization + char-distribution stats
+    assert(spark.sql("SELECT graft_nfkc_lower('Ｈｅｌｌｏ！ Ｗorld')")
+      .as[String].head() === "hello! world")
+    val stats = spark.sql(
+      "SELECT s.n_chars, s.n_charset FROM" +
+        " (SELECT graft_char_stats('aab') AS s)")
+      .as[(Long, Long)].head()
+    assert(stats === ((3L, 2L)))
     // registration is idempotent
     FunctionRegistration.register(spark)
   }
