@@ -1356,6 +1356,15 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     view
   }
 
+  /** SQL time travel by TAG: temp view `<table>_at_<tag>` over the
+    * snapshot the tag pins (view names keep the tag's word characters;
+    * dots/dashes fold to `_`). */
+  def registerTag(name: String, tag: String): String = {
+    val view = s"${name}_at_${tag.replaceAll("[^A-Za-z0-9_]", "_")}"
+    readTag(name, tag).createOrReplaceTempView(view)
+    view
+  }
+
   // WarehouseWrites: UpsertWriter merges through these, so a MERGE
   // against a versioned store is a snapshot commit with rollback.
   def createOrReplace(df: DataFrame, name: String,

@@ -623,6 +623,14 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     intercept[NoSuchElementException] { vs.readTag("t", "exp-1") }
     // invalid names rejected before touching the filesystem
     intercept[IllegalArgumentException] { vs.tagSnapshot("t", "bad/name") }
+    // SQL time travel by tag: plain SQL reads the pinned snapshot
+    vs.commitFull(Seq((9, "head")).toDF("k", "v"), "t")
+    vs.tagSnapshot("t", "rel-1.0", v = vs.currentVersion("t"))
+    vs.commitFull(Seq((10, "newer")).toDF("k", "v"), "t")
+    val view = vs.registerTag("t", "rel-1.0")
+    assert(view === "t_at_rel_1_0")
+    assert(spark.sql(s"SELECT v FROM $view").as[String].collect().toSeq
+      === Seq("head"))
   }
 
   test("empty commit stays readable with the committed schema (no bricked head)") {
