@@ -158,6 +158,39 @@ object StreamingIngest {
     withParts.select(full.fieldNames.map(col).toSeq: _*)
   }
 
+  /** Continuously maintain an additive rollup of a versioned table
+    * from its own append stream -- [[tableAppendStream]] composed with
+    * a per-batch partial aggregate landed via [[graft.table
+    * .VersionedTableStore.commitPartitions]] into a rollup table
+    * PARTITIONED BY BATCH. Each trigger costs O(batch + its groups):
+    * the partial is group-sized, and because a replayed batch rewrites
+    * ITS OWN partition, crash-replays between commit and checkpoint
+    * converge idempotently (the corpusIntakeToWarehouse discipline).
+    * Read the current rollup with [[readRollup]] -- a combine over
+    * batch-partials, each batch-partition group-sized. */
+  def followRollup(spark: SparkSession, vs: graft.table.VersionedTableStore,
+      source: String, rollup: String, keys: Seq[String], sumCol: String,
+      checkpoint: String): StreamingQuery = {
+    tableAppendStream(spark, vs, source).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = batch.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("n"), sum(col(sumCol)).as(s"sum_$sumCol"))
+          .withColumn("__batch", lit(batchId))
+        vs.commitPartitions(delta, rollup, Seq("__batch"))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
+  /** Current rollup state: fold the batch-partials down to one row per
+    * key. Partials are group-sized per batch, so this combine is
+    * rollup-cardinality work, never source-sized. */
+  def readRollup(vs: graft.table.VersionedTableStore, rollup: String,
+      keys: Seq[String], sumCol: String): DataFrame =
+    vs.read(rollup).groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col(s"sum_$sumCol")).as(s"sum_$sumCol"))
+
   /** Run a streaming DataFrame to completion over currently-available
     * input (batch-parity mode) into an in-memory table; returns the
     * finished query. */

@@ -56,6 +56,38 @@ class StreamingIngestSpec extends AnyFunSuite {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("followRollup maintains an additive rollup from the table's append stream") {
+    val vs = new graft.table.VersionedTableStore(spark, tmp("graft-froll-store"))
+    vs.commitFull(Seq((1L, "a", 10.0, "d1"), (2L, "b", 20.0, "d1"),
+      (3L, "a", 5.0, "d1")).toDF("k", "grp", "px", "day"), "src", Seq("day"))
+    val ckpt = tmp("graft-froll-ckpt")
+    def drain(): Unit = StreamingIngest.followRollup(
+      spark, vs, "src", "roll", Seq("grp"), "px", ckpt).awaitTermination()
+    def state(): Map[String, (Long, Double)] =
+      StreamingIngest.readRollup(vs, "roll", Seq("grp"), "px")
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    drain()
+    assert(state() === Map("a" -> ((2L, 15.0)), "b" -> ((1L, 20.0))))
+    // day-2 appends fold in incrementally: only the new rows aggregate
+    vs.commitPartitions(Seq((4L, "a", 1.0, "d2"), (5L, "c", 7.0, "d2"))
+      .toDF("k", "grp", "px", "day"), "src", Seq("day"))
+    drain()
+    assert(state() === Map("a" -> ((3L, 16.0)), "b" -> ((1L, 20.0)),
+      "c" -> ((1L, 7.0))))
+    // matches the batch recompute over the source
+    val batch = vs.read("src").groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("px")).as("s"))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(state() === batch)
+    // an empty drain commits nothing new
+    val v = vs.currentVersion("roll")
+    drain()
+    assert(vs.currentVersion("roll") === v)
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("streaming exact dedup matches the batch survivor set") {
     import StreamingIngest.KeyedDoc
     val src = tmp("graft-dedup-src")
