@@ -38,6 +38,18 @@ sealed trait AggRule extends Rule {
   def violations: Column
 }
 
+/** Referential integrity: every non-NULL `column` value must exist in
+  * `dim`'s `dimKey` (FK -> dimension). Cross-table, so it cannot ride
+  * the single-scan aggregate: evaluated as one BROADCAST left-anti
+  * join per rule (the dim's distinct key set is dimension-sized --
+  * broadcastable at any fact scale; orphan detection never shuffles
+  * the fact). */
+case class ReferencedIn(column: String, dim: DataFrame, dimKey: String)
+    extends Rule {
+  val name = "referenced_in"
+  def describe = s"$column -> $dimKey"
+}
+
 /** Q2 */
 case class NotNull(column: String) extends AggRule {
   val name = "not_null"
@@ -124,6 +136,14 @@ object Validator {
         val ok = df.schema.fieldNames.contains(c)
         RuleResult(r.name, r.describe, ok, if (ok) 0 else 1, -1)
     }
+    val fkResults = rules.collect {
+      case r @ ReferencedIn(c, dim, k) =>
+        val orphans = df.filter(col(c).isNotNull)
+          .join(broadcast(dim.select(col(k).as("__fk")).distinct()),
+            col(c) === col("__fk"), "left_anti")
+          .count()
+        RuleResult(r.name, r.describe, orphans == 0, orphans, -1)
+    }
     val aggRules = rules.collect { case r: AggRule => r }
     val aggResults = if (aggRules.isEmpty) Nil else {
       val exprs = count(lit(1)).as("__total") +:
@@ -135,7 +155,7 @@ object Validator {
         RuleResult(r.name, r.describe, v == 0, v, total)
       }
     }
-    schemaResults ++ aggResults
+    schemaResults ++ fkResults ++ aggResults
   }
 
   /** Convenience: throw if any rule failed (the reference's blocking

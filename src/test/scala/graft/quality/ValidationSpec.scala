@@ -82,4 +82,21 @@ class ValidationSpec extends AnyFunSuite {
     assert(Validator.run(df, rules).size === 3)
     assertThrows[IllegalStateException](Validator.enforce(df, rules, "suite"))
   }
+
+  test("referenced_in counts FK orphans via a broadcast anti-join; NULLs exempt") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dim = Seq("AAPL", "MSFT").toDF("sym")
+    // df symbols: AAPL, MSFT, NULL, GOOG-ish? inspect: rows carry a
+    // NULL symbol and at least one value outside the dim
+    val r = Validator.run(df, Seq(ReferencedIn("symbol", dim, "sym")))
+    assert(r.size === 1 && r.head.rule === "referenced_in")
+    val expected = df.filter(col("symbol").isNotNull)
+      .filter(!col("symbol").isin("AAPL", "MSFT")).count()
+    assert(r.head.violations === expected)
+    assert(r.head.passed === (expected == 0))
+    // a complete dim passes even with NULL FKs present
+    val full = df.filter(col("symbol").isNotNull).select(col("symbol").as("sym")).distinct()
+    assert(Validator.run(df, Seq(ReferencedIn("symbol", full, "sym"))).head.passed)
+  }
 }
