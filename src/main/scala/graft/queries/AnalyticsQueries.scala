@@ -290,6 +290,57 @@ object AnalyticsQueries {
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
        FROM events GROUP BY 1"""
 
+  /** Star-schema referential-integrity audit: orphan and coverage
+    * counts for every FK edge in one result -- the [[graft.quality
+    * .ReferencedIn]] rule shape run across the whole schema. Each edge
+    * is a broadcast left-anti join (dim key sets are dimension-sized
+    * at any fact scale; facts never shuffle); the 6 per-edge scans are
+    * independent and column-pruned to the key. */
+  def qFkIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def edge(label: String, fact: DataFrame, c: String,
+        dim: DataFrame, k: String): DataFrame = {
+      val checked = fact.filter(col(c).isNotNull)
+      val orphans = checked
+        .join(broadcast(dim.select(col(k).as("__k")).distinct()),
+          col(c) === col("__k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      checked.agg(count(lit(1)).as("n_checked"))
+        .crossJoin(orphans)
+        .select(lit(label).as("fk"), col("n_orphans"), col("n_checked"))
+    }
+    Seq(
+      edge("lineitem.l_orderkey", Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey"),
+      edge("lineitem.l_partkey", Tables.lineitem(s, dir), "l_partkey",
+        Tables.part(s, dir), "p_partkey"),
+      edge("lineitem.l_suppkey", Tables.lineitem(s, dir), "l_suppkey",
+        Tables.supplier(s, dir), "s_suppkey"),
+      edge("orders.o_custkey", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey"),
+      edge("customer.c_nationkey", Tables.customer(s, dir), "c_nationkey",
+        Tables.nation(s, dir), "n_nationkey"),
+      edge("nation.n_regionkey", Tables.nation(s, dir), "n_regionkey",
+        Tables.region(s, dir), "r_regionkey"),
+    ).reduce(_ unionByName _)
+  }
+
+  val qFkIntegritySql: String = {
+    def edge(label: String, fact: String, c: String,
+        dim: String, k: String): String =
+      s"""SELECT '$label' AS fk,
+         (SELECT count(*) FROM $fact WHERE $c IS NOT NULL AND NOT EXISTS
+            (SELECT 1 FROM $dim WHERE $k = $c)) AS n_orphans,
+         (SELECT count(*) FROM $fact WHERE $c IS NOT NULL) AS n_checked"""
+    Seq(
+      edge("lineitem.l_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("lineitem.l_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem.l_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      edge("orders.o_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+      edge("customer.c_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+      edge("nation.n_regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+    ).mkString("\nUNION ALL\n")
+  }
+
   /** NULL-semantics parity suite: the cross-engine traps -- NULL
     * grouping keys group together, count(col) skips NULLs, null-safe
     * equality (`<=>` / IS NOT DISTINCT FROM) matches NULL=NULL where
@@ -1137,6 +1188,7 @@ object AnalyticsQueries {
     "f18_strings" -> (f18Strings _),
     "f19_dates" -> (f19Dates _),
     "f20_cond_agg" -> (f20CondAgg _),
+    "q_fk_integrity" -> (qFkIntegrity _),
     "a4_percentiles" -> (a4Percentiles _),
     "a4_percentiles_approx" -> (a4PercentilesApproxGate _),
     "w4_sessionize" -> (w4Sessionize _),
@@ -1187,6 +1239,7 @@ object AnalyticsQueries {
     "f18_strings" -> f18StringsSql,
     "f19_dates" -> f19DatesSql,
     "f20_cond_agg" -> f20CondAggSql,
+    "q_fk_integrity" -> qFkIntegritySql,
     "a4_percentiles" -> a4PercentilesSql,
     "w4_sessionize" -> w4SessionizeSql,
     "w2_moving_avg" -> w2MovingAvgSql,
