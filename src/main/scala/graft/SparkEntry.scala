@@ -36,5 +36,6 @@ object SparkEntry {
     * BENCH numbers describe what a user would actually run at 100 TB;
     * Verify/the oracle keep consulting [[queries]] alone. */
   def benchOverrides: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.AnalyticsQueries.benchOverrides
+    graft.queries.AnalyticsQueries.benchOverrides ++
+      graft.queries.LibraryQueries.benchOverrides
 }

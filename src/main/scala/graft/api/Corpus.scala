@@ -309,17 +309,19 @@ object Corpus {
     * chunk_text, start_offset, bin_first, bin_last, straddles).
     *
     * Scale shape: chunking is the shuffle-free explode; the pack
-    * window shuffles (doc_id, chunk_id, split, n) -- never chunk
-    * text -- and the final id-to-id join re-attaches the text. At
-    * 100 TB give each split sharded streams (see [[Text.pack]]);
-    * here split is the stream so the oracle can pin the exact bin
-    * layout. */
+    * offsets come from [[TextOps.BoundedWindows prefix-sum]]'s
+    * bucket-offset decomposition -- split has THREE values at any
+    * corpus size, so a plain per-split window would sort a third of
+    * the corpus in one task; the bounded shape shuffles only
+    * (doc_id, chunk_id, split, n) -- never chunk text -- in
+    * per-(split, doc_id-bucket) partitions
+    * ([[graft.ops.BoundedWindows.prefixSum]]), and the arithmetic is
+    * integer-exact so the bin layout the oracle pins is unchanged. */
   def trainingChunks(docs: DataFrame, id: Column, text: Column,
       t: QualityThresholds = QualityThresholds(),
       containmentThreshold: Option[Double] = None,
       chunkTokens: Int = TextOps.ChunkTokens,
       budgetTokens: Long = TextOps.PackBudget): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // materialized once: both the chunk explode and the split join
     // read the prepared corpus -- without this the whole prepare
     // pipeline (LSH pair join + CC loop) executes twice
@@ -328,9 +330,9 @@ object Corpus {
     val chunks = TextOps.chunkOf(
       prepared.select(col("doc_id"), col("text")), chunkTokens)
       .join(prepared.select(col("doc_id"), col("split")), Seq("doc_id"))
-    val w = Window.partitionBy(col("split")).orderBy(col("doc_id"), col("chunk_id"))
-    chunks
-      .withColumn("end_offset", sum(col("n_chunk_tokens")).over(w))
+    graft.ops.BoundedWindows.prefixSum(chunks,
+      parts = Seq("split"), ord = "doc_id", ties = Seq("chunk_id"),
+      value = col("n_chunk_tokens"), outCol = "end_offset")
       .select(
         col("doc_id"), col("chunk_id"), col("split"), col("n_chunk_tokens"),
         col("chunk_text"),

@@ -31,14 +31,93 @@ object MultimodalOps {
       height: Int,
       n_frames: Int)
 
-  /** Deterministic STUB for the codec boundary: derives fake
-    * dimensions from payload length only. A real build replaces the
-    * body with e.g. JPEG/PNG header parsing. */
-  object StubDecoder {
-    def decode(payload: Array[Byte]): (Int, Int, Int) = {
-      val n = payload.length
-      ((n * 7 + 3) % 640 + 1, (n * 11 + 5) % 480 + 1, n % 30 + 1)
+  /** Real still-image container parsing -- PNG IHDR and JPEG SOF
+    * dimensions, both public formats:
+    *
+    *  - PNG: 8-byte signature `89 50 4E 47 0D 0A 1A 0A`, then the
+    *    IHDR chunk is REQUIRED first -- 4-byte length, "IHDR", then
+    *    width and height as 4-byte big-endian (PNG spec 11.2.2).
+    *  - JPEG: `FF D8` (SOI), then a marker walk: every segment is
+    *    `FF <marker> <2-byte BE length incl. itself>`; the frame
+    *    header (SOF0..SOF15 minus DHT/JPG/DAC = C4/C8/CC) carries
+    *    precision(1), height(2 BE), width(2 BE) (ITU T.81 B.2.2).
+    *    Standalone markers (RSTn/TEM) and fill bytes have no length.
+    *
+    * Returns None for anything else -- truncated headers, non-image
+    * bytes -- so callers can fall back without throwing inside a
+    * partition task. Note both magics are invalid leading bytes for
+    * UTF-8 text (0x89 and 0xFF are never lead bytes), so text
+    * payloads can never false-positive as images. */
+  object HeaderDecoder {
+    private def be32(p: Array[Byte], i: Int): Int =
+      ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
+        ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+    private def be16(p: Array[Byte], i: Int): Int =
+      ((p(i) & 0xff) << 8) | (p(i + 1) & 0xff)
+
+    private val PngSig =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    def pngDims(p: Array[Byte]): Option[(Int, Int)] =
+      if (p.length >= 24 && java.util.Arrays.equals(p, 0, 8, PngSig, 0, 8) &&
+          new String(p, 12, 4, "US-ASCII") == "IHDR") {
+        val (w, h) = (be32(p, 16), be32(p, 20))
+        if (w > 0 && h > 0) Some((w, h)) else None
+      } else None
+
+    private def isSof(m: Int): Boolean =
+      m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+
+    def jpegDims(p: Array[Byte]): Option[(Int, Int)] = {
+      if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8)
+        return None
+      var i = 2
+      while (i + 3 < p.length) {
+        if ((p(i) & 0xff) != 0xff) return None
+        var j = i
+        while (j < p.length && (p(j) & 0xff) == 0xff) j += 1 // fill bytes
+        if (j >= p.length) return None
+        val m = p(j) & 0xff
+        if (isSof(m)) {
+          // j+1..j+2 length, j+3 precision, j+4..5 height, j+6..7 width
+          if (j + 7 >= p.length) return None
+          val (h, w) = (be16(p, j + 4), be16(p, j + 6))
+          return if (w > 0 && h > 0) Some((w, h)) else None
+        } else if (m == 0xd9 || m == 0xda) {
+          return None // EOI / entropy-coded data: no frame header seen
+        } else if ((m >= 0xd0 && m <= 0xd7) || m == 0x01) {
+          i = j + 1 // standalone marker, no length field
+        } else {
+          if (j + 2 >= p.length) return None
+          val len = be16(p, j + 1)
+          if (len < 2) return None
+          i = j + 1 + len
+        }
+      }
+      None
     }
+
+    /** (width, height, format) of a recognized still image. */
+    def imageDims(p: Array[Byte]): Option[(Int, Int, String)] =
+      pngDims(p).map { case (w, h) => (w, h, "png") }
+        .orElse(jpegDims(p).map { case (w, h) => (w, h, "jpeg") })
+  }
+
+  /** The codec boundary: REAL header parsing for recognized image
+    * containers (a still image is 1 frame); a deterministic
+    * length-derived fake for everything else, so the synthetic
+    * text-bytes corpus stays SQL-checkable. Full pixel decode would
+    * slot in here the same way -- the surrounding plumbing (binary
+    * column, typed mapPartitions, pruned projection) is unchanged
+    * either way. */
+  object StubDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Int) =
+      HeaderDecoder.imageDims(payload) match {
+        case Some((w, h, _)) => (w, h, 1)
+        case None =>
+          val n = payload.length
+          ((n * 7 + 3) % 640 + 1, (n * 11 + 5) % 480 + 1, n % 30 + 1)
+      }
   }
 
   /** Binary decode + feature extraction over a synthesized payload

@@ -641,21 +641,23 @@ object TextOps {
     * it straddles a bin boundary (= will be split across training
     * sequences).
     *
-    * Shape: one narrow projection, then a running sum over
-    * (partitionBy stream, orderBy doc_id) -- a single sort-shuffle.
-    * Packing is order-defined, so the per-stream prefix sum is
-    * inherent; at 100 TB partition the corpus into bounded streams
-    * first (e.g. (lang, shard)) so no single window partition holds
-    * a whole language -- [[graft.api.Text.pack]] takes the stream
-    * key as a parameter for exactly that. */
+    * Shape: one narrow projection, then the per-stream prefix sum in
+    * [[BoundedWindows.prefixSum]]'s bucket-offset decomposition --
+    * streams are low-cardinality BY DESIGN (a handful of languages
+    * regardless of corpus size), so a plain per-stream window would
+    * sort a whole language in one task at 100 TB; the bounded shape
+    * computes the identical offsets with no window partition wider
+    * than ~1/256 of a stream. Sharding the stream key ((lang, shard)
+    * via [[graft.api.Text.pack]]) remains available when even
+    * bin-local sort state must shrink, at the cost of a different
+    * (sharded) bin layout. */
   def packOf(docs: DataFrame, budget: Long = PackBudget,
              stream: Column = col("lang")): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val n = size(tokens(col("text"))).cast("long")
-    docs
-      .select(col("doc_id"), stream.as("stream"), n.as("n_tokens"))
-      .withColumn("end_offset", sum(col("n_tokens")).over(
-        Window.partitionBy(col("stream")).orderBy(col("doc_id"))))
+    BoundedWindows.prefixSum(
+      docs.select(col("doc_id"), stream.as("stream"), n.as("n_tokens")),
+      parts = Seq("stream"), ord = "doc_id", ties = Nil,
+      value = col("n_tokens"), outCol = "end_offset")
       .select(
         col("doc_id"), col("stream"), col("n_tokens"),
         (col("end_offset") - col("n_tokens")).as("start_offset"),

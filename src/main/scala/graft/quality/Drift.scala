@@ -28,8 +28,12 @@ object Drift {
 
   /** One row per column in either snapshot's schema (or the monitored
     * subset): column, status (added/removed/retyped/kept), types, and
-    * per-side count / nulls / approx NDV / min / max. Non-shared or
-    * non-existent sides report NULL stats. */
+    * per-side count / nulls / approx NDV / min / max, plus each side's
+    * TOTAL row count (`from_rows` / `to_rows`, repeated per row) --
+    * surfaced so [[alerts]] and any downstream rate math reuse the
+    * count this one aggregate pass already paid for instead of
+    * re-scanning the snapshots. Non-shared or non-existent sides
+    * report NULL stats. */
   def report(vs: VersionedTableStore, name: String, fromV: Long, toV: Long,
       columns: Seq[String] = Nil): DataFrame = {
     val spark = vs.spark
@@ -75,9 +79,14 @@ object Drift {
         stat(side, suffix).map(_.asInstanceOf[Number].longValue())
       def strStat(side: Map[String, Row], suffix: String): Option[String] =
         stat(side, suffix).map(_.toString)
+      def totalRows(side: Map[String, Row]): Option[Long] =
+        side.get("__rows").flatMap(r => Option(r.getAs[Any]("__rows")))
+          .map(_.asInstanceOf[Number].longValue())
       Row(c, status,
         ff.map(_.dataType.simpleString).orNull,
         tf.map(_.dataType.simpleString).orNull,
+        totalRows(fs).map(Long.box).orNull,
+        totalRows(ts).map(Long.box).orNull,
         longStat(fs, "n").map(Long.box).orNull,
         longStat(ts, "n").map(Long.box).orNull,
         longStat(fs, "nulls").map(Long.box).orNull,
@@ -89,6 +98,7 @@ object Drift {
     }
     val schema = StructType.fromDDL(
       "column STRING, status STRING, from_type STRING, to_type STRING," +
+        " from_rows BIGINT, to_rows BIGINT," +
         " from_n BIGINT, to_n BIGINT, from_nulls BIGINT, to_nulls BIGINT," +
         " from_ndv BIGINT, to_ndv BIGINT, from_min STRING, to_min STRING," +
         " from_max STRING, to_max STRING")
@@ -99,15 +109,18 @@ object Drift {
   /** The alert cut over [[report]]: columns whose shape moved --
     * schema status != kept, null-RATE shift beyond `nullRatePct`
     * percentage points, or min/max range drift on numeric columns
-    * beyond `rangePct` percent of the old range. Empty = calm. */
+    * beyond `rangePct` percent of the old range. Empty = calm.
+    * Null-rate denominators ride report()'s own `from_rows`/`to_rows`
+    * columns -- the snapshots are scanned exactly once per side (the
+    * report aggregate), never re-counted here. */
   def alerts(vs: VersionedTableStore, name: String, fromV: Long, toV: Long,
       columns: Seq[String] = Nil, nullRatePct: Double = 5.0,
       rangePct: Double = 20.0): DataFrame = {
-    val fromRows = vs.readVersion(name, fromV).count().max(1L).toDouble
-    val toRows = vs.readVersion(name, toV).count().max(1L).toDouble
     val numericCols = vs.readVersion(name, toV).schema.fields
       .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSet
     val r = report(vs, name, fromV, toV, columns)
+    val fromRows = greatest(col("from_rows").cast("double"), lit(1.0))
+    val toRows = greatest(col("to_rows").cast("double"), lit(1.0))
     val nullShift =
       abs(col("to_nulls") / toRows - col("from_nulls") / fromRows) * 100.0
     val isNumeric = col("column").isin(numericCols.toSeq: _*)

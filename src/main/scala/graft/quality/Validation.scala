@@ -70,6 +70,33 @@ case class Unique(columns: Seq[String]) extends AggRule {
     count(when(keyOk, 1)) - count_distinct(when(keyOk, struct(columns.map(col): _*)))
 }
 
+/** Production twin of [[Unique]] for the 100 TB path: duplicate mass
+  * estimated from ONE HLL sketch (`approx_count_distinct`) instead of
+  * an exact distinct. Inside a multi-rule single-scan suite the exact
+  * rule forces an Expand (each distinct aggregate re-emits every row)
+  * plus a full-key shuffle; the sketch keeps the suite a one-pass,
+  * map-side-combinable aggregate at any scale. Sketch error makes
+  * "0 duplicates" unattestable, so the rule is a TOLERANCE gate:
+  * it passes while the estimated duplicate mass stays within
+  * `tolerancePct` of the key'd rows (HLL rsd default 5% => 1% is a
+  * conservative floor for real dup detection; exact [[Unique]] stays
+  * the oracle gate, this is what production monitoring runs).
+  * Reported violations are 0 when inside the band, else the estimate
+  * clamped above zero (the sketch can overshoot the true count). */
+case class UniqueApprox(columns: Seq[String], tolerancePct: Double = 1.0,
+    rsd: Double = 0.05) extends AggRule {
+  val name = if (columns.size == 1) "unique_approx" else "compound_unique_approx"
+  def describe = columns.mkString(",")
+  private def keyOk = columns.map(col(_).isNotNull).reduce(_ && _)
+  def violations: Column = {
+    val keyed = count(when(keyOk, 1))
+    val est = greatest(lit(0L),
+      keyed - approx_count_distinct(
+        when(keyOk, struct(columns.map(col): _*)), rsd))
+    when(est * 100.0 <= keyed * tolerancePct, lit(0L)).otherwise(est)
+  }
+}
+
 /** Q5: total row count within [min, max]. */
 case class RowCountBetween(min: Long, max: Long) extends AggRule {
   val name = "row_count_between"

@@ -519,6 +519,83 @@ object AnalyticsQueries {
        FROM events
        WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC)"""
 
+  /** Skew-safe agg twin of [[w9RankSuite]]: the identical rank-family
+    * output with NO table-sized window partition (w9's
+    * PARTITION BY event_type puts an entire type -- 1/5 of the corpus
+    * here, unbounded at 100 TB -- into one task's sort).
+    *
+    * Shape: range-bucket then offset. A broadcast per-type
+    * (min, max, count) row assigns every event an equal-width value
+    * bin whose index ASCENDS as value DESCENDS, so bin order IS rank
+    * order; row_number runs per (type, bin) -- each window partition
+    * is ~1/bins of a type under any value distribution short of a
+    * single repeated point; and a tiny (type, bin) count table,
+    * cumulated over its <= bins rows and broadcast back, converts
+    * local row numbers to exact global ranks. Three narrow scans of
+    * nothing table-sized; the only per-row shuffle is the bounded
+    * window's.
+    *
+    * Rank-family algebra (why one row_number suffices): the ORDER BY
+    * key (value DESC, event_id ASC) is total, so rank and dense_rank
+    * both equal row_number, percent_rank = (rnk-1)/(n-1), cume_dist =
+    * rnk/n, and ntile(k) is the standard first-(n%k)-tiles-bigger
+    * formula -- all exact integer/single-division arithmetic off the
+    * broadcast per-type count n. Hash-matched against the SAME oracle
+    * SQL as w9_rank_suite, which computes the real window functions:
+    * the match proves the algebra. */
+  def w9RankAgg(s: SparkSession, dir: String): DataFrame =
+    rankSuiteOf(Tables.events(s, dir), bins = 256)
+
+  /** [[w9RankAgg]] over any (event_type, event_id, value) frame. */
+  def rankSuiteOf(ev0: DataFrame, bins: Int): DataFrame = {
+    val ev = ev0.select(col("event_type"), col("event_id"), col("value"))
+    val bounds = ev.groupBy(col("event_type")).agg(
+      min(col("value")).as("__lo"), max(col("value")).as("__hi"),
+      count(lit(1)).as("__n"))
+    // bin 0 holds the LARGEST values: ascending (bin, value DESC,
+    // event_id) equals the suite's total order. Degenerate one-value
+    // types collapse to bin 0; the clamp keeps value == hi in-range.
+    val binned = ev.join(broadcast(bounds), "event_type")
+      .withColumn("__bin",
+        when(col("__hi") === col("__lo"), lit(0)).otherwise(
+          lit(bins - 1) - least(lit(bins - 1),
+            floor((col("value") - col("__lo")) * bins /
+              (col("__hi") - col("__lo"))).cast("int"))))
+    val perBin = binned.groupBy(col("event_type"), col("__bin"))
+      .agg(count(lit(1)).as("__bn"))
+    // cumulative rows BEFORE each bin: a window over <= `bins` rows
+    // per type (aggregate-bounded input -- the PlanAudit-exempt kind)
+    val wOff = Window.partitionBy(col("event_type")).orderBy(col("__bin").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBin.withColumn("__off",
+      coalesce(sum(col("__bn")).over(wOff), lit(0L))).drop("__bn")
+    val wLocal = Window.partitionBy(col("event_type"), col("__bin"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    val ranked = binned
+      .withColumn("__lr", row_number().over(wLocal))
+      .join(broadcast(offsets), Seq("event_type", "__bin"))
+      .withColumn("__rnk", col("__off") + col("__lr"))
+    // ntile(k): n%k leading tiles of size n/k+1, the rest n/k. When
+    // n < k the big-tile branch covers every row (sz = 0 never
+    // divides). Integer math throughout -- no float tile edges.
+    val k = 10
+    val sz = (col("__n") / k).cast("long")
+    val big = (col("__n") % k).cast("long")
+    val inBig = col("__rnk") <= big * (sz + lit(1L))
+    val decile = when(inBig, (col("__rnk") - 1) / (sz + lit(1L)))
+      .otherwise(big + (col("__rnk") - lit(1L) - big * (sz + lit(1L))) / sz)
+    ranked.select(
+      col("event_type"), col("event_id"), col("value"),
+      col("__rnk").cast("int").as("rnk"),
+      col("__rnk").cast("int").as("drnk"),
+      round(when(col("__n") === 1, lit(0.0)).otherwise(
+        (col("__rnk") - lit(1L)).cast("double") /
+          (col("__n") - lit(1L)).cast("double")), 6).as("prnk"),
+      round(col("__rnk").cast("double") / col("__n").cast("double"), 6)
+        .as("cdist"),
+      (decile + lit(1L)).cast("int").as("decile"))
+  }
+
   /** Equi-width histogram: per event_type, value counts over 10 equal
     * bins spanning the GLOBAL [min, max] -- the data-profiling
     * histogram. Bounds ride a broadcast 1-row aggregate; bin
@@ -1183,6 +1260,7 @@ object AnalyticsQueries {
     "a12_drawdown" -> (a12Drawdown _),
     "w8_range_frame" -> (w8RangeFrame _),
     "w9_rank_suite" -> (w9RankSuite _),
+    "w9_rank_agg" -> (w9RankAgg _),
     "f16_json_extract" -> (f16JsonExtract _),
     "f17_null_semantics" -> (f17NullSemantics _),
     "f18_strings" -> (f18Strings _),
@@ -1234,6 +1312,7 @@ object AnalyticsQueries {
     "a12_drawdown" -> a12DrawdownSql,
     "w8_range_frame" -> w8RangeFrameSql,
     "w9_rank_suite" -> w9RankSuiteSql,
+    "w9_rank_agg" -> w9RankSuiteSql,
     "f16_json_extract" -> f16JsonExtractSql,
     "f17_null_semantics" -> f17NullSemanticsSql,
     "f18_strings" -> f18StringsSql,

@@ -619,6 +619,25 @@ object LibraryQueries {
     results.toDF()
   }
 
+  /** Bench twin of [[qValidationSuite]]: the same suite with the exact
+    * compound-Unique swapped for [[UniqueApprox]] -- what production
+    * monitoring runs at 100 TB (no Expand, no full-key shuffle; see
+    * the rule's scaladoc). The exact suite stays the oracle gate. */
+  def qValidationSuiteApprox(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val results = Validator.run(li, Seq(
+      NotNull("l_shipdate"),
+      UniqueApprox(Seq("l_orderkey", "l_linenumber")),
+      RowCountBetween(1, 100000000L),
+      ValuesBetween("l_quantity", 1, 50),
+      ValuesBetween("l_discount", 0.0, 0.05),
+      PairGreater("l_extendedprice", "l_discount"),
+      MatchesRegex("l_returnflag", "^[ANR]$"),
+      MatchesPrefix("l_linestatus", "O")))
+    import s.implicits._
+    results.toDF()
+  }
+
   val qValidationSuiteSql: String =
     """SELECT 'not_null' AS rule, 'l_shipdate' AS detail,
          count(CASE WHEN l_shipdate IS NULL THEN 1 END) = 0 AS passed,
@@ -787,6 +806,12 @@ object LibraryQueries {
     "q_validation_suite" -> (qValidationSuite _),
     "q_validation_period" -> (qValidationPeriod _),
     "q_validation_history" -> (qValidationHistory _),
+  )
+
+  /** Bench measures the production sketch suite; the exact suite
+    * stays the oracle gate (see SparkEntry.benchOverrides). */
+  val benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_validation_suite" -> (qValidationSuiteApprox _),
   )
 
   val oracleSql: Map[String, String] = Map(

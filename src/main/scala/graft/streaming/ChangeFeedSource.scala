@@ -1,0 +1,246 @@
+package graft.streaming
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.table.VersionedTableStore
+
+/** Change-feed streaming SOURCE over the versioned store -- the
+  * Iceberg/Delta CDF analogue as a DataSourceV2 `MicroBatchStream`.
+  *
+  * Offsets are COMMIT VERSIONS: the checkpoint records the last table
+  * version a trigger has fully processed, and each micro-batch emits
+  * `snapshotDiff(v_prev, v_next)` -- one row per key inserted,
+  * updated, or deleted, with `change_type` and (optionally) `pre_*`
+  * pre-image columns. Unlike [[StreamingIngest.tableAppendStream]]
+  * (a file-listing source, correct only for append-only maintenance),
+  * the feed reads COMMITTED MANIFESTS only, so it is immune to the
+  * two listing hazards that source documents: rewrites
+  * (OPTIMIZE / DML copy-on-write re-stage old rows as new files --
+  * the diff sees through to the net row change, including none) and
+  * phantom staged files from failed commits (never referenced by a
+  * manifest, never read). A rollback commit streams as the inverse
+  * changelog of what it undoes -- downstream state maintained from
+  * the feed follows the table back.
+  *
+  * Per-trigger mechanics: `latestOffset` reads the current head
+  * version (a manifest-dir listing, no data I/O). A batch (a, b]
+  * computes the NET changelog a -> b in one `snapshotDiff` (several
+  * commits landed between triggers collapse to their net row effect
+  * -- correct for any consumer folding changes into state; consumers
+  * needing per-commit granularity trigger faster or walk versions),
+  * materializes it to a staging dir under the stream's checkpoint
+  * location with a normal distributed parquet write, and serves the
+  * files through Spark's own vectorized parquet Batch
+  * ([[org.apache.spark.sql.graft.ParquetBatchBridge]]) -- the
+  * changelog is never collected to the driver. `commit(v)` reclaims
+  * staging dirs whose range is fully processed.
+  *
+  * Exactly-once: the engine's offset log pairs each batch range with
+  * its data; on restart the un-committed range is REPLAYED by
+  * recomputing the same diff, which is deterministic while both end
+  * snapshots are live. That is the retention contract: the store's
+  * `keepSnapshots` must cover the stream's maximum lag in versions
+  * (a diff whose base snapshot has been expired fails LOUDLY with
+  * NoSuchElementException rather than silently skipping changes).
+  *
+  * Scale shape: `snapshotDiff` prunes partitions whose data dirs are
+  * shared by both manifests, so a trigger costs the CHANGED
+  * partitions (plus one staging write/read of the changelog itself),
+  * never a table scan. The schema is pinned when the stream starts;
+  * evolve-then-stream with a fresh checkpoint.
+  *
+  * Options: `root` (store root), `table`, `keys` (comma-separated
+  * primary key), `includePre` (default false), `startingVersion`
+  * (`earliest` = the full current table as inserts on first trigger,
+  * then deltas -- the default; `latest` = only post-start changes; or
+  * an explicit base version number).
+  *
+  * Usage:
+  * {{{
+  * spark.readStream.format("graft-changes")
+  *   .option("root", storeRoot).option("table", "docs")
+  *   .option("keys", "doc_id").option("includePre", "true").load()
+  * }}}
+  */
+class ChangeFeedProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-changes"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ChangeFeedProvider.feedSchema(
+      SparkSession.active, ChangeFeedConfig(options.asScala.toMap))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ChangeFeedTable(schema,
+      ChangeFeedConfig(properties.asScala.toMap))
+}
+
+private[streaming] final case class ChangeFeedConfig(opts: Map[String, String]) {
+  private def req(k: String): String = opts.getOrElse(k,
+    throw new IllegalArgumentException(s"graft-changes requires option `$k`"))
+  val root: String = req("root")
+  val table: String = req("table")
+  val keys: Seq[String] = req("keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  val includePre: Boolean = opts.get("includepre")
+    .orElse(opts.get("includePre")).exists(_.toBoolean)
+  val startingVersion: String =
+    opts.get("startingversion").orElse(opts.get("startingVersion"))
+      .getOrElse("earliest")
+  def store(spark: SparkSession): VersionedTableStore =
+    new VersionedTableStore(spark, root)
+}
+
+private[streaming] object ChangeFeedProvider {
+  /** keys ++ change_type ++ data columns (++ pre_ twins): the
+    * snapshotDiff output shape, pinned from the CURRENT snapshot's
+    * schema at stream definition. */
+  def feedSchema(spark: SparkSession, cfg: ChangeFeedConfig): StructType = {
+    val base = cfg.store(spark).read(cfg.table).schema
+    cfg.keys.foreach(k => require(base.fieldNames.contains(k),
+      s"key column `$k` not in table ${cfg.table}"))
+    val dataCols = base.fields.filterNot(f => cfg.keys.contains(f.name)).toSeq
+    StructType(
+      cfg.keys.map(k => base(k)) ++
+        Seq(StructField("change_type", StringType, nullable = false)) ++
+        dataCols ++
+        (if (cfg.includePre)
+          dataCols.map(f => f.copy(name = s"pre_${f.name}", nullable = true))
+        else Nil))
+  }
+}
+
+private[streaming] class ChangeFeedTable(feedSchema: StructType,
+    cfg: ChangeFeedConfig) extends Table with SupportsRead {
+  override def name(): String = s"graft-changes(${cfg.root}/${cfg.table})"
+  override def schema(): StructType = feedSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = feedSchema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new ChangeFeedStream(SparkSession.active, cfg, feedSchema,
+            checkpointLocation)
+      }
+    }
+}
+
+/** Version-counted offset: "everything up to and including commit
+  * `version` has been emitted". */
+final case class VersionOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+private[streaming] class ChangeFeedStream(spark: SparkSession,
+    cfg: ChangeFeedConfig, schema: StructType, checkpointLocation: String)
+    extends MicroBatchStream {
+
+  private val vs = cfg.store(spark)
+  private val stageRoot = s"$checkpointLocation/graft-changes-stage"
+  // planInputPartitions populates; createReaderFactory serves the
+  // same batch (the engine always plans a batch before reading it)
+  @volatile private var currentBatch: Batch = _
+
+  private def head(): Long = vs.currentVersion(cfg.table)
+
+  override def initialOffset(): Offset = cfg.startingVersion match {
+    case "earliest" => VersionOffset(0L)
+    case "latest" => VersionOffset(head())
+    case v => VersionOffset(v.toLong)
+  }
+
+  override def latestOffset(): Offset = VersionOffset(head())
+
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset("\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"not a graft-changes offset: $json")))
+
+  /** The net changelog (from, to] in the feed schema's column order.
+    * from = 0 means "before the first commit": the whole snapshot
+    * `to` streams as inserts (pre-images null). */
+  private[streaming] def changelog(from: Long, to: Long): DataFrame = {
+    val out =
+      if (from == 0L) {
+        val snap = vs.readVersion(cfg.table, to)
+        val dataCols =
+          schema.fieldNames.filterNot(cfg.keys.contains).toSeq
+            .filterNot(_ == "change_type").filterNot(_.startsWith("pre_"))
+        val preCols =
+          if (cfg.includePre)
+            dataCols.map(c => lit(null).cast(schema(s"pre_$c").dataType)
+              .as(s"pre_$c"))
+          else Nil
+        snap.select(cfg.keys.map(col) ++
+          Seq(lit("insert").as("change_type")) ++ dataCols.map(col) ++
+          preCols: _*)
+      } else vs.snapshotDiff(cfg.table, from, to, cfg.keys,
+        includePre = cfg.includePre)
+    out.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (a, b) = (start.asInstanceOf[VersionOffset].version,
+      end.asInstanceOf[VersionOffset].version)
+    if (a >= b) return Array.empty
+    val stage = s"$stageRoot/v$a-$b"
+    // IDEMPOTENT materialization: the engine may plan the same batch
+    // more than once (physical re-planning, restart replay) -- a
+    // completed stage (_SUCCESS present) is REUSED as-is, because an
+    // overwrite would delete the very files InputPartitions already
+    // handed out name. A half-written stage from a crashed trigger
+    // has no _SUCCESS and is rebuilt; the diff is deterministic while
+    // both end snapshots are live, so rebuild == reuse.
+    val stageP = new Path(stage)
+    val fs = stageP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(stageP, "_SUCCESS"))) {
+      if (fs.exists(stageP)) fs.delete(stageP, true)
+      changelog(a, b).write.parquet(stage)
+    }
+    val batch = org.apache.spark.sql.graft.ParquetBatchBridge
+      .batchFor(spark, stage, schema)
+    currentBatch = batch
+    batch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // an empty batch (no new versions) plans zero partitions but the
+    // engine still asks for a factory -- it will never be invoked
+    if (currentBatch == null)
+      (_: InputPartition) => throw new IllegalStateException(
+        "empty change-feed batch has no partitions to read")
+    else currentBatch.createReaderFactory()
+  }
+
+  /** Reclaim staging dirs fully covered by the committed offset. */
+  override def commit(end: Offset): Unit = {
+    val v = end.asInstanceOf[VersionOffset].version
+    val p = new Path(stageRoot)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+      st.getPath.getName match {
+        case s if s.matches("v\\d+-\\d+") =>
+          val hi = s.drop(1).split("-")(1).toLong
+          if (hi <= v) { fs.delete(st.getPath, true); () }
+        case _ => ()
+      }
+    }
+  }
+
+  override def stop(): Unit = ()
+}

@@ -137,7 +137,22 @@ object StreamingIngest {
     * old rows as new files, which this source re-delivers:
     * at-least-once under maintenance. Pair with
     * [[streamingDedupWithinWatermark]] or a keyed MERGE sink for
-    * effectively-once, exactly as the intake pipeline does. */
+    * effectively-once, exactly as the intake pipeline does.
+    *
+    * Contract: SINGLE WRITER while a follower runs. Writers stage data
+    * files under `_data` BEFORE the manifest CAS; a loser deletes its
+    * staged dir. A follower listing in that window can therefore (a)
+    * checkpoint rows that never joined any snapshot -- phantom rows no
+    * file-listing source can distinguish from committed ones (the
+    * exactly-once file log makes them permanent), or (b) list a file
+    * the loser deletes before the batch reads it. (b) fails soft:
+    * `ignoreMissingFiles` below turns the vanished file into an empty
+    * read instead of an aborted query. (a) has no read-side fix --
+    * follow a contended table through [[graft.table
+    * .VersionedTableStore.snapshotDiff]] on committed versions
+    * instead (the change-feed source), or run maintenance and
+    * followers under one scheduler lease ([[graft.pipeline
+    * .PipelineRunner.runMaintenance]]'s single-owner discipline). */
   def tableAppendStream(spark: SparkSession,
       vs: graft.table.VersionedTableStore, name: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
@@ -148,14 +163,97 @@ object StreamingIngest {
     var r = spark.readStream.schema(dataSchema)
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", "*.parquet")
+      .option("ignoreMissingFiles", "true")
     maxFilesPerTrigger.foreach(n => r = r.option("maxFilesPerTrigger", n))
     val base = r.parquet(s"${vs.path(name)}/_data")
+    // Path segments carry Hive's %XX escaping for chars unsafe in a
+    // path (space, ':', '%', '=', ...); decode before the cast or a
+    // partition value the writer escaped reads back still-escaped,
+    // disagreeing with vs.read of the same table. Hive escaping is
+    // NOT form-urlencoding ('+' stays literal), so url_decode would
+    // corrupt it -- use Spark's own inverse.
+    val unescape = udf((s: String) =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(s))
     val withParts = pcols.foldLeft(base) { (df, c) =>
       df.withColumn(c,
-        regexp_extract(col("_metadata").getField("file_path"),
-          s"/$c=([^/]+)/", 1).cast(full(c).dataType))
+        unescape(regexp_extract(col("_metadata").getField("file_path"),
+          s"/$c=([^/]+)/", 1)).cast(full(c).dataType))
     }
     withParts.select(full.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** The committed-changes twin of [[tableAppendStream]]: stream a
+    * versioned table's CHANGELOG (insert / update / delete rows with
+    * optional pre-images) via the [[ChangeFeedProvider]]
+    * MicroBatchStream. Offsets are commit versions, data comes from
+    * `snapshotDiff` over committed manifests only -- so rewrites
+    * (OPTIMIZE, DML copy-on-write) and failed-commit staged files,
+    * the two hazards the append stream documents, cannot reach the
+    * feed. See [[ChangeFeedProvider]] for semantics, options, and the
+    * retention contract. */
+  def changeFeed(spark: SparkSession, vs: graft.table.VersionedTableStore,
+      name: String, keys: Seq[String], includePre: Boolean = false,
+      startingVersion: String = "earliest"): DataFrame =
+    spark.readStream.format("graft-changes")
+      .option("root", vs.root)
+      .option("table", name)
+      .option("keys", keys.mkString(","))
+      .option("includePre", includePre.toString)
+      .option("startingVersion", startingVersion)
+      .load()
+
+  /** Continuously maintain an additive rollup of a versioned table
+    * from its CHANGE FEED -- correct under UPDATE and DELETE
+    * maintenance, which [[followRollup]]'s append-stream variant is
+    * not (rewrites re-deliver rows there). Each trigger folds the
+    * batch's changelog into signed per-group partials: an insert
+    * contributes (+1, +v), a delete (-1, -v) off the deleted row the
+    * feed carries, an update (0, v - pre_v) off the pre-image -- then
+    * lands them via [[graft.table.VersionedTableStore
+    * .commitPartitions]] PARTITIONED BY BATCH, so a crash-replayed
+    * batch rewrites its own partition and converges idempotently
+    * (exactly the [[followRollup]] discipline). [[readRollup]] folds
+    * the signed partials to current totals unchanged. */
+  def followRollupChanges(spark: SparkSession,
+      vs: graft.table.VersionedTableStore, source: String, rollup: String,
+      pk: Seq[String], groupKeys: Seq[String], sumCol: String,
+      checkpoint: String): StreamingQuery = {
+    changeFeed(spark, vs, source, pk, includePre = true).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sign = when(col("change_type") === "insert", 1L)
+          .when(col("change_type") === "delete", -1L).otherwise(0L)
+        // group keys read from the post-image for inserts/updates and
+        // from the (only) image for deletes; an update that MOVES a
+        // row between groups emits -pre in the old group and +post in
+        // the new one. Group keys that are PART OF THE PK have no
+        // pre_ twin and cannot move (they are the diff's join key).
+        def preOf(k: String) = if (pk.contains(k)) col(k) else col(s"pre_$k")
+        val moved = col("change_type") === "update" &&
+          groupKeys.filterNot(pk.contains).map(k => !(col(k) <=> col(s"pre_$k")))
+            .reduceOption(_ || _).getOrElse(lit(false))
+        val stay = batch.filter(!moved).select(
+          groupKeys.map(col) ++ Seq(
+            sign.as("__dn"),
+            (when(col("change_type") === "delete", -col(sumCol))
+              .when(col("change_type") === "update",
+                col(sumCol) - col(s"pre_$sumCol"))
+              .otherwise(col(sumCol))).as("__dv")): _*)
+        val outOfOld = batch.filter(moved).select(
+          groupKeys.map(k => preOf(k).as(k)) ++ Seq(
+            lit(-1L).as("__dn"), (-col(s"pre_$sumCol")).as("__dv")): _*)
+        val intoNew = batch.filter(moved).select(
+          groupKeys.map(col) ++ Seq(
+            lit(1L).as("__dn"), col(sumCol).as("__dv")): _*)
+        val delta = stay.unionByName(outOfOld).unionByName(intoNew)
+          .groupBy(groupKeys.map(col): _*)
+          .agg(sum(col("__dn")).as("n"), sum(col("__dv")).as(s"sum_$sumCol"))
+          .withColumn("__batch", lit(batchId))
+        vs.commitPartitions(delta, rollup, Seq("__batch"))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
   }
 
   /** Continuously maintain an additive rollup of a versioned table

@@ -1133,8 +1133,20 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     * the exact bytes a training run saw regardless of table churn.
     * Drop the tag to release it back to normal retention. Tags are
     * human-named refs, not concurrency primitives: retargeting needs
-    * `replace = true` and is last-writer-wins. Returns the pinned
-    * version. */
+    * `replace = true` and is last-writer-wins (delete-then-rename, so
+    * a reader racing a retarget can observe the tag briefly absent).
+    * Returns the pinned version.
+    *
+    * Tagging races expiry: [[expireSnapshots]] reads the tag set once
+    * up front, so a tag landing after that read cannot stop an
+    * in-flight expiry from tombstoning its target. The liveness
+    * re-check AFTER the rename below closes the window from this
+    * side: if the target was expired while the tag was being written,
+    * the dangling tag is removed and the call throws instead of
+    * leaving a ref whose readTag fails later. An expiry that
+    * tombstones between that re-check and return remains possible --
+    * tag BEFORE scheduling expiry (the runMaintenance order) rather
+    * than concurrently with it. */
   def tagSnapshot(name: String, tag: String, v: Long = -1L,
       replace: Boolean = false): Long = {
     requireValidTag(tag)
@@ -1153,6 +1165,12 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     if (!fs.rename(tmp, f)) {
       fs.delete(tmp, false)
       throw new ConcurrentWriteException(s"tag `$tag` raced another writer")
+    }
+    if (manifestAt(name, target).isEmpty) {
+      fs.delete(f, false)
+      throw new ConcurrentWriteException(
+        s"$name snapshot $target was expired while tag `$tag` was being" +
+          " written; the tag was not created")
     }
     target
   }

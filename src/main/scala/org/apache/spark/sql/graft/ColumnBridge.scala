@@ -12,3 +12,14 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Same visibility bridge for `private[sql] Dataset.ofRows`: lets the
+  * plan auditor re-materialize a logical subtree (a window's input) as
+  * a queryable DataFrame to measure its key cardinality. */
+object DatasetBridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

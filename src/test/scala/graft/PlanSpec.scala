@@ -151,14 +151,30 @@ class PlanSpec extends AnyFunSuite {
       s"entropy scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
   }
 
-  test("packing plans exactly the one per-stream window sort-shuffle") {
-    // a shuffling plan is AQE-wrapped (AdaptiveSparkPlanExec is a
-    // leaf), so count exchanges in the rendered tree instead
-    val t = SparkEntry.queries("text_pack")(spark, dir)
-      .queryExecution.executedPlan.treeString
-    val shuffles = "Exchange hashpartitioning".r.findAllIn(t).size
-    assert(shuffles === 1,
-      s"packing should shuffle once (window partition), got $shuffles:\n$t")
+  test("packing plans the bounded bucket-offset shape: bucketed windows, broadcast offsets") {
+    // r9: packOf moved from one per-stream window (stream NDV is a
+    // handful of languages FOREVER -- the low-card-window shape) to
+    // BoundedWindows.prefixSum. The pin: every window partitions by
+    // (stream, bucket) or runs over the tiny per-bucket aggregate;
+    // the offset/bounds tables join back as BROADCAST, and the only
+    // corpus-sized hash shuffle is the (stream, bucket) window's.
+    val df = SparkEntry.queries("text_pack")(spark, dir)
+    val t = df.queryExecution.executedPlan.treeString
+    val corpusShuffles =
+      "Exchange hashpartitioning\\(stream[^,]*, __bw_bin".r.findAllIn(t).size
+    assert(corpusShuffles >= 1,
+      s"packing lost its (stream, bucket) window shuffle:\n$t")
+    assert("BroadcastExchange".r.findAllIn(t).nonEmpty,
+      "bounds/offsets must ride broadcasts")
+    val wins = collectAll(plan(df)).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    wins.foreach { w =>
+      val overAgg = w.child.collectFirst {
+        case a if a.getClass.getSimpleName.contains("Aggregate") => a
+      }.isDefined
+      assert(w.partitionSpec.size >= 2 || overAgg,
+        s"window on ${w.partitionSpec.mkString(",")} is stream-partition-sized")
+    }
   }
 
   test("incremental dedup computes the shared signature projection once") {
@@ -581,5 +597,29 @@ class PlanSpec extends AnyFunSuite {
     val oha = all.count(_.getClass.getSimpleName.contains("ObjectHashAggregate"))
     assert(oha >= 2, s"expected partial+final ObjectHashAggregate, saw $oha")
     assert(!all.exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
+  test("w9_rank_agg: no table-sized window partition (every window is binned or agg-bounded)") {
+    // the suite twin's whole point: w9_rank_suite windows on bare
+    // event_type (5 partitions = 5 tasks sorting the corpus at
+    // 100 TB); the agg twin may only window (a) per (event_type,
+    // __bin) -- 256x narrower under any value distribution -- or (b)
+    // over the tiny per-bin count aggregate for the offsets
+    val all = collectAll(plan(SparkEntry.queries("w9_rank_agg")(spark, dir)))
+    val wins = all.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty, "agg twin lost its bounded windows entirely")
+    wins.foreach { w =>
+      val keys = w.partitionSpec.map(_.toString).mkString(",")
+      val overAgg = w.child.collectFirst {
+        case a if a.getClass.getSimpleName.contains("Aggregate") => a
+      }.isDefined
+      assert(w.partitionSpec.size >= 2 || overAgg,
+        s"window on ($keys) is table-partition-sized")
+    }
+    // and the measured lint agrees: no partition key below the
+    // production session's parallelism floor
+    assert(graft.plans.PlanAudit.auditWindowCardinality(
+      SparkEntry.queries("w9_rank_agg")(spark, dir), Some(32L)).isEmpty)
   }
 }

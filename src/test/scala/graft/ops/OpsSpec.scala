@@ -163,6 +163,39 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("header decoder reads real PNG IHDR / JPEG SOF dimensions") {
+    import MultimodalOps.HeaderDecoder
+    // PNG: signature + IHDR length(13) + "IHDR" + w=640, h=360 BE
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte) ++ be32(13) ++ "IHDR".getBytes("US-ASCII") ++
+      be32(640) ++ be32(360) ++ Array[Byte](8, 6, 0, 0, 0)
+    assert(HeaderDecoder.imageDims(png) === Some((640, 360, "png")))
+    // JPEG: SOI, APP0 segment (skipped via its length), then SOF0
+    // len=17, precision 8, h=1080, w=1920, 3 components
+    def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
+    val jpeg = Array(0xff, 0xd8).map(_.toByte) ++
+      (Array(0xff, 0xe0).map(_.toByte) ++ be16(16) ++ new Array[Byte](14)) ++
+      (Array(0xff, 0xc0).map(_.toByte) ++ be16(17) ++ Array[Byte](8) ++
+        be16(1080) ++ be16(1920) ++ new Array[Byte](10))
+    assert(HeaderDecoder.imageDims(jpeg) === Some((1920, 1080, "jpeg")))
+    // progressive JPEG frame header (SOF2) parses identically
+    val prog = jpeg.updated(21, 0xc2.toByte)
+    assert(HeaderDecoder.imageDims(prog) === Some((1920, 1080, "jpeg")))
+    // truncated / corrupt / non-image bytes fall back, never throw
+    assert(HeaderDecoder.imageDims(png.take(20)) === None)
+    assert(HeaderDecoder.imageDims(jpeg.take(6)) === None)
+    assert(HeaderDecoder.imageDims("GIF89a plain text".getBytes) === None)
+    assert(HeaderDecoder.imageDims(Array.empty[Byte]) === None)
+    // the decode boundary routes parsed images as 1-frame stills and
+    // everything else through the deterministic fallback
+    assert(MultimodalOps.StubDecoder.decode(png) === ((640, 360, 1)))
+    val n = 11
+    assert(MultimodalOps.StubDecoder.decode(new Array[Byte](n)) ===
+      (((n * 7 + 3) % 640 + 1, (n * 11 + 5) % 480 + 1, n % 30 + 1)))
+  }
+
   test("multimodal stub decode is deterministic and schema-typed") {
     val a = MultimodalOps.decodeFeatures(spark, dir).collect()
     val b = MultimodalOps.decodeFeatures(spark, dir).collect()

@@ -51,6 +51,85 @@ class PlanAuditSpec extends AnyFunSuite {
       allow = Set("global-sort"))
   }
 
+  test("a global window over corpus JOIN tiny-agg no longer slips the exemption") {
+    // round-8 false negative: the exemption accepted ANY aggregate in
+    // the subtree, including a broadcast-joined 1-row bound -- but the
+    // window still sorts the corpus side in one task. The chain walk
+    // stops at the join, so this now flags.
+    val bounds = docs.agg(max(col("n_chars")).as("hi"))
+    val joined = docs.crossJoin(broadcast(bounds))
+      .withColumn("r", row_number().over(Window.orderBy(col("doc_id"))))
+    val f = PlanAudit.audit(joined)
+    assert(f.map(_.rule).contains("global-window"), f.toString)
+  }
+
+  test("low-card-window: measured NDV flags intrinsically-narrow keys") {
+    // 'lang' has a handful of values at EVERY scale: partitioning the
+    // corpus window by it concentrates everything on NDV tasks. floor
+    // pinned to the production session's parallelism (32).
+    val killer = docs.withColumn("r",
+      row_number().over(Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+    val f = PlanAudit.auditWindowCardinality(killer, Some(32L))
+    assert(f.map(_.rule) === Seq("low-card-window"), f.toString)
+    // high-cardinality keys pass: doc_id grows with the data
+    val fine = docs.withColumn("r",
+      row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("n_chars"))))
+    assert(PlanAudit.auditWindowCardinality(fine, Some(32L)).isEmpty)
+    // aggregate-bounded input is the broadcast-offsets idiom: exempt
+    // without running any NDV job
+    val offs = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("off", sum(col("n")).over(
+        Window.partitionBy(lit(1)).orderBy(col("lang"))))
+    assert(PlanAudit.auditWindowCardinality(offs, Some(32L)).isEmpty)
+    // two-stage top-n final (filter over a prior window on the chain)
+    // is bounded BY CONSTRUCTION at salt*n rows per key: exempt even
+    // though its key NDV is tiny
+    val twoStage = graft.ops.SamplingOps.sourceCapOf(docs, 5)
+    assert(PlanAudit.auditWindowCardinality(twoStage, Some(32L)).isEmpty)
+  }
+
+  test("every shipped query passes the measured window-cardinality audit") {
+    // Floor = 8, scaled to the sf0.001 fixture: SCALE-GROWING keys
+    // (user_id, shuffle buckets, knn queries) measure >= 15 distinct
+    // values even in this 1k-row sample, while INTRINSICALLY-narrow
+    // keys (event_type = 5, split = 3, lang ~ 6) sit at or below 6 at
+    // every scale -- 8 separates the two populations. In production
+    // the audit runs with the default floor (the session's
+    // parallelism) on real data, where scale-growing keys measure in
+    // the millions and the same intrinsic keys still flag.
+    //
+    // Allowlisted with rationale -- the lint measures key NDV only
+    // and cannot see other row bounds:
+    //  - w9_rank_suite: the oracle-gate twin kept DELIBERATELY in the
+    //    naive shape to prove w9_rank_agg's algebra; production
+    //    callers get w9_rank_agg (PlanSpec pins its bounded plan).
+    //  - sim_* / ret_hybrid_rrf: the per-query rank windows. query_id
+    //    NDV is the FIXTURE's query-set size (5); in production the
+    //    query set is workload-sized (grows without bound), and each
+    //    partition's state is additionally candidate-pool-bounded
+    //    (nprobe cells / top-k pool -- PLANS.md r8 entries), never
+    //    corpus-sized.
+    // Anything newly flagged must either be fixed (text_pack and
+    // corpus_training_chunks moved to BoundedWindows.prefixSum for
+    // exactly this reason) or added HERE with a written reason --
+    // the lint's enforcement contract.
+    val allow = Set("w9_rank_suite",
+      "sim_ann_ivf", "sim_ann_ivf_kmeans", "sim_ann_ivfpq",
+      "sim_ann_ivfpq_rerank", "sim_ann_multiprobe", "sim_ann_recall",
+      "sim_ann_signlsh", "sim_cosine_topk", "sim_knn_classify",
+      "ret_hybrid_rrf")
+    val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => allow.contains(q._1)).flatMap { case (name, fn) =>
+        val fs = try PlanAudit.auditWindowCardinality(fn(spark, dir), Some(8L))
+          catch { case e: Throwable =>
+            Seq(PlanAudit.Finding("audit-error", s"${e.getMessage}".take(120))) }
+        if (fs.isEmpty) Nil else Seq(name -> fs)
+      }
+    assert(failures.isEmpty,
+      failures.map { case (n, fs) => s"$n -> ${fs.mkString("; ")}" }
+        .mkString("\n"))
+  }
+
   test("every shipped query passes the audit (modulo declared presentation sorts)") {
     // TPC-H query text MANDATES a final ORDER BY (presentation order);
     // without a LIMIT that is a global sort of the (small, aggregated)

@@ -42,6 +42,44 @@ class ValidationSpec extends AnyFunSuite {
     assert(result(Seq(Unique(Seq("symbol", "high")))).head.passed)
   }
 
+  test("unique_approx: tolerance-banded HLL twin of Unique") {
+    // unique key: estimated dup mass ~0, inside any band
+    assert(result(Seq(UniqueApprox(Seq("id")))).head.passed)
+    // massive duplication blows through the band regardless of sketch
+    // noise: 1000 rows, 10 distinct keys -> ~99% dup mass vs 1% band
+    val dups = (1L to 1000L).map(i => (i % 10, "x")).toDF("k", "pad")
+    val r = Validator.run(dups, Seq(UniqueApprox(Seq("k")))).head
+    assert(!r.passed && r.violations > 900,
+      s"expected ~990 estimated duplicates, got ${r.violations}")
+    // null keys are excluded, matching exact Unique's contract
+    val withNulls = Seq(Option(1L), Option(2L), None, None)
+      .toDF("k")
+    assert(Validator.run(withNulls, Seq(UniqueApprox(Seq("k")))).head.passed)
+    // the whole point at scale: inside a multi-rule single-scan suite
+    // the approx rule keeps the plan a plain two-level (partial+final)
+    // HLL aggregate -- no distinct at all, hence no full-key
+    // re-aggregation (one distinct) and no Expand (several). The
+    // exact rule is the one that pays: its plan carries
+    // count(distinct ...), which groups EVERY row by the key before
+    // the final aggregate -- a corpus-keyed shuffle the sketch path
+    // never does.
+    val suite = Seq(NotNull("k"), UniqueApprox(Seq("k")))
+    val exprs = suite.collect { case a: AggRule => a }.zipWithIndex
+      .map { case (a, i) => a.violations.cast("long").as(s"v$i") }
+    val approxPlan = dups.agg(exprs.head, exprs.tail: _*)
+      .queryExecution.sparkPlan.toString
+    assert(!approxPlan.contains("count(distinct") &&
+      !approxPlan.contains("Expand"),
+      "UniqueApprox in a multi-rule agg must stay distinct-free")
+    val exactExprs = Seq(NotNull("k"), Unique(Seq("k")))
+      .collect { case a: AggRule => a }.zipWithIndex
+      .map { case (a, i) => a.violations.cast("long").as(s"v$i") }
+    val exactPlan = dups.agg(exactExprs.head, exactExprs.tail: _*)
+      .queryExecution.sparkPlan.toString
+    assert(exactPlan.contains("count(distinct"),
+      "control: the exact rule is the one that pays the keyed re-aggregation")
+  }
+
   test("row_count_between") {
     assert(result(Seq(RowCountBetween(1, 10))).head.passed)
     assert(!result(Seq(RowCountBetween(5, 10))).head.passed)

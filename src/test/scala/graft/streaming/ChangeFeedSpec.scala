@@ -1,0 +1,154 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.TestSpark
+
+/** The change-feed MicroBatchStream: commit-version offsets, exact
+  * changelog rows, exactly-once across checkpoint restarts, and
+  * downstream rollup maintenance that stays correct under UPDATE /
+  * DELETE / rollback -- the cases the append-stream source documents
+  * as out of contract. */
+class ChangeFeedSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("change feed streams the exact changelog exactly once across restarts (upsert, delete, rollback)") {
+    val vs = new graft.table.VersionedTableStore(spark, tmp("graft-cf-store"))
+    vs.commitFull(Seq((1L, "g1", 10L), (2L, "g2", 20L)).toDF("k", "grp", "v"),
+      "t", Nil)
+    val v1 = vs.currentVersion("t")
+    val ckpt = tmp("graft-cf-ckpt")
+    val out = tmp("graft-cf-out")
+    def drain(): Unit = {
+      val q = StreamingIngest.changeFeed(spark, vs, "t", Seq("k"),
+        includePre = true)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def delivered(): Seq[(Long, String, String, Long, Option[String], Option[Long])] =
+      spark.read.parquet(out)
+        .select(col("k"), col("change_type"), col("grp"), col("v"),
+          col("pre_grp"), col("pre_v"))
+        .as[(Long, String, String, Long, Option[String], Option[Long])]
+        .collect().sorted.toSeq
+
+    // trigger 1: the startingVersion=earliest base -- the full v1
+    // snapshot as inserts with null pre-images
+    drain()
+    assert(delivered() === Seq(
+      (1L, "insert", "g1", 10L, None, None),
+      (2L, "insert", "g2", 20L, None, None)))
+
+    // two commits between triggers: an UPDATE and a DELETE -- the
+    // next batch carries their NET changelog with pre-images
+    vs.updateWhere("t", col("k") === 2L, Map("v" -> lit(25L)), Nil)
+    vs.deleteWhere("t", col("k") === 1L, Nil)
+    drain()
+    assert(delivered() === Seq(
+      (1L, "delete", "g1", 10L, Some("g1"), Some(10L)),
+      (1L, "insert", "g1", 10L, None, None),
+      (2L, "insert", "g2", 20L, None, None),
+      (2L, "update", "g2", 25L, Some("g2"), Some(20L))))
+
+    // quiet table: a restart from the same checkpoint re-delivers
+    // NOTHING (exactly-once across restarts)
+    drain()
+    assert(delivered().size === 4)
+
+    // rollback commits stream as the INVERSE changelog: k=1
+    // reappears as an insert, k=2 updates back to its v1 value
+    vs.rollbackTo("t", v1)
+    drain()
+    val afterRollback = delivered()
+    assert(afterRollback.size === 6)
+    assert(afterRollback.contains((1L, "insert", "g1", 10L, None, None)))
+    assert(afterRollback.contains(
+      (2L, "update", "g2", 20L, Some("g2"), Some(25L))))
+    spark.streams.active.foreach(_.stop())
+  }
+
+  test("startingVersion=latest skips history; phantom staged files never reach the feed") {
+    val vs = new graft.table.VersionedTableStore(spark, tmp("graft-cf2-store"))
+    vs.commitFull(Seq((1L, 5L, "b0")).toDF("k", "v", "b"), "t", Seq("b"))
+    // a failed commit's orphan: stage a bare parquet file under _data
+    // that NO manifest references -- the append stream would list it;
+    // the change feed must not see it
+    val orphanDir = s"${vs.path("t")}/_data/orphan-staged"
+    Seq((99L, 99L)).toDF("k", "v").write.parquet(orphanDir)
+    val ckpt = tmp("graft-cf2-ckpt")
+    val out = tmp("graft-cf2-out")
+    def drain(): Unit = {
+      val q = StreamingIngest.changeFeed(spark, vs, "t", Seq("k"),
+        startingVersion = "latest")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain() // latest: the existing snapshot is NOT re-delivered
+    def rows(): Seq[(Long, String, Long)] =
+      spark.read.parquet(out).select(col("k"), col("change_type"), col("v"))
+        .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(rows().isEmpty)
+    vs.commitPartitions(Seq((2L, 7L, "b1")).toDF("k", "v", "b"), "t", Seq("b"))
+    drain()
+    // only the committed append arrives; the orphan row never does
+    assert(rows() === Seq((2L, "insert", 7L)))
+    spark.streams.active.foreach(_.stop())
+  }
+
+  test("followRollupChanges maintains exact totals under update/delete/group-move/rollback") {
+    val vs = new graft.table.VersionedTableStore(spark, tmp("graft-cfr-store"))
+    vs.commitFull(
+      Seq((1L, "g1", 10L), (2L, "g1", 20L), (3L, "g2", 30L))
+        .toDF("k", "grp", "v"),
+      "src", Nil)
+    val ckpt = tmp("graft-cfr-ckpt")
+    def drain(): Unit = StreamingIngest.followRollupChanges(
+      spark, vs, "src", "roll", pk = Seq("k"), groupKeys = Seq("grp"),
+      sumCol = "v", checkpoint = ckpt).awaitTermination()
+    // groups whose rows have all churned away fold to an n=0 partial
+    // pair -- the "no rows" representation in an additive rollup
+    def rollup(): Map[String, (Long, Long)] =
+      StreamingIngest.readRollup(vs, "roll", Seq("grp"), "v")
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+        .toMap.filter(_._2._1 != 0L)
+    def expected(): Map[String, (Long, Long)] =
+      vs.read("src").groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    drain()
+    assert(rollup() === expected())
+    val v1 = vs.currentVersion("src")
+
+    // value update within a group
+    vs.updateWhere("src", col("k") === 1L, Map("v" -> lit(15L)), Nil)
+    // delete one row
+    vs.deleteWhere("src", col("k") === 3L, Nil)
+    drain()
+    assert(rollup() === expected())
+
+    // a row MOVES between groups: -1 in g1, +1 in g3
+    vs.updateWhere("src", col("k") === 2L, Map("grp" -> lit("g3")), Nil)
+    drain()
+    assert(rollup() === expected())
+    assert(rollup().keySet.contains("g3"))
+
+    // rollback: the inverse changelog folds the rollup back too
+    vs.rollbackTo("src", v1)
+    drain()
+    assert(rollup() === expected())
+    spark.streams.active.foreach(_.stop())
+  }
+}
