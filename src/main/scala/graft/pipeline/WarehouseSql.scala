@@ -48,7 +48,7 @@ object WarehouseSql {
     * identifiers (a column literally named `u.x`), and mid-path
     * segments (`a.u.b` is a struct path whose middle field happens to
     * equal the alias -- the lookbehind keeps it intact). */
-  private def stripAlias(text: String, alias: String): String =
+  private[pipeline] def stripAlias(text: String, alias: String): String =
     if (alias == null || alias.isEmpty) text
     else {
       val p = ("('(?:\\\\.|''|[^'\\\\])*'|\"(?:\\\\.|\"\"|[^\"\\\\])*\"|`[^`]*`)" +

@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -66,7 +66,9 @@ import graft.table.VersionedTableStore
   * primary key), `includePre` (default false), `startingVersion`
   * (`earliest` = the full current table as inserts on first trigger,
   * then deltas -- the default; `latest` = only post-start changes; or
-  * an explicit base version number).
+  * an explicit base version number), `maxVersionsPerTrigger` (cap
+  * commits folded per batch; `1` = per-commit changelog granularity,
+  * unset = net changes over everything available).
   *
   * Usage:
   * {{{
@@ -99,6 +101,9 @@ private[streaming] final case class ChangeFeedConfig(opts: Map[String, String]) 
   val startingVersion: String =
     opts.get("startingversion").orElse(opts.get("startingVersion"))
       .getOrElse("earliest")
+  val maxVersionsPerTrigger: Option[Int] =
+    opts.get("maxversionspertrigger").orElse(opts.get("maxVersionsPerTrigger"))
+      .map(_.toInt)
   def store(spark: SparkSession): VersionedTableStore =
     new VersionedTableStore(spark, root)
 }
@@ -147,7 +152,8 @@ final case class VersionOffset(version: Long) extends Offset {
 
 private[streaming] class ChangeFeedStream(spark: SparkSession,
     cfg: ChangeFeedConfig, schema: StructType, checkpointLocation: String)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private val vs = cfg.store(spark)
   private val stageRoot = s"$checkpointLocation/graft-changes-stage"
@@ -164,6 +170,37 @@ private[streaming] class ChangeFeedStream(spark: SparkSession,
   }
 
   override def latestOffset(): Offset = VersionOffset(head())
+
+  /** Admission control: `maxVersionsPerTrigger` caps how many COMMITS
+    * one micro-batch folds together -- `1` gives per-commit changelog
+    * granularity (no net-collapse of intermediate states), the
+    * default folds everything available (fastest catch-up, net
+    * changes only). Live versions need not be contiguous (expiry
+    * tombstones), so the cap walks the live-version list.
+    * AvailableNow support: the head observed at `prepareForTrigger
+    * AvailableNow` is the run's fixed target, so a capped stream
+    * keeps stepping batch-by-batch until it reaches THAT version and
+    * terminates, while commits landing mid-run wait for the next
+    * run. */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowTarget = Some(head())
+  }
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val start = startOffset.asInstanceOf[VersionOffset].version
+    val target = availableNowTarget.getOrElse(head())
+    val end = cfg.maxVersionsPerTrigger match {
+      case None => target
+      case Some(n) =>
+        val live = vs.versions(cfg.table).filter(v => v > start && v <= target)
+        if (live.isEmpty) start else live.take(math.max(1, n)).last
+    }
+    VersionOffset(math.max(start, end))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def deserializeOffset(json: String): Offset =
     VersionOffset("\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)

@@ -194,14 +194,18 @@ object StreamingIngest {
     * retention contract. */
   def changeFeed(spark: SparkSession, vs: graft.table.VersionedTableStore,
       name: String, keys: Seq[String], includePre: Boolean = false,
-      startingVersion: String = "earliest"): DataFrame =
-    spark.readStream.format("graft-changes")
+      startingVersion: String = "earliest",
+      maxVersionsPerTrigger: Option[Int] = None): DataFrame = {
+    var r = spark.readStream.format("graft-changes")
       .option("root", vs.root)
       .option("table", name)
       .option("keys", keys.mkString(","))
       .option("includePre", includePre.toString)
       .option("startingVersion", startingVersion)
-      .load()
+    maxVersionsPerTrigger.foreach(n =>
+      r = r.option("maxVersionsPerTrigger", n.toString))
+    r.load()
+  }
 
   /** Continuously maintain an additive rollup of a versioned table
     * from its CHANGE FEED -- correct under UPDATE and DELETE

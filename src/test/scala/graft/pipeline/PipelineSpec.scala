@@ -297,4 +297,28 @@ class PipelineSpec extends AnyFunSuite {
       .quotes(spark, Seq("AAPL", "MSFT"), "2026-02-09", "t").collect()
     assert(a === b)
   }
+
+  test("DML alias stripping: literals, backtick identifiers, and struct paths survive") {
+    def s(text: String) = WarehouseSql.stripAlias(text, "u")
+    // plain qualifier refs lose the alias
+    assert(s("u.x > 1 AND u.y = u.x") === "x > 1 AND y = x")
+    // case-insensitive, like SQL identifiers
+    assert(s("U.x = 1") === "x = 1")
+    // string literals are opaque -- BOTH quote forms (Spark's expr()
+    // reads double-quoted text as a string literal too) and escapes
+    assert(s("name = 'u.x'") === "name = 'u.x'")
+    assert(s("""name = "u.x" OR u.k = 'it''s u.'""") ===
+      """name = "u.x" OR k = 'it''s u.'""")
+    // a column literally named `u.x` is an identifier, not a
+    // qualification -- backticks protect it
+    assert(s("`u.x` = 3") === "`u.x` = 3")
+    // a struct path whose MIDDLE segment equals the alias is not a
+    // qualification either
+    assert(s("a.u.b = 2") === "a.u.b = 2")
+    // ...but the alias at the HEAD of a path does strip, including
+    // before a backticked column
+    assert(s("u.`weird col` = 1") === "`weird col` = 1")
+    // word-boundary: `au.x` is some other qualifier, untouched
+    assert(s("au.x = 1") === "au.x = 1")
+  }
 }

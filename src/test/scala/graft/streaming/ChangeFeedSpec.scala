@@ -107,6 +107,31 @@ class ChangeFeedSpec extends AnyFunSuite {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("maxVersionsPerTrigger=1 yields per-commit granularity instead of net collapse") {
+    val vs = new graft.table.VersionedTableStore(spark, tmp("graft-cf3-store"))
+    vs.commitFull(Seq((1L, 10L)).toDF("k", "v"), "t", Nil)
+    vs.updateWhere("t", col("k") === 1L, Map("v" -> lit(20L)), Nil)
+    vs.updateWhere("t", col("k") === 1L, Map("v" -> lit(30L)), Nil)
+    val ckpt = tmp("graft-cf3-ckpt")
+    val out = tmp("graft-cf3-out")
+    val q = StreamingIngest.changeFeed(spark, vs, "t", Seq("k"),
+      includePre = true, maxVersionsPerTrigger = Some(1))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the net-collapsed feed would deliver ONE insert of v=30; the
+    // capped feed walks the commits: insert 10, update 20, update 30
+    val rows = spark.read.parquet(out)
+      .select(col("change_type"), col("v"), col("pre_v"))
+      .as[(String, Long, Option[Long])].collect().sortBy(_._2).toSeq
+    assert(rows === Seq(
+      ("insert", 10L, None),
+      ("update", 20L, Some(10L)),
+      ("update", 30L, Some(20L))))
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("followRollupChanges maintains exact totals under update/delete/group-move/rollback") {
     val vs = new graft.table.VersionedTableStore(spark, tmp("graft-cfr-store"))
     vs.commitFull(
