@@ -339,4 +339,18 @@ object Similarity {
       iters: Int = SimilarityOps.KmeansIters): DataFrame =
     SimilarityOps.kmeansAssignOf(
       vectors.select(id.as("vec_id"), asDouble(vec).as("v")), k, iters)
+
+  /** Fit PCA over a vector column: one distributed quantized-moment
+    * scan ([[graft.functions.VecOuterSum]]) + a driver-side d x d
+    * Jacobi solve. Deterministic under any partitioning. */
+  def pcaFit(vectors: DataFrame, vec: Column,
+      d: Int = SimilarityOps.Dim): SimilarityOps.PcaModel =
+    SimilarityOps.pcaFit(vectors.select(vec.as("embedding")), d = d)
+
+  /** Project onto a fitted model's top-k components -- a shuffle-free
+    * codegen projection (weights ride as literals). */
+  def pcaProject(vectors: DataFrame, id: Column, vec: Column,
+      model: SimilarityOps.PcaModel, k: Int): DataFrame =
+    SimilarityOps.pcaProjectOf(
+      vectors.select(id.as("vec_id"), vec.as("embedding")), model, k)
 }

@@ -776,4 +776,209 @@ object SimilarityOps {
        UNION ALL ${tierSql("multiprobe", annMultiProbeSql)}
        UNION ALL ${tierSql("signlsh", annSignLshSql)}"""
   }
+
+  // -------------------------------------------------------------- PCA
+
+  /** Embedding dimensionality of the driver's corpus. */
+  val Dim = 64
+
+  /** Principal components of an embedding corpus.
+    *
+    * `mean` and `components` (rows = components, descending
+    * eigenvalue) are in input units; `eigenvalues` are the component
+    * variances; their sum equals the covariance trace (total
+    * variance), which is what explained-variance ratios divide by. */
+  final case class PcaModel(n: Long, mean: Array[Double],
+      components: Array[Array[Double]], eigenvalues: Array[Double]) {
+    def totalVariance: Double = {
+      // trace ordering fixed (dim order) for determinism
+      var t = 0.0; var i = 0
+      while (i < eigenvalues.length) { t += eigenvalues(i); i += 1 }
+      t
+    }
+    def explained(k: Int): Array[Double] =
+      eigenvalues.take(k).map(_ / totalVariance)
+  }
+
+  /** Fit PCA in ONE distributed pass + a driver-side d x d eigen
+    * solve -- the scale split that makes PCA a scan problem: the
+    * corpus contributes only [[graft.functions.VecOuterSum]]'s
+    * quantized moment buffer (d^2 longs, map-side combinable,
+    * partition-order exact), and the O(d^3) Jacobi diagonalization
+    * runs on the driver where d = 64 is trivial. No row ever leaves
+    * its task; at 100 TB this is one narrow scan.
+    *
+    * Determinism: the moment sums are exact integers, the covariance
+    * doubles derive from them in fixed order, and cyclic Jacobi with
+    * a fixed sweep order + sign convention (largest-|loading|
+    * coordinate positive) yields one canonical model for a given
+    * corpus regardless of partitioning. */
+  def pcaFit(emb: DataFrame, vecCol: String = "embedding",
+      d: Int = Dim): PcaModel = {
+    val r = emb.agg(graft.functions.VecOuterSum.agg(col(vecCol), d).as("m"))
+      .head().getStruct(0)
+    val n = r.getLong(0)
+    require(n >= 2, s"PCA needs >= 2 vectors, saw $n")
+    val sums = r.getSeq[Long](1).toArray
+    val prods = r.getSeq[Long](2).toArray
+    val q = graft.functions.VecOuterSum.Quantum
+    val nD = n.toDouble
+    val mean = sums.map(_.toDouble / nD / q)
+    val cov = Array.ofDim[Double](d, d)
+    var i = 0; var t = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = (prods(t).toDouble -
+          sums(i).toDouble * sums(j).toDouble / nD) / (nD - 1.0) / (q * q)
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1; t += 1
+      }
+      i += 1
+    }
+    val (vals, vecs) = jacobiEig(cov)
+    PcaModel(n, mean, vecs, vals)
+  }
+
+  /** Cyclic Jacobi diagonalization of a symmetric matrix: rotations
+    * in fixed (p, q) order until the off-diagonal mass is below
+    * tolerance. Returns (eigenvalues desc, eigenvectors as rows,
+    * sign-fixed so each vector's largest-|entry| coordinate is
+    * positive). Classic textbook routine (Golub & Van Loan 8.5),
+    * O(d^3) driver-side -- fine for embedding dims. */
+  private[ops] def jacobiEig(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) { var j = i + 1; while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    var sweep = 0
+    while (sweep < 64 && off() > 1e-22) {
+      var p = 0
+      while (p < d - 1) {
+        var qq = p + 1
+        while (qq < d) {
+          val apq = a(p)(qq)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(qq)(qq) - a(p)(p)) / (2.0 * apq)
+            val tt = math.signum(theta) match {
+              case 0.0 => 1.0
+              case s0 => s0 / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(tt * tt + 1.0)
+            val s = tt * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(qq)
+              a(k)(p) = c * akp - s * akq
+              a(k)(qq) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(qq)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(qq)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(qq)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(qq) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          qq += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { i =>
+      val col = Array.tabulate(d)(k => v(k)(i))
+      // sign convention: the largest-|loading| coordinate positive
+      // (first index wins ties) -- otherwise the eigenvector sign is
+      // an artifact of rotation order
+      var best = 0; var k = 1
+      while (k < d) { if (math.abs(col(k)) > math.abs(col(best))) best = k; k += 1 }
+      if (col(best) < 0) col.map(x => -x) else col
+    }.toArray
+    (vals, vecs)
+  }
+
+  /** Project each vector onto the model's top-k components -- a
+    * narrow, shuffle-free codegen projection (component weights are
+    * broadcast as literals; each output is one zip_with/aggregate
+    * fold over the row's own array). */
+  def pcaProjectOf(emb: DataFrame, model: PcaModel, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val meanArr = array(model.mean.map(lit).toIndexedSeq: _*)
+    val centered = zip_with(col(vecCol), meanArr,
+      (x, m) => x.cast("double") - m)
+    val pcs = (0 until k).map { j =>
+      val w = array(model.components(j).map(lit).toIndexedSeq: _*)
+      round(aggregate(zip_with(centered, w, (c, wi) => c * wi),
+        lit(0.0), (acc, e) => acc + e), 6).as(s"pc${j + 1}")
+    }
+    emb.select((col(idCol) +: pcs): _*)
+  }
+
+  /** Oracle-gated covariance surface: the exact quantized-integer
+    * covariance entries the PCA fit diagonalizes, exploded to one row
+    * per upper-triangle (i, j) -- 1-based to match SQL array
+    * indexing. The heavy lifting is the SAME one-pass aggregate;
+    * expanding d(d+1)/2 driver-side rows is model-sized work. */
+  def embPcaCov(s: SparkSession, dir: String): DataFrame = {
+    val d = Dim
+    val r = Tables.embeddings(s, dir)
+      .agg(graft.functions.VecOuterSum.agg(col("embedding"), d).as("m"))
+      .head().getStruct(0)
+    val n = r.getLong(0)
+    val sums = r.getSeq[Long](1).toArray
+    val prods = r.getSeq[Long](2).toArray
+    val nD = n.toDouble
+    def rnd6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val rows = for {
+      i <- 0 until d
+      j <- i until d
+    } yield {
+      val t = i * d - i * (i - 1) / 2 + (j - i)
+      val c = (prods(t).toDouble -
+        sums(i).toDouble * sums(j).toDouble / nD) / (nD - 1.0) / 1000000.0
+      (i + 1, j + 1, rnd6(c))
+    }
+    import s.implicits._
+    rows.toDF("i", "j", "cov")
+  }
+
+  val embPcaCovSql: String =
+    """WITH q AS (SELECT list_transform(embedding,
+           x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM embeddings),
+       idx AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 64) g(i)),
+       pairs AS (SELECT a.i AS i, b.i AS j FROM idx a, idx b WHERE b.i >= a.i),
+       s AS (SELECT i, j,
+               CAST(sum(qv[i] * qv[j]) AS BIGINT) AS sp,
+               CAST(sum(qv[i]) AS BIGINT) AS si,
+               CAST(sum(qv[j]) AS BIGINT) AS sj,
+               CAST(count(*) AS BIGINT) AS n
+             FROM q, pairs GROUP BY 1, 2)
+       SELECT i, j,
+         round((CAST(sp AS DOUBLE) - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE)
+                / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+               / 1000000.0, 6) AS cov
+       FROM s"""
+
+  /** Table-bound projection: top-4 principal components of the
+    * embeddings corpus (rows-only gate -- the eigen solve is not
+    * SQL-expressible; behavior is pinned by the planted-axes spec). */
+  def embPcaProject(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    pcaProjectOf(emb, pcaFit(emb), k = 4)
+  }
 }

@@ -1069,7 +1069,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
           val pcols = m.partitionBy.map(col)
           val keys =
             if (k == 1) pcols
-            else pcols :+ pmod(xxhash64(rows.columns.map(col): _*), lit(k.toLong))
+            else pcols :+
+              pmod(xxhash64(rows.columns.toIndexedSeq.map(col): _*), lit(k.toLong))
           val packed = rows.repartition(keys: _*)
           val dirId = freshDataDir(name, v)
           staged += dirId
@@ -1371,6 +1372,20 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
   def registerVersion(name: String, v: Long): String = {
     val view = s"${name}_v$v"
     readVersion(name, v).createOrReplaceTempView(view)
+    view
+  }
+
+  /** SQL surface for the changelog: `snapshotDiff(fromV, toV)` as the
+    * temp view `<table>_changes_v<from>_v<to>` -- the batch twin of
+    * the [[graft.streaming.ChangeFeedProvider]] streaming feed, for
+    * audit SQL over what a maintenance window changed
+    * (`SELECT change_type, count(*) FROM t_changes_v3_v7 GROUP BY 1`).
+    * Returns the view name. */
+  def registerChangelog(name: String, fromV: Long, toV: Long,
+      keys: Seq[String], includePre: Boolean = false): String = {
+    val view = s"${name}_changes_v${fromV}_v$toV"
+    snapshotDiff(name, fromV, toV, keys, includePre = includePre)
+      .createOrReplaceTempView(view)
     view
   }
 

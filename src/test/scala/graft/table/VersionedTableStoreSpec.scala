@@ -475,6 +475,18 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     assert(drift === Seq((1, 5)))
   }
 
+  test("registerChangelog: audit SQL over what a maintenance window changed") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, 10), (2, 20), (3, 30)).toDF("k", "v"), "t")
+    vs.commitFull(Seq((1, 15), (2, 20)).toDF("k", "v"), "t") // update 1, delete 3
+    val view = vs.registerChangelog("t", 1, 2, Seq("k"))
+    assert(view === "t_changes_v1_v2")
+    val byType = spark.sql(
+      s"SELECT change_type, count(*) AS n FROM $view GROUP BY 1 ORDER BY 1")
+      .as[(String, Long)].collect().toSeq
+    assert(byType === Seq(("delete", 1L), ("update", 1L)))
+  }
+
   test("schema evolution: every snapshot keeps ITS schema; diff spans the evolution") {
     val vs = fresh()
     UpsertWriter.upsertAll(vs, "t", Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq("k"))
