@@ -777,6 +777,105 @@ object SimilarityOps {
        UNION ALL ${tierSql("signlsh", annSignLshSql)}"""
   }
 
+  // ------------------------------------------------------- silhouette
+
+  /** Clustering-quality report: simplified (centroid-based)
+    * silhouette per cluster over the kmeans assignment. For each
+    * vector, a = cosine distance to its OWN centroid, b = distance to
+    * the nearest OTHER centroid, s = (b - a) / max(a, b) -- the
+    * k-selection / cluster-health metric, computed the way silhouette
+    * is actually run at scale: against the k centroids (k * n
+    * distances, one broadcast row of centroids into a per-row fold),
+    * never the O(n^2) pairwise original.
+    *
+    * Scale shape: the assignment is [[kmeansAssignOf]] (per round one
+    * broadcast centroid row, zero corpus shuffles); the silhouette
+    * pass adds ONE more centroid aggregate and one narrow fold
+    * projection, then a k-row output aggregate. Determinism: sims
+    * round at 6 like every cosine here, the per-cluster mean runs on
+    * 1e-6-quantized integer sums. */
+  def silhouetteOf(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    val assigned = kmeansAssignOf(vectors, k, iters)
+    val frame = vectors.join(assigned, "vec_id")
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val cents = labelCentroids(frame, col("cell"), col("v"))
+      .agg(sort_array(collect_list(
+        struct(col("label").as("cell"), col("cv"), col("cn")))).as("cents"))
+    // one fold over the k-struct array per row: own-centroid sim and
+    // best other-centroid sim in a single pass, the kmeansRound
+    // guard discipline (CASE floor for degenerate norms, ANSI-safe)
+    val seed = struct(lit(-9.0).as("so"), lit(-9.0).as("sb"))
+    val folded = aggregate(col("cents"), seed, (acc, c) => {
+      val sc = coalesce(
+        when(col("nrm") === 0.0 || c.getField("cn") === 0.0, lit(-2.0))
+          .otherwise(round(
+            dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cn")),
+            6)),
+        lit(-2.0))
+      struct(
+        when(c.getField("cell") === col("cell"), sc)
+          .otherwise(acc.getField("so")).as("so"),
+        when(c.getField("cell") =!= col("cell"),
+          greatest(acc.getField("sb"), sc))
+          .otherwise(acc.getField("sb")).as("sb"))
+    })
+    val withS = frame.crossJoin(broadcast(cents))
+      .withColumn("__f", folded)
+      .withColumn("__a", lit(1.0) - col("__f.so"))
+      // a single non-empty cluster has no "other" centroid: its
+      // members' silhouette is 0 by convention (b = a)
+      .withColumn("__b", when(col("__f.sb") === -9.0, col("__a"))
+        .otherwise(lit(1.0) - col("__f.sb")))
+      .withColumn("sil",
+        when(greatest(col("__a"), col("__b")) <= 0.0, lit(0.0))
+          .otherwise(round((col("__b") - col("__a")) /
+            greatest(col("__a"), col("__b")), 6)))
+    withS.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("sil") * 1e6).cast("long")) /
+          (count(lit(1)) * 1e6), 6).as("avg_sil"))
+  }
+
+  /** Table-bound twin over the embeddings corpus at the kmeans
+    * defaults. */
+  def embClusterSilhouette(s: SparkSession, dir: String): DataFrame =
+    silhouetteOf(
+      Tables.embeddings(s, dir).repartition(32)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v")),
+      KmeansK, KmeansIters)
+
+  val embClusterSilhouetteSql: String = {
+    val last = s"a$KmeansIters"
+    s"""$kmeansCtes,
+       fcp AS (SELECT cell, CAST(i - 1 AS INT) AS pos,
+           round(sum(CAST(round(v[i] * 1e6) AS BIGINT)) / (count(*) * 1e6), 6) AS c
+         FROM $last, generate_series(1, 64) gs(i) GROUP BY 1, 2),
+       fc AS (SELECT cell, list(c ORDER BY pos) AS cv FROM fcp GROUP BY 1),
+       fcn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM fc),
+       sims AS (SELECT a.vec_id, a.cell AS own, c.cell AS cand,
+           CASE WHEN a.nrm = 0 OR c.cn = 0 THEN -2.0
+                ELSE round(list_dot_product(a.v, c.cv) / (a.nrm * c.cn), 6)
+           END AS sim
+         FROM $last a CROSS JOIN fcn c),
+       ab AS (SELECT vec_id, own,
+           max(CASE WHEN cand = own THEN sim END) AS sim_own,
+           max(CASE WHEN cand <> own THEN sim END) AS sim_other
+         FROM sims GROUP BY 1, 2),
+       sv AS (SELECT vec_id, own, (1.0 - sim_own) AS a,
+           CASE WHEN sim_other IS NULL THEN (1.0 - sim_own)
+                ELSE (1.0 - sim_other) END AS b
+         FROM ab),
+       sil AS (SELECT vec_id, own,
+           CASE WHEN greatest(a, b) <= 0 THEN 0.0
+                ELSE round((b - a) / greatest(a, b), 6) END AS sil
+         FROM sv)
+       SELECT CAST(own AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n,
+         round(sum(CAST(round(sil * 1e6) AS BIGINT)) / (count(*) * 1e6), 6)
+           AS avg_sil
+       FROM sil GROUP BY 1"""
+  }
+
   // -------------------------------------------------------------- PCA
 
   /** Embedding dimensionality of the driver's corpus. */
@@ -925,6 +1024,25 @@ object SimilarityOps {
         lit(0.0), (acc, e) => acc + e), 6).as(s"pc${j + 1}")
     }
     emb.select((col(idCol) +: pcs): _*)
+  }
+
+  /** Whitened projection: each component additionally scaled by
+    * 1/sqrt(eigenvalue), so the output coordinates have unit sample
+    * variance -- the decorrelation preprocessing PQ codebooks and
+    * distance metrics assume. Components with (near-)zero variance
+    * are zeroed rather than amplified: dividing by a vanishing
+    * eigenvalue would blow quantization noise up to full scale. Same
+    * shuffle-free projection plan as [[pcaProjectOf]]. */
+  def pcaWhitenOf(emb: DataFrame, model: PcaModel, k: Int,
+      eps: Double = 1e-9, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val scaled = model.copy(components = model.components.zipWithIndex.map {
+      case (row, j) =>
+        val ev = model.eigenvalues(j)
+        if (ev <= eps) row.map(_ => 0.0)
+        else row.map(_ / math.sqrt(ev))
+    })
+    pcaProjectOf(emb, scaled, k, idCol, vecCol)
   }
 
   /** Oracle-gated covariance surface: the exact quantized-integer

@@ -83,6 +83,10 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
   private def fs =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Commit-time clock, injectable for deterministic AS-OF specs
+    * (the PipelineRunner frozen-clock discipline). */
+  private[table] var clockMs: () => Long = () => System.currentTimeMillis()
+
   def path(name: String): String = s"$root/$name"
   private def commitsPath(name: String) = new Path(s"${path(name)}/_commits")
   private def dataRoot(name: String) = s"${path(name)}/_data"
@@ -107,7 +111,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
   private[table] case class Manifest(version: Long, partitionBy: Seq[String],
       mapping: Seq[(String, String)], schemaDDL: String = "",
       stats: Seq[(String, String, String, String)] = Nil,
-      parent: Long = -1L)
+      parent: Long = -1L,
+      committedAtMs: Long = -1L)
 
   private val Header = "graft-manifest-v1"
   private val End = "end"
@@ -134,6 +139,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         s"stat\t${enc(c)}\t${enc(mn)}\t${enc(mx)}\t${enc(rel)}" }
     (Seq(Header, s"version=${m.version}",
       s"parent=${m.parent}",
+      s"committedAt=${m.committedAtMs}",
       s"partitionBy=${m.partitionBy.mkString(",")}",
       s"schema=${m.schemaDDL}") ++ entries ++ statEntries :+ End)
       .mkString("\n")
@@ -163,7 +169,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       }
       Some(Manifest(fields("version").toLong, pby, mapping,
         fields.getOrElse("schema", ""), stats,
-        fields.getOrElse("parent", "-1").toLong))
+        fields.getOrElse("parent", "-1").toLong,
+        fields.getOrElse("committedAt", "-1").toLong))
     } else None
   }
 
@@ -383,6 +390,32 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     load(name, manifestAt(name, v).getOrElse(throw new NoSuchElementException(
       s"$name has no live snapshot $v (expired or never committed)")))
 
+  /** Timestamp time travel: the highest live version whose commit
+    * landed at or before `tsMillis` -- the `TIMESTAMP AS OF`
+    * analogue. Commit times are wall-clock stamps written into the
+    * manifest at CAS time (a total order only because commits to one
+    * table are serialized by the CAS; do not compare across
+    * machines with skewed clocks). Pre-timestamp manifests (older
+    * stores) carry -1 and resolve as "before every timestamp".
+    * Throws when every live version is newer than `tsMillis`. */
+  def versionAsOf(name: String, tsMillis: Long): Long = {
+    val dir = commitsPath(name)
+    val eligible =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq
+        .filter(_.getPath.getName.matches("c\\d{8}"))
+        .sortBy(_.getPath.getName)
+        .flatMap(st => readManifest(st.getPath))
+        .filter(_.committedAtMs <= tsMillis)
+    eligible.map(_.version).maxOption.getOrElse(
+      throw new NoSuchElementException(
+        s"$name has no snapshot committed at or before $tsMillis"))
+  }
+
+  /** The table as of a wall-clock instant (see [[versionAsOf]]). */
+  def readAsOf(name: String, tsMillis: Long): DataFrame =
+    readVersion(name, versionAsOf(name, tsMillis))
+
   /** Resolve a manifest to a DataFrame: one pruned parquet relation
     * per distinct data dir (basePath keeps hive partition-column
     * recovery), unioned by name. Delta chains stay short because
@@ -484,9 +517,11 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
           s"writer read parent $observedParent; committing ${m.version} " +
           "would silently drop them -- re-read and retry")
     val p = commitFile(name, m.version)
-    // stamp the observed parent into the durable record -- the
-    // lineage audit trail [[snapshots]] checks
-    val payload = serialize(m.copy(parent = observedParent))
+    // stamp the observed parent (the lineage audit trail [[snapshots]]
+    // checks) and the commit wall time (what AS-OF time travel
+    // resolves against) into the durable record
+    val payload = serialize(
+      m.copy(parent = observedParent, committedAtMs = clockMs()))
     // Stage the FULL payload under a dot-temp name (invisible to the
     // [cx]-prefixed listings), then publish atomically: a visible
     // c{v} is therefore always COMPLETE. Without this, a racer's

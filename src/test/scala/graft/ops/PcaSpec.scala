@@ -89,6 +89,32 @@ class PcaSpec extends AnyFunSuite {
     assert(spread(proj.map(_._2).toSeq) > spread(proj.map(_._3).toSeq))
   }
 
+  test("whitening yields unit-variance coordinates; degenerate axes zero out") {
+    val rows = Seq(
+      (1L, Array(4.0f, 5.0f, 1.0f, 0.0f)),
+      (2L, Array(-4.0f, 5.0f, -1.0f, 0.0f)),
+      (3L, Array(2.0f, 5.0f, 0.5f, 0.0f)),
+      (4L, Array(-2.0f, 5.0f, -0.5f, 0.0f)),
+      (5L, Array(0.0f, 5.0f, 2.0f, 0.0f)),
+      (6L, Array(0.0f, 5.0f, -2.0f, 0.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val m = SimilarityOps.pcaFit(df, d = 4)
+    val w = SimilarityOps.pcaWhitenOf(df, m, k = 4).collect()
+    def sampleVar(xs: Seq[Double]) = {
+      val mu = xs.sum / xs.size
+      xs.map(x => (x - mu) * (x - mu)).sum / (xs.size - 1)
+    }
+    // the two real axes whiten to unit variance
+    for (c <- Seq("pc1", "pc2")) {
+      val xs = w.map(_.getAs[Double](c)).toSeq
+      assert(math.abs(sampleVar(xs) - 1.0) < 1e-3, s"$c variance")
+    }
+    // the constant dims have ~zero eigenvalues: zeroed, not amplified
+    for (c <- Seq("pc3", "pc4")) {
+      assert(w.forall(r => math.abs(r.getAs[Double](c)) < 1e-6), s"$c zeroed")
+    }
+  }
+
   test("table-bound pca queries run and the projection plan is narrow") {
     val dir = "/root/testdata/sf0.001"
     val cov = SimilarityOps.embPcaCov(spark, dir)

@@ -1,0 +1,76 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+class ColumnLineageSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = graft.core.Tables.documents(spark, dir)
+  private def events = graft.core.Tables.events(spark, dir)
+
+  private def sourcesOf(df: org.apache.spark.sql.DataFrame,
+      column: String): Set[(String, String)] =
+    ColumnLineage.lineage(df).toMap.apply(column)
+
+  private def cols(s: Set[(String, String)]): Set[String] = s.map(_._2)
+  private def srcs(s: Set[(String, String)]): Set[String] =
+    s.map(_._1.split('/').last)
+
+  test("scans, derived columns, and multi-input expressions attribute correctly") {
+    val df = docs.select(col("doc_id"),
+      (col("n_chars") + 1).as("len2"),
+      concat(col("lang"), lit(":"), col("source")).as("tag"))
+    assert(cols(sourcesOf(df, "doc_id")) === Set("doc_id"))
+    assert(srcs(sourcesOf(df, "doc_id")) === Set("documents.parquet"))
+    assert(cols(sourcesOf(df, "len2")) === Set("n_chars"))
+    // a multi-input expression carries every referenced column
+    assert(cols(sourcesOf(df, "tag")) === Set("lang", "source"))
+  }
+
+  test("joins keep per-side attribution; aggregates and windows trace through") {
+    val perUser = events.groupBy(col("user_id"))
+      .agg(sum(col("value")).as("total"))
+    val joined = docs.select(col("doc_id"), col("n_chars"))
+      .join(perUser, col("doc_id") === col("user_id"))
+      .select(col("doc_id"), col("n_chars"), col("total"))
+    assert(srcs(sourcesOf(joined, "n_chars")) === Set("documents.parquet"))
+    assert(srcs(sourcesOf(joined, "total")) === Set("events.parquet"))
+    assert(cols(sourcesOf(joined, "total")) === Set("value"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val win = docs.withColumn("rank_chars",
+      sum(col("n_chars")).over(w))
+    // VALUE lineage: the windowed sum reads n_chars; the partition /
+    // order keys shape rows, not the value's inputs... but Spark's
+    // WindowExpression embeds them in the same expression tree, so
+    // they surface as references -- accept either the tight or the
+    // embedded-key attribution, require n_chars present
+    assert(cols(sourcesOf(win, "rank_chars")).contains("n_chars"))
+  }
+
+  test("explode inherits the generator input; unions merge positionally") {
+    val ex = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    assert(cols(sourcesOf(ex, "tok")) === Set("text"))
+    val u = docs.select(col("doc_id"), col("n_chars").as("n"))
+      .unionByName(events.select(col("event_id").as("doc_id"),
+        col("value").cast("long").as("n")))
+    assert(srcs(sourcesOf(u, "n")) ===
+      Set("documents.parquet", "events.parquet"))
+    assert(cols(sourcesOf(u, "n")) === Set("n_chars", "value"))
+  }
+
+  test("lineageDf renders the catalogue frame") {
+    val rows = ColumnLineage.lineageDf(
+      docs.select((col("n_chars") * 2).as("nn"))).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(0) === "nn")
+    assert(rows.head.getString(1).endsWith("documents.parquet"))
+    assert(rows.head.getString(2) === "n_chars")
+  }
+}

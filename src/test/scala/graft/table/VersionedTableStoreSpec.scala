@@ -475,6 +475,25 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     assert(drift === Seq((1, 5)))
   }
 
+  test("readAsOf: timestamp time travel resolves against stamped commit times") {
+    val vs = fresh()
+    var now = 1000L
+    vs.clockMs = () => now
+    vs.commitFull(Seq((1, 10)).toDF("k", "v"), "t")           // v1 @ 1000
+    now = 2000L
+    vs.commitFull(Seq((1, 20)).toDF("k", "v"), "t")           // v2 @ 2000
+    now = 3000L
+    vs.commitFull(Seq((1, 30)).toDF("k", "v"), "t")           // v3 @ 3000
+    assert(vs.versionAsOf("t", 2500L) === 2L)
+    assert(vs.readAsOf("t", 2500L).as[(Int, Int)].collect().toSeq ===
+      Seq((1, 20)))
+    // exactly-at resolves inclusive; mid-history and head both work
+    assert(vs.versionAsOf("t", 2000L) === 2L)
+    assert(vs.versionAsOf("t", 99999L) === 3L)
+    // before the first commit: loud failure, not an empty frame
+    intercept[NoSuchElementException] { vs.versionAsOf("t", 999L) }
+  }
+
   test("registerChangelog: audit SQL over what a maintenance window changed") {
     val vs = fresh()
     vs.commitFull(Seq((1, 10), (2, 20), (3, 30)).toDF("k", "v"), "t")
