@@ -65,6 +65,28 @@ class ColumnLineageSpec extends AnyFunSuite {
     assert(cols(sourcesOf(u, "n")) === Set("n_chars", "value"))
   }
 
+  test("lineage extraction is total over every shipped query") {
+    // robustness sweep: the walker must handle every plan shape the
+    // library ships (CTE chains, checkpointed RDD leaves, generators,
+    // windows, streaming-adjacent frames) without throwing, and every
+    // query must attribute at least one column to SOMETHING (a leaf
+    // name at minimum). Checkpointed/driver-built leaves legitimately
+    // attribute to the leaf node name rather than a file -- totality,
+    // not file-reachability, is the contract here.
+    val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val lin = ColumnLineage.lineage(fn(spark, dir))
+          if (lin.isEmpty) Seq(s"$name -> no output columns") else Nil
+        } catch {
+          case e: Throwable =>
+            Seq(s"$name -> ${e.getClass.getSimpleName}: " +
+              s"${String.valueOf(e.getMessage).take(100)}")
+        }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("lineageDf renders the catalogue frame") {
     val rows = ColumnLineage.lineageDf(
       docs.select((col("n_chars") * 2).as("nn"))).collect()
