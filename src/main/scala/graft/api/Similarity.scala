@@ -266,7 +266,11 @@ object Similarity {
     * does. */
   def buildIvfIndex(store: graft.table.WarehouseWrites, name: String,
       corpus: DataFrame, id: Column, vec: Column, cell: Column): Unit = {
-    val c = corpus.select(cell.as("cell"), id.as("vec_id"), asDouble(vec).as("v"))
+    // cell ids normalize to LONG so incremental maintenance
+    // (followIvfIndex), whose argmax fold emits longs, unions and
+    // merges against the stored index without a cast seam
+    val c = corpus.select(cell.cast("long").as("cell"), id.as("vec_id"),
+      asDouble(vec).as("v"))
       .withColumn("nrm", sqrt(SimilarityOps.dot(col("v"), col("v"))))
     val cent = SimilarityOps.labelCentroids(c, col("cell"), col("v"))
       .select(col("label").as("cell"), col("cv"), col("cn"))

@@ -327,26 +327,23 @@ object SimilarityOps {
     * round IS the scale claim, so it is factored out for the plan
     * spec: the centroid table collapses to ONE broadcast row and the
     * argmax is a per-row fold -- no window, no corpus shuffle. */
-  private[graft] def kmeansRound(assigned: DataFrame): DataFrame = {
-    // one row holding every live centroid, cell-ascending so the
-    // strict-> fold below keeps the SMALLEST cell on score ties
-    val cents = labelCentroids(assigned, col("cell"), col("v"))
-      .agg(sort_array(collect_list(
-        struct(col("label").as("cell"), col("cv"), col("cn")))).as("cents"))
-    // seed score strictly BELOW the -2.0 null-coalesce floor: a
-    // zero-norm vector scores -2.0 against every cell, and -2.0 must
-    // BEAT the seed so the fold lands on the first (smallest) cell --
-    // a seed AT -2.0 would tie, keep the sentinel, and emit cell -1
+  /** Max-cosine cell over a one-row `cents` array column -- the
+    * argmax fold shared by the Lloyd round and fixed-centroid
+    * assignment ([[assignToCentroids]]).
+    *
+    * Seed score strictly BELOW the -2.0 null-coalesce floor: a
+    * zero-norm vector scores -2.0 against every cell, and -2.0 must
+    * BEAT the seed so the fold lands on the first (smallest) cell --
+    * a seed AT -2.0 would tie, keep the sentinel, and emit cell -1.
+    * Explicit zero-norm guard, not NULL-coalescing: ANSI mode (the
+    * Spark 4 default) throws DIVIDE_BY_ZERO where legacy yielded NULL
+    * and DuckDB yields NaN/inf -- the CASE floor is the one
+    * formulation all engines agree on; the outer coalesce routes a
+    * NULL input vector to the floor too instead of leaving the fold
+    * stuck on the seed's -1 sentinel. */
+  private[graft] def bestCellExpr(centsCol: Column): Column = {
     val seed = struct(lit(-3.0).as("score"), lit(-1L).as("cell"))
-    val best = aggregate(col("cents"), seed, (acc, c) => {
-      // an explicit zero-norm guard, not NULL-coalescing: ANSI mode
-      // (the Spark 4 default) throws DIVIDE_BY_ZERO where legacy mode
-      // yielded NULL, and DuckDB yields NaN/inf -- the CASE floor is
-      // the one formulation all engines agree on, and it resolves a
-      // degenerate vector (or centroid) to the first cell
-      // outer coalesce: a NULL input vector (NULL nrm -> NULL CASE ->
-      // NULL score) must also land on the floor, not leave the fold
-      // stuck on the seed's -1 sentinel
+    aggregate(centsCol, seed, (acc, c) => {
       val sc = coalesce(
         when(col("nrm") === 0.0 || c.getField("cn") === 0.0, lit(-2.0))
           .otherwise(
@@ -354,10 +351,34 @@ object SimilarityOps {
         lit(-2.0))
       when(sc > acc.getField("score"),
         struct(sc.as("score"), c.getField("cell").as("cell"))).otherwise(acc)
-    })
+    }).getField("cell")
+  }
+
+  private[graft] def kmeansRound(assigned: DataFrame): DataFrame = {
+    // one row holding every live centroid, cell-ascending so the
+    // strict-> fold keeps the SMALLEST cell on score ties
+    val cents = labelCentroids(assigned, col("cell"), col("v"))
+      .agg(sort_array(collect_list(
+        struct(col("label").as("cell"), col("cv"), col("cn")))).as("cents"))
     assigned.drop("cell").crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("nrm"),
-        best.getField("cell").as("cell"))
+        bestCellExpr(col("cents")).as("cell"))
+  }
+
+  /** Assign rows of a (vec_id, v, nrm) frame to their max-cosine cell
+    * from a FIXED (cell, cv, cn) centroid table -- the standard IVF
+    * maintenance contract (centroids change only on rebuild). One
+    * broadcast centroid row into a narrow per-row fold; ties and
+    * degenerate norms resolve exactly as in the Lloyd round. */
+  private[graft] def assignToCentroids(frame: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val cents = centroids
+      .agg(sort_array(collect_list(
+        struct(col("cell").cast("long").as("cell"), col("cv"), col("cn"))))
+        .as("cents"))
+    frame.crossJoin(broadcast(cents))
+      .withColumn("cell", bestCellExpr(col("cents")))
+      .drop("cents")
   }
 
   /** Table-bound twin over `embeddings`. */

@@ -285,6 +285,70 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow()).start()
   }
 
+  /** Continuously maintain a persistent IVF index
+    * ([[graft.api.Similarity.buildIvfIndex]]) from its source table's
+    * CHANGE FEED -- the derived-structure composition: warehouse
+    * commits flow through the changelog into the cell-partitioned
+    * index, so ANN queries ([[graft.api.Similarity.queryIvfIndex]])
+    * always serve the committed corpus without a rebuild.
+    *
+    * Per batch: changed vectors assign to their max-cosine cell
+    * against the FIXED stored centroids (one broadcast row -- the
+    * standard IVF contract: centroids move only on rebuild); the
+    * batch's TOUCHED cells (new homes, plus old homes of updated /
+    * deleted vectors via pre-images) are rewritten as
+    * current-cell-content minus the batch's keys plus its surviving
+    * rows, landed with a partition-granular delta commit. Cost per
+    * trigger: the changed cells, never the index. Crash-replay
+    * converges: the rebuild reads the (possibly already-updated)
+    * index minus batch keys plus batch rows -- the same final
+    * partitions either way. With the default `startingVersion =
+    * earliest`, the FIRST drain replays the source as inserts and
+    * rewrites every populated cell -- a self-healing full build that
+    * makes "start following an existing table" a no-thought
+    * operation; pass a version to start incremental-only. */
+  def followIvfIndex(spark: SparkSession, vs: graft.table.VersionedTableStore,
+      source: String, index: String, pk: String, vecCol: String,
+      checkpoint: String, startingVersion: String = "earliest"): StreamingQuery = {
+    changeFeed(spark, vs, source, Seq(pk), includePre = true,
+      startingVersion = startingVersion).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val cents = vs.read(s"${index}_centroids")
+          def assign(rows: DataFrame): DataFrame =
+            graft.ops.SimilarityOps.assignToCentroids(
+              rows.withColumn("nrm",
+                sqrt(graft.ops.SimilarityOps.dot(col("v"), col("v")))),
+              cents)
+          def vecOf(c: String) = transform(col(c), x => x.cast("double"))
+          val newRows = assign(batch
+            .filter(col("change_type") =!= "delete")
+            .select(col(pk).as("vec_id"), vecOf(vecCol).as("v")))
+          // old homes: a deleted row carries its vector in the main
+          // columns; an updated row's previous vector is the pre-image
+          val oldRows = assign(batch
+            .filter(col("change_type") === "delete")
+            .select(col(pk).as("vec_id"), vecOf(vecCol).as("v"))
+            .unionByName(batch.filter(col("change_type") === "update")
+              .select(col(pk).as("vec_id"), vecOf(s"pre_$vecCol").as("v"))))
+          val touched = newRows.select(col("cell"))
+            .union(oldRows.select(col("cell")))
+            .distinct().collect().map(_.getLong(0)).toSeq
+          val keys = batch.select(col(pk).as("vec_id")).distinct()
+          val kept = vs.read(s"${index}_cells")
+            .filter(col("cell").isin(touched: _*))
+            .join(keys, Seq("vec_id"), "left_anti")
+          val rebuilt = kept.select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+            .unionByName(newRows.select(col("cell"), col("vec_id"),
+              col("v"), col("nrm")))
+          vs.commitPartitions(rebuilt, s"${index}_cells", Seq("cell"))
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
   /** Current rollup state: fold the batch-partials down to one row per
     * key. Partials are group-sized per batch, so this combine is
     * rollup-cardinality work, never source-sized. */

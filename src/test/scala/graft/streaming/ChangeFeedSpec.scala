@@ -132,6 +132,65 @@ class ChangeFeedSpec extends AnyFunSuite {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("followIvfIndex maintains the persistent ANN index through the change feed") {
+    import graft.api.Similarity
+    import graft.ops.SimilarityOps
+    val vs = new graft.table.VersionedTableStore(spark, tmp("graft-cfivf-store"))
+    // three well-separated axes so cell assignment is unambiguous
+    def vec(axis: Int, mag: Double): Array[Double] = {
+      val a = Array.fill(4)(0.01); a(axis) = mag; a
+    }
+    val base = Seq(
+      (1L, vec(0, 1.0), 0L), (2L, vec(0, 2.0), 0L),
+      (3L, vec(1, 1.0), 1L), (4L, vec(1, 2.0), 1L),
+      (5L, vec(2, 1.0), 2L), (6L, vec(2, 2.0), 2L))
+      .toDF("vec_id", "embedding", "cell0")
+    vs.commitFull(base, "src", Nil)
+    Similarity.buildIvfIndex(vs, "idx", vs.read("src"),
+      col("vec_id"), col("embedding"), col("cell0"))
+    val ckpt = tmp("graft-cfivf-ckpt")
+    def drain(): Unit = StreamingIngest.followIvfIndex(
+      spark, vs, "src", "idx", pk = "vec_id", vecCol = "embedding",
+      checkpoint = ckpt).awaitTermination()
+    // the maintained index must always equal the from-scratch
+    // assignment of the CURRENT source against the FIXED centroids
+    def expected(): Set[(Long, Long)] = {
+      val cur = vs.read("src").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(SimilarityOps.dot(col("v"), col("v"))))
+      SimilarityOps.assignToCentroids(cur, vs.read("idx_centroids"))
+        .select("vec_id", "cell").as[(Long, Long)].collect().toSet
+    }
+    def indexed(): Set[(Long, Long)] =
+      vs.read("idx_cells").select("vec_id", "cell")
+        .as[(Long, Long)].collect().toSet
+
+    drain() // earliest: the self-healing initial replay
+    assert(indexed() === expected())
+
+    // append a new vector near axis 1, MOVE vector 1 to axis 2's
+    // neighborhood, and delete vector 4 -- then one drain
+    graft.table.UpsertWriter.upsertAll(vs, "src",
+      Seq((7L, vec(1, 3.0), -1L), (1L, vec(2, 5.0), -1L))
+        .toDF("vec_id", "embedding", "cell0"), Seq("vec_id"))
+    vs.deleteWhere("src", col("vec_id") === 4L, Nil)
+    drain()
+    assert(indexed() === expected())
+    assert(indexed().contains((7L, 1L)), "new vector landed in cell 1")
+    assert(indexed().contains((1L, 2L)), "moved vector re-homed to cell 2")
+    assert(!indexed().exists(_._1 == 4L), "deleted vector evicted")
+    // and the query path serves the maintained index: the new vector
+    // is findable near its axis
+    val q = Seq((100L, vec(1, 1.5))).toDF("qid", "qv")
+    val hits = Similarity.queryIvfIndex(vs, "idx", q, col("qid"), col("qv"))
+      .select("match_id").as[Long].collect().toSet
+    assert(hits.contains(7L))
+    // idempotent re-drain: nothing changes
+    drain()
+    assert(indexed() === expected())
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("followRollupChanges maintains exact totals under update/delete/group-move/rollback") {
     val vs = new graft.table.VersionedTableStore(spark, tmp("graft-cfr-store"))
     vs.commitFull(
