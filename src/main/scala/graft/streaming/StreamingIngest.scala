@@ -341,9 +341,87 @@ object StreamingIngest {
           val rebuilt = kept.select(col("cell"), col("vec_id"), col("v"), col("nrm"))
             .unionByName(newRows.select(col("cell"), col("vec_id"),
               col("v"), col("nrm")))
-          vs.commitPartitions(rebuilt, s"${index}_cells", Seq("cell"))
+          // explicit replacement set: a cell whose LAST vector this
+          // batch deletes gets no rows in `rebuilt` and must still be
+          // dropped from the snapshot
+          vs.commitPartitionsReplacing(rebuilt, s"${index}_cells",
+            Seq("cell"), touched.map(c => Seq(c.toString)))
           ()
         }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
+  /** Retraction maintenance for the persistent dedup signature index
+    * ([[graft.api.Dedup.ingestDeduped]]'s `sigTable`) from the source
+    * corpus' CHANGE FEED -- the takedown path: when documents are
+    * DELETED from the corpus (opt-outs, policy removals), their
+    * minhash signatures must leave the index or future near-dups of
+    * the removed content keep getting suppressed against ghosts; when
+    * a document's text is UPDATED, its signature re-derives (update
+    * fires only for docs already IN the index -- non-survivors never
+    * enter here, because admission is ingestDeduped's decision, not
+    * this follower's).
+    *
+    * Batch-id-partitioned index: only the partitions holding touched
+    * doc_ids rewrite (semi-join locates them; explicit-replacement
+    * commit drops partitions the batch fully empties). Unpartitioned
+    * index: a full rewrite per batch, same as the small-corpus merge
+    * path ingestDeduped documents. Crash replay converges: the
+    * rebuild is a function of (current index, batch).
+    *
+    * Establish the checkpoint BEFORE takedowns can land (one drain
+    * right after index build): the feed's first batch is a NET
+    * snapshot, so a delete that both happened and was superseded
+    * before the stream's first offset is invisible to any
+    * startingVersion -- there is nothing left to diff. The default
+    * `earliest` makes that first drain a harmless insert replay
+    * (inserts are ignored here; admission belongs to ingestDeduped);
+    * from then on every delete/update reaches the follower. To adopt
+    * an index whose source ALREADY had unprocessed takedowns, pass
+    * the startingVersion that precedes them. */
+  def followDedupRetractions(spark: SparkSession,
+      vs: graft.table.VersionedTableStore, source: String, sigTable: String,
+      pk: String, textCol: String, checkpoint: String,
+      startingVersion: String = "earliest"): StreamingQuery = {
+    changeFeed(spark, vs, source, Seq(pk), includePre = false,
+      startingVersion = startingVersion).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val touched = batch
+          .filter(col("change_type").isin("delete", "update"))
+        if (vs.exists(sigTable) && !touched.isEmpty) {
+          val dels = touched.filter(col("change_type") === "delete")
+            .select(col(pk).as("doc_id"))
+          val resigs = touched.filter(col("change_type") === "update")
+            .select(col(pk).as("doc_id"),
+              graft.ops.DedupOps.hashedTokenSet(col(textCol)).as("__th2"))
+          val keys = dels.unionByName(resigs.select(col("doc_id"))).distinct()
+          val sig = vs.read(sigTable)
+          val pcols = vs.partitionColumns(sigTable)
+          def rebuildOf(rows: DataFrame): DataFrame = rows
+            .join(dels, Seq("doc_id"), "left_anti")
+            .join(resigs, Seq("doc_id"), "left")
+            .withColumn("th", coalesce(col("__th2"), col("th")))
+            .drop("__th2")
+            .select(rows.columns.toIndexedSeq.map(col): _*)
+          if (pcols.nonEmpty) {
+            val parts = sig.join(keys, Seq("doc_id"))
+              .select(pcols.map(col): _*).distinct()
+            val partVals = parts.collect()
+              .map(r => pcols.indices.map(i => String.valueOf(r.get(i))))
+              .toSeq
+            if (partVals.nonEmpty) {
+              val affected = sig.join(broadcast(parts), pcols)
+              vs.commitPartitionsReplacing(rebuildOf(affected), sigTable,
+                pcols, partVals)
+            }
+          } else {
+            if (sig.join(keys, Seq("doc_id"), "left_semi").isEmpty) ()
+            else vs.createOrReplace(rebuildOf(sig), sigTable, Nil)
+          }
+        }
+        ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow()).start()

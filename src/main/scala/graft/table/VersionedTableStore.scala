@@ -681,7 +681,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       deltaPartitions: Boolean, statsColumns: Seq[String] = Nil,
       bloomFilterColumns: Seq[String] = Nil,
       parquetBlockSize: Option[Long] = None,
-      bloomExpectedNdv: Option[Long] = None): Long = {
+      bloomExpectedNdv: Option[Long] = None,
+      alsoReplaced: Set[String] = Set.empty): Long = {
     val parent = current(name)
     // a FULL commit owns its layout (each manifest carries its own
     // partitionBy, so every snapshot stays readable under the layout
@@ -703,7 +704,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         .map(_ -> dirId)
     val mapping =
       if (deltaPartitions && parent.isDefined) {
-        val overridden = written.map(_._1).toSet
+        val overridden = written.map(_._1).toSet ++ alsoReplaced
         parent.get.mapping.filterNot { case (rel, _) => overridden(rel) } ++ written
       } else written
     // stats come from a re-read of the files just written, never from
@@ -726,7 +727,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       }
     val stats =
       if (deltaPartitions && parent.isDefined) {
-        val overridden = written.map(_._1).toSet
+        val overridden = written.map(_._1).toSet ++ alsoReplaced
         parent.get.stats.filterNot(s => overridden(s._1)) ++ writtenStats
       } else writtenStats
     beforeSwap(name, v)
@@ -785,6 +786,32 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     require(partitionBy.nonEmpty, "commitPartitions needs partition columns")
     commit(name, df, partitionBy, deltaPartitions = true, statsColumns,
       bloomFilterColumns, parquetBlockSize, bloomExpectedNdv)
+  }
+
+  /** [[commitPartitions]] with an EXPLICIT replaced-partition set: the
+    * listed partitions are dropped from the parent mapping even when
+    * `df` writes no rows for them. The plain delta commit replaces
+    * only partitions that RECEIVE rows -- a maintenance batch that
+    * empties a partition entirely (last vector of an index cell
+    * deleted, every signature of a dedup batch retracted) would
+    * otherwise leave the stale partition alive in the new snapshot.
+    * `replaced` holds partition-value tuples in `partitionBy` order,
+    * rendered as the writer renders them on the path (plain string
+    * form for numerics; hive-escaped for special characters). */
+  def commitPartitionsReplacing(df: DataFrame, name: String,
+      partitionBy: Seq[String], replaced: Seq[Seq[String]],
+      statsColumns: Seq[String] = Nil): Long = {
+    require(partitionBy.nonEmpty, "commitPartitionsReplacing needs partition columns")
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName _
+    val rels = replaced.map { values =>
+      require(values.size == partitionBy.size,
+        s"replaced tuple $values does not match partition columns $partitionBy")
+      partitionBy.zip(values).map { case (c, v) => s"$c=${esc(v)}" }
+        .mkString("/")
+    }.toSet
+    commit(name, df, partitionBy, deltaPartitions = true, statsColumns,
+      alsoReplaced = rels)
   }
 
   /** Roll the table back to snapshot `v`: a NEW commit whose mapping

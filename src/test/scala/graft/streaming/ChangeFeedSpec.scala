@@ -188,6 +188,61 @@ class ChangeFeedSpec extends AnyFunSuite {
     // idempotent re-drain: nothing changes
     drain()
     assert(indexed() === expected())
+
+    // emptying a whole cell: delete every remaining axis-0 vector --
+    // the explicit-replacement commit must drop the partition, not
+    // leave the stale cell alive (the plain-delta gap)
+    vs.deleteWhere("src", col("vec_id") === 2L, Nil)
+    drain()
+    assert(indexed() === expected())
+    assert(!indexed().exists(_._2 == 0L), "cell 0 must vanish when emptied")
+    spark.streams.active.foreach(_.stop())
+  }
+
+  test("followDedupRetractions: takedowns evict signatures; text updates re-sign") {
+    import graft.api.Dedup
+    val vs = new graft.table.VersionedTableStore(spark, tmp("graft-cfded-store"))
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "sphinx of black quartz judge my vow"))
+      .toDF("doc_id", "text")
+    vs.commitFull(docs, "corpus", Nil)
+    // index built batch-partitioned through the real admission path
+    Dedup.ingestDeduped(vs, "sigs", vs.read("corpus"),
+      col("doc_id"), col("text"), batchId = Some("b0"))
+    assert(vs.read("sigs").select("doc_id").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L))
+    val ckpt = tmp("graft-cfded-ckpt")
+    def drain(): Unit = StreamingIngest.followDedupRetractions(
+      spark, vs, "corpus", "sigs", pk = "doc_id", textCol = "text",
+      checkpoint = ckpt).awaitTermination()
+    // establish the checkpoint BEFORE takedowns: the first batch is a
+    // net snapshot (inserts only -- ignored), and from here on every
+    // delete/update reaches the follower
+    drain()
+    assert(vs.read("sigs").select("doc_id").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L), "insert replay must not touch the index")
+
+    // takedown doc 2, rewrite doc 3's text
+    val newText = "a wholly different third document about sailing ships"
+    vs.deleteWhere("corpus", col("doc_id") === 2L, Nil)
+    vs.updateWhere("corpus", col("doc_id") === 3L,
+      Map("text" -> lit(newText)), Nil)
+    drain()
+    val sigs = vs.read("sigs")
+    assert(sigs.select("doc_id").as[Long].collect().toSet === Set(1L, 3L),
+      "doc 2's signatures must be evicted")
+    val expectedTh = docs.sparkSession.range(1)
+      .select(graft.ops.DedupOps.hashedTokenSet(lit(newText)).as("th"))
+      .as[Seq[Long]].head().toSet
+    val storedTh = sigs.filter(col("doc_id") === 3L)
+      .select("th").as[Seq[Long]].head().toSet
+    assert(storedTh === expectedTh, "doc 3 must carry its re-derived signature")
+    // idempotent re-drain
+    drain()
+    assert(vs.read("sigs").select("doc_id").as[Long].collect().toSet ===
+      Set(1L, 3L))
     spark.streams.active.foreach(_.stop())
   }
 

@@ -494,6 +494,23 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     intercept[NoSuchElementException] { vs.versionAsOf("t", 999L) }
   }
 
+  test("commitPartitionsReplacing drops explicitly-listed partitions that receive no rows") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a"), (2, "b")).toDF("k", "p"), "t", Seq("p"))
+    // the plain delta commit CANNOT empty a partition: no rows for
+    // p=b -> the old partition survives (the documented gap)
+    vs.commitPartitions(Seq((3, "a")).toDF("k", "p"), "t", Seq("p"))
+    assert(vs.read("t").select("k").as[Int].collect().toSet === Set(3, 2))
+    // the explicit-replacement commit drops p=b even with zero rows
+    vs.commitPartitionsReplacing(Seq((4, "a")).toDF("k", "p"), "t",
+      Seq("p"), replaced = Seq(Seq("a"), Seq("b")))
+    assert(vs.read("t").select("k", "p").as[(Int, String)].collect().toSeq ===
+      Seq((4, "a")))
+    // rollback still reaches the pre-replacement snapshot
+    vs.rollbackTo("t", 2)
+    assert(vs.read("t").select("k").as[Int].collect().toSet === Set(3, 2))
+  }
+
   test("registerChangelog: audit SQL over what a maintenance window changed") {
     val vs = fresh()
     vs.commitFull(Seq((1, 10), (2, 20), (3, 30)).toDF("k", "v"), "t")
