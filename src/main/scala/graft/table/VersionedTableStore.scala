@@ -354,6 +354,44 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       col(column) <= lit(hi).cast("date"))
   }
 
+  /** Range scan with manifest-stats skipping on a STRING column --
+    * the prefix/range prune a string-z-ordered or string-clustered
+    * table earns. Stat bounds compare as UNSIGNED UTF-8 BYTES, which
+    * is exactly Spark's UTF8String comparison order (Java's
+    * lexicographic String order diverges on supplementary characters
+    * -- comparing with it could wrongly prune a partition). Same
+    * conservative semantics as [[readWhere]]: a rel without stats for
+    * the column always scans. Bounds are inclusive. */
+  def readWhereString(name: String, column: String, lo: String,
+      hi: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def u8(a: String, b: String): Int = {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    }
+    val m = current(name).getOrElse(
+      throw new NoSuchElementException(s"no snapshots for $name"))
+    val byRel = m.stats.filter(_._2 == column)
+      .map(s => s._1 -> ((s._3, s._4))).toMap
+    val keep = m.mapping.filter { case (rel, _) =>
+      byRel.get(rel).forall { case (mn, mx) =>
+        u8(mx, lo) >= 0 && u8(mn, hi) <= 0 }
+    }
+    val df = load(name, m.copy(mapping = keep))
+    require(df.schema(column).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"readWhereString needs a STRING column; $column is " +
+        df.schema(column).dataType.typeName)
+    df.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
   /** Conjunctive multi-column range scan: a partition survives only
     * if EVERY given column's recorded range intersects its bound --
     * compound predicates prune multiplicatively. Same conservative
@@ -1028,16 +1066,32 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       }
       res.map(_.result()).toSeq
     }
-    val df = read(name).drop("__zbucket")
+    val df0 = read(name).drop("__zbucket")
+    // STRING columns rank through an order-preserving numeric
+    // surrogate (approx_percentile is numeric-only): the first 8
+    // UTF-8 bytes, zero-padded, read as an unsigned big-endian
+    // DECIMAL(20,0) -- byte order IS Spark's string comparison order
+    // (UTF8String compares bytes), so quantile ranks over the
+    // surrogate respect string order exactly; strings sharing an
+    // 8-byte prefix tie into one rank bucket, degrading only
+    // locality, never correctness (the Iceberg truncate-transform
+    // trade). NULLs surrogate to NULL and land in bucket 0 like
+    // numeric NULLs.
+    val stringCols = columns.filter(c =>
+      df0.schema(c).dataType == org.apache.spark.sql.types.StringType).toSet
+    val df = stringCols.foldLeft(df0)((d, c) => d.withColumn(s"__zn_$c",
+      expr(s"cast(conv(hex(rpad(substring(encode(`$c`, 'UTF-8'), 1, 8)," +
+        " 8, x'00')), 16, 10) as decimal(20,0))")))
+    def zc(c: String): String = if (stringCols(c)) s"__zn_$c" else c
     val aggs = columns.zip(bits).map { case (c, b) =>
       val qs = (1 until (1 << b)).map(i => i.toDouble / (1 << b))
-      expr(s"approx_percentile($c, array(${qs.mkString(",")}), 10000)")
+      expr(s"approx_percentile(`${zc(c)}`, array(${qs.mkString(",")}), 10000)")
         .as(s"__b_$c")
     }
     val bounds = df.agg(aggs.head, aggs.tail: _*)
     val ranks = columns.zip(bits).map { case (c, b) =>
       (0 until (1 << b) - 1)
-        .map(i => when(col(c) >= col(s"__b_$c")(i), 1).otherwise(0))
+        .map(i => when(col(zc(c)) >= col(s"__b_$c")(i), 1).otherwise(0))
         .reduce(_ + _)
     }
     val z = columns.indices.flatMap { c =>
@@ -1048,6 +1102,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     val clustered = df.crossJoin(broadcast(bounds))
       .withColumn("__zbucket", z.cast("int"))
       .drop(columns.map(c => s"__b_$c"): _*)
+      .drop(stringCols.toSeq.map(c => s"__zn_$c"): _*)
     commitFull(clustered.localCheckpoint(true), name, Seq("__zbucket"),
       statsColumns = columns)
   }

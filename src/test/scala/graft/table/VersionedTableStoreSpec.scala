@@ -1070,6 +1070,38 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     assert(vs.readVersion("zt", 1).columns.toSeq.sorted === Seq("id", "x", "y"))
   }
 
+  test("clusterByZ on a STRING column: surrogate ranks respect string order; readWhereString prunes") {
+    import org.apache.spark.sql.functions.col
+    val vs = fresh()
+    // 26 ticker prefixes x 64 numeric values: string dim independent
+    // of the numeric dim, exactly the grid shape of the numeric test
+    val df = spark.range(0, 4096).toDF("id")
+      .select(col("id").cast("int").as("id"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("TK_"),
+          org.apache.spark.sql.functions.chr(col("id") % 26 + 65)).as("sym"),
+        (col("id") / 26).cast("int").as("v"))
+    vs.commitFull(df, "zs")
+    vs.clusterByZ("zs", Seq("sym", "v"), nBuckets = 16)
+    // contents byte-identical, surrogate columns dropped
+    assert(vs.read("zs").columns.toSeq.sorted ===
+      Seq("__zbucket", "id", "sym", "v"))
+    assert(vs.read("zs").select("id").as[Int].collect().sorted.toSeq ===
+      (0 until 4096).toSeq)
+    val allFiles = vs.read("zs").inputFiles.length
+    // a low-alphabet slice touches only the cells whose sym-rank bits
+    // are low: strictly fewer files than the table
+    val pruned = vs.readWhereString("zs", "sym", "TK_A", "TK_F")
+    assert(pruned.inputFiles.nonEmpty && pruned.inputFiles.length < allFiles,
+      s"string predicate pruned nothing (${pruned.inputFiles.length}/$allFiles)")
+    val expect = df.filter(col("sym") >= "TK_A" && col("sym") <= "TK_F")
+      .select("id").as[Int].collect().sorted.toSeq
+    assert(pruned.select("id").as[Int].collect().sorted.toSeq === expect)
+    // the numeric co-dimension still prunes too (the z property)
+    val both = vs.readWhere("zs", "v", 0, 20)
+    assert(both.inputFiles.length < allFiles)
+  }
+
   test("manifest growth bound: 10k partitions parse fast, prune before any listing") {
     // the growth surface is the MANIFEST (one dir line + stat lines per
     // partition rel): commit a real one-partition table, then CAS a
