@@ -210,7 +210,15 @@ private[streaming] class ChangeFeedStream(spark: SparkSession,
 
   /** The net changelog (from, to] in the feed schema's column order.
     * from = 0 means "before the first commit": the whole snapshot
-    * `to` streams as inserts (pre-images null). */
+    * `to` streams as inserts (pre-images null).
+    *
+    * Schema evolution vs the PINNED stream schema: a column ADDED to
+    * the source after the stream started is simply not selected
+    * (downstream sees the schema it subscribed to); a column REMOVED
+    * from the source reads as NULL of the pinned type rather than
+    * failing the stream mid-flight -- the changelog keeps flowing and
+    * the consumer decides when to resubscribe with a fresh
+    * checkpoint for the new shape. */
   private[streaming] def changelog(from: Long, to: Long): DataFrame = {
     val out =
       if (from == 0L) {
@@ -228,7 +236,11 @@ private[streaming] class ChangeFeedStream(spark: SparkSession,
           preCols: _*)
       } else vs.snapshotDiff(cfg.table, from, to, cfg.keys,
         includePre = cfg.includePre)
-    out.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val present = out.columns.toSet
+    out.select(schema.fields.toIndexedSeq.map { f =>
+      if (present(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

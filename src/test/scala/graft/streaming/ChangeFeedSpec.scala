@@ -199,6 +199,35 @@ class ChangeFeedSpec extends AnyFunSuite {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("schema evolution mid-stream: added columns invisible, removed columns read null") {
+    val vs = new graft.table.VersionedTableStore(spark, tmp("graft-cfse-store"))
+    vs.commitFull(Seq((1L, "a", 10L)).toDF("k", "s", "v"), "t", Nil)
+    val ckpt = tmp("graft-cfse-ckpt")
+    val out = tmp("graft-cfse-out")
+    // ONE stream definition: the schema pins at definition time and
+    // every drain reuses it (a re-created stream would re-infer)
+    val feed = StreamingIngest.changeFeed(spark, vs, "t", Seq("k"))
+    def drain(): Unit = {
+      val q = feed.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain() // the (k, change_type, s, v) schema is now flowing
+    // evolve: drop s, add w -- the evolved table replaces wholesale
+    vs.commitFull(Seq((1L, 10L, true), (2L, 20L, false)).toDF("k", "v", "w"),
+      "t", Nil)
+    drain()
+    val rows = spark.read.parquet(out)
+      .select(col("k"), col("change_type"), col("s"), col("v"))
+      .as[(Long, String, Option[String], Long)].collect().sortBy(r => (r._1, r._2))
+    // the stream schema never saw w; the removed s reads null for the
+    // post-evolution changes and the feed kept flowing
+    assert(rows.map(_._1).toSeq === Seq(1L, 1L, 2L))
+    assert(rows.exists(r => r._1 == 2L && r._2 == "insert" && r._3.isEmpty))
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("followDedupRetractions: takedowns evict signatures; text updates re-sign") {
     import graft.api.Dedup
     val vs = new graft.table.VersionedTableStore(spark, tmp("graft-cfded-store"))
