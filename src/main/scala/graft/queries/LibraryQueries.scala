@@ -486,6 +486,69 @@ object LibraryQueries {
           OR s.o_totalprice IS DISTINCT FROM t.o_totalprice
           OR s.o_orderstatus IS DISTINCT FROM t.o_orderstatus"""
 
+  /** S27: per-commit changelog walk -- three commits (base upsert,
+    * overlap-rewriting upsert, predicate delete) walked commit by
+    * commit, each change row tagged with the version that caused it.
+    * The oracle replays the same three states in SQL and derives both
+    * per-commit diffs; hash-matching proves the walk attributes every
+    * change to the RIGHT commit, not just the right net total. */
+  def s27ChangelogWalk(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_orderdate").cast("date").as("order_date"),
+      col("o_totalprice"), col("o_orderstatus"))
+      .withColumn("order_yr", year(col("order_date")))
+    val target = o.filter(col("order_date") < lit("1997-01-01").cast("date"))
+    val source = o.filter(col("order_date") >= lit("1996-07-01").cast("date") &&
+        col("order_date") < lit("1997-07-01").cast("date"))
+      .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+      .withColumn("o_orderstatus", lit("R"))
+    val store = new VersionedTableStore(s,
+      Files.createTempDirectory("graft-q-s27").toString)
+    UpsertWriter.upsertAll(store, "orders_w", target, Seq("o_orderkey"),
+      partitionBy = Seq("order_yr"))
+    UpsertWriter.upsertAll(store, "orders_w", source, Seq("o_orderkey"),
+      partitionBy = Seq("order_yr"))
+    store.deleteWhere("orders_w",
+      col("o_orderstatus") === "R" && col("order_yr") === 1996,
+      Seq("order_yr"))
+    store.changelogWalk("orders_w", 1, 3, Seq("o_orderkey"))
+  }
+
+  val s27ChangelogWalkSql: String =
+    """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+                         o_totalprice, o_orderstatus FROM orders),
+       t1 AS (SELECT *, CAST(year(order_date) AS INT) AS order_yr
+              FROM o WHERE order_date < DATE '1997-01-01'),
+       src AS (SELECT o_orderkey, order_date,
+                      round(o_totalprice * 1.1, 2) AS o_totalprice,
+                      'R' AS o_orderstatus,
+                      CAST(year(order_date) AS INT) AS order_yr
+               FROM o WHERE order_date >= DATE '1996-07-01'
+                 AND order_date < DATE '1997-07-01'),
+       t2 AS (SELECT * FROM src
+              UNION ALL
+              SELECT * FROM t1
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)),
+       d12 AS (
+         SELECT o_orderkey, 'insert' AS change_type, order_date,
+                o_totalprice, o_orderstatus, order_yr
+         FROM src WHERE o_orderkey NOT IN (SELECT o_orderkey FROM t1)
+         UNION ALL
+         SELECT s.o_orderkey, 'update', s.order_date,
+                s.o_totalprice, s.o_orderstatus, s.order_yr
+         FROM src s JOIN t1 t ON s.o_orderkey = t.o_orderkey
+         WHERE s.order_date IS DISTINCT FROM t.order_date
+            OR s.o_totalprice IS DISTINCT FROM t.o_totalprice
+            OR s.o_orderstatus IS DISTINCT FROM t.o_orderstatus),
+       d23 AS (
+         SELECT o_orderkey, 'delete' AS change_type, order_date,
+                o_totalprice, o_orderstatus, order_yr
+         FROM t2 WHERE o_orderstatus = 'R' AND order_yr = 1996)
+       SELECT *, CAST(2 AS BIGINT) AS commit_version FROM d12
+       UNION ALL
+       SELECT *, CAST(3 AS BIGINT) AS commit_version FROM d23"""
+
   /** S18: incremental aggregate maintenance -- the v1 yearly rollup
     * updated to the v2 state by applying the snapshot changelog
     * (IncrementalAgg over snapshotDiff pre-images), never rescanning
@@ -801,6 +864,7 @@ object LibraryQueries {
     "s23_cluster_z" -> (s23ClusterZ _),
     "s16_versioned_rollback" -> (s16VersionedRollback _),
     "s17_snapshot_diff" -> (s17SnapshotDiff _),
+    "s27_changelog_walk" -> (s27ChangelogWalk _),
     "s18_incremental_agg" -> (s18IncrementalAgg _),
     "s26_incremental_minmax" -> (s26IncrementalMinmax _),
     "q_validation_suite" -> (qValidationSuite _),
@@ -827,6 +891,7 @@ object LibraryQueries {
     "s23_cluster_z" -> s23ClusterZSql,
     "s16_versioned_rollback" -> s16VersionedRollbackSql,
     "s17_snapshot_diff" -> s17SnapshotDiffSql,
+    "s27_changelog_walk" -> s27ChangelogWalkSql,
     "s18_incremental_agg" -> s18IncrementalAggSql,
     "s26_incremental_minmax" -> s26IncrementalMinmaxSql,
     "q_validation_suite" -> qValidationSuiteSql,

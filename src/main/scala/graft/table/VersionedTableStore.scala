@@ -1476,6 +1476,27 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         preCols: _*)
   }
 
+  /** Per-commit changelog walk: the changelog of EVERY live commit in
+    * (fromV, toV], each row tagged `commit_version` -- the batch twin
+    * of the change feed's `maxVersionsPerTrigger = 1` granularity
+    * where [[snapshotDiff]] alone gives the net collapse. Audit
+    * answers ("which commit deleted these rows?") read straight off
+    * the tag. Cost: one partition-pruned diff per live commit in the
+    * range; expired intermediate versions collapse into their
+    * successor's diff (the walk steps across live versions only). */
+  def changelogWalk(name: String, fromV: Long, toV: Long,
+      keys: Seq[String], includePre: Boolean = false): DataFrame = {
+    require(fromV < toV, s"changelogWalk needs fromV < toV, got [$fromV, $toV]")
+    val live = versions(name).filter(v => v >= fromV && v <= toV)
+    require(live.headOption.contains(fromV) && live.lastOption.contains(toV),
+      s"$name has no live snapshots at both ends of [$fromV, $toV]")
+    import org.apache.spark.sql.functions.lit
+    live.sliding(2).collect { case Seq(a, b) =>
+      snapshotDiff(name, a, b, keys, includePre = includePre)
+        .withColumn("commit_version", lit(b))
+    }.reduce(_ unionByName _)
+  }
+
   /** SQL surface: the current snapshot as a session temp view (a
     * manifest table spans dirs, so it registers as a view rather
     * than a single-location catalog table). */
