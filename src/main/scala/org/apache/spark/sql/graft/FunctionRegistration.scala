@@ -67,6 +67,36 @@ object FunctionRegistration {
         "graft_char_stats(s) - struct(n_chars, n_charset, sum_u) codepoint" +
           " distribution statistics (quantized entropy terms)"),
       (es: Seq[Expression]) => CharEntropyStats(es.head)),
+    // the native AGGREGATES register the same way: a builder returning
+    // an AggregateFunction, which the analyzer wraps on use
+    (FunctionIdentifier("graft_topk_freq"),
+      info(classOf[graft.functions.TopKFreq], "graft_topk_freq",
+        "graft_topk_freq(h, k, capacity) - SpaceSaving top-k heavy hitters" +
+          " over a long column (exact below capacity)"),
+      (es: Seq[Expression]) => (es(1), es(2)) match {
+        case (Literal(k: Int, IntegerType), Literal(c: Int, IntegerType)) =>
+          graft.functions.TopKFreq(es(0), k, c)
+        case other => throw new IllegalArgumentException(
+          s"graft_topk_freq k/capacity must be integer literals, got $other")
+      }),
+    (FunctionIdentifier("graft_kmv"),
+      info(classOf[graft.functions.KmvSketch], "graft_kmv",
+        "graft_kmv(h, k) - k-minimum-values distinct sketch of a long" +
+          " column (supports intersection/Jaccard; exact below capacity)"),
+      (es: Seq[Expression]) => es(1) match {
+        case Literal(k: Int, IntegerType) => graft.functions.KmvSketch(es(0), k)
+        case other => throw new IllegalArgumentException(
+          s"graft_kmv k must be an integer literal, got $other")
+      }),
+    (FunctionIdentifier("graft_vec_outer_sum"),
+      info(classOf[graft.functions.VecOuterSum], "graft_vec_outer_sum",
+        "graft_vec_outer_sum(v, d) - quantized second-moment buffer" +
+          " (n, sums, upper-triangle products) over an array<float> column"),
+      (es: Seq[Expression]) => es(1) match {
+        case Literal(d: Int, IntegerType) => graft.functions.VecOuterSum(es(0), d)
+        case other => throw new IllegalArgumentException(
+          s"graft_vec_outer_sum d must be an integer literal, got $other")
+      }),
   )
 
   /** Register into a live session (idempotent). */

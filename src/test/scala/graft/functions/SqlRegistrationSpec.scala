@@ -37,4 +37,26 @@ class SqlRegistrationSpec extends AnyFunSuite {
     // registration is idempotent
     FunctionRegistration.register(spark)
   }
+
+  test("native AGGREGATES are callable from SQL: topk, kmv, vec moments") {
+    FunctionRegistration.register(spark)
+    import spark.implicits._
+    spark.range(0, 100).selectExpr("id % 3 AS h")
+      .createOrReplaceTempView("__agg_reg")
+    // SpaceSaving below capacity = exact counts; 0 appears 34 times
+    val top = spark.sql(
+      "SELECT graft_topk_freq(h, 1, 8) FROM __agg_reg")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(top.head.getLong(0) === 0L && top.head.getLong(1) === 34L)
+    // KMV below capacity holds every distinct hash: 3 of them
+    val kmv = spark.sql("SELECT graft_kmv(h, 64).mins FROM __agg_reg")
+      .as[Seq[Long]].head()
+    assert(kmv.size === 3)
+    // moment buffer: n and the quantized per-dim sums
+    val m = spark.sql(
+      "SELECT graft_vec_outer_sum(array(CAST(1.0 AS FLOAT)," +
+        " CAST(2.0 AS FLOAT)), 2) AS m FROM range(5)")
+      .select("m.n", "m.sums").as[(Long, Seq[Long])].head()
+    assert(m === ((5L, Seq(5000L, 10000L))))
+  }
 }
