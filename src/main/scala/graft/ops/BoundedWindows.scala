@@ -46,12 +46,18 @@ object BoundedWindows {
     val pcols = parts.map(col)
     val bounds = df.groupBy(pcols: _*)
       .agg(min(col(ord)).as("__bw_lo"), max(col(ord)).as("__bw_hi"))
+    // bucket arithmetic in DOUBLE: 60-bit hash ordinals times `bins`
+    // overflow a long (ANSI aborts); double rounding is weakly
+    // MONOTONE in ord, which is all bucketing needs -- bin edges only
+    // partition the work, results stay exact whatever the edges
+    val od = col(ord).cast("double")
+    val lod = col("__bw_lo").cast("double")
+    val hid = col("__bw_hi").cast("double")
     val binned = df.join(broadcast(bounds), parts)
       .withColumn("__bw_bin",
         when(col("__bw_hi") === col("__bw_lo"), lit(0)).otherwise(
           least(lit(bins - 1),
-            floor((col(ord) - col("__bw_lo")) * bins /
-              (col("__bw_hi") - col("__bw_lo"))).cast("int"))))
+            floor((od - lod) * bins / (hid - lod)).cast("int"))))
       .withColumn("__bw_v", value)
     val perBin = binned.groupBy((pcols :+ col("__bw_bin")): _*)
       .agg(sum(col("__bw_v")).as("__bw_sum"))

@@ -295,6 +295,54 @@ object SamplingOps {
   def sourceCap(s: SparkSession, dir: String): DataFrame =
     sourceCapOf(Tables.documents(s, dir), SourceCapN)
 
+  /** Per-source TOKEN budget for [[tokenCapOf]]. */
+  val TokenCapBudget = 2000L
+
+  /** Token-budget source cap: each source contributes its
+    * deterministic-shuffle PREFIX of documents whose cumulative token
+    * count fits `budget` -- the token-level twin of [[sourceCapOf]]
+    * (which caps document COUNT): training mixes are specified in
+    * tokens, and a source of long documents must not out-weigh one of
+    * short documents just by doc count. Order is the salted content
+    * hash of the id (uniform, re-run- and partition-stable -- the
+    * same rand()-free permutation the samplers share); a document is
+    * kept only if it fits WHOLLY (largest-prefix semantics, no doc
+    * splitting -- chunk first via [[graft.ops.TextOps.chunkOf]] when
+    * sub-document granularity is wanted).
+    *
+    * Scale shape: the per-source running token sum goes through
+    * [[BoundedWindows.prefixSum]]'s bucket-offset decomposition --
+    * sources are intrinsically low-cardinality, and a plain
+    * per-source window would sort a whole crawl in one task. Exact
+    * integer arithmetic throughout. */
+  def tokenCapOf(docs: DataFrame, budget: Long): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+      h15(concat(lit("tc:"), col("doc_id").cast("string"))).as("__hr"))
+    BoundedWindows.prefixSum(base, parts = Seq("source"), ord = "__hr",
+      ties = Seq("doc_id"), value = col("n_tokens"), outCol = "cum_tokens")
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"))
+  }
+
+  def tokenCap(s: SparkSession, dir: String): DataFrame =
+    tokenCapOf(Tables.documents(s, dir), TokenCapBudget)
+
+  val tokenCapSql: String =
+    s"""WITH s AS (
+         SELECT doc_id, source,
+           CAST(len(${graft.ops.TextOps.TokensSql}) AS BIGINT) AS n_tokens,
+           ${Hashing.h15Sql("concat('tc:', CAST(doc_id AS VARCHAR))")} AS hr
+         FROM documents),
+       c AS (
+         SELECT doc_id, source, n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY source
+             ORDER BY hr ASC, doc_id ASC) AS BIGINT) AS cum_tokens
+         FROM s)
+       SELECT doc_id, source, n_tokens, cum_tokens
+       FROM c WHERE cum_tokens <= $TokenCapBudget"""
+
   val GroupSampleN = 40
 
   /** Exact uniform k-sample per group, deterministically: rank each
