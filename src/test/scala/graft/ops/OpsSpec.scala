@@ -435,6 +435,44 @@ class OpsSpec extends AnyFunSuite {
     assert(straddlers > 0 && straddlers < rows.length)
   }
 
+  test("token cap: hash-prefix semantics derived on paper; partitioning-invariant") {
+    import spark.implicits._
+    // 4 docs of known token counts in one source; expected kept set
+    // computed FROM THE SAME HASH the op orders by (h15("tc:" + id)),
+    // independently of the engine: walk ids in hash order, keep while
+    // the running total fits 25
+    val docs = Seq(
+      (1L, "src", "a b c d e f g h i j"),          // 10 tokens
+      (2L, "src", "a b c d e f g h i j"),          // 10
+      (3L, "src", "a b c d e f g h i j"),          // 10
+      (4L, "src", "a b c d e"))                    // 5
+      .toDF("doc_id", "source", "text")
+    val order = Seq(1L, 2L, 3L, 4L)
+      .sortBy(id => (graft.ops.Hashing.h15Local(s"tc:$id"), id))
+    val toks = Map(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 5L)
+    val expected = {
+      var cum = 0L
+      order.flatMap { id =>
+        cum += toks(id); if (cum <= 25L) Some(id) else None
+      }.toSet
+    }
+    // largest-prefix: the first doc over budget STOPS the source even
+    // if a later, smaller doc would still fit
+    val got = graft.ops.SamplingOps.tokenCapOf(docs, 25L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === expected, s"hash order was $order")
+    // same result at any partition count (the bucket decomposition
+    // must not change membership)
+    val got7 = graft.ops.SamplingOps.tokenCapOf(docs.repartition(7), 25L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got7 === expected)
+    // cumulative sums are the exact prefix sums in hash order
+    val cums = graft.ops.SamplingOps.tokenCapOf(docs, 1000L)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    var run = 0L
+    order.foreach { id => run += toks(id); assert(cums(id) === run) }
+  }
+
   test("group sample: exact per-group counts, hash-uniform, skew-proof parity") {
     import org.apache.spark.sql.expressions.Window
     val d = graft.core.Tables.documents(spark, dir)
