@@ -37,5 +37,6 @@ object SparkEntry {
     * Verify/the oracle keep consulting [[queries]] alone. */
   def benchOverrides: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.AnalyticsQueries.benchOverrides ++
-      graft.queries.LibraryQueries.benchOverrides
+      graft.queries.LibraryQueries.benchOverrides ++
+      graft.ops.OpsQueries.benchOverrides
 }

@@ -4,6 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -42,6 +43,23 @@ case class VecOuterSum(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
+
+  // registered for SQL (graft_vec_outer_sum), so the input contract
+  // must be CHECKED, not assumed: an array<double> read through
+  // getFloat would silently produce garbage moments. Accept float or
+  // double element types and dispatch the read accordingly.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double> input, " +
+        s"got ${other.catalogString}")
+  }
+
+  private lazy val readsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
   override def dataType: DataType = StructType(Seq(
     StructField("n", LongType, nullable = false),
     StructField("sums", ArrayType(LongType, containsNull = false),
@@ -57,25 +75,33 @@ case class VecOuterSum(
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
-      if (arr.numElements() == d) {
-        val q = new Array[Long](d)
-        var i = 0
-        while (i < d) {
-          q(i) = VecOuterSum.quantize(arr.getFloat(i).toDouble)
-          i += 1
+      // ragged or null-holed vectors fail LOUD: silently skipping
+      // them would compute moments over an unannounced subset (a
+      // NULL vector row still skips -- standard aggregate semantics)
+      if (arr.numElements() != d)
+        throw new IllegalArgumentException(
+          s"$prettyName: vector length ${arr.numElements()} != d=$d")
+      val q = new Array[Long](d)
+      var i = 0
+      while (i < d) {
+        if (arr.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"$prettyName: null element at index $i (d=$d)")
+        val x = if (readsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        q(i) = VecOuterSum.quantize(x)
+        i += 1
+      }
+      buf.n += 1
+      i = 0
+      var t = 0
+      while (i < d) {
+        buf.sums(i) += q(i)
+        var j = i
+        while (j < d) {
+          buf.prods(t) += q(i) * q(j)
+          j += 1; t += 1
         }
-        buf.n += 1
-        i = 0
-        var t = 0
-        while (i < d) {
-          buf.sums(i) += q(i)
-          var j = i
-          while (j < d) {
-            buf.prods(t) += q(i) * q(j)
-            j += 1; t += 1
-          }
-          i += 1
-        }
+        i += 1
       }
     }
     buf
@@ -128,12 +154,26 @@ object VecOuterSum {
   /** Input quantization grid: 1e-3 units. */
   val Quantum = 1000.0
 
-  /** Spark/DuckDB `round()` semantics (half away from zero) -- the
-    * exact twin of `CAST(round(x * 1000) AS BIGINT)` on the oracle
-    * side, the CharEntropy quantization discipline. */
-  def quantize(x: Double): Long =
-    java.math.BigDecimal.valueOf(x * Quantum)
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+  /** BINARY round-half-away-from-zero of `x * 1000` -- the exact twin
+    * of DuckDB `round(CAST(x AS DOUBLE) * 1000)`, which rounds the
+    * IEEE double itself. Two determinism obligations meet here: (1)
+    * the oracle must CAST to DOUBLE before multiplying (float*1000 in
+    * float arithmetic lands a different double for values near the
+    * rounding boundary -- the actual r9 emb_pca_cov divergence); (2)
+    * rounding must be on the binary value, not a decimal-string
+    * (equivalent at integer scale where ties are exactly
+    * representable, but only the binary form generalizes). The tie
+    * test `v - floor(v) == 0.5` is exact: for |v| < 2^52 the
+    * difference of a double and its floor is exactly representable. */
+  def quantize(x: Double): Long = {
+    val v = x * Quantum
+    val f = math.floor(v)
+    val diff = v - f
+    if (diff > 0.5) f.toLong + 1
+    else if (diff < 0.5) f.toLong
+    else if (v >= 0.0) f.toLong + 1 // exact tie: away from zero
+    else f.toLong
+  }
 
   final class Buf(d: Int) {
     var n: Long = 0L
@@ -141,7 +181,8 @@ object VecOuterSum {
     val prods: Array[Long] = new Array[Long](d * (d + 1) / 2)
   }
 
-  /** struct(n, sums, prods) over an array<float> column. */
+  /** struct(n, sums, prods) over an array<float> / array<double>
+    * column. */
   def agg(vec: Column, d: Int): Column =
     ColumnBridge.column(
       VecOuterSum(ColumnBridge.expression(vec), d).toAggregateExpression())

@@ -126,5 +126,46 @@ class PcaSpec extends AnyFunSuite {
     // are literals, no exchange anywhere in the plan
     val t = proj.queryExecution.executedPlan.treeString
     assert(!t.contains("Exchange"), s"projection must not shuffle:\n$t")
+    // the oracle gate's invariants hold: every boolean true at sf0.001
+    val gate = SimilarityOps.embPcaProjectGate(spark, dir).collect()
+    assert(gate.length === 4)
+    for (r <- gate; c <- Seq("var_in_band", "mean_near_zero", "ortho_ok",
+        "order_ok"))
+      assert(r.getAs[Boolean](c), s"component ${r.getInt(0)}: $c")
+  }
+
+  test("moment aggregate: double input dispatches, bad input fails loud") {
+    import graft.functions.VecOuterSum
+    // array<double> input reads through getDouble (same moments as
+    // the float path on grid-exact values)
+    val dd = Seq((1L, Array(1.0, 2.0)), (2L, Array(3.0, 4.0)))
+      .toDF("vec_id", "embedding")
+    val rd = dd.agg(VecOuterSum.agg(col("embedding"), 2)).head().getStruct(0)
+    assert(rd.getLong(0) === 2L)
+    assert(rd.getSeq[Long](1) === Seq(4000L, 6000L))
+    // non-array input is rejected at ANALYSIS time, not silently read
+    val bad = Seq((1L, "oops")).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      bad.agg(VecOuterSum.agg(col("embedding"), 2)).head()
+    }
+    assert(e.getMessage.contains("array<float> or array<double>") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"), e.getMessage)
+    // a ragged vector fails the job loudly instead of shrinking n
+    val ragged = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      ragged.agg(VecOuterSum.agg(col("embedding"), 2)).head()
+    }
+    assert(e2.getMessage != null)
+    // quantize is BINARY round-half-away (the DuckDB round() twin):
+    // exact ties go away from zero on both signs, and a value one
+    // ulp off the tie rounds by its true binary value
+    assert(VecOuterSum.quantize(0.5) === 500L)
+    assert(VecOuterSum.quantize(-0.5) === -500L)
+    assert(VecOuterSum.quantize(0.0125) === 13L)
+    assert(VecOuterSum.quantize(-0.0125) === -13L)
+    val justUnderTie = math.nextDown(123.5) / 1000.0 * 1000.0
+    assert(VecOuterSum.quantize(math.nextDown(123.5) / 1000.0) ===
+      (if (justUnderTie >= 123.5) 124L else 123L))
   }
 }
