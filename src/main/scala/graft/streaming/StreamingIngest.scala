@@ -236,19 +236,33 @@ object StreamingIngest {
         val moved = col("change_type") === "update" &&
           groupKeys.filterNot(pk.contains).map(k => !(col(k) <=> col(s"pre_$k")))
             .reduceOption(_ || _).getOrElse(lit(false))
+        // a NULL value (or NULL pre-image, e.g. after the documented
+        // mid-stream column-removal pinning) would make the signed
+        // delta NULL and silently DROP from the sum, drifting the
+        // rollup with no error -- fail the batch loud instead, the
+        // feed's own contract for unrepresentable input
+        def loud(c: org.apache.spark.sql.Column, what: String) =
+          when(c.isNull, raise_error(concat(
+            lit(s"followRollupChanges: NULL $what for "),
+            col("change_type"), lit(" row of "),
+            concat_ws(",", pk.map(k => col(k).cast("string")): _*))))
+            .otherwise(c)
         val stay = batch.filter(!moved).select(
           groupKeys.map(col) ++ Seq(
             sign.as("__dn"),
-            (when(col("change_type") === "delete", -col(sumCol))
+            loud(when(col("change_type") === "delete",
+                -loud(col(sumCol), sumCol))
               .when(col("change_type") === "update",
-                col(sumCol) - col(s"pre_$sumCol"))
-              .otherwise(col(sumCol))).as("__dv")): _*)
+                loud(col(sumCol), sumCol) -
+                  loud(col(s"pre_$sumCol"), s"pre_$sumCol"))
+              .otherwise(loud(col(sumCol), sumCol)), "delta").as("__dv")): _*)
         val outOfOld = batch.filter(moved).select(
           groupKeys.map(k => preOf(k).as(k)) ++ Seq(
-            lit(-1L).as("__dn"), (-col(s"pre_$sumCol")).as("__dv")): _*)
+            lit(-1L).as("__dn"),
+            (-loud(col(s"pre_$sumCol"), s"pre_$sumCol")).as("__dv")): _*)
         val intoNew = batch.filter(moved).select(
           groupKeys.map(col) ++ Seq(
-            lit(1L).as("__dn"), col(sumCol).as("__dv")): _*)
+            lit(1L).as("__dn"), loud(col(sumCol), sumCol).as("__dv")): _*)
         val delta = stay.unionByName(outOfOld).unionByName(intoNew)
           .groupBy(groupKeys.map(col): _*)
           .agg(sum(col("__dn")).as("n"), sum(col("__dv")).as(s"sum_$sumCol"))
@@ -306,10 +320,29 @@ object StreamingIngest {
     * earliest`, the FIRST drain replays the source as inserts and
     * rewrites every populated cell -- a self-healing full build that
     * makes "start following an existing table" a no-thought
-    * operation; pass a version to start incremental-only. */
+    * operation; pass a version to start incremental-only.
+    *
+    * PRECONDITION of the default old-home location (re-assigning the
+    * pre-image vector against the stored centroids): the stored cells
+    * must be ARGMAX-CONSISTENT with the stored centroids. That holds
+    * inductively for any index built by [[graft.api.Similarity
+    * .buildIvfIndex]] and maintained only by this follower (both
+    * place rows by the same argmax), and for the self-healing
+    * `earliest` replay (which rewrites every populated cell anyway).
+    * It can BREAK when adopting a foreign index incremental-only
+    * (explicit `startingVersion` skipping the replay) whose rows were
+    * placed by some other assignment: a stale row then hides in an
+    * un-touched cell and survives the anti-join as a ghost. For that
+    * adoption path pass `locateByIndex = true`: old homes are then
+    * found by semi-joining the batch's keys against the index itself
+    * -- one key-equi scan of the cell table per batch (prunable via
+    * parquet blooms on `vec_id` when the index was committed with
+    * one) instead of a centroid assignment, correct under ANY prior
+    * placement. */
   def followIvfIndex(spark: SparkSession, vs: graft.table.VersionedTableStore,
       source: String, index: String, pk: String, vecCol: String,
-      checkpoint: String, startingVersion: String = "earliest"): StreamingQuery = {
+      checkpoint: String, startingVersion: String = "earliest",
+      locateByIndex: Boolean = false): StreamingQuery = {
     changeFeed(spark, vs, source, Seq(pk), includePre = true,
       startingVersion = startingVersion).writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -324,17 +357,25 @@ object StreamingIngest {
           val newRows = assign(batch
             .filter(col("change_type") =!= "delete")
             .select(col(pk).as("vec_id"), vecOf(vecCol).as("v")))
-          // old homes: a deleted row carries its vector in the main
-          // columns; an updated row's previous vector is the pre-image
-          val oldRows = assign(batch
-            .filter(col("change_type") === "delete")
-            .select(col(pk).as("vec_id"), vecOf(vecCol).as("v"))
-            .unionByName(batch.filter(col("change_type") === "update")
-              .select(col(pk).as("vec_id"), vecOf(s"pre_$vecCol").as("v"))))
-          val touched = newRows.select(col("cell"))
-            .union(oldRows.select(col("cell")))
-            .distinct().collect().map(_.getLong(0)).toSeq
           val keys = batch.select(col(pk).as("vec_id")).distinct()
+          // old homes: by default a deleted row carries its vector in
+          // the main columns and an updated row's previous vector is
+          // the pre-image, re-assigned against the stored centroids
+          // (argmax-consistency precondition above); locateByIndex
+          // instead asks the index where the keys actually live
+          val oldCells =
+            if (locateByIndex)
+              vs.read(s"${index}_cells")
+                .join(keys, Seq("vec_id"), "left_semi").select(col("cell"))
+            else assign(batch
+              .filter(col("change_type") === "delete")
+              .select(col(pk).as("vec_id"), vecOf(vecCol).as("v"))
+              .unionByName(batch.filter(col("change_type") === "update")
+                .select(col(pk).as("vec_id"), vecOf(s"pre_$vecCol").as("v"))))
+              .select(col("cell"))
+          val touched = newRows.select(col("cell"))
+            .union(oldCells)
+            .distinct().collect().map(_.getLong(0)).toSeq
           val kept = vs.read(s"${index}_cells")
             .filter(col("cell").isin(touched: _*))
             .join(keys, Seq("vec_id"), "left_anti")
@@ -420,6 +461,111 @@ object StreamingIngest {
             if (sig.join(keys, Seq("doc_id"), "left_semi").isEmpty) ()
             else vs.createOrReplace(rebuildOf(sig), sigTable, Nil)
           }
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
+  /** Mirror a versioned table into a SECOND, INDEPENDENT store from
+    * its change feed -- the first composition a real CDC consumer
+    * builds: keep an external copy in sync, exactly-once, with no
+    * transaction spanning the two stores. The mirror is hash-bucketed
+    * on the primary key (`pmod(xxhash64(pk), buckets)` partition
+    * column `__bucket`), and each trigger rewrites ONLY the buckets
+    * the batch touches:
+    *
+    *   rebuilt(bucket) = current(bucket) ANTI-JOIN batch.keys
+    *                     UNION batch post-images (non-deletes)
+    *
+    * Exactly-once from an at-least-once foreachBatch: the rebuild is
+    * a pure, IDEMPOTENT function of (current mirror, batch changelog)
+    * -- re-applying a batch a crash already landed evicts the rows it
+    * just wrote and re-inserts the same post-images, converging to
+    * the identical state; a batch a crash did NOT land applies
+    * normally on replay. The at-least-once window (mirror commit
+    * durable, checkpoint offset not) therefore cannot duplicate or
+    * lose a change. Spec-pinned by a planted mid-batch crash
+    * (ExternalSinkSpec), the corpusIntakeToWarehouse discipline
+    * applied ACROSS store boundaries.
+    *
+    * Cost per trigger: the touched buckets, never the mirror -- pick
+    * `buckets` so one bucket is an executor-sized rewrite at the
+    * target scale. The bucket is a pure pk-hash, so updates stay in
+    * place, deletes find their rows by key (no pre-images read), and
+    * a net-empty bucket is dropped via the explicit-replacement
+    * commit. `crashAfterBatch` is the injectable fault for the spec.
+    *
+    * Keep ONE checkpoint for the mirror's lifetime: the feed's first
+    * batch under a fresh checkpoint is a NET snapshot, which carries
+    * no tombstones for rows deleted before the stream's first offset
+    * -- re-pointing an EXISTING mirror at a fresh checkpoint leaves
+    * such rows stranded in buckets the snapshot doesn't touch (the
+    * followDedupRetractions checkpoint-before-takedowns contract). */
+  def followMirror(spark: SparkSession, srcVs: graft.table.VersionedTableStore,
+      source: String, pk: Seq[String], dst: graft.table.VersionedTableStore,
+      dest: String, checkpoint: String, buckets: Int = 16,
+      crashAfterBatch: Option[Long] = None,
+      maxVersionsPerTrigger: Option[Int] = None): StreamingQuery = {
+    changeFeed(spark, srcVs, source, pk, includePre = false,
+      maxVersionsPerTrigger = maxVersionsPerTrigger).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val srcCols = batch.columns.toIndexedSeq.filter(_ != "change_type")
+          val bucketOf = pmod(xxhash64(pk.map(col): _*), lit(buckets.toLong))
+          val post = batch.filter(col("change_type") =!= "delete")
+            .select(srcCols.map(col): _*).withColumn("__bucket", bucketOf)
+          if (!dst.exists(dest)) {
+            // first drain: the feed's opening batch is a net snapshot
+            // of inserts -- seed every bucket directly
+            dst.commitPartitions(post, dest, Seq("__bucket"))
+          } else {
+            val keys = batch.select(pk.map(col): _*)
+              .withColumn("__bucket", bucketOf).distinct()
+            val touched = keys.select(col("__bucket")).distinct()
+              .collect().map(_.getLong(0)).sorted.toIndexedSeq
+            val kept = dst.read(dest)
+              .filter(col("__bucket").isin(touched: _*))
+              .join(keys.drop("__bucket"), pk, "left_anti")
+            dst.commitPartitionsReplacing(kept.unionByName(post), dest,
+              Seq("__bucket"), touched.map(b => Seq(b.toString)))
+          }
+          if (crashAfterBatch.contains(batchId))
+            throw new RuntimeException(
+              s"injected crash after batch $batchId mirror commit")
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
+  /** Export a table's change feed to an EXTERNAL JSONL directory --
+    * the handoff shape for non-Spark CDC consumers (search indexers,
+    * webhook fan-outs, other warehouses). Batch-id-keyed layout: each
+    * trigger OVERWRITES `outDir/batch=<batchId>/` with its changelog
+    * rows (change_type + row columns), so the crash-replay of a batch
+    * rewrites the SAME directory instead of appending duplicates --
+    * the directory set is exactly-once even though foreachBatch is
+    * at-least-once (batch ids are stable across checkpoint restarts).
+    * Spark's writer stamps `_SUCCESS` per directory; consumers read
+    * only _SUCCESS-complete dirs, in batch-id order, and apply each
+    * dir once -- giving them the same replayable, idempotent contract
+    * the in-store followers get from partition-granular commits. */
+  def followChangesToJsonl(spark: SparkSession,
+      vs: graft.table.VersionedTableStore, source: String, pk: Seq[String],
+      outDir: String, checkpoint: String,
+      crashAfterBatch: Option[Long] = None,
+      maxVersionsPerTrigger: Option[Int] = None): StreamingQuery = {
+    changeFeed(spark, vs, source, pk, includePre = false,
+      maxVersionsPerTrigger = maxVersionsPerTrigger).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.write.mode("overwrite").json(s"$outDir/batch=$batchId")
+          if (crashAfterBatch.contains(batchId))
+            throw new RuntimeException(
+              s"injected crash after batch $batchId jsonl write")
         }
         ()
       }

@@ -319,4 +319,71 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(rollup() === expected())
     spark.streams.active.foreach(_.stop())
   }
+
+  test("followRollupChanges fails loud on a NULL sum column instead of drifting") {
+    val vs = new graft.table.VersionedTableStore(spark, tmp("graft-cfrn-store"))
+    vs.commitFull(
+      Seq((1L, "g1", Some(10L)), (2L, "g1", None))
+        .toDF("k", "grp", "v"), "src", Nil)
+    val q = StreamingIngest.followRollupChanges(
+      spark, vs, "src", "roll", pk = Seq("k"), groupKeys = Seq("grp"),
+      sumCol = "v", checkpoint = tmp("graft-cfrn-ckpt"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    // a NULL delta silently dropping from sum() is the drift hazard;
+    // the follower must instead kill the batch naming the column
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .flatMap(x => Option(x.getMessage)).toSeq
+    assert(msgs(e).exists(_.contains("followRollupChanges: NULL v")),
+      s"expected the loud NULL error, got: ${msgs(e)}")
+    spark.streams.active.foreach(_.stop())
+  }
+
+  test("followIvfIndex locateByIndex evicts stale rows a foreign placement hides") {
+    import graft.api.Similarity
+    val vs = new graft.table.VersionedTableStore(spark, tmp("graft-cfivf2-store"))
+    def vec(axis: Int, mag: Double): Array[Double] = {
+      val a = Array.fill(4)(0.01); a(axis) = mag; a
+    }
+    vs.commitFull(Seq(
+      (1L, vec(0, 1.0), 0L), (2L, vec(0, 2.0), 0L),
+      (3L, vec(1, 1.0), 1L), (4L, vec(1, 2.0), 1L))
+      .toDF("vec_id", "embedding", "cell0"), "src", Nil)
+    Similarity.buildIvfIndex(vs, "idx", vs.read("src"),
+      col("vec_id"), col("embedding"), col("cell0"))
+    // forge a FOREIGN index: vec 1 stored in cell 1 though the
+    // centroids' argmax says cell 0 -- the placement the default
+    // old-home derivation cannot see
+    vs.commitFull(
+      vs.read("idx_cells").withColumn("cell",
+        when(col("vec_id") === 1L, lit(1L)).otherwise(col("cell"))),
+      "idx_cells", Seq("cell"))
+    val v0 = vs.currentVersion("src")
+    vs.deleteWhere("src", col("vec_id") === 1L, Nil)
+    def stale(): Long =
+      vs.read("idx_cells").filter(col("vec_id") === 1L).count()
+    // incremental-only adoption (explicit startingVersion skips the
+    // self-healing earliest replay): the default centroid
+    // re-assignment looks in cell 0 and the ghost in cell 1 survives
+    // -- the documented precondition violation
+    StreamingIngest.followIvfIndex(spark, vs, "src", "idx",
+      pk = "vec_id", vecCol = "embedding",
+      checkpoint = tmp("graft-cfivf2-ckptA"),
+      startingVersion = v0.toString).awaitTermination()
+    assert(stale() === 1L, "default path leaves the foreign-placed ghost")
+    // locateByIndex asks the index itself where the key lives: the
+    // same delete, replayed under a fresh checkpoint, evicts it
+    StreamingIngest.followIvfIndex(spark, vs, "src", "idx",
+      pk = "vec_id", vecCol = "embedding",
+      checkpoint = tmp("graft-cfivf2-ckptB"),
+      startingVersion = v0.toString,
+      locateByIndex = true).awaitTermination()
+    assert(stale() === 0L, "locateByIndex must evict the ghost")
+    // the untouched cells survive the rewrite
+    assert(vs.read("idx_cells").select("vec_id")
+      .as[Long].collect().toSet === Set(2L, 3L, 4L))
+    spark.streams.active.foreach(_.stop())
+  }
 }
