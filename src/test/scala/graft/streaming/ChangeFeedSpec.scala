@@ -225,6 +225,31 @@ class ChangeFeedSpec extends AnyFunSuite {
     // post-evolution changes and the feed kept flowing
     assert(rows.map(_._1).toSeq === Seq(1L, 1L, 2L))
     assert(rows.exists(r => r._1 == 2L && r._2 == "insert" && r._3.isEmpty))
+    // resubscribing -- a FRESH stream definition over the same
+    // checkpoint -- re-infers the evolved schema: the added column
+    // appears from here on (the other half of the pinned-schema
+    // contract)
+    vs.updateWhere("t", col("k") === 2L, Map("w" -> lit(true)), Nil)
+    // foreachBatch sink: it recovers from the existing checkpoint
+    // (memory/file sinks refuse or mis-number mid-checkpoint restarts)
+    val evolvedCols = scala.collection.mutable.ArrayBuffer.empty[String]
+    val evolvedRows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Boolean)]
+    StreamingIngest.changeFeed(spark, vs, "t", Seq("k"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        evolvedRows.synchronized {
+          evolvedCols ++= batch.columns
+          evolvedRows ++= batch
+            .filter(col("change_type") === "update")
+            .select(col("k"), col("change_type"), col("w"))
+            .as[(Long, String, Boolean)].collect()
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(evolvedCols.contains("w"), "added column visible after resubscribe")
+    assert(evolvedRows.toSeq === Seq((2L, "update", true)))
     spark.streams.active.foreach(_.stop())
   }
 
