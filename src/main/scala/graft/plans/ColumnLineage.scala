@@ -16,8 +16,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * columns (Project / Aggregate / Window aliases) inherit the union
   * of their expression's references, generators (explode) inherit
   * the generator input's lineage, unions merge positionally, and
-  * everything else passes attributes through. Driver-side plan
-  * analysis only -- no job runs, any plan size.
+  * everything else passes attributes through. Temp views, SQL views,
+  * time-travel `name_v{v}` views, and session-catalog tables resolve
+  * to their defining plans in the ANALYZED tree, so the walk
+  * continues into the underlying store columns (spec-pinned,
+  * including the self-join re-id case). Driver-side plan analysis
+  * only -- no job runs, any plan size.
   *
   * Scope: VALUE lineage. Filter predicates, join conditions, and
   * window orderings influence which ROWS appear, not how a value is
@@ -47,20 +51,33 @@ object ColumnLineage {
     }.toDF("column", "source", "source_column")
   }
 
-  private def sourceName(l: LeafNode): String = l match {
+  /** A versioned-store data dir (`<root>/<table>/_data/v3-hash/...`)
+    * folds to its LOGICAL table dir `<root>/<table>`: governance asks
+    * about tables, not the physical version dirs copy-on-write cycles
+    * through -- and it makes every commit of one table attribute to
+    * ONE source instead of a version-dir per leaf. */
+  private def logicalRoot(path: String): String = {
+    val i = path.indexOf("/_data/")
+    if (i >= 0) path.substring(0, i) else path
+  }
+
+  /** ALL root paths of a file-backed leaf (a multi-dir scan is one
+    * relation with many roots -- naming just the first would silently
+    * under-attribute), folded to logical table dirs. */
+  private def sourceNames(l: LeafNode): Set[String] = l match {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation =>
-        fs.location.rootPaths.headOption.map(_.toString)
-          .getOrElse(lr.relation.toString)
-      case other => other.toString
+        val roots = fs.location.rootPaths.map(p => logicalRoot(p.toString))
+        if (roots.nonEmpty) roots.toSet else Set(lr.relation.toString)
+      case other => Set(other.toString)
     }
-    case other => other.nodeName
+    case other => Set(other.nodeName)
   }
 
   private def walk(p: LogicalPlan): Map[ExprId, Sources] = p match {
     case l: LeafNode =>
-      val src = sourceName(l)
-      l.output.map(a => a.exprId -> Set(src -> a.name)).toMap
+      val srcs = sourceNames(l)
+      l.output.map(a => a.exprId -> srcs.map(_ -> a.name)).toMap
     case u: Union =>
       val childMaps = u.children.map(walk)
       val positional = u.output.zipWithIndex.map { case (a, i) =>

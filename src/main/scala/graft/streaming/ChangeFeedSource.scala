@@ -217,8 +217,12 @@ private[streaming] class ChangeFeedStream(spark: SparkSession,
     * (downstream sees the schema it subscribed to); a column REMOVED
     * from the source reads as NULL of the pinned type rather than
     * failing the stream mid-flight -- the changelog keeps flowing and
-    * the consumer decides when to resubscribe with a fresh
-    * checkpoint for the new shape. */
+    * the consumer decides when to resubscribe. Resubscribing -- a
+    * FRESH stream definition, which may reuse the existing checkpoint
+    * (offsets are commit versions, schema-independent) -- re-pins the
+    * evolved schema: added columns appear from that point on. Both
+    * halves are spec-pinned (ChangeFeedSpec "schema evolution
+    * mid-stream"); same restart semantics as Delta CDF. */
   private[streaming] def changelog(from: Long, to: Long): DataFrame = {
     val out =
       if (from == 0L) {

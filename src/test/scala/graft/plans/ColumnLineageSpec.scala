@@ -87,6 +87,63 @@ class ColumnLineageSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("lineage resolves through temp views, SQL views, self-joins, catalog tables, and the versioned store") {
+    import spark.implicits._
+    val vs = new graft.table.VersionedTableStore(spark,
+      java.nio.file.Files.createTempDirectory("lin-vw").toString)
+    vs.commitFull(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "grp", "v"),
+      "t", Seq("grp"))
+    val tRoot = s"${vs.root}/t" // sources render with a file: scheme
+    def only(df: org.apache.spark.sql.DataFrame, c: String): (String, String) = {
+      val s = sourcesOf(df, c); assert(s.size === 1, s"$c -> $s")
+      val (src, sc) = s.head
+      assert(src.endsWith(tRoot), s"$c -> $src")
+      (tRoot, sc)
+    }
+
+    // registered temp view: roots are the STORE's columns, and the
+    // physical version dir folds to the logical table dir
+    vs.register("t")
+    val q1 = spark.sql("SELECT k, v * 2 AS v2 FROM t")
+    assert(only(q1, "v2") === (tRoot, "v"))
+
+    // a SQL-created view stacked ON the registered view still walks
+    // down to the store (two View indirections + implicit casts)
+    spark.sql("CREATE OR REPLACE TEMP VIEW t_derived AS " +
+      "SELECT k, v + 1 AS vplus FROM t")
+    val q2 = spark.sql("SELECT vplus * 2 AS v2 FROM t_derived")
+    assert(only(q2, "v2") === (tRoot, "v"))
+
+    // self-join of the view: DeduplicateRelations re-ids one side;
+    // both sides must still attribute (to the same table here)
+    val q3 = spark.sql(
+      "SELECT a.k, a.v AS av, b.v AS bv FROM t a JOIN t b ON a.k = b.k")
+    assert(only(q3, "av") === (tRoot, "v"))
+    assert(only(q3, "bv") === (tRoot, "v"))
+
+    // time-travel view over an OLD version, after a delta commit has
+    // moved the table on (multi-commit mapping = unioned relations:
+    // every commit folds to the one logical table source)
+    val v1 = vs.currentVersion("t")
+    vs.commitPartitions(Seq((3L, "a", 30L)).toDF("k", "grp", "v"),
+      "t", Seq("grp"))
+    val view = vs.registerVersion("t", v1)
+    val q4 = spark.sql(s"SELECT sum(v) AS sv FROM $view")
+    assert(only(q4, "sv") === (tRoot, "v"))
+    val q5 = spark.sql("SELECT sum(v) AS sv FROM t") // stale pre-evolution view
+    assert(only(q5, "sv") === (tRoot, "v"))
+
+    // session-catalog table (CREATE TABLE ... LOCATION)
+    val ts = new graft.table.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("lin-ct").toString)
+    ts.createOrReplace(Seq((1L, 2L)).toDF("x", "y"), "lin_ct", Nil)
+    ts.register("lin_ct")
+    val q6 = spark.sql("SELECT x + y AS z FROM lin_ct")
+    assert(sourcesOf(q6, "z").map(_._2) === Set("x", "y"))
+    assert(sourcesOf(q6, "z").map(_._1).forall(_.endsWith("lin_ct")))
+    spark.sql("DROP TABLE IF EXISTS lin_ct")
+  }
+
   test("lineageDf renders the catalogue frame") {
     val rows = ColumnLineage.lineageDf(
       docs.select((col("n_chars") * 2).as("nn"))).collect()
