@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, HintInfo, Join, LogicalPlan}
 import org.apache.spark.sql.execution.{SortExec, SparkPlan}
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
 import org.apache.spark.sql.execution.joins.CartesianProductExec
@@ -32,10 +33,29 @@ import org.apache.spark.sql.execution.window.WindowExec
   *    (exchange / sort / project / filter); the walk stops at joins
   *    and unions, so an aggregate buried in one branch of a join
   *    cannot exempt a window whose other branch is corpus-sized.
+  *  - `oversized-broadcast`: a join carrying an explicit BROADCAST
+  *    hint whose hinted side's plan-ESTIMATED size exceeds
+  *    [[BroadcastGateBytes]]. Auto-planned broadcasts are already
+  *    guarded by `spark.sql.autoBroadcastJoinThreshold`; a hint
+  *    bypasses every guard (Spark honors it at any size, up to the
+  *    hard 8 GB / 512 M-row executor failure), so the lint re-imposes
+  *    a memory ceiling from the optimizer's own size estimate. The
+  *    rule only fires where that estimate MEANS something: a side
+  *    that is a scan / filter / project chain over leaves, whose
+  *    sizeInBytes derives from real file sizes. A side containing a
+  *    join, aggregate, generator, or window is exempt -- size-only
+  *    propagation through those is garbage (joins MULTIPLY child
+  *    estimates; a 5-row query-expansion side here measured 1e644
+  *    bytes), and the group-bounded broadcasts this engine builds
+  *    (centroid tables, query sets, offset rows) all have exactly
+  *    that shape. Catches the realistic hint misuse -- broadcasting a
+  *    big base table -- and leaves derived sides to the measured
+  *    audits.
   *
-  * The audit reads the pre-AQE physical plan (`sparkPlan`): AQE can
-  * only narrow exchanges at runtime, never un-plan a cartesian or a
-  * global window, so findings here are structural.
+  * The audit reads the pre-AQE physical plan (`sparkPlan`) plus the
+  * optimized logical plan's statistics: AQE can only narrow exchanges
+  * at runtime, never un-plan a cartesian, a global window, or a
+  * hinted broadcast, so findings here are structural.
   *
   * A fourth shape is invisible to plan structure: a PARTITIONED window
   * whose key has so few distinct values that at scale each partition
@@ -67,9 +87,42 @@ object PlanAudit {
   private def summarize(p: SparkPlan): String =
     p.simpleStringWithNodeId().linesIterator.next().take(160)
 
+  /** Hinted-broadcast estimate ceiling: one build-side copy must sit
+    * in every executor's storage memory next to the running tasks; a
+    * 1 GiB estimate is past what any sane executor profile spares,
+    * and an order of magnitude past any sensible auto threshold. */
+  val BroadcastGateBytes: Long = 1L << 30
+
   /** All scale findings in `df`'s compiled plan (empty = clean). */
   def audit(df: DataFrame): Seq[Finding] =
-    auditPlan(df.queryExecution.sparkPlan)
+    auditPlan(df.queryExecution.sparkPlan) ++
+      auditBroadcastHints(df.queryExecution.optimizedPlan)
+
+  /** The `oversized-broadcast` rule (static -- estimates only, no
+    * jobs). Hints are read off the optimized plan's Join nodes, where
+    * EliminateResolvedHint has already attached them to the join that
+    * will consume them. */
+  private[plans] def auditBroadcastHints(root: LogicalPlan,
+      maxBytes: Long = BroadcastGateBytes): Seq[Finding] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Window => LWindow}
+    def hintedBroadcast(h: Option[HintInfo]): Boolean =
+      h.exists(_.strategy.contains(BROADCAST))
+    // scan-derived estimates only: size propagation through joins /
+    // aggregates / generators is not evidence of anything
+    def scanDerived(p: LogicalPlan): Boolean = p.collectFirst {
+      case n @ (_: Join | _: Aggregate | _: Generate | _: LWindow) => n
+    }.isEmpty
+    root.collect { case j: Join =>
+      Seq(j.left -> j.hint.leftHint, j.right -> j.hint.rightHint).collect {
+        case (side, h) if hintedBroadcast(h) && scanDerived(side) &&
+            side.stats.sizeInBytes > BigInt(maxBytes) =>
+          Finding("oversized-broadcast",
+            s"BROADCAST hint on a side estimated " +
+              s"${side.stats.sizeInBytes} bytes (> $maxBytes): " +
+              side.simpleString(2).linesIterator.next().take(100))
+      }
+    }.flatten
+  }
 
   private[plans] def auditPlan(root: SparkPlan): Seq[Finding] = {
     val nodes = collectAll(root)
@@ -147,6 +200,103 @@ object PlanAudit {
           s"partition NDV ~$ndv < $floor on key " +
             s"(${w.partitionSpec.mkString(", ").take(80)})"))
       else None
+    }
+  }
+
+  /** The second measured rule: `skewed-shuffle-join` -- an equi-join
+    * that will actually SHUFFLE (no broadcast hint, and no side both
+    * under `spark.sql.autoBroadcastJoinThreshold` and legal to build
+    * for the join type) on a key where one value holds more than
+    * `maxShare` of a side's rows. At scale that value's rows all land
+    * in one reduce task regardless of executor count -- the signal to
+    * salt (the LSH joins' discipline) or pre-aggregate. AQE's skew
+    * mitigation only splits SORT-MERGE partitions after the fact and
+    * cannot fix a skewed build side of a shuffled hash join, so the
+    * lint reports the key so the FIX can be algebraic.
+    *
+    * Measurement is one bounded SpaceSaving sketch pass per distinct
+    * shuffling side (map-side combinable; top-1 frequency is exact
+    * while side NDV <= `capacity` and an upper bound beyond it --
+    * upper bound means the lint can over-flag, never under-flag, past
+    * capacity). Sides measuring under `minRows` never flag: shares
+    * are meaningless on fixture-sized inputs. Runs jobs -- opt-in
+    * pre-production gate like [[auditWindowCardinality]], not part of
+    * the static [[audit]]. */
+  def auditJoinSkew(df: DataFrame, maxShare: Double = 0.2,
+      minRows: Long = 1000L, capacity: Int = 4096): Seq[Finding] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.{Cross, ExistenceJoin, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
+    import org.apache.spark.sql.functions.{col, count, lit, struct}
+    import org.apache.spark.sql.graft.{ColumnBridge, DatasetBridge}
+    import graft.functions.TopKFreq.topkFreq
+    import graft.ops.Hashing.h15
+    val spark = df.sparkSession
+    val thresh = org.apache.spark.sql.internal.SQLConf.get
+      .autoBroadcastJoinThreshold
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def equiKeys(j: Join): Seq[(Expression, Expression)] =
+      j.condition.toSeq.flatMap(conjuncts).collect {
+        case EqualTo(l, r) if l.references.subsetOf(j.left.outputSet) &&
+            r.references.subsetOf(j.right.outputSet) => (l, r)
+        case EqualTo(l, r) if r.references.subsetOf(j.left.outputSet) &&
+            l.references.subsetOf(j.right.outputSet) => (r, l)
+      }
+    def small(p: LogicalPlan): Boolean =
+      thresh > 0 && p.stats.sizeInBytes <= BigInt(thresh)
+    def hinted(h: Option[HintInfo]): Boolean =
+      h.exists(_.strategy.contains(BROADCAST))
+    // a join only shuffles when NO side can broadcast: build-right is
+    // legal for inner/cross/left-shaped joins, build-left for
+    // inner/cross/right-outer (full outer never broadcasts)
+    def willBroadcast(j: Join): Boolean = {
+      val buildRightOk = j.joinType match {
+        case Inner | Cross | LeftOuter | LeftSemi | LeftAnti |
+             _: ExistenceJoin => true
+        case _ => false
+      }
+      val buildLeftOk = j.joinType match {
+        case Inner | Cross | RightOuter => true
+        case _ => false
+      }
+      (buildRightOk && (small(j.right) || hinted(j.hint.rightHint))) ||
+        (buildLeftOk && (small(j.left) || hinted(j.hint.leftHint)))
+    }
+    val sides = df.queryExecution.optimizedPlan.collect {
+      case j: Join if !willBroadcast(j) && equiKeys(j).nonEmpty =>
+        val ks = equiKeys(j)
+        Seq(j.left -> ks.map(_._1), j.right -> ks.map(_._2))
+    }.flatten.distinctBy { case (p, ks) =>
+      (p.canonicalized, ks.map(_.canonicalized))
+    }
+    sides.flatMap { case (plan, keys) =>
+      val keyCol =
+        if (keys.size == 1) ColumnBridge.column(keys.head).cast("string")
+        else struct(keys.map(ColumnBridge.column): _*).cast("string")
+      val keyed = DatasetBridge.ofRows(spark, plan)
+        .select(keyCol.as("key_value"))
+        .withColumn("kh", h15(col("key_value")))
+      val row = keyed
+        .agg(topkFreq(col("kh"), 1, capacity).as("top"),
+          count(lit(1)).as("n")).head()
+      val n = row.getLong(1)
+      val top = row.getSeq[org.apache.spark.sql.Row](0)
+      if (n < minRows || top.isEmpty) None
+      else {
+        val cnt = top.head.getLong(1)
+        val share = cnt.toDouble / n
+        if (share <= maxShare) None
+        else {
+          // recover the readable value only for the (rare) flagged side
+          val v = keyed.filter(col("kh") === lit(top.head.getLong(0)))
+            .select(col("key_value")).head().getString(0)
+          Some(Finding("skewed-shuffle-join",
+            f"key (${keys.mkString(", ").take(60)}) value '$v' holds " +
+              f"~${share * 100}%.1f%% of $n rows -- salt or pre-aggregate"))
+        }
+      }
     }
   }
 

@@ -88,6 +88,62 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(PlanAudit.auditWindowCardinality(twoStage, Some(32L)).isEmpty)
   }
 
+  test("oversized-broadcast: a hint forcing an estimated-huge build side flags") {
+    // 500M-row range: the optimizer estimates ~4 GB -- a hint forces
+    // Spark to broadcast it anyway (no threshold applies to hints)
+    val big = spark.range(500000000L).toDF("doc_id")
+    val f = PlanAudit.audit(docs.join(broadcast(big), "doc_id"))
+    assert(f.map(_.rule) === Seq("oversized-broadcast"), f.toString)
+    intercept[IllegalStateException] {
+      PlanAudit.assertScales(docs.join(broadcast(big), "doc_id"))
+    }
+    // a genuinely small hinted dim stays clean
+    val dim = spark.range(100L).toDF("doc_id")
+    assert(PlanAudit.audit(docs.join(broadcast(dim), "doc_id")).isEmpty)
+    // a group-bounded side derived through joins/aggregates is exempt
+    // even when size-only propagation inflates its estimate past any
+    // gate: the estimate is not evidence (see scaladoc), and these are
+    // exactly the engine's legitimate broadcast shapes
+    val derived = big.join(docs, "doc_id")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    assert(PlanAudit.audit(docs.join(broadcast(derived), "lang")).isEmpty)
+    // an UNhinted join of the same huge side plans a shuffle join --
+    // that is the planner doing its job, not a lint finding
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(PlanAudit.audit(docs.join(big, "doc_id")).isEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("skewed-shuffle-join: a measured dominant key flags; uniform keys pass") {
+    // plant 20% of the left side's rows on one key value
+    val left = spark.range(5000L).select(
+      when(col("id") % 5 === 0, lit(7L)).otherwise(col("id")).as("k"),
+      col("id").as("v"))
+    val right = spark.range(2000L).select(col("id").as("k"))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val f = PlanAudit.auditJoinSkew(left.join(right, "k"),
+        maxShare = 0.1, minRows = 100L)
+      // only the planted side flags, and the finding names the value
+      assert(f.map(_.rule) === Seq("skewed-shuffle-join"), f.toString)
+      assert(f.head.node.contains("'7'"), f.head.node)
+      // uniform keys on both sides: measured, clean
+      assert(PlanAudit.auditJoinSkew(
+        left.select(col("v").as("k")).join(right, "k"),
+        maxShare = 0.1, minRows = 100L).isEmpty)
+      // fixture-sized sides never flag regardless of share
+      assert(PlanAudit.auditJoinSkew(left.join(right, "k"),
+        maxShare = 0.1, minRows = 100000L).isEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    // with auto-broadcast back on, this join never shuffles: the
+    // audit measures nothing and stays clean
+    assert(PlanAudit.auditJoinSkew(left.join(right, "k"),
+      maxShare = 0.1, minRows = 100L).isEmpty)
+  }
+
   test("every shipped query passes the measured window-cardinality audit") {
     // Floor = 8, scaled to the sf0.001 fixture: SCALE-GROWING keys
     // (user_id, shuffle buckets, knn queries) measure >= 15 distinct
