@@ -1,0 +1,447 @@
+package graft.ops
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** Pure-JVM media codecs for the multimodal path -- REAL pixel and
+  * sample decode, no external libraries (`java.util.zip` carries the
+  * PNG compression; everything else is byte arithmetic):
+  *
+  *  - PNG (ISO/IEC 15948): 8-bit greyscale / grey+alpha / RGB / RGBA,
+  *    all five scanline filters (None / Sub / Up / Average / Paeth,
+  *    spec 9.2) on both encode and decode, multi-IDAT tolerant, CRC
+  *    written on encode. The encoder cycles filter types across rows
+  *    so every decoder path is exercised by round-trip data.
+  *  - BMP (BITMAPINFOHEADER): 24-bit uncompressed, bottom-up rows,
+  *    4-byte row padding.
+  *  - WAV (RIFF): PCM mono 16-bit little-endian, chunk-walk tolerant
+  *    of extra chunks (LIST etc).
+  *
+  * Plus the exact-integer pixel ops the oracle gates build on -- box
+  * average resize, aHash, dHash -- written so the same arithmetic is
+  * expressible in ANSI SQL (integer division, no floats), which is
+  * what lets a DuckDB oracle check a Spark decode of real PNG bytes
+  * bit-for-bit (see MultimodalOps pixel queries).
+  *
+  * Decoders return Option: truncated or foreign payloads yield None
+  * so a partition task can fall back instead of dying. Cross-checked
+  * against the JDK's own ImageIO codec in both directions by
+  * PixelCodecSpec.
+  */
+object PixelCodec {
+
+  /** Row-major, channel-interleaved 8-bit image. channels: 1 = grey,
+    * 2 = grey+alpha, 3 = RGB, 4 = RGBA. */
+  final case class Image(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte]) {
+    require(pixels.length == width * height * channels,
+      s"pixel buffer ${pixels.length} != $width*$height*$channels")
+    def px(x: Int, y: Int, c: Int = 0): Int =
+      pixels((y * width + x) * channels + c) & 0xff
+  }
+
+  // ------------------------------------------------------------------ PNG
+
+  private val PngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def be32(p: Array[Byte], i: Int): Int =
+    ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
+      ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+
+  private def w32(o: ByteArrayOutputStream, v: Int): Unit = {
+    o.write((v >>> 24) & 0xff); o.write((v >>> 16) & 0xff)
+    o.write((v >>> 8) & 0xff); o.write(v & 0xff)
+  }
+
+  private def chunk(o: ByteArrayOutputStream, typ: String,
+      data: Array[Byte]): Unit = {
+    w32(o, data.length)
+    val t = typ.getBytes("US-ASCII")
+    o.write(t, 0, 4)
+    o.write(data, 0, data.length)
+    val crc = new CRC32
+    crc.update(t); crc.update(data)
+    w32(o, crc.getValue.toInt)
+  }
+
+  /** PNG spec 9.4: predictor closest to p = a + b - c. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def colorType(channels: Int): Int = channels match {
+    case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+    case n => throw new IllegalArgumentException(s"channels $n")
+  }
+
+  /** Encode as a spec-conformant PNG. Rows cycle through the five
+    * filter types (row r uses filter r mod 5) so round-trip tests
+    * exercise every de-filter path; `filterMix = false` writes
+    * filter 0 everywhere (the simplest valid stream). */
+  def encodePng(img: Image, filterMix: Boolean = true): Array[Byte] = {
+    val bpp = img.channels
+    val stride = img.width * bpp
+    val raw = new Array[Byte]((stride + 1) * img.height)
+    val prior = new Array[Byte](stride)
+    var y = 0
+    while (y < img.height) {
+      val f = if (filterMix) y % 5 else 0
+      val ro = y * (stride + 1)
+      raw(ro) = f.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = img.pixels(y * stride + x) & 0xff
+        val left = if (x >= bpp) img.pixels(y * stride + x - bpp) & 0xff else 0
+        val up = prior(x) & 0xff
+        val ul = if (x >= bpp) prior(x - bpp) & 0xff else 0
+        val enc = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, ul)
+        }
+        raw(ro + 1 + x) = (enc & 0xff).toByte
+        x += 1
+      }
+      System.arraycopy(img.pixels, y * stride, prior, 0, stride)
+      y += 1
+    }
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    d.setInput(raw); d.finish()
+    val zo = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) zo.write(buf, 0, d.deflate(buf))
+    d.end()
+    val o = new ByteArrayOutputStream()
+    o.write(PngSig, 0, 8)
+    val ihdr = new ByteArrayOutputStream()
+    w32(ihdr, img.width); w32(ihdr, img.height)
+    ihdr.write(8); ihdr.write(colorType(img.channels))
+    ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    chunk(o, "IHDR", ihdr.toByteArray)
+    chunk(o, "IDAT", zo.toByteArray)
+    chunk(o, "IEND", Array.emptyByteArray)
+    o.toByteArray
+  }
+
+  /** Decode any 8-bit-depth non-interlaced grey / grey+alpha / RGB /
+    * RGBA PNG (palette and 16-bit streams return None). Concatenates
+    * multiple IDAT chunks; ancillary chunks are skipped. */
+  def decodePng(p: Array[Byte]): Option[Image] = {
+    if (p.length < 8 || !java.util.Arrays.equals(p, 0, 8, PngSig, 0, 8))
+      return None
+    var i = 8
+    var w = 0; var h = 0; var channels = 0
+    val idat = new ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd && i + 8 <= p.length) {
+      val len = be32(p, i)
+      if (len < 0 || i + 12 + len > p.length) return None
+      val typ = new String(p, i + 4, 4, "US-ASCII")
+      typ match {
+        case "IHDR" =>
+          if (len < 13) return None
+          w = be32(p, i + 8); h = be32(p, i + 12)
+          val bitDepth = p(i + 16) & 0xff
+          val ct = p(i + 17) & 0xff
+          val interlace = p(i + 20) & 0xff
+          if (bitDepth != 8 || interlace != 0) return None
+          channels = ct match {
+            case 0 => 1; case 4 => 2; case 2 => 3; case 6 => 4
+            case _ => return None
+          }
+          if (w <= 0 || h <= 0) return None
+        case "IDAT" => idat.write(p, i + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary
+      }
+      i += 12 + len
+    }
+    if (w == 0 || idat.size == 0) return None
+    val stride = w * channels
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inf = new Inflater()
+    inf.setInput(idat.toByteArray)
+    var off = 0
+    try {
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None // truncated
+        off += n
+      }
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    if (off < raw.length) return None
+    val out = new Array[Byte](stride * h)
+    val bpp = channels
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (stride + 1)) & 0xff
+      val ro = y * (stride + 1) + 1
+      var x = 0
+      while (x < stride) {
+        val enc = raw(ro + x) & 0xff
+        val left = if (x >= bpp) out(y * stride + x - bpp) & 0xff else 0
+        val up = if (y > 0) out((y - 1) * stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= bpp) out((y - 1) * stride + x - bpp) & 0xff
+          else 0
+        val cur = f match {
+          case 0 => enc
+          case 1 => enc + left
+          case 2 => enc + up
+          case 3 => enc + (left + up) / 2
+          case 4 => enc + paeth(left, up, ul)
+          case _ => return None
+        }
+        out(y * stride + x) = (cur & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(Image(w, h, channels, out))
+  }
+
+  // ------------------------------------------------------------------ BMP
+
+  private def le32(o: ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >>> 8) & 0xff)
+    o.write((v >>> 16) & 0xff); o.write((v >>> 24) & 0xff)
+  }
+  private def le16(o: ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >>> 8) & 0xff)
+  }
+  private def rdLe32(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) |
+      ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
+  private def rdLe16(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+
+  /** 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up, BGR,
+    * 4-byte row padding). Requires a 3-channel image. */
+  def encodeBmp(img: Image): Array[Byte] = {
+    require(img.channels == 3, "BMP path is 24-bit RGB")
+    val rowBytes = img.width * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val dataSize = (rowBytes + pad) * img.height
+    val o = new ByteArrayOutputStream()
+    o.write('B'); o.write('M')
+    le32(o, 54 + dataSize); le32(o, 0); le32(o, 54)
+    le32(o, 40); le32(o, img.width); le32(o, img.height)
+    le16(o, 1); le16(o, 24); le32(o, 0); le32(o, dataSize)
+    le32(o, 2835); le32(o, 2835); le32(o, 0); le32(o, 0)
+    var y = img.height - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < img.width) {
+        o.write(img.px(x, y, 2)); o.write(img.px(x, y, 1))
+        o.write(img.px(x, y, 0))
+        x += 1
+      }
+      var k = 0
+      while (k < pad) { o.write(0); k += 1 }
+      y -= 1
+    }
+    o.toByteArray
+  }
+
+  /** Decode 24-bit uncompressed BMP; anything else returns None.
+    * Handles both bottom-up (positive height) and top-down rows. */
+  def decodeBmp(p: Array[Byte]): Option[Image] = {
+    if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+    val dataOff = rdLe32(p, 10)
+    val hdrSize = rdLe32(p, 14)
+    if (hdrSize < 40) return None
+    val w = rdLe32(p, 18)
+    val hRaw = rdLe32(p, 22)
+    val planes = rdLe16(p, 26)
+    val bits = rdLe16(p, 28)
+    val compression = rdLe32(p, 30)
+    if (w <= 0 || hRaw == 0 || planes != 1 || bits != 24 ||
+        compression != 0) return None
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val rowBytes = w * 3
+    val padded = rowBytes + (4 - rowBytes % 4) % 4
+    if (dataOff.toLong + padded.toLong * h > p.length) return None
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      val ro = dataOff + srcRow * padded
+      var x = 0
+      while (x < w) {
+        out((y * w + x) * 3) = p(ro + x * 3 + 2)     // R
+        out((y * w + x) * 3 + 1) = p(ro + x * 3 + 1) // G
+        out((y * w + x) * 3 + 2) = p(ro + x * 3)     // B
+        x += 1
+      }
+      y += 1
+    }
+    Some(Image(w, h, 3, out))
+  }
+
+  // ------------------------------------------------------------------ WAV
+
+  /** PCM mono 16-bit little-endian WAV. */
+  def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val o = new ByteArrayOutputStream()
+    o.write("RIFF".getBytes("US-ASCII")); le32(o, 36 + dataSize)
+    o.write("WAVE".getBytes("US-ASCII"))
+    o.write("fmt ".getBytes("US-ASCII")); le32(o, 16)
+    le16(o, 1); le16(o, 1); le32(o, sampleRate)
+    le32(o, sampleRate * 2); le16(o, 2); le16(o, 16)
+    o.write("data".getBytes("US-ASCII")); le32(o, dataSize)
+    samples.foreach { s => le16(o, s & 0xffff) }
+    o.toByteArray
+  }
+
+  /** Decode PCM mono 16-bit WAV -> (samples, sampleRate). Walks the
+    * chunk list, tolerating extra chunks before/after fmt and data;
+    * non-PCM, multi-channel, or non-16-bit streams return None. */
+  def decodeWav(p: Array[Byte]): Option[(Array[Short], Int)] = {
+    if (p.length < 44 ||
+        new String(p, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(p, 8, 4, "US-ASCII") != "WAVE") return None
+    var i = 12
+    var rate = 0; var ok = false
+    var data: Array[Short] = null
+    while (i + 8 <= p.length) {
+      val id = new String(p, i, 4, "US-ASCII")
+      val len = rdLe32(p, i + 4)
+      if (len < 0 || i + 8 + len > p.length) return None
+      id match {
+        case "fmt " =>
+          if (len < 16) return None
+          val fmt = rdLe16(p, i + 8)
+          val nCh = rdLe16(p, i + 10)
+          rate = rdLe32(p, i + 12)
+          val bps = rdLe16(p, i + 22)
+          ok = fmt == 1 && nCh == 1 && bps == 16 && rate > 0
+        case "data" =>
+          val n = len / 2
+          val arr = new Array[Short](n)
+          var k = 0
+          while (k < n) {
+            arr(k) = rdLe16(p, i + 8 + k * 2).toShort
+            k += 1
+          }
+          data = arr
+        case _ => ()
+      }
+      i += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (ok && data != null) Some((data, rate)) else None
+  }
+
+  // ------------------------------------------------------ exact pixel ops
+
+  /** Integer luminance: (77 R + 150 G + 29 B) >> 8 -- the fixed-point
+    * BT.601 weights. Identity on 1-channel input; alpha is ignored. */
+  def toGray(img: Image): Image =
+    if (img.channels == 1) img
+    else {
+      val out = new Array[Byte](img.width * img.height)
+      var i = 0
+      while (i < out.length) {
+        val base = i * img.channels
+        val v =
+          if (img.channels == 2) img.pixels(base) & 0xff
+          else (77 * (img.pixels(base) & 0xff) +
+            150 * (img.pixels(base + 1) & 0xff) +
+            29 * (img.pixels(base + 2) & 0xff)) >> 8
+        out(i) = v.toByte
+        i += 1
+      }
+      Image(img.width, img.height, 1, out)
+    }
+
+  /** Box-average downscale in exact integer arithmetic: destination
+    * (x, y) averages the source box whose columns map to x under
+    * `c * dw / sw` (floor) -- i.e. the floor-partition of source
+    * coords -- with truncating division for the mean. Deterministic
+    * and closed-form in SQL (`group by c*dw//sw, r*dh//sh`), which is
+    * how the oracle checks it. Upscale is out of scope (require
+    * dw <= w, dh <= h). */
+  def resizeArea(img: Image, dw: Int, dh: Int): Image = {
+    require(dw >= 1 && dh >= 1 && dw <= img.width && dh <= img.height)
+    val ch = img.channels
+    val sums = new Array[Long](dw * dh * ch)
+    val counts = new Array[Int](dw * dh)
+    var y = 0
+    while (y < img.height) {
+      val dy = y * dh / img.height
+      var x = 0
+      while (x < img.width) {
+        val dx = x * dw / img.width
+        val di = dy * dw + dx
+        counts(di) += 1
+        var c = 0
+        while (c < ch) {
+          sums(di * ch + c) += img.px(x, y, c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Byte](dw * dh * ch)
+    var i = 0
+    while (i < dw * dh) {
+      var c = 0
+      while (c < ch) {
+        out(i * ch + c) = (sums(i * ch + c) / counts(i)).toByte
+        c += 1
+      }
+      i += 1
+    }
+    Image(dw, dh, ch, out)
+  }
+
+  /** Average hash over an 8x8 grey image: bit (y*8+x) set iff
+    * 64 * p(x, y) > sum(p) -- the scaled comparison avoids the mean
+    * division so ties resolve identically everywhere. Returned as
+    * (lo, hi) 32-bit halves in positive longs: 64-bit packing would
+    * make bit 63 a sign bit and diverge between engines. */
+  def aHash(gray8x8: Image): (Long, Long) = {
+    require(gray8x8.width == 8 && gray8x8.height == 8 &&
+      gray8x8.channels == 1)
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += gray8x8.pixels(i) & 0xff; i += 1 }
+    var lo = 0L; var hi = 0L
+    i = 0
+    while (i < 64) {
+      if (64L * (gray8x8.pixels(i) & 0xff) > sum) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (lo, hi)
+  }
+
+  /** Difference hash over a 9x8 grey image: bit (y*8+x) set iff
+    * p(x+1, y) > p(x, y). Same (lo, hi) halves packing as [[aHash]]. */
+  def dHash(gray9x8: Image): (Long, Long) = {
+    require(gray9x8.width == 9 && gray9x8.height == 8 &&
+      gray9x8.channels == 1)
+    var lo = 0L; var hi = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (gray9x8.px(x + 1, y) > gray9x8.px(x, y)) {
+          val b = y * 8 + x
+          if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (lo, hi)
+  }
+}
