@@ -224,4 +224,345 @@ object MultimodalOps {
        FROM d, generate_series(0, 29) gs(i)
        WHERE i < n_frames AND i % $FrameStride = 0"""
   }
+
+  // ------------------------------------------------- REAL pixel path
+  //
+  // The queries below run actual codec loops: pixels synthesized from
+  // a closed-form integer formula, encoded to REAL container bytes
+  // (PNG with cycling scanline filters / 24-bit BMP / PCM WAV) into a
+  // binary DataFrame column, then decoded back by PixelCodec and
+  // feature-extracted. The DuckDB oracle computes the same features
+  // straight from the formula -- so a hash match proves the entire
+  // encode -> binary column -> decode pipeline is lossless and
+  // byte-correct, not just the plumbing around it. All feature math
+  // is exact-integer (sums, truncating division, scaled comparisons),
+  // per the cross-engine determinism rules.
+
+  /** Pixel synthesis: `((d % 1000003) * 2654435761 + i * 40503) % 256`
+    * -- a Weyl-ish integer mix, closed-form in ANSI SQL, bounded so
+    * every intermediate fits a BIGINT under ANSI overflow checks. */
+  val PxA = 2654435761L
+  val PxB = 40503L
+  val PxDocMod = 1000003L
+  val PxW = 24; val PxH = 18
+  val HashW = 9; val HashH = 8
+  val NearDupGroups = 200L
+  val HammingMax = 10
+  val AudioRate = 16000
+
+  private def synthPx(d: Long, i: Int): Int =
+    (((d % PxDocMod) * PxA + i * PxB) % 256L).toInt
+
+  /** Near-dup variant: docs sharing `doc_id % 200` get the same base
+    * image; a per-doc nudge (+1 on the first `doc_id % 4` pixels)
+    * keeps them near- rather than exact duplicates. Base pixels come
+    * from the engine's cross-engine md5 hash, NOT an algebraic mix:
+    * linear and multiplicative formulas leave residual structure mod
+    * 256 (constant phase shifts, doubling relations) that pulls
+    * DIFFERENT groups' dHashes within the Hamming gate -- the planted
+    * spec caught two such collapses before this landed. h15 makes
+    * cross-group hashes independent while staying exact in both
+    * engines. */
+  private def synthNearDupPx(d: Long, i: Int): Int =
+    ((Hashing.h15Local(s"img:${d % NearDupGroups}:$i") % 256L +
+      (if (i < (d % 4)) 1L else 0L)) % 256L).toInt
+
+  private val pxSqlExpr =
+    s"((doc_id % $PxDocMod) * $PxA + i * $PxB) % 256"
+
+  case class PixelFeatures(doc_id: Long, format: String, n_ch: Int,
+      width: Int, height: Int, px_sum: Long, px_min: Int, px_max: Int,
+      px_wsum: Long)
+
+  /** The asset table: one REAL container payload per document --
+    * doc_id % 3 = 0 encodes 24x18 RGB as BMP, = 1 greyscale PNG,
+    * = 2 RGB PNG (filter-cycled). The binary column is what a real
+    * multimodal corpus stores; everything downstream must detect the
+    * container from the bytes. */
+  def pixelAssets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { d =>
+          val nch = if (d % 3 == 1) 1 else 3
+          val px = Array.tabulate(PxW * PxH * nch)(i => synthPx(d, i).toByte)
+          val img = PixelCodec.Image(PxW, PxH, nch, px)
+          val payload =
+            if (d % 3 == 0) PixelCodec.encodeBmp(img)
+            else PixelCodec.encodePng(img)
+          (d, payload)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Full decode: container sniffed from bytes (PNG first, BMP next),
+    * pixels recovered, exact-integer features extracted. One codec
+    * init per partition; input projected to (doc_id, payload). */
+  def pixelDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pixelAssets(s, dir).as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (d, payload) =>
+        val (img, fmt) = PixelCodec.decodePng(payload).map((_, "png"))
+          .orElse(PixelCodec.decodeBmp(payload).map((_, "bmp")))
+          .getOrElse(throw new IllegalStateException(
+            s"undecodable asset for doc $d"))
+        var sum = 0L; var wsum = 0L; var mn = 255; var mx = 0
+        var i = 0
+        while (i < img.pixels.length) {
+          val p = img.pixels(i) & 0xff
+          sum += p; wsum += (i + 1L) * p
+          if (p < mn) mn = p
+          if (p > mx) mx = p
+          i += 1
+        }
+        PixelFeatures(d, fmt, img.channels, img.width, img.height,
+          sum, mn, mx, wsum)
+      }
+    }.toDF()
+  }
+
+  val pixelDecodeSql: String =
+    s"""WITH d AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS n_ch,
+           CASE WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'png' END AS format
+         FROM documents),
+       px AS (
+         SELECT d.doc_id, d.n_ch, d.format, gs.i,
+           ((d.doc_id % $PxDocMod) * $PxA + gs.i * $PxB) % 256 AS p
+         FROM d, generate_series(0, ${PxW * PxH * 3 - 1}) gs(i)
+         WHERE gs.i < ${PxW * PxH} * d.n_ch)
+       SELECT doc_id, format, CAST(n_ch AS INT) AS n_ch,
+         CAST($PxW AS INT) AS width, CAST($PxH AS INT) AS height,
+         CAST(sum(p) AS BIGINT) AS px_sum,
+         CAST(min(p) AS INT) AS px_min, CAST(max(p) AS INT) AS px_max,
+         CAST(sum((i + 1) * p) AS BIGINT) AS px_wsum
+       FROM px GROUP BY doc_id, format, n_ch"""
+
+  case class ResizedPixels(doc_id: Long, r_sum: Long, r_min: Int,
+      r_max: Int, r_wsum: Long)
+
+  /** Decode + REAL box-average resize 24x18 -> 5x4 (deliberately
+    * non-divisible so the floor-partition boxes vary in size) with
+    * features over the resized pixels. */
+  def pixelResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { d =>
+          val px = Array.tabulate(PxW * PxH)(i => synthPx(d, i).toByte)
+          (d, PixelCodec.encodePng(PixelCodec.Image(PxW, PxH, 1, px)))
+        }
+      }.toDF("doc_id", "payload")
+    assets.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (d, payload) =>
+        val img = PixelCodec.decodePng(payload).get
+        val r = PixelCodec.resizeArea(img, 5, 4)
+        var sum = 0L; var wsum = 0L; var mn = 255; var mx = 0
+        var j = 0
+        while (j < r.pixels.length) {
+          val p = r.pixels(j) & 0xff
+          sum += p; wsum += (j + 1L) * p
+          if (p < mn) mn = p
+          if (p > mx) mx = p
+          j += 1
+        }
+        ResizedPixels(d, sum, mn, mx, wsum)
+      }
+    }.toDF()
+  }
+
+  val pixelResizeSql: String =
+    s"""WITH px AS (
+         SELECT doc_id, i, (i % $PxW) AS c, (i // $PxW) AS r,
+           $pxSqlExpr AS p
+         FROM documents, generate_series(0, ${PxW * PxH - 1}) gs(i)),
+       cell AS (
+         SELECT doc_id, (r * 4 // $PxH) AS dy, (c * 5 // $PxW) AS dx,
+           sum(p) // count(*) AS q
+         FROM px GROUP BY doc_id, dy, dx)
+       SELECT doc_id, CAST(sum(q) AS BIGINT) AS r_sum,
+         CAST(min(q) AS INT) AS r_min, CAST(max(q) AS INT) AS r_max,
+         CAST(sum((dy * 5 + dx + 1) * q) AS BIGINT) AS r_wsum
+       FROM cell GROUP BY doc_id"""
+
+  case class PhashRow(doc_id: Long, dhash_lo: Long, dhash_hi: Long,
+      ahash_lo: Long, ahash_hi: Long)
+
+  /** Synth 9x8 grey -> PNG -> decode -> dHash over the 9x8 grid and
+    * aHash over its left 8x8 subgrid, as positive 32-bit halves. */
+  private def phashStage(s: SparkSession, dir: String,
+      synth: (Long, Int) => Int): DataFrame = {
+    import s.implicits._
+    val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { d =>
+          val px = Array.tabulate(HashW * HashH)(i => synth(d, i).toByte)
+          (d, PixelCodec.encodePng(PixelCodec.Image(HashW, HashH, 1, px)))
+        }
+      }.toDF("doc_id", "payload")
+    assets.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (d, payload) =>
+        val img = PixelCodec.decodePng(payload).get
+        val (dl, dh) = PixelCodec.dHash(img)
+        val sub = PixelCodec.Image(8, 8, 1,
+          Array.tabulate(64)(j => img.pixels((j / 8) * HashW + j % 8)))
+        val (al, ah) = PixelCodec.aHash(sub)
+        PhashRow(d, dl, dh, al, ah)
+      }
+    }.toDF()
+  }
+
+  def imagePhash(s: SparkSession, dir: String): DataFrame =
+    phashStage(s, dir, synthPx)
+
+  /** Shared oracle fragment: (doc_id, lo, hi) dHash halves computed
+    * from a pixel formula `pxExpr` over the 9x8 grid. */
+  private def dhashSqlCte(pxExpr: String): String =
+    s"""px AS (
+         SELECT doc_id, i, $pxExpr AS p
+         FROM documents, generate_series(0, ${HashW * HashH - 1}) gs(i)),
+       cmp AS (
+         SELECT a.doc_id, (a.i // $HashW) * 8 + (a.i % $HashW) AS b,
+           CASE WHEN n.p > a.p THEN 1 ELSE 0 END AS bit
+         FROM px a JOIN px n
+           ON n.doc_id = a.doc_id AND n.i = a.i + 1
+         WHERE a.i % $HashW < 8),
+       h AS (
+         SELECT doc_id,
+           CAST(sum(CASE WHEN b < 32
+             THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+             AS lo,
+           CAST(sum(CASE WHEN b >= 32
+             THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END)
+             AS BIGINT) AS hi
+         FROM cmp GROUP BY doc_id)"""
+
+  val imagePhashSql: String =
+    s"""WITH ${dhashSqlCte(pxSqlExpr)},
+       asum AS (
+         SELECT doc_id, sum(p) AS s FROM px
+         WHERE i % $HashW < 8 GROUP BY doc_id),
+       abit AS (
+         SELECT px.doc_id, (px.i // $HashW) * 8 + (px.i % $HashW) AS b,
+           CASE WHEN 64 * px.p > asum.s THEN 1 ELSE 0 END AS bit
+         FROM px JOIN asum ON asum.doc_id = px.doc_id
+         WHERE px.i % $HashW < 8),
+       a2 AS (
+         SELECT doc_id,
+           CAST(sum(CASE WHEN b < 32
+             THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+             AS ahash_lo,
+           CAST(sum(CASE WHEN b >= 32
+             THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END)
+             AS BIGINT) AS ahash_hi
+         FROM abit GROUP BY doc_id)
+       SELECT h.doc_id, h.lo AS dhash_lo, h.hi AS dhash_hi,
+         ahash_lo, ahash_hi
+       FROM h JOIN a2 ON a2.doc_id = h.doc_id"""
+
+  /** Image near-duplicate pairs by banded dHash -- the MinHash-LSH
+    * discipline applied to pixels: the 64-bit dHash splits into four
+    * 16-bit bands, candidates share at least one band (equi-join,
+    * never all-pairs), and the exact Hamming distance <= 10 verifies
+    * inside the join output. At 100 TB pair work is sum over
+    * (band, value) buckets of bucket^2 -- corpus^2 never appears. */
+  def imagePhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val h = phashStage(s, dir, synthNearDupPx)
+      .select(col("doc_id"), col("dhash_lo").as("lo"),
+        col("dhash_hi").as("hi"))
+    val bands = h.select(col("doc_id"), col("lo"), col("hi"),
+      posexplode(array(
+        col("lo").bitwiseAND(lit(65535L)), shiftright(col("lo"), 16),
+        col("hi").bitwiseAND(lit(65535L)), shiftright(col("hi"), 16)))
+        .as(Seq("bi", "bv")))
+    val a = bands.select(col("doc_id").as("doc_a"), col("lo").as("lo_a"),
+      col("hi").as("hi_a"), col("bi"), col("bv"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("lo").as("lo_b"),
+      col("hi").as("hi_b"), col("bi"), col("bv"))
+    val ham = (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+      bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("int")
+    a.join(b, Seq("bi", "bv")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("lo_a"), col("hi_a"),
+        col("doc_b"), col("lo_b"), col("hi_b"))
+      .distinct()
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= HammingMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  val imagePhashDedupSql: String = {
+    val h = graft.ops.Hashing.h15Sql("concat('img:', " +
+      s"CAST(doc_id % $NearDupGroups AS VARCHAR), ':', CAST(i AS VARCHAR))")
+    val nd = s"($h % 256 + CASE WHEN i < doc_id % 4 THEN 1 ELSE 0 END) % 256"
+    s"""WITH ${dhashSqlCte(nd)},
+       bands AS (
+         SELECT doc_id, lo, hi, bi,
+           CASE bi WHEN 0 THEN lo & 65535 WHEN 1 THEN lo >> 16
+                   WHEN 2 THEN hi & 65535 ELSE hi >> 16 END AS bv
+         FROM h, generate_series(0, 3) g(bi)),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, a.lo AS lo_a, a.hi AS hi_a,
+           b.doc_id AS doc_b, b.lo AS lo_b, b.hi AS hi_b
+         FROM bands a JOIN bands b
+           ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b,
+         CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+           AS INT) AS hamming
+       FROM cand
+       WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+         <= $HammingMax"""
+  }
+
+  // -------------------------------------------------- real audio path
+
+  case class AudioFeatures(doc_id: Long, n_samples: Long, sum_sq: Long,
+      zero_cross: Long, peak: Int)
+
+  /** PCM synthesis -> REAL WAV bytes -> chunk-walk decode -> exact
+    * integer DSP features (energy, zero crossings, peak). Sample t of
+    * doc d: `((d % 1000003) * 31 + t * 17) % 65536 - 32768`. */
+  def audioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { d =>
+          val n = (800 + d % 400).toInt
+          val samples = Array.tabulate(n)(t =>
+            (((d % PxDocMod) * 31 + t * 17) % 65536 - 32768).toShort)
+          (d, PixelCodec.encodeWav(samples, AudioRate))
+        }
+      }.toDF("doc_id", "payload")
+    assets.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (d, payload) =>
+        val (samples, _) = PixelCodec.decodeWav(payload).get
+        var sq = 0L; var zc = 0L; var peak = 0
+        var t = 0
+        while (t < samples.length) {
+          val v = samples(t).toInt
+          sq += v.toLong * v
+          if (t >= 1 && (v < 0) != (samples(t - 1) < 0)) zc += 1
+          if (math.abs(v) > peak) peak = math.abs(v)
+          t += 1
+        }
+        AudioFeatures(d, samples.length.toLong, sq, zc, peak)
+      }
+    }.toDF()
+  }
+
+  val audioDecodeSql: String =
+    s"""WITH t AS (
+         SELECT doc_id, gs.t,
+           ((doc_id % $PxDocMod) * 31 + gs.t * 17) % 65536 - 32768 AS s,
+           ((doc_id % $PxDocMod) * 31 + (gs.t - 1) * 17) % 65536 - 32768
+             AS prev
+         FROM documents, generate_series(0, 1199) gs(t)
+         WHERE gs.t < 800 + doc_id % 400)
+       SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(sum(s * s) AS BIGINT) AS sum_sq,
+         CAST(sum(CASE WHEN t >= 1 AND ((s < 0) <> (prev < 0))
+           THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
+         CAST(max(abs(s)) AS INT) AS peak
+       FROM t GROUP BY doc_id"""
 }
