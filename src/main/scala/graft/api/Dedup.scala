@@ -115,6 +115,19 @@ object Dedup {
           org.apache.spark.sql.functions.transform(vec, x => x.cast("double")).as("v")),
       threshold, planes, dims)
 
+  /** IMAGE near-dup pairs via banded perceptual hash: each payload is
+    * container-sniffed (PNG/BMP), decoded to pixels, greyscaled,
+    * box-averaged to 9x8, and dHashed; the 64-bit hash splits into
+    * four 16-bit bands, candidates share a band (equi-join, never
+    * all-pairs), and the exact Hamming distance <= `maxHamming`
+    * verifies inside the join output. The pixel analog of
+    * [[minhashPairs]]: pair work is sum-of-bucket^2. Codec loop and
+    * band algebra are oracle-gated (dedup_image_phash). */
+  def imagePhashPairs(assets: DataFrame, id: Column, payload: Column,
+      maxHamming: Int = graft.ops.MultimodalOps.HammingMax): DataFrame =
+    graft.ops.MultimodalOps.imagePhashPairsOf(assets, id, payload,
+      maxHamming)
+
   /** Exact-substring repetition report (ExactSubstr-family): per
     * affected document, the count of >= `gramLen`-token windows that
     * repeat VERBATIM anywhere in the corpus, the number of merged

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -8,12 +8,15 @@ import graft.core.Tables
 /** Multimodal-column plumbing: opaque `binary` payloads + typed
   * metadata, decoded/feature-extracted per partition (SURVEY.md S7.6).
   *
-  * The container has no image/audio codecs, so [[StubDecoder]] is a
-  * clearly-marked deterministic fake; everything AROUND it -- the
-  * binary column, the typed row schema, the per-partition batched
-  * execution via `Dataset.mapPartitions`, the pruned input projection
-  * -- is the real plumbing a decode stage needs. Swapping in a real
-  * codec changes only the body of `decode`.
+  * Two tiers. The LEGACY tier (decodeFeatures / resizePlan /
+  * sampleFrames) parses real PNG/JPEG headers and falls back to
+  * [[StubDecoder]]'s deterministic fake for non-image bytes, keeping
+  * the text-bytes corpus SQL-checkable. The REAL tier (`pixel*` /
+  * `imagePhash*` / `audioDecode`, round 10) runs full pure-JVM codec
+  * loops via [[PixelCodec]] -- actual PNG/BMP pixels and WAV samples
+  * through a binary column, decoded and feature-extracted with
+  * exact-integer math the DuckDB oracle reproduces from the pixel
+  * formula, proving the codecs byte-for-byte.
   *
   * Scale notes: `mapPartitions` keeps the decoder per-partition (one
   * codec init per task, not per row), the input is projected to
@@ -389,32 +392,51 @@ object MultimodalOps {
   case class PhashRow(doc_id: Long, dhash_lo: Long, dhash_hi: Long,
       ahash_lo: Long, ahash_hi: Long)
 
-  /** Synth 9x8 grey -> PNG -> decode -> dHash over the 9x8 grid and
-    * aHash over its left 8x8 subgrid, as positive 32-bit halves. */
-  private def phashStage(s: SparkSession, dir: String,
+  /** Synthesized 9x8 grey PNG asset table for the phash gates. */
+  private def phashAssets(s: SparkSession, dir: String,
       synth: (Long, Int) => Int): DataFrame = {
     import s.implicits._
-    val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.map { d =>
           val px = Array.tabulate(HashW * HashH)(i => synth(d, i).toByte)
           (d, PixelCodec.encodePng(PixelCodec.Image(HashW, HashH, 1, px)))
         }
       }.toDF("doc_id", "payload")
-    assets.as[(Long, Array[Byte])].mapPartitions { it =>
-      it.map { case (d, payload) =>
-        val img = PixelCodec.decodePng(payload).get
-        val (dl, dh) = PixelCodec.dHash(img)
-        val sub = PixelCodec.Image(8, 8, 1,
-          Array.tabulate(64)(j => img.pixels((j / 8) * HashW + j % 8)))
-        val (al, ah) = PixelCodec.aHash(sub)
-        PhashRow(d, dl, dh, al, ah)
-      }
-    }.toDF()
+  }
+
+  /** GENERAL perceptual-hash stage for any binary image column:
+    * container-sniff (PNG, then BMP) -> greyscale -> 9x8 box-average
+    * -> dHash halves plus aHash halves of the left 8x8 subgrid. On a
+    * 9x8 grey input the grey/resize steps are identities, which is
+    * what lets the formula oracle gate this exact code path. Output:
+    * (doc_id, dhash_lo, dhash_hi, ahash_lo, ahash_hi). */
+  def imageDhashOf(assets: DataFrame, idCol: Column,
+      payloadCol: Column): DataFrame = {
+    val s = assets.sparkSession
+    import s.implicits._
+    assets.select(idCol.cast("long").as("doc_id"),
+        payloadCol.as("payload"))
+      .as[(Long, Array[Byte])].mapPartitions { it =>
+        it.map { case (d, payload) =>
+          val img = PixelCodec.decodePng(payload)
+            .orElse(PixelCodec.decodeBmp(payload))
+            .getOrElse(throw new IllegalStateException(
+              s"undecodable image for id $d"))
+          val g = PixelCodec.resizeArea(PixelCodec.toGray(img),
+            HashW, HashH)
+          val (dl, dh) = PixelCodec.dHash(g)
+          val sub = PixelCodec.Image(8, 8, 1,
+            Array.tabulate(64)(j => g.pixels((j / 8) * HashW + j % 8)))
+          val (al, ah) = PixelCodec.aHash(sub)
+          PhashRow(d, dl, dh, al, ah)
+        }
+      }.toDF()
   }
 
   def imagePhash(s: SparkSession, dir: String): DataFrame =
-    phashStage(s, dir, synthPx)
+    imageDhashOf(phashAssets(s, dir, synthPx), col("doc_id"),
+      col("payload"))
 
   /** Shared oracle fragment: (doc_id, lo, hi) dHash halves computed
     * from a pixel formula `pxExpr` over the 9x8 grid. */
@@ -464,11 +486,13 @@ object MultimodalOps {
   /** Image near-duplicate pairs by banded dHash -- the MinHash-LSH
     * discipline applied to pixels: the 64-bit dHash splits into four
     * 16-bit bands, candidates share at least one band (equi-join,
-    * never all-pairs), and the exact Hamming distance <= 10 verifies
-    * inside the join output. At 100 TB pair work is sum over
-    * (band, value) buckets of bucket^2 -- corpus^2 never appears. */
-  def imagePhashDedup(s: SparkSession, dir: String): DataFrame = {
-    val h = phashStage(s, dir, synthNearDupPx)
+    * never all-pairs), and the exact Hamming distance verifies inside
+    * the join output. At 100 TB pair work is sum over (band, value)
+    * buckets of bucket^2 -- corpus^2 never appears. Works on ANY
+    * binary image column the codecs recognize. */
+  def imagePhashPairsOf(assets: DataFrame, idCol: Column,
+      payloadCol: Column, maxHamming: Int): DataFrame = {
+    val h = imageDhashOf(assets, idCol, payloadCol)
       .select(col("doc_id"), col("dhash_lo").as("lo"),
         col("dhash_hi").as("hi"))
     val bands = h.select(col("doc_id"), col("lo"), col("hi"),
@@ -487,9 +511,13 @@ object MultimodalOps {
         col("doc_b"), col("lo_b"), col("hi_b"))
       .distinct()
       .withColumn("hamming", ham)
-      .filter(col("hamming") <= HammingMax)
+      .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  def imagePhashDedup(s: SparkSession, dir: String): DataFrame =
+    imagePhashPairsOf(phashAssets(s, dir, synthNearDupPx),
+      col("doc_id"), col("payload"), HammingMax)
 
   val imagePhashDedupSql: String = {
     val h = graft.ops.Hashing.h15Sql("concat('img:', " +
