@@ -542,6 +542,76 @@ object MultimodalOps {
          <= $HammingMax"""
   }
 
+  // ------------------------------------------------- real frame path
+
+  val FrameW = 12; val FrameH = 10
+  val FrameSampleStride = 2
+
+  case class FrameFeatures(doc_id: Long, frame_idx: Int, n_frames: Int,
+      f_sum: Long, f_min: Int, f_max: Int)
+
+  /** REAL frame sampling: per doc an animated PNG with `2 + d % 5`
+    * full-size 12x10 grey frames (frame f's pixel i is
+    * `synthPx(d, f*120 + i)`), encoded to actual APNG bytes, decoded
+    * back frame-by-frame, stride-sampled (every 2nd frame), and
+    * feature-extracted per kept frame. The oracle computes the same
+    * features from the formula -- proving the multi-frame container
+    * loop (acTL/fcTL/fdAT sequencing, per-frame zlib streams) the way
+    * the still-image gates prove IDAT. */
+  def frameDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perFrame = FrameW * FrameH
+    val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { d =>
+          val n = (2 + d % 5).toInt
+          val frames = (0 until n).map { f =>
+            PixelCodec.Image(FrameW, FrameH, 1,
+              Array.tabulate(perFrame)(i =>
+                synthPx(d, f * perFrame + i).toByte))
+          }
+          (d, PixelCodec.encodeApng(frames))
+        }
+      }.toDF("doc_id", "payload")
+    assets.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (d, payload) =>
+        val frames = PixelCodec.decodeApng(payload).getOrElse(
+          throw new IllegalStateException(s"undecodable APNG for doc $d"))
+        frames.zipWithIndex
+          .filter { case (_, f) => f % FrameSampleStride == 0 }
+          .map { case (img, f) =>
+            var sum = 0L; var mn = 255; var mx = 0
+            var i = 0
+            while (i < img.pixels.length) {
+              val p = img.pixels(i) & 0xff
+              sum += p
+              if (p < mn) mn = p
+              if (p > mx) mx = p
+              i += 1
+            }
+            FrameFeatures(d, f, frames.size, sum, mn, mx)
+          }
+      }
+    }.toDF()
+  }
+
+  val frameDecodeSql: String = {
+    val perFrame = FrameW * FrameH
+    s"""WITH d AS (
+         SELECT doc_id, 2 + doc_id % 5 AS n_frames FROM documents),
+       px AS (
+         SELECT d.doc_id, d.n_frames, gs.j // $perFrame AS f,
+           ((d.doc_id % $PxDocMod) * $PxA + gs.j * $PxB) % 256 AS p
+         FROM d, generate_series(0, ${perFrame * 6 - 1}) gs(j)
+         WHERE gs.j < $perFrame * d.n_frames)
+       SELECT doc_id, CAST(f AS INT) AS frame_idx,
+         CAST(n_frames AS INT) AS n_frames,
+         CAST(sum(p) AS BIGINT) AS f_sum,
+         CAST(min(p) AS INT) AS f_min, CAST(max(p) AS INT) AS f_max
+       FROM px WHERE f % $FrameSampleStride = 0
+       GROUP BY doc_id, f, n_frames"""
+  }
+
   // -------------------------------------------------- real audio path
 
   case class AudioFeatures(doc_id: Long, n_samples: Long, sum_sq: Long,

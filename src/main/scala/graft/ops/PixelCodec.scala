@@ -77,11 +77,10 @@ object PixelCodec {
     case n => throw new IllegalArgumentException(s"channels $n")
   }
 
-  /** Encode as a spec-conformant PNG. Rows cycle through the five
-    * filter types (row r uses filter r mod 5) so round-trip tests
-    * exercise every de-filter path; `filterMix = false` writes
-    * filter 0 everywhere (the simplest valid stream). */
-  def encodePng(img: Image, filterMix: Boolean = true): Array[Byte] = {
+  /** Filter + deflate an image's scanlines into a complete zlib
+    * stream (the payload of an IDAT -- or of one frame's fdAT run in
+    * an APNG, which the spec requires to be its own datastream). */
+  private def filterCompress(img: Image, filterMix: Boolean): Array[Byte] = {
     val bpp = img.channels
     val stride = img.width * bpp
     val raw = new Array[Byte]((stride + 1) * img.height)
@@ -116,14 +115,73 @@ object PixelCodec {
     val buf = new Array[Byte](8192)
     while (!d.finished()) zo.write(buf, 0, d.deflate(buf))
     d.end()
+    zo.toByteArray
+  }
+
+  /** Inverse of [[filterCompress]]: inflate a complete zlib stream
+    * and undo the per-row filters. None on truncated/corrupt data. */
+  private def inflateDefilter(data: Array[Byte], w: Int, h: Int,
+      channels: Int): Option[Array[Byte]] = {
+    val stride = w * channels
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inf = new Inflater()
+    inf.setInput(data)
+    var off = 0
+    try {
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None // truncated
+        off += n
+      }
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    if (off < raw.length) return None
+    val out = new Array[Byte](stride * h)
+    val bpp = channels
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (stride + 1)) & 0xff
+      val ro = y * (stride + 1) + 1
+      var x = 0
+      while (x < stride) {
+        val enc = raw(ro + x) & 0xff
+        val left = if (x >= bpp) out(y * stride + x - bpp) & 0xff else 0
+        val up = if (y > 0) out((y - 1) * stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= bpp) out((y - 1) * stride + x - bpp) & 0xff
+          else 0
+        val cur = f match {
+          case 0 => enc
+          case 1 => enc + left
+          case 2 => enc + up
+          case 3 => enc + (left + up) / 2
+          case 4 => enc + paeth(left, up, ul)
+          case _ => return None
+        }
+        out(y * stride + x) = (cur & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
+  private def ihdrBytes(w: Int, h: Int, channels: Int): Array[Byte] = {
+    val ihdr = new ByteArrayOutputStream()
+    w32(ihdr, w); w32(ihdr, h)
+    ihdr.write(8); ihdr.write(colorType(channels))
+    ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    ihdr.toByteArray
+  }
+
+  /** Encode as a spec-conformant PNG. Rows cycle through the five
+    * filter types (row r uses filter r mod 5) so round-trip tests
+    * exercise every de-filter path; `filterMix = false` writes
+    * filter 0 everywhere (the simplest valid stream). */
+  def encodePng(img: Image, filterMix: Boolean = true): Array[Byte] = {
     val o = new ByteArrayOutputStream()
     o.write(PngSig, 0, 8)
-    val ihdr = new ByteArrayOutputStream()
-    w32(ihdr, img.width); w32(ihdr, img.height)
-    ihdr.write(8); ihdr.write(colorType(img.channels))
-    ihdr.write(0); ihdr.write(0); ihdr.write(0)
-    chunk(o, "IHDR", ihdr.toByteArray)
-    chunk(o, "IDAT", zo.toByteArray)
+    chunk(o, "IHDR", ihdrBytes(img.width, img.height, img.channels))
+    chunk(o, "IDAT", filterCompress(img, filterMix))
     chunk(o, "IEND", Array.emptyByteArray)
     o.toByteArray
   }
@@ -162,47 +220,132 @@ object PixelCodec {
       i += 12 + len
     }
     if (w == 0 || idat.size == 0) return None
-    val stride = w * channels
-    val raw = new Array[Byte]((stride + 1) * h)
-    val inf = new Inflater()
-    inf.setInput(idat.toByteArray)
-    var off = 0
-    try {
-      while (off < raw.length && !inf.finished()) {
-        val n = inf.inflate(raw, off, raw.length - off)
-        if (n == 0 && inf.needsInput()) return None // truncated
-        off += n
-      }
-    } catch { case _: java.util.zip.DataFormatException => return None }
-    finally inf.end()
-    if (off < raw.length) return None
-    val out = new Array[Byte](stride * h)
-    val bpp = channels
-    var y = 0
-    while (y < h) {
-      val f = raw(y * (stride + 1)) & 0xff
-      val ro = y * (stride + 1) + 1
-      var x = 0
-      while (x < stride) {
-        val enc = raw(ro + x) & 0xff
-        val left = if (x >= bpp) out(y * stride + x - bpp) & 0xff else 0
-        val up = if (y > 0) out((y - 1) * stride + x) & 0xff else 0
-        val ul = if (y > 0 && x >= bpp) out((y - 1) * stride + x - bpp) & 0xff
-          else 0
-        val cur = f match {
-          case 0 => enc
-          case 1 => enc + left
-          case 2 => enc + up
-          case 3 => enc + (left + up) / 2
-          case 4 => enc + paeth(left, up, ul)
-          case _ => return None
-        }
-        out(y * stride + x) = (cur & 0xff).toByte
-        x += 1
-      }
-      y += 1
+    inflateDefilter(idat.toByteArray, w, h, channels)
+      .map(Image(w, h, channels, _))
+  }
+
+  // ----------------------------------------------------------------- APNG
+
+  /** Animated PNG (the public APNG extension, now part of the PNG
+    * spec third edition): full-frame subset -- every frame the
+    * canvas size, x/y offset 0, dispose OP_NONE, blend OP_SOURCE, the
+    * first frame part of the animation (fcTL before IDAT). Each
+    * frame's data is its own complete zlib stream, frame 0 in IDAT,
+    * later frames in fdAT chunks carrying the shared fcTL/fdAT
+    * sequence numbering the spec mandates. The output is also a valid
+    * STATIC PNG whose image is frame 0 -- APNG's compatibility
+    * guarantee, pinned in the spec via ImageIO. */
+  def encodeApng(frames: Seq[Image], delayNum: Int = 1,
+      delayDen: Int = 10, filterMix: Boolean = true): Array[Byte] = {
+    require(frames.nonEmpty, "at least one frame")
+    val f0 = frames.head
+    require(frames.forall(f => f.width == f0.width &&
+      f.height == f0.height && f.channels == f0.channels),
+      "full-frame subset: all frames share the canvas geometry")
+    val o = new ByteArrayOutputStream()
+    o.write(PngSig, 0, 8)
+    chunk(o, "IHDR", ihdrBytes(f0.width, f0.height, f0.channels))
+    val actl = new ByteArrayOutputStream()
+    w32(actl, frames.length); w32(actl, 0) // loop forever
+    chunk(o, "acTL", actl.toByteArray)
+    var seq = 0
+    def fctl(): Array[Byte] = {
+      val b = new ByteArrayOutputStream()
+      w32(b, seq); seq += 1
+      w32(b, f0.width); w32(b, f0.height); w32(b, 0); w32(b, 0)
+      b.write((delayNum >>> 8) & 0xff); b.write(delayNum & 0xff)
+      b.write((delayDen >>> 8) & 0xff); b.write(delayDen & 0xff)
+      b.write(0); b.write(0) // dispose OP_NONE, blend OP_SOURCE
+      b.toByteArray
     }
-    Some(Image(w, h, channels, out))
+    chunk(o, "fcTL", fctl())
+    chunk(o, "IDAT", filterCompress(f0, filterMix))
+    frames.drop(1).foreach { fr =>
+      chunk(o, "fcTL", fctl())
+      val fdat = new ByteArrayOutputStream()
+      w32(fdat, seq); seq += 1
+      val z = filterCompress(fr, filterMix)
+      fdat.write(z, 0, z.length)
+      chunk(o, "fdAT", fdat.toByteArray)
+    }
+    chunk(o, "IEND", Array.emptyByteArray)
+    o.toByteArray
+  }
+
+  /** Decode the full-frame APNG subset [[encodeApng]] writes (plus
+    * any conformant stream of that shape): frames in fcTL order,
+    * frame 0 from IDAT, later frames from their fdAT runs (multiple
+    * fdAT chunks per frame concatenate into one zlib stream). A plain
+    * PNG (no acTL) decodes as a single frame. None on sub-frame
+    * geometry (offsets / partial frames are out of the subset), bad
+    * sequence numbers, or any static-PNG failure. */
+  def decodeApng(p: Array[Byte]): Option[Seq[Image]] = {
+    if (p.length < 8 || !java.util.Arrays.equals(p, 0, 8, PngSig, 0, 8))
+      return None
+    var i = 8
+    var w = 0; var h = 0; var channels = 0
+    var nFrames = -1
+    var expectSeq = 0
+    // frame assembly state: stream per started frame, in fcTL order
+    val streams = scala.collection.mutable.ArrayBuffer
+      .empty[ByteArrayOutputStream]
+    var sawIdatFrame = false
+    var sawEnd = false
+    while (!sawEnd && i + 8 <= p.length) {
+      val len = be32(p, i)
+      if (len < 0 || i + 12 + len > p.length) return None
+      val typ = new String(p, i + 4, 4, "US-ASCII")
+      typ match {
+        case "IHDR" =>
+          if (len < 13) return None
+          w = be32(p, i + 8); h = be32(p, i + 12)
+          val bitDepth = p(i + 16) & 0xff
+          val ct = p(i + 17) & 0xff
+          val interlace = p(i + 20) & 0xff
+          if (bitDepth != 8 || interlace != 0) return None
+          channels = ct match {
+            case 0 => 1; case 4 => 2; case 2 => 3; case 6 => 4
+            case _ => return None
+          }
+          if (w <= 0 || h <= 0) return None
+        case "acTL" =>
+          if (len < 8) return None
+          nFrames = be32(p, i + 8)
+          if (nFrames <= 0) return None
+        case "fcTL" =>
+          if (len < 26) return None
+          if (be32(p, i + 8) != expectSeq) return None
+          expectSeq += 1
+          val (fw, fh) = (be32(p, i + 12), be32(p, i + 16))
+          val (fx, fy) = (be32(p, i + 20), be32(p, i + 24))
+          if (fw != w || fh != h || fx != 0 || fy != 0) return None
+          streams += new ByteArrayOutputStream()
+        case "IDAT" =>
+          if (nFrames >= 0 && streams.isEmpty)
+            return None // animated but first frame not in the animation
+          if (streams.isEmpty) streams += new ByteArrayOutputStream()
+          streams.head.write(p, i + 8, len)
+          sawIdatFrame = true
+        case "fdAT" =>
+          if (len < 4 || streams.size < 2) return None
+          if (be32(p, i + 8) != expectSeq) return None
+          expectSeq += 1
+          streams.last.write(p, i + 12, len - 4)
+        case "IEND" => sawEnd = true
+        case _ => ()
+      }
+      i += 12 + len
+    }
+    if (w == 0 || !sawIdatFrame) return None
+    if (nFrames >= 0 && streams.size != nFrames) return None
+    val frames = streams.map { st =>
+      if (st.size == 0) return None
+      inflateDefilter(st.toByteArray, w, h, channels) match {
+        case Some(px) => Image(w, h, channels, px)
+        case None => return None
+      }
+    }
+    Some(frames.toSeq)
   }
 
   // ------------------------------------------------------------------ BMP

@@ -66,6 +66,17 @@ class MultimodalPixelSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_frame_decode samples every 2nd frame of the constructed APNG count") {
+    val byDoc = MultimodalOps.frameDecode(spark, dir).collect()
+      .groupBy(_.getLong(0))
+    byDoc.foreach { case (d, rows) =>
+      val n = (2 + d % 5).toInt
+      assert(rows.forall(_.getInt(2) === n), s"doc $d")
+      assert(rows.map(_.getInt(1)).sorted.toSeq ===
+        (0 until n by 2).toSeq, s"doc $d") // even frames, all present
+    }
+  }
+
   test("the banded pair plan is scale-clean") {
     graft.plans.PlanAudit.assertScales(
       MultimodalOps.imagePhashDedup(spark, dir))

@@ -210,6 +210,54 @@ class PixelCodecSpec extends AnyFunSuite {
     assert(aHash(flat) === ((0L, 0L)))
   }
 
+  test("APNG round-trip: multi-frame, both channel shapes, filter-cycled") {
+    for (ch <- Seq(1, 3)) {
+      val frames = (0 until 4).map(f => mkImage(12, 10, ch, seed = f * 7 + ch))
+      val back = decodeApng(encodeApng(frames)).get
+      assert(back.size === 4)
+      back.zip(frames).zipWithIndex.foreach { case ((b, orig), f) =>
+        assert(b.width === 12 && b.height === 10 && b.channels === ch)
+        assert(b.pixels.toSeq === orig.pixels.toSeq, s"frame $f ch=$ch")
+      }
+    }
+    // a plain PNG decodes as one frame through the same entry point
+    val still = mkImage(5, 4, 3, seed = 2)
+    val one = decodeApng(encodePng(still)).get
+    assert(one.size === 1 && one.head.pixels.toSeq === still.pixels.toSeq)
+  }
+
+  test("APNG compatibility guarantee: ImageIO reads frame 0 as a static PNG") {
+    val frames = (0 until 3).map(f => mkImage(8, 6, 3, seed = f + 40))
+    val bytes = encodeApng(frames)
+    val read = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(read.getWidth === 8 && read.getHeight === 6)
+    for (y <- 0 until 6; x <- 0 until 8) {
+      val argb = read.getRGB(x, y)
+      assert(((argb >> 16) & 0xff) === frames.head.px(x, y, 0), s"$x,$y")
+      assert((argb & 0xff) === frames.head.px(x, y, 2), s"$x,$y")
+    }
+  }
+
+  test("APNG decoder rejects out-of-subset and corrupt streams") {
+    val frames = (0 until 3).map(f => mkImage(6, 6, 1, seed = f))
+    val good = encodeApng(frames)
+    // break an fdAT sequence number: find the fdAT chunk and bump it
+    val broken = good.clone()
+    var i = 8
+    var done = false
+    while (!done && i + 8 <= broken.length) {
+      val len = ((broken(i) & 0xff) << 24) | ((broken(i + 1) & 0xff) << 16) |
+        ((broken(i + 2) & 0xff) << 8) | (broken(i + 3) & 0xff)
+      val typ = new String(broken, i + 4, 4, "US-ASCII")
+      if (typ == "fdAT") { broken(i + 11) = 99.toByte; done = true }
+      else i += 12 + len
+    }
+    assert(done && decodeApng(broken).isEmpty)
+    // truncation
+    assert(decodeApng(good.take(good.length / 2)).isEmpty)
+  }
+
   test("toGray: fixed-point BT.601 weights, paper-checked") {
     val img = Image(2, 1, 3, Array[Byte](255.toByte, 0, 0, 10, 20, 30))
     val g = toGray(img)
