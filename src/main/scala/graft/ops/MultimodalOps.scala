@@ -492,9 +492,13 @@ object MultimodalOps {
     * binary image column the codecs recognize. */
   def imagePhashPairsOf(assets: DataFrame, idCol: Column,
       payloadCol: Column, maxHamming: Int): DataFrame = {
-    val h = imageDhashOf(assets, idCol, payloadCol)
-      .select(col("doc_id"), col("dhash_lo").as("lo"),
-        col("dhash_hi").as("hi"))
+    // materialize the codec-heavy hash stage ONCE: both sides of the
+    // band self-join read the 3-column hash table, not the decode
+    // pipeline (same discipline as the text LSH joins)
+    val h = DedupOps.materializeOnce(
+      imageDhashOf(assets, idCol, payloadCol)
+        .select(col("doc_id"), col("dhash_lo").as("lo"),
+          col("dhash_hi").as("hi")))
     val bands = h.select(col("doc_id"), col("lo"), col("hi"),
       posexplode(array(
         col("lo").bitwiseAND(lit(65535L)), shiftright(col("lo"), 16),
