@@ -266,4 +266,61 @@ object Dedup {
       keys = Seq("doc_id"), partitionBy = partitionBy)
     survivorSigs.select(col("doc_id"))
   }
+
+  /** [[ingestDeduped]] for IMAGES: continuous dedup'd ingest of binary
+    * image batches against a persistent perceptual-hash index
+    * (`phashTable` schema: doc_id, dhash_lo, dhash_hi [, batch_id]).
+    * Pixels are decoded and hashed ONCE per batch, at arrival -- the
+    * corpus side of every comparison is the stored 3-column index,
+    * never re-decoded bytes. Same batch contract as the text path:
+    * within-batch clusters drop whole on any index near-match
+    * (Hamming <= `maxHamming` on banded dHash), min-id member
+    * survives otherwise, survivors' hashes MERGE idempotently, and a
+    * crash-retried batch excludes its own index entries from the
+    * corpus-hit set so the retry converges to the same survivors.
+    * `batchId` partitions the index so each merge commits only its
+    * own partition. */
+  def ingestImagesDeduped(store: graft.table.WarehouseWrites,
+      phashTable: String, batch: DataFrame, id: Column, payload: Column,
+      maxHamming: Int = graft.ops.MultimodalOps.HammingMax,
+      batchId: Option[String] = None): DataFrame = {
+    import graft.ops.MultimodalOps
+    val h = DedupOps.materializeOnce(
+      MultimodalOps.imageDhashOf(batch, id, payload)
+        .select(col("doc_id"), col("dhash_lo").as("lo"),
+          col("dhash_hi").as("hi")))
+    val within = MultimodalOps.imagePhashPairsFromHashes(h, maxHamming)
+    val comps = connectedComponents(
+      h.select(col("doc_id").as("id")),
+      within.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val corpusHits =
+      if (!store.exists(phashTable)) comps.limit(0).select(col("id"))
+      else MultimodalOps.imagePhashPairsBetween(h,
+        store.read(phashTable).select(col("doc_id"),
+          col("dhash_lo").as("lo"), col("dhash_hi").as("hi")),
+        maxHamming)
+        // retry discipline: hits on ids this batch itself merged on a
+        // previous attempt are not corpus content (see ingestDeduped)
+        .join(h.select(col("doc_id").as("existing_id")),
+          Seq("existing_id"), "left_anti")
+        .select(col("new_id").as("id")).distinct()
+    val droppedClusters = comps.join(corpusHits, Seq("id"))
+      .select(col("component")).distinct()
+    val survivors = comps
+      .join(droppedClusters, Seq("component"), "left_anti")
+      .groupBy(col("component")).agg(min(col("id")).as("doc_id"))
+      .select(col("doc_id"))
+    val survivorH0 = h.join(survivors, Seq("doc_id"))
+      .select(col("doc_id"), col("lo").as("dhash_lo"),
+        col("hi").as("dhash_hi"))
+    val (survivorH, partitionBy) = batchId match {
+      case Some(b) =>
+        (survivorH0.withColumn("batch_id", lit(b)).localCheckpoint(true),
+          Seq("batch_id"))
+      case None => (survivorH0.localCheckpoint(true), Nil)
+    }
+    graft.table.UpsertWriter.upsertAll(store, phashTable, survivorH,
+      keys = Seq("doc_id"), partitionBy = partitionBy)
+    survivorH.select(col("doc_id"))
+  }
 }

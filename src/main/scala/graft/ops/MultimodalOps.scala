@@ -490,6 +490,55 @@ object MultimodalOps {
     * the join output. At 100 TB pair work is sum over (band, value)
     * buckets of bucket^2 -- corpus^2 never appears. Works on ANY
     * binary image column the codecs recognize. */
+  /** (doc_id, lo, hi) -> one row per 16-bit band: (.., bi, bv). */
+  private def phashBands(h: DataFrame): DataFrame =
+    h.select(col("doc_id"), col("lo"), col("hi"),
+      posexplode(array(
+        col("lo").bitwiseAND(lit(65535L)), shiftright(col("lo"), 16),
+        col("hi").bitwiseAND(lit(65535L)), shiftright(col("hi"), 16)))
+        .as(Seq("bi", "bv")))
+
+  private def hammingExpr(aSuf: String, bSuf: String): Column =
+    (bit_count(col(s"lo_$aSuf").bitwiseXOR(col(s"lo_$bSuf"))) +
+      bit_count(col(s"hi_$aSuf").bitwiseXOR(col(s"hi_$bSuf")))).cast("int")
+
+  /** Banded near-dup pairs from an already-computed hash table
+    * (doc_id, lo, hi): (doc_a, doc_b, hamming), doc_a < doc_b. */
+  def imagePhashPairsFromHashes(h: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val bands = phashBands(h)
+    val a = bands.select(col("doc_id").as("doc_a"), col("lo").as("lo_a"),
+      col("hi").as("hi_a"), col("bi"), col("bv"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("lo").as("lo_b"),
+      col("hi").as("hi_b"), col("bi"), col("bv"))
+    a.join(b, Seq("bi", "bv")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("lo_a"), col("hi_a"),
+        col("doc_b"), col("lo_b"), col("hi_b"))
+      .distinct()
+      .withColumn("hamming", hammingExpr("a", "b"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Incremental variant: new hashes vs an EXISTING hash index --
+    * (new_id, existing_id, hamming). The corpus side is the stored
+    * 3-column index (never re-decoded); cost is the batch's bands
+    * plus its bucket collisions against the index. */
+  def imagePhashPairsBetween(newH: DataFrame, corpusH: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val a = phashBands(newH).select(col("doc_id").as("new_id"),
+      col("lo").as("lo_a"), col("hi").as("hi_a"), col("bi"), col("bv"))
+    val b = phashBands(corpusH).select(col("doc_id").as("existing_id"),
+      col("lo").as("lo_b"), col("hi").as("hi_b"), col("bi"), col("bv"))
+    a.join(b, Seq("bi", "bv"))
+      .select(col("new_id"), col("lo_a"), col("hi_a"),
+        col("existing_id"), col("lo_b"), col("hi_b"))
+      .distinct()
+      .withColumn("hamming", hammingExpr("a", "b"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("new_id"), col("existing_id"), col("hamming"))
+  }
+
   def imagePhashPairsOf(assets: DataFrame, idCol: Column,
       payloadCol: Column, maxHamming: Int): DataFrame = {
     // materialize the codec-heavy hash stage ONCE: both sides of the
@@ -499,24 +548,7 @@ object MultimodalOps {
       imageDhashOf(assets, idCol, payloadCol)
         .select(col("doc_id"), col("dhash_lo").as("lo"),
           col("dhash_hi").as("hi")))
-    val bands = h.select(col("doc_id"), col("lo"), col("hi"),
-      posexplode(array(
-        col("lo").bitwiseAND(lit(65535L)), shiftright(col("lo"), 16),
-        col("hi").bitwiseAND(lit(65535L)), shiftright(col("hi"), 16)))
-        .as(Seq("bi", "bv")))
-    val a = bands.select(col("doc_id").as("doc_a"), col("lo").as("lo_a"),
-      col("hi").as("hi_a"), col("bi"), col("bv"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("lo").as("lo_b"),
-      col("hi").as("hi_b"), col("bi"), col("bv"))
-    val ham = (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
-      bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("int")
-    a.join(b, Seq("bi", "bv")).filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("lo_a"), col("hi_a"),
-        col("doc_b"), col("lo_b"), col("hi_b"))
-      .distinct()
-      .withColumn("hamming", ham)
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    imagePhashPairsFromHashes(h, maxHamming)
   }
 
   def imagePhashDedup(s: SparkSession, dir: String): DataFrame =

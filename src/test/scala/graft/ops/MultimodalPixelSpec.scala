@@ -2,6 +2,8 @@ package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions.col
+
 import graft.TestSpark
 
 /** Planted-data behavior for the real pixel/audio path -- properties
@@ -75,6 +77,51 @@ class MultimodalPixelSpec extends AnyFunSuite {
       assert(rows.map(_.getInt(1)).sorted.toSeq ===
         (0 until n by 2).toSeq, s"doc $d") // even frames, all present
     }
+  }
+
+  test("ingestImagesDeduped: persistent phash index, whole-cluster drops, crash-retry idempotence") {
+    import spark.implicits._
+    // real PNG assets: same group string -> same base image; noise
+    // nudges the first k pixels (Hamming <= 3 by the dHash argument
+    // in the pair spec above); different groups are h15-independent
+    def asset(id: Long, group: String, noise: Int): (Long, Array[Byte]) = {
+      val px = Array.tabulate(72) { i =>
+        ((graft.ops.Hashing.h15Local(s"spec-img:$group:$i") % 256L +
+          (if (i < noise) 1 else 0)) % 256L).toByte
+      }
+      (id, PixelCodec.encodePng(PixelCodec.Image(9, 8, 1, px)))
+    }
+    val store = new graft.table.VersionedTableStore(spark,
+      java.nio.file.Files.createTempDirectory("phash-ingest").toString)
+    val b1 = Seq(asset(1, "g0", 0), asset(2, "g0", 1), asset(3, "g1", 0),
+      asset(4, "g1", 1), asset(5, "g2", 0), asset(6, "g3", 0))
+      .toDF("id", "bytes")
+    val s1 = graft.api.Dedup.ingestImagesDeduped(store, "phash_idx", b1,
+      col("id"), col("bytes"), batchId = Some("b1"))
+      .collect().map(_.getLong(0)).toSet
+    // within-batch clusters {1,2} {3,4} {5} {6}: min-id survives
+    assert(s1 === Set(1L, 3L, 5L, 6L))
+    assert(store.read("phash_idx").count() === 4)
+
+    // batch 2: 11 near-dups corpus g0 -> dropped; 12 fresh; the
+    // {13,14} cluster near-dups corpus g1 -> dropped WHOLE
+    val b2 = Seq(asset(11, "g0", 2), asset(12, "g4", 0),
+      asset(13, "g1", 3), asset(14, "g1", 2)).toDF("id", "bytes")
+    val s2 = graft.api.Dedup.ingestImagesDeduped(store, "phash_idx", b2,
+      col("id"), col("bytes"), batchId = Some("b2"))
+      .collect().map(_.getLong(0)).toSet
+    assert(s2 === Set(12L))
+    assert(store.read("phash_idx").count() === 5)
+
+    // crash-retry: the batch's own merged hash is already in the
+    // index; the retry must NOT count it as a corpus hit
+    val s2retry = graft.api.Dedup.ingestImagesDeduped(store, "phash_idx",
+      b2, col("id"), col("bytes"), batchId = Some("b2"))
+      .collect().map(_.getLong(0)).toSet
+    assert(s2retry === Set(12L))
+    assert(store.read("phash_idx").count() === 5)
+    assert(store.read("phash_idx").select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 3L, 5L, 6L, 12L))
   }
 
   test("the banded pair plan is scale-clean") {
