@@ -425,41 +425,77 @@ object StreamingIngest {
   def followDedupRetractions(spark: SparkSession,
       vs: graft.table.VersionedTableStore, source: String, sigTable: String,
       pk: String, textCol: String, checkpoint: String,
-      startingVersion: String = "earliest"): StreamingQuery = {
+      startingVersion: String = "earliest"): StreamingQuery =
+    followIndexRetractions(spark, vs, source, sigTable, pk, checkpoint,
+      startingVersion, valueCols = Seq("th"),
+      rederive = updates => updates.select(col(pk).as("doc_id"),
+        graft.ops.DedupOps.hashedTokenSet(col(textCol)).as("__new_th")))
+
+  /** [[followDedupRetractions]] for the IMAGE phash index
+    * ([[graft.api.Dedup.ingestImagesDeduped]]'s `phashTable`): deletes
+    * of source assets evict their dHash rows; payload updates
+    * re-decode and re-hash through the real codec path. Same
+    * checkpoint-before-takedowns contract and partition-granular
+    * rebuild as the text follower. */
+  def followPhashRetractions(spark: SparkSession,
+      vs: graft.table.VersionedTableStore, source: String,
+      phashTable: String, pk: String, payloadCol: String,
+      checkpoint: String,
+      startingVersion: String = "earliest"): StreamingQuery =
+    followIndexRetractions(spark, vs, source, phashTable, pk, checkpoint,
+      startingVersion, valueCols = Seq("dhash_lo", "dhash_hi"),
+      rederive = updates => graft.ops.MultimodalOps
+        .imageDhashOf(updates, col(pk), col(payloadCol))
+        .select(col("doc_id"), col("dhash_lo").as("__new_dhash_lo"),
+          col("dhash_hi").as("__new_dhash_hi")))
+
+  /** The shared retraction dance both index followers run: deletes
+    * evict `doc_id` rows, updates replace `valueCols` with the
+    * re-derived `__new_<col>` values from `rederive(updates)`, and
+    * only the index partitions holding touched doc_ids rewrite
+    * (explicit-replacement commit, so fully-emptied partitions drop).
+    * `rederive` receives the batch's update rows (post-images) and
+    * must return (doc_id, __new_<c> for each valueCol). */
+  private def followIndexRetractions(spark: SparkSession,
+      vs: graft.table.VersionedTableStore, source: String, idxTable: String,
+      pk: String, checkpoint: String, startingVersion: String,
+      valueCols: Seq[String],
+      rederive: DataFrame => DataFrame): StreamingQuery = {
     changeFeed(spark, vs, source, Seq(pk), includePre = false,
       startingVersion = startingVersion).writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val touched = batch
           .filter(col("change_type").isin("delete", "update"))
-        if (vs.exists(sigTable) && !touched.isEmpty) {
+        if (vs.exists(idxTable) && !touched.isEmpty) {
           val dels = touched.filter(col("change_type") === "delete")
             .select(col(pk).as("doc_id"))
-          val resigs = touched.filter(col("change_type") === "update")
-            .select(col(pk).as("doc_id"),
-              graft.ops.DedupOps.hashedTokenSet(col(textCol)).as("__th2"))
-          val keys = dels.unionByName(resigs.select(col("doc_id"))).distinct()
-          val sig = vs.read(sigTable)
-          val pcols = vs.partitionColumns(sigTable)
-          def rebuildOf(rows: DataFrame): DataFrame = rows
-            .join(dels, Seq("doc_id"), "left_anti")
-            .join(resigs, Seq("doc_id"), "left")
-            .withColumn("th", coalesce(col("__th2"), col("th")))
-            .drop("__th2")
-            .select(rows.columns.toIndexedSeq.map(col): _*)
+          val renew = rederive(
+            touched.filter(col("change_type") === "update"))
+          val keys = dels.unionByName(renew.select(col("doc_id"))).distinct()
+          val idx = vs.read(idxTable)
+          val pcols = vs.partitionColumns(idxTable)
+          def rebuildOf(rows: DataFrame): DataFrame = {
+            val merged = valueCols.foldLeft(
+              rows.join(dels, Seq("doc_id"), "left_anti")
+                .join(renew, Seq("doc_id"), "left")) { (df, c) =>
+              df.withColumn(c, coalesce(col(s"__new_$c"), col(c)))
+            }
+            merged.select(rows.columns.toIndexedSeq.map(col): _*)
+          }
           if (pcols.nonEmpty) {
-            val parts = sig.join(keys, Seq("doc_id"))
+            val parts = idx.join(keys, Seq("doc_id"))
               .select(pcols.map(col): _*).distinct()
             val partVals = parts.collect()
               .map(r => pcols.indices.map(i => String.valueOf(r.get(i))))
               .toSeq
             if (partVals.nonEmpty) {
-              val affected = sig.join(broadcast(parts), pcols)
-              vs.commitPartitionsReplacing(rebuildOf(affected), sigTable,
+              val affected = idx.join(broadcast(parts), pcols)
+              vs.commitPartitionsReplacing(rebuildOf(affected), idxTable,
                 pcols, partVals)
             }
           } else {
-            if (sig.join(keys, Seq("doc_id"), "left_semi").isEmpty) ()
-            else vs.createOrReplace(rebuildOf(sig), sigTable, Nil)
+            if (idx.join(keys, Seq("doc_id"), "left_semi").isEmpty) ()
+            else vs.createOrReplace(rebuildOf(idx), idxTable, Nil)
           }
         }
         ()

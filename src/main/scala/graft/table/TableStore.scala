@@ -35,23 +35,37 @@ class TableStore(val spark: SparkSession, val root: String) extends WarehouseWri
     * Glue-cataloged warehouse (build_stock_aggregations.py:45-55).
     * Every write re-registers, so catalog schema and partition
     * metadata always reflect the files on disk. */
+  /** Catalog-qualified identifier: a single-part name resolves TEMP
+    * VIEWS first in Spark SQL, so an unqualified
+    * `DROP TABLE IF EXISTS t` with a same-named temp view in the
+    * session is silently diverted AWAY from the catalog table -- the
+    * next CREATE then collides with the table the drop was supposed
+    * to remove. Every catalog statement here addresses the table
+    * through the session catalog's default namespace, which temp
+    * views cannot shadow. */
+  private def qualified(name: String): String =
+    s"spark_catalog.default.`$name`"
+
   def register(name: String, partitionBy: Seq[String] = Nil): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
-    spark.sql(s"CREATE TABLE `$name` USING parquet LOCATION '${path(name)}'")
+    spark.sql(s"DROP TABLE IF EXISTS ${qualified(name)}")
+    spark.sql(
+      s"CREATE TABLE ${qualified(name)} USING parquet LOCATION '${path(name)}'")
     if (partitionBy.nonEmpty)
-      spark.sql(s"ALTER TABLE `$name` RECOVER PARTITIONS")
-    spark.catalog.refreshTable(s"`$name`")
+      spark.sql(s"ALTER TABLE ${qualified(name)} RECOVER PARTITIONS")
+    spark.catalog.refreshTable(qualified(name))
   }
 
   /** [[register]] for a table whose partitioning is discovered from
     * the directory layout rather than passed in (attach-time use). */
   def registerDiscovered(name: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
-    spark.sql(s"CREATE TABLE `$name` USING parquet LOCATION '${path(name)}'")
-    val partitioned = spark.catalog.listColumns(s"`$name`")
+    spark.sql(s"DROP TABLE IF EXISTS ${qualified(name)}")
+    spark.sql(
+      s"CREATE TABLE ${qualified(name)} USING parquet LOCATION '${path(name)}'")
+    val partitioned = spark.catalog.listColumns(qualified(name))
       .collect().exists(_.isPartition)
-    if (partitioned) spark.sql(s"ALTER TABLE `$name` RECOVER PARTITIONS")
-    spark.catalog.refreshTable(s"`$name`")
+    if (partitioned)
+      spark.sql(s"ALTER TABLE ${qualified(name)} RECOVER PARTITIONS")
+    spark.catalog.refreshTable(qualified(name))
   }
 
   /** Create or full-replace a BUCKETED table: rows are hash-clustered
@@ -66,12 +80,12 @@ class TableStore(val spark: SparkSession, val root: String) extends WarehouseWri
       bucketCols: Seq[String], buckets: Int,
       sortCols: Seq[String] = Nil): Unit = {
     require(bucketCols.nonEmpty && buckets > 0)
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(s"DROP TABLE IF EXISTS ${qualified(name)}")
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .option("path", path(name))
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
-      .saveAsTable(s"`$name`")
+      .saveAsTable(qualified(name))
   }
 
   /** S5/S6: create or full-replace (CTAS / createOrReplace). */

@@ -141,7 +141,10 @@ class ColumnLineageSpec extends AnyFunSuite {
     val q6 = spark.sql("SELECT x + y AS z FROM lin_ct")
     assert(sourcesOf(q6, "z").map(_._2) === Set("x", "y"))
     assert(sourcesOf(q6, "z").map(_._1).forall(_.endsWith("lin_ct")))
-    spark.sql("DROP TABLE IF EXISTS lin_ct")
+    spark.sql("DROP TABLE IF EXISTS spark_catalog.default.lin_ct")
+    // shared-session hygiene: a leaked temp view named like another
+    // suite's store table shadows single-part catalog statements
+    Seq("t", "t_derived", view).foreach(spark.catalog.dropTempView)
   }
 
   test("lineageDf renders the catalogue frame") {

@@ -300,6 +300,49 @@ class ChangeFeedSpec extends AnyFunSuite {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("followPhashRetractions: takedowns evict image hashes; payload updates re-hash through the codec") {
+    import graft.api.Dedup
+    import graft.ops.PixelCodec
+    def png(group: String): Array[Byte] = PixelCodec.encodePng(
+      PixelCodec.Image(9, 8, 1, Array.tabulate(72)(i =>
+        (graft.ops.Hashing.h15Local(s"cfimg:$group:$i") % 256L).toByte)))
+    val vs = new graft.table.VersionedTableStore(spark, tmp("graft-cfimg-store"))
+    vs.commitFull(Seq((1L, png("a")), (2L, png("b")), (3L, png("c")))
+      .toDF("doc_id", "bytes"), "assets", Nil)
+    Dedup.ingestImagesDeduped(vs, "phash", vs.read("assets"),
+      col("doc_id"), col("bytes"), batchId = Some("b0"))
+    assert(vs.read("phash").select("doc_id").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L))
+    val ckpt = tmp("graft-cfimg-ckpt")
+    def drain(): Unit = StreamingIngest.followPhashRetractions(
+      spark, vs, "assets", "phash", pk = "doc_id", payloadCol = "bytes",
+      checkpoint = ckpt).awaitTermination()
+    drain() // checkpoint BEFORE takedowns (net-snapshot contract)
+    assert(vs.read("phash").select("doc_id").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L), "insert replay must not touch the index")
+
+    // takedown doc 2; replace doc 3's image bytes
+    vs.deleteWhere("assets", col("doc_id") === 2L, Nil)
+    vs.updateWhere("assets", col("doc_id") === 3L,
+      Map("bytes" -> lit(png("c-replaced"))), Nil)
+    drain()
+    val idx = vs.read("phash")
+    assert(idx.select("doc_id").as[Long].collect().toSet === Set(1L, 3L),
+      "doc 2's hash must be evicted")
+    // doc 3 must carry the hash of the NEW pixels: the general path
+    // (gray + 9x8 resize) is the identity here, so dHash directly
+    val img = PixelCodec.decodePng(png("c-replaced")).get
+    val (elo, ehi) = PixelCodec.dHash(img)
+    val row = idx.filter(col("doc_id") === 3L)
+      .select("dhash_lo", "dhash_hi").as[(Long, Long)].head()
+    assert(row === ((elo, ehi)), "doc 3 must carry its re-derived hash")
+    // idempotent re-drain
+    drain()
+    assert(vs.read("phash").select("doc_id").as[Long].collect().toSet ===
+      Set(1L, 3L))
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("followRollupChanges maintains exact totals under update/delete/group-move/rollback") {
     val vs = new graft.table.VersionedTableStore(spark, tmp("graft-cfr-store"))
     vs.commitFull(

@@ -285,6 +285,28 @@ class MergeSqlSpec extends AnyFunSuite {
     assert(vs != null)
   }
 
+  test("catalog registration survives a same-named temp view (shadow regression)") {
+    // single-part names resolve temp views FIRST: an unqualified
+    // DROP TABLE IF EXISTS used to be diverted to the temp view,
+    // leaving the catalog table in place for the next CREATE to
+    // collide with (surfaced as a cross-suite flake when another
+    // spec leaked a temp view named like a store table)
+    val st = fresh()
+    spark.range(1).toDF("x").createOrReplaceTempView("t_shadow")
+    try {
+      st.createOrReplace(Seq((1, 2)).toDF("a", "b"), "t_shadow")
+      st.createOrReplace(Seq((3, 4)).toDF("a", "b"), "t_shadow") // re-register
+      assert(spark.table("spark_catalog.default.t_shadow")
+        .as[(Int, Int)].collect().toSeq === Seq((3, 4)))
+      // the temp view is untouched -- the store never resolves
+      // through it
+      assert(spark.table("t_shadow").columns.toSeq === Seq("x"))
+    } finally {
+      spark.catalog.dropTempView("t_shadow")
+      spark.sql("DROP TABLE IF EXISTS spark_catalog.default.t_shadow")
+    }
+  }
+
   test("UPDATE-only MERGE accepts a source NARROWER than the target") {
     // Iceberg/Delta allow it: with no INSERT clause and no SET *, the
     // source only needs its join keys and the columns it assigns --
