@@ -410,28 +410,20 @@ object MultimodalOps {
     * -> dHash halves plus aHash halves of the left 8x8 subgrid. On a
     * 9x8 grey input the grey/resize steps are identities, which is
     * what lets the formula oracle gate this exact code path. Output:
-    * (doc_id, dhash_lo, dhash_hi, ahash_lo, ahash_hi). */
+    * (doc_id, dhash_lo, dhash_hi, ahash_lo, ahash_hi).
+    *
+    * Runs as the native [[graft.functions.ImagePhash]] expression
+    * (strict: undecodable bytes fail the job loudly), so the whole
+    * decode+hash sits INSIDE whole-stage codegen -- no typed Dataset
+    * boundary; subexpression elimination keeps the decode at one
+    * evaluation across the four extracted fields. */
   def imageDhashOf(assets: DataFrame, idCol: Column,
       payloadCol: Column): DataFrame = {
-    val s = assets.sparkSession
-    import s.implicits._
-    assets.select(idCol.cast("long").as("doc_id"),
-        payloadCol.as("payload"))
-      .as[(Long, Array[Byte])].mapPartitions { it =>
-        it.map { case (d, payload) =>
-          val img = PixelCodec.decodePng(payload)
-            .orElse(PixelCodec.decodeBmp(payload))
-            .getOrElse(throw new IllegalStateException(
-              s"undecodable image for id $d"))
-          val g = PixelCodec.resizeArea(PixelCodec.toGray(img),
-            HashW, HashH)
-          val (dl, dh) = PixelCodec.dHash(g)
-          val sub = PixelCodec.Image(8, 8, 1,
-            Array.tabulate(64)(j => g.pixels((j / 8) * HashW + j % 8)))
-          val (al, ah) = PixelCodec.aHash(sub)
-          PhashRow(d, dl, dh, al, ah)
-        }
-      }.toDF()
+    import org.apache.spark.sql.graft.ColumnBridge
+    val h = ColumnBridge.column(graft.functions.ImagePhash(
+      ColumnBridge.expression(payloadCol), strict = true))
+    assets.select(idCol.cast("long").as("doc_id"), h.as("__h"))
+      .select(col("doc_id"), col("__h.*"))
   }
 
   def imagePhash(s: SparkSession, dir: String): DataFrame =

@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.ArrayExprs.{DoubleDot, SimHash, SortedLongJaccard}
 import graft.functions.CharEntropyStats
+import graft.functions.{ImageDims, ImagePhash}
 import graft.functions.HashExprs.{Md5ShingleSet, MinhashSig}
 import graft.functions.NfkcLower
 
@@ -30,6 +31,17 @@ object FunctionRegistration {
       info(classOf[DoubleDot], "graft_dot",
         "graft_dot(a, b) - sequential dot product of two array<double>"),
       (es: Seq[Expression]) => DoubleDot(es(0), es(1))),
+    (FunctionIdentifier("graft_image_phash"),
+      info(classOf[ImagePhash], "graft_image_phash",
+        "graft_image_phash(bytes) - perceptual hash of a PNG/BMP payload: " +
+          "struct(dhash_lo, dhash_hi, ahash_lo, ahash_hi) 32-bit halves; " +
+          "NULL for unrecognized bytes"),
+      (es: Seq[Expression]) => ImagePhash(es(0))),
+    (FunctionIdentifier("graft_image_dims"),
+      info(classOf[ImageDims], "graft_image_dims",
+        "graft_image_dims(bytes) - struct(width, height, channels) of a " +
+          "PNG/BMP payload; NULL for unrecognized bytes"),
+      (es: Seq[Expression]) => ImageDims(es(0))),
     (FunctionIdentifier("graft_jaccard"),
       info(classOf[SortedLongJaccard], "graft_jaccard",
         "graft_jaccard(a, b) - Jaccard similarity of two sorted distinct array<long>"),

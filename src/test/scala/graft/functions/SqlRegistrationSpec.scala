@@ -38,6 +38,44 @@ class SqlRegistrationSpec extends AnyFunSuite {
     FunctionRegistration.register(spark)
   }
 
+  test("image expressions from SQL: phash matches the codec, dims probe, NULL on junk") {
+    FunctionRegistration.register(spark)
+    import spark.implicits._
+    import graft.ops.PixelCodec
+    val img = PixelCodec.Image(9, 8, 1,
+      Array.tabulate(72)(i => ((i * 37 + 11) % 256).toByte))
+    Seq((1L, PixelCodec.encodePng(img)),
+      (2L, "not an image".getBytes("UTF-8")))
+      .toDF("id", "bytes").createOrReplaceTempView("__img_reg")
+    val row = spark.sql(
+      "SELECT h.dhash_lo, h.dhash_hi FROM" +
+        " (SELECT graft_image_phash(bytes) AS h FROM __img_reg WHERE id = 1)")
+      .as[(Long, Long)].head()
+    assert(row === PixelCodec.dHash(img)) // 9x8 grey: resize/grey = identity
+    val dims = spark.sql(
+      "SELECT d.width, d.height, d.channels FROM" +
+        " (SELECT graft_image_dims(bytes) AS d FROM __img_reg WHERE id = 1)")
+      .as[(Int, Int, Int)].head()
+    assert(dims === ((9, 8, 1)))
+    // lenient SQL semantics: junk bytes -> NULL, not a task failure
+    assert(spark.sql(
+      "SELECT count(*) FROM __img_reg WHERE graft_image_phash(bytes) IS NULL")
+      .as[Long].head() === 1L)
+    // strict DataFrame path fails loud on the same junk (surfaces as
+    // the raw IllegalStateException driver-side, SparkException from
+    // an executor -- either way the job dies naming the cause)
+    val e = intercept[Throwable] {
+      graft.ops.MultimodalOps.imageDhashOf(
+        spark.sql("SELECT * FROM __img_reg"),
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("bytes")).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("undecodable")),
+      chain(e).toString)
+  }
+
   test("native AGGREGATES are callable from SQL: topk, kmv, vec moments") {
     FunctionRegistration.register(spark)
     import spark.implicits._
