@@ -26,10 +26,15 @@ object ImageExprs {
   def phash(payload: Array[Byte], strict: Boolean): InternalRow = {
     val decoded = PixelCodec.decodePng(payload)
       .orElse(PixelCodec.decodeBmp(payload))
+      // a hash over a 9x8 grid needs at least 9x8 source pixels
+      // (resizeArea is downscale-only); smaller images carry too few
+      // gradients to hash meaningfully -- unhashable, not an error
+      // class of their own
+      .filter(img => img.width >= 9 && img.height >= 8)
     decoded match {
       case None =>
         if (strict) throw new IllegalStateException(
-          "graft_image_phash: undecodable image payload")
+          "graft_image_phash: undecodable or sub-9x8 image payload")
         else null
       case Some(img) =>
         val g = PixelCodec.resizeArea(PixelCodec.toGray(img), 9, 8)

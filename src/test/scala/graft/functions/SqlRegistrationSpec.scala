@@ -61,6 +61,13 @@ class SqlRegistrationSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT count(*) FROM __img_reg WHERE graft_image_phash(bytes) IS NULL")
       .as[Long].head() === 1L)
+    // a legal but sub-9x8 image is unhashable -> NULL too (dims still probe)
+    Seq((9L, PixelCodec.encodePng(PixelCodec.Image(1, 1, 1, Array[Byte](7)))))
+      .toDF("id", "bytes").createOrReplaceTempView("__img_tiny")
+    assert(spark.sql(
+      "SELECT graft_image_phash(bytes) IS NULL, d.width FROM" +
+        " (SELECT bytes, graft_image_dims(bytes) AS d FROM __img_tiny)")
+      .as[(Boolean, Int)].head() === ((true, 1)))
     // strict DataFrame path fails loud on the same junk (surfaces as
     // the raw IllegalStateException driver-side, SparkException from
     // an executor -- either way the job dies naming the cause)
