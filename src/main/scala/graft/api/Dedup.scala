@@ -64,6 +64,24 @@ object Dedup {
       DedupOps.MinhashK, DedupOps.NgramBandCount, DedupOps.NgramLshRows,
       threshold, "ngram_jaccard")
 
+  /** Character-level edit-distance near-duplicate pairs: (doc_a,
+    * doc_b, edit_dist) for every candidate pair within Levenshtein
+    * distance `maxDist`. Candidates come from the same shingle-LSH
+    * banding as [[shinglePairs]]; the verifier is Spark's banded
+    * `levenshtein(a, b, maxDist)` inside the join condition
+    * (O(maxDist * len) per candidate, no full DP table, rejected
+    * pairs never materialize). The strictest dedup in the family:
+    * certifies near-identity, not shared vocabulary. */
+  def editDistancePairs(docs: DataFrame, id: Column, text: Column,
+      maxDist: Int = DedupOps.EditDistMax,
+      shingleN: Int = DedupOps.NgramN): DataFrame =
+    DedupOps.editDistancePairs(
+      docs.repartition(DedupOps.JoinParallelism)
+        .select(id.as("doc_id"), text.as("text"),
+          DedupOps.hashedShingles(text, shingleN).as("th")),
+      DedupOps.MinhashK, DedupOps.NgramBandCount, DedupOps.NgramLshRows,
+      maxDist)
+
   /** SimHash near-duplicate pairs (hamming <= 4 over a 31-bit
     * fingerprint), optionally blocked by extra columns (e.g. a
     * language column): output (blockCols..., doc_a, doc_b, hamming).

@@ -556,6 +556,107 @@ object DedupOps {
     lshJaccardPairsSql(hashedShinglesSql(NgramN), MinhashK, NgramBandCount,
       NgramLshRows, NgramThreshold, "ngram_jaccard")
 
+  // -------------------------------------------------------- edit distance
+
+  /** Maximum Levenshtein distance for [[dedupEditDistance]]. Near-dup
+    * replicas in realistic corpora (suffix stamps, single-token
+    * swaps) sit at single-digit edit distances on ~300-char docs;
+    * 16 keeps comfortable headroom without admitting rewrites. */
+  val EditDistMax = 16
+
+  /** Edit-distance near-dup pairs over a `(doc_id, text, th)` input:
+    * the same banded MinHash blocking as the shingle-Jaccard path
+    * generates candidates (candidate recall follows the banding
+    * curve over SHINGLE similarity, which upper-bounds how far two
+    * strings within a small edit distance can drift apart), then the
+    * exact verifier is banded Levenshtein INSIDE the join condition:
+    * `levenshtein(a, b, maxDist)` is Spark's threshold variant --
+    * O(maxDist * len) Ukkonen band, returning -1 past the threshold
+    * -- so a non-qualifying candidate costs a diagonal band walk,
+    * not a full O(len^2) DP table, and never materializes an output
+    * row. A `|len_a - len_b| <= maxDist` guard (a true lower bound
+    * on edit distance) short-circuits even that.
+    *
+    * Same shuffle discipline as [[lshJaccardPairs]]: one compact row
+    * per (doc, band) into the salted bucket join, pair uniqueness by
+    * the first-colliding-band rule, no DISTINCT over pairs. */
+  private[graft] def editDistancePairs(items: DataFrame, k: Int,
+      bandCount: Int, rows: Int, maxDist: Int): DataFrame = {
+    val docs = materializeOnce(items
+      .withColumn("bands", lshBands(
+        graft.functions.HashExprs.minhashSig(col("th"), k), bandCount, rows)))
+    val buckets = docs.select(col("doc_id"), col("text"), col("bands"),
+      posexplode_outer(col("bands")).as(Seq("band_idx", "band_hash")))
+    val G = SaltGroups
+    val saltOf: Column => Column = id => pmod(xxhash64(id), lit(G)).cast("int")
+    val a = buckets.select(col("band_idx"), col("band_hash"),
+        col("doc_id").as("doc_a"), col("text").as("text_a"),
+        col("bands").as("bands_a"))
+      .withColumn("ga", saltOf(col("doc_a")))
+      .withColumn("gb", explode(sequence(lit(0), lit(G - 1))))
+    val b = buckets.select(col("band_idx").as("bi_b"), col("band_hash").as("bh_b"),
+        col("doc_id").as("doc_b"), col("text").as("text_b"),
+        col("bands").as("bands_b"))
+      .withColumn("gb_b", saltOf(col("doc_b")))
+      .withColumn("ga_b", explode(sequence(lit(0), lit(G - 1))))
+    val firstCollidingBand = (0 until bandCount).map { i =>
+      col("band_idx") <= i || element_at(col("bands_a"), i + 1) =!= element_at(col("bands_b"), i + 1)
+    }.reduce(_ && _)
+    val dist = levenshtein(col("text_a"), col("text_b"), maxDist)
+    val cond = col("band_idx") === col("bi_b") && col("band_hash") === col("bh_b") &&
+      col("ga") === col("ga_b") && col("gb") === col("gb_b") &&
+      col("doc_a") < col("doc_b") && firstCollidingBand &&
+      abs(length(col("text_a")) - length(col("text_b"))) <= maxDist &&
+      dist >= 0
+    a.repartition(JoinParallelism, col("band_idx"), col("band_hash"), col("ga"), col("gb"))
+      .join(b.repartition(JoinParallelism, col("bi_b"), col("bh_b"), col("ga_b"), col("gb_b")),
+        cond)
+      .select(col("doc_a"), col("doc_b"), dist.as("edit_dist"))
+  }
+
+  /** Levenshtein near-dup pairs over `documents` at edit distance
+    * <= [[EditDistMax]] -- (doc_a, doc_b, edit_dist). Blocking reuses
+    * the shingle-LSH banding of [[dedupNgramJaccard]]; the verifier
+    * is character-level edit distance, so this is the strictest
+    * member of the dedup family: it certifies near-IDENTITY, not
+    * just shared vocabulary or shared runs.
+    *
+    * Cross-engine note: Spark's `levenshtein` counts CHARACTERS,
+    * DuckDB's counts BYTES; the oracle corpus is pure ASCII (the
+    * driver's fixture property), where the two coincide. The engine
+    * side is the character-correct one for real data. */
+  def dedupEditDistance(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).repartition(JoinParallelism)
+      .select(col("doc_id"), col("text"),
+        hashedShingles(col("text"), NgramN).as("th"))
+    editDistancePairs(docs, MinhashK, NgramBandCount, NgramLshRows, EditDistMax)
+  }
+
+  /** DuckDB twin of [[dedupEditDistance]]: identical banding over the
+    * same shingle SQL, plain `levenshtein` (no threshold variant --
+    * the oracle runs at gate scale) as the verifier. */
+  val dedupEditDistanceSql: String = {
+    val sig = minhashSigSql("th", MinhashK)
+    val bands = lshBandsSql("sig", NgramBandCount, NgramLshRows)
+    s"""WITH d AS (
+         SELECT doc_id, text, ${hashedShinglesSql(NgramN)} AS th FROM documents),
+       sigs AS (SELECT doc_id, th, $sig AS sig FROM d),
+       bands AS (SELECT doc_id, $bands AS bands FROM sigs),
+       buckets AS (
+         SELECT doc_id, i - 1 AS band_idx, bands[i] AS band_hash
+         FROM bands, generate_series(1, $NgramBandCount) gs(i)),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM buckets a JOIN buckets b
+           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b,
+         CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist
+       FROM cand JOIN d da ON cand.doc_a = da.doc_id
+                 JOIN d db ON cand.doc_b = db.doc_id
+       WHERE levenshtein(da.text, db.text) <= $EditDistMax"""
+  }
+
   // ------------------------------------------------- decontamination
 
   /** N-gram width for benchmark decontamination. Published practice

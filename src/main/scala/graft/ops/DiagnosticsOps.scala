@@ -135,6 +135,77 @@ object DiagnosticsOps {
        FROM n na JOIN n nb ON na.yr < nb.yr
        LEFT JOIN c ON c.ya = na.yr AND c.yb = nb.yr"""
 
+  /** Two-sample Kolmogorov-Smirnov drift statistic between the rows
+    * where `side1` holds and the rest, over numeric `value` -- THE
+    * distribution-shift alarm for a training-data pipeline (did this
+    * source's quality-score / length / price distribution move
+    * between snapshots?). Where [[graft.quality.Drift.report]]
+    * compares summary stats, this compares whole ECDFs.
+    *
+    * Exact integers end-to-end: with per-value counts c1/c2 and
+    * inclusive prefix sums cum1/cum2 at each distinct observed value,
+    *   D = max_v |cum1(v)/n1 - cum2(v)/n2|
+    *     = max_v |n2*cum1(v) - n1*cum2(v)| / (n1*n2)
+    * so the gate emits the integer numerator `d_num` (plus n1, n2,
+    * and the distinct-value count) -- no float division anywhere.
+    * ECDFs are step functions changing only at observed values, so
+    * evaluating at the distinct values IS the supremum. Exact while
+    * n1*n2 < 2^63 (~3e9 rows per side); past that the caller divides
+    * in doubles, which moves a drift ALARM by nothing.
+    *
+    * Scale shape: one map-side-combinable per-value count aggregate
+    * (distinct-value-sized output), then the two prefix sums run
+    * through [[BoundedWindows.prefixSum]] -- equal-width value bins,
+    * running offsets over the <=bins-row aggregate only -- so no
+    * task ever sorts the full distinct-value stream; the final max
+    * is again map-side combinable. Nothing row-sized ever shuffles
+    * twice. */
+  def ksDrift(df: DataFrame, side1: Column, value: Column): DataFrame = {
+    val g = df.select(side1.as("is1"), value.as("v"))
+      .groupBy(col("v")).agg(
+        sum(when(col("is1"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("is1"), 0L).otherwise(1L)).as("c2"))
+      .withColumn("g", lit(1))
+    val cum1 = BoundedWindows.prefixSum(g, Seq("g"), "v", Nil, col("c1"), "cum1")
+    val cum = BoundedWindows.prefixSum(cum1, Seq("g"), "v", Nil, col("c2"), "cum2")
+    val tot = g.agg(sum(col("c1")).cast("long").as("n1"),
+      sum(col("c2")).cast("long").as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        abs(col("n2") * col("cum1") - col("n1") * col("cum2")).as("dn"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(col("dn")).cast("long").as("d_num"),
+        count(lit(1)).cast("long").as("n_values"))
+  }
+
+  /** Oracle-gated binding: order-price distribution drift between
+    * order years 1996 and 1997. `o_totalprice` doubles group and
+    * order bit-identically cross-engine (no arithmetic ever touches
+    * them); every emitted column is an exact BIGINT. */
+  def diagKsDrift(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+    ksDrift(o, year(col("o_orderdate")) === 1996, col("o_totalprice"))
+  }
+
+  val diagKsDriftSql: String =
+    """WITH s AS (
+         SELECT o_totalprice AS v,
+                CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END AS is1
+         FROM orders WHERE year(o_orderdate) IN (1996, 1997)),
+       g AS (SELECT v, CAST(SUM(is1) AS BIGINT) AS c1,
+                    CAST(SUM(1 - is1) AS BIGINT) AS c2
+             FROM s GROUP BY v),
+       c AS (SELECT SUM(c1) OVER (ORDER BY v) AS cum1,
+                    SUM(c2) OVER (ORDER BY v) AS cum2
+             FROM g),
+       t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                    CAST(SUM(c2) AS BIGINT) AS n2 FROM g)
+       SELECT n1, n2,
+              CAST(MAX(ABS(n2 * cum1 - n1 * cum2)) AS BIGINT) AS d_num,
+              CAST(COUNT(*) AS BIGINT) AS n_values
+       FROM c, t GROUP BY n1, n2"""
+
   /** Oracle-gated binding: heaviest user_ids in the events stream
     * (distinct users << capacity, so the sketch is exact and
     * hash-matches the DuckDB group-by twin). */

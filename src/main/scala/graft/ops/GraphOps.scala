@@ -256,6 +256,96 @@ object GraphOps {
     lab
   }
 
+  /** Multi-source BFS hop distances over a directed edge list:
+    * (id, hops) for every node within `maxHops` of any source, hops
+    * = the MINIMUM hop count (0 for the sources themselves).
+    *
+    * Frontier iteration, the scalable BFS: per round one
+    * frontier-sized equi-join into the edge list, a distinct, and an
+    * anti-join against the visited set -- cost tracks the FRONTIER
+    * (nodes first reached this round), never walks. The recursive-
+    * CTE oracle enumerates bounded walks instead; both compute the
+    * same min-hop function, from opposite ends of the work/expressiveness
+    * trade (walk enumeration would be exponential on the engine's
+    * scale, frontier BFS is inexpressible in one SQL query).
+    * Early-exits when a frontier empties (the `isEmpty` probe is one
+    * bounded job per round, rounds <= maxHops).
+    *
+    * Use cases at corpus scale: contamination spread from flagged
+    * docs over the dedup/link graph, crawl-frontier depth, "within k
+    * citation hops of a benchmark" exclusion zones. */
+  def bfsHops(edges0: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    val edges = DedupOps.materializeOnce(edges0.select(col("src"), col("dst")))
+    // hop-0 layer materialized too: every layer of the returned union
+    // is then a bare checkpoint, so callers may release their edge /
+    // source inputs as soon as this returns
+    var dist = DedupOps.materializeOnce(
+      sources.select(col("id")).distinct()
+        .withColumn("hops", lit(0).cast("int")))
+    var frontier = dist
+    var h = 1
+    var done = false
+    while (h <= maxHops && !done) {
+      val next = DedupOps.materializeOnce(
+        edges.join(frontier.select(col("id")), col("src") === col("id"))
+          .select(col("dst").as("id")).distinct()
+          .join(dist, Seq("id"), "left_anti")
+          .withColumn("hops", lit(h).cast("int")))
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.unionAll(next)
+        frontier = next
+      }
+      h += 1
+    }
+    DedupOps.releaseOnce(edges)
+    dist
+  }
+
+  /** Oracle-gated binding: hop distances along the per-customer
+    * ORDER CHAIN (consecutive orders by date linked bidirectionally
+    * -- a disjoint union of path graphs, so hop counts exercise the
+    * full 0..6 range instead of collapsing into a dense graph's
+    * 2-hop diameter), from the globally smallest order key. The
+    * chain window partitions by customer -- per-partition state is
+    * one customer's orders, never corpus-bounded. */
+  def graphBfsHops(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c")).orderBy(col("d"), col("k"))
+    val rn = DedupOps.materializeOnce(
+      Tables.orders(s, dir)
+        .select(col("o_custkey").as("c"), col("o_orderkey").as("k"),
+          col("o_orderdate").as("d"))
+        .withColumn("rn", row_number().over(w)))
+    val fwd = rn.as("a")
+      .join(rn.as("b"), expr("a.c = b.c AND b.rn = a.rn + 1"))
+      .selectExpr("a.k AS src", "b.k AS dst")
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val out = bfsHops(edges, edges.agg(min(col("src")).as("id")), maxHops = 6)
+    DedupOps.releaseOnce(rn)
+    out
+  }
+
+  /** The same min-hop function as a bounded-walk recursive CTE (walk
+    * counts stay trivial on a path graph; the depth bound terminates
+    * cycles). */
+  val graphBfsHopsSql: String =
+    """WITH RECURSIVE o AS (
+         SELECT o_custkey AS c, o_orderkey AS k,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS rn
+         FROM orders),
+       fwd AS (SELECT a.k AS src, b.k AS dst
+               FROM o a JOIN o b ON a.c = b.c AND b.rn = a.rn + 1),
+       edges AS (SELECT src, dst FROM fwd
+                 UNION ALL SELECT dst AS src, src AS dst FROM fwd),
+       s AS (SELECT min(src) AS sid FROM edges),
+       r AS (SELECT sid AS id, 0 AS hops FROM s
+             UNION ALL
+             SELECT e.dst, r.hops + 1
+             FROM r JOIN edges e ON e.src = r.id WHERE r.hops < 6)
+       SELECT id, CAST(min(hops) AS INT) AS hops FROM r GROUP BY id"""
+
   /** LPA over the high-quantity co-supplier graph (see
     * [[graphTriangles]]), 4 synchronous rounds, both edge directions
     * fed so the neighborhood is symmetric. */

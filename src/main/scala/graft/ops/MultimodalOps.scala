@@ -691,4 +691,122 @@ object MultimodalOps {
            THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
          CAST(max(abs(s)) AS INT) AS peak
        FROM t GROUP BY doc_id"""
+
+  // ------------------------------------------- quantized-table spectrogram
+
+  /** DFT frame width and probed bins for [[audioSpectrogram]]. */
+  val SpecFrame = 64
+  val SpecBins: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** The cross-engine trick that makes a SPECTRUM hash-gateable:
+    * cos/sin are quantized ONCE here (1e6-unit integers) and these
+    * literal values feed BOTH the codec loop and the oracle SQL, so
+    * no libm call ever runs in either engine -- every DFT sum is
+    * exact 64-bit integer arithmetic over identical tables. */
+  val SpecCosQ: Array[Long] = Array.tabulate(SpecFrame)(j =>
+    math.round(math.cos(2 * math.Pi * j / SpecFrame) * 1e6))
+  val SpecSinQ: Array[Long] = Array.tabulate(SpecFrame)(j =>
+    math.round(math.sin(2 * math.Pi * j / SpecFrame) * 1e6))
+
+  case class SpectralSums(doc_id: Long, frame_idx: Int, bin: Int,
+      re_q: Long, im_q: Long)
+
+  /** Exact-integer DFT sums of every full [[SpecFrame]]-wide frame of
+    * `samples` at each probed bin -- the codec-loop core, factored
+    * out so specs can feed planted tones directly. */
+  private[graft] def frameSpectralSums(d: Long,
+      samples: Array[Short]): Seq[SpectralSums] = {
+    val nf = samples.length / SpecFrame
+    for {
+      f <- 0 until nf
+      k <- SpecBins
+    } yield {
+      var re = 0L; var im = 0L
+      var j = 0
+      while (j < SpecFrame) {
+        val v = samples(f * SpecFrame + j).toLong
+        val idx = (k * j) % SpecFrame
+        re += v * SpecCosQ(idx)
+        im -= v * SpecSinQ(idx)
+        j += 1
+      }
+      SpectralSums(d, f, k, re, im)
+    }
+  }
+
+  /** Audio spectrogram over the real WAV path: PCM synthesis -> WAV
+    * bytes -> chunk-walk decode -> per-frame quantized-table DFT at
+    * [[SpecBins]] -> per-(doc, bin) spectral power rollup.
+    *
+    * Output (doc_id, bin, n_frames, power_sum): power_sum =
+    * sum over frames of re^2 + im^2 where re/im are the exact
+    * integer correlations of the frame against the quantized basis
+    * (values up to ~2e15 per frame sum; squares up to ~1e31, so the
+    * squaring and rollup run in Catalyst DECIMAL(38,0) -- exact, no
+    * doubles anywhere).
+    *
+    * Split of labor is the multimodal pattern: the BYTE CODEC and
+    * the O(frames * bins * width) inner product live in the typed
+    * mapPartitions loop (the documented codec exception -- a tight
+    * primitive-long loop no Expression matches), while everything
+    * row-shaped after it -- squaring, per-(doc, bin) aggregation --
+    * is declarative and map-side combinable. At 100 TB the codec
+    * stage is embarrassingly per-row with one frame buffer of state;
+    * the only shuffle is the final (doc, bin) rollup, combinable on
+    * every map side. */
+  def audioSpectrogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { d =>
+          val n = (800 + d % 400).toInt
+          val samples = Array.tabulate(n)(t =>
+            (((d % PxDocMod) * 31 + t * 17) % 65536 - 32768).toShort)
+          (d, PixelCodec.encodeWav(samples, AudioRate))
+        }
+      }.toDF("doc_id", "payload")
+    val sums = assets.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (d, payload) =>
+        val (samples, _) = PixelCodec.decodeWav(payload).get
+        frameSpectralSums(d, samples)
+      }
+    }.toDF()
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    sums.groupBy(col("doc_id"), col("bin"))
+      .agg(count(lit(1)).cast("int").as("n_frames"),
+        sum(dec(col("re_q")) * col("re_q") + dec(col("im_q")) * col("im_q"))
+          .cast("decimal(38,0)").as("power_sum"))
+  }
+
+  /** DuckDB twin: regenerates the closed-form samples, reads the SAME
+    * quantized tables as inlined literal lists, squares in HUGEINT.
+    * A hash match proves the whole loop -- WAV encode, chunk-walk
+    * decode, framing, the integer DFT, and the decimal rollup --
+    * byte-for-byte against an engine that never saw the WAV. */
+  val audioSpectrogramSql: String = {
+    val cosList = SpecCosQ.mkString("[", ", ", "]")
+    val sinList = SpecSinQ.mkString("[", ", ", "]")
+    val binList = SpecBins.mkString("(", "), (", ")")
+    s"""WITH t AS (
+         SELECT doc_id, gs.t,
+           ((doc_id % $PxDocMod) * 31 + gs.t * 17) % 65536 - 32768 AS s
+         FROM documents, generate_series(0, 1199) gs(t)
+         WHERE gs.t < 800 + doc_id % 400),
+       n AS (SELECT doc_id, count(*) AS ns FROM t GROUP BY doc_id),
+       fr AS (
+         SELECT t.doc_id, t.t // $SpecFrame AS f, t.t % $SpecFrame AS j, t.s
+         FROM t JOIN n ON t.doc_id = n.doc_id
+         WHERE t.t < n.ns - n.ns % $SpecFrame),
+       b AS (
+         SELECT fr.doc_id, fr.f, bins.k,
+           SUM(fr.s * ($cosList)[(bins.k * fr.j) % $SpecFrame + 1]) AS re,
+           -SUM(fr.s * ($sinList)[(bins.k * fr.j) % $SpecFrame + 1]) AS im
+         FROM fr, (VALUES $binList) bins(k)
+         GROUP BY fr.doc_id, fr.f, bins.k)
+       SELECT doc_id, CAST(k AS INT) AS bin,
+         CAST(count(*) AS INT) AS n_frames,
+         CAST(SUM(CAST(re AS HUGEINT) * re + CAST(im AS HUGEINT) * im)
+           AS DECIMAL(38,0)) AS power_sum
+       FROM b GROUP BY doc_id, k"""
+  }
 }

@@ -121,4 +121,30 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       s"triangle pipeline must be pure equi-joins:\n$plan")
   }
+
+  private def bfs(edges: Seq[(Long, Long)], sources: Seq[Long],
+      maxHops: Int): Map[Long, Int] =
+    GraphOps.bfsHops(edges.toDF("src", "dst"),
+      sources.toDF("id"), maxHops).as[(Long, Int)].collect().toMap
+
+  test("BFS hops: planted path graph, hop cap, unreachable absent") {
+    // path 1-2-3-4-5 (both directions) plus island 9-10
+    val fwd = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 10L))
+    val edges = fwd ++ fwd.map(_.swap)
+    assert(bfs(edges, Seq(1L), 6) ===
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+    // hop cap truncates the far end of the chain
+    assert(bfs(edges, Seq(1L), 2) === Map(1L -> 0, 2L -> 1, 3L -> 2))
+    // min-hop under multiple sources; island reached from its own seed
+    assert(bfs(edges, Seq(1L, 5L, 9L), 6) ===
+      Map(1L -> 0, 5L -> 0, 9L -> 0,
+        2L -> 1, 4L -> 1, 10L -> 1, 3L -> 2))
+  }
+
+  test("BFS hops: directed edges are not traversed backwards") {
+    // directed chain 1 -> 2 -> 3; from 3 nothing is reachable
+    val edges = Seq((1L, 2L), (2L, 3L))
+    assert(bfs(edges, Seq(3L), 4) === Map(3L -> 0))
+    assert(bfs(edges, Seq(1L), 4) === Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
 }

@@ -128,4 +128,37 @@ class MultimodalPixelSpec extends AnyFunSuite {
     graft.plans.PlanAudit.assertScales(
       MultimodalOps.imagePhashDedup(spark, dir))
   }
+
+  test("spectrogram DFT: planted tone concentrates power in its own bin") {
+    import MultimodalOps.{SpecFrame, SpecCosQ, frameSpectralSums}
+    // two full frames of a bin-4 cosine, amplitude 1000 (sampled off
+    // the quantized table itself, so the tone is exactly representable)
+    val tone = Array.tabulate(2 * SpecFrame)(j =>
+      (SpecCosQ((4 * j) % SpecFrame) / 1000).toShort)
+    val sums = frameSpectralSums(7L, tone)
+    assert(sums.size === 2 * MultimodalOps.SpecBins.size)
+    def power(bin: Int): BigInt = sums.filter(_.bin == bin)
+      .map(r => BigInt(r.re_q) * r.re_q + BigInt(r.im_q) * r.im_q).sum
+    // the probed tone bin carries ~N/2 * A^2 * Q^2 per frame; every
+    // other probed bin only picks up quantization crumbs
+    assert(power(4) > power(1) * 100000L)
+    assert(power(4) > power(2) * 100000L)
+    assert(power(4) > power(8) * 100000L)
+    // a DC (constant) signal is invisible to every probed bin: the
+    // quantized basis still sums to ~zero over a full period
+    val dc = Array.fill(SpecFrame)(500.toShort)
+    val dcP = frameSpectralSums(1L, dc)
+      .map(r => BigInt(r.re_q) * r.re_q + BigInt(r.im_q) * r.im_q).max
+    assert(dcP < power(4) / 100000L)
+    // independent re-derivation of one frame/bin pair (fresh loop,
+    // fresh indexing) matches the codec-loop values
+    val r2 = sums.find(r => r.frame_idx == 1 && r.bin == 2).get
+    var re = 0L; var im = 0L
+    for (j <- 0 until SpecFrame) {
+      val v = tone(SpecFrame + j).toLong
+      re += v * SpecCosQ((2 * j) % SpecFrame)
+      im -= v * MultimodalOps.SpecSinQ((2 * j) % SpecFrame)
+    }
+    assert((r2.re_q, r2.im_q) === ((re, im)))
+  }
 }

@@ -1127,4 +1127,72 @@ class OpsSpec extends AnyFunSuite {
       r.getAs[Long]("n_paras") - r.getAs[Long]("n_kept")).sum
     assert(removed > 0, "no duplicate paragraphs found on the test corpus")
   }
+
+  // classic O(len^2) Wagner-Fischer, written independently of the
+  // engine path (which uses Spark's banded levenshtein) so the spec
+  // derives expected distances on paper, not from the code under test
+  private def refLevenshtein(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = d(0); d(0) = j
+      for (i <- 1 to a.length) {
+        val cur = d(i)
+        d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    d(a.length)
+  }
+
+  test("edit-distance pairs: planted distances verified, rewrites rejected") {
+    val base = ((1 to 30).map(i => s"tok$i") :+ "anchor").mkString(" ")
+    val typo = base.replace("tok7", "tokX")              // ed = 1
+    val appended = base + " tail"                        // ed = 5
+    val moved = {                                        // block move: high
+      val t = base.split(" ")                            // shingle overlap,
+      (t.drop(8) ++ t.take(8)).mkString(" ")             // ed far above 16
+    }
+    val unrelated = ((1 to 31).map(i => s"zz$i")).mkString(" ")
+    val docs = Seq((1L, base), (2L, typo), (3L, appended), (4L, moved),
+      (5L, unrelated)).toDF("doc_id", "text")
+      .withColumn("th", DedupOps.hashedShingles(col("text"), DedupOps.NgramN))
+    val pairs = DedupOps.editDistancePairs(docs, DedupOps.MinhashK,
+      DedupOps.NgramBandCount, DedupOps.NgramLshRows, DedupOps.EditDistMax)
+      .as[(Long, Long, Int)].collect().sorted
+    val texts = Map(1L -> base, 2L -> typo, 3L -> appended, 4L -> moved,
+      5L -> unrelated)
+    pairs.foreach { case (a, b, ed) =>
+      assert(a < b)
+      assert(ed === refLevenshtein(texts(a), texts(b)))
+      assert(ed <= DedupOps.EditDistMax)
+    }
+    assert(pairs.map(p => (p._1, p._2)).distinct.length === pairs.length)
+    // the three near-identical variants all pair up...
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // ...and the specific planted distances hold
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((1L, 2L)) === 1)
+    assert(byPair((1L, 3L)) === 5)
+    // the block-moved rewrite shares most shingles (it IS a candidate)
+    // but sits far past the edit threshold -- the verifier must reject
+    assert(refLevenshtein(base, moved) > DedupOps.EditDistMax)
+  }
+
+  test("KS drift: hand-computed statistics, ties, partition invariance") {
+    def ks(s1: Seq[Double], s2: Seq[Double]) = {
+      val df = (s1.map((_, true)) ++ s2.map((_, false)))
+        .toDF("v", "one").repartition(7)
+      DiagnosticsOps.ksDrift(df, col("one"), col("v"))
+        .as[(Long, Long, Long, Long)].collect().toList
+    }
+    // distinct values 1,2,3,4: cum1 = 1,2,3,3; cum2 = 0,1,2,3
+    // D = max|3*cum1 - 3*cum2|/(3*3) = 3/9 = 1/3
+    assert(ks(Seq(1, 2, 3), Seq(2, 3, 4)) === List((3L, 3L, 3L, 4L)))
+    // ties: side1 = [1,1,2], side2 = [1,2,2,2]
+    // cum1 = 2,3; cum2 = 1,4 -> max(|4*2-3*1|, |4*3-3*4|) = 5 (= 5/12)
+    assert(ks(Seq(1, 1, 2), Seq(1, 2, 2, 2)) === List((3L, 4L, 5L, 2L)))
+    // identical samples: zero drift
+    assert(ks(Seq(1, 2, 5), Seq(1, 2, 5)) === List((3L, 3L, 0L, 3L)))
+  }
 }
