@@ -549,6 +549,64 @@ object LibraryQueries {
        UNION ALL
        SELECT *, CAST(3 AS BIGINT) AS commit_version FROM d23"""
 
+  /** S28: the graft `TableCatalog` under the hash gate -- a two-commit
+    * history (full orders-<1997 snapshot, then a predicate delete of
+    * 1996) queried ENTIRELY through Spark SQL over the registered
+    * catalog: per-year counts + DECIMAL price sums of `VERSION AS OF
+    * 1` left-joined with the head's counts. Hash-matching proves the
+    * catalog's scan planning (manifest partition spec, v2 parquet
+    * scans) and its version resolution return exactly the store's
+    * snapshots. Catalog name is derived from the temp root so reruns
+    * in one session never collide with a cached catalog instance. */
+  def s28CatalogTimetravel(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_orderdate").cast("date").as("order_date"),
+      col("o_totalprice"))
+      .withColumn("order_yr", year(col("order_date")))
+    val target = o.filter(col("order_date") < lit("1997-01-01").cast("date"))
+    val root = Files.createTempDirectory("graft-q-s28").toString
+    val store = new VersionedTableStore(s, root)
+    store.commitFull(target, "orders_c", Seq("order_yr"))
+    store.deleteWhere("orders_c", col("order_yr") === 1996, Seq("order_yr"))
+    val cat = "gq" + java.lang.Long.toHexString(
+      org.apache.spark.unsafe.types.UTF8String.fromString(root).hashCode()
+        .toLong & 0xffffffffL)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.table.catalog.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(
+      s"""WITH v1 AS (
+            SELECT order_yr, count(*) AS n_v1,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price_v1
+            FROM $cat.default.orders_c VERSION AS OF 1
+            GROUP BY order_yr),
+          hd AS (
+            SELECT order_yr, count(*) AS n_head
+            FROM $cat.default.orders_c
+            GROUP BY order_yr)
+          SELECT v1.order_yr, CAST(v1.n_v1 AS BIGINT) AS n_v1,
+                 CAST(v1.price_v1 AS DECIMAL(18,2)) AS price_v1,
+                 CAST(coalesce(hd.n_head, 0) AS BIGINT) AS n_head
+          FROM v1 LEFT JOIN hd ON v1.order_yr = hd.order_yr""")
+  }
+
+  val s28CatalogTimetravelSql: String =
+    """WITH t AS (
+         SELECT o_orderkey, CAST(year(CAST(o_orderdate AS DATE)) AS INT)
+                  AS order_yr, o_totalprice
+         FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'),
+       v1 AS (
+         SELECT order_yr, count(*) AS n_v1,
+                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price_v1
+         FROM t GROUP BY order_yr),
+       hd AS (
+         SELECT order_yr, count(*) AS n_head
+         FROM t WHERE order_yr <> 1996 GROUP BY order_yr)
+       SELECT v1.order_yr, CAST(v1.n_v1 AS BIGINT) AS n_v1,
+              CAST(v1.price_v1 AS DECIMAL(18,2)) AS price_v1,
+              CAST(coalesce(hd.n_head, 0) AS BIGINT) AS n_head
+       FROM v1 LEFT JOIN hd ON v1.order_yr = hd.order_yr"""
+
   /** S18: incremental aggregate maintenance -- the v1 yearly rollup
     * updated to the v2 state by applying the snapshot changelog
     * (IncrementalAgg over snapshotDiff pre-images), never rescanning
@@ -865,6 +923,7 @@ object LibraryQueries {
     "s16_versioned_rollback" -> (s16VersionedRollback _),
     "s17_snapshot_diff" -> (s17SnapshotDiff _),
     "s27_changelog_walk" -> (s27ChangelogWalk _),
+    "s28_catalog_timetravel" -> (s28CatalogTimetravel _),
     "s18_incremental_agg" -> (s18IncrementalAgg _),
     "s26_incremental_minmax" -> (s26IncrementalMinmax _),
     "q_validation_suite" -> (qValidationSuite _),
@@ -892,6 +951,7 @@ object LibraryQueries {
     "s16_versioned_rollback" -> s16VersionedRollbackSql,
     "s17_snapshot_diff" -> s17SnapshotDiffSql,
     "s27_changelog_walk" -> s27ChangelogWalkSql,
+    "s28_catalog_timetravel" -> s28CatalogTimetravelSql,
     "s18_incremental_agg" -> s18IncrementalAggSql,
     "s26_incremental_minmax" -> s26IncrementalMinmaxSql,
     "q_validation_suite" -> qValidationSuiteSql,

@@ -454,6 +454,25 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
   def readAsOf(name: String, tsMillis: Long): DataFrame =
     readVersion(name, versionAsOf(name, tsMillis))
 
+  /** Read-side snapshot descriptor for integrations that plan their
+    * own scans — the graft `TableCatalog` builds Spark-native v2
+    * parquet scans from it. Entries carry ABSOLUTE data dirs; stats
+    * are the manifest's (rel, column, min, max) rows verbatim.
+    * `version = None` resolves the current head. */
+  private[table] def snapshotView(name: String,
+      version: Option[Long]): catalog.GraftSnapshot = {
+    val m = version match {
+      case Some(v) => manifestAt(name, v).getOrElse(
+        throw new NoSuchElementException(
+          s"$name has no live snapshot $v (expired or never committed)"))
+      case None => current(name).getOrElse(
+        throw new NoSuchElementException(s"no snapshots for $name"))
+    }
+    catalog.GraftSnapshot(m.version, m.partitionBy, m.schemaDDL,
+      m.mapping.map { case (rel, d) => rel -> s"${dataRoot(name)}/$d" },
+      m.stats, m.committedAtMs)
+  }
+
   /** Resolve a manifest to a DataFrame: one pruned parquet relation
     * per distinct data dir (basePath keeps hive partition-column
     * recovery), unioned by name. Delta chains stay short because

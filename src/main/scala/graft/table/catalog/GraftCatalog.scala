@@ -1,0 +1,338 @@
+package graft.table.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.graft.GraftScanPlanning
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.table.VersionedTableStore
+
+/** One read-side snapshot of a store table, resolved once at
+  * `loadTable` time so every scan a query plans sees the SAME
+  * version — the consistent-read contract v2 catalogs are expected
+  * to give. Entries carry absolute data dirs; stats are the
+  * manifest's (rel, column, min, max) rows. */
+case class GraftSnapshot(version: Long, partitionBy: Seq[String],
+    schemaDDL: String, entries: Seq[(String, String)],
+    stats: Seq[(String, String, String, String)], committedAtMs: Long)
+
+/** A Spark `TableCatalog` over [[graft.table.VersionedTableStore]]:
+  * registers with
+  *
+  * {{{
+  * spark.sql.catalog.graft      = graft.table.catalog.GraftCatalog
+  * spark.sql.catalog.graft.root = /warehouse/graft
+  * }}}
+  *
+  * and store tables become first-class SQL citizens:
+  *
+  * {{{
+  * SELECT * FROM graft.default.orders WHERE order_yr = 1996
+  * SELECT * FROM graft.default.orders VERSION AS OF 3
+  * SELECT * FROM graft.default.orders TIMESTAMP AS OF '2026-08-15 00:00:00'
+  * INSERT INTO graft.default.orders SELECT ...
+  * INSERT OVERWRITE graft.default.orders SELECT ...
+  * CREATE TABLE graft.default.t (k INT, v STRING) PARTITIONED BY (k)
+  * }}}
+  *
+  * Reads are Spark's own v2 parquet scans over a manifest-pinned
+  * file index ([[org.apache.spark.sql.graft.GraftScanPlanning]]):
+  * partition pruning comes from the manifest's partition spec,
+  * `WHERE` ranges additionally skip whole partitions through the
+  * manifest column stats, and filter/column pushdown + vectorized
+  * decode are the stock parquet path. Time travel maps `VERSION AS
+  * OF` to the store's snapshot versions and `TIMESTAMP AS OF`
+  * (micros from Spark, millis in the store) to [[VersionedTableStore
+  * .versionAsOf]] — both serve IMMUTABLE snapshots, so a travel read
+  * never blocks or sees a concurrent writer.
+  *
+  * Writes ride the v1-fallback write path (`V1Write` — the store
+  * commits whole DataFrames, so the driver-side InsertableRelation is
+  * the honest bridge; no per-task commit protocol to fake). INSERT
+  * OVERWRITE is a full-snapshot commit. INSERT INTO appends: when
+  * the incoming partition set is provably disjoint from the live
+  * rels the commit is a partition DELTA (untouched partitions keep
+  * their immutable dirs — the 100 TB path for date-partitioned
+  * appends); otherwise it degrades to read-union-rewrite, which is
+  * correct but rewrites the table — the scaladoc'd trade until the
+  * store grows a file-level append commit. Catalog options:
+  * `root` (required), `keepSnapshots`, and per-table manifest stats
+  * as `stats.<table> = col1,col2`.
+  *
+  * Namespacing is single-level: everything lives in `default`
+  * (mirroring the store's flat table names); `graft.t` and
+  * `graft.default.t` both resolve.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft"
+  private var root: String = _
+  private var keepSnapshots: Int = 10
+  private var statsOf: Map[String, Seq[String]] = Map.empty
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name needs spark.sql.catalog.$name.root"))
+    keepSnapshots = Option(options.get("keepSnapshots")).map(_.toInt)
+      .getOrElse(10)
+    statsOf = options.asCaseSensitiveMap().asScala.collect {
+      case (k, v) if k.startsWith("stats.") =>
+        k.drop("stats.".length) -> v.split(",").map(_.trim).filter(_.nonEmpty)
+          .toSeq
+    }.toMap
+  }
+
+  override def name(): String = catalogName
+
+  /** The store is bound to the ACTIVE session lazily per call:
+    * catalogs outlive sessions in Spark's registry, and the store
+    * only needs a session for read/commit plumbing. */
+  private[catalog] def store: VersionedTableStore =
+    new VersionedTableStore(SparkSession.active, root, keepSnapshots,
+      statsFor = n => statsOf.getOrElse(n, Nil))
+
+  private def checkNs(ns: Array[String]): Unit =
+    if (!(ns.isEmpty || ns.sameElements(Array("default"))))
+      throw new NoSuchNamespaceException(ns)
+
+  private def fs(s: VersionedTableStore) = new Path(root)
+    .getFileSystem(s.spark.sparkContext.hadoopConfiguration)
+
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    checkNs(ns)
+    val st = store
+    val f = fs(st)
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) Array.empty
+    else f.listStatus(rootPath).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => f.exists(new Path(s"$root/$n/_commits")))
+      .sorted
+      .map(n => Identifier.of(Array("default"), n))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = {
+    checkNs(ident.namespace)
+    store.exists(ident.name)
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    checkNs(ident.namespace)
+    val st = store
+    if (!st.exists(ident.name)) throw new NoSuchTableException(ident)
+    new GraftTable(st, ident.name, pinnedVersion = None)
+  }
+
+  /** `VERSION AS OF <v>`: the store's snapshot version. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    checkNs(ident.namespace)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new NoSuchTableException(ident)
+    }
+    new GraftTable(store, ident.name, pinnedVersion = Some(v))
+  }
+
+  /** `TIMESTAMP AS OF <ts>`: Spark hands MICROseconds since epoch;
+    * the store stamps commit millis. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    checkNs(ident.namespace)
+    val st = store
+    val v = st.versionAsOf(ident.name, timestampMicros / 1000L)
+    new GraftTable(st, ident.name, pinnedVersion = Some(v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    checkNs(ident.namespace)
+    val st = store
+    if (st.exists(ident.name)) throw new TableAlreadyExistsException(ident)
+    val partitionBy = partitions.toSeq.map { t =>
+      require(t.name == "identity",
+        s"graft tables support identity partitioning only, got $t")
+      t.references.head.fieldNames.mkString(".")
+    }
+    val empty = st.spark.createDataFrame(
+      st.spark.sparkContext.emptyRDD[Row], schema)
+    st.commitFull(empty, ident.name, partitionBy,
+      statsColumns = statsOf.getOrElse(ident.name, Nil))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE on graft tables: evolve the schema by committing " +
+        "through the store API (commitFull carries its own schema)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    checkNs(ident.namespace)
+    val st = store
+    if (!st.exists(ident.name)) false
+    else fs(st).delete(new Path(st.path(ident.name)), true)
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    checkNs(from.namespace); checkNs(to.namespace)
+    val st = store
+    if (!st.exists(from.name)) throw new NoSuchTableException(from)
+    if (st.exists(to.name)) throw new TableAlreadyExistsException(to)
+    // manifests address data dirs RELATIVE to the table dir, so a
+    // directory rename moves every snapshot intact
+    if (!fs(st).rename(new Path(st.path(from.name)),
+        new Path(st.path(to.name))))
+      throw new IllegalStateException(s"rename $from -> $to failed")
+  }
+
+  // ----------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    Array(Array("default"))
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] = {
+    checkNs(ns)
+    if (ns.isEmpty) Array(Array("default")) else Array.empty
+  }
+
+  override def loadNamespaceMetadata(
+      ns: Array[String]): util.Map[String, String] = {
+    checkNs(ns)
+    util.Collections.emptyMap()
+  }
+
+  override def namespaceExists(ns: Array[String]): Boolean =
+    ns.isEmpty || ns.sameElements(Array("default"))
+
+  override def createNamespace(ns: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalogs have a single fixed namespace: default")
+
+  override def alterNamespace(ns: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces carry no metadata")
+
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(
+      "graft catalogs have a single fixed namespace: default")
+}
+
+/** One store table as a v2 [[Table]]: the snapshot (head or
+  * time-travel pinned) is resolved ONCE at construction, so every
+  * scan this table object plans reads the same immutable version.
+  * Schema is presented file-table style: data columns first,
+  * partition columns appended. */
+class GraftTable(st: VersionedTableStore, tableName: String,
+    pinnedVersion: Option[Long]) extends Table
+    with SupportsRead with SupportsWrite {
+
+  private[catalog] val snapshot: GraftSnapshot =
+    st.snapshotView(tableName, pinnedVersion)
+
+  private val storedSchema: StructType =
+    if (snapshot.schemaDDL.nonEmpty) StructType.fromDDL(snapshot.schemaDDL)
+    else StructType(Nil)
+
+  private val partitionSchema: StructType =
+    StructType(snapshot.partitionBy.map(storedSchema.apply))
+
+  private val dataSchema: StructType =
+    StructType(storedSchema.filterNot(f =>
+      snapshot.partitionBy.contains(f.name)))
+
+  override def name(): String = s"graft.default.$tableName"
+
+  override def schema(): StructType =
+    StructType(dataSchema ++ partitionSchema)
+
+  override def partitioning(): Array[Transform] =
+    snapshot.partitionBy.map(Expressions.identity).toArray
+
+  override def properties(): util.Map[String, String] =
+    Map("provider" -> "graft", "version" -> snapshot.version.toString,
+      "committedAtMs" -> snapshot.committedAtMs.toString).asJava
+
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(TableCapability.BATCH_READ)
+    // a time-travel handle is a read-only view of history
+    if (pinnedVersion.isEmpty) {
+      caps.add(TableCapability.V1_BATCH_WRITE)
+      caps.add(TableCapability.TRUNCATE)
+    }
+    caps
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    GraftScanPlanning.scanBuilder(st.spark,
+      GraftScanPlanning.fileIndex(st.spark, partitionSchema,
+        snapshot.entries, snapshot.stats),
+      schema(), dataSchema, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, _ignored: Boolean): Unit =
+              GraftTable.this.insert(data, overwrite)
+          }
+      }
+    }
+
+  /** INSERT execution. Overwrite = full-snapshot commit. Append =
+    * partition delta when the incoming partition tuples (compared in
+    * canonical string form on both sides) are disjoint from the live
+    * rels — a delta commit REPLACES touched rels, so overlap must
+    * fall back to read-union-rewrite to keep append semantics. */
+  private def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    import org.apache.spark.sql.functions.col
+    val cols = storedSchema.fields.map(f => col(f.name)).toSeq
+    val aligned = data.select(cols: _*)
+    val statsCols = st.statsFor(tableName)
+    val pby = snapshot.partitionBy
+    if (overwrite) {
+      st.commitFull(aligned, tableName, pby, statsCols); return
+    }
+    if (pby.isEmpty) {
+      st.commitFull(st.read(tableName).unionByName(aligned), tableName,
+        pby, statsCols)
+      return
+    }
+    val existingRelValues: Set[Seq[String]] = snapshot.entries.map {
+      case (rel, _) => rel.split("/").toSeq.map { seg =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.drop(seg.indexOf('=') + 1))
+      }
+    }.toSet
+    val incoming: Set[Seq[String]] = aligned
+      .select(pby.map(c => col(c).cast("string")): _*)
+      .distinct().collect()
+      .map(r => pby.indices.map(i =>
+        if (r.isNullAt(i))
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .DEFAULT_PARTITION_NAME
+        else r.getString(i)))
+      .toSet
+    if (incoming.intersect(existingRelValues).isEmpty)
+      st.commitPartitions(aligned, tableName, pby, statsCols)
+    else
+      st.commitFull(st.read(tableName).unionByName(aligned), tableName,
+        pby, statsCols)
+  }
+}

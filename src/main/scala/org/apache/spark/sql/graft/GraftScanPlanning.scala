@@ -1,0 +1,194 @@
+package org.apache.spark.sql.graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, EvalMode, Expression, GenericInternalRow, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitionDirectory, PartitionPath, PartitionSpec}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scan planning for the graft `TableCatalog` (`graft.table.catalog
+  * .GraftCatalog`): turns a versioned-store snapshot — (partition rel
+  * -> immutable data dir) entries plus manifest column stats — into
+  * Spark's OWN parquet scan machinery.
+  *
+  * The file index is an [[InMemoryFileIndex]] whose partition spec is
+  * built from the MANIFEST, never inferred from paths: each mapping
+  * entry contributes one [[PartitionPath]] whose typed values come
+  * from casting the hive-encoded rel segments with the table schema.
+  * That buys, with zero custom execution code:
+  *
+  *  - catalyst partition pruning (`PartitioningAwareFileIndex
+  *    .listFiles` evaluates pushed partition filters against the
+  *    spec before any file is considered);
+  *  - parquet filter/column pushdown and vectorized reads (the scan
+  *    is Spark's [[ParquetScanBuilder]], exactly what `spark.read
+  *    .parquet` plans);
+  *  - manifest-stats data skipping: [[GraftFileIndex.listFiles]]
+  *    additionally drops files whose partition's recorded [min, max]
+  *    for a pushed data filter's column is disjoint from the
+  *    filter's bounds — the store's `readWhere` pruning, now fired
+  *    by ordinary `WHERE` clauses through the catalog.
+  *
+  * Bounds extraction is deliberately conservative: only integer-family
+  * comparisons against literals are consulted, every bound is widened
+  * to a closed interval, and a rel with no recorded stats for the
+  * column always scans — identical discipline to
+  * `VersionedTableStore.statsPruned` (VersionedTableStore.scala:283).
+  */
+object GraftScanPlanning {
+
+  private def classic(spark: SparkSession) =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+
+  /** Typed partition values for one hive-encoded rel ("yr=1996/m=7").
+    * `__HIVE_DEFAULT_PARTITION__` decodes to null, everything else
+    * casts from its unescaped string form in LEGACY mode (the values
+    * were written by Spark's own hive-layout writer, so they parse;
+    * LEGACY keeps a malformed foreign dir readable as null instead of
+    * failing the whole table). */
+  private def relValues(rel: String, partitionSchema: StructType,
+      tz: String): InternalRow = {
+    val bySeg = rel.split("/").iterator.map { seg =>
+      val eq = seg.indexOf('=')
+      require(eq > 0, s"partition rel segment without '=': $seg")
+      ExternalCatalogUtils.unescapePathName(seg.take(eq)) ->
+        ExternalCatalogUtils.unescapePathName(seg.drop(eq + 1))
+    }.toMap
+    val vals = partitionSchema.fields.map { f =>
+      bySeg.get(f.name) match {
+        case None | Some(ExternalCatalogUtils.DEFAULT_PARTITION_NAME) => null
+        case Some(raw) =>
+          Cast(Literal(UTF8String.fromString(raw), StringType), f.dataType,
+            Option(tz), EvalMode.LEGACY).eval(null)
+      }
+    }
+    new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+  }
+
+  /** Build the snapshot-pinned file index. `entries` are the
+    * manifest's (rel, ABSOLUTE dir) rows — rel "." for unpartitioned
+    * tables; `stats` its (rel, column, min, max) rows. */
+  def fileIndex(spark: SparkSession, partitionSchema: StructType,
+      entries: Seq[(String, String)],
+      stats: Seq[(String, String, String, String)]): GraftFileIndex = {
+    val cs = classic(spark)
+    val conf = cs.sessionState.newHadoopConf()
+    val tz = cs.sessionState.conf.sessionLocalTimeZone
+    def qualified(rel: String, dir: String): Path = {
+      val p = if (rel == ".") new Path(dir) else new Path(s"$dir/$rel")
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    val leafDirs = entries.map { case (rel, dir) => qualified(rel, dir) }
+    val spec =
+      if (partitionSchema.isEmpty) PartitionSpec(StructType(Nil), Nil)
+      else PartitionSpec(partitionSchema, entries.zip(leafDirs).map {
+        case ((rel, _), leaf) =>
+          PartitionPath(relValues(rel, partitionSchema, tz), leaf)
+      })
+    val statsByRel = stats.groupBy(_._1).map { case (rel, rows) =>
+      rel -> rows.flatMap { case (_, c, mn, mx) =>
+        try Some(c -> ((BigDecimal(mn), BigDecimal(mx))))
+        catch { case _: NumberFormatException => None }
+      }.toMap
+    }
+    val relOfLeaf: Map[String, String] = entries.map(_._1).zip(leafDirs)
+      .map { case (rel, leaf) => leaf.toString -> rel }.toMap
+    new GraftFileIndex(cs, leafDirs, spec, statsByRel, relOfLeaf)
+  }
+
+  /** The scan builder Spark's v2 pushdown drives: the same
+    * [[ParquetScanBuilder]] a `spark.read.parquet` relation gets.
+    * `fullSchema` = data columns ++ partition columns (the catalog
+    * table's schema); `dataSchema` = the columns physically inside
+    * the files. */
+  def scanBuilder(spark: SparkSession, index: GraftFileIndex,
+      fullSchema: StructType, dataSchema: StructType,
+      options: CaseInsensitiveStringMap): ParquetScanBuilder =
+    ParquetScanBuilder(classic(spark), index, fullSchema, dataSchema, options)
+
+  /** Closed-interval bounds per column implied by pushed data
+    * filters (a conjunction): only integer-family literal compares
+    * are consulted; strict bounds widen to closed ones (prune less,
+    * never more). */
+  private[graft] def filterBounds(
+      filters: Seq[Expression]): Map[String, (BigDecimal, BigDecimal)] = {
+    val NoLo = BigDecimal(Long.MinValue) * BigDecimal(Long.MaxValue)
+    val NoHi = -NoLo
+    def lit(v: Any, t: DataType): Option[BigDecimal] = t match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(BigDecimal(v.toString))
+      case _: DecimalType =>
+        Some(v.asInstanceOf[org.apache.spark.sql.types.Decimal].toBigDecimal)
+      case _ => None
+    }
+    def walk(e: Expression): Seq[(String, BigDecimal, BigDecimal)] = e match {
+      case And(l, r) => walk(l) ++ walk(r)
+      case EqualTo(a: AttributeReference, Literal(v, t)) =>
+        lit(v, t).toSeq.map(b => (a.name, b, b))
+      case EqualTo(Literal(v, t), a: AttributeReference) =>
+        lit(v, t).toSeq.map(b => (a.name, b, b))
+      case GreaterThan(a: AttributeReference, Literal(v, t)) =>
+        lit(v, t).toSeq.map(b => (a.name, b, NoHi))
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, t)) =>
+        lit(v, t).toSeq.map(b => (a.name, b, NoHi))
+      case LessThan(a: AttributeReference, Literal(v, t)) =>
+        lit(v, t).toSeq.map(b => (a.name, NoLo, b))
+      case LessThanOrEqual(a: AttributeReference, Literal(v, t)) =>
+        lit(v, t).toSeq.map(b => (a.name, NoLo, b))
+      case GreaterThan(Literal(v, t), a: AttributeReference) =>
+        lit(v, t).toSeq.map(b => (a.name, NoLo, b))
+      case GreaterThanOrEqual(Literal(v, t), a: AttributeReference) =>
+        lit(v, t).toSeq.map(b => (a.name, NoLo, b))
+      case LessThan(Literal(v, t), a: AttributeReference) =>
+        lit(v, t).toSeq.map(b => (a.name, b, NoHi))
+      case LessThanOrEqual(Literal(v, t), a: AttributeReference) =>
+        lit(v, t).toSeq.map(b => (a.name, b, NoHi))
+      case _ => Nil
+    }
+    filters.flatMap(walk).groupBy(_._1).map { case (c, bs) =>
+      c -> ((bs.map(_._2).max, bs.map(_._3).min))
+    }
+  }
+}
+
+/** [[InMemoryFileIndex]] over a manifest-pinned snapshot with
+  * manifest-stats data skipping layered into [[listFiles]]: after
+  * Spark's own partition pruning, files whose leaf dir's recorded
+  * [min, max] for a pushed filter column is disjoint from the
+  * filter's closed-interval bounds are dropped BEFORE tasks are
+  * planned. A leaf with no stats row for the column always survives
+  * (conservative), so pruning can only remove provably-empty reads.
+  *
+  * The listing itself goes through the process-global
+  * [[FileStatusCache]]: snapshot data dirs are immutable once
+  * committed (rewrites land in FRESH dirs, expiry deletes whole
+  * dirs), so cached listings stay valid for exactly as long as the
+  * snapshot they describe is readable. */
+class GraftFileIndex(spark: org.apache.spark.sql.classic.SparkSession,
+    leafDirs: Seq[Path], spec: PartitionSpec,
+    statsByRel: Map[String, Map[String, (BigDecimal, BigDecimal)]],
+    relOfLeaf: Map[String, String])
+  extends InMemoryFileIndex(spark, leafDirs, Map.empty[String, String], None,
+    FileStatusCache.getOrCreate(spark), Some(spec), None) {
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val base = super.listFiles(partitionFilters, dataFilters)
+    val bounds = GraftScanPlanning.filterBounds(dataFilters)
+    if (bounds.isEmpty || statsByRel.isEmpty) return base
+    def survives(file: Path): Boolean = {
+      val rel = relOfLeaf.get(file.getParent.toString)
+      val st = rel.flatMap(statsByRel.get).getOrElse(Map.empty)
+      bounds.forall { case (c, (lo, hi)) =>
+        st.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      }
+    }
+    base.map(pd => pd.copy(files = pd.files.filter(f => survives(f.getPath))))
+      .filter(_.files.nonEmpty)
+  }
+}
