@@ -473,6 +473,47 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       m.stats, m.committedAtMs)
   }
 
+  /** Metadata-only schema evolution: commit a new snapshot that
+    * shares EVERY data dir with the head and differs only in its
+    * stored schema DDL. Reads resolve against the manifest schema
+    * ([[load]] hands it to the parquet reader explicitly), so an
+    * ADDED column reads as NULL from pre-evolution files and a
+    * DROPPED column is simply no longer projected — zero data I/O,
+    * Iceberg-style. Constraints enforced here (the physical ones;
+    * the catalog layer adds SQL-surface ones): partition columns
+    * must survive with their exact types (rel paths encode their
+    * values), and added columns must be nullable (existing files
+    * hold no values for them). Stats rows for dropped columns are
+    * shed. Time travel across the evolution reads each snapshot
+    * with ITS schema, as a versioned store should. */
+  def evolveSchema(name: String, newSchemaDDL: String): Long = {
+    val m = current(name).getOrElse(
+      throw new NoSuchElementException(s"no snapshots for $name"))
+    val next = org.apache.spark.sql.types.StructType.fromDDL(newSchemaDDL)
+    val prev = Option(m.schemaDDL).filter(_.nonEmpty)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(org.apache.spark.sql.types.StructType(Nil))
+    m.partitionBy.foreach { p =>
+      val f = next.find(_.name == p).getOrElse(throw new IllegalArgumentException(
+        s"schema evolution cannot drop partition column `$p` of $name"))
+      prev.find(_.name == p).foreach(old => require(f.dataType == old.dataType,
+        s"schema evolution cannot retype partition column `$p` " +
+          s"(${old.dataType.sql} -> ${f.dataType.sql}): rel paths encode its values"))
+    }
+    next.filterNot(f => prev.exists(_.name == f.name)).foreach(f =>
+      require(f.nullable,
+        s"added column `${f.name}` must be nullable: existing files of " +
+          s"$name hold no values for it"))
+    val keep = next.fieldNames.toSet
+    val v = nextVersion(name)
+    casManifest(name,
+      Manifest(v, m.partitionBy, m.mapping, next.toDDL,
+        m.stats.filter(s => keep(s._2))),
+      observedParent = m.version)
+    expireSnapshots(name)
+    v
+  }
+
   /** Resolve a manifest to a DataFrame: one pruned parquet relation
     * per distinct data dir (basePath keeps hive partition-column
     * recovery), unioned by name. Delta chains stay short because
@@ -787,8 +828,27 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         val overridden = written.map(_._1).toSet ++ alsoReplaced
         parent.get.stats.filterNot(s => overridden(s._1)) ++ writtenStats
       } else writtenStats
+    // A DELTA commit's manifest schema is the contract for the parent
+    // dirs it RETAINS, not just the files it writes: per-field
+    // nullability is therefore the UNION with the parent's (a batch
+    // built from literals arrives non-nullable, and stamping NOT NULL
+    // over retained files that lack the column turns their
+    // reads-as-NULL into required-column failures). Types are the
+    // batch's own — delta type evolution stays the caller's call.
+    val stampedSchema =
+      if (deltaPartitions && parent.isDefined) {
+        val prev = Option(parent.get.schemaDDL).filter(_.nonEmpty)
+          .map(org.apache.spark.sql.types.StructType.fromDDL)
+        prev.fold(df.schema)(ps => org.apache.spark.sql.types.StructType(
+          df.schema.map(f => ps.find(_.name == f.name) match {
+            case Some(pf) if pf.dataType == f.dataType =>
+              f.copy(nullable = f.nullable || pf.nullable)
+            case _ => f
+          })))
+      } else df.schema
     beforeSwap(name, v)
-    try casManifest(name, Manifest(v, partitionBy, mapping, df.schema.toDDL, stats),
+    try casManifest(name,
+      Manifest(v, partitionBy, mapping, stampedSchema.toDDL, stats),
       observedParent = parent.map(_.version).getOrElse(0L))
     catch { case e: ConcurrentWriteException =>
       fs.delete(new Path(s"${dataRoot(name)}/$dirId"), true); throw e

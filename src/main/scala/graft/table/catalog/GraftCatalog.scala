@@ -7,8 +7,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDeleteV2, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.graft.GraftScanPlanning
@@ -173,10 +174,55 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE on graft tables: evolve the schema by committing " +
-        "through the store API (commitFull carries its own schema)")
+  /** `ALTER TABLE ... ADD COLUMNS / DROP COLUMN`: metadata-only
+    * schema evolution through [[VersionedTableStore.evolveSchema]] —
+    * one manifest commit sharing every data dir with the head, zero
+    * data I/O. Added columns read as NULL from pre-evolution files
+    * (they must be nullable, enforced), dropped columns stop being
+    * projected but remain in the files — and in HISTORY: `VERSION AS
+    * OF` a pre-evolution snapshot serves the old schema. Renames and
+    * retypes are rejected: files address columns by name, so a
+    * rename would orphan every existing value (add + backfill + drop
+    * instead), and a retype would change what stored bytes mean. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    checkNs(ident.namespace)
+    val st = store
+    if (!st.exists(ident.name)) throw new NoSuchTableException(ident)
+    val snap = st.snapshotView(ident.name, None)
+    var schema = StructType.fromDDL(snap.schemaDDL)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"graft tables are flat: cannot add nested ${a.fieldNames.mkString(".")}")
+        require(a.isNullable,
+          s"ADD COLUMN ${a.fieldNames.head}: must be nullable (existing " +
+            "files hold no values for it)")
+        require(a.position == null,
+          "ADD COLUMN ... FIRST/AFTER: graft appends new columns at the end")
+        require(!schema.fieldNames.contains(a.fieldNames.head),
+          s"column ${a.fieldNames.head} already exists")
+        schema = schema.add(a.fieldNames.head, a.dataType, nullable = true)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          s"graft tables are flat: ${d.fieldNames.mkString(".")}")
+        val n = d.fieldNames.head
+        if (!schema.fieldNames.contains(n)) {
+          if (!java.lang.Boolean.TRUE.equals(d.ifExists))
+            throw new IllegalArgumentException(s"no such column: $n")
+        } else {
+          require(!snap.partitionBy.contains(n),
+            s"cannot drop partition column `$n`")
+          schema = StructType(schema.filterNot(_.name == n))
+          require(schema.nonEmpty, "cannot drop the last column")
+        }
+      case other => throw new UnsupportedOperationException(
+        s"graft tables support ADD COLUMNS (nullable, appended) and DROP " +
+          s"COLUMN only; got $other. Renames/retypes would re-interpret " +
+          "existing files: add + backfill + drop instead.")
+    }
+    st.evolveSchema(ident.name, schema.toDDL)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     checkNs(ident.namespace)
@@ -238,7 +284,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * partition columns appended. */
 class GraftTable(st: VersionedTableStore, tableName: String,
     pinnedVersion: Option[Long]) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite with SupportsDeleteV2 {
 
   private[catalog] val snapshot: GraftSnapshot =
     st.snapshotView(tableName, pinnedVersion)
@@ -295,6 +341,31 @@ class GraftTable(st: VersionedTableStore, tableName: String,
       }
     }
 
+  /** `DELETE FROM` (and, via the `SupportsDeleteV2` default,
+    * `TRUNCATE TABLE`): the conjunction of Spark's pushed predicates
+    * becomes one partition-granular copy-on-write
+    * [[VersionedTableStore.deleteWhere]] commit — untouched
+    * partitions keep their immutable dirs, so a date-scoped delete
+    * on a date-partitioned table costs the touched partitions only.
+    * `canDeleteWhere` is honest: any predicate outside
+    * [[org.apache.spark.sql.graft.V2PredicateBridge]]'s translatable
+    * shapes rejects the whole statement up front (Spark then fails
+    * the DELETE loudly) rather than deleting a superset or subset. */
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    pinnedVersion.isEmpty &&
+      org.apache.spark.sql.graft.V2PredicateBridge
+        .conjunction(predicates.toSeq).isDefined
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    require(pinnedVersion.isEmpty,
+      s"DELETE on a time-travel handle of $tableName: history is immutable")
+    val cond = org.apache.spark.sql.graft.V2PredicateBridge
+      .conjunction(predicates.toIndexedSeq).getOrElse(
+        throw new UnsupportedOperationException(
+          s"DELETE predicate not translatable: ${predicates.mkString(", ")}"))
+    st.deleteWhere(tableName, cond, snapshot.partitionBy)
+  }
+
   /** INSERT execution. Overwrite = full-snapshot commit. Append =
     * partition delta when the incoming partition tuples (compared in
     * canonical string form on both sides) are disjoint from the live
@@ -302,7 +373,20 @@ class GraftTable(st: VersionedTableStore, tableName: String,
     * fall back to read-union-rewrite to keep append semantics. */
   private def insert(data: DataFrame, overwrite: Boolean): Unit = {
     import org.apache.spark.sql.functions.col
-    val cols = storedSchema.fields.map(f => col(f.name)).toSeq
+    // the TABLE's nullability, not the batch's, is what the commit
+    // stamps: a VALUES literal arrives non-nullable, and narrowing the
+    // manifest schema to NOT NULL would turn pre-evolution files that
+    // lack the column from "reads as NULL" into required-column read
+    // failures. KnownNullable is a zero-cost passthrough that only
+    // relaxes the static bound.
+    val cols = storedSchema.fields.map { f =>
+      val c = col(f.name)
+      if (f.nullable)
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.KnownNullable(
+            org.apache.spark.sql.graft.ColumnBridge.expression(c))).as(f.name)
+      else c
+    }.toSeq
     val aligned = data.select(cols: _*)
     val statsCols = st.statsFor(tableName)
     val pby = snapshot.partitionBy

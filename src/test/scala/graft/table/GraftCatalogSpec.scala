@@ -149,6 +149,82 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(!store.exists("ddl2"))
   }
 
+  test("SQL DELETE FROM commits a copy-on-write snapshot; TRUNCATE empties") {
+    store.commitFull(rows(1996 to 1998, 4), "del", Seq("yr"))
+    val before = store.snapshotView("del", None)
+    // partition-scoped delete: untouched years keep their immutable dirs
+    spark.sql("DELETE FROM gtest.default.del WHERE yr = 1997")
+    val after = store.snapshotView("del", None)
+    assert(after.version === before.version + 1)
+    assert(spark.sql("SELECT count(*) FROM gtest.default.del")
+      .as[Long].head === 8)
+    assert(!after.entries.toMap.contains("yr=1997"))
+    assert(after.entries.toMap.apply("yr=1996") ===
+      before.entries.toMap.apply("yr=1996"))
+    // data-column predicate (conjunction, IN, comparison) translates too
+    spark.sql("DELETE FROM gtest.default.del " +
+      "WHERE v >= 1996002 AND tag IN ('r1996-2', 'r1996-3')")
+    assert(spark.sql("SELECT count(*) FROM gtest.default.del")
+      .as[Long].head === 6)
+    // history is intact: the pre-delete snapshot still reads in full
+    assert(spark.sql(
+      s"SELECT count(*) FROM gtest.default.del VERSION AS OF ${before.version}")
+      .as[Long].head === 12)
+    spark.sql("TRUNCATE TABLE gtest.default.del")
+    assert(spark.sql("SELECT count(*) FROM gtest.default.del")
+      .as[Long].head === 0)
+    // schema survives the truncate
+    assert(spark.sql("SELECT * FROM gtest.default.del").columns.toSeq ===
+      Seq("v", "tag", "yr"))
+  }
+
+  test("untranslatable DELETE predicates are rejected up front, not half-run") {
+    store.commitFull(rows(2001 to 2001, 3), "del2", Seq("yr"))
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM gtest.default.del2 WHERE length(tag) > 99")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"))
+    assert(spark.sql("SELECT count(*) FROM gtest.default.del2")
+      .as[Long].head === 3)
+  }
+
+  test("ALTER TABLE ADD/DROP COLUMNS: metadata-only, history keeps old schema") {
+    store.commitFull(rows(1996 to 1997, 2), "evo", Seq("yr"))
+    val before = store.snapshotView("evo", None)
+    spark.sql("ALTER TABLE gtest.default.evo ADD COLUMNS (score DOUBLE)")
+    val after = store.snapshotView("evo", None)
+    // zero data I/O: every data dir is shared with the pre-ALTER head
+    assert(after.entries === before.entries)
+    assert(after.version === before.version + 1)
+    // pre-evolution files read the new column as NULL
+    val head = spark.sql(
+      "SELECT tag, score FROM gtest.default.evo WHERE yr = 1996")
+    assert(head.columns.toSeq === Seq("tag", "score"))
+    assert(head.collect().forall(_.isNullAt(1)))
+    // new writes carry it; old rows stay NULL
+    spark.sql("INSERT INTO gtest.default.evo VALUES (9L, 'n', 0.5D, 1998)")
+    assert(spark.sql("SELECT count(*) FROM gtest.default.evo " +
+      "WHERE score IS NOT NULL").as[Long].head === 1)
+    // time travel serves the PRE-evolution schema
+    assert(!spark.sql(
+      s"SELECT * FROM gtest.default.evo VERSION AS OF ${before.version}")
+      .columns.contains("score"))
+    // DROP: projection-only; the values live on in history
+    spark.sql("ALTER TABLE gtest.default.evo DROP COLUMN tag")
+    assert(spark.sql("SELECT * FROM gtest.default.evo").columns.toSeq ===
+      Seq("v", "score", "yr"))
+    assert(spark.sql(
+      s"SELECT tag FROM gtest.default.evo VERSION AS OF ${before.version}")
+      .count() === 4)
+    // guarded: partition column, rename, non-nullable add all reject
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gtest.default.evo DROP COLUMN yr") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gtest.default.evo RENAME COLUMN v TO w") }
+    assert(spark.sql("SELECT * FROM gtest.default.evo").columns.toSeq ===
+      Seq("v", "score", "yr"))
+  }
+
   test("store-API commits and catalog reads interleave consistently") {
     store.commitFull(rows(1990 to 1991, 2), "mix", Seq("yr"))
     assert(spark.sql("SELECT count(*) FROM gtest.default.mix")
