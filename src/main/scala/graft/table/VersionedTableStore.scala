@@ -470,7 +470,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     }
     catalog.GraftSnapshot(m.version, m.partitionBy, m.schemaDDL,
       m.mapping.map { case (rel, d) => rel -> s"${dataRoot(name)}/$d" },
-      m.stats, m.committedAtMs)
+      m.stats, m.committedAtMs, m.parent)
   }
 
   /** Metadata-only schema evolution: commit a new snapshot that

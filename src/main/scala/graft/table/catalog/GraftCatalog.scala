@@ -26,7 +26,8 @@ import graft.table.VersionedTableStore
   * manifest's (rel, column, min, max) rows. */
 case class GraftSnapshot(version: Long, partitionBy: Seq[String],
     schemaDDL: String, entries: Seq[(String, String)],
-    stats: Seq[(String, String, String, String)], committedAtMs: Long)
+    stats: Seq[(String, String, String, String)], committedAtMs: Long,
+    parent: Long = -1L)
 
 /** A Spark `TableCatalog` over [[graft.table.VersionedTableStore]]:
   * registers with
@@ -132,6 +133,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // three-part names select an inspection table of the middle part:
+    // graft.default.orders.history / .partitions / .stats
+    if (ident.namespace.length == 2 && ident.namespace.head == "default" &&
+        GraftMetadataTables.names(ident.name)) {
+      val st = store
+      if (!st.exists(ident.namespace.apply(1))) throw new NoSuchTableException(ident)
+      return GraftMetadataTables(st, ident.namespace.apply(1), ident.name)
+    }
     checkNs(ident.namespace)
     val st = store
     if (!st.exists(ident.name)) throw new NoSuchTableException(ident)
@@ -314,10 +323,12 @@ class GraftTable(st: VersionedTableStore, tableName: String,
 
   override def capabilities(): util.Set[TableCapability] = {
     val caps = util.EnumSet.of(TableCapability.BATCH_READ)
-    // a time-travel handle is a read-only view of history
+    // a time-travel handle is a read-only view of history; a stream
+    // follows the LIVE head, so it too is unpinned-only
     if (pinnedVersion.isEmpty) {
       caps.add(TableCapability.V1_BATCH_WRITE)
       caps.add(TableCapability.TRUNCATE)
+      caps.add(TableCapability.MICRO_BATCH_READ)
     }
     caps
   }
@@ -326,7 +337,10 @@ class GraftTable(st: VersionedTableStore, tableName: String,
     GraftScanPlanning.scanBuilder(st.spark,
       GraftScanPlanning.fileIndex(st.spark, partitionSchema,
         snapshot.entries, snapshot.stats),
-      schema(), dataSchema, options)
+      schema(), dataSchema, options, partitionSchema,
+      stream = if (pinnedVersion.isEmpty)
+        Some(org.apache.spark.sql.graft.GraftStreamSpec(st.root, tableName))
+      else None)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
