@@ -607,6 +607,66 @@ object LibraryQueries {
               CAST(coalesce(hd.n_head, 0) AS BIGINT) AS n_head
        FROM v1 LEFT JOIN hd ON v1.order_yr = hd.order_yr"""
 
+  /** S29: the catalog's full SQL DML loop under the hash gate --
+    * CREATE TABLE / two INSERT INTOs (a multi-partition base load,
+    * then a provably-disjoint year that commits as a partition
+    * DELTA) / a partition-predicate DELETE / a data-predicate DELETE
+    * -- all statements pure Spark SQL, zero store-API calls. The
+    * final SELECT folds in the `.history` inspection table (version
+    * count + head version: 1 create + 2 inserts + 2 deletes = 5), so
+    * the gate also pins that every statement produced EXACTLY one
+    * commit. Oracle reconstructs the surviving rows with WHERE
+    * algebra and the version count as a literal. */
+  def s29CatalogDml(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_totalprice"),
+      year(col("o_orderdate").cast("date")).as("order_yr"))
+    o.createOrReplaceTempView("s29_catalog_src")
+    val root = Files.createTempDirectory("graft-q-s29").toString
+    val cat = "gq" + java.lang.Long.toHexString(
+      org.apache.spark.unsafe.types.UTF8String.fromString(root).hashCode()
+        .toLong & 0xffffffffL)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.table.catalog.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"""CREATE TABLE $cat.default.ord
+              (o_orderkey BIGINT, o_totalprice DOUBLE, order_yr INT)
+              PARTITIONED BY (order_yr)""")
+    s.sql(s"""INSERT INTO $cat.default.ord
+              SELECT o_orderkey, o_totalprice, order_yr
+              FROM s29_catalog_src WHERE order_yr < 1999""")
+    s.sql(s"""INSERT INTO $cat.default.ord
+              SELECT o_orderkey, o_totalprice, order_yr
+              FROM s29_catalog_src WHERE order_yr = 2000""")
+    s.sql(s"DELETE FROM $cat.default.ord WHERE order_yr = 1996")
+    s.sql(s"""DELETE FROM $cat.default.ord
+              WHERE o_totalprice < 100000.0D AND order_yr = 1997""")
+    s.sql(
+      s"""SELECT t.order_yr, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(t.o_totalprice AS DECIMAL(18,2))) AS price,
+                 h.n_versions, h.head_v
+          FROM $cat.default.ord t
+          CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_versions,
+                             CAST(max(version) AS BIGINT) AS head_v
+                      FROM $cat.default.ord.history) h
+          GROUP BY t.order_yr, h.n_versions, h.head_v""")
+  }
+
+  val s29CatalogDmlSql: String =
+    """WITH src AS (
+         SELECT o_orderkey, o_totalprice,
+                CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_yr
+         FROM orders),
+       live AS (
+         SELECT * FROM src
+         WHERE (order_yr < 1999 OR order_yr = 2000)
+           AND order_yr <> 1996
+           AND NOT (o_totalprice < 100000.0 AND order_yr = 1997))
+       SELECT order_yr, CAST(count(*) AS BIGINT) AS n,
+              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price,
+              CAST(5 AS BIGINT) AS n_versions, CAST(5 AS BIGINT) AS head_v
+       FROM live GROUP BY order_yr"""
+
   /** S18: incremental aggregate maintenance -- the v1 yearly rollup
     * updated to the v2 state by applying the snapshot changelog
     * (IncrementalAgg over snapshotDiff pre-images), never rescanning
@@ -924,6 +984,7 @@ object LibraryQueries {
     "s17_snapshot_diff" -> (s17SnapshotDiff _),
     "s27_changelog_walk" -> (s27ChangelogWalk _),
     "s28_catalog_timetravel" -> (s28CatalogTimetravel _),
+    "s29_catalog_dml" -> (s29CatalogDml _),
     "s18_incremental_agg" -> (s18IncrementalAgg _),
     "s26_incremental_minmax" -> (s26IncrementalMinmax _),
     "q_validation_suite" -> (qValidationSuite _),
@@ -952,6 +1013,7 @@ object LibraryQueries {
     "s17_snapshot_diff" -> s17SnapshotDiffSql,
     "s27_changelog_walk" -> s27ChangelogWalkSql,
     "s28_catalog_timetravel" -> s28CatalogTimetravelSql,
+    "s29_catalog_dml" -> s29CatalogDmlSql,
     "s18_incremental_agg" -> s18IncrementalAggSql,
     "s26_incremental_minmax" -> s26IncrementalMinmaxSql,
     "q_validation_suite" -> qValidationSuiteSql,

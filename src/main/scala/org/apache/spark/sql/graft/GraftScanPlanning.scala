@@ -5,8 +5,16 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, EvalMode, Expression, GenericInternalRow, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.{expressions => ce}
+import org.apache.spark.sql.connector.expressions.{FieldReference, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
+import org.apache.spark.sql.connector.read.{Batch, Scan, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitionDirectory, PartitionPath, PartitionSpec}
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
+import org.apache.spark.sql.internal.connector.{PredicateUtils, SupportsMetadata}
+import org.apache.spark.sql.{sources => v1}
 import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, IntegerType, LongType, ShortType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -102,14 +110,23 @@ object GraftScanPlanning {
   }
 
   /** The scan builder Spark's v2 pushdown drives: the same
-    * [[ParquetScanBuilder]] a `spark.read.parquet` relation gets.
+    * [[ParquetScanBuilder]] a `spark.read.parquet` relation gets,
+    * except `build()` wraps the parquet scan in a [[GraftScan]] that
+    * adds runtime partition filtering (dynamic partition pruning —
+    * which stock v2 file scans LACK) and, when `stream` is set, a
+    * micro-batch stream over the table's commit history.
     * `fullSchema` = data columns ++ partition columns (the catalog
     * table's schema); `dataSchema` = the columns physically inside
     * the files. */
   def scanBuilder(spark: SparkSession, index: GraftFileIndex,
       fullSchema: StructType, dataSchema: StructType,
-      options: CaseInsensitiveStringMap): ParquetScanBuilder =
-    ParquetScanBuilder(classic(spark), index, fullSchema, dataSchema, options)
+      options: CaseInsensitiveStringMap,
+      partitionSchema: StructType = new StructType(),
+      stream: Option[GraftStreamSpec] = None)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    new GraftScanBuilder(
+      ParquetScanBuilder(classic(spark), index, fullSchema, dataSchema,
+        options), partitionSchema, stream, options)
 
   /** Closed-interval bounds per column implied by pushed data
     * filters (a conjunction): only integer-family literal compares
@@ -191,4 +208,134 @@ class GraftFileIndex(spark: org.apache.spark.sql.classic.SparkSession,
     base.map(pd => pd.copy(files = pd.files.filter(f => survives(f.getPath))))
       .filter(_.files.nonEmpty)
   }
+}
+
+/** What a graft table's micro-batch stream needs to know at
+  * `toMicroBatchStream` time; the stream itself lives in
+  * `graft.streaming.TableRowStream` (built lazily so batch-only
+  * queries never touch streaming classes). */
+case class GraftStreamSpec(root: String, table: String)
+
+/** Delegating [[org.apache.spark.sql.connector.read.ScanBuilder]]:
+  * every pushdown Spark drives on a parquet scan builder (catalyst
+  * filters, column pruning, aggregate pushdown, variant extraction)
+  * forwards to the wrapped [[ParquetScanBuilder]]; only `build()`
+  * differs, wrapping the resulting [[ParquetScan]] in a [[GraftScan]].
+  * (A subclass override is impossible: `ParquetScanBuilder.build()`
+  * narrows its return type to `ParquetScan`.) */
+class GraftScanBuilder(inner: ParquetScanBuilder,
+    partitionSchema: StructType, stream: Option[GraftStreamSpec],
+    options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.read.ScanBuilder
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownVariantExtractions {
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+    inner.pushFilters(filters)
+  override def pushedFilters: Array[Predicate] = inner.pushedFilters
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    inner.pruneColumns(requiredSchema)
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    inner.pushAggregation(agg)
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    inner.supportCompletePushDown(agg)
+  override def pushVariantExtractions(
+      extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction])
+      : Array[Boolean] = inner.pushVariantExtractions(extractions)
+
+  override def build(): Scan =
+    new GraftScan(inner.build(), partitionSchema, stream, options)
+}
+
+/** The [[Scan]] a graft catalog table builds: Spark's own
+  * [[ParquetScan]] for everything batch, plus two capabilities the
+  * stock v2 file scan lacks:
+  *
+  *  - '''Runtime partition filtering''' ([[SupportsRuntimeV2Filtering]]):
+  *    dynamic partition pruning. A join whose other side filters the
+  *    partition column hands this scan an `IN (<build-side values>)`
+  *    predicate AT RUNTIME; the scan folds it into the parquet scan's
+  *    partition filters and re-plans, so only the matching manifest
+  *    partitions are read — the difference between scanning 3 and
+  *    3,000 date partitions when the dim side selected 3 dates.
+  *    Translation is best-effort and conservative: a predicate shape
+  *    we do not recognize simply does not prune (never over-prunes).
+  *  - '''Micro-batch streaming''' (`toMicroBatchStream`):
+  *    `spark.readStream.table("graft.default.t")` — row-shaped,
+  *    insert-only change feed; see `graft.streaming.TableRowStream`.
+  *
+  * Batch re-planning contract: `filter` mutates the wrapped scan
+  * (exactly how Spark drives the interface — `BatchScanExec` calls
+  * `filter(...)` then `toBatch.planInputPartitions()` again); all
+  * other methods forward to the CURRENT inner scan. */
+class GraftScan(initial: ParquetScan, partitionSchema: StructType,
+    stream: Option[GraftStreamSpec], options: CaseInsensitiveStringMap)
+    extends Scan with SupportsRuntimeV2Filtering
+    with SupportsReportStatistics with SupportsMetadata {
+
+  @volatile private var current: ParquetScan = initial
+
+  /** The wrapped parquet scan as Spark last re-planned it (post any
+    * runtime filtering) — for plan introspection and tests. */
+  def parquetScan: ParquetScan = current
+
+  override def readSchema(): StructType = current.readSchema()
+  override def toBatch: Batch = current.toBatch
+  override def description(): String = current.description()
+  override def getMetaData(): Map[String, String] = current.getMetaData()
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    current.estimateStatistics()
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    current.supportedCustomMetrics()
+  override def reportDriverMetrics(): Array[CustomTaskMetric] =
+    current.reportDriverMetrics()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    current.columnarSupportMode()
+
+  override def filterAttributes(): Array[NamedReference] =
+    partitionSchema.fieldNames.map(n => FieldReference.column(n))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val exprs = predicates.toIndexedSeq
+      .flatMap(p => PredicateUtils.toV1(p).flatMap(partitionExpr))
+    if (exprs.nonEmpty)
+      current = current.copy(
+        partitionFilters = current.partitionFilters ++ exprs)
+  }
+
+  /** v1 runtime filter -> catalyst expression over the partition
+    * schema. The file index re-binds attributes BY NAME against its
+    * partition columns, so fresh [[AttributeReference]]s suffice.
+    * `None` for unsupported shapes — the filter then just does not
+    * prune (correctness is unaffected: Spark re-applies the join). */
+  private def partitionExpr(f: v1.Filter): Option[Expression] = {
+    def field(n: String): Option[org.apache.spark.sql.types.StructField] =
+      partitionSchema.find(_.name == n)
+    def attr(fd: org.apache.spark.sql.types.StructField): AttributeReference =
+      AttributeReference(fd.name, fd.dataType)()
+    f match {
+      case v1.In(a, vs) => field(a).map(fd =>
+        ce.In(attr(fd), vs.toIndexedSeq.map(v => Literal.create(v, fd.dataType))))
+      case v1.EqualTo(a, v) => field(a).map(fd =>
+        EqualTo(attr(fd), Literal.create(v, fd.dataType)))
+      case v1.IsNotNull(a) => field(a).map(fd => ce.IsNotNull(attr(fd)))
+      case v1.And(l, r) =>
+        for (a <- partitionExpr(l); b <- partitionExpr(r)) yield And(a, b)
+      case v1.Or(l, r) =>
+        for (a <- partitionExpr(l); b <- partitionExpr(r)) yield ce.Or(a, b)
+      case _ => None
+    }
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    stream match {
+      case Some(spec) => graft.streaming.TableRowStream(
+        SparkSession.active, spec.root, spec.table, initial.readSchema(),
+        checkpointLocation, options)
+      case None => initial.toMicroBatchStream(checkpointLocation)
+    }
 }

@@ -50,18 +50,17 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(pruned.count() === 10)
     val scan = pruned.queryExecution.executedPlan.collectLeaves()
       .collectFirst { case b: BatchScanExec => b }.get
-    val files = scan.scan.asInstanceOf[
-      org.apache.spark.sql.execution.datasources.v2.FileScan]
-      .fileIndex.inputFiles
+    val files = scan.scan.asInstanceOf[org.apache.spark.sql.graft.GraftScan]
+      .parquetScan.fileIndex.inputFiles
     // inputFiles is pre-pruning; the planned partitions are what count
     val planned = scan.inputRDD.partitions.length
     assert(planned >= 1)
     val full = spark.sql("SELECT * FROM gtest.default.measures")
     val fullScan = full.queryExecution.executedPlan.collectLeaves()
       .collectFirst { case b: BatchScanExec => b }.get
-    assert(files.length === fullScan.scan.asInstanceOf[
-      org.apache.spark.sql.execution.datasources.v2.FileScan]
-      .fileIndex.inputFiles.length)
+    assert(files.length === fullScan.scan
+      .asInstanceOf[org.apache.spark.sql.graft.GraftScan]
+      .parquetScan.fileIndex.inputFiles.length)
     assert(planned < fullScan.inputRDD.partitions.length)
   }
 
@@ -223,6 +222,110 @@ class GraftCatalogSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE gtest.default.evo RENAME COLUMN v TO w") }
     assert(spark.sql("SELECT * FROM gtest.default.evo").columns.toSeq ===
       Seq("v", "score", "yr"))
+  }
+
+  test("inspection tables: history / partitions / stats are SQL-queryable") {
+    val t0 = 5000000L
+    store.clockMs = () => t0
+    store.commitFull(rows(1996 to 1997, 2), "insp", Seq("yr"), Seq("v"))
+    store.clockMs = () => t0 + 1000
+    store.deleteWhere("insp", col("yr") === 1996, Seq("yr"))
+    val hist = spark.sql(
+      "SELECT version, parent, committed_at_ms, partition_by, n_partitions " +
+        "FROM gtest.default.insp.history ORDER BY version")
+      .as[(Long, Long, Long, String, Long)].collect().toSeq
+    assert(hist === Seq((1L, 0L, t0, "yr", 2L), (2L, 1L, t0 + 1000, "yr", 1L)))
+    // joins against data tables work: count rows per live snapshot
+    val perV = spark.sql(
+      """SELECT h.version, count(d.v) AS n
+         FROM gtest.default.insp.history h
+         LEFT JOIN gtest.default.insp VERSION AS OF 1 d ON h.version = 1
+         GROUP BY h.version ORDER BY h.version""").as[(Long, Long)]
+      .collect().toSeq
+    assert(perV === Seq((1L, 4L), (2L, 0L)))
+    assert(spark.sql("SELECT partition FROM gtest.default.insp.partitions")
+      .as[String].collect().toSeq === Seq("yr=1997"))
+    val st = spark.sql("SELECT column, min, max FROM gtest.default.insp.stats " +
+      "WHERE partition = 'yr=1997'").as[(String, String, String)].head()
+    assert(st === (("v", "1997000", "1997001")))
+  }
+
+  test("readStream.table: insert-only row stream; update/delete commits fail loudly") {
+    import org.apache.spark.sql.streaming.Trigger
+    store.commitFull(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), "strm", Nil)
+    val ckpt = Files.createTempDirectory("graft-strm-ckpt").toString
+    val out = Files.createTempDirectory("graft-strm-out").toString
+    def drain(extra: (String, String)*): Unit = {
+      var r = spark.readStream.option("keys", "k")
+      extra.foreach { case (k, v) => r = r.option(k, v) }
+      r.table("gtest.default.strm")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def delivered(): Seq[(Long, String)] =
+      spark.read.parquet(out).as[(Long, String)].collect().sorted.toSeq
+    // first batch: the subscribed snapshot as rows
+    drain()
+    assert(delivered() === Seq((1L, "a"), (2L, "b")))
+    // SQL INSERT between triggers flows through as rows
+    spark.sql("INSERT INTO gtest.default.strm VALUES (3L, 'c')")
+    drain()
+    assert(delivered() === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // a delete commit fails the row-shaped stream loudly...
+    store.deleteWhere("strm", col("k") === 1L, Nil)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    assert(e.getMessage.contains("delete") ||
+      Option(e.getCause).exists(_.getMessage.contains("delete")))
+    // ...and ignoreDeletes resumes from the SAME checkpoint, skipping it
+    drain("ignoreDeletes" -> "true")
+    assert(delivered() === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // ignoreChanges re-emits update post-images
+    store.updateWhere("strm", col("k") === 2L, Map("s" -> lit("B")), Nil)
+    drain("ignoreChanges" -> "true")
+    assert(delivered() === Seq((1L, "a"), (2L, "B"), (2L, "b"), (3L, "c")))
+  }
+
+  test("runtime filtering: a dim-filtered join prunes fact partitions at execution") {
+    store.commitFull(rows(1990 to 1999, 20), "dpp", Seq("yr"))
+    // the dim must be a real scan: a literal Seq constant-folds into a
+    // LocalRelation and DPP's selective-predicate check never fires
+    store.commitFull(Seq((1995, "keep"), (1996, "other"), (2042, "keep2"))
+      .toDF("d_yr", "d_tag"), "dpp_dim", Nil)
+    val q = spark.sql(
+      """SELECT f.v FROM gtest.default.dpp f
+         JOIN gtest.default.dpp_dim d ON f.yr = d.d_yr
+         WHERE d.d_tag = 'keep'""")
+    // execute THIS dataset (a .count() would plan a fresh query tree
+    // with its own scan instances), then introspect the final
+    // adaptive plan, descending into materialized query stages
+    assert(q.collect().length === 20)
+    val finalPlan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    def walk(pl: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] =
+      pl.collect {
+        case b: BatchScanExec => Seq(b)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(s.plan)
+      }.flatten
+    val scans = walk(finalPlan).filter(_.runtimeFilters.nonEmpty)
+    assert(scans.nonEmpty, "no runtime filter reached the graft scan")
+    // the executed GraftScan was mutated in place by scan.filter(...):
+    // the dim's surviving keys are now partition filters, and the
+    // re-planned batch reads ONLY the yr=1995 manifest partition
+    val gs = scans.head.scan.asInstanceOf[org.apache.spark.sql.graft.GraftScan]
+    assert(gs.parquetScan.partitionFilters.nonEmpty,
+      "runtime filter did not fold into the parquet scan")
+    val dirs = gs.parquetScan.toBatch.planInputPartitions().flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map(_.filePath.toPath.getParent.getName)
+    }.toSet
+    assert(dirs === Set("yr=1995"))
   }
 
   test("store-API commits and catalog reads interleave consistently") {
