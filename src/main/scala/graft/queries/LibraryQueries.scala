@@ -667,6 +667,85 @@ object LibraryQueries {
               CAST(5 AS BIGINT) AS n_versions, CAST(5 AS BIGINT) AS head_v
        FROM live GROUP BY order_yr"""
 
+  /** S30: SQL UPDATE + MERGE INTO through the catalog's group-based
+    * row-level operations -- the executor-staged write path
+    * (GraftBatchWrite -> commitStagedReplacing) under the hash gate.
+    * UPDATE restates 1996 prices below 200k; MERGE (source = the
+    * 1997+1999 orders) deletes matched rows above 300k, marks the
+    * rest, and inserts the unmatched 1999 rows. Keys are globally
+    * unique order keys, so "matched" is exactly the 1997 partition --
+    * reconstructable in the oracle with WHERE/CASE algebra. The
+    * history count pins one commit per mutating statement (create,
+    * insert, update, merge = 4). */
+  def s30CatalogUpdateMerge(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_totalprice"),
+      year(col("o_orderdate").cast("date")).as("order_yr"))
+    o.createOrReplaceTempView("s30_catalog_src")
+    val root = Files.createTempDirectory("graft-q-s30").toString
+    val cat = "gq" + java.lang.Long.toHexString(
+      org.apache.spark.unsafe.types.UTF8String.fromString(root).hashCode()
+        .toLong & 0xffffffffL)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.table.catalog.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"""CREATE TABLE $cat.default.ord2
+              (o_orderkey BIGINT, o_totalprice DOUBLE, status STRING,
+               order_yr INT) PARTITIONED BY (order_yr)""")
+    s.sql(s"""INSERT INTO $cat.default.ord2
+              SELECT o_orderkey, o_totalprice, 'O', order_yr
+              FROM s30_catalog_src
+              WHERE order_yr BETWEEN 1995 AND 1998""")
+    s.sql(s"""UPDATE $cat.default.ord2
+              SET o_totalprice = round(o_totalprice * 1.1, 2), status = 'R'
+              WHERE order_yr = 1996 AND o_totalprice < 200000.0D""")
+    s.sql(s"""MERGE INTO $cat.default.ord2 t
+              USING (SELECT o_orderkey, o_totalprice, order_yr
+                     FROM s30_catalog_src WHERE order_yr IN (1997, 1999)) s
+              ON t.o_orderkey = s.o_orderkey
+              WHEN MATCHED AND t.o_totalprice > 300000.0D THEN DELETE
+              WHEN MATCHED THEN UPDATE SET status = 'M'
+              WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice,
+                status, order_yr)
+                VALUES (s.o_orderkey, s.o_totalprice, 'N', s.order_yr)""")
+    s.sql(
+      s"""SELECT t.order_yr, t.status, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(t.o_totalprice AS DECIMAL(18,2))) AS price,
+                 h.n_versions
+          FROM $cat.default.ord2 t
+          CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_versions
+                      FROM $cat.default.ord2.history) h
+          GROUP BY t.order_yr, t.status, h.n_versions""")
+  }
+
+  val s30CatalogUpdateMergeSql: String =
+    """WITH src AS (
+         SELECT o_orderkey, o_totalprice,
+                CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_yr
+         FROM orders),
+       base AS (
+         SELECT o_orderkey,
+                CASE WHEN order_yr = 1996 AND o_totalprice < 200000.0
+                     THEN round(o_totalprice * 1.1, 2)
+                     ELSE o_totalprice END AS o_totalprice,
+                CASE WHEN order_yr = 1996 AND o_totalprice < 200000.0
+                     THEN 'R' ELSE 'O' END AS status,
+                order_yr
+         FROM src WHERE order_yr BETWEEN 1995 AND 1998),
+       merged AS (
+         SELECT o_orderkey, o_totalprice,
+                CASE WHEN order_yr = 1997 THEN 'M' ELSE status END AS status,
+                order_yr
+         FROM base
+         WHERE NOT (order_yr = 1997 AND o_totalprice > 300000.0)
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, 'N' AS status, order_yr
+         FROM src WHERE order_yr = 1999)
+       SELECT order_yr, status, CAST(count(*) AS BIGINT) AS n,
+              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price,
+              CAST(4 AS BIGINT) AS n_versions
+       FROM merged GROUP BY order_yr, status"""
+
   /** S18: incremental aggregate maintenance -- the v1 yearly rollup
     * updated to the v2 state by applying the snapshot changelog
     * (IncrementalAgg over snapshotDiff pre-images), never rescanning
@@ -985,6 +1064,7 @@ object LibraryQueries {
     "s27_changelog_walk" -> (s27ChangelogWalk _),
     "s28_catalog_timetravel" -> (s28CatalogTimetravel _),
     "s29_catalog_dml" -> (s29CatalogDml _),
+    "s30_catalog_update_merge" -> (s30CatalogUpdateMerge _),
     "s18_incremental_agg" -> (s18IncrementalAgg _),
     "s26_incremental_minmax" -> (s26IncrementalMinmax _),
     "q_validation_suite" -> (qValidationSuite _),
@@ -1014,6 +1094,7 @@ object LibraryQueries {
     "s27_changelog_walk" -> s27ChangelogWalkSql,
     "s28_catalog_timetravel" -> s28CatalogTimetravelSql,
     "s29_catalog_dml" -> s29CatalogDmlSql,
+    "s30_catalog_update_merge" -> s30CatalogUpdateMergeSql,
     "s18_incremental_agg" -> s18IncrementalAggSql,
     "s26_incremental_minmax" -> s26IncrementalMinmaxSql,
     "q_validation_suite" -> qValidationSuiteSql,

@@ -514,6 +514,77 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     v
   }
 
+  /** Fresh staging dir for an EXECUTOR-written commit (the row-level
+    * SQL path: tasks write parquet straight into hive-layout rel dirs
+    * under it, the driver then promotes it with
+    * [[commitStagedReplacing]]). Returns (dirId, absolute path);
+    * until a manifest references the dirId it is an unreferenced
+    * phantom -- crash debris is reclaimed exactly like a failed
+    * [[commit]]'s staging. */
+  private[table] def newStagingDir(name: String): (String, String) = {
+    val dirId = s"rl-${UUID.randomUUID().toString.take(8)}"
+    (dirId, s"${dataRoot(name)}/$dirId")
+  }
+
+  /** Promote an executor-staged data dir into a snapshot that
+    * REPLACES `replacedRels` and carries `writtenRels` from the
+    * staged dir -- the commit half of the group-based row-level
+    * rewrite (SQL UPDATE / MERGE / non-translatable DELETE through
+    * the catalog). Group semantics: every partition the rewrite READ
+    * is in `replacedRels` (its surviving rows are in the staged
+    * data); a written rel NOT in `replacedRels` is an APPEND into an
+    * untouched partition (rows an UPDATE moved across partitions, or
+    * MERGE inserts) -- the parent's dir for that rel stays in the
+    * mapping alongside the staged one (reads union them), and the
+    * rel's stats go conservative (two dirs, one stats key: dropping
+    * them prunes nothing rather than wrongly).
+    *
+    * Serializable DML: the head must still be `expectedParent` (the
+    * snapshot the rewrite scanned); anything else means a writer
+    * landed mid-rewrite and the replacement rows are stale --
+    * rejected BEFORE any metadata changes, staged dir deleted by the
+    * caller's abort path. */
+  private[table] def commitStagedReplacing(name: String, dirId: String,
+      writtenRels: Set[String], replacedRels: Set[String],
+      expectedParent: Long): Long = {
+    val m = current(name).getOrElse(
+      throw new NoSuchElementException(s"no snapshots for $name"))
+    if (m.version != expectedParent)
+      throw new ConcurrentWriteException(
+        s"$name moved to ${m.version} while a row-level rewrite built on " +
+          s"$expectedParent was in flight -- replacement rows are stale")
+    val v = nextVersion(name)
+    val statsColumns = statsFor(name)
+    val appended = writtenRels.diff(replacedRels)
+    val mapping = m.mapping.filterNot { case (rel, _) => replacedRels(rel) } ++
+      writtenRels.toSeq.sorted.map(_ -> dirId)
+    val writtenStats =
+      if (statsColumns.isEmpty || writtenRels.isEmpty) Nil
+      else {
+        val base = s"${dataRoot(name)}/$dirId"
+        val schema = Option(m.schemaDDL).filter(_.nonEmpty)
+          .map(org.apache.spark.sql.types.StructType.fromDDL)
+        val reader = schema.fold(spark.read)(spark.read.schema)
+        val backRead =
+          if (m.partitionBy.isEmpty) reader.parquet(base)
+          else reader.option("basePath", base)
+            .parquet(writtenRels.toSeq.sorted.map(r => s"$base/$r"): _*)
+        columnStats(backRead, m.partitionBy, statsColumns)
+          .filterNot(s => appended(s._1))
+      }
+    val stats = m.stats.filterNot(s => replacedRels(s._1) || appended(s._1)) ++
+      writtenStats
+    beforeSwap(name, v)
+    try casManifest(name,
+      Manifest(v, m.partitionBy, mapping, m.schemaDDL, stats),
+      observedParent = m.version)
+    catch { case e: ConcurrentWriteException =>
+      fs.delete(new Path(s"${dataRoot(name)}/$dirId"), true); throw e
+    }
+    expireSnapshots(name)
+    v
+  }
+
   /** Resolve a manifest to a DataFrame: one pruned parquet relation
     * per distinct data dir (basePath keeps hive partition-column
     * recovery), unioned by name. Delta chains stay short because

@@ -293,7 +293,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * partition columns appended. */
 class GraftTable(st: VersionedTableStore, tableName: String,
     pinnedVersion: Option[Long]) extends Table
-    with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+    with SupportsRead with SupportsWrite with SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL UPDATE / MERGE INTO / rewrite-path DELETE: group-based
+    * copy-on-write where groups are the store's partitions — see
+    * [[GraftRowLevelOp]]. (A DELETE whose predicate translates takes
+    * the metadata-only [[deleteWhere]] path instead; Spark picks.) */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"row-level ${info.command} on a time-travel handle of $tableName: " +
+        "history is immutable")
+    () => new GraftRowLevelOp(st, tableName, snapshot, info.command)
+  }
 
   private[catalog] val snapshot: GraftSnapshot =
     st.snapshotView(tableName, pinnedVersion)

@@ -1,0 +1,223 @@
+package org.apache.spark.sql.graft
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.{Job, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, EvalMode, UnsafeProjection}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.util.SerializableConfiguration
+
+/** Executor-parallel parquet write into a versioned-store staging dir
+  * — the write half of the catalog's group-based row-level operations
+  * (SQL UPDATE / MERGE INTO / non-translatable DELETE).
+  *
+  * Each task writes rows into hive-layout `rel` dirs under a PRIVATE
+  * per-attempt temp dir; at task commit the files RENAME into the
+  * shared rel dirs (speculative / retried attempts never publish —
+  * Spark's commit coordinator admits exactly one attempt per
+  * partition, and losers' files stay in `_tmp`, deleted wholesale at
+  * job commit). The driver's `commit` then promotes the staged dir
+  * with one manifest CAS (`VersionedTableStore.commitStagedReplacing`
+  * via `onCommit`) — data I/O fully distributed, metadata one file.
+  *
+  * Declares `RequiresDistributionAndOrdering`: clustered + sorted by
+  * the partition columns, so each task holds ONE open parquet writer
+  * at a time (rows arrive grouped by rel) — at any scale the writer
+  * memory is one row group, not one per partition value.
+  *
+  * Parquet encoding rides Spark's own `ParquetFileFormat.prepareWrite`
+  * factory — compression, timestamp modes, legacy-format flags all
+  * behave exactly as `df.write.parquet`.
+  */
+class GraftBatchWrite(spark: SparkSession, info: LogicalWriteInfo,
+    partitionBy: Seq[String], stagingPath: String,
+    onCommit: Set[String] => Unit, onAbort: () => Unit)
+    extends Write with BatchWrite with RequiresDistributionAndOrdering {
+
+  private val rowSchema: StructType = info.schema()
+
+  override def description(): String = s"graft staged write -> $stagingPath"
+  override def toBatch: BatchWrite = this
+
+  override def requiredDistribution(): Distribution =
+    if (partitionBy.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(
+      partitionBy.map(c => Expressions.column(c): org.apache.spark.sql
+        .connector.expressions.Expression).toArray)
+
+  // clustering alone suffices for correctness; the sort keeps exactly
+  // one parquet writer open per task
+  override def requiredOrdering(): Array[SortOrder] =
+    partitionBy.map(c => Expressions.sort(Expressions.column(c),
+      SortDirection.ASCENDING)).toArray
+
+  override def distributionStrictlyRequired(): Boolean = false
+
+  override def createBatchWriterFactory(
+      physInfo: PhysicalWriteInfo): DataWriterFactory = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val job = Job.getInstance(cs.sessionState.newHadoopConf())
+    val fileSchema = StructType(
+      rowSchema.filterNot(f => partitionBy.contains(f.name)))
+    val owf = new ParquetFileFormat()
+      .prepareWrite(cs, job, Map.empty, fileSchema)
+    new GraftDataWriterFactory(rowSchema, partitionBy, fileSchema,
+      stagingPath, owf, new SerializableConfiguration(job.getConfiguration),
+      cs.sessionState.conf.sessionLocalTimeZone)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = new Path(s"$stagingPath/_tmp")
+    val fs = tmp.getFileSystem(conf)
+    if (fs.exists(tmp)) fs.delete(tmp, true) // losers' unpublished files
+    onCommit(messages.flatMap {
+      case m: GraftWriteMessage => m.rels
+    }.toSet)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = onAbort()
+}
+
+case class GraftWriteMessage(rels: Set[String]) extends WriterCommitMessage
+
+private[graft] class GraftDataWriterFactory(rowSchema: StructType,
+    partitionBy: Seq[String], fileSchema: StructType, stagingPath: String,
+    owf: OutputWriterFactory, conf: SerializableConfiguration, tz: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(rowSchema, partitionBy, fileSchema, stagingPath,
+      owf, conf, tz, partitionId, taskId)
+}
+
+/** One task's writer. Non-partition columns project into the file
+  * row; partition columns render to the hive rel path with the SAME
+  * escaping the store's own writer (Spark hive layout) uses, so the
+  * staged rels line up with manifest rels byte-for-byte. */
+private[graft] class GraftDataWriter(rowSchema: StructType,
+    partitionBy: Seq[String], fileSchema: StructType, stagingPath: String,
+    owf: OutputWriterFactory, conf: SerializableConfiguration, tz: String,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  private val attemptDir = s"$stagingPath/_tmp/attempt-$partitionId-$taskId"
+
+  // Row layout binds LAZILY against the first row: a group-based
+  // ReplaceData plan prepends an operation-marker INT column
+  // (RowDeltaUtils.WRITE*/; observed value 6 = WRITE_WITH_METADATA)
+  // that Spark's plain writing task hands through unprojected -- the
+  // writer detects the extra leading field and offsets every ordinal.
+  private var markerOffset = -1
+  private var fileProjection: UnsafeProjection = _
+  private var partCasts: Seq[Cast] = Nil
+
+  private def bind(row: InternalRow): Unit = {
+    markerOffset = row.numFields - rowSchema.length match {
+      case 0 => 0
+      case 1 => 1
+      case d => throw new IllegalStateException(
+        s"graft staged write: row has ${row.numFields} fields for schema " +
+          s"${rowSchema.toDDL} -- unsupported layout")
+    }
+    fileProjection = UnsafeProjection.create(
+      fileSchema.fieldNames.toIndexedSeq.map { n =>
+        val i = rowSchema.fieldIndex(n)
+        BoundReference(i + markerOffset, rowSchema(i).dataType,
+          rowSchema(i).nullable)
+      })
+    // partition value -> path segment string: Cast-to-string in LEGACY
+    // mode (what the hive-layout writer renders), then hive escaping
+    partCasts = partitionBy.map { c =>
+      val i = rowSchema.fieldIndex(c)
+      Cast(BoundReference(i + markerOffset, rowSchema(i).dataType,
+        rowSchema(i).nullable), StringType, Option(tz), EvalMode.LEGACY)
+    }
+  }
+
+  private val ctx = new TaskAttemptContextImpl(conf.value,
+    new TaskAttemptID(new TaskID(new org.apache.hadoop.mapreduce.JobID(
+      "graft", partitionId), TaskType.MAP, partitionId), taskId.toInt))
+
+  private var currentRel: String = null
+  private var currentWriter: OutputWriter = _
+  private var fileCount = 0
+  private val written = scala.collection.mutable.Set[String]()
+
+  private def relOf(row: InternalRow): String =
+    if (partitionBy.isEmpty) "."
+    else partitionBy.indices.map { k =>
+      val v = partCasts(k).eval(row)
+      val s = if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        else ExternalCatalogUtils.escapePathName(v.toString)
+      s"${ExternalCatalogUtils.escapePathName(partitionBy(k))}=$s"
+    }.mkString("/")
+
+  override def write(row: InternalRow): Unit = {
+    if (markerOffset < 0) bind(row)
+    if (markerOffset == 1) {
+      // only full-row writes are in the group contract; a delta marker
+      // (DELETE/UPDATE/INSERT = 1..4) reaching a group writer means a
+      // plan shape this write does not implement -- fail, don't drop
+      val op = row.getInt(0)
+      require(op == 5 || op == 6,
+        s"graft staged write: unexpected row operation marker $op")
+    }
+    val rel = relOf(row)
+    if (rel != currentRel) {
+      if (currentWriter != null) { currentWriter.close(); currentWriter = null }
+      currentRel = rel
+      val dir = if (rel == ".") attemptDir else s"$attemptDir/$rel"
+      val file = f"part-$partitionId%05d-$taskId-$fileCount%03d" +
+        owf.getFileExtension(ctx)
+      fileCount += 1
+      currentWriter = owf.newInstance(s"$dir/$file", fileSchema, ctx)
+      written += rel
+    }
+    currentWriter.write(fileProjection(row))
+  }
+
+  /** Publish: rename this attempt's rel dirs' files into the shared
+    * staging rels. Runs only for the attempt the commit coordinator
+    * admitted, so concurrent attempts never collide; file names carry
+    * (partitionId, taskId) so retries of OTHER partitions cannot
+    * clash either. */
+  override def commit(): WriterCommitMessage = {
+    if (currentWriter != null) { currentWriter.close(); currentWriter = null }
+    val fs = new Path(stagingPath).getFileSystem(conf.value)
+    written.foreach { rel =>
+      val src = if (rel == ".") new Path(attemptDir)
+        else new Path(s"$attemptDir/$rel")
+      val dst = if (rel == ".") new Path(stagingPath)
+        else new Path(s"$stagingPath/$rel")
+      fs.mkdirs(dst)
+      fs.listStatus(src).filter(_.isFile).foreach { st =>
+        if (!fs.rename(st.getPath, new Path(dst, st.getPath.getName)))
+          throw new java.io.IOException(
+            s"publish failed: ${st.getPath} -> $dst")
+      }
+    }
+    fs.delete(new Path(attemptDir), true)
+    GraftWriteMessage(written.toSet)
+  }
+
+  override def abort(): Unit = {
+    if (currentWriter != null) { currentWriter.close(); currentWriter = null }
+    val fs = new Path(attemptDir).getFileSystem(conf.value)
+    fs.delete(new Path(attemptDir), true)
+    ()
+  }
+
+  override def close(): Unit =
+    if (currentWriter != null) { currentWriter.close(); currentWriter = null }
+}

@@ -128,6 +128,17 @@ object GraftScanPlanning {
       ParquetScanBuilder(classic(spark), index, fullSchema, dataSchema,
         options), partitionSchema, stream, options)
 
+  /** Scan builder for group-based row-level operations — see
+    * [[GraftRowOpScanBuilder]]. `attach` hands the built scan back to
+    * the operation so its commit can read [[GraftScan.plannedRels]]. */
+  def rowOpScanBuilder(spark: SparkSession, index: GraftFileIndex,
+      fullSchema: StructType, dataSchema: StructType,
+      options: CaseInsensitiveStringMap, partitionSchema: StructType,
+      attach: GraftScan => Unit)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    new GraftRowOpScanBuilder(spark, index, fullSchema, dataSchema, options,
+      partitionSchema, attach)
+
   /** Closed-interval bounds per column implied by pushed data
     * filters (a conjunction): only integer-family literal compares
     * are consulted; strict bounds widen to closed ones (prune less,
@@ -189,7 +200,7 @@ object GraftScanPlanning {
 class GraftFileIndex(spark: org.apache.spark.sql.classic.SparkSession,
     leafDirs: Seq[Path], spec: PartitionSpec,
     statsByRel: Map[String, Map[String, (BigDecimal, BigDecimal)]],
-    relOfLeaf: Map[String, String])
+    private[graft] val relOfLeaf: Map[String, String])
   extends InMemoryFileIndex(spark, leafDirs, Map.empty[String, String], None,
     FileStatusCache.getOrCreate(spark), Some(spec), None) {
 
@@ -338,4 +349,74 @@ class GraftScan(initial: ParquetScan, partitionSchema: StructType,
         checkpointLocation, options)
       case None => initial.toMicroBatchStream(checkpointLocation)
     }
+
+  /** The GROUPS (partition rels) this scan's final plan reads — the
+    * deterministic mirror of its file listing (same partition filters
+    * incl. runtime ones, same rel-atomic stats skipping), so a
+    * group-based row-level rewrite replaces exactly the partitions
+    * whose rows it fed through the rewrite. */
+  def plannedRels: Set[String] = {
+    val idx = current.fileIndex.asInstanceOf[GraftFileIndex]
+    idx.listFiles(current.partitionFilters, current.dataFilters)
+      .flatMap(_.files.map(f =>
+        idx.relOfLeaf(f.getPath.getParent.toString)))
+      .toSet
+  }
+}
+
+/** Scan builder for the catalog's GROUP-BASED row-level operations
+  * (SQL UPDATE / MERGE INTO / rewrite-path DELETE). The group
+  * contract: the scan must return EVERY row of every group it
+  * reports, because the written-back data REPLACES those groups
+  * wholesale — so unlike the regular builder, nothing row-level is
+  * ever pushed to parquet:
+  *
+  *  - filters on partition columns prune GROUPS (exact, atomic);
+  *  - integer-bounds filters feed the manifest-stats skip, which is
+  *    rel-atomic by construction (a partition is dropped only when
+  *    provably EMPTY of matches — dropping it leaves its rows
+  *    untouched, which is precisely "not replaced");
+  *  - everything is returned as post-scan (`pushedFilters` stays
+  *    empty), so the rewrite's own CASE/filter logic sees full rows.
+  *
+  * A filter pushed into parquet row groups here would silently DROP
+  * non-matching rows from the replacement data — data loss. */
+class GraftRowOpScanBuilder(spark: SparkSession, index: GraftFileIndex,
+    fullSchema: StructType, dataSchema: StructType,
+    options: CaseInsensitiveStringMap, partitionSchema: StructType,
+    attach: GraftScan => Unit)
+    extends org.apache.spark.sql.connector.read.ScanBuilder
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var partFilters: Seq[Expression] = Nil
+  private var boundsFilters: Seq[Expression] = Nil
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    val partCols = partitionSchema.fieldNames.toSet
+    partFilters = filters.filter(f => f.deterministic &&
+      f.references.nonEmpty && f.references.forall(r => partCols(r.name)))
+    boundsFilters = filters.filterNot(partFilters.contains)
+      .filter(f => f.deterministic &&
+        GraftScanPlanning.filterBounds(Seq(f)).nonEmpty)
+    filters // ALL filters re-evaluate above the scan
+  }
+
+  override def pushedFilters: Array[Predicate] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val inner = ParquetScanBuilder(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      index, fullSchema, dataSchema, options)
+    inner.pruneColumns(required)
+    val ps = inner.build().copy(partitionFilters = partFilters,
+      dataFilters = boundsFilters)
+    val scan = new GraftScan(ps, partitionSchema, None, options)
+    attach(scan)
+    scan
+  }
 }

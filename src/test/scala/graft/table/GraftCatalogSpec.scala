@@ -177,14 +177,76 @@ class GraftCatalogSpec extends AnyFunSuite {
       Seq("v", "tag", "yr"))
   }
 
-  test("untranslatable DELETE predicates are rejected up front, not half-run") {
-    store.commitFull(rows(2001 to 2001, 3), "del2", Seq("yr"))
-    val e = intercept[Exception] {
-      spark.sql("DELETE FROM gtest.default.del2 WHERE length(tag) > 99")
-    }
-    assert(e.getMessage.toLowerCase.contains("delete"))
+  test("untranslatable DELETE predicates run as a group-based rewrite") {
+    store.commitFull(rows(2001 to 2002, 3), "del2", Seq("yr"))
+    val before = store.snapshotView("del2", None)
+    // length(tag) has no metadata-delete translation -> Spark routes
+    // it through the row-level rewrite; r2001-10x tags are length 8
+    spark.sql(
+      "DELETE FROM gtest.default.del2 WHERE length(tag) = 7 AND yr = 2001")
+    val after = store.snapshotView("del2", None)
+    assert(after.version === before.version + 1)
     assert(spark.sql("SELECT count(*) FROM gtest.default.del2")
       .as[Long].head === 3)
+    assert(spark.sql(
+      "SELECT count(*) FROM gtest.default.del2 WHERE yr = 2001")
+      .as[Long].head === 0)
+    // the untouched partition keeps its immutable dir
+    assert(after.entries.toMap.apply("yr=2002") ===
+      before.entries.toMap.apply("yr=2002"))
+  }
+
+  test("SQL UPDATE: rewrites matched partitions; moves across partitions append") {
+    store.commitFull(rows(1996 to 1998, 4), "upd", Seq("yr"), Seq("v"))
+    val before = store.snapshotView("upd", None)
+    spark.sql("UPDATE gtest.default.upd SET tag = concat(tag, '!') " +
+      "WHERE v % 2 = 0 AND yr = 1997")
+    val after = store.snapshotView("upd", None)
+    assert(after.version === before.version + 1)
+    assert(spark.sql("SELECT count(*) FROM gtest.default.upd")
+      .as[Long].head === 12)
+    assert(spark.sql("SELECT tag FROM gtest.default.upd " +
+      "WHERE yr = 1997 ORDER BY v").as[String].collect().toSeq ===
+      Seq("r1997-0!", "r1997-1", "r1997-2!", "r1997-3"))
+    // only the matched partition was rewritten
+    assert(after.entries.toMap.apply("yr=1996") ===
+      before.entries.toMap.apply("yr=1996"))
+    assert(after.entries.toMap.apply("yr=1997") !==
+      before.entries.toMap.apply("yr=1997"))
+    // assigning the PARTITION column moves the row: source partition
+    // rewritten without it, destination partition gains an appended dir
+    spark.sql("UPDATE gtest.default.upd SET yr = 1999 WHERE v = 1996001")
+    assert(spark.sql("SELECT yr, tag FROM gtest.default.upd WHERE v = 1996001")
+      .as[(Int, String)].head() === ((1999, "r1996-1")))
+    assert(spark.sql("SELECT count(*) FROM gtest.default.upd")
+      .as[Long].head === 12)
+    // time travel still serves the pre-UPDATE state
+    assert(spark.sql(
+      s"SELECT tag FROM gtest.default.upd VERSION AS OF ${before.version} " +
+        "WHERE yr = 1997 AND v % 2 = 0 ORDER BY v")
+      .as[String].collect().toSeq === Seq("r1997-0", "r1997-2"))
+  }
+
+  test("SQL MERGE INTO: update + delete + insert clauses in one statement") {
+    store.commitFull(Seq((1L, "a", 10), (2L, "b", 10), (3L, "c", 20))
+      .toDF("k", "s", "grp"), "mrg", Seq("grp"))
+    Seq((1L, "A"), (3L, "DELETE_ME"), (9L, "new"))
+      .toDF("mk", "ms").createOrReplaceTempView("mrg_src")
+    spark.sql(
+      """MERGE INTO gtest.default.mrg t USING mrg_src s ON t.k = s.mk
+         WHEN MATCHED AND s.ms = 'DELETE_ME' THEN DELETE
+         WHEN MATCHED THEN UPDATE SET s = s.ms
+         WHEN NOT MATCHED THEN INSERT (k, s, grp) VALUES (s.mk, s.ms, 99)""")
+    assert(spark.sql("SELECT k, s, grp FROM gtest.default.mrg ORDER BY k")
+      .as[(Long, String, Int)].collect().toSeq ===
+      Seq((1L, "A", 10), (2L, "b", 10), (9L, "new", 99)))
+    // a no-match statement burns no snapshot
+    val v = store.snapshotView("mrg", None).version
+    spark.sql(
+      """MERGE INTO gtest.default.mrg t USING mrg_src s
+         ON t.k = s.mk AND t.k > 100
+         WHEN MATCHED THEN DELETE""")
+    assert(store.snapshotView("mrg", None).version === v)
   }
 
   test("ALTER TABLE ADD/DROP COLUMNS: metadata-only, history keeps old schema") {
@@ -326,6 +388,21 @@ class GraftCatalogSpec extends AnyFunSuite {
         fp.files.map(_.filePath.toPath.getParent.getName)
     }.toSet
     assert(dirs === Set("yr=1995"))
+  }
+
+  test("row-level rewrites are serializable: a head moved mid-flight rejects") {
+    store.commitFull(rows(1996 to 1996, 2), "ser", Seq("yr"))
+    val v = store.snapshotView("ser", None).version
+    // the rewrite scanned v, another writer landed v+1: replacement
+    // rows are stale -- rejected BEFORE any metadata changes
+    store.commitFull(rows(1996 to 1997, 2), "ser", Seq("yr"))
+    val e = intercept[ConcurrentWriteException] {
+      store.commitStagedReplacing("ser", "rl-dead", Set.empty,
+        Set("yr=1996"), expectedParent = v)
+    }
+    assert(e.getMessage.contains("stale"))
+    assert(spark.sql("SELECT count(*) FROM gtest.default.ser")
+      .as[Long].head === 4)
   }
 
   test("store-API commits and catalog reads interleave consistently") {
