@@ -76,7 +76,24 @@ case class GraftSnapshot(version: Long, partitionBy: Seq[String],
   * (mirroring the store's flat table names); `graft.t` and
   * `graft.default.t` both resolve.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  /** `CALL graft.system.<proc>(...)` — maintenance as SQL; see
+    * [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace.sameElements(GraftProcedures.namespace))
+      throw new NoSuchNamespaceException(ident.namespace)
+    GraftProcedures.load(() => store, ident.name)
+  }
+
+  override def listProcedures(ns: Array[String]): Array[Identifier] = {
+    if (!(ns.isEmpty || ns.sameElements(GraftProcedures.namespace)))
+      throw new NoSuchNamespaceException(ns)
+    GraftProcedures.names.toArray.map(n =>
+      Identifier.of(GraftProcedures.namespace, n))
+  }
 
   private var catalogName: String = "graft"
   private var root: String = _

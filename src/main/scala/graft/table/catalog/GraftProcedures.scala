@@ -1,0 +1,126 @@
+package graft.table.catalog
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.table.VersionedTableStore
+
+/** Maintenance operations as SQL stored procedures, Iceberg-style:
+  *
+  * {{{
+  * CALL graft.system.rollback('t', 2)           -- head := snapshot 2's state
+  * CALL graft.system.compact('t')               -- collapse the delta chain
+  * CALL graft.system.optimize('t', 128)         -- pack small-file partitions
+  * CALL graft.system.cluster_by('t', 'v', 16)   -- range-bucket layout rewrite
+  * CALL graft.system.cluster_by_z('t', 'a,b', 16) -- Z-order layout rewrite
+  * CALL graft.system.tag('t', 'golden', 3)      -- pin a snapshot against expiry
+  * CALL graft.system.expire_snapshots('t')      -- apply the retention policy
+  * }}}
+  *
+  * Every procedure returns a one-row `(version BIGINT)` result (the
+  * committed version, or the live-version count for expiry) as a
+  * driver-side [[LocalScan]]. The store calls they wrap are
+  * distributed where it matters — optimize / cluster rewrites run as
+  * Spark jobs; rollback, tag, expire are manifest-only.
+  * `isDeterministic = false` on all of them: each CALL mutates table
+  * state. The store binds lazily at CALL time (`storeF`), same
+  * active-session discipline as the catalog's table operations. */
+private[catalog] object GraftProcedures {
+
+  val namespace: Array[String] = Array("system")
+
+  val names: Seq[String] = Seq("rollback", "compact", "optimize",
+    "cluster_by", "cluster_by_z", "tag", "expire_snapshots")
+
+  def load(storeF: () => VersionedTableStore,
+      name: String): UnboundProcedure = name match {
+    case "rollback" => proc(storeF, name,
+      "restore the table to a live snapshot's state (as a NEW commit)",
+      Seq("table" -> StringType, "version" -> LongType)) { (st, r) =>
+      st.rollbackTo(str(r, 0), r.getLong(1))
+    }
+    case "compact" => proc(storeF, name,
+      "collapse the delta chain into one data dir",
+      Seq("table" -> StringType)) { (st, r) =>
+      st.compact(str(r, 0))
+    }
+    case "optimize" => proc(storeF, name,
+      "rewrite partitions holding many small files into packed files",
+      Seq("table" -> StringType, "target_file_mb" -> IntegerType)) {
+      (st, r) =>
+        st.optimizeSmallFiles(str(r, 0),
+          targetBytes = r.getInt(1).toLong * 1024 * 1024)
+    }
+    case "cluster_by" => proc(storeF, name,
+      "range-bucket layout rewrite for tight stats skipping",
+      Seq("table" -> StringType, "column" -> StringType,
+        "buckets" -> IntegerType)) { (st, r) =>
+      st.clusterBy(str(r, 0), str(r, 1), r.getInt(2))
+    }
+    case "cluster_by_z" => proc(storeF, name,
+      "Z-order layout rewrite over comma-separated columns",
+      Seq("table" -> StringType, "columns" -> StringType,
+        "buckets" -> IntegerType)) { (st, r) =>
+      st.clusterByZ(str(r, 0),
+        str(r, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        r.getInt(2))
+    }
+    case "tag" => proc(storeF, name,
+      "pin a snapshot against retention expiry under a name",
+      Seq("table" -> StringType, "tag" -> StringType,
+        "version" -> LongType)) { (st, r) =>
+      st.tagSnapshot(str(r, 0), str(r, 1), r.getLong(2))
+    }
+    case "expire_snapshots" => proc(storeF, name,
+      "apply the retention policy; returns live snapshot count",
+      Seq("table" -> StringType)) { (st, r) =>
+      val t = str(r, 0)
+      st.expireSnapshots(t)
+      st.versions(t).size.toLong
+    }
+    case other => throw new NoSuchElementException(
+      s"graft has no procedure `$other`; available: ${names.mkString(", ")}")
+  }
+
+  private def str(r: InternalRow, i: Int): String =
+    r.getUTF8String(i) match {
+      case null => throw new IllegalArgumentException(
+        s"procedure argument $i must not be NULL")
+      case s: UTF8String => s.toString
+    }
+
+  private val outSchema =
+    new StructType().add("version", LongType, nullable = false)
+
+  private def proc(storeF: () => VersionedTableStore, procName: String,
+      desc: String, params: Seq[(String, DataType)])(
+      run: (VersionedTableStore, InternalRow) => Long): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = desc
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] =
+            params.map { case (n, t) =>
+              ProcedureParameter.in(n, t).build()
+            }.toArray
+          override def call(input: InternalRow): util.Iterator[Scan] = {
+            val v = run(storeF(), input)
+            util.List.of[Scan](new LocalScan {
+              override def readSchema(): StructType = outSchema
+              override def rows(): Array[InternalRow] =
+                Array(new GenericInternalRow(Array[Any](v)))
+            }).iterator()
+          }
+        }
+    }
+}

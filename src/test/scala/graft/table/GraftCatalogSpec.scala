@@ -405,6 +405,35 @@ class GraftCatalogSpec extends AnyFunSuite {
       .as[Long].head === 4)
   }
 
+  test("CALL graft.system.*: maintenance procedures run from SQL") {
+    store.commitFull(rows(1996 to 1997, 6), "proc", Seq("yr"), Seq("v"))
+    spark.sql("DELETE FROM gtest.default.proc WHERE yr = 1997")
+    assert(spark.sql("SELECT count(*) FROM gtest.default.proc")
+      .as[Long].head === 6)
+    // rollback restores v1's state as a NEW commit
+    val rolled = spark.sql("CALL gtest.system.rollback('proc', 1)")
+      .as[Long].head
+    assert(rolled === 3L)
+    assert(spark.sql("SELECT count(*) FROM gtest.default.proc")
+      .as[Long].head === 12)
+    // tag pins a snapshot; expire keeps it alive
+    spark.sql("CALL gtest.system.tag('proc', 'golden', 1L)")
+    assert(spark.sql("CALL gtest.system.expire_snapshots('proc')")
+      .as[Long].head >= 2L)
+    // optimize packs the small-file partitions and commits
+    val optimized = spark.sql("CALL gtest.system.optimize('proc', 64)")
+      .as[Long].head
+    assert(optimized > rolled)
+    assert(spark.sql("SELECT count(*) FROM gtest.default.proc")
+      .as[Long].head === 12)
+    // cluster_by rewrites the layout, contents unchanged
+    spark.sql("CALL gtest.system.cluster_by('proc', 'v', 4)")
+    assert(spark.sql("SELECT sum(v) FROM gtest.default.proc").as[Long].head
+      === rows(1996 to 1997, 6).agg(sum($"v")).as[Long].head)
+    // unknown procedure fails loudly
+    intercept[Exception] { spark.sql("CALL gtest.system.nope('proc')") }
+  }
+
   test("store-API commits and catalog reads interleave consistently") {
     store.commitFull(rows(1990 to 1991, 2), "mix", Seq("yr"))
     assert(spark.sql("SELECT count(*) FROM gtest.default.mix")
