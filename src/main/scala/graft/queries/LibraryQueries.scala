@@ -746,6 +746,71 @@ object LibraryQueries {
               CAST(4 AS BIGINT) AS n_versions
        FROM merged GROUP BY order_yr, status"""
 
+  /** S31: storage-partitioned join through the catalog — two store
+    * tables hive-partitioned on the SAME key (order_yr), joined on
+    * that key with `spark.sql.sources.v2.bucketing.enabled=true`:
+    * both `GraftScan`s report their manifest layout as a
+    * `KeyGroupedPartitioning`, every input split carries its
+    * partition key, and the sort-merge join (forced by the MERGE
+    * hint — at sf0.01 everything is broadcastable, which would hide
+    * the path) aligns partitions BY KEY with zero exchanges below
+    * the join; the per-year rollup on top reuses the same clustering,
+    * so the whole query plans WITHOUT A SINGLE SHUFFLE. At 100 TB
+    * that is the difference between exchanging two fact tables and
+    * exchanging nothing. The gate hashes the joined rollup (the
+    * above-year-average counts are exact DECIMAL·BIGINT compares, no
+    * float division); the no-exchange plan shape is pinned by
+    * GraftCatalogSpec's SPJ test. The bucketing conf is left on for
+    * the session — it is plan-shape-only (a keyed scan is a correct
+    * read path for every other query; Spark falls back to ordinary
+    * planning wherever SPJ does not apply). */
+  def s31CatalogSpj(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_totalprice"),
+      year(col("o_orderdate").cast("date")).as("order_yr"))
+    val root = Files.createTempDirectory("graft-q-s31").toString
+    val store = new VersionedTableStore(s, root)
+    store.commitFull(o, "spj_fact", Seq("order_yr"))
+    store.commitFull(
+      o.groupBy(col("order_yr")).agg(
+        count(lit(1)).as("yr_n"),
+        sum(col("o_totalprice").cast(D)).as("yr_sum")),
+      "spj_yr", Seq("order_yr"))
+    val cat = "gq" + java.lang.Long.toHexString(
+      org.apache.spark.unsafe.types.UTF8String.fromString(root).hashCode()
+        .toLong & 0xffffffffL)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.table.catalog.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.sql(
+      s"""SELECT /*+ MERGE(r) */ f.order_yr,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN CAST(f.o_totalprice AS DECIMAL(18,2))
+                                    * r.yr_n > r.yr_sum
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg,
+                 CAST(max(r.yr_n) AS BIGINT) AS yr_n
+          FROM $cat.default.spj_fact f
+          JOIN $cat.default.spj_yr r ON f.order_yr = r.order_yr
+          GROUP BY f.order_yr""")
+  }
+
+  val s31CatalogSpjSql: String =
+    """WITH src AS (
+         SELECT o_totalprice,
+                CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_yr
+         FROM orders),
+       yr AS (
+         SELECT order_yr, CAST(count(*) AS BIGINT) AS yr_n,
+                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS yr_sum
+         FROM src GROUP BY order_yr)
+       SELECT f.order_yr, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN CAST(f.o_totalprice AS DECIMAL(18,2))
+                                 * yr.yr_n > yr.yr_sum
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg,
+              CAST(max(yr.yr_n) AS BIGINT) AS yr_n
+       FROM src f JOIN yr ON f.order_yr = yr.order_yr
+       GROUP BY f.order_yr"""
+
   /** S18: incremental aggregate maintenance -- the v1 yearly rollup
     * updated to the v2 state by applying the snapshot changelog
     * (IncrementalAgg over snapshotDiff pre-images), never rescanning
@@ -1065,6 +1130,7 @@ object LibraryQueries {
     "s28_catalog_timetravel" -> (s28CatalogTimetravel _),
     "s29_catalog_dml" -> (s29CatalogDml _),
     "s30_catalog_update_merge" -> (s30CatalogUpdateMerge _),
+    "s31_catalog_spj" -> (s31CatalogSpj _),
     "s18_incremental_agg" -> (s18IncrementalAgg _),
     "s26_incremental_minmax" -> (s26IncrementalMinmax _),
     "q_validation_suite" -> (qValidationSuite _),
@@ -1095,6 +1161,7 @@ object LibraryQueries {
     "s28_catalog_timetravel" -> s28CatalogTimetravelSql,
     "s29_catalog_dml" -> s29CatalogDmlSql,
     "s30_catalog_update_merge" -> s30CatalogUpdateMergeSql,
+    "s31_catalog_spj" -> s31CatalogSpjSql,
     "s18_incremental_agg" -> s18IncrementalAggSql,
     "s26_incremental_minmax" -> s26IncrementalMinmaxSql,
     "q_validation_suite" -> qValidationSuiteSql,

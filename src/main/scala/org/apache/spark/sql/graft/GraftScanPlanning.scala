@@ -9,9 +9,11 @@ import org.apache.spark.sql.catalyst.{expressions => ce}
 import org.apache.spark.sql.connector.expressions.{FieldReference, NamedReference}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
-import org.apache.spark.sql.connector.read.{Batch, Scan, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReaderFactory, Scan, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitionDirectory, PartitionPath, PartitionSpec}
+import org.apache.spark.sql.execution.PartitionedFileUtil
+import org.apache.spark.sql.execution.datasources.{FilePartition, FileStatusCache, InMemoryFileIndex, PartitionDirectory, PartitionPath, PartitionSpec, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
 import org.apache.spark.sql.internal.connector.{PredicateUtils, SupportsMetadata}
 import org.apache.spark.sql.{sources => v1}
@@ -286,16 +288,46 @@ class GraftScanBuilder(inner: ParquetScanBuilder,
 class GraftScan(initial: ParquetScan, partitionSchema: StructType,
     stream: Option[GraftStreamSpec], options: CaseInsensitiveStringMap)
     extends Scan with SupportsRuntimeV2Filtering
-    with SupportsReportStatistics with SupportsMetadata {
+    with SupportsReportStatistics with SupportsReportPartitioning
+    with SupportsMetadata {
 
   @volatile private var current: ParquetScan = initial
+
+  /** Storage-partitioned-join mode: decided ONCE at scan build (the
+    * same session conf Spark's own SPJ machinery keys off), so
+    * `outputPartitioning` and `toBatch` cannot disagree mid-plan. */
+  private val keyGrouped: Boolean = partitionSchema.nonEmpty &&
+    org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled
+
+  /** '''Storage-partitioned joins''' ([[SupportsReportPartitioning]]):
+    * with `spark.sql.sources.v2.bucketing.enabled=true` the scan
+    * reports its hive layout as a [[KeyGroupedPartitioning]] over the
+    * identity transforms of the partition columns, and [[toBatch]]
+    * plans one key-tagged split group per manifest partition
+    * ([[GraftKeyedFilePartition]] — [[HasPartitionKey]]). Two store
+    * tables partitioned on the join key then join with NO shuffle on
+    * either side: Spark's `EnsureRequirements` recognizes both sides
+    * as co-partitioned and aligns partitions by key instead of
+    * exchanging 2×100 TB. Every fallback is Spark's own: a query that
+    * prunes the partition columns, a join on other keys, or the conf
+    * off all degrade to the ordinary (shuffled) plan, never to a
+    * wrong one. */
+  override def outputPartitioning(): Partitioning =
+    if (!keyGrouped) new UnknownPartitioning(0)
+    else new KeyGroupedPartitioning(
+      partitionSchema.fieldNames.map(n =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(n)
+          : org.apache.spark.sql.connector.expressions.Expression),
+      current.fileIndex.asInstanceOf[GraftFileIndex].partitionSpec()
+        .partitions.size)
 
   /** The wrapped parquet scan as Spark last re-planned it (post any
     * runtime filtering) — for plan introspection and tests. */
   def parquetScan: ParquetScan = current
 
   override def readSchema(): StructType = current.readSchema()
-  override def toBatch: Batch = current.toBatch
+  override def toBatch: Batch =
+    if (keyGrouped) new GraftKeyedBatch(current) else current.toBatch
   override def description(): String = current.description()
   override def getMetaData(): Map[String, String] = current.getMetaData()
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
@@ -362,6 +394,53 @@ class GraftScan(initial: ParquetScan, partitionSchema: StructType,
         idx.relOfLeaf(f.getPath.getParent.toString)))
       .toSet
   }
+}
+
+/** The batch a key-grouped [[GraftScan]] plans: the SAME file
+  * listing, splitting, and bin-packing discipline as Spark's
+  * [[org.apache.spark.sql.execution.datasources.v2.FileScan]] — but
+  * packing never crosses a partition value, and every resulting
+  * split group carries its partition key ([[HasPartitionKey]]).
+  * Spark's `groupPartitions` then merges same-key groups into one
+  * task when a storage-partitioned join engages; when it does not
+  * (it requires EVERY partition keyed — always true here), the
+  * groups execute as ordinary file partitions with the ordinary
+  * parallelism, because bin-packing within a key still yields one
+  * task per `maxSplitBytes` of data. Reading rides the wrapped
+  * [[ParquetScan]]'s own reader factory — vectorized decode,
+  * pushed filters, and column pruning are untouched. */
+class GraftKeyedBatch(ps: ParquetScan) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dirs = ps.fileIndex.listFiles(ps.partitionFilters, ps.dataFilters)
+    val maxSplit = FilePartition.maxSplitBytes(ps.sparkSession, dirs)
+    var i = -1
+    dirs.iterator.flatMap { dir =>
+      val splits = dir.files.flatMap { f =>
+        // the scan's own splitability verdict: false under pushed
+        // aggregation (a footer-stat read split in two would count
+        // the file's rows twice) and for any other non-splittable case
+        PartitionedFileUtil.splitFiles(f, f.getPath,
+          isSplitable = ps.isSplitable(f.getPath), maxSplit, dir.values)
+      }.sortBy(-_.length) // largest-first packing, as FileScan does
+      FilePartition.getFilePartitions(ps.sparkSession, splits, maxSplit)
+        .map { fp =>
+          i += 1
+          new GraftKeyedFilePartition(i, fp.files, dir.values.copy())
+        }
+    }.toArray[InputPartition]
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    ps.createReaderFactory()
+}
+
+/** A [[FilePartition]] (so the parquet reader factory consumes it
+  * unchanged) that additionally names the hive partition value all
+  * its files share — the unit of storage-partitioned-join
+  * alignment. */
+class GraftKeyedFilePartition(index: Int, files: Array[PartitionedFile],
+    key: InternalRow) extends FilePartition(index, files)
+    with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
 }
 
 /** Scan builder for the catalog's GROUP-BASED row-level operations

@@ -390,6 +390,59 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(dirs === Set("yr=1995"))
   }
 
+  test("storage-partitioned join: co-partitioned tables join with no shuffle") {
+    store.commitFull(rows(2000 to 2004, 8), "spj_l", Seq("yr"), Nil)
+    store.commitFull(rows(2000 to 2004, 3, bump = 500), "spj_r", Seq("yr"), Nil)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = spark.sql(
+        """SELECT l.yr, count(*) AS pairs
+           FROM gtest.default.spj_l l JOIN gtest.default.spj_r r
+             ON l.yr = r.yr
+           GROUP BY l.yr""")
+      val got = q.collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(got === (2000 to 2004).map(y => y -> 24L).toMap)
+      val plan = q.queryExecution.executedPlan
+      // both sides aligned by their hive partition values: the JOIN
+      // runs with ZERO exchanges (the one shuffle in the plan is the
+      // later groupBy, which is allowed to re-shuffle the join output)
+      val join = plan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }.get
+      val exchangesBelowJoin = join.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchangesBelowJoin.isEmpty,
+        s"storage-partitioned join still shuffled:\n$join")
+      val scans = join.collect { case b: BatchScanExec => b }
+      assert(scans.size === 2)
+      scans.foreach { b =>
+        assert(b.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.KeyGroupedPartitioning],
+          s"scan did not report key-grouped partitioning: ${b.outputPartitioning}")
+        // every input partition is key-tagged with its hive value
+        b.inputRDD // force planning
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    // conf off -> the same query degrades to the ordinary shuffled
+    // plan (never a wrong one), and results agree
+    val q2 = spark.sql(
+      """SELECT l.yr, count(*) AS pairs
+         FROM gtest.default.spj_l l JOIN gtest.default.spj_r r ON l.yr = r.yr
+         GROUP BY l.yr""")
+    assert(q2.collect().map(r => (r.getInt(0), r.getLong(1))).toMap ===
+      (2000 to 2004).map(y => y -> 24L).toMap)
+  }
+
   test("row-level rewrites are serializable: a head moved mid-flight rejects") {
     store.commitFull(rows(1996 to 1996, 2), "ser", Seq("yr"))
     val v = store.snapshotView("ser", None).version
