@@ -811,6 +811,49 @@ object LibraryQueries {
        FROM src f JOIN yr ON f.order_yr = yr.order_yr
        GROUP BY f.order_yr"""
 
+  /** S32: aggregate pushdown through the catalog — with
+    * `spark.sql.parquet.aggregatePushdown=true`, a
+    * COUNT/MIN/MAX-per-partition rollup is answered from parquet
+    * FOOTER STATISTICS: the scan's read schema becomes the aggregate
+    * schema and no data page is ever decoded. At 100 TB a
+    * `SELECT count(*) ... GROUP BY partition_col` over a store table
+    * costs one footer read per file instead of a table scan. The
+    * spec (GraftCatalogSpec) pins the plan shape (`PushedAggregation`
+    * in the scan description); this gate pins the VALUES cross-engine
+    * — footer min/max of a DOUBLE column are the exact data min/max,
+    * so the hash cannot drift. The conf stays on for the session:
+    * pushdown only replaces page decodes with footer stats Spark
+    * already trusts, and unsupported shapes simply do not push. */
+  def s32CatalogAggPushdown(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_totalprice"),
+      year(col("o_orderdate").cast("date")).as("order_yr"))
+    val root = Files.createTempDirectory("graft-q-s32").toString
+    val store = new VersionedTableStore(s, root)
+    store.commitFull(o, "ord_pd", Seq("order_yr"))
+    val cat = "gq" + java.lang.Long.toHexString(
+      org.apache.spark.unsafe.types.UTF8String.fromString(root).hashCode()
+        .toLong & 0xffffffffL)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.table.catalog.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s.sql(
+      s"""SELECT order_yr, CAST(count(*) AS BIGINT) AS n,
+                 min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+                 CAST(min(o_orderkey) AS BIGINT) AS k_lo,
+                 CAST(max(o_orderkey) AS BIGINT) AS k_hi
+          FROM $cat.default.ord_pd
+          GROUP BY order_yr""")
+  }
+
+  val s32CatalogAggPushdownSql: String =
+    """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_yr,
+              CAST(count(*) AS BIGINT) AS n,
+              min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+              CAST(min(o_orderkey) AS BIGINT) AS k_lo,
+              CAST(max(o_orderkey) AS BIGINT) AS k_hi
+       FROM orders GROUP BY 1"""
+
   /** S18: incremental aggregate maintenance -- the v1 yearly rollup
     * updated to the v2 state by applying the snapshot changelog
     * (IncrementalAgg over snapshotDiff pre-images), never rescanning
@@ -1131,6 +1174,7 @@ object LibraryQueries {
     "s29_catalog_dml" -> (s29CatalogDml _),
     "s30_catalog_update_merge" -> (s30CatalogUpdateMerge _),
     "s31_catalog_spj" -> (s31CatalogSpj _),
+    "s32_catalog_agg_pushdown" -> (s32CatalogAggPushdown _),
     "s18_incremental_agg" -> (s18IncrementalAgg _),
     "s26_incremental_minmax" -> (s26IncrementalMinmax _),
     "q_validation_suite" -> (qValidationSuite _),
@@ -1162,6 +1206,7 @@ object LibraryQueries {
     "s29_catalog_dml" -> s29CatalogDmlSql,
     "s30_catalog_update_merge" -> s30CatalogUpdateMergeSql,
     "s31_catalog_spj" -> s31CatalogSpjSql,
+    "s32_catalog_agg_pushdown" -> s32CatalogAggPushdownSql,
     "s18_incremental_agg" -> s18IncrementalAggSql,
     "s26_incremental_minmax" -> s26IncrementalMinmaxSql,
     "q_validation_suite" -> qValidationSuiteSql,

@@ -443,6 +443,44 @@ class GraftCatalogSpec extends AnyFunSuite {
       (2000 to 2004).map(y => y -> 24L).toMap)
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX answered from parquet footers") {
+    store.commitFull(rows(2010 to 2013, 50), "aggpd", Seq("yr"))
+    val saved = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val q = spark.sql(
+        """SELECT count(*) AS n, min(v) AS lo, max(v) AS hi
+           FROM gtest.default.aggpd""")
+      val r = q.collect().head
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
+        ((200L, 2010000L, 2013049L)))
+      // the scan's read schema is the AGGREGATE schema: rows were
+      // never decoded, the values came from footer statistics
+      val finalPlan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      def walk(pl: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] =
+        pl.collect {
+          case b: BatchScanExec => Seq(b)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(s.plan)
+        }.flatten
+      val scan = walk(finalPlan).head
+      assert(scan.scan.description().contains("PushedAggregation"),
+        s"aggregation not pushed:\n${scan.scan.description()}")
+      // GROUP BY a partition column stays pushable (footer + manifest)
+      val g = spark.sql(
+        """SELECT yr, count(*) AS n FROM gtest.default.aggpd GROUP BY yr""")
+      assert(g.collect().map(r2 => (r2.getInt(0), r2.getLong(1))).toMap ===
+        (2010 to 2013).map(y => y -> 50L).toMap)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.aggregatePushdown", v)
+      case None => spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+    }
+  }
+
   test("row-level rewrites are serializable: a head moved mid-flight rejects") {
     store.commitFull(rows(1996 to 1996, 2), "ser", Seq("yr"))
     val v = store.snapshotView("ser", None).version
