@@ -854,6 +854,61 @@ object LibraryQueries {
               CAST(max(o_orderkey) AS BIGINT) AS k_hi
        FROM orders GROUP BY 1"""
 
+  /** S33: write-audit-publish — the staged-snapshot loop end to end
+    * under the hash gate. The 1997 batch stages invisibly, passes the
+    * REAL validation suite (NotNull + Unique + ValuesBetween — the
+    * GX expectation rules the reference runs), and publishes as one
+    * manifest CAS sharing the staged dirs; the 1998 batch is poisoned
+    * (high-value order keys nulled), FAILS NotNull/Unique, and is
+    * dropped with its data reclaimed — the head never saw it. The
+    * gate hashes the final per-year rollup (so a leaked poisoned row
+    * or a lost published row flips it) plus the two audit verdicts as
+    * real booleans the oracle pins TRUE. At 100 TB this is the
+    * quality gate pattern: a bad batch costs its own staging write,
+    * never a reader-visible head state or a rollback. */
+  def s33WapAudit(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_totalprice"),
+      year(col("o_orderdate").cast("date")).as("order_yr"))
+    val store = new VersionedTableStore(s,
+      Files.createTempDirectory("graft-q-s33").toString)
+    store.commitFull(o.filter(col("order_yr") <= 1996), "ord_w",
+      Seq("order_yr"))
+    val audit: DataFrame => Boolean = df =>
+      graft.quality.Validator.run(df, Seq(
+        graft.quality.NotNull("o_orderkey"),
+        graft.quality.Unique(Seq("o_orderkey")),
+        graft.quality.ValuesBetween("o_totalprice", 0.0, 1e7)))
+        .forall(_.passed)
+    val pub = store.writeAuditPublish(o.filter(col("order_yr") === 1997),
+      "ord_w", "d1997", audit, Seq("order_yr"), delta = true)
+    val poisoned = o.filter(col("order_yr") === 1998)
+      .withColumn("o_orderkey", when(col("o_totalprice") > lit(200000.0),
+        lit(null)).otherwise(col("o_orderkey")))
+    val rej = store.writeAuditPublish(poisoned, "ord_w", "d1998", audit,
+      Seq("order_yr"), delta = true)
+    store.read("ord_w")
+      .groupBy(col("order_yr"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("o_totalprice").cast(D)).as("price"))
+      .withColumn("published_1997", lit(pub.isDefined))
+      .withColumn("rejected_1998",
+        lit(rej.isEmpty && store.stagedSnapshots("ord_w").isEmpty))
+      .select(col("order_yr"), col("n"), col("price"),
+        col("published_1997"), col("rejected_1998"))
+  }
+
+  val s33WapAuditSql: String =
+    """WITH src AS (
+         SELECT o_orderkey, o_totalprice,
+                CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_yr
+         FROM orders)
+       SELECT order_yr, CAST(count(*) AS BIGINT) AS n,
+              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price,
+              TRUE AS published_1997, TRUE AS rejected_1998
+       FROM src WHERE order_yr <= 1997
+       GROUP BY order_yr"""
+
   /** S18: incremental aggregate maintenance -- the v1 yearly rollup
     * updated to the v2 state by applying the snapshot changelog
     * (IncrementalAgg over snapshotDiff pre-images), never rescanning
@@ -1175,6 +1230,7 @@ object LibraryQueries {
     "s30_catalog_update_merge" -> (s30CatalogUpdateMerge _),
     "s31_catalog_spj" -> (s31CatalogSpj _),
     "s32_catalog_agg_pushdown" -> (s32CatalogAggPushdown _),
+    "s33_wap_audit" -> (s33WapAudit _),
     "s18_incremental_agg" -> (s18IncrementalAgg _),
     "s26_incremental_minmax" -> (s26IncrementalMinmax _),
     "q_validation_suite" -> (qValidationSuite _),
@@ -1207,6 +1263,7 @@ object LibraryQueries {
     "s30_catalog_update_merge" -> s30CatalogUpdateMergeSql,
     "s31_catalog_spj" -> s31CatalogSpjSql,
     "s32_catalog_agg_pushdown" -> s32CatalogAggPushdownSql,
+    "s33_wap_audit" -> s33WapAuditSql,
     "s18_incremental_agg" -> s18IncrementalAggSql,
     "s26_incremental_minmax" -> s26IncrementalMinmaxSql,
     "q_validation_suite" -> qValidationSuiteSql,

@@ -112,7 +112,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       mapping: Seq[(String, String)], schemaDDL: String = "",
       stats: Seq[(String, String, String, String)] = Nil,
       parent: Long = -1L,
-      committedAtMs: Long = -1L)
+      committedAtMs: Long = -1L,
+      wap: String = "")
 
   private val Header = "graft-manifest-v1"
   private val End = "end"
@@ -140,6 +141,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     (Seq(Header, s"version=${m.version}",
       s"parent=${m.parent}",
       s"committedAt=${m.committedAtMs}",
+      s"wap=${m.wap}",
       s"partitionBy=${m.partitionBy.mkString(",")}",
       s"schema=${m.schemaDDL}") ++ entries ++ statEntries :+ End)
       .mkString("\n")
@@ -170,7 +172,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       Some(Manifest(fields("version").toLong, pby, mapping,
         fields.getOrElse("schema", ""), stats,
         fields.getOrElse("parent", "-1").toLong,
-        fields.getOrElse("committedAt", "-1").toLong))
+        fields.getOrElse("committedAt", "-1").toLong,
+        fields.getOrElse("wap", "")))
     } else None
   }
 
@@ -181,6 +184,13 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     * expired commit file is renamed to. */
   private def tombstoneFile(name: String, v: Long) =
     new Path(commitsPath(name), f"x$v%08d")
+
+  /** Retired staged-snapshot marker: a published or dropped WAP
+    * snapshot's commit file is renamed to this, burning the version
+    * number (the allocator scans d-files) without affecting the
+    * expiry floor the way an x-tombstone would. */
+  private def droppedFile(name: String, v: Long) =
+    new Path(commitsPath(name), f"d$v%08d")
 
   private def fileVersion(p: Path): Long = p.getName.drop(1).toLong
 
@@ -221,13 +231,20 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     val maxSeen =
       if (!fs.exists(dir)) 0L
       else fs.listStatus(dir).toSeq
-        .filter(_.getPath.getName.matches("[cx]\\d{8}"))
+        // d{v} = retired staged (WAP) markers: published or dropped
+        // staged snapshots burn their version number forever, so a
+        // reader's note of "audited at version v" can never later
+        // resolve to different data
+        .filter(_.getPath.getName.matches("[cxd]\\d{8}"))
         .map(st => fileVersion(st.getPath))
         .maxOption.getOrElse(0L)
     maxSeen + 1
   }
 
-  /** All live snapshot versions, ascending. */
+  /** All live PUBLISHED snapshot versions, ascending. Staged (WAP)
+    * snapshots are not part of the table's history until published —
+    * they are visible only through [[stagedSnapshots]] /
+    * [[readStaged]] / [[readVersion]]. */
   def versions(name: String): Seq[Long] = {
     val dir = commitsPath(name)
     if (!fs.exists(dir)) Nil
@@ -235,6 +252,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       .filter(_.getPath.getName.matches("c\\d{8}"))
       .sortBy(_.getPath.getName)
       .flatMap(st => readManifest(st.getPath))
+      .filter(_.wap.isEmpty)
       .map(_.version)
   }
 
@@ -250,6 +268,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       .filter(_.getPath.getName.matches("c\\d{8}"))
       .sortBy(_.getPath.getName).reverseIterator
       .flatMap(st => readManifest(st.getPath))
+      .filter(_.wap.isEmpty) // staged (WAP) snapshots never serve the head
       .nextOption()
   }
 
@@ -630,8 +649,12 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       .filter(p => p.getName.matches("[cx]\\d{8}"))
       .filter { p =>
         val q = fileVersion(p)
+        // a staged (WAP) snapshot is not a head movement: it holds no
+        // changes a later main commit could silently drop (its own
+        // publish re-validates against the head it was staged on)
         q > observedParent && q != selfV &&
-          (p.getName.startsWith("x") || readManifest(p).isDefined)
+          (p.getName.startsWith("x") ||
+            readManifest(p).exists(_.wap.isEmpty))
       }
       .map(fileVersion)
   }
@@ -851,7 +874,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       bloomFilterColumns: Seq[String] = Nil,
       parquetBlockSize: Option[Long] = None,
       bloomExpectedNdv: Option[Long] = None,
-      alsoReplaced: Set[String] = Set.empty): Long = {
+      alsoReplaced: Set[String] = Set.empty,
+      wap: String = ""): Long = {
     val parent = current(name)
     // a FULL commit owns its layout (each manifest carries its own
     // partitionBy, so every snapshot stays readable under the layout
@@ -919,7 +943,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       } else df.schema
     beforeSwap(name, v)
     try casManifest(name,
-      Manifest(v, partitionBy, mapping, stampedSchema.toDDL, stats),
+      Manifest(v, partitionBy, mapping, stampedSchema.toDDL, stats,
+        wap = wap),
       observedParent = parent.map(_.version).getOrElse(0L))
     catch { case e: ConcurrentWriteException =>
       fs.delete(new Path(s"${dataRoot(name)}/$dirId"), true); throw e
@@ -1473,6 +1498,133 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     ()
   }
 
+  // -------------------------------------------- write-audit-publish
+
+  /** Stage a FULL snapshot under a WAP id without moving the head:
+    * the data is written and committed like any snapshot, but head
+    * resolution, `versions`, time travel, the change feed, and every
+    * reader skip it until [[publishStaged]] — the Iceberg
+    * write-audit-publish pattern. Audit the staged rows with
+    * [[readStaged]] (run the validation suite, diff against the
+    * head), then publish (one manifest CAS, zero data I/O — the
+    * published snapshot SHARES the staged data dirs) or
+    * [[dropStaged]] (staged data reclaimed, head never perturbed).
+    *
+    * Staged snapshots are pinned against retention until retired and
+    * are invisible to concurrent writers' conflict checks: main
+    * commits keep landing while an audit runs. The price is re-check
+    * at publish time — the staged parent must still be the head. */
+  def stageFull(df: DataFrame, name: String, wapId: String,
+      partitionBy: Seq[String] = Nil,
+      statsColumns: Seq[String] = Nil): Long =
+    stage(df, name, wapId, partitionBy, statsColumns, delta = false)
+
+  /** Stage a partition DELTA (the shape of a daily append /
+    * backfill): only the incoming partitions are written; the staged
+    * manifest shares every untouched partition dir with the observed
+    * head. See [[stageFull]] for the WAP contract. */
+  def stagePartitions(df: DataFrame, name: String, wapId: String,
+      partitionBy: Seq[String],
+      statsColumns: Seq[String] = Nil): Long =
+    stage(df, name, wapId, partitionBy, statsColumns, delta = true)
+
+  private def stage(df: DataFrame, name: String, wapId: String,
+      partitionBy: Seq[String], statsColumns: Seq[String],
+      delta: Boolean): Long = {
+    requireValidTag(wapId)
+    require(!stagedSnapshots(name).exists(_._2 == wapId),
+      s"$name already has a staged snapshot under WAP id `$wapId` — " +
+        "publish or drop it first")
+    commit(name, df, partitionBy, deltaPartitions = delta,
+      statsColumns = statsColumns, wap = wapId)
+  }
+
+  /** All in-flight staged snapshots as (version, wapId), ascending. */
+  def stagedSnapshots(name: String): Seq[(Long, String)] = {
+    val dir = commitsPath(name)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.matches("c\\d{8}"))
+      .sortBy(_.getPath.getName)
+      .flatMap(st => readManifest(st.getPath))
+      .filter(_.wap.nonEmpty)
+      .map(m => (m.version, m.wap))
+  }
+
+  private def stagedManifest(name: String, wapId: String): Manifest = {
+    requireValidTag(wapId)
+    stagedSnapshots(name).find(_._2 == wapId)
+      .flatMap { case (v, _) => manifestAt(name, v) }
+      .getOrElse(throw new NoSuchElementException(
+        s"$name has no staged snapshot under WAP id `$wapId`"))
+  }
+
+  /** Read a staged snapshot's rows — the AUDIT surface: full-table
+    * semantics (for a staged delta this is head-with-the-delta-
+    * applied, exactly what will become the head on publish). */
+  def readStaged(name: String, wapId: String): DataFrame =
+    load(name, stagedManifest(name, wapId))
+
+  /** Publish a staged snapshot: one manifest CAS fast-forwards the
+    * head to the audited rows — zero data I/O, the published snapshot
+    * shares the staged dirs, and the version the READERS see is a
+    * fresh head version (the staged version number is burned, never
+    * re-served). Serializable with concurrent writers: if the head
+    * moved after staging, the staged delta's retained partitions are
+    * stale and the publish REJECTS with [[ConcurrentWriteException]]
+    * (drop and restage on the new head) — the same observed-parent
+    * discipline every commit follows. Returns the published head
+    * version. */
+  def publishStaged(name: String, wapId: String): Long = {
+    val m = stagedManifest(name, wapId)
+    val headV = current(name).map(_.version).getOrElse(0L)
+    if (m.parent != headV)
+      throw new ConcurrentWriteException(
+        s"$name advanced to $headV after WAP `$wapId` was staged on " +
+          s"parent ${m.parent}: the audited snapshot no longer reflects " +
+          "head state — drop the staged snapshot and restage")
+    val v = nextVersion(name)
+    casManifest(name, m.copy(version = v, wap = ""),
+      observedParent = m.parent)
+    // retire the staged marker: version burned via the d-file so the
+    // audit trail ("validated at version N") stays unambiguous forever
+    fs.rename(commitFile(name, m.version), droppedFile(name, m.version))
+    expireSnapshots(name)
+    v
+  }
+
+  /** Abandon a staged snapshot: its own data dirs (the `v{staged}-`
+    * prefixed ones — retained parent dirs are shared, never touched)
+    * are deleted and the version is burned. The head was never
+    * perturbed. */
+  def dropStaged(name: String, wapId: String): Unit = {
+    val m = stagedManifest(name, wapId)
+    // marker first: readers stop resolving the manifest before its
+    // files disappear
+    fs.rename(commitFile(name, m.version), droppedFile(name, m.version))
+    m.mapping.map(_._2).distinct
+      .filter(_.startsWith(s"v${m.version}-"))
+      .foreach(d => fs.delete(new Path(s"${dataRoot(name)}/$d"), true))
+  }
+
+  /** The full write-audit-publish loop: stage `df` (delta when
+    * `partitionBy` + `delta`), run `audit` over the staged full-table
+    * read, publish on pass / drop on fail. Returns the published head
+    * version, or None when the audit rejected (staged data already
+    * reclaimed). */
+  def writeAuditPublish(df: DataFrame, name: String, wapId: String,
+      audit: DataFrame => Boolean, partitionBy: Seq[String] = Nil,
+      delta: Boolean = false, statsColumns: Seq[String] = Nil)
+      : Option[Long] = {
+    if (delta) stagePartitions(df, name, wapId, partitionBy, statsColumns)
+    else stageFull(df, name, wapId, partitionBy, statsColumns)
+    val passed =
+      try audit(readStaged(name, wapId))
+      catch { case e: Throwable => dropStaged(name, wapId); throw e }
+    if (passed) Some(publishStaged(name, wapId))
+    else { dropStaged(name, wapId); None }
+  }
+
   /** Drop LIVE snapshots beyond the last `keepSnapshots` and delete
     * data dirs no retained snapshot references. Retention counts live
     * manifests only -- debris (truncated manifests) must not displace
@@ -1491,7 +1643,12 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     val commits = fs.listStatus(dir).toSeq
       .filter(_.getPath.getName.matches("c\\d{8}")).map(_.getPath)
       .sortBy(_.getName)
-    val (live, debris) = commits.partition(p => readManifest(p).isDefined)
+    val (allLive, debris) = commits.partition(p => readManifest(p).isDefined)
+    // staged (WAP) snapshots neither consume retention slots nor
+    // expire: they are in-flight work pinned until published or
+    // dropped, and their manifests keep their data dirs live below
+    val (staged, live) = allLive.partition(p =>
+      readManifest(p).exists(_.wap.nonEmpty))
     // tagged snapshots are pinned: retention never tombstones them or
     // reclaims dirs their manifests reference (drop the tag to free)
     val tagged = tags(name).map(_._2).toSet
@@ -1499,7 +1656,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       val expired = live.dropRight(keepSnapshots)
         .filterNot(p => tagged(fileVersion(p)))
       if (expired.nonEmpty) {
-        val retained = live.filterNot(expired.contains)
+        val retained = live.filterNot(expired.contains) ++ staged
         val liveDirs = retained.flatMap(readManifest).flatMap(_.mapping.map(_._2)).toSet
         expired.foreach(p => fs.rename(p, tombstoneFile(name, fileVersion(p))))
         val maxExpired = expired.map(fileVersion).max

@@ -34,7 +34,7 @@ import graft.table.VersionedTableStore
   */
 private[catalog] object GraftMetadataTables {
 
-  val names: Set[String] = Set("history", "partitions", "stats")
+  val names: Set[String] = Set("history", "partitions", "stats", "staged")
 
   private def s(v: String): UTF8String = UTF8String.fromString(v)
 
@@ -63,6 +63,13 @@ private[catalog] object GraftMetadataTables {
           .add("version", LongType, nullable = false)
           .add("partition", StringType, nullable = false)
           .add("data_dir", StringType, nullable = false), rows)
+      case "staged" =>
+        val rows = st.stagedSnapshots(table).map { case (v, wap) =>
+          new GenericInternalRow(Array[Any](v, s(wap)))
+        }
+        local(s"$table.staged", new StructType()
+          .add("version", LongType, nullable = false)
+          .add("wap_id", StringType, nullable = false), rows)
       case "stats" =>
         val m = st.snapshotView(table, None)
         val rows = m.stats.map { case (rel, c, mn, mx) =>

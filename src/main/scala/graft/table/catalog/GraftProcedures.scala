@@ -36,7 +36,8 @@ private[catalog] object GraftProcedures {
   val namespace: Array[String] = Array("system")
 
   val names: Seq[String] = Seq("rollback", "compact", "optimize",
-    "cluster_by", "cluster_by_z", "tag", "expire_snapshots")
+    "cluster_by", "cluster_by_z", "tag", "expire_snapshots",
+    "publish_staged", "drop_staged")
 
   def load(storeF: () => VersionedTableStore,
       name: String): UnboundProcedure = name match {
@@ -76,6 +77,17 @@ private[catalog] object GraftProcedures {
       Seq("table" -> StringType, "tag" -> StringType,
         "version" -> LongType)) { (st, r) =>
       st.tagSnapshot(str(r, 0), str(r, 1), r.getLong(2))
+    }
+    case "publish_staged" => proc(storeF, name,
+      "fast-forward the head to an audited staged (WAP) snapshot",
+      Seq("table" -> StringType, "wap_id" -> StringType)) { (st, r) =>
+      st.publishStaged(str(r, 0), str(r, 1))
+    }
+    case "drop_staged" => proc(storeF, name,
+      "abandon a staged (WAP) snapshot and reclaim its data",
+      Seq("table" -> StringType, "wap_id" -> StringType)) { (st, r) =>
+      st.dropStaged(str(r, 0), str(r, 1))
+      st.currentVersion(str(r, 0))
     }
     case "expire_snapshots" => proc(storeF, name,
       "apply the retention policy; returns live snapshot count",

@@ -525,6 +525,30 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("CALL gtest.system.nope('proc')") }
   }
 
+  test("WAP through SQL: .staged listing, CALL publish_staged / drop_staged") {
+    store.commitFull(rows(1996 to 1996, 3), "wapt", Seq("yr"))
+    store.stagePartitions(rows(1997 to 1997, 2), "wapt", "audit1", Seq("yr"))
+    store.stagePartitions(rows(1998 to 1998, 2), "wapt", "audit2", Seq("yr"))
+    // staged snapshots are invisible to SQL reads but listed in .staged
+    assert(spark.sql("SELECT * FROM gtest.default.wapt").count() === 3)
+    val staged = spark.sql(
+      "SELECT wap_id FROM gtest.default.wapt.staged ORDER BY version")
+      .collect().map(_.getString(0)).toSeq
+    assert(staged === Seq("audit1", "audit2"))
+    val pubV = spark.sql(
+      "CALL gtest.system.publish_staged('wapt', 'audit1')")
+      .collect().head.getLong(0)
+    assert(pubV === store.currentVersion("wapt"))
+    assert(spark.sql("SELECT * FROM gtest.default.wapt").count() === 5)
+    // audit2 was staged on the OLD head: publish rejects, drop reclaims
+    intercept[Exception] {
+      spark.sql("CALL gtest.system.publish_staged('wapt', 'audit2')").collect()
+    }
+    spark.sql("CALL gtest.system.drop_staged('wapt', 'audit2')").collect()
+    assert(spark.sql("SELECT count(*) FROM gtest.default.wapt.staged")
+      .collect().head.getLong(0) === 0L)
+  }
+
   test("store-API commits and catalog reads interleave consistently") {
     store.commitFull(rows(1990 to 1991, 2), "mix", Seq("yr"))
     assert(spark.sql("SELECT count(*) FROM gtest.default.mix")

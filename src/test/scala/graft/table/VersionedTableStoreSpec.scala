@@ -1163,4 +1163,109 @@ class VersionedTableStoreSpec extends AnyFunSuite {
       assert(got === expect, s"readWhere($v,$v) pruned away written rows")
     }
   }
+
+  // ------------------------------------------- write-audit-publish
+
+  // partitioned reads present data columns first, partition columns
+  // last -- select explicitly before the typed cast
+  private def kv(df: org.apache.spark.sql.DataFrame): Seq[(Int, String)] =
+    df.select("k", "v").as[(Int, String)].collect().toSeq.sorted
+
+  test("WAP: staged snapshots are invisible until published, then fast-forward") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a"), (2, "b")).toDF("k", "v"), "w", Seq("k"))
+    // stage a delta: partition k=3 appended, k=1/2 shared with head
+    val sv = vs.stagePartitions(Seq((3, "c")).toDF("k", "v"), "w", "wap1",
+      Seq("k"))
+    // invisible everywhere a reader looks
+    assert(kv(vs.read("w")) === Seq((1, "a"), (2, "b")))
+    assert(vs.currentVersion("w") === 1L)
+    assert(vs.versions("w") === Seq(1L))
+    // the audit surface: full-table semantics (head + the delta)
+    assert(kv(vs.readStaged("w", "wap1")) ===
+      Seq((1, "a"), (2, "b"), (3, "c")))
+    assert(vs.stagedSnapshots("w") === Seq((sv, "wap1")))
+    // publish: one CAS, zero data I/O, staged version number burned
+    val pv = vs.publishStaged("w", "wap1")
+    assert(pv > sv)
+    assert(kv(vs.read("w")) === Seq((1, "a"), (2, "b"), (3, "c")))
+    assert(vs.stagedSnapshots("w") === Nil)
+    assert(vs.versions("w") === Seq(1L, pv))
+    // the published manifest SHARES the staged dirs: the shared k=1
+    // partition dir is the v1 original, the delta dir the staged one
+    assert(vs.versionsMapping("w").map(_._2).exists(_.startsWith("v1-")))
+    assert(vs.versionsMapping("w").map(_._2).exists(_.startsWith(s"v$sv-")))
+  }
+
+  test("WAP: dropStaged reclaims staged dirs and burns the version") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a")).toDF("k", "v"), "w", Seq("k"))
+    val sv = vs.stagePartitions(Seq((9, "bad")).toDF("k", "v"), "w", "nope",
+      Seq("k"))
+    vs.dropStaged("w", "nope")
+    assert(vs.stagedSnapshots("w") === Nil)
+    assert(kv(vs.read("w")) === Seq((1, "a")))
+    intercept[NoSuchElementException] { vs.readStaged("w", "nope") }
+    // staged data dirs are gone; the shared v1 dir survives
+    val fs = new Path(vs.root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new Path(s"${vs.path("w")}/_data"))
+      .map(_.getPath.getName).toSeq
+    assert(!dirs.exists(_.startsWith(s"v$sv-")))
+    assert(dirs.exists(_.startsWith("v1-")))
+    // the burned version is never reallocated: the next commit skips it
+    vs.commitFull(Seq((2, "b")).toDF("k", "v"), "w", Seq("k"))
+    assert(vs.currentVersion("w") > sv)
+  }
+
+  test("WAP: publish rejects when the head moved after staging") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a")).toDF("k", "v"), "w", Seq("k"))
+    vs.stagePartitions(Seq((2, "b")).toDF("k", "v"), "w", "stale", Seq("k"))
+    // a main writer lands while the audit runs (staged snapshot does
+    // NOT block it: conflict checks skip staged manifests)
+    vs.commitPartitions(Seq((5, "e")).toDF("k", "v"), "w", Seq("k"))
+    val e = intercept[ConcurrentWriteException] {
+      vs.publishStaged("w", "stale")
+    }
+    assert(e.getMessage.contains("restage"))
+    // the staged snapshot survives the rejection for inspection
+    assert(vs.stagedSnapshots("w").map(_._2) === Seq("stale"))
+    vs.dropStaged("w", "stale")
+  }
+
+  test("WAP: staged snapshots survive retention while main history expires") {
+    val vs = fresh(keep = 2)
+    vs.commitFull(Seq((1, "a")).toDF("k", "v"), "w", Seq("k"))
+    vs.stagePartitions(Seq((2, "b")).toDF("k", "v"), "w", "held", Seq("k"))
+    // enough main commits to expire everything the staged delta shares
+    (1 to 5).foreach(i =>
+      vs.commitFull(Seq((1, s"r$i")).toDF("k", "v"), "w", Seq("k")))
+    // the staged snapshot is still fully readable: retention pinned
+    // its manifest AND the v1 dirs it shares with its (now expired)
+    // parent... head moved though, so it can only be dropped
+    assert(kv(vs.readStaged("w", "held")) === Seq((1, "a"), (2, "b")))
+    intercept[ConcurrentWriteException] { vs.publishStaged("w", "held") }
+    vs.dropStaged("w", "held")
+  }
+
+  test("WAP: writeAuditPublish publishes on pass, reclaims on fail") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a")).toDF("k", "v"), "w", Seq("k"))
+    // audit fails: nulls forbidden
+    val bad = vs.writeAuditPublish(
+      Seq((2, null.asInstanceOf[String])).toDF("k", "v"), "w", "day2",
+      audit = df => df.filter(df("v").isNull).isEmpty,
+      partitionBy = Seq("k"), delta = true)
+    assert(bad === None)
+    assert(kv(vs.read("w")) === Seq((1, "a")))
+    assert(vs.stagedSnapshots("w") === Nil)
+    // audit passes: published, same wap id reusable after retirement
+    val good = vs.writeAuditPublish(
+      Seq((2, "b")).toDF("k", "v"), "w", "day2",
+      audit = df => df.filter(df("v").isNull).isEmpty,
+      partitionBy = Seq("k"), delta = true)
+    assert(good.isDefined)
+    assert(kv(vs.read("w")) === Seq((1, "a"), (2, "b")))
+  }
 }
