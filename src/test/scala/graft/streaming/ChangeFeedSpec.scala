@@ -77,6 +77,38 @@ class ChangeFeedSpec extends AnyFunSuite {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("WAP snapshots are invisible to the feed; a publish streams as one commit across the version gap") {
+    val vs = new graft.table.VersionedTableStore(spark, tmp("graft-cf-wap"))
+    vs.commitFull(Seq((1L, "a", 10L)).toDF("k", "grp", "v"), "t", Nil)
+    val ckpt = tmp("graft-cf-wap-ckpt")
+    val out = tmp("graft-cf-wap-out")
+    def drain(): Unit = {
+      val q = StreamingIngest.changeFeed(spark, vs, "t", Seq("k"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() === 1)
+    // a staged snapshot lands (version 2, never published-visible):
+    // the feed sees NOTHING
+    vs.stageFull(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "grp", "v"),
+      "t", "wapfeed")
+    drain()
+    assert(spark.read.parquet(out).count() === 1)
+    // publish: the head jumps over the burned staged version (1 -> 3);
+    // the feed delivers exactly the published delta across the gap
+    val pv = vs.publishStaged("t", "wapfeed")
+    assert(pv === 3L) // version 2 burned by the staged snapshot
+    drain()
+    val got = spark.read.parquet(out)
+      .select(col("k"), col("change_type"), col("v"))
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(got === Seq((1L, "insert", 10L), (2L, "insert", 20L)))
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("startingVersion=latest skips history; phantom staged files never reach the feed") {
     val vs = new graft.table.VersionedTableStore(spark, tmp("graft-cf2-store"))
     vs.commitFull(Seq((1L, 5L, "b0")).toDF("k", "v", "b"), "t", Seq("b"))
