@@ -323,11 +323,30 @@ class GraftTable(st: VersionedTableStore, tableName: String,
     require(pinnedVersion.isEmpty,
       s"row-level ${info.command} on a time-travel handle of $tableName: " +
         "history is immutable")
+    requireNoWap(info.command.toString)
     () => new GraftRowLevelOp(st, tableName, snapshot, info.command)
   }
 
   private[catalog] val snapshot: GraftSnapshot =
     st.snapshotView(tableName, pinnedVersion)
+
+  /** Iceberg's `spark.wap.id` pattern: while this session conf is
+    * set, INSERT INTO / INSERT OVERWRITE stage under that WAP id
+    * instead of moving the head — audit with `VERSION AS OF
+    * <staged version>` (listed in `.staged`), then
+    * `CALL graft.system.publish_staged` / `drop_staged`. Row-level
+    * statements (UPDATE / MERGE / DELETE) are NOT stageable yet and
+    * reject loudly while the conf is set, rather than silently
+    * bypassing the audit the user asked for. */
+  private def wapId: Option[String] =
+    Option(st.spark.conf.get("spark.graft.wap.id", null))
+      .map(_.trim).filter(_.nonEmpty)
+
+  private def requireNoWap(stmt: String): Unit =
+    require(wapId.isEmpty,
+      s"spark.graft.wap.id is set (`${wapId.get}`) but $stmt cannot be " +
+        "staged: only INSERT stages under WAP. Unset the conf to run " +
+        s"$stmt directly against the head.")
 
   private val storedSchema: StructType =
     if (snapshot.schemaDDL.nonEmpty) StructType.fromDDL(snapshot.schemaDDL)
@@ -404,6 +423,7 @@ class GraftTable(st: VersionedTableStore, tableName: String,
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
     require(pinnedVersion.isEmpty,
       s"DELETE on a time-travel handle of $tableName: history is immutable")
+    requireNoWap("DELETE")
     val cond = org.apache.spark.sql.graft.V2PredicateBridge
       .conjunction(predicates.toIndexedSeq).getOrElse(
         throw new UnsupportedOperationException(
@@ -435,6 +455,18 @@ class GraftTable(st: VersionedTableStore, tableName: String,
     val aligned = data.select(cols: _*)
     val statsCols = st.statsFor(tableName)
     val pby = snapshot.partitionBy
+    wapId match {
+      case Some(id) =>
+        // stage instead of committing: same delta-vs-rewrite decision
+        // tree as the direct path, routed through the WAP machinery
+        if (overwrite) st.stageFull(aligned, tableName, id, pby, statsCols)
+        else if (pby.isEmpty || !incomingDisjoint(aligned, pby))
+          st.stageFull(st.read(tableName).unionByName(aligned), tableName,
+            id, pby, statsCols)
+        else st.stagePartitions(aligned, tableName, id, pby, statsCols)
+        return
+      case None => ()
+    }
     if (overwrite) {
       st.commitFull(aligned, tableName, pby, statsCols); return
     }
@@ -443,6 +475,19 @@ class GraftTable(st: VersionedTableStore, tableName: String,
         pby, statsCols)
       return
     }
+    if (incomingDisjoint(aligned, pby))
+      st.commitPartitions(aligned, tableName, pby, statsCols)
+    else
+      st.commitFull(st.read(tableName).unionByName(aligned), tableName,
+        pby, statsCols)
+  }
+
+  /** True when the batch's partition tuples (canonical string form on
+    * both sides) are provably disjoint from the live rels — the
+    * condition for an append to commit/stage as a partition DELTA. */
+  private def incomingDisjoint(aligned: DataFrame,
+      pby: Seq[String]): Boolean = {
+    import org.apache.spark.sql.functions.col
     val existingRelValues: Set[Seq[String]] = snapshot.entries.map {
       case (rel, _) => rel.split("/").toSeq.map { seg =>
         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -458,10 +503,6 @@ class GraftTable(st: VersionedTableStore, tableName: String,
             .DEFAULT_PARTITION_NAME
         else r.getString(i)))
       .toSet
-    if (incoming.intersect(existingRelValues).isEmpty)
-      st.commitPartitions(aligned, tableName, pby, statsCols)
-    else
-      st.commitFull(st.read(tableName).unionByName(aligned), tableName,
-        pby, statsCols)
+    incoming.intersect(existingRelValues).isEmpty
   }
 }

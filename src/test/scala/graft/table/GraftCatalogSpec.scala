@@ -549,6 +549,38 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().head.getLong(0) === 0L)
   }
 
+  test("SQL WAP: INSERT stages under spark.graft.wap.id; row-level DML rejects") {
+    store.commitFull(rows(1996 to 1996, 3), "wsql", Seq("yr"))
+    spark.conf.set("spark.graft.wap.id", "nightly")
+    try {
+      // INSERT INTO stages: head unmoved, .staged lists the snapshot
+      spark.sql("""INSERT INTO gtest.default.wsql
+                   VALUES (42L, 'staged-row', 1997)""")
+      assert(spark.sql("SELECT * FROM gtest.default.wsql").count() === 3)
+      val sv = spark.sql("SELECT version FROM gtest.default.wsql.staged " +
+        "WHERE wap_id = 'nightly'").collect().head.getLong(0)
+      // audit from SQL: time travel to the staged version
+      assert(spark.sql(
+        s"SELECT * FROM gtest.default.wsql VERSION AS OF $sv").count() === 4)
+      // row-level statements refuse to bypass the requested audit
+      val e = intercept[Exception] {
+        spark.sql("UPDATE gtest.default.wsql SET tag = 'x' WHERE yr = 1996")
+      }
+      assert(e.getMessage.contains("wap"))
+      intercept[Exception] {
+        spark.sql("DELETE FROM gtest.default.wsql WHERE yr = 1996")
+      }
+    } finally spark.conf.unset("spark.graft.wap.id")
+    // publish from SQL; the conf is gone, reads see the audited rows
+    spark.sql("CALL gtest.system.publish_staged('wsql', 'nightly')").collect()
+    assert(spark.sql("SELECT * FROM gtest.default.wsql").count() === 4)
+    // with the conf unset, INSERT commits directly again
+    spark.sql("INSERT INTO gtest.default.wsql VALUES (7L, 'direct', 1998)")
+    assert(spark.sql("SELECT * FROM gtest.default.wsql").count() === 5)
+    assert(spark.sql("SELECT count(*) FROM gtest.default.wsql.staged")
+      .collect().head.getLong(0) === 0L)
+  }
+
   test("store-API commits and catalog reads interleave consistently") {
     store.commitFull(rows(1990 to 1991, 2), "mix", Seq("yr"))
     assert(spark.sql("SELECT count(*) FROM gtest.default.mix")
