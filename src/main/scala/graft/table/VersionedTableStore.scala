@@ -113,7 +113,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       stats: Seq[(String, String, String, String)] = Nil,
       parent: Long = -1L,
       committedAtMs: Long = -1L,
-      wap: String = "")
+      wap: String = "",
+      txn: String = "")
 
   private val Header = "graft-manifest-v1"
   private val End = "end"
@@ -142,6 +143,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       s"parent=${m.parent}",
       s"committedAt=${m.committedAtMs}",
       s"wap=${m.wap}",
+      s"txn=${m.txn}",
       s"partitionBy=${m.partitionBy.mkString(",")}",
       s"schema=${m.schemaDDL}") ++ entries ++ statEntries :+ End)
       .mkString("\n")
@@ -173,7 +175,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         fields.getOrElse("schema", ""), stats,
         fields.getOrElse("parent", "-1").toLong,
         fields.getOrElse("committedAt", "-1").toLong,
-        fields.getOrElse("wap", "")))
+        fields.getOrElse("wap", ""),
+        fields.getOrElse("txn", "")))
     } else None
   }
 
@@ -602,6 +605,74 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     }
     expireSnapshots(name)
     v
+  }
+
+  /** Fresh staging base for a STREAMING write: each epoch stages into
+    * `<base>-e<epochId>` and promotes via [[commitStagedAppend]].
+    * Returns (dirId base, absolute path base). */
+  private[table] def newStreamStaging(name: String): (String, String) = {
+    val dirId = s"st-${UUID.randomUUID().toString.take(8)}"
+    (dirId, s"${dataRoot(name)}/$dirId")
+  }
+
+  /** Transaction markers carried by live commit files — the
+    * idempotence ledger for exactly-once streaming epochs (the Delta
+    * `txn` appId+version pattern): an epoch whose marker is already
+    * present replays as a no-op. Bounded by retention: only the
+    * LATEST uncommitted epoch ever replays in Structured Streaming,
+    * and its predecessor's marker is always within the retention
+    * window. */
+  private[table] def liveTxns(name: String): Set[String] = {
+    val dir = commitsPath(name)
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.matches("c\\d{8}"))
+      .flatMap(st => readManifest(st.getPath))
+      .map(_.txn).filter(_.nonEmpty).toSet
+  }
+
+  /** Promote an executor-staged dir as a FILE-LEVEL APPEND: every
+    * written rel's staged dir is mapped ALONGSIDE the head's existing
+    * dirs (reads union them) — nothing is replaced, so the commit is
+    * commutative with any concurrent commit that keeps the layout,
+    * and conflicts simply retry against the new head (bounded).
+    * `txn` (when non-empty) makes the commit idempotent: a replay
+    * whose marker is already live deletes its staging and returns the
+    * current head. Stats for appended rels go conservative (dropped),
+    * same as the row-level append path. An empty `writtenRels` (an
+    * empty epoch) burns no snapshot. */
+  private[table] def commitStagedAppend(name: String, dirId: String,
+      writtenRels: Set[String], txn: String = ""): Long = {
+    def dropStaging(): Unit = {
+      val p = new Path(s"${dataRoot(name)}/$dirId")
+      if (fs.exists(p)) fs.delete(p, true)
+      ()
+    }
+    var attempt = 0
+    while (true) {
+      val m = current(name).getOrElse(
+        throw new NoSuchElementException(s"no snapshots for $name"))
+      if (txn.nonEmpty && liveTxns(name).contains(txn)) {
+        dropStaging() // replayed epoch: the original commit is durable
+        return m.version
+      }
+      if (writtenRels.isEmpty) { dropStaging(); return m.version }
+      val v = nextVersion(name)
+      val mapping = m.mapping ++ writtenRels.toSeq.sorted.map(_ -> dirId)
+      val stats = m.stats.filterNot(s => writtenRels(s._1))
+      try {
+        casManifest(name,
+          Manifest(v, m.partitionBy, mapping, m.schemaDDL, stats, txn = txn),
+          observedParent = m.version)
+        expireSnapshots(name)
+        return v
+      } catch {
+        case e: ConcurrentWriteException =>
+          attempt += 1
+          if (attempt >= 5) { dropStaging(); throw e }
+      }
+    }
+    -1L // unreachable
   }
 
   /** Resolve a manifest to a DataFrame: one pruned parquet relation

@@ -379,6 +379,7 @@ class GraftTable(st: VersionedTableStore, tableName: String,
       caps.add(TableCapability.V1_BATCH_WRITE)
       caps.add(TableCapability.TRUNCATE)
       caps.add(TableCapability.MICRO_BATCH_READ)
+      caps.add(TableCapability.STREAMING_WRITE)
     }
     caps
   }
@@ -402,6 +403,35 @@ class GraftTable(st: VersionedTableStore, tableName: String,
             override def insert(data: DataFrame, _ignored: Boolean): Unit =
               GraftTable.this.insert(data, overwrite)
           }
+
+        /** `df.writeStream.toTable("graft.default.t")`: exactly-once
+          * streaming appends — each epoch is one txn-stamped
+          * file-level append commit; see
+          * [[org.apache.spark.sql.graft.GraftStreamingWrite]].
+          * Append mode only (complete mode's truncate semantics would
+          * rewrite the table every trigger); WAP staging of a stream
+          * is not supported — unset `spark.graft.wap.id`. */
+        override def toStreaming: org.apache.spark.sql.connector.write
+            .streaming.StreamingWrite = {
+          require(!overwrite,
+            s"streaming into $tableName supports append mode only")
+          requireNoWap("writeStream")
+          val (dirBase, pathBase) = st.newStreamStaging(tableName)
+          val qid = info.queryId()
+          def dropEpoch(epochId: Long): Unit = {
+            val p = new Path(s"$pathBase-e$epochId")
+            val fs = p.getFileSystem(
+              st.spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(p)) fs.delete(p, true)
+            ()
+          }
+          new org.apache.spark.sql.graft.GraftStreamingWrite(st.spark, info,
+            snapshot.partitionBy, pathBase,
+            onEpochCommit = (epochId, rels) =>
+              st.commitStagedAppend(tableName, s"$dirBase-e$epochId", rels,
+                txn = s"$qid:$epochId"),
+            onEpochAbort = epochId => dropEpoch(epochId))
+        }
       }
     }
 

@@ -92,6 +92,87 @@ class GraftBatchWrite(spark: SparkSession, info: LogicalWriteInfo,
 
 case class GraftWriteMessage(rels: Set[String]) extends WriterCommitMessage
 
+/** Exactly-once streaming writes into a versioned-store table
+  * (`df.writeStream.toTable("graft.default.t")`). Each micro-batch
+  * epoch stages executor-written parquet under its OWN dir
+  * (`<base>-e<epochId>`) through the same per-attempt-temp +
+  * commit-coordinator discipline as [[GraftBatchWrite]], then
+  * `commit(epochId)` promotes it as ONE file-level append commit
+  * stamped with a `queryId:epochId` transaction marker — a replayed
+  * epoch (post-crash re-execution) finds its marker live and retires
+  * as a no-op, which is what makes the sink exactly-once end to end
+  * (offsets in the checkpoint, results in the manifest, dedup by
+  * txn). Appends are commutative: concurrent writers retry-safely
+  * interleave, and an empty epoch burns no snapshot.
+  *
+  * Declares clustered+sorted distribution on the partition columns —
+  * Spark's micro-batch planner honors [[RequiresDistributionAndOrdering]]
+  * for v2 streaming sinks, so each task keeps ONE open parquet writer
+  * exactly like the batch path. */
+class GraftStreamingWrite(spark: SparkSession, info: LogicalWriteInfo,
+    partitionBy: Seq[String], stageBasePath: String,
+    onEpochCommit: (Long, Set[String]) => Unit,
+    onEpochAbort: Long => Unit)
+    extends Write with RequiresDistributionAndOrdering
+    with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val rowSchema: StructType = info.schema()
+
+  override def description(): String =
+    s"graft streaming append -> $stageBasePath-e<epoch>"
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = this
+
+  override def requiredDistribution(): Distribution =
+    if (partitionBy.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(
+      partitionBy.map(c => Expressions.column(c): org.apache.spark.sql
+        .connector.expressions.Expression).toArray)
+
+  override def requiredOrdering(): Array[SortOrder] =
+    partitionBy.map(c => Expressions.sort(Expressions.column(c),
+      SortDirection.ASCENDING)).toArray
+
+  override def distributionStrictlyRequired(): Boolean = false
+
+  override def createStreamingWriterFactory(physInfo: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val job = Job.getInstance(cs.sessionState.newHadoopConf())
+    val fileSchema = StructType(
+      rowSchema.filterNot(f => partitionBy.contains(f.name)))
+    val owf = new ParquetFileFormat()
+      .prepareWrite(cs, job, Map.empty, fileSchema)
+    new GraftStreamingWriterFactory(rowSchema, partitionBy, fileSchema,
+      stageBasePath, owf, new SerializableConfiguration(job.getConfiguration),
+      cs.sessionState.conf.sessionLocalTimeZone)
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = new Path(s"$stageBasePath-e$epochId/_tmp")
+    val fs = tmp.getFileSystem(conf)
+    if (fs.exists(tmp)) fs.delete(tmp, true) // losers' unpublished files
+    onEpochCommit(epochId, messages.flatMap {
+      case m: GraftWriteMessage => m.rels
+    }.toSet)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = onEpochAbort(epochId)
+}
+
+private[graft] class GraftStreamingWriterFactory(rowSchema: StructType,
+    partitionBy: Seq[String], fileSchema: StructType, stageBasePath: String,
+    owf: OutputWriterFactory, conf: SerializableConfiguration, tz: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(rowSchema, partitionBy, fileSchema,
+      s"$stageBasePath-e$epochId", owf, conf, tz, partitionId, taskId)
+}
+
 private[graft] class GraftDataWriterFactory(rowSchema: StructType,
     partitionBy: Seq[String], fileSchema: StructType, stagingPath: String,
     owf: OutputWriterFactory, conf: SerializableConfiguration, tz: String)

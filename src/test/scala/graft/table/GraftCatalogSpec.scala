@@ -581,6 +581,50 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().head.getLong(0) === 0L)
   }
 
+  test("writeStream.toTable: exactly-once epoch appends into a catalog table") {
+    import org.apache.spark.sql.streaming.Trigger
+    store.commitFull(rows(1996 to 1996, 2), "ssrc", Seq("yr"))
+    spark.sql("""CREATE TABLE gtest.default.ssink
+                 (yr INT, v BIGINT, tag STRING) PARTITIONED BY (yr)""")
+    val ckpt = Files.createTempDirectory("graft-ssink-ckpt").toString
+    def drain(): Unit = {
+      val q = spark.readStream.option("keys", "v")
+        .table("gtest.default.ssrc")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable("gtest.default.ssink")
+      q.awaitTermination()
+    }
+    def sunk(): Long =
+      spark.sql("SELECT count(*) FROM gtest.default.ssink").as[Long].head
+    drain()
+    assert(sunk() === 2L)
+    // quiet source + same checkpoint: nothing re-delivered, and an
+    // empty epoch burns no snapshot
+    val vAfterFirst = store.currentVersion("ssink")
+    drain()
+    assert(sunk() === 2L)
+    assert(store.currentVersion("ssink") === vAfterFirst)
+    // new source partition: exactly the delta lands, hive-partitioned
+    store.commitPartitions(rows(1997 to 1997, 3), "ssrc", Seq("yr"))
+    drain()
+    assert(sunk() === 5L)
+    assert(spark.sql(
+      "SELECT count(*) FROM gtest.default.ssink WHERE yr = 1997")
+      .as[Long].head === 3L)
+    // the epoch commits carry txn markers; a REPLAYED epoch (same
+    // queryId:epochId after a crash between manifest CAS and
+    // checkpoint commit) retires as a no-op instead of double-appending
+    val txn = store.liveTxns("ssink").head
+    val v = store.currentVersion("ssink")
+    val (dirId, _) = store.newStreamStaging("ssink")
+    assert(store.commitStagedAppend("ssink", s"$dirId-e0",
+      Set("yr=1996"), txn) === v)
+    assert(store.currentVersion("ssink") === v)
+    assert(sunk() === 5L)
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("store-API commits and catalog reads interleave consistently") {
     store.commitFull(rows(1990 to 1991, 2), "mix", Seq("yr"))
     assert(spark.sql("SELECT count(*) FROM gtest.default.mix")
