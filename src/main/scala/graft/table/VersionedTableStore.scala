@@ -1157,10 +1157,14 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       .select(input_file_name().as("f")).distinct()
       .collect().map(_.getString(0))
     if (files.isEmpty) return
-    val touched = m.mapping.filter { case (rel, d) =>
+    // touched is REL-granular, never entry-granular: a rel can map to
+    // several dirs (file-level appends), and the rewrite replaces the
+    // WHOLE rel -- loading only the dir holding the match would drop
+    // the sibling dirs' rows from the replacement (data loss)
+    val touchedRels = m.mapping.filter { case (rel, d) =>
       files.exists(f => f.contains(s"/$d/") && f.contains(s"/$rel/"))
-    }
-    val touchedRels = touched.map(_._1).toSet
+    }.map(_._1).toSet
+    val touched = m.mapping.filter(e => touchedRels(e._1))
     val newRows = rewrite(load(name, m.copy(mapping = touched)))
       .localCheckpoint(true)
     val v = nextVersion(name)
@@ -1404,17 +1408,33 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
 
     if (m.partitionBy.isEmpty) {
-      val sizes = dataFileSizes(s"${dataRoot(name)}/${m.mapping.head._2}")
+      // an unpartitioned table can map "." to several dirs (file-level
+      // appends) -- size the WHOLE set, and treat a multi-dir chain as
+      // packable even at the target file count (collapsing it bounds
+      // the manifest and the scan's relation fan-out)
+      val dirs = m.mapping.map(_._2).distinct
+      val sizes = dirs.flatMap(d => dataFileSizes(s"${dataRoot(name)}/$d"))
       val k = packedCount(sizes.sum)
-      if (sizes.size < minFiles || sizes.size <= k) return m.version
+      if (dirs.size <= 1 && (sizes.size < minFiles || sizes.size <= k))
+        return m.version
       // coalesce, not repartition: packing needs no shuffle
       return commitFull(read(name).coalesce(k).localCheckpoint(true), name,
         Nil, statsColumns = m.stats.map(_._2).distinct)
     }
-    val touched = m.mapping.flatMap { case (rel, d) =>
-      val sizes = dataFileSizes(s"${dataRoot(name)}/$d/$rel")
-      val k = packedCount(sizes.sum)
-      if (sizes.size >= minFiles && sizes.size > k) Some((rel, d, k)) else None
+    // pack decisions are REL-granular over ALL the rel's dirs: an
+    // entry-wise decision would load one dir's rows and then replace
+    // the whole rel with them, dropping the sibling dirs (data loss).
+    // A multi-dir rel is always packable (chain collapse), a
+    // single-dir rel only when it beats the packed file count.
+    val touched = m.mapping.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (rel, entries) =>
+        val dirs = entries.map(_._2)
+        val sizes = dirs.flatMap(d => dataFileSizes(s"${dataRoot(name)}/$d/$rel"))
+        val k = packedCount(sizes.sum)
+        if (dirs.distinct.size > 1 ||
+            (sizes.size >= minFiles && sizes.size > k))
+          entries.map { case (r, d) => (r, d, k) }
+        else Nil
     }
     if (touched.isEmpty) return m.version
     val touchedRels = touched.map(_._1).toSet
@@ -1822,7 +1842,12 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       s"$name has no live snapshot $fromV"))
     val mTo = manifestAt(name, toV).getOrElse(throw new NoSuchElementException(
       s"$name has no live snapshot $toV"))
-    val (fm, tm) = (mFrom.mapping.toMap, mTo.mapping.toMap)
+    // compare the full DIR SET per rel, not a last-entry Map (a rel
+    // can map to several dirs after file-level appends; toMap would
+    // silently compare only one of them)
+    def dirSets(mm: Manifest): Map[String, Set[String]] =
+      mm.mapping.groupBy(_._1).map { case (r, es) => r -> es.map(_._2).toSet }
+    val (fm, tm) = (dirSets(mFrom), dirSets(mTo))
     val changed: String => Boolean =
       if (pruneUnchanged) rel => fm.get(rel) != tm.get(rel) else _ => true
     val oldDf = load(name, mFrom.copy(mapping = mFrom.mapping.filter(p => changed(p._1))))

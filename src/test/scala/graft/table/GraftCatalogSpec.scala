@@ -625,6 +625,66 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("epoch chains: same-partition appends read correctly; optimize collapses them") {
+    store.commitFull(rows(1996 to 1996, 2), "chain", Seq("yr"))
+    // five "epochs" appending into the SAME partition through the
+    // append-commit API: the rel ends up mapping to six dirs (the
+    // base + five staged appends) and reads union them
+    val before = store.currentVersion("chain")
+    (1 to 5).foreach { e =>
+      val (dirId, path) = store.newStreamStaging("chain")
+      Seq((9000L + e, s"e$e", 1996)).toDF("v", "tag", "yr")
+        .write.parquet(s"$path/yr=1996")
+      store.commitStagedAppend("chain", dirId, Set("yr=1996"), s"q:$e")
+    }
+    assert(store.currentVersion("chain") === before + 5)
+    assert(spark.sql(
+      "SELECT count(*) FROM gtest.default.chain WHERE yr = 1996")
+      .as[Long].head === 7L)
+    // the rel now maps to 6 dirs; OPTIMIZE collapses it to one packed
+    // dir and the values survive byte-exact
+    val dirsBefore = store.snapshotView("chain", None).entries
+      .count(_._1 == "yr=1996")
+    assert(dirsBefore === 6)
+    spark.sql("CALL gtest.system.optimize('chain', 128)").collect()
+    val dirsAfter = store.snapshotView("chain", None).entries
+      .count(_._1 == "yr=1996")
+    assert(dirsAfter === 1)
+    assert(spark.sql(
+      "SELECT count(*) FROM gtest.default.chain WHERE yr = 1996")
+      .as[Long].head === 7L)
+    assert(spark.sql(
+      "SELECT sum(v) FROM gtest.default.chain WHERE tag LIKE 'e%'")
+      .as[Long].head === (9001L to 9005L).sum)
+  }
+
+  test("DML on a multi-dir partition rewrites ALL its dirs, not just the matching one") {
+    store.commitFull(rows(1996 to 1996, 2), "mdir", Seq("yr"))
+    (1 to 2).foreach { e =>
+      val (dirId, path) = store.newStreamStaging("mdir")
+      Seq((8000L + e, s"a$e", 1996)).toDF("v", "tag", "yr")
+        .write.parquet(s"$path/yr=1996")
+      store.commitStagedAppend("mdir", dirId, Set("yr=1996"), s"m:$e")
+    }
+    assert(store.read("mdir").count() === 4L)
+    // the fired row lives in ONE of the three dirs; the rewrite must
+    // carry the OTHER dirs' rows into the replacement
+    store.deleteWhere("mdir", col("v") === 8001L, Seq("yr"))
+    assert(store.read("mdir").count() === 3L)
+    assert(spark.sql(
+      "SELECT count(*) FROM gtest.default.mdir WHERE yr = 1996")
+      .as[Long].head === 3L)
+    // updateWhere through the same skeleton: siblings survive too
+    store.updateWhere("mdir", col("v") === 8002L,
+      Map("tag" -> lit("patched")), Seq("yr"))
+    assert(store.read("mdir").count() === 3L)
+    assert(store.read("mdir").filter(col("tag") === "patched").count() === 1L)
+    // the multi-dir rel collapsed to one dir by the rewrite
+    assert(store.snapshotView("mdir", None).entries
+      .count(_._1 == "yr=1996") === 1)
+  }
+
+
   test("store-API commits and catalog reads interleave consistently") {
     store.commitFull(rows(1990 to 1991, 2), "mix", Seq("yr"))
     assert(spark.sql("SELECT count(*) FROM gtest.default.mix")
