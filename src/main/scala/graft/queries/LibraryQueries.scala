@@ -909,6 +909,67 @@ object LibraryQueries {
        FROM src WHERE order_yr <= 1997
        GROUP BY order_yr"""
 
+  /** S34: merge-on-read deletes under the hash gate — two takedown
+    * batches (high-value orders, then a mid-band slice) commit as KEY
+    * SETS with zero data rewrite; the rollup reads through the
+    * catalog's SQL surface so the row-level anti-join filter, the
+    * forced key columns, and the disabled-footer-aggregate path are
+    * all on the hashed path. compact() then applies the deletes
+    * physically and the SAME rollup re-runs over the rewritten files:
+    * both states are hashed (merge-on-read and applied results must
+    * be identical), plus the pending-delete counts before/after. The
+    * oracle reconstructs with WHERE NOT algebra. */
+  def s34MorDelete(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_totalprice"),
+      year(col("o_orderdate").cast("date")).as("order_yr"))
+    val root = Files.createTempDirectory("graft-q-s34").toString
+    val store = new VersionedTableStore(s, root)
+    store.commitFull(o, "ord_m", Seq("order_yr"))
+    store.deleteKeys("ord_m",
+      o.filter(col("o_totalprice") > lit(400000.0)).select("o_orderkey"),
+      Seq("o_orderkey"))
+    store.deleteKeys("ord_m",
+      o.filter(col("o_totalprice").between(100000.0, 150000.0))
+        .select("o_orderkey"),
+      Seq("o_orderkey"))
+    val cat = "gq" + java.lang.Long.toHexString(
+      org.apache.spark.unsafe.types.UTF8String.fromString(root).hashCode()
+        .toLong & 0xffffffffL)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.table.catalog.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    def rollup(): DataFrame = s.sql(
+      s"""SELECT order_yr, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price
+          FROM $cat.default.ord_m GROUP BY order_yr""")
+    val pendingBefore = store.pendingDeletes("ord_m").size
+    val mor = rollup()
+    store.compact("ord_m")
+    val applied = rollup()
+    val pendingAfter = store.pendingDeletes("ord_m").size
+    mor.withColumn("state", lit("mor"))
+      .unionByName(applied.withColumn("state", lit("applied")))
+      .withColumn("pending_before", lit(pendingBefore))
+      .withColumn("pending_after", lit(pendingAfter))
+  }
+
+  val s34MorDeleteSql: String =
+    """WITH src AS (
+         SELECT o_orderkey, o_totalprice,
+                CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_yr
+         FROM orders),
+       live AS (
+         SELECT * FROM src
+         WHERE NOT (o_totalprice > 400000.0)
+           AND NOT (o_totalprice BETWEEN 100000.0 AND 150000.0)),
+       roll AS (
+         SELECT order_yr, CAST(count(*) AS BIGINT) AS n,
+                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price
+         FROM live GROUP BY order_yr)
+       SELECT order_yr, n, price, s.state,
+              CAST(2 AS INT) AS pending_before, CAST(0 AS INT) AS pending_after
+       FROM roll CROSS JOIN (VALUES ('mor'), ('applied')) s(state)"""
+
   /** S18: incremental aggregate maintenance -- the v1 yearly rollup
     * updated to the v2 state by applying the snapshot changelog
     * (IncrementalAgg over snapshotDiff pre-images), never rescanning
@@ -1231,6 +1292,7 @@ object LibraryQueries {
     "s31_catalog_spj" -> (s31CatalogSpj _),
     "s32_catalog_agg_pushdown" -> (s32CatalogAggPushdown _),
     "s33_wap_audit" -> (s33WapAudit _),
+    "s34_mor_delete" -> (s34MorDelete _),
     "s18_incremental_agg" -> (s18IncrementalAgg _),
     "s26_incremental_minmax" -> (s26IncrementalMinmax _),
     "q_validation_suite" -> (qValidationSuite _),
@@ -1264,6 +1326,7 @@ object LibraryQueries {
     "s31_catalog_spj" -> s31CatalogSpjSql,
     "s32_catalog_agg_pushdown" -> s32CatalogAggPushdownSql,
     "s33_wap_audit" -> s33WapAuditSql,
+    "s34_mor_delete" -> s34MorDeleteSql,
     "s18_incremental_agg" -> s18IncrementalAggSql,
     "s26_incremental_minmax" -> s26IncrementalMinmaxSql,
     "q_validation_suite" -> qValidationSuiteSql,

@@ -114,7 +114,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       parent: Long = -1L,
       committedAtMs: Long = -1L,
       wap: String = "",
-      txn: String = "")
+      txn: String = "",
+      deletes: Seq[(String, String)] = Nil)
 
   private val Header = "graft-manifest-v1"
   private val End = "end"
@@ -139,13 +140,15 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     val statEntries = m.stats.sortBy(s => (s._1, s._2))
       .map { case (rel, c, mn, mx) =>
         s"stat\t${enc(c)}\t${enc(mn)}\t${enc(mx)}\t${enc(rel)}" }
+    val delEntries = m.deletes.map { case (d, cols) =>
+      s"del\t$d\t${enc(cols)}" }
     (Seq(Header, s"version=${m.version}",
       s"parent=${m.parent}",
       s"committedAt=${m.committedAtMs}",
       s"wap=${m.wap}",
       s"txn=${m.txn}",
       s"partitionBy=${m.partitionBy.mkString(",")}",
-      s"schema=${m.schemaDDL}") ++ entries ++ statEntries :+ End)
+      s"schema=${m.schemaDDL}") ++ entries ++ statEntries ++ delEntries :+ End)
       .mkString("\n")
   }
 
@@ -168,6 +171,11 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
           val Array(_, c, mn, mx, rel) = l.split("\t", 5)
           (dec(rel), dec(c), dec(mn), dec(mx))
       }
+      val dels = lines.collect {
+        case l if l.startsWith("del\t") =>
+          val Array(_, d, cols) = l.split("\t", 3)
+          (d, dec(cols))
+      }
       val pby = fields("partitionBy") match {
         case "" => Nil; case s => s.split(",").toSeq
       }
@@ -176,7 +184,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         fields.getOrElse("parent", "-1").toLong,
         fields.getOrElse("committedAt", "-1").toLong,
         fields.getOrElse("wap", ""),
-        fields.getOrElse("txn", "")))
+        fields.getOrElse("txn", ""),
+        dels))
     } else None
   }
 
@@ -492,7 +501,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     }
     catalog.GraftSnapshot(m.version, m.partitionBy, m.schemaDDL,
       m.mapping.map { case (rel, d) => rel -> s"${dataRoot(name)}/$d" },
-      m.stats, m.committedAtMs, m.parent)
+      m.stats, m.committedAtMs, m.parent,
+      m.deletes.map { case (d, c) => s"${dataRoot(name)}/$d" -> c })
   }
 
   /** Metadata-only schema evolution: commit a new snapshot that
@@ -530,7 +540,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     val v = nextVersion(name)
     casManifest(name,
       Manifest(v, m.partitionBy, m.mapping, next.toDDL,
-        m.stats.filter(s => keep(s._2))),
+        m.stats.filter(s => keep(s._2)), deletes = m.deletes),
       observedParent = m.version)
     expireSnapshots(name)
     v
@@ -598,7 +608,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       writtenStats
     beforeSwap(name, v)
     try casManifest(name,
-      Manifest(v, m.partitionBy, mapping, m.schemaDDL, stats),
+      Manifest(v, m.partitionBy, mapping, m.schemaDDL, stats,
+        deletes = m.deletes),
       observedParent = m.version)
     catch { case e: ConcurrentWriteException =>
       fs.delete(new Path(s"${dataRoot(name)}/$dirId"), true); throw e
@@ -662,7 +673,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       val stats = m.stats.filterNot(s => writtenRels(s._1))
       try {
         casManifest(name,
-          Manifest(v, m.partitionBy, mapping, m.schemaDDL, stats, txn = txn),
+          Manifest(v, m.partitionBy, mapping, m.schemaDDL, stats, txn = txn,
+            deletes = m.deletes),
           observedParent = m.version)
         expireSnapshots(name)
         return v
@@ -674,6 +686,86 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     }
     -1L // unreachable
   }
+
+  // --------------------------------------- merge-on-read deletes
+
+  /** Key types the merge-on-read delete path supports — the types the
+    * catalog scan's row filter can extract canonically on executors.
+    * Kept deliberately narrow (takedown keys are ids and strings). */
+  private val MorKeyTypes = Set("string", "long", "integer", "short",
+    "byte", "boolean", "date", "timestamp")
+
+  /** MERGE-ON-READ delete: commit a KEY SET whose rows disappear from
+    * every read — one small parquet write plus one manifest CAS, no
+    * data rewrite at all. The Iceberg equality-delete analogue:
+    *
+    *  - cost is O(keys), not O(matched partitions) — the takedown
+    *    path for "remove these document ids from a 100 TB corpus";
+    *  - reads (store API and SQL catalog alike) anti-join the pending
+    *    key sets out; [[compact]] / any full rewrite applies them
+    *    physically and clears the manifest entries;
+    *  - deletes are SNAPSHOT-WIDE while pending: a key re-inserted by
+    *    a later append stays suppressed until a full rewrite applies
+    *    the deletes. Run [[compact]] before re-inserting suppressed
+    *    keys (spec-pinned, and the scaladoc'd trade vs sequence-
+    *    numbered delete files);
+    *  - time travel is exact: pre-delete snapshots keep serving the
+    *    rows, the delete commit's snapshot hides them;
+    *  - the change feed emits them as ordinary `delete` rows, and the
+    *    insert-only table stream fails loud, per its contract.
+    *
+    * Keys must be DATA columns of supported types; null keys are
+    * dropped (an anti-join could never match them). Commutative with
+    * concurrent appends — conflicts retry bounded, like
+    * [[commitStagedAppend]]. Returns the committed version. */
+  def deleteKeys(name: String, keys: DataFrame,
+      keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "deleteKeys needs at least one key column")
+    val head0 = current(name).getOrElse(
+      throw new NoSuchElementException(s"no snapshots for $name"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(head0.schemaDDL)
+    keyCols.foreach { c =>
+      val f = schema.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"$name has no column `$c`"))
+      require(!head0.partitionBy.contains(c),
+        s"deleteKeys key `$c` is a partition column; delete whole " +
+          "partitions with deleteWhere instead")
+      require(MorKeyTypes(f.dataType.typeName),
+        s"deleteKeys key `$c` has unsupported type ${f.dataType.typeName}")
+    }
+    val delDir = s"del-${UUID.randomUUID().toString.take(8)}"
+    import org.apache.spark.sql.functions.col
+    keys.select(keyCols.map(c => col(c)): _*).na.drop().dropDuplicates()
+      .coalesce(1)
+      .write.parquet(s"${dataRoot(name)}/$delDir")
+    var attempt = 0
+    while (true) {
+      val m = current(name).getOrElse(
+        throw new NoSuchElementException(s"no snapshots for $name"))
+      val v = nextVersion(name)
+      try {
+        casManifest(name, Manifest(v, m.partitionBy, m.mapping, m.schemaDDL,
+          m.stats, deletes = m.deletes :+ (delDir -> keyCols.mkString(","))),
+          observedParent = m.version)
+        expireSnapshots(name)
+        return v
+      } catch {
+        case e: ConcurrentWriteException =>
+          attempt += 1
+          if (attempt >= 5) {
+            fs.delete(new Path(s"${dataRoot(name)}/$delDir"), true); throw e
+          }
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Pending (not yet physically applied) merge-on-read delete
+    * batches of the head snapshot, as (absolute dir, key columns). */
+  def pendingDeletes(name: String): Seq[(String, String)] =
+    current(name).map(_.deletes.map { case (d, c) =>
+      (s"${dataRoot(name)}/$d", c)
+    }).getOrElse(Nil)
 
   /** Resolve a manifest to a DataFrame: one pruned parquet relation
     * per distinct data dir (basePath keeps hive partition-column
@@ -702,7 +794,16 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       else reader.option("basePath", base)
         .parquet(entries.map { case (rel, _) => s"$base/$rel" }: _*)
     }
-    parts.reduce(_.unionByName(_))
+    val df = parts.reduce(_.unionByName(_))
+    // merge-on-read equality deletes: each pending batch anti-joins
+    // its key set out of the scan (broadcast: takedown-sized by
+    // contract, and compact/any full rewrite applies + clears them)
+    m.deletes.foldLeft(df) { case (acc, (dd, cols)) =>
+      val keyCols = cols.split(",").toSeq
+      val keys = spark.read.parquet(s"${dataRoot(name)}/$dd")
+      acc.join(org.apache.spark.sql.functions.broadcast(keys),
+        keyCols, "left_anti")
+    }
   }
 
   /** Live commits or expiry tombstones with a version beyond
@@ -1015,7 +1116,13 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     beforeSwap(name, v)
     try casManifest(name,
       Manifest(v, partitionBy, mapping, stampedSchema.toDDL, stats,
-        wap = wap),
+        wap = wap,
+        // a delta RETAINS parent dirs, so pending merge-on-read
+        // deletes still apply (and, snapshot-wide, to the written
+        // batch too -- the deleteKeys contract); a full commit's rows
+        // are exactly the caller's df, deletes cleared
+        deletes = if (deltaPartitions)
+          parent.map(_.deletes).getOrElse(Nil) else Nil),
       observedParent = parent.map(_.version).getOrElse(0L))
     catch { case e: ConcurrentWriteException =>
       fs.delete(new Path(s"${dataRoot(name)}/$dirId"), true); throw e
@@ -1106,7 +1213,10 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       s"$name has no live snapshot $v to roll back to"))
     val observed = currentVersion(name)
     val next = Manifest(nextVersion(name), target.partitionBy, target.mapping,
-      target.schemaDDL, target.stats)
+      target.schemaDDL, target.stats,
+      // the restored state includes the target's PENDING deletes --
+      // rolling back to a pre-delete snapshot really resurrects rows
+      deletes = target.deletes)
     casManifest(name, next, observedParent = observed)
     expireSnapshots(name)
     next.version
@@ -1185,7 +1295,10 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       }
     val stats = m.stats.filterNot(s => touchedRels(s._1)) ++ writtenStats
     beforeSwap(name, v)
-    try casManifest(name, Manifest(v, m.partitionBy, mapping, m.schemaDDL, stats),
+    // untouched rels keep their dirs, so pending merge-on-read deletes
+    // carry (idempotent on the rewritten dirs -- those rows are gone)
+    try casManifest(name, Manifest(v, m.partitionBy, mapping, m.schemaDDL,
+        stats, deletes = m.deletes),
       observedParent = m.version)
     catch { case e: ConcurrentWriteException =>
       fs.delete(new Path(s"${dataRoot(name)}/$dirId"), true); throw e
@@ -1476,7 +1589,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         results.flatMap(_._2)
       val mapping = m.mapping.filterNot(e => touchedRels(e._1)) ++ written
       beforeSwap(name, v)
-      casManifest(name, Manifest(v, m.partitionBy, mapping, m.schemaDDL, stats),
+      casManifest(name, Manifest(v, m.partitionBy, mapping, m.schemaDDL,
+        stats, deletes = m.deletes),
         observedParent = m.version)
     } catch { case e: Throwable =>
       staged.foreach(d => fs.delete(new Path(s"${dataRoot(name)}/$d"), true))
@@ -1848,8 +1962,13 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     def dirSets(mm: Manifest): Map[String, Set[String]] =
       mm.mapping.groupBy(_._1).map { case (r, es) => r -> es.map(_._2).toSet }
     val (fm, tm) = (dirSets(mFrom), dirSets(mTo))
+    // merge-on-read deletes are snapshot-wide: equal dir sets prove a
+    // rel unchanged only when the pending delete sets are ALSO equal
+    // (a deleteKeys commit changes no dirs at all)
     val changed: String => Boolean =
-      if (pruneUnchanged) rel => fm.get(rel) != tm.get(rel) else _ => true
+      if (pruneUnchanged && mFrom.deletes == mTo.deletes)
+        rel => fm.get(rel) != tm.get(rel)
+      else _ => true
     val oldDf = load(name, mFrom.copy(mapping = mFrom.mapping.filter(p => changed(p._1))))
     val newDf = load(name, mTo.copy(mapping = mTo.mapping.filter(p => changed(p._1))))
     // the diff is expressed in the TO snapshot's schema: columns added

@@ -27,7 +27,8 @@ import graft.table.VersionedTableStore
 case class GraftSnapshot(version: Long, partitionBy: Seq[String],
     schemaDDL: String, entries: Seq[(String, String)],
     stats: Seq[(String, String, String, String)], committedAtMs: Long,
-    parent: Long = -1L)
+    parent: Long = -1L,
+    deletes: Seq[(String, String)] = Nil)
 
 /** A Spark `TableCatalog` over [[graft.table.VersionedTableStore]]:
   * registers with
@@ -384,6 +385,10 @@ class GraftTable(st: VersionedTableStore, tableName: String,
     caps
   }
 
+  /** Pending merge-on-read delete keys, loaded driver-side ONCE per
+    * scan build (takedown-sized by the store's contract; cleared by
+    * the next full rewrite). Every scan this table plans filters them
+    * out row-by-row. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     GraftScanPlanning.scanBuilder(st.spark,
       GraftScanPlanning.fileIndex(st.spark, partitionSchema,
@@ -391,7 +396,10 @@ class GraftTable(st: VersionedTableStore, tableName: String,
       schema(), dataSchema, options, partitionSchema,
       stream = if (pinnedVersion.isEmpty)
         Some(org.apache.spark.sql.graft.GraftStreamSpec(st.root, tableName))
-      else None)
+      else None,
+      mor = if (snapshot.deletes.isEmpty) Nil
+        else org.apache.spark.sql.graft.MorKeys.build(st.spark,
+          snapshot.deletes))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {

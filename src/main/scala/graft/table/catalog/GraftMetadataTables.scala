@@ -34,7 +34,8 @@ import graft.table.VersionedTableStore
   */
 private[catalog] object GraftMetadataTables {
 
-  val names: Set[String] = Set("history", "partitions", "stats", "staged")
+  val names: Set[String] = Set("history", "partitions", "stats", "staged",
+    "deletes")
 
   private def s(v: String): UTF8String = UTF8String.fromString(v)
 
@@ -70,6 +71,13 @@ private[catalog] object GraftMetadataTables {
         local(s"$table.staged", new StructType()
           .add("version", LongType, nullable = false)
           .add("wap_id", StringType, nullable = false), rows)
+      case "deletes" =>
+        val rows = st.pendingDeletes(table).map { case (dir, cols) =>
+          new GenericInternalRow(Array[Any](s(dir), s(cols)))
+        }
+        local(s"$table.deletes", new StructType()
+          .add("delete_dir", StringType, nullable = false)
+          .add("key_columns", StringType, nullable = false), rows)
       case "stats" =>
         val m = st.snapshotView(table, None)
         val rows = m.stats.map { case (rel, c, mn, mx) =>

@@ -56,7 +56,10 @@ class GraftRowLevelOp(st: VersionedTableStore, tableName: String,
       GraftScanPlanning.fileIndex(st.spark, partitionSchema,
         snapshot.entries, snapshot.stats),
       StructType(dataSchema ++ partitionSchema), dataSchema, options,
-      partitionSchema, s => scanRef = s)
+      partitionSchema, s => scanRef = s,
+      mor = if (snapshot.deletes.isEmpty) Nil
+        else org.apache.spark.sql.graft.MorKeys.build(st.spark,
+          snapshot.deletes))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {

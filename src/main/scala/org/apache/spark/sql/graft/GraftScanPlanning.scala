@@ -124,11 +124,12 @@ object GraftScanPlanning {
       fullSchema: StructType, dataSchema: StructType,
       options: CaseInsensitiveStringMap,
       partitionSchema: StructType = new StructType(),
-      stream: Option[GraftStreamSpec] = None)
+      stream: Option[GraftStreamSpec] = None,
+      mor: Seq[MorKeys] = Nil)
       : org.apache.spark.sql.connector.read.ScanBuilder =
     new GraftScanBuilder(
       ParquetScanBuilder(classic(spark), index, fullSchema, dataSchema,
-        options), partitionSchema, stream, options)
+        options), partitionSchema, stream, options, fullSchema, mor)
 
   /** Scan builder for group-based row-level operations — see
     * [[GraftRowOpScanBuilder]]. `attach` hands the built scan back to
@@ -136,10 +137,10 @@ object GraftScanPlanning {
   def rowOpScanBuilder(spark: SparkSession, index: GraftFileIndex,
       fullSchema: StructType, dataSchema: StructType,
       options: CaseInsensitiveStringMap, partitionSchema: StructType,
-      attach: GraftScan => Unit)
+      attach: GraftScan => Unit, mor: Seq[MorKeys] = Nil)
       : org.apache.spark.sql.connector.read.ScanBuilder =
     new GraftRowOpScanBuilder(spark, index, fullSchema, dataSchema, options,
-      partitionSchema, attach)
+      partitionSchema, attach, mor)
 
   /** Closed-interval bounds per column implied by pushed data
     * filters (a conjunction): only integer-family literal compares
@@ -238,7 +239,9 @@ case class GraftStreamSpec(root: String, table: String)
   * narrows its return type to `ParquetScan`.) */
 class GraftScanBuilder(inner: ParquetScanBuilder,
     partitionSchema: StructType, stream: Option[GraftStreamSpec],
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    fullSchema: StructType = new StructType(),
+    mor: Seq[MorKeys] = Nil)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -248,20 +251,35 @@ class GraftScanBuilder(inner: ParquetScanBuilder,
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
     inner.pushFilters(filters)
   override def pushedFilters: Array[Predicate] = inner.pushedFilters
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    inner.pruneColumns(requiredSchema)
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // pending merge-on-read deletes filter rows BY KEY at read time:
+    // the key columns must survive pruning for the filter to resolve
+    // (Spark's projection above the scan still narrows the output)
+    val widened =
+      if (mor.isEmpty) requiredSchema
+      else {
+        val have = requiredSchema.fieldNames.toSet
+        StructType(requiredSchema.fields ++
+          mor.flatMap(_.cols).distinct.filterNot(have)
+            .map(c => fullSchema(c)))
+      }
+    inner.pruneColumns(widened)
+  }
+  // footer-stat aggregates cannot see merge-on-read deletes: while
+  // any are pending, aggregation stays un-pushed (plain scan path,
+  // row filter applies, results exact)
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    inner.pushAggregation(agg)
+    mor.isEmpty && inner.pushAggregation(agg)
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    inner.supportCompletePushDown(agg)
+    mor.isEmpty && inner.supportCompletePushDown(agg)
   override def pushVariantExtractions(
       extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction])
       : Array[Boolean] = inner.pushVariantExtractions(extractions)
 
   override def build(): Scan =
-    new GraftScan(inner.build(), partitionSchema, stream, options)
+    new GraftScan(inner.build(), partitionSchema, stream, options, mor)
 }
 
 /** The [[Scan]] a graft catalog table builds: Spark's own
@@ -286,7 +304,8 @@ class GraftScanBuilder(inner: ParquetScanBuilder,
   * `filter(...)` then `toBatch.planInputPartitions()` again); all
   * other methods forward to the CURRENT inner scan. */
 class GraftScan(initial: ParquetScan, partitionSchema: StructType,
-    stream: Option[GraftStreamSpec], options: CaseInsensitiveStringMap)
+    stream: Option[GraftStreamSpec], options: CaseInsensitiveStringMap,
+    mor: Seq[MorKeys] = Nil)
     extends Scan with SupportsRuntimeV2Filtering
     with SupportsReportStatistics with SupportsReportPartitioning
     with SupportsMetadata {
@@ -326,8 +345,20 @@ class GraftScan(initial: ParquetScan, partitionSchema: StructType,
   def parquetScan: ParquetScan = current
 
   override def readSchema(): StructType = current.readSchema()
-  override def toBatch: Batch =
-    if (keyGrouped) new GraftKeyedBatch(current) else current.toBatch
+
+  /** Wrap a batch with the merge-on-read delete filter (no-op when
+    * none are pending). Row-based reads are forced by the factory. */
+  private def wrapMor(b: Batch): Batch =
+    if (mor.isEmpty) b
+    else new Batch {
+      override def planInputPartitions(): Array[InputPartition] =
+        b.planInputPartitions()
+      override def createReaderFactory(): PartitionReaderFactory =
+        new GraftMorReaderFactory(b.createReaderFactory(), readSchema(), mor)
+    }
+
+  override def toBatch: Batch = wrapMor(
+    if (keyGrouped) new GraftKeyedBatch(current) else current.toBatch)
   override def description(): String = current.description()
   override def getMetaData(): Map[String, String] = current.getMetaData()
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
@@ -337,7 +368,8 @@ class GraftScan(initial: ParquetScan, partitionSchema: StructType,
   override def reportDriverMetrics(): Array[CustomTaskMetric] =
     current.reportDriverMetrics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
-    current.columnarSupportMode()
+    if (mor.nonEmpty) Scan.ColumnarSupportMode.UNSUPPORTED
+    else current.columnarSupportMode()
 
   override def filterAttributes(): Array[NamedReference] =
     partitionSchema.fieldNames.map(n => FieldReference.column(n))
@@ -393,6 +425,95 @@ class GraftScan(initial: ParquetScan, partitionSchema: StructType,
       .flatMap(_.files.map(f =>
         idx.relOfLeaf(f.getPath.getParent.toString)))
       .toSet
+  }
+}
+
+/** Pending merge-on-read delete keys, resolved DRIVER-side at scan
+  * build (key sets are takedown-sized by the store's contract, and
+  * they exist only until the next full rewrite applies them): one
+  * entry per key-column signature, values in a canonical
+  * JVM-serializable form ([[MorKeys.canonical]]) so the executor-side
+  * row filter compares without catalyst objects in the closure. */
+case class MorKeys(cols: Seq[String], keys: Set[Seq[Any]])
+
+object MorKeys {
+
+  /** Canonical comparable value for supported key types: strings as
+    * JVM String, integer family widened to Long, date/timestamp as
+    * their underlying numeric. Unsupported types were rejected at
+    * `deleteKeys` time; a null never matches (keys are na-dropped). */
+  def canonical(row: InternalRow, i: Int,
+      dt: DataType): Any =
+    if (row.isNullAt(i)) null
+    else dt match {
+      case StringType => row.getUTF8String(i).toString
+      case LongType => row.getLong(i)
+      case IntegerType => row.getInt(i).toLong
+      case ShortType => row.getShort(i).toLong
+      case ByteType => row.getByte(i).toLong
+      case org.apache.spark.sql.types.BooleanType => row.getBoolean(i)
+      case org.apache.spark.sql.types.DateType => row.getInt(i).toLong
+      case org.apache.spark.sql.types.TimestampType => row.getLong(i)
+      case other => throw new UnsupportedOperationException(
+        s"merge-on-read delete key type not supported in scans: $other")
+    }
+
+  /** Load every pending delete batch's keys to the driver, grouped by
+    * key-column signature. */
+  def build(spark: SparkSession,
+      deletes: Seq[(String, String)]): Seq[MorKeys] =
+    deletes.groupBy(_._2).toSeq.sortBy(_._1).map { case (colsCsv, batches) =>
+      val cols = colsCsv.split(",").toSeq
+      val df = classic(spark).read.parquet(batches.map(_._1): _*)
+      val schema = df.schema
+      val idx = cols.map(schema.fieldIndex)
+      val rows = df.queryExecution.toRdd.map(_.copy()).collect()
+      MorKeys(cols, rows.map(r => idx.map(i =>
+        canonical(r, i, schema(i).dataType)).toSeq).toSet)
+    }
+
+  private def classic(spark: SparkSession) =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+}
+
+/** Reader factory applying pending merge-on-read deletes row-by-row:
+  * wraps the parquet factory, forces row-based reads (a deleted row
+  * cannot be filtered out of a shared ColumnarBatch), and drops rows
+  * whose key tuple is in any pending batch. The scan builder forced
+  * the key columns into the read schema, so the ordinals always
+  * resolve. */
+class GraftMorReaderFactory(inner: PartitionReaderFactory,
+    readSchema: StructType, mor: Seq[MorKeys])
+    extends PartitionReaderFactory {
+
+  private val resolved: Seq[(Seq[(Int, DataType)], Set[Seq[Any]])] =
+    mor.map { mk =>
+      (mk.cols.map(c =>
+        (readSchema.fieldIndex(c), readSchema(c).dataType)), mk.keys)
+    }
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val r = inner.createReader(p)
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private var row: InternalRow = _
+      private def deleted(candidate: InternalRow): Boolean =
+        resolved.exists { case (ix, keys) =>
+          keys.contains(ix.map { case (i, dt) =>
+            MorKeys.canonical(candidate, i, dt) })
+        }
+      override def next(): Boolean = {
+        while (r.next()) {
+          val c = r.get()
+          if (!deleted(c)) { row = c; return true }
+        }
+        false
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = r.close()
+    }
   }
 }
 
@@ -463,7 +584,7 @@ class GraftKeyedFilePartition(index: Int, files: Array[PartitionedFile],
 class GraftRowOpScanBuilder(spark: SparkSession, index: GraftFileIndex,
     fullSchema: StructType, dataSchema: StructType,
     options: CaseInsensitiveStringMap, partitionSchema: StructType,
-    attach: GraftScan => Unit)
+    attach: GraftScan => Unit, mor: Seq[MorKeys] = Nil)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -491,10 +612,20 @@ class GraftRowOpScanBuilder(spark: SparkSession, index: GraftFileIndex,
     val inner = ParquetScanBuilder(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       index, fullSchema, dataSchema, options)
-    inner.pruneColumns(required)
+    // pending merge-on-read deletes: key columns must survive pruning
+    // (the row-level rewrite's replacement data must be the
+    // POST-delete rows, or the rewrite would resurrect deleted keys)
+    val widened =
+      if (mor.isEmpty) required
+      else {
+        val have = required.fieldNames.toSet
+        StructType(required.fields ++ mor.flatMap(_.cols).distinct
+          .filterNot(have).map(c => fullSchema(c)))
+      }
+    inner.pruneColumns(widened)
     val ps = inner.build().copy(partitionFilters = partFilters,
       dataFilters = boundsFilters)
-    val scan = new GraftScan(ps, partitionSchema, None, options)
+    val scan = new GraftScan(ps, partitionSchema, None, options, mor)
     attach(scan)
     scan
   }

@@ -685,6 +685,46 @@ class GraftCatalogSpec extends AnyFunSuite {
   }
 
 
+  test("merge-on-read deletes reach SQL scans: filters, aggs, DML, compact") {
+    store.commitFull(rows(1996 to 1997, 4), "mort", Seq("yr"))
+    store.deleteKeys("mort",
+      Seq(1996001L, 1997002L).toDF("v"), Seq("v"))
+    // plain reads and aggregates are post-delete (aggregate pushdown
+    // stays OFF while deletes are pending -- footer stats can't see
+    // them -- so the count is the honest row-filtered one)
+    assert(spark.sql("SELECT count(*) FROM gtest.default.mort")
+      .as[Long].head === 6L)
+    assert(spark.sql(
+      "SELECT v FROM gtest.default.mort WHERE yr = 1996 ORDER BY v")
+      .as[Long].collect().toSeq === Seq(1996000L, 1996002L, 1996003L))
+    // even when the projection does not name the key column
+    assert(spark.sql(
+      "SELECT tag FROM gtest.default.mort WHERE yr = 1997")
+      .as[String].collect().length === 3)
+    assert(spark.sql(
+      "SELECT count(*) FROM gtest.default.mort.deletes")
+      .as[Long].head === 1L)
+    // time travel to the pre-delete snapshot serves everything
+    assert(spark.sql(
+      "SELECT count(*) FROM gtest.default.mort VERSION AS OF 1")
+      .as[Long].head === 8L)
+    // a row-level rewrite reads the POST-delete rows (deleted keys do
+    // not resurrect) and carries the pending entries for the
+    // untouched partition
+    spark.sql("UPDATE gtest.default.mort SET tag = 'u' WHERE yr = 1996")
+    assert(spark.sql("SELECT count(*) FROM gtest.default.mort")
+      .as[Long].head === 6L)
+    assert(spark.sql(
+      "SELECT count(*) FROM gtest.default.mort WHERE v = 1996001L")
+      .as[Long].head === 0L)
+    assert(store.pendingDeletes("mort").size === 1)
+    // compact applies physically; aggregate pushdown returns
+    spark.sql("CALL gtest.system.compact('mort')").collect()
+    assert(store.pendingDeletes("mort") === Nil)
+    assert(spark.sql("SELECT count(*) FROM gtest.default.mort")
+      .as[Long].head === 6L)
+  }
+
   test("store-API commits and catalog reads interleave consistently") {
     store.commitFull(rows(1990 to 1991, 2), "mix", Seq("yr"))
     assert(spark.sql("SELECT count(*) FROM gtest.default.mix")

@@ -1249,6 +1249,50 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     vs.dropStaged("w", "held")
   }
 
+  // --------------------------------------- merge-on-read deletes
+
+  test("deleteKeys: O(keys) takedown; reads hide rows; compact applies and clears") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a"), (1, "b"), (2, "c"), (2, "d")).toDF("k", "v"),
+      "mor", Seq("k"))
+    val preV = vs.currentVersion("mor")
+    val mappingBefore = vs.versionsMapping("mor")
+    val delV = vs.deleteKeys("mor", Seq("b", "d").toDF("v"), Seq("v"))
+    // zero data rewrite: the mapping is byte-identical, only the
+    // manifest gained a delete entry
+    assert(vs.versionsMapping("mor") === mappingBefore)
+    assert(vs.pendingDeletes("mor").size === 1)
+    assert(kv(vs.read("mor")) === Seq((1, "a"), (2, "c")))
+    // time travel is exact: the pre-delete snapshot still serves all
+    assert(kv(vs.readVersion("mor", preV)).size === 4)
+    // the change feed sees ordinary deletes
+    val diff = vs.snapshotDiff("mor", preV, delV, Seq("v"))
+      .select("change_type", "v").as[(String, String)].collect().sorted.toSeq
+    assert(diff === Seq(("delete", "b"), ("delete", "d")))
+    // a second batch folds in
+    vs.deleteKeys("mor", Seq("c").toDF("v"), Seq("v"))
+    assert(kv(vs.read("mor")) === Seq((1, "a")))
+    // documented snapshot-wide semantics: an appended row re-using a
+    // suppressed key stays suppressed until deletes are applied
+    vs.commitPartitions(Seq((3, "b")).toDF("k", "v"), "mor", Seq("k"))
+    assert(kv(vs.read("mor")) === Seq((1, "a")))
+    // compact applies the deletes physically and clears the entries --
+    // including the suppressed late append, exactly as documented
+    vs.compact("mor")
+    assert(vs.pendingDeletes("mor") === Nil)
+    assert(kv(vs.read("mor")) === Seq((1, "a")))
+    // with deletes applied, the key is insertable again
+    vs.commitPartitions(Seq((4, "b")).toDF("k", "v"), "mor", Seq("k"))
+    assert(kv(vs.read("mor")) === Seq((1, "a"), (4, "b")))
+    // guard rails: partition-column and unknown keys reject
+    intercept[IllegalArgumentException] {
+      vs.deleteKeys("mor", Seq(1).toDF("k"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      vs.deleteKeys("mor", Seq("x").toDF("nope"), Seq("nope"))
+    }
+  }
+
   test("WAP: writeAuditPublish publishes on pass, reclaims on fail") {
     val vs = fresh()
     vs.commitFull(Seq((1, "a")).toDF("k", "v"), "w", Seq("k"))
