@@ -37,7 +37,7 @@ private[catalog] object GraftProcedures {
 
   val names: Seq[String] = Seq("rollback", "compact", "optimize",
     "cluster_by", "cluster_by_z", "tag", "expire_snapshots",
-    "publish_staged", "drop_staged")
+    "publish_staged", "drop_staged", "delete_keys")
 
   def load(storeF: () => VersionedTableStore,
       name: String): UnboundProcedure = name match {
@@ -77,6 +77,13 @@ private[catalog] object GraftProcedures {
       Seq("table" -> StringType, "tag" -> StringType,
         "version" -> LongType)) { (st, r) =>
       st.tagSnapshot(str(r, 0), str(r, 1), r.getLong(2))
+    }
+    case "delete_keys" => proc(storeF, name,
+      "merge-on-read takedown: delete rows whose keys a query yields",
+      Seq("table" -> StringType, "key_columns" -> StringType,
+        "keys_query" -> StringType)) { (st, r) =>
+      st.deleteKeys(str(r, 0), st.spark.sql(str(r, 2)),
+        str(r, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     }
     case "publish_staged" => proc(storeF, name,
       "fast-forward the head to an audited staged (WAP) snapshot",

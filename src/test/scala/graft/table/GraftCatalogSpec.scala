@@ -723,6 +723,13 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(store.pendingDeletes("mort") === Nil)
     assert(spark.sql("SELECT count(*) FROM gtest.default.mort")
       .as[Long].head === 6L)
+    // pure-SQL takedown: the key set comes from a query
+    spark.sql("""CALL gtest.system.delete_keys('mort', 'v',
+      'SELECT v FROM gtest.default.mort WHERE v % 2 = 1')""").collect()
+    assert(spark.sql(
+      "SELECT count(*) FROM gtest.default.mort WHERE v % 2 = 1")
+      .as[Long].head === 0L)
+    assert(store.pendingDeletes("mort").size === 1)
   }
 
   test("store-API commits and catalog reads interleave consistently") {
