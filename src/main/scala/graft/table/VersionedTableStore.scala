@@ -687,6 +687,94 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     -1L // unreachable
   }
 
+  /** Reclaim ORPHANED data dirs: staging that a crashed writer never
+    * committed (`rl-`/`st-` row-level and streaming staging, `del-`
+    * key sets) and any other dir no live manifest references. Two
+    * guards keep it safe against in-flight writers:
+    *
+    *  - only dirs whose latest file modification is older than
+    *    `minAgeMs` are touched (an in-flight writer's staging is
+    *    always fresher — same grace-period discipline as Delta
+    *    VACUUM's retention check);
+    *  - the referenced set is computed from EVERY live commit file
+    *    (main, staged/WAP, and their delete entries) read AFTER the
+    *    age scan, so a dir committed mid-vacuum is never classified
+    *    stale.
+    *
+    * Expiry already reclaims version-named dirs below the floor;
+    * vacuum closes the gap for the non-versioned staging names expiry
+    * deliberately ignores. Returns the number of dirs removed. */
+  def vacuum(name: String, minAgeMs: Long = 24L * 3600 * 1000): Long = {
+    val dRoot = new Path(dataRoot(name))
+    if (!fs.exists(dRoot)) return 0L
+    val cutoff = clockMs() - minAgeMs
+    def newestMTime(p: Path): Long = {
+      val self = fs.getFileStatus(p).getModificationTime
+      val kids = fs.listStatus(p)
+      (self +: kids.map { st =>
+        if (st.isDirectory) newestMTime(st.getPath)
+        else st.getModificationTime
+      }.toSeq).max
+    }
+    val candidates = fs.listStatus(dRoot).toSeq.filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => newestMTime(p) < cutoff)
+    if (candidates.isEmpty) return 0L
+    // referenced set read AFTER aging: every live commit file's dirs
+    // (head, history, staged WAP snapshots) plus their delete dirs
+    val dir = commitsPath(name)
+    val referenced: Set[String] =
+      if (!fs.exists(dir)) Set.empty
+      else fs.listStatus(dir).toSeq
+        .filter(_.getPath.getName.matches("c\\d{8}"))
+        .flatMap(st => readManifest(st.getPath))
+        .flatMap(m => m.mapping.map(_._2) ++ m.deletes.map(_._1))
+        .toSet
+    val doomed = candidates.filterNot(p => referenced(p.getName))
+    doomed.foreach(fs.delete(_, true))
+    doomed.size.toLong
+  }
+
+  /** Consistency audit: walks every live snapshot and reports, per
+    * check, how many problems exist — (check, problems, detail).
+    * Checks: lineage (each live version's recorded parent is its live
+    * predecessor or expired below the floor — the
+    * optimistic-protocol residual-race detector), dangling data dirs
+    * (a manifest references a dir that does not exist on disk),
+    * dangling delete dirs, and orphan dirs (on disk, referenced by no
+    * live manifest — vacuum's work list). Driver-side only: manifest
+    * listings plus one directory listing, no jobs at any table
+    * size. */
+  def audit(name: String): Seq[(String, Long, String)] = {
+    import org.apache.spark.sql.functions.col
+    val lineageBad = snapshots(name).filter(!col("lineage_ok")).count()
+    val dir = commitsPath(name)
+    val live =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq
+        .filter(_.getPath.getName.matches("c\\d{8}"))
+        .flatMap(st => readManifest(st.getPath))
+    val dRoot = new Path(dataRoot(name))
+    def exists(d: String) = fs.exists(new Path(s"${dataRoot(name)}/$d"))
+    val danglingData = live.flatMap(m => m.mapping.map(_._2)).distinct
+      .filterNot(exists)
+    val danglingDel = live.flatMap(_.deletes.map(_._1)).distinct
+      .filterNot(exists)
+    val referenced = live.flatMap(m =>
+      m.mapping.map(_._2) ++ m.deletes.map(_._1)).toSet
+    val orphans =
+      if (!fs.exists(dRoot)) Nil
+      else fs.listStatus(dRoot).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).filterNot(referenced)
+    Seq(
+      ("lineage", lineageBad, "live versions whose parent chain breaks"),
+      ("dangling_data_dirs", danglingData.size.toLong,
+        danglingData.take(5).mkString(",")),
+      ("dangling_delete_dirs", danglingDel.size.toLong,
+        danglingDel.take(5).mkString(",")),
+      ("orphan_dirs", orphans.size.toLong, orphans.take(5).mkString(",")))
+  }
+
   // --------------------------------------- merge-on-read deletes
 
   /** Key types the merge-on-read delete path supports — the types the

@@ -37,7 +37,7 @@ private[catalog] object GraftProcedures {
 
   val names: Seq[String] = Seq("rollback", "compact", "optimize",
     "cluster_by", "cluster_by_z", "tag", "expire_snapshots",
-    "publish_staged", "drop_staged", "delete_keys")
+    "publish_staged", "drop_staged", "delete_keys", "vacuum", "audit")
 
   def load(storeF: () => VersionedTableStore,
       name: String): UnboundProcedure = name match {
@@ -95,6 +95,43 @@ private[catalog] object GraftProcedures {
       Seq("table" -> StringType, "wap_id" -> StringType)) { (st, r) =>
       st.dropStaged(str(r, 0), str(r, 1))
       st.currentVersion(str(r, 0))
+    }
+    case "vacuum" => proc(storeF, name,
+      "reclaim orphaned staging/delete dirs older than min_age_ms",
+      Seq("table" -> StringType, "min_age_ms" -> LongType)) { (st, r) =>
+      st.vacuum(str(r, 0), r.getLong(1))
+    }
+    case "audit" => new UnboundProcedure {
+      override def name(): String = "audit"
+      override def description(): String =
+        "consistency audit: lineage, dangling dirs, orphans"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "audit"
+          override def description(): String =
+            "consistency audit: lineage, dangling dirs, orphans"
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] =
+            Array(ProcedureParameter.in("table", StringType).build())
+          private val auditSchema = new StructType()
+            .add("check", StringType, nullable = false)
+            .add("problems", LongType, nullable = false)
+            .add("detail", StringType, nullable = false)
+          override def call(input: InternalRow): util.Iterator[Scan] = {
+            // named distinctly from LocalScan.rows: inside the anon
+            // class the member would shadow the local (a self tail
+            // call that spins forever)
+            val auditRows = storeF().audit(str(input, 0)).map {
+              case (c, n, d) => new GenericInternalRow(Array[Any](
+                UTF8String.fromString(c), n, UTF8String.fromString(d)))
+                : InternalRow
+            }.toArray
+            util.List.of[Scan](new LocalScan {
+              override def readSchema(): StructType = auditSchema
+              override def rows(): Array[InternalRow] = auditRows
+            }).iterator()
+          }
+        }
     }
     case "expire_snapshots" => proc(storeF, name,
       "apply the retention policy; returns live snapshot count",

@@ -732,6 +732,37 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(store.pendingDeletes("mort").size === 1)
   }
 
+  test("vacuum reclaims orphaned staging; audit reports the work list first") {
+    store.commitFull(rows(1996 to 1996, 3), "vac", Seq("yr"))
+    // an orphan: a crashed writer's staging that never committed
+    val (orphanId, orphanPath) = store.newStreamStaging("vac")
+    Seq((1L, "x", 1996)).toDF("v", "tag", "yr")
+      .write.parquet(s"$orphanPath/yr=1996")
+    // a REFERENCED staged dir (in-flight WAP) must survive any vacuum
+    store.stagePartitions(rows(1997 to 1997, 1), "vac", "inflight", Seq("yr"))
+    val audit = spark.sql("CALL gtest.system.audit('vac')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit("lineage") === 0L)
+    assert(audit("dangling_data_dirs") === 0L)
+    assert(audit("orphan_dirs") === 1L)
+    // age guard: a fresh orphan is NOT reclaimed with a 1-day grace
+    assert(spark.sql(
+      "CALL gtest.system.vacuum('vac', 86400000)").collect()
+      .head.getLong(0) === 0L)
+    // min_age 0: the orphan goes, the WAP staging and data dirs stay
+    assert(spark.sql("CALL gtest.system.vacuum('vac', 0)").collect()
+      .head.getLong(0) === 1L)
+    val fs = new org.apache.hadoop.fs.Path(store.root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(orphanPath)))
+    assert(spark.sql("SELECT count(*) FROM gtest.default.vac")
+      .as[Long].head === 3L)
+    assert(store.readStaged("vac", "inflight").count() === 4)
+    store.dropStaged("vac", "inflight")
+    assert(spark.sql("CALL gtest.system.audit('vac')")
+      .filter("check = 'orphan_dirs'").collect().head.getLong(1) === 0L)
+  }
+
   test("store-API commits and catalog reads interleave consistently") {
     store.commitFull(rows(1990 to 1991, 2), "mix", Seq("yr"))
     assert(spark.sql("SELECT count(*) FROM gtest.default.mix")
