@@ -459,18 +459,30 @@ object MorKeys {
     }
 
   /** Load every pending delete batch's keys to the driver, grouped by
-    * key-column signature. */
+    * key-column signature. Bounded: key sets past
+    * `spark.graft.mor.maxScanKeys` (default 5M) reject LOUDLY instead
+    * of silently ballooning every scan's driver memory and per-row
+    * filter — at that size the takedown should be applied physically
+    * (`compact`) rather than carried merge-on-read. */
   def build(spark: SparkSession,
-      deletes: Seq[(String, String)]): Seq[MorKeys] =
+      deletes: Seq[(String, String)]): Seq[MorKeys] = {
+    val maxKeys = Option(spark.conf.get("spark.graft.mor.maxScanKeys", null))
+      .map(_.toLong).getOrElse(5000000L)
     deletes.groupBy(_._2).toSeq.sortBy(_._1).map { case (colsCsv, batches) =>
       val cols = colsCsv.split(",").toSeq
       val df = classic(spark).read.parquet(batches.map(_._1): _*)
       val schema = df.schema
       val idx = cols.map(schema.fieldIndex)
+      val n = df.count()
+      require(n <= maxKeys,
+        s"$n pending merge-on-read delete keys over (${colsCsv}) exceed " +
+          s"spark.graft.mor.maxScanKeys=$maxKeys: run compact to apply the " +
+          "takedown physically before further reads")
       val rows = df.queryExecution.toRdd.map(_.copy()).collect()
       MorKeys(cols, rows.map(r => idx.map(i =>
         canonical(r, i, schema(i).dataType)).toSeq).toSet)
     }
+  }
 
   private def classic(spark: SparkSession) =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

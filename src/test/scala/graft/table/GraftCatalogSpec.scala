@@ -732,6 +732,23 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(store.pendingDeletes("mort").size === 1)
   }
 
+  test("merge-on-read key cap: oversized pending deletes reject loudly") {
+    store.commitFull(rows(1996 to 1996, 6), "morc", Seq("yr"))
+    store.deleteKeys("morc",
+      Seq(1996000L, 1996001L, 1996002L).toDF("v"), Seq("v"))
+    spark.conf.set("spark.graft.mor.maxScanKeys", "2")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("SELECT count(*) FROM gtest.default.morc").collect()
+      }
+      assert(e.getMessage.contains("maxScanKeys"))
+      assert(e.getMessage.contains("compact"))
+    } finally spark.conf.unset("spark.graft.mor.maxScanKeys")
+    // back under the cap: reads work and filter correctly
+    assert(spark.sql("SELECT count(*) FROM gtest.default.morc")
+      .as[Long].head === 3L)
+  }
+
   test("vacuum reclaims orphaned staging; audit reports the work list first") {
     store.commitFull(rows(1996 to 1996, 3), "vac", Seq("yr"))
     // an orphan: a crashed writer's staging that never committed
