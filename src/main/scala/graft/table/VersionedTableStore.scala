@@ -10,6 +10,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * files are cleaned up; the table is exactly the winner's commit. */
 class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
 
+/** Thrown by [[VersionedTableStore.mergeBranch]] when the branch and
+  * main both changed the same partitions (or both diverged the schema
+  * / pending-delete set) since the fork — the caller must rebase
+  * (drop + re-fork + re-apply) or resolve by hand. */
+class BranchMergeConflict(table: String, branch: String,
+    val conflicts: Seq[String]) extends RuntimeException(
+  s"$table: merge of branch `$branch` conflicts on " +
+    s"${conflicts.take(8).mkString(", ")}" +
+    (if (conflicts.size > 8) s" (+${conflicts.size - 8} more)" else "") +
+    " — both lineages changed these since the fork")
+
 /** Versioned, append-only table store -- the engine's analogue of the
   * reference's Iceberg format-version-2 warehouse (snapshot commits +
   * rollback, build_stock_fact_table.py:98-100; optimistic commit
@@ -115,7 +126,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       committedAtMs: Long = -1L,
       wap: String = "",
       txn: String = "",
-      deletes: Seq[(String, String)] = Nil)
+      deletes: Seq[(String, String)] = Nil,
+      branch: String = "")
 
   private val Header = "graft-manifest-v1"
   private val End = "end"
@@ -147,6 +159,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       s"committedAt=${m.committedAtMs}",
       s"wap=${m.wap}",
       s"txn=${m.txn}",
+      s"branch=${m.branch}",
       s"partitionBy=${m.partitionBy.mkString(",")}",
       s"schema=${m.schemaDDL}") ++ entries ++ statEntries ++ delEntries :+ End)
       .mkString("\n")
@@ -185,7 +198,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         fields.getOrElse("committedAt", "-1").toLong,
         fields.getOrElse("wap", ""),
         fields.getOrElse("txn", ""),
-        dels))
+        dels,
+        fields.getOrElse("branch", "")))
     } else None
   }
 
@@ -264,7 +278,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       .filter(_.getPath.getName.matches("c\\d{8}"))
       .sortBy(_.getPath.getName)
       .flatMap(st => readManifest(st.getPath))
-      .filter(_.wap.isEmpty)
+      .filter(m => m.wap.isEmpty && m.branch.isEmpty)
       .map(_.version)
   }
 
@@ -280,9 +294,26 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       .filter(_.getPath.getName.matches("c\\d{8}"))
       .sortBy(_.getPath.getName).reverseIterator
       .flatMap(st => readManifest(st.getPath))
-      .filter(_.wap.isEmpty) // staged (WAP) snapshots never serve the head
+      // staged (WAP) snapshots and branch commits never serve the head
+      .filter(m => m.wap.isEmpty && m.branch.isEmpty)
       .nextOption()
   }
+
+  /** Head manifest of a named branch ("" = main). Branch heads are
+    * resolved the same way as main's: highest live manifest carrying
+    * the branch name (branch commits are never WAP-staged). */
+  private def currentOn(name: String, branch: String): Option[Manifest] =
+    if (branch.isEmpty) current(name)
+    else {
+      val dir = commitsPath(name)
+      if (!fs.exists(dir)) None
+      else fs.listStatus(dir).toSeq
+        .filter(_.getPath.getName.matches("c\\d{8}"))
+        .sortBy(_.getPath.getName).reverseIterator
+        .flatMap(st => readManifest(st.getPath))
+        .filter(m => m.wap.isEmpty && m.branch == branch)
+        .nextOption()
+    }
 
   def exists(name: String): Boolean = current(name).isDefined
 
@@ -902,19 +933,36 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     * land invisibly below it). Debris (unparseable `c{q}`) is a dead
     * writer, not a commit, and is ignored. */
   private def conflictsBeyond(name: String, observedParent: Long,
-      selfV: Long): Seq[Long] = {
+      selfV: Long, branch: String = ""): Seq[Long] = {
     val dir = commitsPath(name)
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).toSeq.map(_.getPath)
       .filter(p => p.getName.matches("[cx]\\d{8}"))
       .filter { p =>
         val q = fileVersion(p)
-        // a staged (WAP) snapshot is not a head movement: it holds no
-        // changes a later main commit could silently drop (its own
-        // publish re-validates against the head it was staged on)
-        q > observedParent && q != selfV &&
-          (p.getName.startsWith("x") ||
-            readManifest(p).exists(_.wap.isEmpty))
+        // Conflicts are LINEAGE-scoped: a commit only drops changes
+        // that live on the lineage it is appending to.
+        //  - a staged (WAP) snapshot is not a head movement: it holds
+        //    no changes a later main commit could silently drop (its
+        //    own publish re-validates against the head it was staged
+        //    on);
+        //  - a BRANCH commit is likewise invisible to main writers
+        //    (and vice versa): branch heads resolve branch-scoped, so
+        //    nothing on the other lineage is dropped — cross-branch
+        //    reconciliation is validated at fastForward/mergeBranch
+        //    time, exactly as WAP validates at publish;
+        //  - expiry tombstones (x-files) conflict for MAIN writers
+        //    only: they mark expired main versions; a branch commit's
+        //    lineage is pinned from expiry (see expireSnapshots), and
+        //    its freshness guard is casManifest's floor pre-check.
+        q > observedParent && q != selfV && {
+          if (branch.isEmpty)
+            p.getName.startsWith("x") ||
+              readManifest(p).exists(m => m.wap.isEmpty && m.branch.isEmpty)
+          else
+            p.getName.startsWith("c") &&
+              readManifest(p).exists(m => m.wap.isEmpty && m.branch == branch)
+        }
       }
       .map(fileVersion)
   }
@@ -962,7 +1010,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       throw new ConcurrentWriteException(
         s"$name snapshot ${m.version} is at or below the expiry floor; " +
           "the observed parent was expired while this commit was staged")
-    val early = conflictsBeyond(name, observedParent, m.version)
+    val early = conflictsBeyond(name, observedParent, m.version, m.branch)
     if (early.nonEmpty)
       throw new ConcurrentWriteException(
         s"$name snapshots ${early.mkString(",")} were committed after this " +
@@ -1044,7 +1092,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     // retractable (see the parent-check note above) -- it is either a
     // successor chained on us or a staler racer that will retract
     // itself when its own re-check sees us.
-    val late = conflictsBeyond(name, observedParent, m.version)
+    val late = conflictsBeyond(name, observedParent, m.version, m.branch)
       .filter(_ < m.version)
     if (late.nonEmpty)
       selfDelete(
@@ -1135,8 +1183,16 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       parquetBlockSize: Option[Long] = None,
       bloomExpectedNdv: Option[Long] = None,
       alsoReplaced: Set[String] = Set.empty,
-      wap: String = ""): Long = {
-    val parent = current(name)
+      wap: String = "",
+      branch: String = ""): Long = {
+    require(wap.isEmpty || branch.isEmpty,
+      s"$name: a commit cannot be both WAP-staged (`$wap`) and on a " +
+        s"branch (`$branch`)")
+    // a branch commit chains on the BRANCH head; the branch must
+    // already exist (createBranch forks it from a live snapshot)
+    val parent = currentOn(name, branch)
+    if (branch.nonEmpty) require(parent.isDefined,
+      s"$name has no branch `$branch` — createBranch first")
     // a FULL commit owns its layout (each manifest carries its own
     // partitionBy, so every snapshot stays readable under the layout
     // it was written with -- layout evolution, see [[clusterBy]]); a
@@ -1204,7 +1260,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     beforeSwap(name, v)
     try casManifest(name,
       Manifest(v, partitionBy, mapping, stampedSchema.toDDL, stats,
-        wap = wap,
+        wap = wap, branch = branch,
         // a delta RETAINS parent dirs, so pending merge-on-read
         // deletes still apply (and, snapshot-wide, to the written
         // batch too -- the deleteKeys contract); a full commit's rows
@@ -1225,8 +1281,10 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     * prunes partitions with them at plan time. */
   def commitFull(df: DataFrame, name: String,
       partitionBy: Seq[String] = Nil,
-      statsColumns: Seq[String] = Nil): Long =
-    commit(name, df, partitionBy, deltaPartitions = false, statsColumns)
+      statsColumns: Seq[String] = Nil,
+      branch: String = ""): Long =
+    commit(name, df, partitionBy, deltaPartitions = false, statsColumns,
+      branch = branch)
 
   /** [[commitFull]] with a file-level secondary index: per-column
     * parquet BLOOM FILTERS on `bloomFilterColumns` (plus an optional
@@ -1261,10 +1319,12 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       partitionBy: Seq[String], statsColumns: Seq[String] = Nil,
       bloomFilterColumns: Seq[String] = Nil,
       parquetBlockSize: Option[Long] = None,
-      bloomExpectedNdv: Option[Long] = None): Long = {
+      bloomExpectedNdv: Option[Long] = None,
+      branch: String = ""): Long = {
     require(partitionBy.nonEmpty, "commitPartitions needs partition columns")
     commit(name, df, partitionBy, deltaPartitions = true, statsColumns,
-      bloomFilterColumns, parquetBlockSize, bloomExpectedNdv)
+      bloomFilterColumns, parquetBlockSize, bloomExpectedNdv,
+      branch = branch)
   }
 
   /** [[commitPartitions]] with an EXPLICIT replaced-partition set: the
@@ -1791,6 +1851,235 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     ()
   }
 
+  // ------------------------------------------------------- branches
+
+  /** Branch names must be non-numeric words so the catalog's
+    * `VERSION AS OF '<ref>'` can tell a branch from a snapshot
+    * number, and must be valid ref characters like tags. */
+  private def requireValidBranch(branch: String): Unit =
+    require(branch.matches("[A-Za-z][A-Za-z0-9._-]*"),
+      s"branch name `$branch` must match [A-Za-z][A-Za-z0-9._-]* " +
+        "(start with a letter — numeric refs are snapshot versions)")
+
+  /** All live manifests of a branch, version-ascending. The FIRST is
+    * always the branch-create manifest: a full copy of the fork
+    * point's state, which doubles as the durable MERGE BASE (the fork
+    * point itself is a main version that normal retention may expire;
+    * the copy is pinned with the branch). */
+  private def branchManifests(name: String, branch: String): Seq[Manifest] = {
+    val dir = commitsPath(name)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.matches("c\\d{8}"))
+      .sortBy(_.getPath.getName)
+      .flatMap(st => readManifest(st.getPath))
+      .filter(m => m.wap.isEmpty && m.branch == branch)
+  }
+
+  private def branchHeadManifest(name: String, branch: String): Manifest = {
+    requireValidBranch(branch)
+    currentOn(name, branch).getOrElse(throw new NoSuchElementException(
+      s"$name has no branch `$branch`"))
+  }
+
+  /** Fork a named branch from snapshot `fromV` (default -1 = current
+    * head) — the git-branch / Iceberg-ref analogue. One manifest CAS,
+    * zero data I/O: the branch-create manifest copies the fork
+    * point's complete state (mapping, stats, schema, pending
+    * merge-on-read deletes) under the branch name, so
+    *
+    *  - branch reads/commits are isolated from main (head resolution,
+    *    `versions`, time travel, the change feed, and main writers'
+    *    conflict checks all skip branch manifests);
+    *  - main retention never unpins the branch: branch manifests and
+    *    every data dir they reference are retained until
+    *    [[dropBranch]];
+    *  - the branch keeps its own durable merge base even after the
+    *    fork-point version expires from main history.
+    *
+    * Returns the branch-create version (also the branch's initial
+    * head). Write to the branch by passing `branch = ...` to
+    * [[commitFull]] / [[commitPartitions]]; read with [[readBranch]];
+    * land it back with [[fastForward]] (main unmoved) or
+    * [[mergeBranch]] (three-way, partition-granular). */
+  def createBranch(name: String, branch: String, fromV: Long = -1L): Long = {
+    requireValidBranch(branch)
+    require(currentOn(name, branch).isEmpty,
+      s"$name already has branch `$branch`")
+    val target = if (fromV == -1L) currentVersion(name) else fromV
+    val m = manifestAt(name, target).getOrElse(
+      throw new NoSuchElementException(
+        s"$name has no live snapshot $target to branch from"))
+    val v = nextVersion(name)
+    casManifest(name, m.copy(version = v, branch = branch, wap = "",
+      txn = ""), observedParent = target)
+    // the same race tagging has (tag/expiry re-check, see
+    // [[tagSnapshot]]): an expiry that listed manifests before our CAS
+    // can still tombstone the fork point and reclaim dirs this branch
+    // now references. Re-check fork liveness after the CAS; on loss,
+    // retract the branch and throw rather than leave dangling refs.
+    if (manifestAt(name, target).isEmpty) {
+      fs.delete(commitFile(name, v), false)
+      throw new ConcurrentWriteException(
+        s"$name snapshot $target was expired while branch `$branch` was " +
+          "being created; the branch was not created")
+    }
+    v
+  }
+
+  /** All branches as (branch, head version, fork version), name
+    * order. Fork version = the main snapshot the branch-create
+    * manifest recorded as parent (it may have expired from main
+    * history since; the branch keeps its own copy of that state). */
+  def branches(name: String): Seq[(String, Long, Long)] = {
+    val dir = commitsPath(name)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.matches("c\\d{8}"))
+      .sortBy(_.getPath.getName)
+      .flatMap(st => readManifest(st.getPath))
+      .filter(m => m.wap.isEmpty && m.branch.nonEmpty)
+      .groupBy(_.branch).toSeq
+      .map { case (b, ms) => (b, ms.last.version, ms.head.parent) }
+      .sortBy(_._1)
+  }
+
+  def branchHeadVersion(name: String, branch: String): Long =
+    branchHeadManifest(name, branch).version
+
+  /** Branch-head scan — same load path as any snapshot read. */
+  def readBranch(name: String, branch: String): DataFrame =
+    load(name, branchHeadManifest(name, branch))
+
+  /** SQL surface: the branch head as temp view `<table>_at_<branch>`
+    * (same naming fold as [[registerTag]]). */
+  def registerBranch(name: String, branch: String): String = {
+    val view = s"${name}_at_${branch.replaceAll("[^A-Za-z0-9_]", "_")}"
+    readBranch(name, branch).createOrReplaceTempView(view)
+    view
+  }
+
+  /** Changelog of everything the branch changed since its fork:
+    * [[snapshotDiff]] from the branch-create manifest (the durable
+    * fork-state copy) to the branch head — the merge PREVIEW. */
+  def branchDiff(name: String, branch: String, keys: Seq[String],
+      includePre: Boolean = false): DataFrame = {
+    val ms = branchManifests(name, branch)
+    require(ms.nonEmpty, s"$name has no branch `$branch`")
+    snapshotDiff(name, ms.head.version, ms.last.version, keys,
+      includePre = includePre)
+  }
+
+  /** Publish the branch head onto main as a FAST-FORWARD: requires
+    * main has not moved since the fork (head == fork version), then
+    * one manifest CAS lands the branch head's complete state as a
+    * fresh main version sharing the branch's data dirs — zero data
+    * I/O, the WAP-publish discipline applied to a multi-commit
+    * lineage. If main moved, throws [[ConcurrentWriteException]]:
+    * use [[mergeBranch]] (disjoint changes) or drop and re-fork.
+    * The branch stays (now content-equal to main): [[dropBranch]] to
+    * retire it. Returns the new main head version. */
+  def fastForward(name: String, branch: String): Long = {
+    val ms = branchManifests(name, branch)
+    require(ms.nonEmpty, s"$name has no branch `$branch`")
+    val headV = currentVersion(name)
+    if (headV != ms.head.parent)
+      throw new ConcurrentWriteException(
+        s"$name advanced to $headV after branch `$branch` forked from " +
+          s"${ms.head.parent}: fast-forward would drop main commits — " +
+          "use mergeBranch, or drop and re-fork the branch")
+    val v = nextVersion(name)
+    casManifest(name, ms.last.copy(version = v, branch = ""),
+      observedParent = headV)
+    expireSnapshots(name)
+    v
+  }
+
+  /** Three-way, partition-granular merge of a branch into main — the
+    * git-merge analogue at rel (partition) granularity:
+    *
+    *  - base   = the branch-create manifest (fork-state copy),
+    *  - theirs = the branch head, ours = the main head;
+    *  - a rel changed on ONE side takes that side's dirs; changed on
+    *    BOTH sides to different dirs is a [[BranchMergeConflict]]
+    *    (identical changes — e.g. the same maintenance ran twice —
+    *    are not conflicts);
+    *  - schema and pending merge-on-read deletes follow the same
+    *    one-side-changed rule (diverging both ways conflicts).
+    *
+    * The merged manifest shares every data dir it takes (zero data
+    * I/O) and lands with the usual observed-parent CAS, so a main
+    * writer racing the merge loses exactly one of the two commits,
+    * never both silently. Returns the merged main head version. */
+  def mergeBranch(name: String, branch: String): Long = {
+    val ms = branchManifests(name, branch)
+    require(ms.nonEmpty, s"$name has no branch `$branch`")
+    val (base, theirs) = (ms.head, ms.last)
+    val ours = current(name).getOrElse(throw new NoSuchElementException(
+      s"no snapshots for $name"))
+    require(theirs.partitionBy == ours.partitionBy &&
+        theirs.partitionBy == base.partitionBy,
+      s"$name: partition layout diverged across the merge " +
+        s"(base=${base.partitionBy} main=${ours.partitionBy} " +
+        s"branch=${theirs.partitionBy}) — merge needs one layout")
+    def dirSets(mm: Manifest): Map[String, Set[String]] =
+      mm.mapping.groupBy(_._1).map { case (r, es) => r -> es.map(_._2).toSet }
+    val (bd, td, od) = (dirSets(base), dirSets(theirs), dirSets(ours))
+    val rels = bd.keySet ++ td.keySet ++ od.keySet
+    val theirChanged = rels.filter(r => bd.get(r) != td.get(r))
+    val ourChanged = rels.filter(r => bd.get(r) != od.get(r))
+    val conflicts = theirChanged.intersect(ourChanged)
+      .filter(r => td.get(r) != od.get(r)).toSeq.sorted
+    if (conflicts.nonEmpty)
+      throw new BranchMergeConflict(name, branch, conflicts)
+    def threeWay[T](b: T, t: T, o: T, what: String): T =
+      if (t == b) o else if (o == b || o == t) t
+      else throw new BranchMergeConflict(name, branch, Seq(s"<$what>"))
+    val mergedSchema = threeWay(base.schemaDDL, theirs.schemaDDL,
+      ours.schemaDDL, "schema")
+    val mergedDeletes = threeWay(base.deletes, theirs.deletes,
+      ours.deletes, "pending-deletes")
+    val mapping = ours.mapping.filterNot(e => theirChanged(e._1)) ++
+      theirs.mapping.filter(e => theirChanged(e._1))
+    val stats = ours.stats.filterNot(s => theirChanged(s._1)) ++
+      theirs.stats.filter(s => theirChanged(s._1))
+    val v = nextVersion(name)
+    casManifest(name, Manifest(v, ours.partitionBy, mapping, mergedSchema,
+      stats, deletes = mergedDeletes), observedParent = ours.version)
+    expireSnapshots(name)
+    v
+  }
+
+  /** Retire a branch: every branch manifest is renamed to a d-file
+    * (version burned, never re-served — the WAP-retire discipline),
+    * then data dirs the branch's own commits created (`v{v}-` for the
+    * branch's versions) are reclaimed UNLESS another live manifest
+    * still references them (a fast-forwarded head shares the branch's
+    * dirs). Fork-point dirs are shared by construction and never
+    * touched. */
+  def dropBranch(name: String, branch: String): Unit = {
+    val ms = branchManifests(name, branch)
+    require(ms.nonEmpty, s"$name has no branch `$branch`")
+    // markers first: readers stop resolving before files disappear
+    ms.foreach(m =>
+      fs.rename(commitFile(name, m.version), droppedFile(name, m.version)))
+    // reference set from every REMAINING live manifest (main, other
+    // branches, staged WAP), read after the renames
+    val dir = commitsPath(name)
+    val referenced: Set[String] =
+      if (!fs.exists(dir)) Set.empty
+      else fs.listStatus(dir).toSeq
+        .filter(_.getPath.getName.matches("c\\d{8}"))
+        .flatMap(st => readManifest(st.getPath))
+        .flatMap(m => m.mapping.map(_._2) ++ m.deletes.map(_._1))
+        .toSet
+    val own = ms.map(m => s"v${m.version}-").toSet
+    ms.flatMap(_.mapping.map(_._2)).distinct
+      .filter(d => own.exists(d.startsWith))
+      .filterNot(referenced)
+      .foreach(d => fs.delete(new Path(s"${dataRoot(name)}/$d"), true))
+  }
+
   // -------------------------------------------- write-audit-publish
 
   /** Stage a FULL snapshot under a WAP id without moving the head:
@@ -1937,11 +2226,13 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       .filter(_.getPath.getName.matches("c\\d{8}")).map(_.getPath)
       .sortBy(_.getName)
     val (allLive, debris) = commits.partition(p => readManifest(p).isDefined)
-    // staged (WAP) snapshots neither consume retention slots nor
-    // expire: they are in-flight work pinned until published or
-    // dropped, and their manifests keep their data dirs live below
+    // staged (WAP) snapshots and BRANCH commits neither consume
+    // retention slots nor expire: staged snapshots are in-flight work
+    // pinned until published or dropped; branch lineages are pinned
+    // until the branch is dropped (dropBranch reclaims) — and both
+    // kinds of manifest keep their data dirs live below
     val (staged, live) = allLive.partition(p =>
-      readManifest(p).exists(_.wap.nonEmpty))
+      readManifest(p).exists(m => m.wap.nonEmpty || m.branch.nonEmpty))
     // tagged snapshots are pinned: retention never tombstones them or
     // reclaims dirs their manifests reference (drop the tag to free)
     val tagged = tags(name).map(_._2).toSet

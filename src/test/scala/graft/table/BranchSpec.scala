@@ -1,0 +1,243 @@
+package graft.table
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Named branches over the versioned store — the git-branch /
+  * Iceberg-ref analogue built on the same manifest CAS as WAP:
+  * branch commits are head-invisible, retention-pinned lineages
+  * landed back on main by fast-forward (main unmoved) or a
+  * three-way partition-granular merge. */
+class BranchSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(keep: Int = 10) = new VersionedTableStore(spark,
+    Files.createTempDirectory("graft-branch").toString, keepSnapshots = keep)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Int, String)] =
+    df.select("k", "v").as[(Int, String)].collect().toSeq.sorted
+
+  private def fs(vs: VersionedTableStore) =
+    new Path(vs.root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("branch commits are isolated: main head never sees them") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a"), (2, "b")).toDF("k", "v"), "t")
+    val bv = vs.createBranch("t", "dev")
+    assert(bv === 2L)
+    vs.commitFull(Seq((1, "a"), (2, "B"), (3, "c")).toDF("k", "v"), "t",
+      branch = "dev")
+    // main: unchanged head, version list, rows
+    assert(vs.currentVersion("t") === 1L)
+    assert(vs.versions("t") === Seq(1L))
+    assert(rows(vs.read("t")) === Seq((1, "a"), (2, "b")))
+    // branch: fork copy then its own commit
+    assert(vs.branchHeadVersion("t", "dev") === 3L)
+    assert(rows(vs.readBranch("t", "dev")) ===
+      Seq((1, "a"), (2, "B"), (3, "c")))
+    assert(vs.branches("t") === Seq(("dev", 3L, 1L)))
+  }
+
+  test("the branch-create fork is a zero-copy of the fork point") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a")).toDF("k", "v"), "t")
+    vs.createBranch("t", "dev")
+    // same rows, and the fork manifest shares the fork point's dirs
+    assert(rows(vs.readBranch("t", "dev")) === rows(vs.readVersion("t", 1)))
+    val dataDirs = fs(vs).listStatus(new Path(s"${vs.path("t")}/_data"))
+      .map(_.getPath.getName).toSeq
+    assert(dataDirs.count(_.startsWith("v")) === 1,
+      s"branch creation must write no data dirs, saw $dataDirs")
+  }
+
+  test("main and branch writers do not conflict with each other") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a")).toDF("k", "v"), "t")
+    vs.createBranch("t", "dev")
+    // interleave: main, branch, main, branch — all must land
+    vs.commitFull(Seq((1, "m1")).toDF("k", "v"), "t")
+    vs.commitFull(Seq((1, "b1")).toDF("k", "v"), "t", branch = "dev")
+    vs.commitFull(Seq((1, "m2")).toDF("k", "v"), "t")
+    vs.commitFull(Seq((1, "b2")).toDF("k", "v"), "t", branch = "dev")
+    assert(rows(vs.read("t")) === Seq((1, "m2")))
+    assert(rows(vs.readBranch("t", "dev")) === Seq((1, "b2")))
+    // and same-branch staleness is still caught: a writer that
+    // observed an old BRANCH head is rejected
+    val stale = vs.Manifest(99, Nil, Nil, branch = "dev")
+    intercept[ConcurrentWriteException] {
+      vs.casManifest("t", stale, observedParent = 2L) // branch head is 6
+    }
+  }
+
+  test("branch delta commits share the branch parent's untouched dirs") {
+    val vs = fresh()
+    val base = Seq((1, "a", 10), (2, "b", 20)).toDF("k", "v", "day")
+    vs.commitFull(base, "t", partitionBy = Seq("day"))
+    vs.createBranch("t", "dev")
+    vs.commitPartitions(Seq((2, "B", 20)).toDF("k", "v", "day"), "t",
+      Seq("day"), branch = "dev")
+    assert(vs.readBranch("t", "dev").select("k", "v")
+      .as[(Int, String)].collect().toSeq.sorted === Seq((1, "a"), (2, "B")))
+    // day=10 on the branch is served from the ORIGINAL dir (shared),
+    // main still reads the old day=20
+    assert(rows(vs.read("t")) === Seq((1, "a"), (2, "b")))
+  }
+
+  test("fast-forward lands the branch when main is unmoved, rejects otherwise") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a")).toDF("k", "v"), "t")
+    vs.createBranch("t", "dev")
+    vs.commitFull(Seq((1, "dev1")).toDF("k", "v"), "t", branch = "dev")
+    val v = vs.fastForward("t", "dev")
+    assert(vs.currentVersion("t") === v)
+    assert(rows(vs.read("t")) === Seq((1, "dev1")))
+    // main history shows the published version, not the branch chain
+    assert(vs.versions("t") === Seq(1L, v))
+
+    // now main moves; a second branch from the OLD fork cannot FF
+    val vs2 = fresh()
+    vs2.commitFull(Seq((1, "a")).toDF("k", "v"), "t")
+    vs2.createBranch("t", "dev")
+    vs2.commitFull(Seq((1, "dev")).toDF("k", "v"), "t", branch = "dev")
+    vs2.commitFull(Seq((1, "main")).toDF("k", "v"), "t")
+    val e = intercept[ConcurrentWriteException] { vs2.fastForward("t", "dev") }
+    assert(e.getMessage.contains("mergeBranch"))
+    assert(rows(vs2.read("t")) === Seq((1, "main")))
+  }
+
+  test("three-way merge: disjoint partition changes combine, both survive") {
+    val vs = fresh()
+    val base = Seq((1, "a", 10), (2, "b", 20), (3, "c", 30))
+      .toDF("k", "v", "day")
+    vs.commitFull(base, "t", partitionBy = Seq("day"))
+    vs.createBranch("t", "dev")
+    // branch rewrites day=20, main rewrites day=30
+    vs.commitPartitions(Seq((2, "BRANCH", 20)).toDF("k", "v", "day"), "t",
+      Seq("day"), branch = "dev")
+    vs.commitPartitions(Seq((3, "MAIN", 30)).toDF("k", "v", "day"), "t",
+      Seq("day"))
+    val v = vs.mergeBranch("t", "dev")
+    assert(vs.currentVersion("t") === v)
+    assert(rows(vs.read("t")) ===
+      Seq((1, "a"), (2, "BRANCH"), (3, "MAIN")))
+    // lineage audit stays clean after the merge commit
+    assert(vs.snapshots("t").filter("NOT lineage_ok").count() === 0L)
+  }
+
+  test("three-way merge: overlapping partition changes conflict loudly") {
+    val vs = fresh()
+    val base = Seq((1, "a", 10), (2, "b", 20)).toDF("k", "v", "day")
+    vs.commitFull(base, "t", partitionBy = Seq("day"))
+    vs.createBranch("t", "dev")
+    vs.commitPartitions(Seq((2, "BRANCH", 20)).toDF("k", "v", "day"), "t",
+      Seq("day"), branch = "dev")
+    vs.commitPartitions(Seq((2, "MAIN", 20)).toDF("k", "v", "day"), "t",
+      Seq("day"))
+    val e = intercept[BranchMergeConflict] { vs.mergeBranch("t", "dev") }
+    assert(e.conflicts === Seq("day=20"))
+    // nothing moved: main keeps its own rewrite, branch keeps its own
+    assert(rows(vs.read("t")) === Seq((1, "a"), (2, "MAIN")))
+    assert(rows(vs.readBranch("t", "dev")) === Seq((1, "a"), (2, "BRANCH")))
+  }
+
+  test("merge carries a branch-side schema evolution; both-sides diverge conflicts") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a", 10)).toDF("k", "v", "day"), "t",
+      partitionBy = Seq("day"))
+    vs.createBranch("t", "dev")
+    // the branch adds a NULLABLE column in a new day partition; the
+    // merged schema must carry it and pre-evolution files read NULL
+    vs.commitPartitions(
+      Seq((2, "b", Some("x"), 20)).toDF("k", "v", "w", "day"),
+      "t", Seq("day"), branch = "dev")
+    val v = vs.mergeBranch("t", "dev")
+    val merged = vs.read("t")
+    assert(merged.columns.toSeq === Seq("k", "v", "w", "day"))
+    assert(merged.count() === 2L)
+    assert(merged.filter("day = 10").select("w").collect().head.isNullAt(0))
+    assert(v > 0)
+  }
+
+  test("retention never expires branch lineage or the dirs it pins") {
+    val vs = fresh(keep = 2)
+    vs.commitFull(Seq((1, "fork")).toDF("k", "v"), "t")
+    vs.createBranch("t", "dev")
+    vs.commitFull(Seq((1, "dev1")).toDF("k", "v"), "t", branch = "dev")
+    // churn main far past the retention window
+    (1 to 6).foreach(i =>
+      vs.commitFull(Seq((1, s"m$i")).toDF("k", "v"), "t"))
+    assert(vs.versions("t").size === 2) // retention applied on main
+    // the fork point expired from MAIN history…
+    assert(vs.versions("t").headOption.forall(_ > 1L))
+    // …but the branch still reads both its fork copy and its head
+    assert(rows(vs.readBranch("t", "dev")) === Seq((1, "dev1")))
+    assert(rows(vs.readVersion("t", 2)) === Seq((1, "fork")))
+    // and the audit sees no dangling dirs anywhere
+    val dangling = vs.audit("t").filter(_._1.startsWith("dangling"))
+    assert(dangling.forall(_._2 === 0L), s"audit: $dangling")
+  }
+
+  test("dropBranch reclaims branch-only dirs, keeps shared ones") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a")).toDF("k", "v"), "t")
+    vs.createBranch("t", "dev")
+    vs.commitFull(Seq((1, "dev1")).toDF("k", "v"), "t", branch = "dev")
+    vs.dropBranch("t", "dev")
+    intercept[NoSuchElementException] { vs.readBranch("t", "dev") }
+    assert(vs.branches("t") === Nil)
+    // main reads untouched; the branch's own data dir is gone
+    assert(rows(vs.read("t")) === Seq((1, "a")))
+    val orphans = vs.audit("t").find(_._1 == "orphan_dirs").get
+    assert(orphans._2 === 0L, s"dropBranch left orphans: $orphans")
+    // version numbers are burned: the next commit allocates past them
+    assert(vs.commitFull(Seq((1, "b")).toDF("k", "v"), "t") === 4L)
+  }
+
+  test("dropBranch after fast-forward keeps the published dirs alive") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a")).toDF("k", "v"), "t")
+    vs.createBranch("t", "dev")
+    vs.commitFull(Seq((1, "dev1")).toDF("k", "v"), "t", branch = "dev")
+    vs.fastForward("t", "dev")
+    vs.dropBranch("t", "dev")
+    // the FF'd head SHARES the branch commit's dir — must survive
+    assert(rows(vs.read("t")) === Seq((1, "dev1")))
+    val dangling = vs.audit("t").filter(_._1.startsWith("dangling"))
+    assert(dangling.forall(_._2 === 0L), s"audit: $dangling")
+  }
+
+  test("branchDiff previews exactly what the merge would land") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a", 10), (2, "b", 20)).toDF("k", "v", "day"),
+      "t", partitionBy = Seq("day"))
+    vs.createBranch("t", "dev")
+    vs.commitPartitions(Seq((2, "B", 20), (4, "d", 40))
+      .toDF("k", "v", "day"), "t", Seq("day"), branch = "dev")
+    val d = vs.branchDiff("t", "dev", keys = Seq("k"))
+      .select("k", "change_type").as[(Int, String)].collect().toSeq.sorted
+    assert(d === Seq((2, "update"), (4, "insert")))
+  }
+
+  test("branch inherits pending merge-on-read deletes from the fork") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a"), (2, "b")).toDF("k", "v"), "t")
+    vs.deleteKeys("t", Seq(2).toDF("k"), Seq("k"))
+    vs.createBranch("t", "dev")
+    assert(rows(vs.readBranch("t", "dev")) === Seq((1, "a")))
+  }
+
+  test("branch names must be non-numeric refs") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a")).toDF("k", "v"), "t")
+    intercept[IllegalArgumentException] { vs.createBranch("t", "123") }
+    intercept[IllegalArgumentException] { vs.createBranch("t", "") }
+    intercept[IllegalArgumentException] {
+      vs.commitFull(Seq((1, "x")).toDF("k", "v"), "t", branch = "nope")
+    }
+  }
+}
