@@ -970,6 +970,78 @@ object LibraryQueries {
               CAST(2 AS INT) AS pending_before, CAST(0 AS INT) AS pending_after
        FROM roll CROSS JOIN (VALUES ('mor'), ('applied')) s(state)"""
 
+  /** S35: branch / merge under the hash gate — the git-branch
+    * analogue over the versioned store. A branch forks from the
+    * head; the BRANCH rewrites one year (a takedown) and appends a
+    * new one while MAIN independently rewrites a different year;
+    * fast-forward rejects (main moved — the serializable contract),
+    * then the three-way partition-granular merge combines both
+    * lineages with zero data I/O. The rollup reads the MERGED head
+    * through the catalog's SQL surface; the oracle reconstructs the
+    * same final state with per-year WHERE algebra. Branch isolation
+    * is itself gated: `n_premerge` is the main-head count taken
+    * AFTER the branch commits but BEFORE the merge. */
+  def s35BranchMerge(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_totalprice"),
+      year(col("o_orderdate").cast("date")).as("order_yr"))
+    val root = Files.createTempDirectory("graft-q-s35").toString
+    val store = new VersionedTableStore(s, root)
+    store.commitFull(o.filter(col("order_yr") <= 1996), "ord_b",
+      Seq("order_yr"))
+    store.createBranch("ord_b", "etl")
+    // branch: rewrite 1995 (drop high-price rows) + append 1997
+    store.commitPartitions(
+      o.filter(col("order_yr") === 1995 &&
+        col("o_totalprice") <= lit(200000.0)),
+      "ord_b", Seq("order_yr"), branch = "etl")
+    store.commitPartitions(o.filter(col("order_yr") === 1997),
+      "ord_b", Seq("order_yr"), branch = "etl")
+    // main: rewrite 1996 independently
+    store.commitPartitions(
+      o.filter(col("order_yr") === 1996 &&
+        col("o_totalprice") <= lit(300000.0)),
+      "ord_b", Seq("order_yr"))
+    // isolation probe: main must not see any branch change yet
+    val premerge = store.read("ord_b")
+      .filter(col("order_yr").isin(1995, 1997)).count()
+    val mainOnly1995 = o.filter(col("order_yr") === 1995).count()
+    val ffRejected =
+      try { store.fastForward("ord_b", "etl"); false }
+      catch { case _: graft.table.ConcurrentWriteException => true }
+    store.mergeBranch("ord_b", "etl")
+    store.dropBranch("ord_b", "etl")
+    val cat = "gq" + java.lang.Long.toHexString(
+      org.apache.spark.unsafe.types.UTF8String.fromString(root).hashCode()
+        .toLong & 0xffffffffL)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.table.catalog.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(
+      s"""SELECT order_yr, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price
+          FROM $cat.default.ord_b GROUP BY order_yr""")
+      .withColumn("ff_rejected", lit(ffRejected))
+      .withColumn("isolated_premerge", lit(premerge == mainOnly1995))
+  }
+
+  val s35BranchMergeSql: String =
+    """WITH src AS (
+         SELECT o_orderkey, o_totalprice,
+                CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_yr
+         FROM orders),
+       merged AS (
+         SELECT * FROM src WHERE order_yr <= 1994
+         UNION ALL
+         SELECT * FROM src WHERE order_yr = 1995 AND o_totalprice <= 200000.0
+         UNION ALL
+         SELECT * FROM src WHERE order_yr = 1996 AND o_totalprice <= 300000.0
+         UNION ALL
+         SELECT * FROM src WHERE order_yr = 1997)
+       SELECT order_yr, CAST(count(*) AS BIGINT) AS n,
+              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price,
+              TRUE AS ff_rejected, TRUE AS isolated_premerge
+       FROM merged GROUP BY order_yr"""
+
   /** S18: incremental aggregate maintenance -- the v1 yearly rollup
     * updated to the v2 state by applying the snapshot changelog
     * (IncrementalAgg over snapshotDiff pre-images), never rescanning
@@ -1293,6 +1365,7 @@ object LibraryQueries {
     "s32_catalog_agg_pushdown" -> (s32CatalogAggPushdown _),
     "s33_wap_audit" -> (s33WapAudit _),
     "s34_mor_delete" -> (s34MorDelete _),
+    "s35_branch_merge" -> (s35BranchMerge _),
     "s18_incremental_agg" -> (s18IncrementalAgg _),
     "s26_incremental_minmax" -> (s26IncrementalMinmax _),
     "q_validation_suite" -> (qValidationSuite _),
@@ -1327,6 +1400,7 @@ object LibraryQueries {
     "s32_catalog_agg_pushdown" -> s32CatalogAggPushdownSql,
     "s33_wap_audit" -> s33WapAuditSql,
     "s34_mor_delete" -> s34MorDeleteSql,
+    "s35_branch_merge" -> s35BranchMergeSql,
     "s18_incremental_agg" -> s18IncrementalAggSql,
     "s26_incremental_minmax" -> s26IncrementalMinmaxSql,
     "q_validation_suite" -> qValidationSuiteSql,

@@ -68,7 +68,9 @@ import graft.table.VersionedTableStore
   * then deltas -- the default; `latest` = only post-start changes; or
   * an explicit base version number), `maxVersionsPerTrigger` (cap
   * commits folded per batch; `1` = per-commit changelog granularity,
-  * unset = net changes over everything available).
+  * unset = net changes over everything available), `branch` (follow
+  * a named branch's lineage instead of main — see
+  * [[ChangeFeedConfig.branch]]).
   *
   * Usage:
   * {{{
@@ -104,6 +106,15 @@ private[streaming] final case class ChangeFeedConfig(opts: Map[String, String]) 
   val maxVersionsPerTrigger: Option[Int] =
     opts.get("maxversionspertrigger").orElse(opts.get("maxVersionsPerTrigger"))
       .map(_.toInt)
+  /** Follow a BRANCH head instead of main — the feed walks the
+    * branch's own lineage (fork copy, then branch commits). With
+    * `startingVersion = earliest` the first batch is the full branch
+    * state as inserts; start from the fork version (listed by
+    * `branches()`) to stream only what the branch changed. Branch
+    * manifests are retention-pinned until dropBranch, so the replay
+    * contract is at least as strong as main's; dropping the branch
+    * mid-stream fails the next trigger loudly. */
+  val branch: Option[String] = opts.get("branch").map(_.trim).filter(_.nonEmpty)
   def store(spark: SparkSession): VersionedTableStore =
     new VersionedTableStore(spark, root)
 }
@@ -113,7 +124,9 @@ private[streaming] object ChangeFeedProvider {
     * snapshotDiff output shape, pinned from the CURRENT snapshot's
     * schema at stream definition. */
   def feedSchema(spark: SparkSession, cfg: ChangeFeedConfig): StructType = {
-    val base = cfg.store(spark).read(cfg.table).schema
+    val st = cfg.store(spark)
+    val base = cfg.branch.fold(st.read(cfg.table))(
+      b => st.readBranch(cfg.table, b)).schema
     cfg.keys.foreach(k => require(base.fieldNames.contains(k),
       s"key column `$k` not in table ${cfg.table}"))
     val dataCols = base.fields.filterNot(f => cfg.keys.contains(f.name)).toSeq
@@ -161,7 +174,12 @@ private[streaming] class ChangeFeedStream(spark: SparkSession,
   // same batch (the engine always plans a batch before reading it)
   @volatile private var currentBatch: Batch = _
 
-  private def head(): Long = vs.currentVersion(cfg.table)
+  private def head(): Long = cfg.branch.fold(vs.currentVersion(cfg.table))(
+    b => vs.branchHeadVersion(cfg.table, b))
+
+  private def liveVersions(): Seq[Long] =
+    cfg.branch.fold(vs.versions(cfg.table))(
+      b => vs.branchVersions(cfg.table, b))
 
   override def initialOffset(): Offset = cfg.startingVersion match {
     case "earliest" => VersionOffset(0L)
@@ -194,7 +212,7 @@ private[streaming] class ChangeFeedStream(spark: SparkSession,
     val end = cfg.maxVersionsPerTrigger match {
       case None => target
       case Some(n) =>
-        val live = vs.versions(cfg.table).filter(v => v > start && v <= target)
+        val live = liveVersions().filter(v => v > start && v <= target)
         if (live.isEmpty) start else live.take(math.max(1, n)).last
     }
     VersionOffset(math.max(start, end))

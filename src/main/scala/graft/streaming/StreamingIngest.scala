@@ -195,7 +195,8 @@ object StreamingIngest {
   def changeFeed(spark: SparkSession, vs: graft.table.VersionedTableStore,
       name: String, keys: Seq[String], includePre: Boolean = false,
       startingVersion: String = "earliest",
-      maxVersionsPerTrigger: Option[Int] = None): DataFrame = {
+      maxVersionsPerTrigger: Option[Int] = None,
+      branch: Option[String] = None): DataFrame = {
     var r = spark.readStream.format("graft-changes")
       .option("root", vs.root)
       .option("table", name)
@@ -204,6 +205,7 @@ object StreamingIngest {
       .option("startingVersion", startingVersion)
     maxVersionsPerTrigger.foreach(n =>
       r = r.option("maxVersionsPerTrigger", n.toString))
+    branch.foreach(b => r = r.option("branch", b))
     r.load()
   }
 

@@ -1947,6 +1947,14 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
   def branchHeadVersion(name: String, branch: String): Long =
     branchHeadManifest(name, branch).version
 
+  /** Live versions of a branch's own lineage, ascending (first = the
+    * branch-create fork copy) — the branch twin of [[versions]], so
+    * a change feed can walk a branch commit-by-commit. */
+  def branchVersions(name: String, branch: String): Seq[Long] = {
+    requireValidBranch(branch)
+    branchManifests(name, branch).map(_.version)
+  }
+
   /** Branch-head scan — same load path as any snapshot read. */
   def readBranch(name: String, branch: String): DataFrame =
     load(name, branchHeadManifest(name, branch))
@@ -2048,6 +2056,54 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       stats, deletes = mergedDeletes), observedParent = ours.version)
     expireSnapshots(name)
     v
+  }
+
+  /** Cherry-pick ONE commit onto the main head — the Iceberg
+    * `cherrypick_snapshot` analogue, and the partial alternative to
+    * [[mergeBranch]]: apply exactly what snapshot `v` changed
+    * relative to ITS OWN parent (both must still be live), leaving
+    * the rest of the source lineage behind. Rels the pick changed
+    * overlay the head's mapping; a rel the head ALSO changed since
+    * the pick's parent conflicts ([[BranchMergeConflict]]) unless
+    * both landed identical dirs. Zero data I/O — the new manifest
+    * shares the picked dirs. Returns the new head version. */
+  def cherryPick(name: String, v: Long): Long = {
+    val picked = manifestAt(name, v).getOrElse(
+      throw new NoSuchElementException(
+        s"$name has no live snapshot $v to cherry-pick"))
+    val base = manifestAt(name, picked.parent).getOrElse(
+      throw new NoSuchElementException(
+        s"$name: snapshot $v's parent ${picked.parent} is no longer " +
+          "live — the pick's own delta is unrecoverable"))
+    val ours = current(name).getOrElse(throw new NoSuchElementException(
+      s"no snapshots for $name"))
+    require(picked.partitionBy == ours.partitionBy,
+      s"$name: cherry-pick layout ${picked.partitionBy} does not match " +
+        s"head layout ${ours.partitionBy}")
+    def dirSets(mm: Manifest): Map[String, Set[String]] =
+      mm.mapping.groupBy(_._1).map { case (r, es) => r -> es.map(_._2).toSet }
+    val (bd, pd, od) = (dirSets(base), dirSets(picked), dirSets(ours))
+    val rels = bd.keySet ++ pd.keySet ++ od.keySet
+    val pickChanged = rels.filter(r => bd.get(r) != pd.get(r))
+    val conflicts = pickChanged
+      .filter(r => bd.get(r) != od.get(r) && pd.get(r) != od.get(r))
+      .toSeq.sorted
+    if (conflicts.nonEmpty)
+      throw new BranchMergeConflict(name, s"cherry-pick:$v", conflicts)
+    require(picked.deletes == base.deletes,
+      s"$name: snapshot $v changes the pending-delete set — a " +
+        "merge-on-read takedown is snapshot-wide and cannot be " +
+        "cherry-picked; re-run deleteKeys against the head instead")
+    val mapping = ours.mapping.filterNot(e => pickChanged(e._1)) ++
+      picked.mapping.filter(e => pickChanged(e._1))
+    val stats = ours.stats.filterNot(s => pickChanged(s._1)) ++
+      picked.stats.filter(s => pickChanged(s._1))
+    val next = nextVersion(name)
+    casManifest(name, Manifest(next, ours.partitionBy, mapping,
+      ours.schemaDDL, stats, deletes = ours.deletes),
+      observedParent = ours.version)
+    expireSnapshots(name)
+    next
   }
 
   /** Retire a branch: every branch manifest is renamed to a d-file

@@ -165,13 +165,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(st, ident.name, pinnedVersion = None)
   }
 
-  /** `VERSION AS OF <v>`: the store's snapshot version. */
+  /** `VERSION AS OF <ref>`: a snapshot version number, or a NAMED ref
+    * — a branch (its head) or a tag (its pinned version). Branch
+    * names are required to be non-numeric, so the forms never
+    * collide; branches shadow tags on a name clash. */
   override def loadTable(ident: Identifier, version: String): Table = {
     checkNs(ident.namespace)
-    val v = try version.toLong catch {
-      case _: NumberFormatException => throw new NoSuchTableException(ident)
+    val st = store
+    val v = version.toLongOption.getOrElse {
+      val byBranch = st.branches(ident.name)
+        .collectFirst { case (b, head, _) if b == version => head }
+      byBranch.orElse(st.tags(ident.name)
+          .collectFirst { case (t, tv) if t == version => tv })
+        .getOrElse(throw new NoSuchTableException(ident))
     }
-    new GraftTable(store, ident.name, pinnedVersion = Some(v))
+    new GraftTable(st, ident.name, pinnedVersion = Some(v))
   }
 
   /** `TIMESTAMP AS OF <ts>`: Spark hands MICROseconds since epoch;
@@ -343,11 +351,27 @@ class GraftTable(st: VersionedTableStore, tableName: String,
     Option(st.spark.conf.get("spark.graft.wap.id", null))
       .map(_.trim).filter(_.nonEmpty)
 
-  private def requireNoWap(stmt: String): Unit =
+  /** Branch twin of the WAP conf: while `spark.graft.branch` is set,
+    * INSERT INTO / INSERT OVERWRITE commit onto that branch instead
+    * of main. Reads are NOT redirected — read a branch explicitly
+    * with `VERSION AS OF '<branch>'` (so `INSERT INTO t SELECT ...
+    * FROM t` under the conf reads main and appends to the branch,
+    * which is also what Iceberg's branch-write conf does). Row-level
+    * statements reject while it is set, like WAP. */
+  private def branchRef: Option[String] =
+    Option(st.spark.conf.get("spark.graft.branch", null))
+      .map(_.trim).filter(_.nonEmpty)
+
+  private def requireNoWap(stmt: String): Unit = {
     require(wapId.isEmpty,
       s"spark.graft.wap.id is set (`${wapId.get}`) but $stmt cannot be " +
         "staged: only INSERT stages under WAP. Unset the conf to run " +
         s"$stmt directly against the head.")
+    require(branchRef.isEmpty,
+      s"spark.graft.branch is set (`${branchRef.get}`) but $stmt cannot " +
+        "target a branch: only INSERT commits onto a branch. Unset the " +
+        s"conf to run $stmt against the head.")
+  }
 
   private val storedSchema: StructType =
     if (snapshot.schemaDDL.nonEmpty) StructType.fromDDL(snapshot.schemaDDL)
@@ -493,6 +517,28 @@ class GraftTable(st: VersionedTableStore, tableName: String,
     val aligned = data.select(cols: _*)
     val statsCols = st.statsFor(tableName)
     val pby = snapshot.partitionBy
+    require(wapId.isEmpty || branchRef.isEmpty,
+      "both spark.graft.wap.id and spark.graft.branch are set — an " +
+        "INSERT cannot be WAP-staged and branch-targeted at once")
+    branchRef match {
+      case Some(b) =>
+        // branch-scoped append/overwrite: the delta-vs-rewrite
+        // decision runs against the BRANCH head's state, not main's
+        val bSnap = st.snapshotView(tableName,
+          Some(st.branchHeadVersion(tableName, b)))
+        if (overwrite)
+          st.commitFull(aligned, tableName, bSnap.partitionBy, statsCols,
+            branch = b)
+        else if (bSnap.partitionBy.isEmpty ||
+            !disjointOf(aligned, bSnap.partitionBy, bSnap.entries))
+          st.commitFull(st.readBranch(tableName, b).unionByName(aligned),
+            tableName, bSnap.partitionBy, statsCols, branch = b)
+        else
+          st.commitPartitions(aligned, tableName, bSnap.partitionBy,
+            statsCols, branch = b)
+        return
+      case None => ()
+    }
     wapId match {
       case Some(id) =>
         // stage instead of committing: same delta-vs-rewrite decision
@@ -524,9 +570,13 @@ class GraftTable(st: VersionedTableStore, tableName: String,
     * both sides) are provably disjoint from the live rels — the
     * condition for an append to commit/stage as a partition DELTA. */
   private def incomingDisjoint(aligned: DataFrame,
-      pby: Seq[String]): Boolean = {
+      pby: Seq[String]): Boolean =
+    disjointOf(aligned, pby, snapshot.entries)
+
+  private def disjointOf(aligned: DataFrame, pby: Seq[String],
+      entries: Seq[(String, String)]): Boolean = {
     import org.apache.spark.sql.functions.col
-    val existingRelValues: Set[Seq[String]] = snapshot.entries.map {
+    val existingRelValues: Set[Seq[String]] = entries.map {
       case (rel, _) => rel.split("/").toSeq.map { seg =>
         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .unescapePathName(seg.drop(seg.indexOf('=') + 1))

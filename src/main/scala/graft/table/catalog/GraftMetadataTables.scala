@@ -35,7 +35,7 @@ import graft.table.VersionedTableStore
 private[catalog] object GraftMetadataTables {
 
   val names: Set[String] = Set("history", "partitions", "stats", "staged",
-    "deletes")
+    "deletes", "branches")
 
   private def s(v: String): UTF8String = UTF8String.fromString(v)
 
@@ -71,6 +71,14 @@ private[catalog] object GraftMetadataTables {
         local(s"$table.staged", new StructType()
           .add("version", LongType, nullable = false)
           .add("wap_id", StringType, nullable = false), rows)
+      case "branches" =>
+        val rows = st.branches(table).map { case (b, head, fork) =>
+          new GenericInternalRow(Array[Any](s(b), head, fork))
+        }
+        local(s"$table.branches", new StructType()
+          .add("branch", StringType, nullable = false)
+          .add("head_version", LongType, nullable = false)
+          .add("fork_version", LongType, nullable = false), rows)
       case "deletes" =>
         val rows = st.pendingDeletes(table).map { case (dir, cols) =>
           new GenericInternalRow(Array[Any](s(dir), s(cols)))

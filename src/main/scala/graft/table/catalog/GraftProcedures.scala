@@ -37,7 +37,9 @@ private[catalog] object GraftProcedures {
 
   val names: Seq[String] = Seq("rollback", "compact", "optimize",
     "cluster_by", "cluster_by_z", "tag", "expire_snapshots",
-    "publish_staged", "drop_staged", "delete_keys", "vacuum", "audit")
+    "publish_staged", "drop_staged", "delete_keys", "vacuum", "audit",
+    "create_branch", "drop_branch", "fast_forward", "merge_branch",
+    "cherry_pick")
 
   def load(storeF: () => VersionedTableStore,
       name: String): UnboundProcedure = name match {
@@ -132,6 +134,33 @@ private[catalog] object GraftProcedures {
             }).iterator()
           }
         }
+    }
+    case "create_branch" => proc(storeF, name,
+      "fork a named branch from a snapshot (-1 = current head)",
+      Seq("table" -> StringType, "branch" -> StringType,
+        "from_version" -> LongType)) { (st, r) =>
+      st.createBranch(str(r, 0), str(r, 1), r.getLong(2))
+    }
+    case "drop_branch" => proc(storeF, name,
+      "retire a branch and reclaim its exclusive data",
+      Seq("table" -> StringType, "branch" -> StringType)) { (st, r) =>
+      st.dropBranch(str(r, 0), str(r, 1))
+      st.currentVersion(str(r, 0))
+    }
+    case "fast_forward" => proc(storeF, name,
+      "publish a branch head onto an unmoved main (one manifest CAS)",
+      Seq("table" -> StringType, "branch" -> StringType)) { (st, r) =>
+      st.fastForward(str(r, 0), str(r, 1))
+    }
+    case "merge_branch" => proc(storeF, name,
+      "three-way partition-granular merge of a branch into main",
+      Seq("table" -> StringType, "branch" -> StringType)) { (st, r) =>
+      st.mergeBranch(str(r, 0), str(r, 1))
+    }
+    case "cherry_pick" => proc(storeF, name,
+      "apply one live snapshot's own delta onto the head",
+      Seq("table" -> StringType, "version" -> LongType)) { (st, r) =>
+      st.cherryPick(str(r, 0), r.getLong(1))
     }
     case "expire_snapshots" => proc(storeF, name,
       "apply the retention policy; returns live snapshot count",

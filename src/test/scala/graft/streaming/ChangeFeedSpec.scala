@@ -486,4 +486,37 @@ class ChangeFeedSpec extends AnyFunSuite {
       .as[Long].collect().toSet === Set(2L, 3L, 4L))
     spark.streams.active.foreach(_.stop())
   }
+
+  test("branch feed follows the branch lineage; main commits are invisible to it") {
+    val vs = new graft.table.VersionedTableStore(spark, tmp("graft-cfbr"))
+    vs.commitFull(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), "t", Nil)
+    vs.createBranch("t", "dev")
+    val ckpt = tmp("graft-cfbr-ckpt")
+    val out = tmp("graft-cfbr-out")
+    def drain(): Unit = {
+      val q = StreamingIngest.changeFeed(spark, vs, "t", Seq("k"),
+        branch = Some("dev"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def delivered(): Seq[(Long, String, Long)] =
+      spark.read.parquet(out).select(col("k"), col("change_type"), col("v"))
+        .as[(Long, String, Long)].collect().sorted.toSeq
+    // first batch: the branch state (= fork copy) as inserts
+    drain()
+    assert(delivered() === Seq((1L, "insert", 10L), (2L, "insert", 20L)))
+    // a branch commit streams; an interleaved MAIN commit does not
+    vs.commitFull(Seq((1L, 10L), (2L, 21L)).toDF("k", "v"), "t", Nil,
+      branch = "dev")
+    vs.commitFull(Seq((9L, 99L)).toDF("k", "v"), "t", Nil) // main only
+    drain()
+    assert(delivered() === Seq(
+      (1L, "insert", 10L), (2L, "insert", 20L), (2L, "update", 21L)))
+    // quiet branch: nothing re-delivered
+    drain()
+    assert(delivered().size === 3)
+    spark.streams.active.foreach(_.stop())
+  }
 }

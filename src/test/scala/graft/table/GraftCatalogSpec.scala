@@ -788,4 +788,60 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gtest.default.mix")
       .as[Long].head === 2)
   }
+
+  test("branches through SQL: CALL, branch-scoped INSERT, VERSION AS OF ref, merge") {
+    store.commitFull(rows(1996 to 1997, 3), "br", Seq("yr"))
+    spark.sql("CALL gtest.system.create_branch('br', 'dev', -1)")
+    // INSERT under the branch conf: a disjoint-year append lands on
+    // the branch only
+    spark.conf.set("spark.graft.branch", "dev")
+    try {
+      spark.sql("INSERT INTO gtest.default.br " +
+        "SELECT CAST(9 AS BIGINT) AS v, 'dev-row' AS tag, 1999 AS yr")
+      // row-level DML rejects while the conf targets a branch
+      val e = intercept[Exception] {
+        spark.sql("DELETE FROM gtest.default.br WHERE yr = 1996")
+      }
+      assert(e.getMessage.contains("spark.graft.branch"))
+    } finally spark.conf.unset("spark.graft.branch")
+    // main untouched; branch readable by name through VERSION AS OF
+    assert(spark.sql("SELECT count(*) FROM gtest.default.br")
+      .as[Long].head === 6)
+    assert(spark.sql(
+      "SELECT count(*) FROM gtest.default.br VERSION AS OF 'dev'")
+      .as[Long].head === 7)
+    // inspection table lists the branch
+    val b = spark.sql("SELECT * FROM gtest.default.br.branches")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(b.map(_._1) === Seq("dev"))
+    // main moves disjointly (new year), then the three-way merge
+    // combines both sides
+    spark.sql("INSERT INTO gtest.default.br " +
+      "SELECT CAST(1 AS BIGINT) AS v, 'main-row' AS tag, 2000 AS yr")
+    spark.sql("CALL gtest.system.merge_branch('br', 'dev')")
+    assert(spark.sql("SELECT count(*) FROM gtest.default.br")
+      .as[Long].head === 8)
+    assert(spark.sql("SELECT tag FROM gtest.default.br WHERE yr = 1999")
+      .as[String].head === "dev-row")
+    spark.sql("CALL gtest.system.drop_branch('br', 'dev')")
+    assert(spark.sql("SELECT count(*) FROM gtest.default.br.branches")
+      .as[Long].head === 0)
+    // merged data survives the drop (the merge shares branch dirs)
+    assert(spark.sql("SELECT count(*) FROM gtest.default.br")
+      .as[Long].head === 8)
+  }
+
+  test("fast_forward through SQL publishes an unmoved-main branch") {
+    store.commitFull(rows(1980 to 1980, 2), "ff", Seq("yr"))
+    spark.sql("CALL gtest.system.create_branch('ff', 'exp', -1)")
+    spark.conf.set("spark.graft.branch", "exp")
+    try spark.sql("INSERT INTO gtest.default.ff " +
+      "SELECT CAST(5 AS BIGINT) AS v, 'x' AS tag, 1981 AS yr")
+    finally spark.conf.unset("spark.graft.branch")
+    val v = spark.sql("CALL gtest.system.fast_forward('ff', 'exp')")
+      .as[Long].head
+    assert(store.currentVersion("ff") === v)
+    assert(spark.sql("SELECT count(*) FROM gtest.default.ff")
+      .as[Long].head === 3)
+  }
 }
