@@ -64,6 +64,46 @@ object Dedup {
       DedupOps.MinhashK, DedupOps.NgramBandCount, DedupOps.NgramLshRows,
       threshold, "ngram_jaccard")
 
+  /** EXACT shingle-Jaccard near-dup pairs via prefix filtering
+    * (AllPairs): 100% recall at the threshold by construction — the
+    * deterministic alternative to [[shinglePairs]]'s probabilistic
+    * banding, at the same blocked-join complexity class (each doc
+    * emits ~(1-t)·m prefix elements; pair work is sum of
+    * prefix-bucket²). Use when a dedup run must certify "no
+    * qualifying pair missed"; use banding when the recall curve is
+    * acceptable and candidate volume must stay lower. Measure the
+    * trade for a corpus with [[lshRecallLadder]]. */
+  def exactJaccardPairs(docs: DataFrame, id: Column, text: Column,
+      n: Int = DedupOps.NgramN,
+      threshold: Double = DedupOps.NgramThreshold): DataFrame =
+    DedupOps.prefixJaccardPairs(
+      docs.repartition(DedupOps.JoinParallelism)
+        .select(id.as("doc_id"), DedupOps.hashedShingles(text, n).as("th")),
+      threshold, "ngram_jaccard")
+
+  /** MinHash banding recall ladder: for each (bands, rows_per_band)
+    * layout of the 16-wide signature, candidate and verified-hit
+    * counts against the exact prefix-filter truth — one row per
+    * config, all exact counts. The measurement that justifies a
+    * banding choice before committing a full-corpus dedup run. */
+  def lshRecallLadder(docs: DataFrame, id: Column, text: Column,
+      n: Int = DedupOps.NgramN,
+      threshold: Double = DedupOps.NgramThreshold): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    val items = DedupOps.materializeOnce(
+      docs.repartition(DedupOps.JoinParallelism)
+        .select(id.as("doc_id"), DedupOps.hashedShingles(text, n).as("th")))
+    val truth = DedupOps.prefixJaccardPairs(items, threshold, "j")
+      .agg(count(lit(1)).as("n_true"))
+    DedupOps.RecallLadderConfigs.map { case (bc, r) =>
+      DedupOps.lshJaccardPairs(items, DedupOps.MinhashK, bc, r, -1.0, "j")
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(col("j") >= threshold, 1L).otherwise(0L)).as("n_hits"))
+        .select(lit(bc).as("bands"), lit(r).as("rows_per_band"),
+          col("n_cand"), col("n_hits"))
+    }.reduce(_ unionByName _).crossJoin(truth)
+  }
+
   /** Character-level edit-distance near-duplicate pairs: (doc_a,
     * doc_b, edit_dist) for every candidate pair within Levenshtein
     * distance `maxDist`. Candidates come from the same shingle-LSH

@@ -556,6 +556,160 @@ object DedupOps {
     lshJaccardPairsSql(hashedShinglesSql(NgramN), MinhashK, NgramBandCount,
       NgramLshRows, NgramThreshold, "ngram_jaccard")
 
+  // ------------------------------------- exact pairs via prefix filtering
+
+  /** EXACT Jaccard near-dup pairs with 100% recall at the threshold —
+    * the AllPairs/PPJoin prefix-filter candidate generator (Bayardo
+    * et al., WWW'07), the deterministic alternative to probabilistic
+    * MinHash banding. For a doc whose sorted element set has size m,
+    * any partner with Jaccard >= t must share at least ceil(t*m)
+    * elements, so by pigeonhole the pair shares an element inside the
+    * doc's first `m - ceil(t*m) + 1` elements (its PREFIX). Joining
+    * prefix elements therefore misses NO qualifying pair; the exact
+    * merge-walk Jaccard inside the join condition discards the rest.
+    *
+    * Scale shape: each doc emits ~(1-t)*m prefix rows (t=0.8 -> 20%
+    * of its elements), the self-join is salted exactly like
+    * [[lshJaccardPairs]], and pair work is sum over prefix-element
+    * buckets of bucket^2 — corpus^2 never appears. Per-pair single
+    * emission: a pair can collide on several shared prefix elements;
+    * it is emitted only on the SMALLEST shared one (the prefix twin
+    * of the first-colliding-band rule), so no DISTINCT pass. */
+  private[graft] def prefixJaccardPairs(items: DataFrame, threshold: Double,
+      scoreName: String): DataFrame = {
+    val prefLen = greatest(lit(1),
+      (size(col("th")) - ceil(size(col("th")) * lit(threshold)) + 1)
+        .cast("int"))
+    val docs = materializeOnce(items
+      .withColumn("pref", slice(col("th"), lit(1), prefLen)))
+    val emitted = docs.select(col("doc_id"), col("th"), col("pref"),
+      explode(col("pref")).as("sh"))
+    val G = SaltGroups
+    val saltOf: Column => Column = id => pmod(xxhash64(id), lit(G)).cast("int")
+    val a = emitted.select(col("sh"),
+        col("doc_id").as("doc_a"), col("th").as("th_a"),
+        col("pref").as("pref_a"))
+      .withColumn("ga", saltOf(col("doc_a")))
+      .withColumn("gb", explode(sequence(lit(0), lit(G - 1))))
+    val b = emitted.select(col("sh").as("sh_b"),
+        col("doc_id").as("doc_b"), col("th").as("th_b"),
+        col("pref").as("pref_b"))
+      .withColumn("gb", saltOf(col("doc_b")))
+      .withColumn("ga", explode(sequence(lit(0), lit(G - 1))))
+      .withColumnsRenamed(Map("ga" -> "ga_b", "gb" -> "gb_b"))
+    val jaccard = round(
+      graft.functions.ArrayExprs.sortedLongJaccard(col("th_a"), col("th_b")), 4)
+    val smallestShared =
+      col("sh") === array_min(array_intersect(col("pref_a"), col("pref_b")))
+    val cond = col("sh") === col("sh_b") &&
+      col("ga") === col("ga_b") && col("gb") === col("gb_b") &&
+      col("doc_a") < col("doc_b") && smallestShared && jaccard >= threshold
+    a.repartition(JoinParallelism, col("sh"), col("ga"), col("gb"))
+      .join(b.repartition(JoinParallelism, col("sh_b"), col("ga_b"), col("gb_b")),
+        cond)
+      .select(col("doc_a"), col("doc_b"), jaccard.as(scoreName))
+  }
+
+  /** Shingle-Jaccard near-dup pairs via the EXACT prefix filter — the
+    * same pair set [[dedupNgramJaccard]] approximates with banding,
+    * now with certainty instead of a recall curve. The DuckDB twin is
+    * deliberately a BRUTE-FORCE all-pairs join (feasible at oracle
+    * scale): the gate proves the prefix filter loses nothing against
+    * an algorithm that shares none of its machinery. */
+  def dedupPrefixJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).repartition(JoinParallelism)
+      .select(col("doc_id"), hashedShingles(col("text"), NgramN).as("th"))
+    prefixJaccardPairs(docs, NgramThreshold, "ngram_jaccard")
+  }
+
+  val dedupPrefixJaccardSql: String = {
+    val j = "round(CAST(len(list_intersect(a.th, b.th)) AS DOUBLE)" +
+      " / len(list_distinct(list_concat(a.th, b.th))), 4)"
+    s"""WITH d AS (
+         SELECT doc_id, ${hashedShinglesSql(NgramN)} AS th FROM documents)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $j AS ngram_jaccard
+       FROM d a JOIN d b ON a.doc_id < b.doc_id
+       WHERE $j >= $NgramThreshold"""
+  }
+
+  // ------------------------------------------------ LSH recall ladder
+
+  /** Banding configurations for [[dedupLshRecall]]: every layout of
+    * the 16-permutation signature from loose (8 bands of 2 rows —
+    * high recall, many candidates) to strict (2 bands of 8 —
+    * near-zero junk, recall follows 1-(1-s^8)^2). */
+  val RecallLadderConfigs: Seq[(Int, Int)] = Seq((8, 2), (4, 4), (2, 8))
+
+  /** MinHash-LSH RECALL LADDER — the dedup twin of the ANN recall
+    * ladder (sim_ann_recall): for each banding layout of the same
+    * 16-wide signature, count candidate pairs and verified hits, and
+    * set them against the EXACT truth from [[prefixJaccardPairs]]
+    * (whose own gate is brute-force-verified). One row per config:
+    * (bands, rows_per_band, n_cand, n_hits, n_true), all exact
+    * BIGINTs — recall = n_hits / n_true and precision = n_hits /
+    * n_cand are the caller's division. This is the measurement that
+    * justifies a banding choice BEFORE committing a 100 TB dedup run
+    * to it. */
+  def dedupLshRecall(s: SparkSession, dir: String): DataFrame = {
+    // the shingle projection feeds FOUR pair generators (truth + 3
+    // band configs): materialize it once — each generator still
+    // materializes its own banded/prefixed projection on top
+    val docs = materializeOnce(Tables.documents(s, dir)
+      .repartition(JoinParallelism)
+      .select(col("doc_id"), hashedShingles(col("text"), NgramN).as("th")))
+    val truth = prefixJaccardPairs(docs, NgramThreshold, "j")
+      .agg(count(lit(1)).as("n_true"))
+    val perConfig = RecallLadderConfigs.map { case (bc, r) =>
+      // threshold -1: every banded candidate survives the join and
+      // carries its exact Jaccard; the ladder aggregates instead of
+      // filtering
+      lshJaccardPairs(docs, MinhashK, bc, r, -1.0, "j")
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(col("j") >= NgramThreshold, 1L).otherwise(0L))
+            .as("n_hits"))
+        .select(lit(bc).as("bands"), lit(r).as("rows_per_band"),
+          col("n_cand"), col("n_hits"))
+    }.reduce(_ unionByName _)
+    perConfig.crossJoin(truth)
+  }
+
+  val dedupLshRecallSql: String = {
+    val j = "round(CAST(len(list_intersect(da.th, db.th)) AS DOUBLE)" +
+      " / len(list_distinct(list_concat(da.th, db.th))), 4)"
+    val jt = "round(CAST(len(list_intersect(a.th, b.th)) AS DOUBLE)" +
+      " / len(list_distinct(list_concat(a.th, b.th))), 4)"
+    def config(bc: Int, r: Int): String = {
+      val sig = minhashSigSql("th", MinhashK)
+      val bands = lshBandsSql("sig", bc, r)
+      s"""SELECT $bc AS bands, $r AS rows_per_band, n_cand, n_hits
+          FROM (
+            WITH sigs AS (SELECT doc_id, th, $sig AS sig FROM d),
+            bnd AS (SELECT doc_id, $bands AS bands FROM sigs),
+            buckets AS (
+              SELECT doc_id, i - 1 AS band_idx, bands[i] AS band_hash
+              FROM bnd, generate_series(1, $bc) gs(i)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM buckets a JOIN buckets b
+                ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id)
+            SELECT count(*) AS n_cand,
+                   count(*) FILTER (WHERE $j >= $NgramThreshold) AS n_hits
+            FROM cand JOIN d da ON cand.doc_a = da.doc_id
+                      JOIN d db ON cand.doc_b = db.doc_id)"""
+    }
+    s"""WITH d AS (
+         SELECT doc_id, ${hashedShinglesSql(NgramN)} AS th FROM documents),
+       truth AS (
+         SELECT count(*) AS n_true FROM d a JOIN d b
+         ON a.doc_id < b.doc_id WHERE $jt >= $NgramThreshold),
+       ladder AS (
+         ${RecallLadderConfigs.map { case (bc, r) => config(bc, r) }
+            .mkString("\n         UNION ALL\n         ")})
+       SELECT bands, rows_per_band, n_cand, n_hits, n_true
+       FROM ladder CROSS JOIN truth"""
+  }
+
   // -------------------------------------------------------- edit distance
 
   /** Maximum Levenshtein distance for [[dedupEditDistance]]. Near-dup

@@ -1195,4 +1195,47 @@ class OpsSpec extends AnyFunSuite {
     // identical samples: zero drift
     assert(ks(Seq(1, 2, 5), Seq(1, 2, 5)) === List((3L, 3L, 0L, 3L)))
   }
+
+  test("prefix-filter Jaccard: hand-derived pairs, exact threshold boundary") {
+    // 3-gram shingles over n tokens = n-2 shingles; changing ONLY the
+    // last token changes only the last shingle. 11 tokens -> 9
+    // shingles; |A ∩ B| = 8, |A ∪ B| = 10 -> J = 0.8000 EXACTLY (the
+    // >= boundary must include it). 12 tokens -> 10 shingles; J =
+    // 9/11 = 0.8182 (in). Doc D shares only a 3-token prefix with A:
+    // 1 shared shingle of 9+9 -> J = 1/17 (out).
+    val w = (1 to 12).map(i => s"tok$i")
+    val a11 = w.take(11).mkString(" ")
+    val b11 = (w.take(10) :+ "CHANGED").mkString(" ")
+    val a12 = w.take(12).mkString(" ")
+    val b12 = (w.take(11) :+ "CHANGED").mkString(" ")
+    val far = (w.take(3) ++ (1 to 8).map(i => s"other$i")).mkString(" ")
+    val docs = Seq((1L, a11), (2L, b11), (3L, a12), (4L, b12), (5L, far))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        DedupOps.hashedShingles(col("text"), DedupOps.NgramN).as("th"))
+      .repartition(5)
+    val pairs = DedupOps.prefixJaccardPairs(docs, 0.8, "j")
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    // (1,2) at exactly 0.8; (3,4) at 9/11. Containments: A11's 9
+    // shingles are all inside A12 (9/10 = 0.9, in) AND inside B12
+    // (B12's first 9 shingles end at t11 — also 0.9, in). B11 vs
+    // either 12-token doc shares only 8 (its 9th shingle ends in
+    // CHANGED) of a union of 11 -> 0.7273 (out). far shares one
+    // shingle -> 1/17 (out).
+    assert(pairs.map(p => (p._1, p._2)) ===
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (3L, 4L)))
+    assert(pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 === 0.8)
+    assert(pairs.find(p => p._1 == 3L && p._2 == 4L).get._3 === 0.8182)
+    assert(pairs.find(p => p._1 == 1L && p._2 == 3L).get._3 === 0.9)
+    // the ladder's invariants against this exact truth: candidates
+    // are a superset of hits, hits never exceed the truth
+    val truth = pairs.size.toLong
+    DedupOps.RecallLadderConfigs.foreach { case (bc, r) =>
+      val all = DedupOps.lshJaccardPairs(docs, DedupOps.MinhashK, bc, r,
+        -1.0, "j").as[(Long, Long, Double)].collect().toSeq
+      val hits = all.count(_._3 >= 0.8).toLong
+      assert(hits <= truth, s"config ($bc,$r): hits $hits > truth $truth")
+      assert(all.size >= hits)
+    }
+  }
 }
