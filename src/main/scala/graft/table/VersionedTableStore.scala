@@ -549,9 +549,12 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     * hold no values for them). Stats rows for dropped columns are
     * shed. Time travel across the evolution reads each snapshot
     * with ITS schema, as a versioned store should. */
-  def evolveSchema(name: String, newSchemaDDL: String): Long = {
-    val m = current(name).getOrElse(
-      throw new NoSuchElementException(s"no snapshots for $name"))
+  def evolveSchema(name: String, newSchemaDDL: String,
+      branch: String = ""): Long = {
+    val m = currentOn(name, branch).getOrElse(
+      throw new NoSuchElementException(
+        if (branch.isEmpty) s"no snapshots for $name"
+        else s"$name has no branch `$branch`"))
     val next = org.apache.spark.sql.types.StructType.fromDDL(newSchemaDDL)
     val prev = Option(m.schemaDDL).filter(_.nonEmpty)
       .map(org.apache.spark.sql.types.StructType.fromDDL)
@@ -571,7 +574,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     val v = nextVersion(name)
     casManifest(name,
       Manifest(v, m.partitionBy, m.mapping, next.toDDL,
-        m.stats.filter(s => keep(s._2)), deletes = m.deletes),
+        m.stats.filter(s => keep(s._2)), deletes = m.deletes,
+        branch = branch),
       observedParent = m.version)
     expireSnapshots(name)
     v
@@ -1397,21 +1401,23 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     * names on disk) rather than rebuilt rel strings -- hive-escaped
     * partition values would otherwise evade the rewrite. */
   private def copyOnWrite(name: String, fires: org.apache.spark.sql.Column,
-      rewrite: DataFrame => DataFrame): Unit = {
+      rewrite: DataFrame => DataFrame, branch: String = ""): Unit = {
     import org.apache.spark.sql.functions.input_file_name
-    val m = current(name).getOrElse(
-      throw new NoSuchElementException(s"no snapshots for $name"))
+    val m = currentOn(name, branch).getOrElse(
+      throw new NoSuchElementException(
+        if (branch.isEmpty) s"no snapshots for $name"
+        else s"$name has no branch `$branch`"))
     if (m.partitionBy.isEmpty) {
       // unpartitioned: a rewritten full commit IS the minimal commit --
       // but only when a row actually fires. A no-match DML must stay a
       // no-op (the documented contract), not burn a snapshot on a
       // byte-identical full rewrite. One column-pruned limit-1 probe.
-      if (read(name).filter(fires).isEmpty) return
-      commitFull(rewrite(read(name)).localCheckpoint(true), name,
-        Nil, statsColumns = m.stats.map(_._2).distinct)
+      if (load(name, m).filter(fires).isEmpty) return
+      commitFull(rewrite(load(name, m)).localCheckpoint(true), name,
+        Nil, statsColumns = m.stats.map(_._2).distinct, branch = branch)
       return
     }
-    val files = read(name).filter(fires)
+    val files = load(name, m).filter(fires)
       .select(input_file_name().as("f")).distinct()
       .collect().map(_.getString(0))
     if (files.isEmpty) return
@@ -1446,7 +1452,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     // untouched rels keep their dirs, so pending merge-on-read deletes
     // carry (idempotent on the rewritten dirs -- those rows are gone)
     try casManifest(name, Manifest(v, m.partitionBy, mapping, m.schemaDDL,
-        stats, deletes = m.deletes),
+        stats, deletes = m.deletes, branch = branch),
       observedParent = m.version)
     catch { case e: ConcurrentWriteException =>
       fs.delete(new Path(s"${dataRoot(name)}/$dirId"), true); throw e
@@ -1462,6 +1468,40 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val fires = coalesce(condition, lit(false))
     copyOnWrite(name, fires, _.filter(not(fires)))
+  }
+
+  /** [[deleteWhere]] against a BRANCH head: the same partition-
+    * granular copy-on-write, committed onto the branch lineage —
+    * main readers never see it until merge/fast-forward. */
+  def deleteWhereOn(name: String, branch: String,
+      condition: org.apache.spark.sql.Column): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    requireValidBranch(branch)
+    val fires = coalesce(condition, lit(false))
+    copyOnWrite(name, fires, _.filter(not(fires)), branch = branch)
+  }
+
+  /** [[updateWhere]] against a BRANCH head. */
+  def updateWhereOn(name: String, branch: String,
+      condition: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    requireValidBranch(branch)
+    val m = branchHeadManifest(name, branch)
+    val cols = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDDL)
+      .fieldNames.toSeq
+    assignments.keys.foreach(c => require(cols.contains(c),
+      s"UPDATE assigns unknown column `$c` (table has ${cols.mkString(",")})"))
+    assignments.keys.foreach(c =>
+      require(!m.partitionBy.exists(_.equalsIgnoreCase(c)),
+        s"UPDATE cannot assign partition column `$c`; delete and" +
+          " re-insert, or rewrite with commitFull"))
+    val fires = coalesce(condition, lit(false))
+    copyOnWrite(name, fires, df => df.select(df.columns.toSeq.map { c =>
+      assignments.get(c)
+        .map(a => when(fires, a).otherwise(col(c)).as(c))
+        .getOrElse(col(c))
+    }: _*), branch = branch)
   }
 
   /** `UPDATE name SET assignments WHERE condition` -- same
@@ -2056,6 +2096,38 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       stats, deletes = mergedDeletes), observedParent = ours.version)
     expireSnapshots(name)
     v
+  }
+
+  /** Per-branch retention: burn branch history beyond the last
+    * `keep` commits. The branch-create manifest (the durable MERGE
+    * BASE) and the newest `keep` commits always survive; expired
+    * middles are renamed to d-files (versions burned, the WAP-retire
+    * discipline — main's x-tombstone floor is never moved by branch
+    * retention) and data dirs ONLY they referenced are reclaimed.
+    * Main retention never touches branch lineage (it is pinned), so
+    * long-lived branches call this to bound their own growth. */
+  def expireBranchSnapshots(name: String, branch: String,
+      keep: Int = keepSnapshots): Unit = {
+    require(keep >= 1, "expireBranchSnapshots needs keep >= 1")
+    val ms = branchManifests(name, branch)
+    require(ms.nonEmpty, s"$name has no branch `$branch`")
+    val expired = ms.drop(1).dropRight(keep)
+    if (expired.isEmpty) return
+    expired.foreach(m =>
+      fs.rename(commitFile(name, m.version), droppedFile(name, m.version)))
+    val dir = commitsPath(name)
+    val referenced: Set[String] =
+      if (!fs.exists(dir)) Set.empty
+      else fs.listStatus(dir).toSeq
+        .filter(_.getPath.getName.matches("c\\d{8}"))
+        .flatMap(st => readManifest(st.getPath))
+        .flatMap(m => m.mapping.map(_._2) ++ m.deletes.map(_._1))
+        .toSet
+    val own = expired.map(m => s"v${m.version}-").toSet
+    expired.flatMap(_.mapping.map(_._2)).distinct
+      .filter(d => own.exists(d.startsWith))
+      .filterNot(referenced)
+      .foreach(d => fs.delete(new Path(s"${dataRoot(name)}/$d"), true))
   }
 
   /** Cherry-pick ONE commit onto the main head — the Iceberg

@@ -39,7 +39,7 @@ private[catalog] object GraftProcedures {
     "cluster_by", "cluster_by_z", "tag", "expire_snapshots",
     "publish_staged", "drop_staged", "delete_keys", "vacuum", "audit",
     "create_branch", "drop_branch", "fast_forward", "merge_branch",
-    "cherry_pick")
+    "cherry_pick", "expire_branch")
 
   def load(storeF: () => VersionedTableStore,
       name: String): UnboundProcedure = name match {
@@ -156,6 +156,13 @@ private[catalog] object GraftProcedures {
       "three-way partition-granular merge of a branch into main",
       Seq("table" -> StringType, "branch" -> StringType)) { (st, r) =>
       st.mergeBranch(str(r, 0), str(r, 1))
+    }
+    case "expire_branch" => proc(storeF, name,
+      "burn branch history beyond the last `keep` commits (base kept)",
+      Seq("table" -> StringType, "branch" -> StringType,
+        "keep" -> IntegerType)) { (st, r) =>
+      st.expireBranchSnapshots(str(r, 0), str(r, 1), r.getInt(2))
+      st.branchHeadVersion(str(r, 0), str(r, 1))
     }
     case "cherry_pick" => proc(storeF, name,
       "apply one live snapshot's own delta onto the head",

@@ -354,4 +354,5 @@ class StreamingIngestSpec extends AnyFunSuite {
 
     assert(got === expected)
   }
+
 }

@@ -328,6 +328,67 @@ class BranchSpec extends AnyFunSuite {
     assert(vs.audit("t").filter(_._1 == "lineage").forall(_._2 === 0L))
   }
 
+  test("schema evolution on a branch: main schema untouched; merge carries it") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a", 10)).toDF("k", "v", "day"), "t",
+      partitionBy = Seq("day"))
+    vs.createBranch("t", "dev")
+    val evolved = "k INT,v STRING,day INT,score BIGINT"
+    vs.evolveSchema("t", evolved, branch = "dev")
+    // branch reads the evolved schema (new column NULL); main doesn't
+    assert(vs.readBranch("t", "dev").columns.toSeq ===
+      Seq("k", "v", "score", "day")) // partition col appended last
+    assert(vs.read("t").columns.toSeq === Seq("k", "v", "day"))
+    assert(vs.readBranch("t", "dev").select("score")
+      .collect().head.isNullAt(0))
+    // merge: main unchanged vs base -> branch's schema wins
+    vs.mergeBranch("t", "dev")
+    assert(vs.read("t").columns.toSeq === Seq("k", "v", "score", "day"))
+  }
+
+  test("branch retention: middles burn, base + recent keep, dirs reclaimed") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a")).toDF("k", "v"), "t")
+    vs.createBranch("t", "dev") // v2 = base
+    (1 to 5).foreach(i =>
+      vs.commitFull(Seq((1, s"b$i")).toDF("k", "v"), "t", branch = "dev"))
+    // versions on the branch: base + 5 commits
+    assert(vs.branchVersions("t", "dev").size === 6)
+    vs.expireBranchSnapshots("t", "dev", keep = 2)
+    val left = vs.branchVersions("t", "dev")
+    assert(left.size === 3) // base + last 2
+    assert(left.head === 2L)
+    // head still reads; merge base intact; expired dirs reclaimed
+    assert(rows(vs.readBranch("t", "dev")) === Seq((1, "b5")))
+    val orphans = vs.audit("t").find(_._1 == "orphan_dirs").get
+    assert(orphans._2 === 0L, s"branch expiry left orphans: $orphans")
+    val dangling = vs.audit("t").filter(_._1.startsWith("dangling"))
+    assert(dangling.forall(_._2 === 0L), s"audit: $dangling")
+    // the merge still works from the retained base
+    val v = vs.mergeBranch("t", "dev")
+    assert(rows(vs.read("t")) === Seq((1, "b5")))
+    assert(v > 0)
+  }
+
+  test("branch DML: deleteWhereOn/updateWhereOn rewrite the branch, not main") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a", 10), (2, "b", 20), (3, "c", 30))
+      .toDF("k", "v", "day"), "t", partitionBy = Seq("day"))
+    vs.createBranch("t", "dev")
+    vs.deleteWhereOn("t", "dev", col("k") === 1)
+    vs.updateWhereOn("t", "dev", col("k") === 2, Map("v" -> lit("B!")))
+    // branch reflects both; main reflects neither
+    assert(rows(vs.readBranch("t", "dev")) === Seq((2, "B!"), (3, "c")))
+    assert(rows(vs.read("t")) === Seq((1, "a"), (2, "b"), (3, "c")))
+    // untouched day=30 still shares the fork dir on the branch, so
+    // the merge after an independent main rewrite of day=30 combines
+    vs.commitPartitions(Seq((3, "MAIN", 30)).toDF("k", "v", "day"), "t",
+      Seq("day"))
+    vs.mergeBranch("t", "dev")
+    assert(rows(vs.read("t")) === Seq((2, "B!"), (3, "MAIN")))
+  }
+
   test("branch names must be non-numeric refs") {
     val vs = fresh()
     vs.commitFull(Seq((1, "a")).toDF("k", "v"), "t")
