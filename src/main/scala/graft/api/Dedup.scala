@@ -244,6 +244,31 @@ object Dedup {
     connectedComponents(docs.select(id.as("id")), pairs)
   }
 
+  /** Quality-aware survivor pick + soft-dedup weights: per near-dup
+    * cluster, the doc maximizing `quality` survives (ties -> min id)
+    * and `n_docs` is the cluster size — drop the rest, or weight each
+    * member 1/n_docs for soft deduplication (down-weight instead of
+    * discard). Output: (cluster_id, survivor_id, n_docs, max_quality).
+    * `quality` must be deterministic per doc (length, a gate score, a
+    * classifier logit snapshot). */
+  def pickSurvivors(docs: DataFrame, id: Column, text: Column,
+      quality: Column,
+      threshold: Double = DedupOps.JaccardThreshold): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val cl = clusters(docs, id, text, threshold)
+      .select(col("id").as("__pid"), col("component").as("cluster_id"))
+    val j = docs.select(id.as("__pid"), quality.as("__q"))
+      .join(cl, Seq("__pid"))
+    val agg = j.groupBy(col("cluster_id")).agg(
+      count(lit(1)).as("n_docs"), max(col("__q")).as("max_quality"))
+    j.join(agg, Seq("cluster_id"))
+      .filter(col("__q") === col("max_quality"))
+      .groupBy(col("cluster_id"), col("n_docs"), col("max_quality"))
+      .agg(min(col("__pid")).as("survivor_id"))
+      .select(col("cluster_id"), col("survivor_id"), col("n_docs"),
+        col("max_quality"))
+  }
+
   /** Content-hash Bernoulli sample: keep a row iff its deterministic
     * 60-bit content hash lands under `fraction` -- repartition- and
     * retry-stable, unlike rand(). */

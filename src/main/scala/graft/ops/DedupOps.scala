@@ -1110,6 +1110,42 @@ object DedupOps {
          SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc)
        SELECT doc AS doc_id, min(root) AS cluster_id FROM reach GROUP BY doc"""
 
+  /** Quality-aware survivor selection + soft-dedup weights over the
+    * near-dup clusters: per cluster, the SURVIVOR is the doc with the
+    * most content (max n_chars; ties -> min doc_id — "keep the most
+    * complete copy", the realistic alternative to min-id canonical),
+    * and `n_docs` is the cluster size — the denominator for
+    * soft-dedup reweighting (weight each cluster member 1/n instead
+    * of dropping duplicates outright). All-exact columns; one extra
+    * shuffle over the cluster assignment. */
+  def dedupSurvivorPick(s: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(s, dir)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val j = clusters.join(docs, Seq("doc_id"))
+    val agg = j.groupBy(col("cluster_id")).agg(
+      count(lit(1)).as("n_docs"),
+      max(col("n_chars")).as("survivor_chars"))
+    j.join(agg, Seq("cluster_id"))
+      .filter(col("n_chars") === col("survivor_chars"))
+      .groupBy(col("cluster_id"), col("n_docs"), col("survivor_chars"))
+      .agg(min(col("doc_id")).as("survivor_id"))
+      .select(col("cluster_id"), col("survivor_id"), col("n_docs"),
+        col("survivor_chars"))
+  }
+
+  val dedupSurvivorPickSql: String =
+    s"""WITH clusters AS ($dedupClustersSql),
+       j AS (SELECT c.doc_id, c.cluster_id, d.n_chars
+             FROM clusters c JOIN documents d ON c.doc_id = d.doc_id),
+       agg AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+                      max(n_chars) AS survivor_chars
+               FROM j GROUP BY cluster_id)
+       SELECT j.cluster_id, min(j.doc_id) AS survivor_id,
+              a.n_docs, a.survivor_chars
+       FROM j JOIN agg a ON j.cluster_id = a.cluster_id
+       WHERE j.n_chars = a.survivor_chars
+       GROUP BY j.cluster_id, a.n_docs, a.survivor_chars"""
+
   // --------------------------------------------------- embedding near-dup
 
   val CosineThreshold = 0.4

@@ -1661,13 +1661,18 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
   /** Rewrite the current snapshot as ONE data dir (a full commit of
     * its own contents) -- collapses a long delta chain, the compaction
     * every manifest-sharing store eventually runs. */
-  def compact(name: String): Long = {
-    val m = current(name).getOrElse(
-      throw new NoSuchElementException(s"no snapshots for $name"))
+  def compact(name: String, branch: String = ""): Long = {
+    val m = currentOn(name, branch).getOrElse(
+      throw new NoSuchElementException(
+        if (branch.isEmpty) s"no snapshots for $name"
+        else s"$name has no branch `$branch`"))
     // recompute stats for whichever columns the parent tracked, so
-    // compaction never silently turns readWhere pruning off
-    commitFull(read(name).localCheckpoint(true), name, m.partitionBy,
-      statsColumns = m.stats.map(_._2).distinct)
+    // compaction never silently turns readWhere pruning off. On a
+    // branch: collapse the branch's own delta chain (and apply its
+    // pending merge-on-read deletes) before a merge — note the
+    // compacted rels count as branch-CHANGED at merge time.
+    commitFull(load(name, m).localCheckpoint(true), name, m.partitionBy,
+      statsColumns = m.stats.map(_._2).distinct, branch = branch)
   }
 
   val DefaultTargetFileBytes: Long = 128L << 20

@@ -1196,6 +1196,23 @@ class OpsSpec extends AnyFunSuite {
     assert(ks(Seq(1, 2, 5), Seq(1, 2, 5)) === List((3L, 3L, 0L, 3L)))
   }
 
+  test("pickSurvivors: max-quality survivor, min-id ties, singleton clusters") {
+    import graft.api.Dedup
+    val w = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, w),                 // near-dup of 2 (token J = 10/11)
+      (2L, w + " extra"),      // longer -> survives cluster {1,2}
+      (3L, "p q r s t u v"),   // identical twin of 4
+      (4L, "p q r s t u v"),   // tie on quality -> min id 3 survives
+      (5L, "lone wolf document")) // singleton
+      .toDF("doc_id", "text").repartition(3)
+    val got = Dedup.pickSurvivors(docs, col("doc_id"), col("text"),
+      quality = length(col("text")))
+      .select("cluster_id", "survivor_id", "n_docs")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq((1L, 2L, 2L), (3L, 3L, 2L), (5L, 5L, 1L)))
+  }
+
   test("prefix-filter Jaccard: hand-derived pairs, exact threshold boundary") {
     // 3-gram shingles over n tokens = n-2 shingles; changing ONLY the
     // last token changes only the last shingle. 11 tokens -> 9

@@ -389,6 +389,27 @@ class BranchSpec extends AnyFunSuite {
     assert(rows(vs.read("t")) === Seq((2, "B!"), (3, "MAIN")))
   }
 
+  test("compact on a branch collapses its delta chain without touching main") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a", 10), (2, "b", 20)).toDF("k", "v", "day"),
+      "t", partitionBy = Seq("day"))
+    vs.createBranch("t", "dev")
+    (1 to 3).foreach(i => vs.commitPartitions(
+      Seq((2, s"b$i", 20)).toDF("k", "v", "day"), "t", Seq("day"),
+      branch = "dev"))
+    val mainDirsBefore = vs.snapshots("t").count()
+    vs.compact("t", branch = "dev")
+    // branch head now maps every rel to ONE fresh dir set; rows exact
+    assert(rows(vs.readBranch("t", "dev")) === Seq((1, "a"), (2, "b3")))
+    assert(vs.snapshots("t").count() === mainDirsBefore) // main untouched
+    // post-compact, EVERY rel counts as branch-changed: merging onto
+    // an unmoved main still works (identical-content rels conflict
+    // only if main ALSO changed them)
+    val v = vs.mergeBranch("t", "dev")
+    assert(rows(vs.read("t")) === Seq((1, "a"), (2, "b3")))
+    assert(v > 0)
+  }
+
   test("branch names must be non-numeric refs") {
     val vs = fresh()
     vs.commitFull(Seq((1, "a")).toDF("k", "v"), "t")
