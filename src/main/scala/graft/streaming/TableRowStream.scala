@@ -30,7 +30,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Options (all via `readStream.option(...)`): `keys` (required —
   * the primary key `snapshotDiff` diffs on), `startingVersion`
   * (`earliest` default / `latest` / version number),
-  * `maxVersionsPerTrigger`, `ignoreDeletes`, `ignoreChanges`.
+  * `maxVersionsPerTrigger`, `ignoreDeletes`, `ignoreChanges`, and
+  * `branch` (follow a named branch's lineage instead of main — the
+  * same contract as the graft-changes feed's branch option; branch
+  * manifests are retention-pinned until dropBranch).
   */
 object TableRowStream {
   def apply(spark: SparkSession, root: String, table: String,
@@ -44,7 +47,8 @@ object TableRowStream {
       .read(table).schema.fieldNames.toSet
     keys.split(",").map(_.trim).filter(_.nonEmpty).foreach(k =>
       require(base(k), s"stream key `$k` is not a column of $table"))
-    val passthrough = Seq("startingVersion", "maxVersionsPerTrigger")
+    val passthrough = Seq("startingVersion", "maxVersionsPerTrigger",
+      "branch")
       .flatMap(k => Option(options.get(k)).map(k -> _))
     val cfg = ChangeFeedConfig(
       Map("root" -> root, "table" -> table, "keys" -> keys) ++ passthrough)

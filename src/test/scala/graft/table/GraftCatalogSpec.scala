@@ -350,6 +350,30 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(delivered() === Seq((1L, "a"), (2L, "B"), (2L, "b"), (3L, "c")))
   }
 
+  test("readStream.table with a branch option follows the branch lineage") {
+    import org.apache.spark.sql.streaming.Trigger
+    store.commitFull(Seq((1L, "a")).toDF("k", "s"), "bstrm", Nil)
+    store.createBranch("bstrm", "dev")
+    val ckpt = Files.createTempDirectory("graft-bstrm-ckpt").toString
+    val out = Files.createTempDirectory("graft-bstrm-out").toString
+    def drain(): Unit =
+      spark.readStream.option("keys", "k").option("branch", "dev")
+        .table("gtest.default.bstrm")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    drain()
+    def delivered(): Seq[(Long, String)] =
+      spark.read.parquet(out).as[(Long, String)].collect().sorted.toSeq
+    assert(delivered() === Seq((1L, "a"))) // the branch fork state
+    // a branch append flows; an interleaved MAIN insert does not
+    store.commitFull(Seq((1L, "a"), (2L, "dev")).toDF("k", "s"), "bstrm",
+      Nil, branch = "dev")
+    spark.sql("INSERT INTO gtest.default.bstrm VALUES (9L, 'main')")
+    drain()
+    assert(delivered() === Seq((1L, "a"), (2L, "dev")))
+  }
+
   test("runtime filtering: a dim-filtered join prunes fact partitions at execution") {
     store.commitFull(rows(1990 to 1999, 20), "dpp", Seq("yr"))
     // the dim must be a real scan: a literal Seq constant-folds into a
