@@ -487,6 +487,40 @@ class ChangeFeedSpec extends AnyFunSuite {
     spark.streams.active.foreach(_.stop())
   }
 
+  test("branch feed fails loudly when branch retention burned its replay base") {
+    val vs = new graft.table.VersionedTableStore(spark, tmp("graft-cfbrexp"))
+    vs.commitFull(Seq((1L, 10L)).toDF("k", "v"), "t", Nil)
+    vs.createBranch("t", "dev")
+    val ckpt = tmp("graft-cfbrexp-ckpt")
+    val out = tmp("graft-cfbrexp-out")
+    def drain(): Unit = {
+      val q = StreamingIngest.changeFeed(spark, vs, "t", Seq("k"),
+        branch = Some("dev"), maxVersionsPerTrigger = Some(1))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    vs.commitFull(Seq((1L, 11L)).toDF("k", "v"), "t", Nil, branch = "dev")
+    drain() // offset now sits at this branch commit
+    // two MORE commits, then retention burns everything between the
+    // base and the new head -- INCLUDING the checkpointed offset. The
+    // next diff's base manifest is gone -> the retention contract
+    // says fail loudly, never silently skip changes
+    (2 to 3).foreach(i =>
+      vs.commitFull(Seq((1L, 10L + i)).toDF("k", "v"), "t", Nil,
+        branch = "dev"))
+    vs.expireBranchSnapshots("t", "dev", keep = 1)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("no live snapshot") ||
+      m.contains("NoSuchElement")), s"unexpected failure: ${msgs(e)}")
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("branch feed follows the branch lineage; main commits are invisible to it") {
     val vs = new graft.table.VersionedTableStore(spark, tmp("graft-cfbr"))
     vs.commitFull(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), "t", Nil)
