@@ -632,6 +632,42 @@ object DedupOps {
        WHERE $j >= $NgramThreshold"""
   }
 
+  /** Per-document n-gram NOVELTY: of each doc's distinct shingles,
+    * how many appear in at least one OTHER document — the
+    * memorization/boilerplate exposure signal (a doc whose grams are
+    * mostly corpus-shared is template/duplicated matter even when no
+    * single pair crosses a dedup threshold; the per-doc twin of the
+    * corpus-wide repeated-span report). Exact integers: `n_grams` =
+    * distinct shingles, `n_shared` = those with corpus document
+    * frequency >= 2; novelty = 1 - n_shared/n_grams is the caller's
+    * division.
+    *
+    * Scale shape: one explode of the per-doc distinct shingle sets,
+    * one map-side-combinable groupBy on the gram, one join back and
+    * one groupBy on the doc — cost O(total grams), never pairwise. */
+  def textGramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val grams = materializeOnce(Tables.documents(s, dir)
+      .repartition(JoinParallelism)
+      .select(col("doc_id"),
+        explode(hashedShingles(col("text"), NgramN)).as("g")))
+    val df = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs_with"))
+    grams.join(df, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs_with") > 1, 1L).otherwise(0L)).as("n_shared"))
+  }
+
+  val textGramNoveltySql: String =
+    s"""WITH g AS (
+         SELECT doc_id, unnest(${hashedShinglesSql(NgramN)}) AS g
+         FROM documents),
+       c AS (SELECT g, count(*) AS n_docs_with FROM g GROUP BY g)
+       SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(count(*) FILTER (WHERE c.n_docs_with > 1) AS BIGINT)
+                AS n_shared
+       FROM g JOIN c ON g.g = c.g GROUP BY g.doc_id"""
+
   // ------------------------------------------------ LSH recall ladder
 
   /** Banding configurations for [[dedupLshRecall]]: every layout of

@@ -1213,6 +1213,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Seq((1L, 2L, 2L), (3L, 3L, 2L), (5L, 5L, 1L)))
   }
 
+  test("gram novelty: hand-counted shared vs novel shingles") {
+    // doc1: 5 tokens -> 3 shingles; doc2 shares doc1's FIRST shingle
+    // (same 3-token prefix) and adds 2 of its own; doc3 fully novel.
+    val docs = Seq(
+      (1L, "a b c d e"),       // shingles: abc bcd cde
+      (2L, "a b c x y"),       // shingles: abc bcx cxy -> shares abc
+      (3L, "p q r s t"))       // all novel
+      .toDF("doc_id", "text").repartition(3)
+    val items = docs.select(col("doc_id"),
+      graft.ops.DedupOps.hashedShingles(col("text"),
+        graft.ops.DedupOps.NgramN).as("th"))
+    val grams = items.select(col("doc_id"), explode(col("th")).as("g"))
+    val c = grams.groupBy("g").agg(count(lit(1)).as("n"))
+    val got = grams.join(c, "g").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq((1L, 3L, 1L), (2L, 3L, 1L), (3L, 3L, 0L)))
+  }
+
   test("prefix-filter Jaccard: hand-derived pairs, exact threshold boundary") {
     // 3-gram shingles over n tokens = n-2 shingles; changing ONLY the
     // last token changes only the last shingle. 11 tokens -> 9
