@@ -779,15 +779,24 @@ object MultimodalOps {
   }
 
   /** DuckDB twin: regenerates the closed-form samples, reads the SAME
-    * quantized tables as inlined literal lists, squares in HUGEINT.
-    * A hash match proves the whole loop -- WAV encode, chunk-walk
-    * decode, framing, the integer DFT, and the decimal rollup --
-    * byte-for-byte against an engine that never saw the WAV. */
+    * quantized tables as a plain `(idx, cos_q, sin_q)` VALUES relation
+    * joined on the computed basis index, squares in HUGEINT. A hash
+    * match proves the whole loop -- WAV encode, chunk-walk decode,
+    * framing, the integer DFT, and the decimal rollup --
+    * byte-for-byte against an engine that never saw the WAV. (An
+    * earlier formulation indexed literal LIST values, whose 1-based
+    * indexing/typing semantics have shifted across DuckDB releases —
+    * a relational join is the version-stable spelling, and BIGINT
+    * casts pin the multiply width explicitly.) */
   val audioSpectrogramSql: String = {
-    val cosList = SpecCosQ.mkString("[", ", ", "]")
-    val sinList = SpecSinQ.mkString("[", ", ", "]")
+    val basisRows = (0 until SpecFrame)
+      .map(i => s"($i, ${SpecCosQ(i)}, ${SpecSinQ(i)})").mkString(", ")
     val binList = SpecBins.mkString("(", "), (", ")")
-    s"""WITH t AS (
+    s"""WITH q AS (
+         SELECT idx, CAST(cos_q AS BIGINT) AS cos_q,
+                CAST(sin_q AS BIGINT) AS sin_q
+         FROM (VALUES $basisRows) v(idx, cos_q, sin_q)),
+       t AS (
          SELECT doc_id, gs.t,
            ((doc_id % $PxDocMod) * 31 + gs.t * 17) % 65536 - 32768 AS s
          FROM documents, generate_series(0, 1199) gs(t)
@@ -799,9 +808,11 @@ object MultimodalOps {
          WHERE t.t < n.ns - n.ns % $SpecFrame),
        b AS (
          SELECT fr.doc_id, fr.f, bins.k,
-           SUM(fr.s * ($cosList)[(bins.k * fr.j) % $SpecFrame + 1]) AS re,
-           -SUM(fr.s * ($sinList)[(bins.k * fr.j) % $SpecFrame + 1]) AS im
-         FROM fr, (VALUES $binList) bins(k)
+           SUM(CAST(fr.s AS BIGINT) * q.cos_q) AS re,
+           -SUM(CAST(fr.s AS BIGINT) * q.sin_q) AS im
+         FROM fr
+         CROSS JOIN (VALUES $binList) bins(k)
+         JOIN q ON q.idx = (bins.k * fr.j) % $SpecFrame
          GROUP BY fr.doc_id, fr.f, bins.k)
        SELECT doc_id, CAST(k AS INT) AS bin,
          CAST(count(*) AS INT) AS n_frames,

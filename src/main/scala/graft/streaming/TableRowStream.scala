@@ -43,8 +43,15 @@ object TableRowStream {
       throw new IllegalArgumentException(
         s"streaming read of graft table `$table` needs .option(\"keys\", " +
           "\"<pk,cols>\") — the key snapshotDiff identifies rows by"))
-    val base = new graft.table.VersionedTableStore(spark, root)
-      .read(table).schema.fieldNames.toSet
+    // validate keys against the schema the stream will actually read:
+    // the BRANCH head when the branch option is set (a key column
+    // added by branch-side evolveSchema exists only there), main
+    // otherwise — mirroring ChangeFeedProvider.feedSchema
+    val vs = new graft.table.VersionedTableStore(spark, root)
+    val base = Option(options.get("branch")) match {
+      case Some(b) => vs.readBranch(table, b).schema.fieldNames.toSet
+      case None => vs.read(table).schema.fieldNames.toSet
+    }
     keys.split(",").map(_.trim).filter(_.nonEmpty).foreach(k =>
       require(base(k), s"stream key `$k` is not a column of $table"))
     val passthrough = Seq("startingVersion", "maxVersionsPerTrigger",

@@ -1910,8 +1910,19 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     * always the branch-create manifest: a full copy of the fork
     * point's state, which doubles as the durable MERGE BASE (the fork
     * point itself is a main version that normal retention may expire;
-    * the copy is pinned with the branch). */
+    * the copy is pinned with the branch).
+    *
+    * The validity check here is LOAD-BEARING, not cosmetic: main
+    * manifests carry `branch == ""`, so without it a caller passing
+    * an empty (or malformed) branch name would match the ENTIRE live
+    * main history — `dropBranch(t, "")` would then rename every main
+    * commit to a d-file and reclaim main-exclusive data dirs
+    * (irreversible table destruction), and `expireBranchSnapshots(t,
+    * "", k)` would expire main middles bypassing tag pinning and the
+    * x-tombstone floor. Every branch operation funnels through this
+    * listing, so the guard covers them all. */
   private def branchManifests(name: String, branch: String): Seq[Manifest] = {
+    requireValidBranch(branch)
     val dir = commitsPath(name)
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).toSeq
@@ -2118,6 +2129,11 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     require(ms.nonEmpty, s"$name has no branch `$branch`")
     val expired = ms.drop(1).dropRight(keep)
     if (expired.isEmpty) return
+    // dirs of commits a PREVIOUS expiry pass d-filed may have been
+    // kept alive only by commits expiring now — they re-enter the
+    // candidate set (see [[droppedBranchManifests]]); the referenced
+    // filter below still protects anything a live manifest holds
+    val prior = droppedBranchManifests(name, branch)
     expired.foreach(m =>
       fs.rename(commitFile(name, m.version), droppedFile(name, m.version)))
     val dir = commitsPath(name)
@@ -2128,11 +2144,33 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         .flatMap(st => readManifest(st.getPath))
         .flatMap(m => m.mapping.map(_._2) ++ m.deletes.map(_._1))
         .toSet
-    val own = expired.map(m => s"v${m.version}-").toSet
-    expired.flatMap(_.mapping.map(_._2)).distinct
+    val gone = expired ++ prior
+    val own = gone.map(m => s"v${m.version}-").toSet
+    gone.flatMap(_.mapping.map(_._2)).distinct
       .filter(d => own.exists(d.startsWith))
       .filterNot(referenced)
       .foreach(d => fs.delete(new Path(s"${dataRoot(name)}/$d"), true))
+  }
+
+  /** The branch's already-expired (d-filed) commits.
+    * [[expireBranchSnapshots]] renames expired middles to d-files,
+    * but a data dir one of them CREATED can outlive its manifest when
+    * a later branch commit still references it. Reclaim passes must
+    * therefore treat those dirs as branch-owned candidates too —
+    * otherwise dropping the branch orphans them until an unrelated
+    * main expiry pass happens to reach their version (a storage leak
+    * on quiet tables). The `wap.isEmpty` filter keeps retired staged
+    * snapshots (also d-filed) out of branch accounting. */
+  private def droppedBranchManifests(name: String,
+      branch: String): Seq[Manifest] = {
+    requireValidBranch(branch)
+    val dir = commitsPath(name)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.matches("d\\d{8}"))
+      .sortBy(_.getPath.getName)
+      .flatMap(st => readManifest(st.getPath))
+      .filter(m => m.wap.isEmpty && m.branch == branch)
   }
 
   /** Cherry-pick ONE commit onto the main head — the Iceberg
@@ -2193,6 +2231,11 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
   def dropBranch(name: String, branch: String): Unit = {
     val ms = branchManifests(name, branch)
     require(ms.nonEmpty, s"$name has no branch `$branch`")
+    // middles expireBranchSnapshots already d-filed: their dirs may
+    // have been kept alive only by the manifests we are about to
+    // drop, so they join the reclaim candidates (see
+    // [[droppedBranchManifests]])
+    val expired = droppedBranchManifests(name, branch)
     // markers first: readers stop resolving before files disappear
     ms.foreach(m =>
       fs.rename(commitFile(name, m.version), droppedFile(name, m.version)))
@@ -2206,8 +2249,9 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         .flatMap(st => readManifest(st.getPath))
         .flatMap(m => m.mapping.map(_._2) ++ m.deletes.map(_._1))
         .toSet
-    val own = ms.map(m => s"v${m.version}-").toSet
-    ms.flatMap(_.mapping.map(_._2)).distinct
+    val gone = ms ++ expired
+    val own = gone.map(m => s"v${m.version}-").toSet
+    gone.flatMap(_.mapping.map(_._2)).distinct
       .filter(d => own.exists(d.startsWith))
       .filterNot(referenced)
       .foreach(d => fs.delete(new Path(s"${dataRoot(name)}/$d"), true))

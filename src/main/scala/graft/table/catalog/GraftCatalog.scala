@@ -506,15 +506,29 @@ class GraftTable(st: VersionedTableStore, tableName: String,
     // lack the column from "reads as NULL" into required-column read
     // failures. KnownNullable is a zero-cost passthrough that only
     // relaxes the static bound.
-    val cols = storedSchema.fields.map { f =>
-      val c = col(f.name)
-      if (f.nullable)
-        org.apache.spark.sql.graft.ColumnBridge.column(
-          org.apache.spark.sql.catalyst.expressions.KnownNullable(
-            org.apache.spark.sql.graft.ColumnBridge.expression(c))).as(f.name)
-      else c
-    }.toSeq
-    val aligned = data.select(cols: _*)
+    def alignTo(target: StructType): DataFrame = {
+      // Spark resolves the INSERT batch against THIS handle's schema
+      // (the main snapshot), so a branch-evolved column is absent
+      // from `data`: pad it with NULL (evolution guarantees added
+      // columns are nullable) rather than failing or silently
+      // reverting it to main's column set.
+      val have = data.columns.toSet
+      data.select(target.fields.map { f =>
+        if (!have.contains(f.name)) {
+          require(f.nullable, s"INSERT batch lacks non-nullable column " +
+            s"`${f.name}` of the target schema")
+          org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+        } else {
+          val c = col(f.name)
+          if (f.nullable)
+            org.apache.spark.sql.graft.ColumnBridge.column(
+              org.apache.spark.sql.catalyst.expressions.KnownNullable(
+                org.apache.spark.sql.graft.ColumnBridge.expression(c))).as(f.name)
+          else c
+        }
+      }.toSeq: _*)
+    }
+    val aligned = alignTo(storedSchema)
     val statsCols = st.statsFor(tableName)
     val pby = snapshot.partitionBy
     require(wapId.isEmpty || branchRef.isEmpty,
@@ -522,19 +536,28 @@ class GraftTable(st: VersionedTableStore, tableName: String,
         "INSERT cannot be WAP-staged and branch-targeted at once")
     branchRef match {
       case Some(b) =>
-        // branch-scoped append/overwrite: the delta-vs-rewrite
-        // decision runs against the BRANCH head's state, not main's
+        // branch-scoped append/overwrite: BOTH the alignment schema
+        // and the delta-vs-rewrite decision run against the BRANCH
+        // head's state, not main's — after a branch-side
+        // evolveSchema the branch head's column set differs from the
+        // main snapshot this handle pinned, and aligning to main
+        // would silently stamp main's columns onto the branch
+        // (reverting the evolved column on overwrite, or failing the
+        // read-union on append)
         val bSnap = st.snapshotView(tableName,
           Some(st.branchHeadVersion(tableName, b)))
+        val bAligned = alignTo(
+          if (bSnap.schemaDDL.nonEmpty) StructType.fromDDL(bSnap.schemaDDL)
+          else StructType(Nil))
         if (overwrite)
-          st.commitFull(aligned, tableName, bSnap.partitionBy, statsCols,
+          st.commitFull(bAligned, tableName, bSnap.partitionBy, statsCols,
             branch = b)
         else if (bSnap.partitionBy.isEmpty ||
-            !disjointOf(aligned, bSnap.partitionBy, bSnap.entries))
-          st.commitFull(st.readBranch(tableName, b).unionByName(aligned),
+            !disjointOf(bAligned, bSnap.partitionBy, bSnap.entries))
+          st.commitFull(st.readBranch(tableName, b).unionByName(bAligned),
             tableName, bSnap.partitionBy, statsCols, branch = b)
         else
-          st.commitPartitions(aligned, tableName, bSnap.partitionBy,
+          st.commitPartitions(bAligned, tableName, bSnap.partitionBy,
             statsCols, branch = b)
         return
       case None => ()

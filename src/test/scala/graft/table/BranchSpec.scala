@@ -419,4 +419,52 @@ class BranchSpec extends AnyFunSuite {
       vs.commitFull(Seq((1, "x")).toDF("k", "v"), "t", branch = "nope")
     }
   }
+
+  test("branch ops on an empty ref reject loudly and never touch main") {
+    // main manifests carry branch == "", so an unguarded empty-ref
+    // listing would match the ENTIRE live main history: drop_branch
+    // ('t','') would d-file every main commit (irreversible table
+    // destruction) and expire_branch('t','',1) would expire main
+    // middles bypassing tag pinning. Every lifecycle op must reject
+    // the ref BEFORE listing.
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a")).toDF("k", "v"), "t")
+    vs.commitFull(Seq((1, "b")).toDF("k", "v"), "t")
+    intercept[IllegalArgumentException] { vs.dropBranch("t", "") }
+    intercept[IllegalArgumentException] { vs.expireBranchSnapshots("t", "", 1) }
+    intercept[IllegalArgumentException] { vs.mergeBranch("t", "") }
+    intercept[IllegalArgumentException] { vs.fastForward("t", "") }
+    intercept[IllegalArgumentException] { vs.branchDiff("t", "", Seq("k")) }
+    intercept[IllegalArgumentException] { vs.dropBranch("t", "1") }
+    // main history, head, and rows completely intact after the rejections
+    assert(vs.versions("t") === Seq(1L, 2L))
+    assert(vs.currentVersion("t") === 2L)
+    assert(rows(vs.read("t")) === Seq((1, "b")))
+  }
+
+  test("dropBranch reclaims dirs of expired middles the branch head kept alive") {
+    // an expired (d-filed) middle's dir survives branch retention
+    // while a LIVE branch commit still references it; when dropBranch
+    // then retires those referencing commits, the dir must be swept
+    // too — not orphaned until some unrelated main expiry pass
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a", 10), (2, "b", 20)).toDF("k", "v", "day"),
+      "t", partitionBy = Seq("day"))
+    vs.createBranch("t", "dev") // v2 = base
+    vs.commitPartitions(Seq((2, "B1", 20)).toDF("k", "v", "day"), "t",
+      Seq("day"), branch = "dev") // v3 creates the day=20 dir
+    vs.commitPartitions(Seq((1, "A1", 10)).toDF("k", "v", "day"), "t",
+      Seq("day"), branch = "dev") // v4 still references v3's day=20 dir
+    vs.commitPartitions(Seq((1, "A2", 10)).toDF("k", "v", "day"), "t",
+      Seq("day"), branch = "dev") // v5 likewise
+    vs.expireBranchSnapshots("t", "dev", keep = 2) // d-files v3 only
+    // correct at this point: v3's day=20 dir is NOT reclaimed (v4/v5
+    // heads still serve it)
+    assert(rows(vs.readBranch("t", "dev")) === Seq((1, "A2"), (2, "B1")))
+    vs.dropBranch("t", "dev")
+    assert(rows(vs.read("t")) === Seq((1, "a"), (2, "b")))
+    val orphans = vs.audit("t").find(_._1 == "orphan_dirs").get
+    assert(orphans._2 === 0L,
+      s"dropBranch orphaned an expired middle's dir: $orphans")
+  }
 }

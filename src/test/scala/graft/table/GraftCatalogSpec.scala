@@ -374,6 +374,39 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(delivered() === Seq((1L, "a"), (2L, "dev")))
   }
 
+  test("readStream.table validates keys against the BRANCH schema when branch is set") {
+    import org.apache.spark.sql.streaming.Trigger
+    store.commitFull(Seq((1L, "a")).toDF("k", "s"), "bkey", Nil)
+    store.createBranch("bkey", "dev")
+    // branch-side evolution adds k2; it exists ONLY on the branch
+    val cur = store.snapshotView("bkey", None).schemaDDL
+    store.evolveSchema("bkey", s"$cur, k2 BIGINT", branch = "dev")
+    store.commitFull(Seq((2L, "b", 200L)).toDF("k", "s", "k2"), "bkey",
+      Nil, branch = "dev")
+    // keying the branch stream on the branch-only column must be
+    // accepted (the stream reads the branch lineage, so the branch
+    // head's schema is the one that matters)...
+    val ckpt = Files.createTempDirectory("graft-bkey-ckpt").toString
+    val out = Files.createTempDirectory("graft-bkey-out").toString
+    spark.readStream.option("keys", "k2").option("branch", "dev")
+      .table("gtest.default.bkey")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(spark.read.parquet(out).count() === 1)
+    // ...while the SAME key against main (no branch option) rejects:
+    // main never evolved
+    val e = intercept[Exception] {
+      spark.readStream.option("keys", "k2").table("gtest.default.bkey")
+        .writeStream.format("parquet")
+        .option("path", Files.createTempDirectory("graft-bkey-o2").toString)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-bkey-c2").toString)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(e.getMessage.contains("k2"))
+  }
+
   test("runtime filtering: a dim-filtered join prunes fact partitions at execution") {
     store.commitFull(rows(1990 to 1999, 20), "dpp", Seq("yr"))
     // the dim must be a real scan: a literal Seq constant-folds into a
@@ -853,6 +886,35 @@ class GraftCatalogSpec extends AnyFunSuite {
     // merged data survives the drop (the merge shares branch dirs)
     assert(spark.sql("SELECT count(*) FROM gtest.default.br")
       .as[Long].head === 8)
+  }
+
+  test("branch INSERT after branch-side evolveSchema aligns to the BRANCH schema") {
+    store.commitFull(rows(1970 to 1970, 2), "bevo", Seq("yr"))
+    store.createBranch("bevo", "dev")
+    // evolve ON THE BRANCH only: add a nullable note column
+    val cur = store.snapshotView("bevo", None).schemaDDL
+    store.evolveSchema("bevo", s"$cur, note STRING", branch = "dev")
+    // the catalog handle still pins MAIN's snapshot, so Spark resolves
+    // the INSERT batch against main's column set — the branch-evolved
+    // column must be NULL-padded onto the branch, not silently
+    // dropped from it (and an overlapping append must not die in
+    // unionByName against the wider branch head)
+    spark.conf.set("spark.graft.branch", "dev")
+    try {
+      spark.sql("INSERT INTO gtest.default.bevo " +
+        "SELECT CAST(7 AS BIGINT) AS v, 'delta' AS tag, 1971 AS yr")
+      spark.sql("INSERT INTO gtest.default.bevo " +
+        "SELECT CAST(8 AS BIGINT) AS v, 'overlap' AS tag, 1970 AS yr")
+    } finally spark.conf.unset("spark.graft.branch")
+    val br = store.readBranch("bevo", "dev")
+    assert(br.columns.contains("note"),
+      s"branch lost its evolved column: ${br.columns.toSeq}")
+    assert(br.count() === 4)
+    assert(br.filter(col("tag") === "delta" || col("tag") === "overlap")
+      .select("note").collect().forall(_.isNullAt(0)))
+    // main untouched: no note column, original rows only
+    assert(!store.read("bevo").columns.contains("note"))
+    assert(store.read("bevo").count() === 2)
   }
 
   test("fast_forward through SQL publishes an unmoved-main branch") {
