@@ -126,14 +126,25 @@ class PipelineRunner[S <: WarehouseWrites](
     * no-ops when clean), apply snapshot retention, and optionally pin
     * the post-maintenance fact head under a `daily-<date>` tag -- the
     * release ref training/reporting jobs read for exact
-    * reproducibility. On a plain store there is nothing versioned to
-    * maintain: returns Nil. Returns (table, headVersionAfter). */
+    * reproducibility. Long-lived BRANCHES are swept too: main
+    * retention deliberately never touches branch lineage (it is
+    * pinned until dropBranch), so without a per-branch pass a busy
+    * branch grows without bound -- every branch of every table gets
+    * `expireBranchSnapshots` at `branchKeep` (its merge base and
+    * newest commits always survive, so merges/diffs keep working).
+    * On a plain store there is nothing versioned to maintain:
+    * returns Nil. Returns (table, headVersionAfter). */
   def runMaintenance(tagFactAs: Option[String] = None,
-      targetBytes: Long = 128L << 20): Seq[(String, Long)] = store match {
+      targetBytes: Long = 128L << 20,
+      branchKeep: Int = 10): Seq[(String, Long)] = store match {
     case vs: graft.table.VersionedTableStore =>
       val acts = vs.tables().map { t =>
         val v = withRetry(s"optimize:$t")(vs.optimizeSmallFiles(t, targetBytes))
         vs.expireSnapshots(t)
+        vs.branches(t).foreach { case (b, _, _) =>
+          withRetry(s"expire_branch:$t:$b")(
+            vs.expireBranchSnapshots(t, b, keep = branchKeep))
+        }
         t -> v
       }
       tagFactAs.foreach(d => vs.tagSnapshot("fact_stock_daily_price",

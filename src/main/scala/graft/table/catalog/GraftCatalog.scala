@@ -223,7 +223,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     checkNs(ident.namespace)
     val st = store
     if (!st.exists(ident.name)) throw new NoSuchTableException(ident)
-    val snap = st.snapshotView(ident.name, None)
+    // while `spark.graft.branch` is set (the same conf that routes
+    // INSERT), ALTER TABLE evolves the BRANCH head's schema and
+    // commits onto the branch lineage — main's schema is untouched
+    // until merge/fast-forward. The edit set is resolved against the
+    // branch's own current schema, so a branch that already evolved
+    // keeps compounding correctly.
+    val branch = Option(st.spark.conf.get("spark.graft.branch", null))
+      .map(_.trim).filter(_.nonEmpty)
+    val snap = branch match {
+      case Some(b) => st.snapshotView(ident.name,
+        Some(st.branchHeadVersion(ident.name, b)))
+      case None => st.snapshotView(ident.name, None)
+    }
     var schema = StructType.fromDDL(snap.schemaDDL)
     changes.foreach {
       case a: TableChange.AddColumn =>
@@ -255,7 +267,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"COLUMN only; got $other. Renames/retypes would re-interpret " +
           "existing files: add + backfill + drop instead.")
     }
-    st.evolveSchema(ident.name, schema.toDDL)
+    st.evolveSchema(ident.name, schema.toDDL, branch = branch.getOrElse(""))
     loadTable(ident)
   }
 
@@ -369,7 +381,8 @@ class GraftTable(st: VersionedTableStore, tableName: String,
         s"$stmt directly against the head.")
     require(branchRef.isEmpty,
       s"spark.graft.branch is set (`${branchRef.get}`) but $stmt cannot " +
-        "target a branch: only INSERT commits onto a branch. Unset the " +
+        "target a branch: only INSERT and ALTER TABLE commit onto a " +
+        "branch. Unset the " +
         s"conf to run $stmt against the head.")
   }
 

@@ -38,7 +38,9 @@ object BranchProbeMain {
       ((System.nanoTime() - t0) / 1e9, a)
     }
 
-    for (n <- Seq(100000L, 1000000L)) {
+    // 1x / 10x / 30x: branch metadata ops should stay ~flat while the
+    // full-scan control grows with n
+    for (n <- Seq(100000L, 1000000L, 3000000L)) {
       val root = java.nio.file.Files.createTempDirectory(s"brprobe$n").toString
       val vs = new graft.table.VersionedTableStore(spark, root)
       def rows(mark: String) = spark.range(n)

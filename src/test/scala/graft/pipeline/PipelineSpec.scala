@@ -99,6 +99,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(freshRunner().runMaintenance() === Nil)
   }
 
+  test("maintenance sweeps long-lived branches: expire_branch keeps base + recent") {
+    // main retention never touches branch lineage (pinned until
+    // dropBranch), so the maintenance DAG is what bounds a busy
+    // branch's growth
+    val base = Files.createTempDirectory("graft-pipeline-b").toString
+    val vs = new graft.table.VersionedTableStore(spark, s"$base/warehouse")
+    val r = new PipelineRunner(spark, vs, rawRoot = s"$base/raw",
+      symbols = Seq("AAPL"),
+      clock = () => Instant.parse("2026-02-11T02:00:00Z"))
+    import spark.implicits._
+    vs.commitFull(Seq((1, "a")).toDF("k", "v"), "scratch")
+    vs.createBranch("scratch", "exp")
+    (1 to 5).foreach(i =>
+      vs.commitFull(Seq((i, "b")).toDF("k", "v"), "scratch", branch = "exp"))
+    assert(vs.branchVersions("scratch", "exp").size === 6)
+    r.runMaintenance(branchKeep = 2)
+    // base (merge anchor) + newest 2 survive; head still reads; the
+    // merge path still works from the retained base
+    assert(vs.branchVersions("scratch", "exp").size === 3)
+    assert(vs.readBranch("scratch", "exp")
+      .select("k", "v").as[(Int, String)].collect().toSeq === Seq((5, "b")))
+    vs.mergeBranch("scratch", "exp")
+    assert(vs.read("scratch")
+      .select("k", "v").as[(Int, String)].collect().toSeq === Seq((5, "b")))
+  }
+
   test("backfill runs the daily DAG over the inclusive date range, idempotently") {
     val r = freshRunner()
     val dates = r.runBackfill("2026-02-08", "2026-02-10")

@@ -917,6 +917,23 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(store.read("bevo").count() === 2)
   }
 
+  test("ALTER TABLE under spark.graft.branch evolves the BRANCH schema only") {
+    store.commitFull(rows(1960 to 1960, 2), "aevo", Seq("yr"))
+    store.createBranch("aevo", "dev")
+    spark.conf.set("spark.graft.branch", "dev")
+    try {
+      spark.sql("ALTER TABLE gtest.default.aevo ADD COLUMNS (note STRING)")
+      // compounding: the second branch-side ALTER must see the first
+      spark.sql("ALTER TABLE gtest.default.aevo ADD COLUMNS (flag BIGINT)")
+    } finally spark.conf.unset("spark.graft.branch")
+    val bCols = store.readBranch("aevo", "dev").columns.toSeq
+    assert(bCols.contains("note") && bCols.contains("flag"), bCols.toString)
+    assert(!store.read("aevo").columns.contains("note"))
+    // one-side-changed schema rides the merge onto main
+    store.mergeBranch("aevo", "dev")
+    assert(store.read("aevo").columns.contains("note"))
+  }
+
   test("fast_forward through SQL publishes an unmoved-main branch") {
     store.commitFull(rows(1980 to 1980, 2), "ff", Seq("yr"))
     spark.sql("CALL gtest.system.create_branch('ff', 'exp', -1)")
