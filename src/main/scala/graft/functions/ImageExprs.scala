@@ -19,13 +19,15 @@ import graft.ops.PixelCodec
   */
 object ImageExprs {
 
-  /** Static codegen target: decode (PNG, then BMP) -> grey -> 9x8 box
-    * average -> dHash over 9x8 + aHash over the left 8x8 subgrid.
-    * Unrecognized bytes: null when lenient, IllegalStateException
-    * when strict (the DataFrame API's loud-failure contract). */
+  /** Static codegen target: decode (PNG, then BMP, then GIF) -> grey
+    * -> 9x8 box average -> dHash over 9x8 + aHash over the left 8x8
+    * subgrid. Unrecognized bytes: null when lenient,
+    * IllegalStateException when strict (the DataFrame API's
+    * loud-failure contract). */
   def phash(payload: Array[Byte], strict: Boolean): InternalRow = {
     val decoded = PixelCodec.decodePng(payload)
       .orElse(PixelCodec.decodeBmp(payload))
+      .orElse(PixelCodec.decodeGif(payload))
       // a hash over a 9x8 grid needs at least 9x8 source pixels
       // (resizeArea is downscale-only); smaller images carry too few
       // gradients to hash meaningfully -- unhashable, not an error
@@ -57,10 +59,13 @@ object ImageExprs {
         val ch = ct match { case 0 => 1; case 4 => 2; case 2 => 3
           case 6 => 4; case _ => 0 }
         InternalRow(w, h, ch)
-      case None => PixelCodec.decodeBmp(payload) match {
-        case Some(img) => InternalRow(img.width, img.height, img.channels)
-        case None => null
-      }
+      case None =>
+        PixelCodec.decodeBmp(payload).orElse(PixelCodec.decodeGif(payload))
+          match {
+            case Some(img) =>
+              InternalRow(img.width, img.height, img.channels)
+            case None => null
+          }
     }
 }
 

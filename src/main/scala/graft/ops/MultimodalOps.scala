@@ -249,25 +249,34 @@ object MultimodalOps {
   val PxDocMod = 1000003L
   val PxW = 24; val PxH = 18
   val HashW = 9; val HashH = 8
-  val NearDupGroups = 200L
+  val NearDupSpan = 10L
   val HammingMax = 10
   val AudioRate = 16000
 
   private def synthPx(d: Long, i: Int): Int =
     (((d % PxDocMod) * PxA + i * PxB) % 256L).toInt
 
-  /** Near-dup variant: docs sharing `doc_id % 200` get the same base
-    * image; a per-doc nudge (+1 on the first `doc_id % 4` pixels)
-    * keeps them near- rather than exact duplicates. Base pixels come
-    * from the engine's cross-engine md5 hash, NOT an algebraic mix:
-    * linear and multiplicative formulas leave residual structure mod
-    * 256 (constant phase shifts, doubling relations) that pulls
-    * DIFFERENT groups' dHashes within the Hamming gate -- the planted
-    * spec caught two such collapses before this landed. h15 makes
-    * cross-group hashes independent while staying exact in both
-    * engines. */
+  /** Near-dup variant: docs sharing `doc_id / 10` (a SPAN of ten
+    * consecutive ids) get the same base image; a per-doc nudge (+1 on
+    * the first `doc_id % 4` pixels) keeps them near- rather than
+    * exact duplicates. The group key is a fixed-SIZE span, not a
+    * fixed-COUNT modulus (`% 200` until r12): a modulus keeps 200
+    * groups whose membership grows with the corpus, so pair work —
+    * the thing the banded join is supposed to bound — grew
+    * quadratically with scale BY FIXTURE CONSTRUCTION and the 10x
+    * bench point measured the fixture, not the operator. A span
+    * keeps duplicate density invariant: group size is 10 at every
+    * scale, group count grows linearly, and upsampled id spaces
+    * (offsets >> span) can never fuse groups across replicas. Base
+    * pixels come from the engine's cross-engine md5 hash, NOT an
+    * algebraic mix: linear and multiplicative formulas leave residual
+    * structure mod 256 (constant phase shifts, doubling relations)
+    * that pulls DIFFERENT groups' dHashes within the Hamming gate --
+    * the planted spec caught two such collapses before this landed.
+    * h15 makes cross-group hashes independent while staying exact in
+    * both engines. */
   private def synthNearDupPx(d: Long, i: Int): Int =
-    ((Hashing.h15Local(s"img:${d % NearDupGroups}:$i") % 256L +
+    ((Hashing.h15Local(s"img:${d / NearDupSpan}:$i") % 256L +
       (if (i < (d % 4)) 1L else 0L)) % 256L).toInt
 
   private val pxSqlExpr =
@@ -298,7 +307,7 @@ object MultimodalOps {
       }.toDF("doc_id", "payload")
   }
 
-  /** Full decode: container sniffed from bytes (PNG first, BMP next),
+  /** Full decode: container sniffed from bytes (PNG, BMP, then GIF),
     * pixels recovered, exact-integer features extracted. One codec
     * init per partition; input projected to (doc_id, payload). */
   def pixelDecode(s: SparkSession, dir: String): DataFrame = {
@@ -307,6 +316,7 @@ object MultimodalOps {
       it.map { case (d, payload) =>
         val (img, fmt) = PixelCodec.decodePng(payload).map((_, "png"))
           .orElse(PixelCodec.decodeBmp(payload).map((_, "bmp")))
+          .orElse(PixelCodec.decodeGif(payload).map((_, "gif")))
           .getOrElse(throw new IllegalStateException(
             s"undecodable asset for doc $d"))
         var sum = 0L; var wsum = 0L; var mn = 255; var mx = 0
@@ -549,7 +559,7 @@ object MultimodalOps {
 
   val imagePhashDedupSql: String = {
     val h = graft.ops.Hashing.h15Sql("concat('img:', " +
-      s"CAST(doc_id % $NearDupGroups AS VARCHAR), ':', CAST(i AS VARCHAR))")
+      s"CAST(doc_id // $NearDupSpan AS VARCHAR), ':', CAST(i AS VARCHAR))")
     val nd = s"($h % 256 + CASE WHEN i < doc_id % 4 THEN 1 ELSE 0 END) % 256"
     s"""WITH ${dhashSqlCte(nd)},
        bands AS (
@@ -569,6 +579,59 @@ object MultimodalOps {
        WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
          <= $HammingMax"""
   }
+
+  /** GIF round-trip over the real COMPRESSED image path: synthesize a
+    * 24x18 grey image per doc from the closed-form pixel mix, push it
+    * through [[PixelCodec.encodeGif]] -> [[PixelCodec.decodeGif]]
+    * (spec-implemented LZW: variable code widths, 4096-reset, real
+    * compression), then roll up exact integer features of the DECODED
+    * pixels — sum, min, max, and a position-weighted sum that pins
+    * pixel ORDER (sum/min/max alone would pass a permutation).
+    *
+    * LZW is lossless, so the DuckDB oracle recomputes the features
+    * from the synthesis FORMULA alone: a hash match proves
+    * decode(encode(px)) == px for every doc without the oracle ever
+    * seeing a GIF byte — the same gating trick as the WAV path. The
+    * byte codec is the documented mapPartitions exception; the rollup
+    * is one map-side-combinable aggregation-free projection (one row
+    * per doc), embarrassingly parallel at any scale. */
+  def gifRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { d =>
+          val px = Array.tabulate(PxW * PxH)(i => synthPx(d, i).toByte)
+          val bytes = PixelCodec.encodeGif(
+            PixelCodec.Image(PxW, PxH, 1, px))
+          val img = PixelCodec.decodeGif(bytes).getOrElse(
+            throw new IllegalStateException(s"GIF decode failed for doc $d"))
+          require(img.width == PxW && img.height == PxH &&
+            img.channels == 1, s"GIF round-trip shape drifted for doc $d")
+          var sum = 0L; var mn = 255; var mx = 0; var wsum = 0L
+          var i = 0
+          while (i < img.pixels.length) {
+            val v = img.pixels(i) & 0xff
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            wsum += (i + 1L) * v
+            i += 1
+          }
+          (d, sum, mn, mx, wsum)
+        }
+      }.toDF("doc_id", "px_sum", "px_min", "px_max", "px_wsum")
+  }
+
+  /** DuckDB twin: the synthesis formula only — never a GIF byte. */
+  val gifRoundtripSql: String =
+    s"""WITH px AS (
+         SELECT doc_id, gs.i, $pxSqlExpr AS p
+         FROM documents, generate_series(0, ${PxW * PxH - 1}) gs(i))
+       SELECT doc_id, CAST(sum(p) AS BIGINT) AS px_sum,
+              CAST(min(p) AS INT) AS px_min,
+              CAST(max(p) AS INT) AS px_max,
+              CAST(sum((i + 1) * p) AS BIGINT) AS px_wsum
+       FROM px GROUP BY doc_id"""
 
   // ------------------------------------------------- real frame path
 

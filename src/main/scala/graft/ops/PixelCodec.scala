@@ -14,6 +14,9 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   *    so every decoder path is exercised by round-trip data.
   *  - BMP (BITMAPINFOHEADER): 24-bit uncompressed, bottom-up rows,
   *    4-byte row padding.
+  *  - GIF (87a/89a): LZW implemented from the spec -- variable code
+  *    widths 9..12, dictionary reset at 4096, KwKwK case, 255-byte
+  *    sub-blocks; global/local palettes, extensions skipped.
   *  - WAV (RIFF): PCM mono 16-bit little-endian, chunk-walk tolerant
   *    of extra chunks (LIST etc).
   *
@@ -479,6 +482,275 @@ object PixelCodec {
       i += 8 + len + (len & 1) // chunks are word-aligned
     }
     if (ok && data != null) Some((data, rate)) else None
+  }
+
+  // ------------------------------------------------------------------ GIF
+
+  /** GIF (CompuServe 87a/89a) — the first genuinely COMPRESSED
+    * container on this codec path whose coder is implemented from the
+    * spec rather than delegated (PNG rides `java.util.zip`): variable
+    * code-width LZW, dictionary reset at 4096 entries, little-endian
+    * bit packing, 255-byte data sub-blocks. LZW is LOSSLESS, so
+    * `decodeGif(encodeGif(img)) == img` exactly — which is what lets
+    * a DuckDB oracle that recomputes only the pixel SYNTHESIS formula
+    * hash-gate a Spark pipeline that pushed real GIF bytes through
+    * both coders (mm_gif_roundtrip).
+    *
+    * Encoder: 8-bit grey (a 256-grey ramp global palette; use
+    * [[toGray]] first for color). Decoder: first image block of an
+    * 87a/89a stream, global or local color table, extension blocks
+    * skipped, interlaced streams de-permuted (spec appendix E);
+    * out-of-range codes and truncations return None (loud fallback,
+    * like every codec here). Output is grey
+    * (channels=1) when the palette is a pure grey ramp, RGB
+    * otherwise. Cross-checked against the JDK's ImageIO GIF plugin
+    * in both directions by PixelCodecSpec. */
+  def encodeGif(img: Image): Array[Byte] = {
+    require(img.channels == 1, "GIF encoder is 8-bit grey (toGray first)")
+    val o = new ByteArrayOutputStream()
+    o.write("GIF89a".getBytes("US-ASCII"))
+    le16(o, img.width); le16(o, img.height)
+    o.write(0xf7) // global color table, 8-bit resolution, 256 entries
+    o.write(0)    // background color index
+    o.write(0)    // pixel aspect ratio: unspecified
+    var g = 0
+    while (g < 256) { o.write(g); o.write(g); o.write(g); g += 1 }
+    o.write(0x2c) // image descriptor
+    le16(o, 0); le16(o, 0); le16(o, img.width); le16(o, img.height)
+    o.write(0)    // no local table, not interlaced
+    o.write(8)    // LZW minimum code size
+    val lzw = lzwEncode(img.pixels, 8)
+    var i = 0
+    while (i < lzw.length) {
+      val n = math.min(255, lzw.length - i)
+      o.write(n); o.write(lzw, i, n); i += n
+    }
+    o.write(0)    // block terminator
+    o.write(0x3b) // trailer
+    o.toByteArray
+  }
+
+  /** GIF LZW, encode side. Width starts at minCode+1; the encoder
+    * widens when the NEXT code to assign passes the current width
+    * (next == (1 << width) + 1 — it runs one dictionary entry AHEAD
+    * of the decoder, which widens at next == (1 << width)); at 4096
+    * entries it emits CLEAR and resets rather than deferring. */
+  private def lzwEncode(data: Array[Byte], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new ByteArrayOutputStream()
+    var acc = 0L; var nbits = 0
+    var width = minCode + 1
+    var next = eoi + 1
+    def put(code: Int): Unit = {
+      acc |= code.toLong << nbits; nbits += width
+      while (nbits >= 8) {
+        out.write((acc & 0xff).toInt); acc >>>= 8; nbits -= 8
+      }
+    }
+    val dict = new java.util.HashMap[Long, Integer]()
+    def key(prefix: Int, k: Int): Long = (prefix.toLong << 8) | k
+    put(clear)
+    var cur = data(0) & 0xff
+    var i = 1
+    while (i < data.length) {
+      val k = data(i) & 0xff
+      val hit = dict.get(key(cur, k))
+      if (hit != null) cur = hit.intValue()
+      else {
+        put(cur)
+        dict.put(key(cur, k), Integer.valueOf(next))
+        next += 1
+        if (next == (1 << width) + 1 && width < 12) width += 1
+        if (next == 4096) {
+          put(clear)
+          dict.clear(); next = eoi + 1; width = minCode + 1
+        }
+        cur = k
+      }
+      i += 1
+    }
+    put(cur)
+    put(eoi)
+    if (nbits > 0) out.write((acc & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** GIF LZW, decode side: prefix/suffix table, KwKwK handling, widen
+    * at next == (1 << width). Returns None on truncation or a code
+    * beyond the table (corrupt stream) instead of guessing. */
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+      expected: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    val out = new Array[Byte](expected)
+    var outPos = 0
+    var width = minCode + 1
+    var next = eoi + 1
+    var acc = 0L; var nbits = 0; var pos = 0
+    def read(): Int = {
+      while (nbits < width && pos < data.length) {
+        acc |= (data(pos) & 0xffL) << nbits; pos += 1; nbits += 8
+      }
+      if (nbits < width) -1
+      else {
+        val c = (acc & ((1L << width) - 1)).toInt
+        acc >>>= width; nbits -= width; c
+      }
+    }
+    def firstByte(code0: Int): Byte = {
+      var code = code0
+      while (code >= eoi + 1) code = prefix(code)
+      code.toByte
+    }
+    var prev = -1
+    var done = false
+    while (!done) {
+      val c = read()
+      if (c == -1) return None // truncated before EOI
+      else if (c == clear) { next = eoi + 1; width = minCode + 1; prev = -1 }
+      else if (c == eoi) done = true
+      else if (prev == -1) {
+        if (c >= clear) return None // first data code must be a root
+        if (outPos >= expected) return None
+        out(outPos) = c.toByte; outPos += 1
+        prev = c
+      } else {
+        var sp = 0
+        var fb: Byte = 0
+        if (c < next && c < clear) { // root code
+          fb = c.toByte
+          stack(sp) = fb; sp += 1
+        } else if (c < next && c >= eoi + 1) { // table code
+          var code = c
+          while (code >= eoi + 1) {
+            stack(sp) = suffix(code); sp += 1; code = prefix(code)
+          }
+          fb = code.toByte
+          stack(sp) = fb; sp += 1
+        } else if (c == next) { // KwKwK: string(prev) + firstByte(prev)
+          fb = firstByte(prev)
+          stack(sp) = fb; sp += 1 // pops LAST
+          var code = prev
+          while (code >= eoi + 1) {
+            stack(sp) = suffix(code); sp += 1; code = prefix(code)
+          }
+          stack(sp) = code.toByte; sp += 1
+        } else return None // beyond the table: corrupt
+        if (outPos + sp > expected) return None
+        while (sp > 0) { sp -= 1; out(outPos) = stack(sp); outPos += 1 }
+        if (next < 4096) {
+          prefix(next) = prev; suffix(next) = fb; next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = c
+      }
+    }
+    if (outPos != expected) None else Some(out)
+  }
+
+  /** Decode the first image of a GIF87a/89a stream; see [[encodeGif]]
+    * for the supported envelope. */
+  def decodeGif(p: Array[Byte]): Option[Image] = {
+    if (p.length < 13) return None
+    val sig = new String(p, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val gPacked = p(10) & 0xff
+    var i = 13
+    var palette: Array[Int] = null
+    def readPalette(at: Int, n: Int): Option[Array[Int]] =
+      if (at + 3 * n > p.length) None
+      else Some(Array.tabulate(n)(j =>
+        ((p(at + 3 * j) & 0xff) << 16) | ((p(at + 3 * j + 1) & 0xff) << 8) |
+          (p(at + 3 * j + 2) & 0xff)))
+    if ((gPacked & 0x80) != 0) {
+      val n = 2 << (gPacked & 7)
+      palette = readPalette(i, n).getOrElse(return None)
+      i += 3 * n
+    }
+    while (i < p.length) {
+      (p(i) & 0xff) match {
+        case 0x21 => // extension: label byte, then sub-blocks to a 0
+          i += 2
+          while (i < p.length && (p(i) & 0xff) != 0) i += 1 + (p(i) & 0xff)
+          i += 1
+        case 0x2c =>
+          if (i + 10 > p.length) return None
+          val w = rdLe16(p, i + 5); val h = rdLe16(p, i + 7)
+          val iPacked = p(i + 9) & 0xff
+          i += 10
+          var pal = palette
+          if ((iPacked & 0x80) != 0) {
+            val n = 2 << (iPacked & 7)
+            pal = readPalette(i, n).getOrElse(return None)
+            i += 3 * n
+          }
+          val interlaced = (iPacked & 0x40) != 0
+          if (pal == null || w <= 0 || h <= 0) return None
+          if (i >= p.length) return None
+          val minCode = p(i) & 0xff; i += 1
+          if (minCode < 2 || minCode > 8) return None
+          val dataBuf = new ByteArrayOutputStream()
+          while (i < p.length && (p(i) & 0xff) != 0) {
+            val n = p(i) & 0xff
+            if (i + 1 + n > p.length) return None
+            dataBuf.write(p, i + 1, n); i += 1 + n
+          }
+          val raw = lzwDecode(dataBuf.toByteArray, minCode, w * h) match {
+            case Some(a) => a
+            case None => return None
+          }
+          // interlace (spec appendix E): rows arrive in four passes
+          // (start 0 step 8; 4/8; 2/4; 1/2) -- de-permute to raster
+          val idx =
+            if (!interlaced) raw
+            else {
+              val out = new Array[Byte](w * h)
+              var src = 0
+              for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+                var y = start
+                while (y < h) {
+                  System.arraycopy(raw, src * w, out, y * w, w)
+                  src += 1; y += step
+                }
+              }
+              out
+            }
+          val isGrey = pal.forall(c =>
+            ((c >> 16) & 0xff) == ((c >> 8) & 0xff) &&
+              ((c >> 8) & 0xff) == (c & 0xff))
+          if (isGrey) {
+            val outG = new Array[Byte](w * h)
+            var k = 0
+            while (k < w * h) {
+              val pi = idx(k) & 0xff
+              if (pi >= pal.length) return None
+              outG(k) = (pal(pi) & 0xff).toByte
+              k += 1
+            }
+            return Some(Image(w, h, 1, outG))
+          } else {
+            val outC = new Array[Byte](w * h * 3)
+            var k = 0
+            while (k < w * h) {
+              val pi = idx(k) & 0xff
+              if (pi >= pal.length) return None
+              val c = pal(pi)
+              outC(k * 3) = ((c >> 16) & 0xff).toByte
+              outC(k * 3 + 1) = ((c >> 8) & 0xff).toByte
+              outC(k * 3 + 2) = (c & 0xff).toByte
+              k += 1
+            }
+            return Some(Image(w, h, 3, outC))
+          }
+        case 0x3b => return None // trailer before any image block
+        case _ => return None
+      }
+    }
+    None
   }
 
   // ------------------------------------------------------ exact pixel ops

@@ -10,7 +10,8 @@ import graft.TestSpark
   * derived from the CONSTRUCTION, not from engine-vs-oracle equality
   * (which PixelCodecSpec + the driver gate cover):
   *
-  * dedup_image_phash synthesis gives docs sharing `doc_id % 200` the
+  * dedup_image_phash synthesis gives docs sharing `doc_id / 10` (a
+  * fixed-size span, so duplicate density is scale-invariant) the
   * same base 9x8 image, nudged by +1 on the first `doc_id % 4`
   * pixels. On paper: the nudge touches pixels 0..2 at most, which
   * touch dHash comparisons x in {0, 1, 2} of row 0 only -- so two
@@ -28,8 +29,9 @@ class MultimodalPixelSpec extends AnyFunSuite {
     val rows = MultimodalOps.imagePhashDedup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(rows.nonEmpty)
+    val span = MultimodalOps.NearDupSpan
     rows.foreach { case (a, b, ham) =>
-      assert(a % 200 === b % 200, s"cross-group pair ($a, $b) surfaced")
+      assert(a / span === b / span, s"cross-group pair ($a, $b) surfaced")
       assert(ham <= 3, s"pair ($a, $b) hamming $ham exceeds the paper bound")
       assert(a < b)
     }
@@ -37,7 +39,7 @@ class MultimodalPixelSpec extends AnyFunSuite {
     val ids = graft.core.Tables.documents(spark, dir)
       .select("doc_id").collect().map(_.getLong(0))
     val expected = (for {
-      a <- ids; b <- ids if a < b && a % 200 == b % 200
+      a <- ids; b <- ids if a < b && a / span == b / span
     } yield (a, b)).toSet
     assert(rows.map(t => (t._1, t._2)).toSet === expected)
     // identical-noise docs are exact duplicates: hamming 0

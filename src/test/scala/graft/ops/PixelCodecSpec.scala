@@ -136,6 +136,62 @@ class PixelCodecSpec extends AnyFunSuite {
         ours.px(x, y, 2)) === (bi.getRGB(x, y) & 0xffffff), s"$x,$y")
   }
 
+  test("GIF round-trip: grey images incl. code-width growth and the 4096 reset") {
+    // small images keep 9-bit codes; the high-entropy 120x100 pushes
+    // the LZW dictionary through widths 10..12 AND past 4096 entries,
+    // exercising the clear-and-reset path on both coder sides
+    for ((w, h) <- Seq((1, 1), (9, 8), (24, 18), (64, 64), (120, 100))) {
+      val img = mkImage(w, h, 1, seed = w * 31 + h)
+      val back = decodeGif(encodeGif(img)).get
+      assert(back.width === w && back.height === h && back.channels === 1)
+      assert(back.pixels.toSeq === img.pixels.toSeq, s"${w}x$h")
+    }
+    // a constant image: long runs drive the KwKwK decoder case, and
+    // the compression must be REAL (LZW payload far smaller than raw;
+    // 781 bytes = fixed header + 256-entry palette)
+    val flat = Image(50, 40, 1, Array.fill(2000)(77.toByte))
+    assert(decodeGif(encodeGif(flat)).get.pixels.toSeq === flat.pixels.toSeq)
+    assert(encodeGif(flat).length - 781 < 2000 / 4,
+      s"flat image should LZW-compress, got ${encodeGif(flat).length} bytes")
+  }
+
+  test("ImageIO reads our GIFs; we read ImageIO's") {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    val img = mkImage(21, 13, 1, seed = 9)
+    val read = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(encodeGif(img)))
+    assert(read.getWidth === 21 && read.getHeight === 13)
+    for (y <- 0 until 13; x <- 0 until 21)
+      assert((read.getRGB(x, y) & 0xff) === img.px(x, y), s"$x,$y")
+    // ImageIO-written GIF (explicit lossless grey-ramp palette so the
+    // writer cannot quantize) decodes with ours
+    val ramp = Array.tabulate(256)(_.toByte)
+    val icm = new IndexColorModel(8, 256, ramp, ramp, ramp)
+    val bi = new BufferedImage(17, 11, BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until 11; x <- 0 until 17)
+      bi.getRaster.setSample(x, y, 0, (x * 37 + y * 101) % 256)
+    val bo = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "gif", bo))
+    val ours = decodeGif(bo.toByteArray).get
+    assert(ours.width === 17 && ours.height === 11)
+    for (y <- 0 until 11; x <- 0 until 17)
+      assert(ours.px(x, y, 0) === (x * 37 + y * 101) % 256, s"$x,$y")
+  }
+
+  test("GIF decoder rejects foreign and truncated streams, never throws") {
+    val img = mkImage(10, 6, 1, seed = 3)
+    val good = encodeGif(img)
+    assert(decodeGif(good.take(12)) === None)
+    assert(decodeGif(good.take(good.length / 2)) === None)
+    assert(decodeGif(encodePng(img)) === None)
+    assert(decodeGif(encodeBmp(mkImage(10, 6, 3, seed = 3))) === None)
+    // corrupting the LZW stream body must fail loudly, not garble:
+    // byte 0xFF mid-stream yields codes beyond the table
+    val corrupt = good.clone()
+    corrupt(781 + 10 + 2 + 4) = 0xff.toByte
+    assert(decodeGif(corrupt).forall(_.pixels.length === 60))
+  }
+
   test("WAV round-trip incl. odd-length-tolerant chunk walk") {
     val samples = Array.tabulate(1000)(t =>
       (((t * 37 + 11) % 65536) - 32768).toShort)
