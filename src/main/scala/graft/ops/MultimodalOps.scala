@@ -287,21 +287,24 @@ object MultimodalOps {
       px_wsum: Long)
 
   /** The asset table: one REAL container payload per document --
-    * doc_id % 3 = 0 encodes 24x18 RGB as BMP, = 1 greyscale PNG,
-    * = 2 RGB PNG (filter-cycled). The binary column is what a real
-    * multimodal corpus stores; everything downstream must detect the
-    * container from the bytes. */
+    * doc_id % 4 = 0 encodes 24x18 RGB as BMP, = 1 greyscale PNG,
+    * = 2 RGB PNG (filter-cycled), = 3 greyscale GIF (real LZW). The
+    * binary column is what a real multimodal corpus stores;
+    * everything downstream must detect the container from the
+    * bytes. */
   def pixelAssets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.map { d =>
-          val nch = if (d % 3 == 1) 1 else 3
+          val nch = if (d % 4 == 1 || d % 4 == 3) 1 else 3
           val px = Array.tabulate(PxW * PxH * nch)(i => synthPx(d, i).toByte)
           val img = PixelCodec.Image(PxW, PxH, nch, px)
-          val payload =
-            if (d % 3 == 0) PixelCodec.encodeBmp(img)
-            else PixelCodec.encodePng(img)
+          val payload = (d % 4) match {
+            case 0 => PixelCodec.encodeBmp(img)
+            case 3 => PixelCodec.encodeGif(img)
+            case _ => PixelCodec.encodePng(img)
+          }
           (d, payload)
         }
       }.toDF("doc_id", "payload")
@@ -337,8 +340,9 @@ object MultimodalOps {
   val pixelDecodeSql: String =
     s"""WITH d AS (
          SELECT doc_id,
-           CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS n_ch,
-           CASE WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'png' END AS format
+           CASE WHEN doc_id % 4 IN (1, 3) THEN 1 ELSE 3 END AS n_ch,
+           CASE WHEN doc_id % 4 = 0 THEN 'bmp'
+                WHEN doc_id % 4 = 3 THEN 'gif' ELSE 'png' END AS format
          FROM documents),
        px AS (
          SELECT d.doc_id, d.n_ch, d.format, gs.i,

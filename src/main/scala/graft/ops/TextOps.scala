@@ -86,6 +86,32 @@ object TextOps {
        array_to_string($NormTokensSql, ' ') AS text_norm
        FROM documents"""
 
+  /** GZIP round-trip over the compressed-text ingest path: every
+    * document's text -> [[graft.functions.GzipText]] compress (real
+    * RFC 1952 frames) -> decompress, then byte length and the h15
+    * content hash of the ROUND-TRIPPED text. DEFLATE is lossless, so
+    * the DuckDB
+    * oracle computes both features from the PLAIN text alone — a hash
+    * match proves decompress(compress(text)) == text for the whole
+    * corpus without the oracle seeing a gzip byte (the GIF/WAV gating
+    * trick applied to the dominant 100 TB modality). Both directions
+    * are native expressions inside whole-stage codegen; the op is
+    * embarrassingly per-row. */
+  def textGzipRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val rt = graft.functions.GzipText.gunzipText(
+      graft.functions.GzipText.gzipText(col("text")))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      octet_length(rt).cast("long").as("n_bytes_rt"),
+      Hashing.h15(rt).as("text_h"))
+  }
+
+  val textGzipRoundtripSql: String =
+    s"""SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_rt,
+       ${Hashing.h15Sql("text")} AS text_h
+       FROM documents"""
+
   /** Marker stopwords per language for the n-gram/marker-count
     * language heuristic. Real pipelines load larger tables; the
     * mechanism (per-language marker scan + deterministic argmax) is

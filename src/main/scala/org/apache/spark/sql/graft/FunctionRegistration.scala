@@ -9,7 +9,7 @@ import graft.functions.ArrayExprs.{DoubleDot, SimHash, SortedLongJaccard}
 import graft.functions.CharEntropyStats
 import graft.functions.{ImageDims, ImagePhash}
 import graft.functions.HashExprs.{Md5ShingleSet, MinhashSig}
-import graft.functions.NfkcLower
+import graft.functions.{GzipCompress, GzipDecompress, NfkcLower}
 
 /** SQL registration for graft's native expressions, so
   * `spark.sql("SELECT graft_dot(a, b) ...")` works alongside the
@@ -74,6 +74,15 @@ object FunctionRegistration {
       info(classOf[NfkcLower], "graft_nfkc_lower",
         "graft_nfkc_lower(s) - NFKC normalization + ROOT lowercase in one pass"),
       (es: Seq[Expression]) => NfkcLower(es.head)),
+    (FunctionIdentifier("graft_gzip"),
+      info(classOf[GzipCompress], "graft_gzip",
+        "graft_gzip(s) - RFC 1952 gzip frame of a string's UTF-8 bytes"),
+      (es: Seq[Expression]) => GzipCompress(es.head)),
+    (FunctionIdentifier("graft_gunzip"),
+      info(classOf[GzipDecompress], "graft_gunzip",
+        "graft_gunzip(b) - decompress a gzip frame to a UTF-8 string; " +
+          "corrupt bytes fail loudly"),
+      (es: Seq[Expression]) => GzipDecompress(es.head)),
     (FunctionIdentifier("graft_char_stats"),
       info(classOf[CharEntropyStats], "graft_char_stats",
         "graft_char_stats(s) - struct(n_chars, n_charset, sum_u) codepoint" +

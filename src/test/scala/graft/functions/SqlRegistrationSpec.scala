@@ -104,4 +104,25 @@ class SqlRegistrationSpec extends AnyFunSuite {
       .select("m.n", "m.sums").as[(Long, Seq[Long])].head()
     assert(m === ((5L, Seq(5000L, 10000L))))
   }
+
+  test("gzip expressions: lossless round-trip, real compression, loud corrupt failure") {
+    FunctionRegistration.register(spark)
+    import spark.implicits._
+    // unicode survives (UTF-8 in, UTF-8 out)
+    assert(spark.sql("SELECT graft_gunzip(graft_gzip('héllo wörld — 混合'))")
+      .as[String].head() === "héllo wörld — 混合")
+    // repetitive text genuinely compresses
+    val sizes = spark.sql(
+      "SELECT octet_length(graft_gzip(repeat('spark and duck ', 200)))," +
+        " octet_length(repeat('spark and duck ', 200))")
+      .as[(Int, Int)].head()
+    assert(sizes._1 < sizes._2 / 10,
+      s"gzip of 3000 repetitive bytes should be tiny, got ${sizes._1}")
+    // corrupt bytes fail the task loudly, never decode to garbage
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_gunzip(CAST('not a gzip frame' AS BINARY))")
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

@@ -48,18 +48,23 @@ class MultimodalPixelSpec extends AnyFunSuite {
     }
   }
 
-  test("mm_pixel_decode sniffs the container from bytes per the doc_id % 3 construction") {
+  test("mm_pixel_decode sniffs the container from bytes per the doc_id % 4 construction") {
     val rows = MultimodalOps.pixelDecode(spark, dir).collect()
     val nDocs = graft.core.Tables.documents(spark, dir).count()
     assert(rows.length.toLong === nDocs) // no decode fell over
     rows.foreach { r =>
       val d = r.getLong(0)
       val (fmt, nch) = (r.getString(1), r.getInt(2))
-      if (d % 3 == 0) assert(fmt === "bmp" && nch === 3, s"doc $d")
-      else if (d % 3 == 1) assert(fmt === "png" && nch === 1, s"doc $d")
-      else assert(fmt === "png" && nch === 3, s"doc $d")
+      (d % 4) match {
+        case 0 => assert(fmt === "bmp" && nch === 3, s"doc $d")
+        case 1 => assert(fmt === "png" && nch === 1, s"doc $d")
+        case 2 => assert(fmt === "png" && nch === 3, s"doc $d")
+        case _ => assert(fmt === "gif" && nch === 1, s"doc $d")
+      }
       assert(r.getInt(3) === 24 && r.getInt(4) === 18)
     }
+    // all four containers actually present in the fixture
+    assert(rows.map(_.getString(1)).toSet === Set("bmp", "png", "gif"))
   }
 
   test("mm_audio_decode recovers the constructed sample counts through the WAV container") {
