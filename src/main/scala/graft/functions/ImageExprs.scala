@@ -19,15 +19,16 @@ import graft.ops.PixelCodec
   */
 object ImageExprs {
 
-  /** Static codegen target: decode (PNG, then BMP, then GIF) -> grey
-    * -> 9x8 box average -> dHash over 9x8 + aHash over the left 8x8
-    * subgrid. Unrecognized bytes: null when lenient,
-    * IllegalStateException when strict (the DataFrame API's
-    * loud-failure contract). */
+  /** Static codegen target: decode (PNG, BMP, GIF, then baseline
+    * JPEG — the classic perceptual-hash input) -> grey -> 9x8 box
+    * average -> dHash over 9x8 + aHash over the left 8x8 subgrid.
+    * Unrecognized bytes: null when lenient, IllegalStateException
+    * when strict (the DataFrame API's loud-failure contract). */
   def phash(payload: Array[Byte], strict: Boolean): InternalRow = {
     val decoded = PixelCodec.decodePng(payload)
       .orElse(PixelCodec.decodeBmp(payload))
       .orElse(PixelCodec.decodeGif(payload))
+      .orElse(graft.ops.JpegCodec.decodeJpeg(payload))
       // a hash over a 9x8 grid needs at least 9x8 source pixels
       // (resizeArea is downscale-only); smaller images carry too few
       // gradients to hash meaningfully -- unhashable, not an error

@@ -1,0 +1,577 @@
+package graft.ops
+
+import java.io.ByteArrayOutputStream
+
+import graft.ops.PixelCodec.Image
+
+/** Pure-JVM baseline JPEG (ITU-T T.81) — the flagship LOSSY format a
+  * real multimodal corpus is full of, implemented from the spec with
+  * no codec library:
+  *
+  *  - **Decoder**: baseline sequential DCT (SOF0), 8-bit, grayscale
+  *    or 3-component YCbCr with sampling factors 1..2 (4:4:4, 4:2:2,
+  *    4:2:0), canonical Huffman per F.2.2.3 (mincode/maxcode/valptr),
+  *    byte-stuffing-aware bit reader, restart markers, dequant +
+  *    reference double IDCT + level shift, nearest-neighbor chroma
+  *    upsample, integer JFIF YCbCr->RGB. Progressive (SOF2),
+  *    arithmetic coding, and 12-bit streams return None (loud
+  *    fallback, like every codec here).
+  *  - **Encoder**: baseline, grayscale or 4:4:4 color, caller-chosen
+  *    quant table, single-length canonical Huffman tables (all 12 DC
+  *    categories at 4 bits, all 162 AC symbols at 8 bits — legal,
+  *    decodable by any baseline decoder, and free of the spec's
+  *    example-table transcription risk).
+  *
+  * JPEG is lossy, so the GIF/WAV "round-trip == identity" gating
+  * trick does not apply in general — EXCEPT on images that are
+  * CONSTANT PER 8x8 BLOCK: there every AC coefficient is exactly 0,
+  * the DC coefficient is 8*(v-128) (an exact double), and with a DC
+  * quant step of 8 the quantize/dequantize/IDCT chain reproduces v
+  * exactly. mm_jpeg_roundtrip builds exactly such images, so the
+  * whole container + Huffman + bit stream + DC prediction machinery
+  * sits under the driver's exact hash gate; the AC/IDCT/color path is
+  * cross-checked against the JDK's independent ImageIO codec in
+  * JpegCodecSpec (tolerance bounds documented there — IDCT and chroma
+  * upsampling legitimately differ by a few LSBs across conformant
+  * implementations).
+  */
+object JpegCodec {
+
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** All-8s quant table: DC step 8 makes constant-block images
+    * round-trip EXACTLY (see object doc); AC steps are irrelevant on
+    * such images (coefficients are 0). */
+  val QuantExact: Array[Int] = Array.fill(64)(8)
+
+  /** A plain mid-quality table for general encoding. */
+  val QuantDefault: Array[Int] = Array.tabulate(64)(i => 16 + (i / 8) * 2)
+
+  private val CosT: Array[Double] = Array.tabulate(8 * 8)(k =>
+    math.cos((2 * (k / 8) + 1) * (k % 8) * math.Pi / 16))
+  private def cosT(x: Int, u: Int): Double = CosT(x * 8 + u)
+  private def cScale(u: Int): Double = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+
+  // ----------------------------------------------------------- encoder
+
+  /** The 162 baseline AC (run, size) symbols: 0x00 EOB, 0xF0 ZRL, and
+    * run 0..15 x size 1..10. */
+  private val AcSymbols: Array[Int] = {
+    val b = Array.newBuilder[Int]
+    b += 0x00
+    for (run <- 0 to 15; size <- 1 to 10) b += ((run << 4) | size)
+    b += 0xf0
+    b.result()
+  }
+
+  private final class BitWriter(o: ByteArrayOutputStream) {
+    private var acc = 0L
+    private var n = 0
+    def put(code: Int, width: Int): Unit = {
+      acc = (acc << width) | (code & ((1L << width) - 1)); n += width
+      while (n >= 8) {
+        val b = ((acc >>> (n - 8)) & 0xff).toInt
+        o.write(b)
+        if (b == 0xff) o.write(0x00) // byte stuffing
+        n -= 8
+      }
+    }
+    def flush(): Unit = if (n > 0) { // pad with 1-bits per the spec
+      val b = (((acc << (8 - n)) | ((1 << (8 - n)) - 1)) & 0xff).toInt
+      o.write(b)
+      if (b == 0xff) o.write(0x00)
+      n = 0
+    }
+  }
+
+  private def magnitude(v: Int): Int = {
+    var t = 0; var a = math.abs(v)
+    while (a != 0) { t += 1; a >>= 1 }
+    t
+  }
+
+  /** Encode one 8x8 block of quantized coefficients (natural order)
+    * against the single-length tables. DC is differential. */
+  private def encodeBlock(bw: BitWriter, coef: Array[Int],
+      dcPred: Int): Int = {
+    val diff = coef(0) - dcPred
+    val t = magnitude(diff)
+    bw.put(dcCode(t), 4)
+    if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+    var run = 0
+    var k = 1
+    while (k < 64) {
+      val v = coef(Zigzag(k))
+      if (v == 0) run += 1
+      else {
+        while (run > 15) { bw.put(acCode(0xf0), 8); run -= 16 }
+        val s = magnitude(v)
+        bw.put(acCode((run << 4) | s), 8)
+        bw.put(if (v < 0) v + (1 << s) - 1 else v, s)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) bw.put(acCode(0x00), 8) // EOB
+    coef(0)
+  }
+
+  // single-length canonical tables: DC cats 0..11 are the 4-bit codes
+  // 0..11; AC symbol i (in AcSymbols order) is the 8-bit code i
+  private def dcCode(cat: Int): Int = cat
+  private val acIndex: Map[Int, Int] = AcSymbols.zipWithIndex.toMap
+  private def acCode(sym: Int): Int = acIndex(sym)
+
+  private def fdctQuant(px: Array[Int], quant: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) {
+          var y = 0
+          while (y < 8) {
+            s += (px(y * 8 + x) - 128) * cosT(x, u) * cosT(y, v)
+            y += 1
+          }
+          x += 1
+        }
+        val f = 0.25 * cScale(u) * cScale(v) * s
+        out(v * 8 + u) = math.round(f / quant(v * 8 + u)).toInt
+        v += 1
+      }
+      u += 1
+    }
+    out
+  }
+
+  private def writeMarkerSegment(o: ByteArrayOutputStream, marker: Int,
+      body: Array[Byte]): Unit = {
+    o.write(0xff); o.write(marker)
+    val len = body.length + 2
+    o.write((len >> 8) & 0xff); o.write(len & 0xff)
+    o.write(body, 0, body.length)
+  }
+
+  private def dhtBody(clazz: Int, id: Int, counts: Array[Int],
+      vals: Array[Int]): Array[Byte] = {
+    val b = new ByteArrayOutputStream()
+    b.write((clazz << 4) | id)
+    counts.foreach(b.write)
+    vals.foreach(b.write)
+    b.toByteArray
+  }
+
+  /** Baseline JPEG encode: channels 1 (grayscale) or 3 (RGB,
+    * converted to YCbCr, no subsampling — 4:4:4). `quant` applies to
+    * every component. */
+  def encodeJpeg(img: Image, quant: Array[Int] = QuantDefault): Array[Byte] = {
+    require(img.channels == 1 || img.channels == 3,
+      "JPEG encoder takes grey or RGB")
+    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255))
+    val o = new ByteArrayOutputStream()
+    o.write(0xff); o.write(0xd8) // SOI
+    // DQT: table 0, 8-bit precision, zigzag order
+    writeMarkerSegment(o, 0xdb,
+      (Array(0x00) ++ Array.tabulate(64)(k => quant(Zigzag(k))))
+        .map(_.toByte))
+    // SOF0
+    val nComp = img.channels
+    val sof = new ByteArrayOutputStream()
+    sof.write(8)
+    sof.write((img.height >> 8) & 0xff); sof.write(img.height & 0xff)
+    sof.write((img.width >> 8) & 0xff); sof.write(img.width & 0xff)
+    sof.write(nComp)
+    var c = 0
+    while (c < nComp) {
+      sof.write(c + 1); sof.write(0x11); sof.write(0) // 1x1, quant 0
+      c += 1
+    }
+    writeMarkerSegment(o, 0xc0, sof.toByteArray)
+    // DHT: DC table 0 = 12 four-bit codes; AC table 0 = 162 8-bit codes
+    val dcCounts = Array.tabulate(16)(l => if (l == 3) 12 else 0)
+    writeMarkerSegment(o, 0xc4, dhtBody(0, 0, dcCounts, (0 to 11).toArray))
+    val acCounts = Array.tabulate(16)(l => if (l == 7) AcSymbols.length else 0)
+    writeMarkerSegment(o, 0xc4, dhtBody(1, 0, acCounts, AcSymbols))
+    // SOS
+    val sos = new ByteArrayOutputStream()
+    sos.write(nComp)
+    c = 0
+    while (c < nComp) { sos.write(c + 1); sos.write(0x00); c += 1 }
+    sos.write(0); sos.write(63); sos.write(0)
+    writeMarkerSegment(o, 0xda, sos.toByteArray)
+    // entropy-coded data: 8x8 MCUs (no subsampling), edge-replicated
+    val bw = new BitWriter(o)
+    val mx = (img.width + 7) / 8
+    val my = (img.height + 7) / 8
+    val preds = new Array[Int](nComp)
+    // component planes (YCbCr for color, the grey plane otherwise)
+    val planes: Array[Array[Int]] =
+      if (nComp == 1)
+        Array(Array.tabulate(img.width * img.height)(k => img.pixels(k) & 0xff))
+      else {
+        val y = new Array[Int](img.width * img.height)
+        val cb = new Array[Int](img.width * img.height)
+        val cr = new Array[Int](img.width * img.height)
+        var k = 0
+        while (k < img.width * img.height) {
+          val r = img.pixels(k * 3) & 0xff
+          val g = img.pixels(k * 3 + 1) & 0xff
+          val b = img.pixels(k * 3 + 2) & 0xff
+          y(k) = clamp8(math.round(0.299 * r + 0.587 * g + 0.114 * b).toInt)
+          cb(k) = clamp8(math.round(128 - 0.168736 * r - 0.331264 * g +
+            0.5 * b).toInt)
+          cr(k) = clamp8(math.round(128 + 0.5 * r - 0.418688 * g -
+            0.081312 * b).toInt)
+          k += 1
+        }
+        Array(y, cb, cr)
+      }
+    var by = 0
+    while (by < my) {
+      var bx = 0
+      while (bx < mx) {
+        var ci = 0
+        while (ci < nComp) {
+          val block = new Array[Int](64)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              val sx = math.min(bx * 8 + xx, img.width - 1)
+              val sy = math.min(by * 8 + yy, img.height - 1)
+              block(yy * 8 + xx) = planes(ci)(sy * img.width + sx)
+              xx += 1
+            }
+            yy += 1
+          }
+          preds(ci) = encodeBlock(bw, fdctQuant(block, quant), preds(ci))
+          ci += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    o.write(0xff); o.write(0xd9) // EOI
+    o.toByteArray
+  }
+
+  private def clamp8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  // ----------------------------------------------------------- decoder
+
+  private final class Huff(counts: Array[Int], vals: Array[Int]) {
+    // F.2.2.3 canonical decode tables
+    val minc = new Array[Int](17)
+    val maxc = new Array[Int](17)
+    val valp = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        if (counts(l - 1) > 0) {
+          valp(l) = k; minc(l) = code
+          code += counts(l - 1); k += counts(l - 1)
+          maxc(l) = code - 1
+        } else maxc(l) = -1
+        code <<= 1
+        l += 1
+      }
+    }
+    def value(l: Int, code: Int): Int = vals(valp(l) + code - minc(l))
+  }
+
+  private final class BitReader(p: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var n = 0
+    var sawEoi = false
+    /** next bit, or -1 on exhausted/EOI. Handles 0xFF00 stuffing;
+      * a real marker ends the stream. */
+    def bit(): Int = {
+      if (n == 0) {
+        if (pos >= p.length) return -1
+        var b = p(pos) & 0xff; pos += 1
+        if (b == 0xff) {
+          if (pos >= p.length) return -1
+          val m = p(pos) & 0xff
+          if (m == 0x00) { pos += 1 } // stuffed 0xFF
+          else { sawEoi = m == 0xd9; pos -= 1; return -1 }
+          b = 0xff
+        }
+        acc = b; n = 8
+      }
+      n -= 1
+      (acc >> n) & 1
+    }
+    def bits(t: Int): Int = {
+      var v = 0; var i = 0
+      while (i < t) {
+        val b = bit()
+        if (b < 0) return -1
+        v = (v << 1) | b
+        i += 1
+      }
+      v
+    }
+    def decode(h: Huff): Int = {
+      var code = bit()
+      if (code < 0) return -1
+      var l = 1
+      while (l <= 16 && (h.maxc(l) < 0 || code > h.maxc(l))) {
+        val b = bit()
+        if (b < 0) return -1
+        code = (code << 1) | b
+        l += 1
+      }
+      if (l > 16) -1 else h.value(l, code)
+    }
+    /** Align to a byte boundary and consume an RSTn marker. */
+    def restart(): Boolean = {
+      n = 0
+      if (pos + 1 >= p.length) return false
+      if ((p(pos) & 0xff) != 0xff) return false
+      val m = p(pos + 1) & 0xff
+      if (m < 0xd0 || m > 0xd7) return false
+      pos += 2
+      true
+    }
+  }
+
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  private final case class Comp(id: Int, h: Int, v: Int, tq: Int) {
+    var dcT = 0; var acT = 0
+  }
+
+  /** Decode a baseline JPEG. Returns grey (channels=1) for single-
+    * component streams, RGB (channels=3) for YCbCr. None on anything
+    * outside the supported envelope. */
+  def decodeJpeg(p: Array[Byte]): Option[Image] = {
+    if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8)
+      return None
+    val quants = new Array[Array[Int]](4)
+    val dcTabs = new Array[Huff](4)
+    val acTabs = new Array[Huff](4)
+    var comps: Array[Comp] = null
+    var width = 0; var height = 0
+    var restartInterval = 0
+    var i = 2
+    while (i + 4 <= p.length) {
+      if ((p(i) & 0xff) != 0xff) return None
+      val marker = p(i + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { i += 2 }
+      else if (marker == 0xd9) return None // EOI before SOS
+      else {
+        val len = ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+        if (len < 2 || i + 2 + len > p.length) return None
+        val at = i + 4
+        marker match {
+          case 0xdb => // DQT: one or more tables
+            var q = at
+            while (q < i + 2 + len) {
+              val pq = (p(q) & 0xff) >> 4
+              val tq = p(q) & 0x0f
+              if (pq != 0 || tq > 3) return None // 8-bit only
+              if (q + 1 + 64 > i + 2 + len) return None
+              val t = new Array[Int](64)
+              var k = 0
+              while (k < 64) { t(Zigzag(k)) = p(q + 1 + k) & 0xff; k += 1 }
+              quants(tq) = t
+              q += 65
+            }
+          case 0xc0 | 0xc1 => // baseline / extended sequential
+            if ((p(at) & 0xff) != 8) return None
+            height = ((p(at + 1) & 0xff) << 8) | (p(at + 2) & 0xff)
+            width = ((p(at + 3) & 0xff) << 8) | (p(at + 4) & 0xff)
+            val n = p(at + 5) & 0xff
+            if (n != 1 && n != 3) return None
+            comps = Array.tabulate(n) { c =>
+              val o = at + 6 + c * 3
+              val hv = p(o + 1) & 0xff
+              Comp(p(o) & 0xff, hv >> 4, hv & 0x0f, p(o + 2) & 0xff)
+            }
+            if (comps.exists(c => c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2))
+              return None
+          case 0xc2 => return None // progressive unsupported
+          case 0xc4 => // DHT: one or more tables
+            var q = at
+            while (q < i + 2 + len) {
+              val clazz = (p(q) & 0xff) >> 4
+              val id = p(q) & 0x0f
+              if (id > 3) return None
+              val counts = Array.tabulate(16)(l => p(q + 1 + l) & 0xff)
+              val total = counts.sum
+              if (q + 17 + total > i + 2 + len) return None
+              val vals = Array.tabulate(total)(k => p(q + 17 + k) & 0xff)
+              val h = new Huff(counts, vals)
+              if (clazz == 0) dcTabs(id) = h else acTabs(id) = h
+              q += 17 + total
+            }
+          case 0xdd =>
+            restartInterval = ((p(at) & 0xff) << 8) | (p(at + 1) & 0xff)
+          case 0xda => // SOS: assign tables, then the entropy data
+            if (comps == null || width <= 0 || height <= 0) return None
+            val ns = p(at) & 0xff
+            if (ns != comps.length) return None
+            var c = 0
+            while (c < ns) {
+              val id = p(at + 1 + c * 2) & 0xff
+              val tt = p(at + 2 + c * 2) & 0xff
+              val comp = comps.find(_.id == id).getOrElse(return None)
+              comp.dcT = tt >> 4; comp.acT = tt & 0x0f
+              c += 1
+            }
+            return decodeScan(p, i + 2 + len, comps, quants, dcTabs,
+              acTabs, width, height, restartInterval)
+          case _ => () // APPn / COM / others: skip
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  private def decodeScan(p: Array[Byte], start: Int, comps: Array[Comp],
+      quants: Array[Array[Int]], dcTabs: Array[Huff], acTabs: Array[Huff],
+      width: Int, height: Int, restartInterval: Int): Option[Image] = {
+    val maxH = comps.map(_.h).max
+    val maxV = comps.map(_.v).max
+    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+    // per-component planes at component resolution
+    val planeW = comps.map(c => mcusX * 8 * c.h)
+    val planeH = comps.map(c => mcusY * 8 * c.v)
+    val planes = comps.indices.map(ci =>
+      new Array[Int](planeW(ci) * planeH(ci))).toArray
+    comps.foreach { c =>
+      if (quants(c.tq) == null) return None
+    }
+    val br = new BitReader(p, start)
+    val preds = new Array[Int](comps.length)
+    val coef = new Array[Int](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!br.restart()) return None
+        java.util.Arrays.fill(preds, 0)
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val comp = comps(ci)
+        val dcT = dcTabs(comp.dcT); val acT = acTabs(comp.acT)
+        if (dcT == null || acT == null) return None
+        val q = quants(comp.tq)
+        var v = 0
+        while (v < comp.v) {
+          var h = 0
+          while (h < comp.h) {
+            // one 8x8 block
+            java.util.Arrays.fill(coef, 0)
+            val t = br.decode(dcT)
+            if (t < 0 || t > 11) return None
+            val diffBits = if (t == 0) 0 else br.bits(t)
+            if (diffBits < 0) return None
+            preds(ci) += extend(diffBits, t)
+            coef(0) = preds(ci) * q(0)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = br.decode(acT)
+              if (rs < 0) return None
+              if (rs == 0x00) eob = true
+              else if (rs == 0xf0) k += 16
+              else {
+                k += rs >> 4
+                val s = rs & 0x0f
+                if (k > 63) return None
+                val vb = br.bits(s)
+                if (vb < 0) return None
+                coef(Zigzag(k)) = extend(vb, s) * q(Zigzag(k))
+                k += 1
+              }
+            }
+            // IDCT into the component plane
+            val ox = (mx * comp.h + h) * 8
+            val oy = (my * comp.v + v) * 8
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                var s = 0.0
+                var u = 0
+                while (u < 8) {
+                  var w = 0
+                  while (w < 8) {
+                    val f = coef(w * 8 + u)
+                    if (f != 0)
+                      s += cScale(u) * cScale(w) * f * cosT(x, u) * cosT(y, w)
+                    w += 1
+                  }
+                  u += 1
+                }
+                planes(ci)((oy + y) * planeW(ci) + ox + x) =
+                  clamp8(math.round(0.25 * s).toInt + 128)
+                x += 1
+              }
+              y += 1
+            }
+            h += 1
+          }
+          v += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    // assemble: sample each plane at component resolution (nearest)
+    if (comps.length == 1) {
+      val out = new Array[Byte](width * height)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          out(y * width + x) = planes(0)(y * planeW(0) + x).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(Image(width, height, 1, out))
+    } else {
+      val out = new Array[Byte](width * height * 3)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val yy = planes(0)((y * comps(0).v / maxV) * planeW(0) +
+            x * comps(0).h / maxH)
+          val cb = planes(1)((y * comps(1).v / maxV) * planeW(1) +
+            x * comps(1).h / maxH)
+          val cr = planes(2)((y * comps(2).v / maxV) * planeW(2) +
+            x * comps(2).h / maxH)
+          val k = (y * width + x) * 3
+          out(k) = clamp8(math.round(yy + 1.402 * (cr - 128)).toInt).toByte
+          out(k + 1) = clamp8(math.round(yy - 0.344136 * (cb - 128) -
+            0.714136 * (cr - 128)).toInt).toByte
+          out(k + 2) = clamp8(math.round(yy + 1.772 * (cb - 128)).toInt).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(Image(width, height, 3, out))
+    }
+  }
+}

@@ -637,6 +637,64 @@ object MultimodalOps {
               CAST(sum((i + 1) * p) AS BIGINT) AS px_wsum
        FROM px GROUP BY doc_id"""
 
+  /** JPEG round-trip under the EXACT hash gate — possible despite
+    * JPEG being lossy because the fixture images are CONSTANT PER
+    * 8x8 BLOCK: every AC coefficient is exactly 0, the DC coefficient
+    * 8*(v-128) is an exact double, and with [[JpegCodec.QuantExact]]
+    * (DC step 8) the quantize/dequantize/IDCT chain reproduces v
+    * exactly (see JpegCodec's object doc for the arithmetic). Each
+    * doc synthesizes a 24x18 grey image whose value varies per
+    * (doc, block), runs encodeJpeg -> decodeJpeg — real markers,
+    * real canonical Huffman, real bit stream with byte stuffing, DC
+    * prediction across blocks, edge-replicated partial MCUs — and
+    * hashes order-pinning integer features of the decoded pixels.
+    * The DuckDB oracle recomputes the block-value formula; it never
+    * sees a JPEG byte. The AC/IDCT/color paths (necessarily inexact
+    * cross-implementation) are bounded against ImageIO in
+    * JpegCodecSpec instead. */
+  def jpegRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { d =>
+          val px = Array.tabulate(PxW * PxH) { i =>
+            val bx = (i % PxW) / 8; val by = (i / PxW) / 8
+            (((d % PxDocMod) * 31 + bx * 7 + by * 13) % 256).toByte
+          }
+          val bytes = JpegCodec.encodeJpeg(
+            PixelCodec.Image(PxW, PxH, 1, px), JpegCodec.QuantExact)
+          val img = JpegCodec.decodeJpeg(bytes).getOrElse(
+            throw new IllegalStateException(s"JPEG decode failed for doc $d"))
+          require(img.width == PxW && img.height == PxH &&
+            img.channels == 1, s"JPEG round-trip shape drifted for doc $d")
+          var sum = 0L; var mn = 255; var mx = 0; var wsum = 0L
+          var i = 0
+          while (i < img.pixels.length) {
+            val v = img.pixels(i) & 0xff
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            wsum += (i + 1L) * v
+            i += 1
+          }
+          (d, sum, mn, mx, wsum)
+        }
+      }.toDF("doc_id", "px_sum", "px_min", "px_max", "px_wsum")
+  }
+
+  /** DuckDB twin: the block-value formula only — never a JPEG byte. */
+  val jpegRoundtripSql: String =
+    s"""WITH px AS (
+         SELECT doc_id, gs.i,
+           ((doc_id % $PxDocMod) * 31 + ((gs.i % $PxW) // 8) * 7 +
+            ((gs.i // $PxW) // 8) * 13) % 256 AS p
+         FROM documents, generate_series(0, ${PxW * PxH - 1}) gs(i))
+       SELECT doc_id, CAST(sum(p) AS BIGINT) AS px_sum,
+              CAST(min(p) AS INT) AS px_min,
+              CAST(max(p) AS INT) AS px_max,
+              CAST(sum((i + 1) * p) AS BIGINT) AS px_wsum
+       FROM px GROUP BY doc_id"""
+
   // ------------------------------------------------- real frame path
 
   val FrameW = 12; val FrameH = 10
