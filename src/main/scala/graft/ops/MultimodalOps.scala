@@ -817,6 +817,73 @@ object MultimodalOps {
          CAST(max(abs(s)) AS INT) AS peak
        FROM t GROUP BY doc_id"""
 
+  /** G.711 mu-law over the real WAV path: PCM synthesis -> mu-law WAV
+    * bytes (format tag 7, a REAL compressed telephony container) ->
+    * chunk-walk decode with per-sample reconstruction -> per-doc
+    * rollup of the RECONSTRUCTED samples, position-pinned. mu-law is
+    * lossy but STATELESS — quantize/reconstruct is a pure integer bit
+    * formula per sample — so the DuckDB oracle applies the same
+    * clip/bias/segment/mantissa algebra to the synthesized PCM and
+    * the hash must match bit-for-bit: a full lossy audio codec under
+    * the exact cross-engine gate, no constant-block trick needed. */
+  def audioUlaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { d =>
+          val n = (800 + d % 400).toInt
+          val samples = Array.tabulate(n)(t =>
+            (((d % PxDocMod) * 31 + t * 17) % 65536 - 32768).toShort)
+          val bytes = PixelCodec.encodeWavUlaw(samples, AudioRate)
+          val (dec, rate) = PixelCodec.decodeWavUlaw(bytes).getOrElse(
+            throw new IllegalStateException(s"ulaw decode failed for doc $d"))
+          require(rate == AudioRate && dec.length == n,
+            s"ulaw round-trip shape drifted for doc $d")
+          var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+          var wsum = 0L
+          var t = 0
+          while (t < n) {
+            val v = dec(t).toInt
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            wsum += (t + 1L) * v
+            t += 1
+          }
+          (d, n.toLong, sum, mn, mx, wsum)
+        }
+      }.toDF("doc_id", "n_samples", "sum_dec", "min_dec", "max_dec", "wsum")
+  }
+
+  /** DuckDB twin: the same clip/bias/segment/mantissa integer algebra
+    * applied to the synthesized PCM — never a WAV byte. */
+  val audioUlawSql: String =
+    s"""WITH t AS (
+         SELECT doc_id, gs.t,
+           ((doc_id % $PxDocMod) * 31 + gs.t * 17) % 65536 - 32768 AS s
+         FROM documents, generate_series(0, 1199) gs(t)
+         WHERE gs.t < 800 + doc_id % 400),
+       q AS (
+         SELECT doc_id, t, s,
+           LEAST(ABS(s), 32635) + 132 AS m FROM t),
+       e AS (
+         SELECT doc_id, t, s, m,
+           CASE WHEN m >= 16384 THEN 7 WHEN m >= 8192 THEN 6
+                WHEN m >= 4096 THEN 5 WHEN m >= 2048 THEN 4
+                WHEN m >= 1024 THEN 3 WHEN m >= 512 THEN 2
+                WHEN m >= 256 THEN 1 ELSE 0 END AS ex FROM q),
+       d AS (
+         SELECT doc_id, t,
+           (CASE WHEN s < 0 THEN -1 ELSE 1 END) *
+             ((((m >> (ex + 3)) & 15) * 8 + 132) * (1 << ex) - 132) AS dec
+         FROM e)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+              CAST(sum(dec) AS BIGINT) AS sum_dec,
+              CAST(min(dec) AS INT) AS min_dec,
+              CAST(max(dec) AS INT) AS max_dec,
+              CAST(sum((t + 1) * dec) AS BIGINT) AS wsum
+       FROM d GROUP BY doc_id"""
+
   // ------------------------------------------- quantized-table spectrogram
 
   /** DFT frame width and probed bins for [[audioSpectrogram]]. */

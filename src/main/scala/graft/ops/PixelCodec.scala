@@ -484,6 +484,80 @@ object PixelCodec {
     if (ok && data != null) Some((data, rate)) else None
   }
 
+  // ----------------------------------------------------------- G.711 u-law
+
+  /** ITU-T G.711 mu-law — COMPRESSED telephony audio (WAV format tag
+    * 7): 16-bit PCM quantized to 8 log-scaled bits per sample. Unlike
+    * ADPCM it is STATELESS — each sample's quantize/reconstruct is a
+    * pure integer bit formula — which is what makes a real lossy
+    * audio codec exactly gateable cross-engine: the DuckDB oracle
+    * applies the same clip/bias/segment/mantissa algebra per sample
+    * (mm_audio_ulaw) and the hashes must agree bit-for-bit. */
+  def ulawEncode(s: Int): Int = {
+    val sign = if (s < 0) 0x80 else 0
+    var m = if (s < 0) -s else s
+    if (m > 32635) m = 32635 // clip (the all-segments-full ceiling)
+    m += 132                 // bias puts the MSB in segment range
+    val exp = 24 - Integer.numberOfLeadingZeros(m) // 0..7 for 132..32767
+    val mant = (m >> (exp + 3)) & 0x0f
+    (~(sign | (exp << 4) | mant)) & 0xff
+  }
+
+  /** Segment midpoint reconstruction, the exact inverse algebra the
+    * oracle mirrors: ((mant*8 + 132) << exp) - 132, negated on the
+    * sign bit. */
+  def ulawDecode(u: Int): Int = {
+    val c = (~u) & 0xff
+    val e = (c >> 4) & 7
+    val t = ((((c & 0x0f) << 3) + 132) << e) - 132
+    if ((c & 0x80) != 0) -t else t
+  }
+
+  /** Mono mu-law WAV (format tag 7, 8 bits per sample). */
+  def encodeWavUlaw(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataSize = samples.length
+    val o = new ByteArrayOutputStream()
+    o.write("RIFF".getBytes("US-ASCII")); le32(o, 36 + dataSize)
+    o.write("WAVE".getBytes("US-ASCII"))
+    o.write("fmt ".getBytes("US-ASCII")); le32(o, 16)
+    le16(o, 7); le16(o, 1); le32(o, sampleRate)
+    le32(o, sampleRate); le16(o, 1); le16(o, 8)
+    o.write("data".getBytes("US-ASCII")); le32(o, dataSize)
+    samples.foreach(s => o.write(ulawEncode(s.toInt)))
+    o.toByteArray
+  }
+
+  /** Decode a mono mu-law WAV to reconstructed 16-bit samples; same
+    * chunk-walk tolerance as [[decodeWav]]. Non-mu-law streams return
+    * None. */
+  def decodeWavUlaw(p: Array[Byte]): Option[(Array[Short], Int)] = {
+    if (p.length < 44 ||
+        new String(p, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(p, 8, 4, "US-ASCII") != "WAVE") return None
+    var i = 12
+    var rate = 0; var ok = false
+    var data: Array[Short] = null
+    while (i + 8 <= p.length) {
+      val id = new String(p, i, 4, "US-ASCII")
+      val len = rdLe32(p, i + 4)
+      if (len < 0 || i + 8 + len > p.length) return None
+      id match {
+        case "fmt " =>
+          if (len < 16) return None
+          val fmt = rdLe16(p, i + 8)
+          val nCh = rdLe16(p, i + 10)
+          rate = rdLe32(p, i + 12)
+          val bps = rdLe16(p, i + 22)
+          ok = fmt == 7 && nCh == 1 && bps == 8 && rate > 0
+        case "data" =>
+          data = Array.tabulate(len)(k => ulawDecode(p(i + 8 + k) & 0xff).toShort)
+        case _ => ()
+      }
+      i += 8 + len + (len & 1)
+    }
+    if (ok && data != null) Some((data, rate)) else None
+  }
+
   // ------------------------------------------------------------------ GIF
 
   /** GIF (CompuServe 87a/89a) — the first genuinely COMPRESSED

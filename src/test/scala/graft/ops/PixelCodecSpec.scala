@@ -192,6 +192,48 @@ class PixelCodecSpec extends AnyFunSuite {
     assert(decodeGif(corrupt).forall(_.pixels.length === 60))
   }
 
+  test("G.711 mu-law: paper vectors, quantize idempotence, error bound, container") {
+    import PixelCodec.{ulawDecode, ulawEncode}
+    // hand vectors from the segment algebra: 0 encodes to 0xFF (sign 0,
+    // segment 0, mantissa 0, complemented) and decodes back to exactly 0
+    assert(ulawEncode(0) === 0xff)
+    assert(ulawDecode(0xff) === 0)
+    assert(ulawDecode(0x7f) === 0) // negative zero: the one duplicate code
+    // byte identity: decoding to the segment midpoint and re-encoding
+    // returns the same byte for every code except negative zero
+    for (u <- 0 until 256 if u != 0x7f)
+      assert(ulawEncode(ulawDecode(u)) === u, s"byte $u")
+    // quantize idempotence + the segment-step error bound (the top
+    // segment quantizes in steps of 1024; clip adds up to 643 at the
+    // extremes -> 1024 bounds everything)
+    for (s <- -32768 to 32767 by 17) {
+      val once = ulawDecode(ulawEncode(s))
+      assert(ulawDecode(ulawEncode(once)) === once, s"idempotence at $s")
+      assert(math.abs(once - s) <= 1024, s"error at $s: ${once - s}")
+      assert((s >= 0) === (once >= 0) || once == 0, s"sign flip at $s")
+    }
+    // monotone non-decreasing reconstruction over the positive range
+    var prev = -1
+    for (s <- 0 to 32767 by 7) {
+      val d = ulawDecode(ulawEncode(s))
+      assert(d >= prev, s"non-monotone at $s")
+      prev = d
+    }
+    // the WAV container round-trips the RECONSTRUCTED samples exactly
+    val samples = Array.tabulate(997)(t =>
+      ((t * 31 + 7) % 65536 - 32768).toShort)
+    val (back, rate) = PixelCodec.decodeWavUlaw(
+      PixelCodec.encodeWavUlaw(samples, 8000)).get
+    assert(rate === 8000 && back.length === 997)
+    assert(back.toSeq === samples.map(s =>
+      ulawDecode(ulawEncode(s.toInt)).toShort).toSeq)
+    // PCM16 WAV bytes are not a mu-law stream and vice versa
+    assert(PixelCodec.decodeWavUlaw(
+      PixelCodec.encodeWav(samples, 8000)) === None)
+    assert(PixelCodec.decodeWav(
+      PixelCodec.encodeWavUlaw(samples, 8000)) === None)
+  }
+
   test("WAV round-trip incl. odd-length-tolerant chunk walk") {
     val samples = Array.tabulate(1000)(t =>
       (((t * 37 + 11) % 65536) - 32768).toShort)
