@@ -1222,6 +1222,42 @@ object LibraryQueries {
               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price
        FROM merged GROUP BY order_yr"""
 
+  /** S38: partition-bloom point lookups under the hash gate. The
+    * table is partitioned by year, so the manifest's min/max on the
+    * HASH-DISTRIBUTED order key covers every partition and prunes
+    * nothing; buildBloomIndex writes one small sidecar bloom per
+    * partition, and each readPointIndexed consults the cached index
+    * to scan only the partitions that might hold the key (BloomIndex
+    * Spec pins the pruning via inputFiles; this gate pins the VALUES
+    * cross-engine — bloom false positives can only widen the scan,
+    * never change results, so the hash is deterministic). Half the
+    * probed keys are absent: misses must return nothing, not error.
+    * At 100 TB this is the takedown-service shape: thousands of point
+    * lookups against a pinned snapshot amortize one index load into
+    * O(1) driver-side membership tests each. */
+  def s38BloomPoint(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_totalprice"),
+      year(col("o_orderdate").cast("date")).as("order_yr"))
+    val root = Files.createTempDirectory("graft-q-s38").toString
+    val store = new VersionedTableStore(s, root)
+    store.commitFull(o, "ord_i", Seq("order_yr"))
+    store.buildBloomIndex("ord_i", "o_orderkey")
+    val keys = Seq(1L, 7L, 32L, 999L, 4999L, 29995L, 57607L, 123456789L)
+    keys.map(k => store.readPointIndexed("ord_i", "o_orderkey", k))
+      .reduce(_.unionByName(_))
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+        col("order_yr"))
+  }
+
+  val s38BloomPointSql: String =
+    """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+              CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_yr
+       FROM orders
+       WHERE o_orderkey IN (1, 7, 32, 999, 4999, 29995, 57607, 123456789)"""
+
   /** S18: incremental aggregate maintenance -- the v1 yearly rollup
     * updated to the v2 state by applying the snapshot changelog
     * (IncrementalAgg over snapshotDiff pre-images), never rescanning
@@ -1548,6 +1584,7 @@ object LibraryQueries {
     "s35_branch_merge" -> (s35BranchMerge _),
     "s36_branch_dml" -> (s36BranchDml _),
     "s37_cherry_pick" -> (s37CherryPick _),
+    "s38_bloom_point" -> (s38BloomPoint _),
     "s18_incremental_agg" -> (s18IncrementalAgg _),
     "s26_incremental_minmax" -> (s26IncrementalMinmax _),
     "q_validation_suite" -> (qValidationSuite _),
@@ -1585,6 +1622,7 @@ object LibraryQueries {
     "s35_branch_merge" -> s35BranchMergeSql,
     "s36_branch_dml" -> s36BranchDmlSql,
     "s37_cherry_pick" -> s37CherryPickSql,
+    "s38_bloom_point" -> s38BloomPointSql,
     "s18_incremental_agg" -> s18IncrementalAggSql,
     "s26_incremental_minmax" -> s26IncrementalMinmaxSql,
     "q_validation_suite" -> qValidationSuiteSql,

@@ -383,6 +383,140 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       .filter(col(column) === lit(value))
   }
 
+  // ------------------------------------------- partition bloom index
+
+  /** Partition-granular bloom index for POINT LOOKUPS on a
+    * non-partition key. Manifest min/max cannot prune a
+    * hash-distributed key (every partition's range covers every
+    * value), and parquet's file-level blooms ([[commitFullIndexed]])
+    * still cost a footer + bloom read per data file; this index
+    * answers "which PARTITIONS might contain key k" from one small
+    * sidecar per rel, loaded once per (table, column, version) and
+    * cached on the driver — the Iceberg-puffin shape. At 100 TB a
+    * takedown service doing thousands of point lookups against a
+    * pinned snapshot amortizes one index load into O(1) driver-side
+    * membership tests per lookup, scanning only the partitions that
+    * might hold the key.
+    *
+    * Built as ONE distributed pass: rows grouped by rel, each group
+    * STREAMED into a `spark.util.sketch` BloomFilter (never
+    * collected), one `<urlbase64(rel)>.bf` file per rel under
+    * `<table>/_bloom/<column>/v<head>/`, with a `_done` marker
+    * written LAST so a crashed build is never half-read. The index
+    * pins the EXACT head version it was built at: after any new
+    * commit [[readPointIndexed]] silently falls back to the
+    * stats-pruned scan, so a stale index can never drop rows. Bloom
+    * false positives only ADD partitions to the scan; the pushed
+    * equality filter keeps results exact either way. Returns the
+    * number of rel blooms written. */
+  def buildBloomIndex(name: String, column: String,
+      expectedPerRel: Long = 100000L, fpp: Double = 0.03): Int = {
+    import org.apache.spark.sql.functions.{col, concat, concat_ws, lit}
+    val keyCol = column
+    val m = current(name).getOrElse(
+      throw new NoSuchElementException(s"no snapshots for $name"))
+    val df = load(name, m)
+    val dt = df.schema(keyCol).dataType.typeName
+    require(Seq("byte", "short", "integer", "long", "string").contains(dt),
+      s"bloom index supports integer-family and string keys; $keyCol is $dt")
+    val relExpr =
+      if (m.partitionBy.isEmpty) lit(".")
+      else concat_ws("/", m.partitionBy.map(c =>
+        concat(lit(s"$c="), col(c).cast("string"))): _*)
+    val isLong = dt != "string"
+    val session = spark
+    import session.implicits._
+    val blooms: Array[(String, Array[Byte])] = df
+      .select(relExpr.as("__rel"), col(keyCol).cast("string").as("__k"))
+      .filter(col("__k").isNotNull)
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (rel, it) =>
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .create(expectedPerRel, fpp)
+        it.foreach { case (_, k) =>
+          if (isLong) bf.putLong(k.toLong) else bf.putString(k)
+        }
+        val bo = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bo)
+        (rel, bo.toByteArray)
+      }.collect()
+    val dir = new Path(s"${path(name)}/_bloom/$column/v${m.version}")
+    if (fs.exists(dir)) fs.delete(dir, true)
+    fs.mkdirs(dir)
+    blooms.foreach { case (rel, bytes) =>
+      val fn = java.util.Base64.getUrlEncoder.withoutPadding
+        .encodeToString(rel.getBytes("UTF-8"))
+      val out = fs.create(new Path(dir, s"$fn.bf"))
+      out.write(bytes); out.close()
+    }
+    fs.create(new Path(dir, "_done")).close()
+    bloomCache.remove((name, column, m.version))
+    blooms.length
+  }
+
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Long),
+    Option[Map[String, org.apache.spark.util.sketch.BloomFilter]]]()
+
+  /** The driver-cached bloom index for (table, column, version), or
+    * None when no complete build exists for that exact version. Also
+    * the catalog's lazy hook: a pushed equality on an indexed column
+    * consults this at scan-planning time (GraftFileIndex). */
+  private[graft] def bloomIndexFor(name: String, column: String,
+      v: Long): Option[Map[String, org.apache.spark.util.sketch.BloomFilter]] =
+    bloomCache.computeIfAbsent((name, column, v), _ => {
+      val dir = new Path(s"${path(name)}/_bloom/$column/v$v")
+      if (!fs.exists(new Path(dir, "_done"))) None
+      else Some(fs.listStatus(dir).toSeq
+        .filter(_.getPath.getName.endsWith(".bf"))
+        .map { st =>
+          val rel = new String(java.util.Base64.getUrlDecoder.decode(
+            st.getPath.getName.stripSuffix(".bf")), "UTF-8")
+          val in = fs.open(st.getPath)
+          val bf =
+            try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+            finally in.close()
+          rel -> bf
+        }.toMap)
+    })
+
+  /** [[readPoint]] through the partition bloom index when one exists
+    * for the current head version; stats-pruned scan otherwise. A rel
+    * with no bloom (e.g. its keys were all null at build time) is
+    * scanned conservatively. */
+  def readPointIndexed(name: String, column: String,
+      value: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val m = current(name).getOrElse(
+      throw new NoSuchElementException(s"no snapshots for $name"))
+    bloomIndexFor(name, column, m.version) match {
+      case Some(idx) =>
+        val keep = m.mapping.filter { case (rel, _) =>
+          idx.get(rel).forall(_.mightContainLong(value)) }
+        load(name, m.copy(mapping = keep))
+          .filter(col(column) === lit(value))
+      case None => readPoint(name, column, value)
+    }
+  }
+
+  /** String-key twin of [[readPointIndexed]]. */
+  def readPointIndexedString(name: String, column: String,
+      value: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val m = current(name).getOrElse(
+      throw new NoSuchElementException(s"no snapshots for $name"))
+    bloomIndexFor(name, column, m.version) match {
+      case Some(idx) =>
+        val keep = m.mapping.filter { case (rel, _) =>
+          idx.get(rel).forall(_.mightContainString(value)) }
+        load(name, m.copy(mapping = keep))
+          .filter(col(column) === lit(value))
+      case None =>
+        load(name, m).filter(col(column) === lit(value))
+    }
+  }
+
   /** Range scan with manifest-stats skipping on a DATE column -- the
     * single most common prune predicate in a warehouse. Spark casts
     * DATE to ISO `yyyy-MM-dd` strings when the commit records stats,

@@ -429,7 +429,10 @@ class GraftTable(st: VersionedTableStore, tableName: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     GraftScanPlanning.scanBuilder(st.spark,
       GraftScanPlanning.fileIndex(st.spark, partitionSchema,
-        snapshot.entries, snapshot.stats),
+        snapshot.entries, snapshot.stats,
+        // lazy hook: a pushed equality on an indexed column prunes
+        // partitions via the version-pinned bloom sidecars
+        bloomFor = c => st.bloomIndexFor(tableName, c, snapshot.version)),
       schema(), dataSchema, options, partitionSchema,
       stream = if (pinnedVersion.isEmpty)
         Some(org.apache.spark.sql.graft.GraftStreamSpec(st.root, tableName))

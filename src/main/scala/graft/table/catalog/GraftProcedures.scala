@@ -39,7 +39,7 @@ private[catalog] object GraftProcedures {
     "cluster_by", "cluster_by_z", "tag", "expire_snapshots",
     "publish_staged", "drop_staged", "delete_keys", "vacuum", "audit",
     "create_branch", "drop_branch", "fast_forward", "merge_branch",
-    "cherry_pick", "expire_branch")
+    "cherry_pick", "expire_branch", "build_bloom_index")
 
   def load(storeF: () => VersionedTableStore,
       name: String): UnboundProcedure = name match {
@@ -102,6 +102,13 @@ private[catalog] object GraftProcedures {
       "reclaim orphaned staging/delete dirs older than min_age_ms",
       Seq("table" -> StringType, "min_age_ms" -> LongType)) { (st, r) =>
       st.vacuum(str(r, 0), r.getLong(1))
+    }
+    case "build_bloom_index" => proc(storeF, name,
+      "partition bloom sidecars for point lookups on a non-partition key",
+      Seq("table" -> StringType, "column" -> StringType,
+        "expected_per_rel" -> LongType)) { (st, r) =>
+      st.buildBloomIndex(str(r, 0), str(r, 1),
+        expectedPerRel = r.getLong(2)).toLong
     }
     case "audit" => new UnboundProcedure {
       override def name(): String = "audit"

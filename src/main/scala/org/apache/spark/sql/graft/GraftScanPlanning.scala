@@ -85,7 +85,10 @@ object GraftScanPlanning {
     * tables; `stats` its (rel, column, min, max) rows. */
   def fileIndex(spark: SparkSession, partitionSchema: StructType,
       entries: Seq[(String, String)],
-      stats: Seq[(String, String, String, String)]): GraftFileIndex = {
+      stats: Seq[(String, String, String, String)],
+      bloomFor: String =>
+        Option[Map[String, org.apache.spark.util.sketch.BloomFilter]] =
+        _ => None): GraftFileIndex = {
     val cs = classic(spark)
     val conf = cs.sessionState.newHadoopConf()
     val tz = cs.sessionState.conf.sessionLocalTimeZone
@@ -108,7 +111,7 @@ object GraftScanPlanning {
     }
     val relOfLeaf: Map[String, String] = entries.map(_._1).zip(leafDirs)
       .map { case (rel, leaf) => leaf.toString -> rel }.toMap
-    new GraftFileIndex(cs, leafDirs, spec, statsByRel, relOfLeaf)
+    new GraftFileIndex(cs, leafDirs, spec, statsByRel, relOfLeaf, bloomFor)
   }
 
   /** The scan builder Spark's v2 pushdown drives: the same
@@ -203,7 +206,10 @@ object GraftScanPlanning {
 class GraftFileIndex(spark: org.apache.spark.sql.classic.SparkSession,
     leafDirs: Seq[Path], spec: PartitionSpec,
     statsByRel: Map[String, Map[String, (BigDecimal, BigDecimal)]],
-    private[graft] val relOfLeaf: Map[String, String])
+    private[graft] val relOfLeaf: Map[String, String],
+    bloomFor: String =>
+      Option[Map[String, org.apache.spark.util.sketch.BloomFilter]] =
+      _ => None)
   extends InMemoryFileIndex(spark, leafDirs, Map.empty[String, String], None,
     FileStatusCache.getOrCreate(spark), Some(spec), None) {
 
@@ -211,12 +217,29 @@ class GraftFileIndex(spark: org.apache.spark.sql.classic.SparkSession,
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, dataFilters)
     val bounds = GraftScanPlanning.filterBounds(dataFilters)
-    if (bounds.isEmpty || statsByRel.isEmpty) return base
+    if (bounds.isEmpty) return base
+    // partition bloom consultation is LAZY and per-query: only an
+    // EQUALITY bound (lo == hi, long-valued) on a column with a
+    // complete index for this exact snapshot loads blooms — point
+    // lookups through plain SQL get the sidecar pruning for free,
+    // range scans never pay the load. A bloom can only say
+    // "definitely absent": false positives widen the scan, never the
+    // results, and a rel missing from the index scans conservatively.
+    val equalities: Map[String,
+        (Long, Map[String, org.apache.spark.util.sketch.BloomFilter])] =
+      bounds.collect {
+        case (c, (lo, hi)) if lo == hi && lo.isValidLong => c -> lo
+      }.flatMap { case (c, v) =>
+        bloomFor(c).map(idx => c -> ((v.toLong, idx)))
+      }
+    if (equalities.isEmpty && statsByRel.isEmpty) return base
     def survives(file: Path): Boolean = {
       val rel = relOfLeaf.get(file.getParent.toString)
       val st = rel.flatMap(statsByRel.get).getOrElse(Map.empty)
       bounds.forall { case (c, (lo, hi)) =>
         st.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      } && equalities.forall { case (_, (v, idx)) =>
+        rel.flatMap(idx.get).forall(_.mightContainLong(v))
       }
     }
     base.map(pd => pd.copy(files = pd.files.filter(f => survives(f.getPath))))

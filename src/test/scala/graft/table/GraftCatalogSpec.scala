@@ -888,6 +888,50 @@ class GraftCatalogSpec extends AnyFunSuite {
       .as[Long].head === 8)
   }
 
+  test("build_bloom_index through SQL CALL writes per-partition sidecars") {
+    store.commitFull(rows(1950 to 1959, 5), "blm", Seq("yr"))
+    assert(spark.sql(
+      "CALL gtest.system.build_bloom_index('blm', 'v', CAST(1000 AS BIGINT))")
+      .as[Long].head() === 10L)
+    // indexed lookup agrees with a plain filter, hit and miss
+    assert(store.readPointIndexed("blm", "v", 1955003L)
+      .select("tag").as[String].collect().toSeq === Seq("r1955-3"))
+    assert(store.readPointIndexed("blm", "v", 42L).count() === 0)
+  }
+
+  test("pushed SQL equality consults the bloom index at scan planning") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, GreaterThan, Literal}
+    import org.apache.spark.sql.graft.GraftScanPlanning
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+    store.commitFull(rows(1950 to 1959, 5), "blmq", Seq("yr"))
+    spark.sql(
+      "CALL gtest.system.build_bloom_index('blmq', 'v', CAST(1000 AS BIGINT))")
+    // end-to-end through plain SQL: values exact, hit and miss
+    assert(spark.sql(
+      "SELECT tag FROM gtest.default.blmq WHERE v = 1955003")
+      .as[String].collect().toSeq === Seq("r1955-3"))
+    assert(spark.sql(
+      "SELECT tag FROM gtest.default.blmq WHERE v = 42").count() === 0)
+    // plan-level: the file index lists ONLY the owning partition's
+    // files for a pushed equality (the manifest min/max on this key
+    // covers every year, so any pruning here is the bloom's)
+    val snap = store.snapshotView("blmq", None)
+    val pSchema = StructType.fromDDL("yr INT")
+    val fi = GraftScanPlanning.fileIndex(spark, pSchema, snap.entries,
+      snap.stats, bloomFor = c =>
+        store.bloomIndexFor("blmq", c, snap.version))
+    val eq = EqualTo(AttributeReference("v", LongType)(), Literal(1955003L))
+    val files = fi.listFiles(Nil, Seq(eq)).flatMap(_.files)
+      .map(_.getPath.toString)
+    assert(files.nonEmpty && files.forall(_.contains("yr=1955")),
+      s"bloom should prune to yr=1955, scanned: ${files.take(3)}")
+    // a RANGE bound never consults blooms: all ten years scan
+    val gt = GreaterThan(AttributeReference("v", LongType)(),
+      Literal(Long.MinValue))
+    val all = fi.listFiles(Nil, Seq(gt)).flatMap(_.files)
+    assert(all.size >= 10, s"range filter must not bloom-prune: ${all.size}")
+  }
+
   test("branch INSERT after branch-side evolveSchema aligns to the BRANCH schema") {
     store.commitFull(rows(1970 to 1970, 2), "bevo", Seq("yr"))
     store.createBranch("bevo", "dev")
