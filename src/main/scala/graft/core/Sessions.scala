@@ -23,6 +23,12 @@ object Sessions {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // column-identity reads (metadata-only RENAME COLUMN): the store
+    // stamps parquet field IDs on its read schemas; matching by ID is
+    // what serves pre-rename files under post-rename names. Only
+    // schemas CARRYING ID metadata change behavior, so this is inert
+    // for every other read. See graft.table.FieldIds.
+    .config("spark.sql.parquet.fieldId.read.enabled", "true")
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
     // The test tables are single small parquet files; the default
@@ -52,6 +58,7 @@ object Sessions {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     spark
   }
 }

@@ -1258,6 +1258,76 @@ object LibraryQueries {
        FROM orders
        WHERE o_orderkey IN (1, 7, 32, 999, 4999, 29995, 57607, 123456789)"""
 
+  /** S39: METADATA-ONLY column evolution under the hash gate —
+    * `ALTER TABLE ... RENAME COLUMN` and `ALTER COLUMN ... TYPE`
+    * (lossless widening) as pure SQL against the catalog, zero data
+    * rewritten by either statement. The flow deliberately interleaves
+    * file generations with the evolution: a multi-partition INT32
+    * base load, rename `amt` -> `amount`, widen INT -> BIGINT, a
+    * post-widen INSERT whose values EXCEED int range (proof the
+    * widening is real, not a cast-on-read of int data), then a
+    * row-level UPDATE over a PRE-rename partition (proof the
+    * executor-staged rewrite resolves and re-stamps the renamed
+    * column's field ID). The final aggregate therefore reads three
+    * file generations — narrow/pre-rename, wide/post-rename, and
+    * staged-rewrite — through one schema. Oracle reconstructs with
+    * CASE algebra; history booleans are retry-invariant (the s29
+    * discipline: counts and comparisons, never version literals).
+    * Scale: both ALTERs are one manifest CAS each at any table size —
+    * the 100 TB rename story this engine's store exists to tell. */
+  def s39RenameWiden(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      floor(col("o_totalprice")).cast("int").as("amt"),
+      year(col("o_orderdate").cast("date")).as("order_yr"))
+    o.createOrReplaceTempView("s39_src")
+    val root = Files.createTempDirectory("graft-q-s39").toString
+    val cat = "gq" + java.lang.Long.toHexString(
+      org.apache.spark.unsafe.types.UTF8String.fromString(root).hashCode()
+        .toLong & 0xffffffffL)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.table.catalog.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"""CREATE TABLE $cat.default.ord
+              (o_orderkey BIGINT, amt INT, order_yr INT)
+              PARTITIONED BY (order_yr)""")
+    s.sql(s"""INSERT INTO $cat.default.ord
+              SELECT o_orderkey, amt, order_yr FROM s39_src
+              WHERE order_yr < 1998""")
+    s.sql(s"ALTER TABLE $cat.default.ord RENAME COLUMN amt TO amount")
+    s.sql(s"ALTER TABLE $cat.default.ord ALTER COLUMN amount TYPE BIGINT")
+    s.sql(s"""INSERT INTO $cat.default.ord
+              SELECT o_orderkey, CAST(amt AS BIGINT) * 1000000, order_yr
+              FROM s39_src WHERE order_yr >= 1998""")
+    s.sql(s"""UPDATE $cat.default.ord SET amount = amount + 7
+              WHERE order_yr = 1996""")
+    s.sql(
+      s"""SELECT t.order_yr, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(t.amount) AS BIGINT) AS total,
+                 h.hist_covers, h.head_past
+          FROM $cat.default.ord t
+          CROSS JOIN (SELECT CAST(count(*) >= 6 AS BOOLEAN) AS hist_covers,
+                             CAST(max(version) >= count(*) AS BOOLEAN)
+                               AS head_past
+                      FROM $cat.default.ord.history) h
+          GROUP BY t.order_yr, h.hist_covers, h.head_past""")
+  }
+
+  val s39RenameWidenSql: String =
+    """WITH src AS (
+         SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS amt,
+                CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_yr
+         FROM orders),
+       live AS (
+         SELECT order_yr,
+                CASE WHEN order_yr = 1996 THEN amt + 7
+                     WHEN order_yr >= 1998 THEN amt * 1000000
+                     ELSE amt END AS amount
+         FROM src)
+       SELECT order_yr, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(amount) AS BIGINT) AS total,
+              TRUE AS hist_covers, TRUE AS head_past
+       FROM live GROUP BY order_yr"""
+
   /** S18: incremental aggregate maintenance -- the v1 yearly rollup
     * updated to the v2 state by applying the snapshot changelog
     * (IncrementalAgg over snapshotDiff pre-images), never rescanning
@@ -1585,6 +1655,7 @@ object LibraryQueries {
     "s36_branch_dml" -> (s36BranchDml _),
     "s37_cherry_pick" -> (s37CherryPick _),
     "s38_bloom_point" -> (s38BloomPoint _),
+    "s39_rename_widen" -> (s39RenameWiden _),
     "s18_incremental_agg" -> (s18IncrementalAgg _),
     "s26_incremental_minmax" -> (s26IncrementalMinmax _),
     "q_validation_suite" -> (qValidationSuite _),
@@ -1623,6 +1694,7 @@ object LibraryQueries {
     "s36_branch_dml" -> s36BranchDmlSql,
     "s37_cherry_pick" -> s37CherryPickSql,
     "s38_bloom_point" -> s38BloomPointSql,
+    "s39_rename_widen" -> s39RenameWidenSql,
     "s18_incremental_agg" -> s18IncrementalAggSql,
     "s26_incremental_minmax" -> s26IncrementalMinmaxSql,
     "q_validation_suite" -> qValidationSuiteSql,

@@ -91,6 +91,14 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     val statsFor: String => Seq[String] = _ => Nil) extends WarehouseWrites {
   require(keepSnapshots >= 1, "keepSnapshots must be >= 1")
 
+  // Column-identity reads need Spark's field-ID matching switched on
+  // (default off). Set once at store construction — constant `true`,
+  // never toggled back, and it only changes behavior for read schemas
+  // that CARRY ID metadata, which only this store produces — so a
+  // gated query creating a store mid-suite does not perturb how any
+  // other query plans (the s31/s32 conf-hermeticity lesson).
+  spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
   private def fs =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -119,6 +127,11 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     * residual triple-race window (a below-head commit surviving a
     * doubly-raced swap) DETECTABLE after the fact instead of
     * silent. */
+  /** `fieldIds`: the column-identity ledger — (logical name, stable
+    * parquet field ID) per schema column; see [[FieldIds]]. Empty on
+    * pre-identity tables (assigned by the next full rewrite). A
+    * rename rewrites the NAME half only; the ID half never changes
+    * for a live column and is never reused. */
   private[table] case class Manifest(version: Long, partitionBy: Seq[String],
       mapping: Seq[(String, String)], schemaDDL: String = "",
       stats: Seq[(String, String, String, String)] = Nil,
@@ -127,7 +140,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       wap: String = "",
       txn: String = "",
       deletes: Seq[(String, String)] = Nil,
-      branch: String = "")
+      branch: String = "",
+      fieldIds: Seq[(String, Int)] = Nil)
 
   private val Header = "graft-manifest-v1"
   private val End = "end"
@@ -154,6 +168,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         s"stat\t${enc(c)}\t${enc(mn)}\t${enc(mx)}\t${enc(rel)}" }
     val delEntries = m.deletes.map { case (d, cols) =>
       s"del\t$d\t${enc(cols)}" }
+    val fidEntries = m.fieldIds.map { case (n, id) =>
+      s"fid\t${enc(n)}\t$id" }
     (Seq(Header, s"version=${m.version}",
       s"parent=${m.parent}",
       s"committedAt=${m.committedAtMs}",
@@ -161,7 +177,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       s"txn=${m.txn}",
       s"branch=${m.branch}",
       s"partitionBy=${m.partitionBy.mkString(",")}",
-      s"schema=${m.schemaDDL}") ++ entries ++ statEntries ++ delEntries :+ End)
+      s"schema=${m.schemaDDL}") ++ entries ++ statEntries ++ delEntries ++
+      fidEntries :+ End)
       .mkString("\n")
   }
 
@@ -189,6 +206,12 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
           val Array(_, d, cols) = l.split("\t", 3)
           (d, dec(cols))
       }
+      // absent on pre-identity manifests: empty ledger (back-compat)
+      val fids = lines.collect {
+        case l if l.startsWith("fid\t") =>
+          val Array(_, n, id) = l.split("\t", 3)
+          (dec(n), id.toInt)
+      }
       val pby = fields("partitionBy") match {
         case "" => Nil; case s => s.split(",").toSeq
       }
@@ -199,7 +222,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         fields.getOrElse("wap", ""),
         fields.getOrElse("txn", ""),
         dels,
-        fields.getOrElse("branch", "")))
+        fields.getOrElse("branch", ""),
+        fids))
     } else None
   }
 
@@ -667,7 +691,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     catalog.GraftSnapshot(m.version, m.partitionBy, m.schemaDDL,
       m.mapping.map { case (rel, d) => rel -> s"${dataRoot(name)}/$d" },
       m.stats, m.committedAtMs, m.parent,
-      m.deletes.map { case (d, c) => s"${dataRoot(name)}/$d" -> c })
+      m.deletes.map { case (d, c) => s"${dataRoot(name)}/$d" -> c },
+      m.fieldIds)
   }
 
   /** Metadata-only schema evolution: commit a new snapshot that
@@ -709,7 +734,146 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     casManifest(name,
       Manifest(v, m.partitionBy, m.mapping, next.toDDL,
         m.stats.filter(s => keep(s._2)), deletes = m.deletes,
-        branch = branch),
+        branch = branch,
+        // ledgered tables extend the ledger for ADDed columns (their
+        // future files stamp the new ID; existing files simply lack
+        // the column); DROPped names fall out. Pre-identity tables
+        // stay unledgered — retained files carry no IDs.
+        fieldIds = if (m.fieldIds.isEmpty) Nil
+          else FieldIds.assign(next.fieldNames.toIndexedSeq, m.fieldIds)),
+      observedParent = m.version)
+    expireSnapshots(name)
+    v
+  }
+
+  /** METADATA-ONLY column rename — one manifest commit, zero data
+    * I/O, at any table size. Backed by the column-identity ledger
+    * (see [[FieldIds]]): files record the column's stable field ID,
+    * readers match by ID, so the logical name is free to change. The
+    * classic alternative ("add + backfill + drop") rewrites the whole
+    * table — at 100 TB that is the difference between a pointer swap
+    * and a day of I/O.
+    *
+    * Constraints (each throws, nothing committed):
+    *  - the table must be ledgered (created/rewritten by this store
+    *    version); pre-identity tables must [[compact]] first — that
+    *    full rewrite assigns IDs;
+    *  - the session must have `spark.sql.parquet.fieldId.read.enabled`
+    *    on (the store's constructor and [[graft.core.Sessions]] set
+    *    it) — without it a name-matched read of pre-rename files
+    *    would silently serve NULLs;
+    *  - partition columns cannot rename: rel paths encode
+    *    `name=value`;
+    *  - no pending merge-on-read delete batch may reference the
+    *    column: its key files were written under the old name and
+    *    are read BY NAME (run [[compact]] to apply them first);
+    *  - the new name must be free (case-insensitively, matching
+    *    Spark's resolution).
+    *
+    * Follow-on semantics: manifest stats rows follow the rename (range
+    * pruning keeps working); a version-pinned bloom sidecar index is
+    * keyed by the OLD name and simply stops matching — point lookups
+    * fall back to the stats-pruned scan (rebuild the index under the
+    * new name if lookup latency matters). `VERSION AS OF` a
+    * pre-rename snapshot serves the OLD name, as a versioned store
+    * should. Caller-managed registries (the catalog's statsColumns
+    * config) are the caller's to update. */
+  def renameColumn(name: String, from: String, to: String,
+      branch: String = ""): Long = {
+    val m = currentOn(name, branch).getOrElse(
+      throw new NoSuchElementException(
+        if (branch.isEmpty) s"no snapshots for $name"
+        else s"$name has no branch `$branch`"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDDL)
+    require(m.fieldIds.nonEmpty && schema.fieldNames.forall(n =>
+        m.fieldIds.exists(_._1 == n)),
+      s"$name predates column identity (no field-ID ledger): compact() " +
+        "first — the full rewrite assigns stable IDs, after which renames " +
+        "are metadata-only")
+    require(spark.conf.get("spark.sql.parquet.fieldId.read.enabled",
+        "false").toBoolean,
+      "renameColumn needs spark.sql.parquet.fieldId.read.enabled=true " +
+        "(set by graft.core.Sessions and the store constructor); without " +
+        "it pre-rename files would silently read as NULL under the new name")
+    val f = schema.find(_.name == from).getOrElse(
+      throw new IllegalArgumentException(s"$name has no column `$from`"))
+    require(!m.partitionBy.contains(from),
+      s"cannot rename partition column `$from`: rel paths encode its name")
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"$name already has a column `$to`")
+    require(to.nonEmpty && !to.exists(c => c == '.' || c == '`'),
+      s"invalid column name `$to`")
+    m.deletes.foreach { case (_, cols) =>
+      require(!cols.split(",").contains(from),
+        s"cannot rename `$from`: a pending merge-on-read delete batch " +
+          "keys on it (key files are name-addressed) — compact() to apply " +
+          "pending deletes first")
+    }
+    val next = org.apache.spark.sql.types.StructType(
+      schema.map(x => if (x.name == from) x.copy(name = to) else x))
+    val v = nextVersion(name)
+    casManifest(name,
+      Manifest(v, m.partitionBy, m.mapping, next.toDDL,
+        m.stats.map(s => if (s._2 == from) (s._1, to, s._3, s._4) else s),
+        deletes = m.deletes, branch = branch,
+        fieldIds = m.fieldIds.map { case (n, id) =>
+          (if (n == from) to else n) -> id }),
+      observedParent = m.version)
+    expireSnapshots(name)
+    v
+  }
+
+  /** Widening promotions [[widenColumn]] accepts, verified against
+    * Spark 4's parquet readers (SPARK-40876): each reads old narrow
+    * files and new wide files under ONE schema, vectorized, exactly. */
+  private val Widenings: Map[String, Set[String]] = Map(
+    "byte" -> Set("short", "integer", "long"),
+    "short" -> Set("integer", "long"),
+    "integer" -> Set("long"),
+    "float" -> Set("double"))
+
+  /** METADATA-ONLY type widening — one manifest commit, zero data
+    * I/O. Spark 4's parquet readers serve narrow stored values under
+    * a wider read schema natively (SPARK-40876): INT32 files under a
+    * BIGINT column, FLOAT under DOUBLE, and DECIMAL(p,s) under any
+    * DECIMAL(p',s') with p'-s' >= p-s and s' >= s. Files written
+    * after the widening store the wide type; a scan unions both
+    * widths exactly. Partition columns are rejected (readers cast
+    * path values with the manifest type, and [[evolveSchema]] pins
+    * partition types for the same reason). Unlike renames this needs
+    * no ledger: matching stays by name. */
+  def widenColumn(name: String, column: String,
+      newType: org.apache.spark.sql.types.DataType,
+      branch: String = ""): Long = {
+    import org.apache.spark.sql.types.DecimalType
+    val m = currentOn(name, branch).getOrElse(
+      throw new NoSuchElementException(
+        if (branch.isEmpty) s"no snapshots for $name"
+        else s"$name has no branch `$branch`"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDDL)
+    val f = schema.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(s"$name has no column `$column`"))
+    require(!m.partitionBy.contains(column),
+      s"cannot retype partition column `$column`: rel paths encode its " +
+        "values under the manifest type")
+    val ok = (f.dataType, newType) match {
+      case (a, b) if a == b => false // no-op is a caller bug, reject below
+      case (a: DecimalType, b: DecimalType) =>
+        b.precision - b.scale >= a.precision - a.scale && b.scale >= a.scale
+      case (a, b) =>
+        Widenings.get(a.typeName).exists(_.contains(b.typeName))
+    }
+    require(ok,
+      s"widenColumn `$column`: ${f.dataType.sql} -> ${newType.sql} is not " +
+        "a lossless parquet widening (supported: byte/short/int -> wider " +
+        "ints, float -> double, decimal(p,s) -> decimal(p',s') with " +
+        "p'-s' >= p-s and s' >= s)")
+    val next = org.apache.spark.sql.types.StructType(
+      schema.map(x => if (x.name == column) x.copy(dataType = newType) else x))
+    val v = nextVersion(name)
+    casManifest(name,
+      Manifest(v, m.partitionBy, m.mapping, next.toDDL, m.stats,
+        deletes = m.deletes, branch = branch, fieldIds = m.fieldIds),
       observedParent = m.version)
     expireSnapshots(name)
     v
@@ -778,7 +942,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     beforeSwap(name, v)
     try casManifest(name,
       Manifest(v, m.partitionBy, mapping, m.schemaDDL, stats,
-        deletes = m.deletes),
+        deletes = m.deletes, fieldIds = m.fieldIds),
       observedParent = m.version)
     catch { case e: ConcurrentWriteException =>
       fs.delete(new Path(s"${dataRoot(name)}/$dirId"), true); throw e
@@ -822,7 +986,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     * same as the row-level append path. An empty `writtenRels` (an
     * empty epoch) burns no snapshot. */
   private[table] def commitStagedAppend(name: String, dirId: String,
-      writtenRels: Set[String], txn: String = ""): Long = {
+      writtenRels: Set[String], txn: String = "",
+      writerIds: Seq[(String, Int)] = Nil): Long = {
     def dropStaging(): Unit = {
       val p = new Path(s"${dataRoot(name)}/$dirId")
       if (fs.exists(p)) fs.delete(p, true)
@@ -837,13 +1002,42 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         return m.version
       }
       if (writtenRels.isEmpty) { dropStaging(); return m.version }
+      // Column-identity guard for long-running writers: the staged
+      // files were ID-stamped (or not) with the ledger the writer
+      // CAPTURED at construction. Appending unstamped files under a
+      // now-ledgered head (a full rewrite assigned identities while
+      // the stream ran), or files whose ID for a still-named column
+      // disagrees (a drop + re-add reassigned it), would brick or
+      // null out reads — reject the epoch loudly; the stream restarts
+      // against the new head. A head-side RENAME is fine: the
+      // writer's old-name files carry the same ID the new name maps
+      // to.
+      if (m.fieldIds.nonEmpty) {
+        if (writerIds.isEmpty) {
+          dropStaging()
+          throw new ConcurrentWriteException(
+            s"$name gained column identities (a full rewrite) while this " +
+              "writer was running — its staged files carry no field IDs; " +
+              "restart the writer against the current head")
+        }
+        val headByName = m.fieldIds.toMap
+        val clash = writerIds.find { case (n, id) =>
+          headByName.get(n).exists(_ != id) }
+        clash.foreach { case (n, id) =>
+          dropStaging()
+          throw new ConcurrentWriteException(
+            s"$name column `$n` changed identity (writer stamped ID $id, " +
+              s"head ledger has ${headByName(n)}) while this writer was " +
+              "running — restart the writer against the current head")
+        }
+      }
       val v = nextVersion(name)
       val mapping = m.mapping ++ writtenRels.toSeq.sorted.map(_ -> dirId)
       val stats = m.stats.filterNot(s => writtenRels(s._1))
       try {
         casManifest(name,
           Manifest(v, m.partitionBy, mapping, m.schemaDDL, stats, txn = txn,
-            deletes = m.deletes),
+            deletes = m.deletes, fieldIds = m.fieldIds),
           observedParent = m.version)
         expireSnapshots(name)
         return v
@@ -1002,7 +1196,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       val v = nextVersion(name)
       try {
         casManifest(name, Manifest(v, m.partitionBy, m.mapping, m.schemaDDL,
-          m.stats, deletes = m.deletes :+ (delDir -> keyCols.mkString(","))),
+          m.stats, deletes = m.deletes :+ (delDir -> keyCols.mkString(",")),
+          fieldIds = m.fieldIds),
           observedParent = m.version)
         expireSnapshots(name)
         return v
@@ -1037,8 +1232,14 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     * no partition dirs at all) short-circuits to an empty DataFrame
     * with the committed schema. */
   private def load(name: String, m: Manifest): DataFrame = {
+    // ID-stamped read schema: columns resolve by field ID (renames
+    // served metadata-only), falling back to the plain name-matched
+    // read on pre-identity tables. Partition columns come from rel
+    // paths, not files — never stamped (see FieldIds invariant).
     val schema = Option(m.schemaDDL).filter(_.nonEmpty)
       .map(org.apache.spark.sql.types.StructType.fromDDL)
+      .map(s => FieldIds.stamp(s,
+        m.fieldIds.filterNot { case (n, _) => m.partitionBy.contains(n) }))
     if (m.mapping.isEmpty)
       return schema.map(s => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
@@ -1055,12 +1256,16 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     // merge-on-read equality deletes: each pending batch anti-joins
     // its key set out of the scan (broadcast: takedown-sized by
     // contract, and compact/any full rewrite applies + clears them)
-    m.deletes.foldLeft(df) { case (acc, (dd, cols)) =>
+    val afterDeletes = m.deletes.foldLeft(df) { case (acc, (dd, cols)) =>
       val keyCols = cols.split(",").toSeq
       val keys = spark.read.parquet(s"${dataRoot(name)}/$dd")
       acc.join(org.apache.spark.sql.functions.broadcast(keys),
         keyCols, "left_anti")
     }
+    // field-ID metadata served its purpose (file matching above);
+    // strip it so downstream writes never inherit this table's
+    // identities (see FieldIds.stripDf)
+    FieldIds.stripDf(afterDeletes)
   }
 
   /** Live commits or expiry tombstones with a version beyond
@@ -1270,8 +1475,12 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
   private def writeData(df: DataFrame, name: String, dirId: String,
       partitionBy: Seq[String], bloomFilterColumns: Seq[String] = Nil,
       parquetBlockSize: Option[Long] = None,
-      bloomExpectedNdv: Option[Long] = None): Unit = {
-    var w = df.write.mode(SaveMode.ErrorIfExists)
+      bloomExpectedNdv: Option[Long] = None,
+      fieldIds: Seq[(String, Int)] = Nil): Unit = {
+    // column-identity stamp: files record each column's field ID so
+    // later renames resolve metadata-only (see FieldIds)
+    var w = FieldIds.stampDf(df, fieldIds)
+      .write.mode(SaveMode.ErrorIfExists)
     // per-column parquet bloom filters: the file-level secondary index
     // for point lookups on a NON-clustered high-cardinality key --
     // row-group min/max can't prune a key in random order, a bloom
@@ -1341,10 +1550,25 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
           " (partition-delta commits cannot change the table layout;" +
           " use commitFull for a layout-evolving rewrite)")
     }
+    // column identity (see [[FieldIds]]): a FULL commit rewrites every
+    // live file, so it may (re-)assign the ledger — names carried over
+    // keep their IDs, new names mint fresh ones; a DELTA retains parent
+    // files, so it carries the parent's ledger (extended for columns
+    // the batch introduces) and must never introduce one on a
+    // pre-identity table (retained files lack IDs).
+    val fieldIds: Seq[(String, Int)] =
+      if (!deltaPartitions)
+        FieldIds.assign(df.schema.fieldNames.toIndexedSeq,
+          parent.map(_.fieldIds).getOrElse(Nil))
+      else parent match {
+        case Some(p) if p.fieldIds.nonEmpty =>
+          FieldIds.assign(df.schema.fieldNames.toIndexedSeq, p.fieldIds)
+        case _ => Nil
+      }
     val v = nextVersion(name)
     val dirId = freshDataDir(name, v)
     writeData(df, name, dirId, partitionBy, bloomFilterColumns,
-      parquetBlockSize, bloomExpectedNdv)
+      parquetBlockSize, bloomExpectedNdv, fieldIds)
     val written: Seq[(String, String)] =
       if (partitionBy.isEmpty) Seq("." -> dirId)
       else partitionRels(new Path(s"${dataRoot(name)}/$dirId"), partitionBy.size)
@@ -1398,7 +1622,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     beforeSwap(name, v)
     try casManifest(name,
       Manifest(v, partitionBy, mapping, stampedSchema.toDDL, stats,
-        wap = wap, branch = branch,
+        wap = wap, branch = branch, fieldIds = fieldIds,
         // a delta RETAINS parent dirs, so pending merge-on-read
         // deletes still apply (and, snapshot-wide, to the written
         // batch too -- the deleteKeys contract); a full commit's rows
@@ -1502,7 +1726,11 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       target.schemaDDL, target.stats,
       // the restored state includes the target's PENDING deletes --
       // rolling back to a pre-delete snapshot really resurrects rows
-      deletes = target.deletes)
+      deletes = target.deletes,
+      // ...and the target's column-identity ledger: its files are the
+      // ones being re-served, so its (name -> ID) view is the correct
+      // one (a rename after `v` rolls back with the data)
+      fieldIds = target.fieldIds)
     casManifest(name, next, observedParent = observed)
     expireSnapshots(name)
     next.version
@@ -1567,7 +1795,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       .localCheckpoint(true)
     val v = nextVersion(name)
     val dirId = freshDataDir(name, v)
-    writeData(newRows, name, dirId, m.partitionBy)
+    writeData(newRows, name, dirId, m.partitionBy, fieldIds = m.fieldIds)
     val written = partitionRels(new Path(s"${dataRoot(name)}/$dirId"),
       m.partitionBy.size).map(_ -> dirId)
     val mapping = m.mapping.filterNot(e => touchedRels(e._1)) ++ written
@@ -1586,7 +1814,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     // untouched rels keep their dirs, so pending merge-on-read deletes
     // carry (idempotent on the rewritten dirs -- those rows are gone)
     try casManifest(name, Manifest(v, m.partitionBy, mapping, m.schemaDDL,
-        stats, deletes = m.deletes, branch = branch),
+        stats, deletes = m.deletes, branch = branch,
+        fieldIds = m.fieldIds),
       observedParent = m.version)
     catch { case e: ConcurrentWriteException =>
       fs.delete(new Path(s"${dataRoot(name)}/$dirId"), true); throw e
@@ -1897,7 +2126,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
           val packed = rows.repartition(keys: _*)
           val dirId = freshDataDir(name, v)
           staged += dirId
-          writeData(packed, name, dirId, m.partitionBy)
+          writeData(packed, name, dirId, m.partitionBy,
+            fieldIds = m.fieldIds)
           val written = partitionRels(new Path(s"${dataRoot(name)}/$dirId"),
             m.partitionBy.size).map(_ -> dirId)
           val writtenStats =
@@ -1917,7 +2147,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       val mapping = m.mapping.filterNot(e => touchedRels(e._1)) ++ written
       beforeSwap(name, v)
       casManifest(name, Manifest(v, m.partitionBy, mapping, m.schemaDDL,
-        stats, deletes = m.deletes),
+        stats, deletes = m.deletes, fieldIds = m.fieldIds),
         observedParent = m.version)
     } catch { case e: Throwable =>
       staged.foreach(d => fs.delete(new Path(s"${dataRoot(name)}/$d"), true))
@@ -2237,13 +2467,19 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       ours.schemaDDL, "schema")
     val mergedDeletes = threeWay(base.deletes, theirs.deletes,
       ours.deletes, "pending-deletes")
+    // the column-identity ledger merges exactly like the schema: a
+    // branch-side rename lands its (new name -> same ID) entries, a
+    // divergent double-rename is a conflict the caller must resolve
+    val mergedIds = threeWay(base.fieldIds, theirs.fieldIds,
+      ours.fieldIds, "column-ids")
     val mapping = ours.mapping.filterNot(e => theirChanged(e._1)) ++
       theirs.mapping.filter(e => theirChanged(e._1))
     val stats = ours.stats.filterNot(s => theirChanged(s._1)) ++
       theirs.stats.filter(s => theirChanged(s._1))
     val v = nextVersion(name)
     casManifest(name, Manifest(v, ours.partitionBy, mapping, mergedSchema,
-      stats, deletes = mergedDeletes), observedParent = ours.version)
+      stats, deletes = mergedDeletes, fieldIds = mergedIds),
+      observedParent = ours.version)
     expireSnapshots(name)
     v
   }
@@ -2349,7 +2585,10 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       picked.stats.filter(s => pickChanged(s._1))
     val next = nextVersion(name)
     casManifest(name, Manifest(next, ours.partitionBy, mapping,
-      ours.schemaDDL, stats, deletes = ours.deletes),
+      ours.schemaDDL, stats, deletes = ours.deletes,
+      // head keeps its own name view; the picked dirs' files carry
+      // the same stable IDs, so they read correctly under it
+      fieldIds = ours.fieldIds),
       observedParent = ours.version)
     expireSnapshots(name)
     next

@@ -28,7 +28,8 @@ case class GraftSnapshot(version: Long, partitionBy: Seq[String],
     schemaDDL: String, entries: Seq[(String, String)],
     stats: Seq[(String, String, String, String)], committedAtMs: Long,
     parent: Long = -1L,
-    deletes: Seq[(String, String)] = Nil)
+    deletes: Seq[(String, String)] = Nil,
+    fieldIds: Seq[(String, Int)] = Nil)
 
 /** A Spark `TableCatalog` over [[graft.table.VersionedTableStore]]:
   * registers with
@@ -215,10 +216,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * data I/O. Added columns read as NULL from pre-evolution files
     * (they must be nullable, enforced), dropped columns stop being
     * projected but remain in the files — and in HISTORY: `VERSION AS
-    * OF` a pre-evolution snapshot serves the old schema. Renames and
-    * retypes are rejected: files address columns by name, so a
-    * rename would orphan every existing value (add + backfill + drop
-    * instead), and a retype would change what stored bytes mean. */
+    * OF` a pre-evolution snapshot serves the old schema. RENAME
+    * COLUMN is metadata-only too, via the column-identity ledger
+    * ([[graft.table.FieldIds]]): files record stable field IDs, reads
+    * match by ID, so the logical name is free to change with zero
+    * data I/O. ALTER COLUMN ... TYPE accepts exactly the LOSSLESS
+    * widenings Spark's parquet readers serve natively (int family up,
+    * float -> double, decimal precision/scale up); anything that
+    * would re-interpret stored bytes is rejected. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     checkNs(ident.namespace)
     val st = store
@@ -262,10 +267,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           schema = StructType(schema.filterNot(_.name == n))
           require(schema.nonEmpty, "cannot drop the last column")
         }
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          s"graft tables are flat: ${r.fieldNames.mkString(".")}")
+        // METADATA-ONLY rename via the column-identity ledger — its
+        // own manifest commit (validations + stats/ledger renames live
+        // in the store). Composes with other clauses: Spark issues one
+        // TableChange per ALTER statement, so the pending ADD/DROP
+        // edit set is always empty here.
+        require(changes.length == 1,
+          "RENAME COLUMN must be its own ALTER TABLE statement")
+        st.renameColumn(ident.name, r.fieldNames.head, r.newName,
+          branch = branch.getOrElse(""))
+        return loadTable(ident)
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          s"graft tables are flat: ${u.fieldNames.mkString(".")}")
+        // METADATA-ONLY lossless widening (int family up, float ->
+        // double, decimal precision/scale up) — rejected in the store
+        // for anything that would re-interpret stored bytes
+        require(changes.length == 1,
+          "ALTER COLUMN ... TYPE must be its own ALTER TABLE statement")
+        st.widenColumn(ident.name, u.fieldNames.head, u.newDataType,
+          branch = branch.getOrElse(""))
+        return loadTable(ident)
       case other => throw new UnsupportedOperationException(
-        s"graft tables support ADD COLUMNS (nullable, appended) and DROP " +
-          s"COLUMN only; got $other. Renames/retypes would re-interpret " +
-          "existing files: add + backfill + drop instead.")
+        s"graft tables support ADD COLUMNS (nullable, appended), DROP " +
+          s"COLUMN, RENAME COLUMN, and ALTER COLUMN ... TYPE (lossless " +
+          s"widening) only; got $other.")
     }
     st.evolveSchema(ident.name, schema.toDDL, branch = branch.getOrElse(""))
     loadTable(ident)
@@ -393,9 +422,21 @@ class GraftTable(st: VersionedTableStore, tableName: String,
   private val partitionSchema: StructType =
     StructType(snapshot.partitionBy.map(storedSchema.apply))
 
+  // ID-stamped (graft.table.FieldIds): scans of a ledgered table
+  // match file columns by stable field ID — what serves a RENAMEd
+  // column from pre-rename files with zero data I/O; before any
+  // rename the stamp is a behavioral no-op (IDs agree with names).
+  // The stamp MUST ride the reported schema: Spark's parquet scan
+  // derives its file-read schema from the plan's pushed
+  // requiredSchema (relation output), not from the builder's
+  // dataSchema. Plan OUTPUTS are re-cleaned at the scan boundary
+  // (GraftScan.readSchema strips the metadata) so downstream
+  // consumers and writes never inherit this table's identities.
   private val dataSchema: StructType =
-    StructType(storedSchema.filterNot(f =>
-      snapshot.partitionBy.contains(f.name)))
+    graft.table.FieldIds.stamp(
+      StructType(storedSchema.filterNot(f =>
+        snapshot.partitionBy.contains(f.name))),
+      snapshot.fieldIds)
 
   override def name(): String = s"graft.default.$tableName"
 
@@ -477,7 +518,8 @@ class GraftTable(st: VersionedTableStore, tableName: String,
             snapshot.partitionBy, pathBase,
             onEpochCommit = (epochId, rels) =>
               st.commitStagedAppend(tableName, s"$dirBase-e$epochId", rels,
-                txn = s"$qid:$epochId"),
+                txn = s"$qid:$epochId",
+                writerIds = snapshot.fieldIds),
             onEpochAbort = epochId => dropEpoch(epochId))
         }
       }

@@ -41,9 +41,16 @@ class GraftRowLevelOp(st: VersionedTableStore, tableName: String,
     val full = StructType.fromDDL(snapshot.schemaDDL)
     StructType(snapshot.partitionBy.map(full.apply))
   }
+  // ID-stamped (graft.table.FieldIds): the scan resolves pre-rename
+  // files by field ID (the stamp must ride the schema Spark prunes
+  // from — see GraftTable.dataSchema); the staged replacement files
+  // are re-stamped with the same IDs by GraftBatchWrite, and scan
+  // outputs are cleaned at GraftScan.readSchema
   private val dataSchema: StructType = {
     val full = StructType.fromDDL(snapshot.schemaDDL)
-    StructType(full.filterNot(f => snapshot.partitionBy.contains(f.name)))
+    graft.table.FieldIds.stamp(
+      StructType(full.filterNot(f => snapshot.partitionBy.contains(f.name))),
+      snapshot.fieldIds)
   }
 
   override def command(): Command = cmd
@@ -72,6 +79,7 @@ class GraftRowLevelOp(st: VersionedTableStore, tableName: String,
           ()
         }
         new GraftBatchWrite(st.spark, info, snapshot.partitionBy, stagingPath,
+          fieldIds = snapshot.fieldIds,
           onCommit = written => {
             val replaced = Option(scanRef).map(_.plannedRels).getOrElse(
               throw new IllegalStateException(

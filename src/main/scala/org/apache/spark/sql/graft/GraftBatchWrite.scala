@@ -42,7 +42,8 @@ import org.apache.spark.util.SerializableConfiguration
   */
 class GraftBatchWrite(spark: SparkSession, info: LogicalWriteInfo,
     partitionBy: Seq[String], stagingPath: String,
-    onCommit: Set[String] => Unit, onAbort: () => Unit)
+    onCommit: Set[String] => Unit, onAbort: () => Unit,
+    fieldIds: Seq[(String, Int)] = Nil)
     extends Write with BatchWrite with RequiresDistributionAndOrdering {
 
   private val rowSchema: StructType = info.schema()
@@ -68,8 +69,11 @@ class GraftBatchWrite(spark: SparkSession, info: LogicalWriteInfo,
       physInfo: PhysicalWriteInfo): DataWriterFactory = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val job = Job.getInstance(cs.sessionState.newHadoopConf())
-    val fileSchema = StructType(
-      rowSchema.filterNot(f => partitionBy.contains(f.name)))
+    // file schema carries the table's column-identity metadata so the
+    // parquet writer stamps field IDs (graft.table.FieldIds invariant:
+    // every file of a ledgered table records its columns' IDs)
+    val fileSchema = graft.table.FieldIds.stamp(StructType(
+      rowSchema.filterNot(f => partitionBy.contains(f.name))), fieldIds)
     val owf = new ParquetFileFormat()
       .prepareWrite(cs, job, Map.empty, fileSchema)
     new GraftDataWriterFactory(rowSchema, partitionBy, fileSchema,
@@ -112,7 +116,8 @@ case class GraftWriteMessage(rels: Set[String]) extends WriterCommitMessage
 class GraftStreamingWrite(spark: SparkSession, info: LogicalWriteInfo,
     partitionBy: Seq[String], stageBasePath: String,
     onEpochCommit: (Long, Set[String]) => Unit,
-    onEpochAbort: Long => Unit)
+    onEpochAbort: Long => Unit,
+    fieldIds: Seq[(String, Int)] = Nil)
     extends Write with RequiresDistributionAndOrdering
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
@@ -139,8 +144,10 @@ class GraftStreamingWrite(spark: SparkSession, info: LogicalWriteInfo,
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val job = Job.getInstance(cs.sessionState.newHadoopConf())
-    val fileSchema = StructType(
-      rowSchema.filterNot(f => partitionBy.contains(f.name)))
+    // ID-stamped like the batch path; commitStagedAppend re-validates
+    // the ledger at every epoch (a rewrite mid-stream rejects loudly)
+    val fileSchema = graft.table.FieldIds.stamp(StructType(
+      rowSchema.filterNot(f => partitionBy.contains(f.name))), fieldIds)
     val owf = new ParquetFileFormat()
       .prepareWrite(cs, job, Map.empty, fileSchema)
     new GraftStreamingWriterFactory(rowSchema, partitionBy, fileSchema,

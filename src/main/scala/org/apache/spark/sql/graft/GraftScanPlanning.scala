@@ -367,7 +367,22 @@ class GraftScan(initial: ParquetScan, partitionSchema: StructType,
     * runtime filtering) — for plan introspection and tests. */
   def parquetScan: ParquetScan = current
 
-  override def readSchema(): StructType = current.readSchema()
+  // The PLAN-facing schema strips field-ID metadata: IDs belong to
+  // the file-matching boundary (the inner parquet scan's
+  // readDataSchema keeps them — that is what resolves renamed columns
+  // in old files), but scan OUTPUT attributes feed downstream plans
+  // and writes, which must never inherit this table's identities
+  // (graft.table.FieldIds.stripDf rationale).
+  override def readSchema(): StructType = StructType(
+    current.readSchema().map { f =>
+      if (!graft.table.FieldIds.carries(f)) f
+      else {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        mb.remove(graft.table.FieldIds.MetaKey)
+        f.copy(metadata = mb.build())
+      }
+    })
 
   /** Wrap a batch with the merge-on-read delete filter (no-op when
     * none are pending). Row-based reads are forced by the factory. */
@@ -431,8 +446,11 @@ class GraftScan(initial: ParquetScan, partitionSchema: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     stream match {
+      // readSchema() (the stripped override), NOT initial.readSchema():
+      // the row stream reads changelog STAGE files written from clean
+      // DataFrames — an ID-stamped schema over them would fail the read
       case Some(spec) => graft.streaming.TableRowStream(
-        SparkSession.active, spec.root, spec.table, initial.readSchema(),
+        SparkSession.active, spec.root, spec.table, readSchema(),
         checkpointLocation, options)
       case None => initial.toMicroBatchStream(checkpointLocation)
     }

@@ -277,11 +277,16 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql(
       s"SELECT tag FROM gtest.default.evo VERSION AS OF ${before.version}")
       .count() === 4)
-    // guarded: partition column, rename, non-nullable add all reject
+    // guarded: partition column drop rejects
     intercept[Exception] {
       spark.sql("ALTER TABLE gtest.default.evo DROP COLUMN yr") }
-    intercept[Exception] {
-      spark.sql("ALTER TABLE gtest.default.evo RENAME COLUMN v TO w") }
+    // RENAME COLUMN is metadata-only via the field-ID ledger (the
+    // full behavior matrix lives in RenameWidenSpec; here: the SQL
+    // surface works and round-trips)
+    spark.sql("ALTER TABLE gtest.default.evo RENAME COLUMN v TO w")
+    assert(spark.sql("SELECT * FROM gtest.default.evo").columns.toSeq ===
+      Seq("w", "score", "yr"))
+    spark.sql("ALTER TABLE gtest.default.evo RENAME COLUMN w TO v")
     assert(spark.sql("SELECT * FROM gtest.default.evo").columns.toSeq ===
       Seq("v", "score", "yr"))
   }
@@ -688,11 +693,17 @@ class GraftCatalogSpec extends AnyFunSuite {
     // append-commit API: the rel ends up mapping to six dirs (the
     // base + five staged appends) and reads union them
     val before = store.currentVersion("chain")
+    // staged files are ID-stamped exactly like a real stream writer
+    // (commitStagedAppend rejects unstamped appends on ledgered
+    // tables — the mid-stream-rewrite guard)
+    val chainIds = store.snapshotView("chain", None).fieldIds
     (1 to 5).foreach { e =>
       val (dirId, path) = store.newStreamStaging("chain")
-      Seq((9000L + e, s"e$e", 1996)).toDF("v", "tag", "yr")
+      FieldIds.stampDf(
+          Seq((9000L + e, s"e$e", 1996)).toDF("v", "tag", "yr"), chainIds)
         .write.parquet(s"$path/yr=1996")
-      store.commitStagedAppend("chain", dirId, Set("yr=1996"), s"q:$e")
+      store.commitStagedAppend("chain", dirId, Set("yr=1996"), s"q:$e",
+        writerIds = chainIds)
     }
     assert(store.currentVersion("chain") === before + 5)
     assert(spark.sql(
@@ -717,11 +728,14 @@ class GraftCatalogSpec extends AnyFunSuite {
 
   test("DML on a multi-dir partition rewrites ALL its dirs, not just the matching one") {
     store.commitFull(rows(1996 to 1996, 2), "mdir", Seq("yr"))
+    val mdirIds = store.snapshotView("mdir", None).fieldIds
     (1 to 2).foreach { e =>
       val (dirId, path) = store.newStreamStaging("mdir")
-      Seq((8000L + e, s"a$e", 1996)).toDF("v", "tag", "yr")
+      FieldIds.stampDf(
+          Seq((8000L + e, s"a$e", 1996)).toDF("v", "tag", "yr"), mdirIds)
         .write.parquet(s"$path/yr=1996")
-      store.commitStagedAppend("mdir", dirId, Set("yr=1996"), s"m:$e")
+      store.commitStagedAppend("mdir", dirId, Set("yr=1996"), s"m:$e",
+        writerIds = mdirIds)
     }
     assert(store.read("mdir").count() === 4L)
     // the fired row lives in ONE of the three dirs; the rewrite must
