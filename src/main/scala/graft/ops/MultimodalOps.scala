@@ -817,6 +817,84 @@ object MultimodalOps {
          CAST(max(abs(s)) AS INT) AS peak
        FROM t GROUP BY doc_id"""
 
+  /** FLAC over the same synthesized PCM: encode each doc's samples as
+    * a REAL compressed FLAC stream ([[FlacCodec]] — frames, FIXED
+    * predictors, Rice residuals, CRC-8/16, MD5), decode it back, and
+    * roll up the DECODED samples position-pinned. FLAC is lossless,
+    * so the DuckDB oracle computes the identical rollup straight from
+    * the synthesis formula and the hash must match bit-for-bit — the
+    * gzip/GIF lossless-gate trick, now for the dominant compressed
+    * audio interchange format. Stereo interleave: channel 1 is the
+    * negated signal, which makes the encoder's side-channel
+    * decorrelation (l - r = 2l) a real code path under the gate.
+    * Per-row work, embarrassingly parallel — the 100 TB shape is
+    * "decode arrives with the scan", no shuffle introduced. */
+  def audioFlac(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { d =>
+          val n = (800 + d % 400).toInt
+          val mono = Array.tabulate(n)(t =>
+            (((d % PxDocMod) * 31 + t * 17) % 65536 - 32768).toShort)
+          // stereo: (s, -s) — drives the side-channel assignments
+          val inter = new Array[Short](2 * n)
+          var t = 0
+          while (t < n) {
+            inter(2 * t) = mono(t)
+            val neg = -mono(t).toInt
+            // -(-32768) overflows 16-bit: clamp to 32767 (still a
+            // deterministic pure function of the synthesis)
+            inter(2 * t + 1) =
+              (if (neg > 32767) 32767 else neg).toShort
+            t += 1
+          }
+          val bytes = FlacCodec.encode(inter, AudioRate, 2)
+          val (dec, rate, ch) = FlacCodec.decode(bytes).getOrElse(
+            throw new IllegalStateException(s"flac decode failed for doc $d"))
+          require(rate == AudioRate && ch == 2 && dec.length == 2 * n,
+            s"flac round-trip shape drifted for doc $d")
+          var sumL = 0L; var sumR = 0L; var wsum = 0L
+          var mn = Int.MaxValue; var mx = Int.MinValue
+          t = 0
+          while (t < n) {
+            val l = dec(2 * t).toInt; val r = dec(2 * t + 1).toInt
+            sumL += l; sumR += r
+            wsum += (t + 1L) * l
+            if (l < mn) mn = l
+            if (l > mx) mx = l
+            t += 1
+          }
+          (d, n.toLong, sumL, sumR, mn, mx, wsum, bytes.length.toLong)
+        }
+      }.toDF("doc_id", "n_samples", "sum_l", "sum_r", "min_l", "max_l",
+        "wsum", "n_bytes")
+      // the byte size is encoder-internal (not oracle-checkable);
+      // expose a CODEC-HONESTY boolean instead: the compressed stream
+      // must undercut raw PCM (4 bytes/sample here)
+      .withColumn("compressed", col("n_bytes") < col("n_samples") * 4)
+      .drop("n_bytes")
+  }
+
+  /** DuckDB twin: the rollup on the synthesis directly — losslessness
+    * IS the assertion (any codec bit-slip flips a sum). */
+  val audioFlacSql: String =
+    s"""WITH t AS (
+         SELECT doc_id, gs.t,
+           ((doc_id % $PxDocMod) * 31 + gs.t * 17) % 65536 - 32768 AS s
+         FROM documents, generate_series(0, 1199) gs(t)
+         WHERE gs.t < 800 + doc_id % 400)
+       SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(sum(s) AS BIGINT) AS sum_l,
+         CAST(sum(CASE WHEN -s > 32767 THEN 32767 ELSE -s END) AS BIGINT)
+           AS sum_r,
+         CAST(min(s) AS INT) AS min_l,
+         CAST(max(s) AS INT) AS max_l,
+         CAST(sum((t + 1) * s) AS BIGINT) AS wsum,
+         TRUE AS compressed
+       FROM t GROUP BY doc_id"""
+
   /** G.711 mu-law over the real WAV path: PCM synthesis -> mu-law WAV
     * bytes (format tag 7, a REAL compressed telephony container) ->
     * chunk-walk decode with per-sample reconstruction -> per-doc

@@ -1328,6 +1328,76 @@ object LibraryQueries {
               TRUE AS hist_covers, TRUE AS head_past
        FROM live GROUP BY order_yr"""
 
+  /** S40: column DEFAULT values under the hash gate — the
+    * Iceberg/Delta initial-default semantic as pure SQL. The flow
+    * pins both halves of the ledger: `ADD COLUMN tier STRING DEFAULT
+    * 'legacy'` is one metadata commit whose FROZEN existence default
+    * the pre-add files (years < 1998) materialize instead of NULL;
+    * an INSERT that omits the column fills the CURRENT default
+    * ('legacy'); `SET DEFAULT 'modern'` then moves ONLY what future
+    * inserts fill — the pre-add files keep reading 'legacy' (a
+    * mutable exists-default would rewrite history's meaning). The
+    * final aggregate groups by the tier column across all three file
+    * generations; the oracle reconstructs it with year CASE algebra.
+    * History booleans are retry-invariant (s29 discipline). At
+    * 100 TB: the ADD and both SET statements are one manifest CAS
+    * each — the backfill the default replaces would be a petabyte
+    * write. */
+  def s40ColumnDefaults(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      floor(col("o_totalprice")).cast("int").as("amt"),
+      year(col("o_orderdate").cast("date")).as("order_yr"))
+    o.createOrReplaceTempView("s40_src")
+    val root = Files.createTempDirectory("graft-q-s40").toString
+    val cat = "gq" + java.lang.Long.toHexString(
+      org.apache.spark.unsafe.types.UTF8String.fromString(root).hashCode()
+        .toLong & 0xffffffffL)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.table.catalog.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"""CREATE TABLE $cat.default.ord
+              (o_orderkey BIGINT, amt INT, order_yr INT)
+              PARTITIONED BY (order_yr)""")
+    s.sql(s"""INSERT INTO $cat.default.ord
+              SELECT o_orderkey, amt, order_yr FROM s40_src
+              WHERE order_yr < 1998""")
+    s.sql(s"""ALTER TABLE $cat.default.ord
+              ADD COLUMN tier STRING DEFAULT 'legacy'""")
+    s.sql(s"""INSERT INTO $cat.default.ord (o_orderkey, amt, order_yr)
+              SELECT o_orderkey, amt, order_yr FROM s40_src
+              WHERE order_yr = 1998""")
+    s.sql(s"""ALTER TABLE $cat.default.ord
+              ALTER COLUMN tier SET DEFAULT 'modern'""")
+    s.sql(s"""INSERT INTO $cat.default.ord (o_orderkey, amt, order_yr)
+              SELECT o_orderkey, amt, order_yr FROM s40_src
+              WHERE order_yr > 1998""")
+    s.sql(
+      s"""SELECT t.order_yr, t.tier, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(t.amt) AS BIGINT) AS total,
+                 h.hist_covers, h.head_past
+          FROM $cat.default.ord t
+          CROSS JOIN (SELECT CAST(count(*) >= 6 AS BOOLEAN) AS hist_covers,
+                             CAST(max(version) >= count(*) AS BOOLEAN)
+                               AS head_past
+                      FROM $cat.default.ord.history) h
+          GROUP BY t.order_yr, t.tier, h.hist_covers, h.head_past""")
+  }
+
+  val s40ColumnDefaultsSql: String =
+    """WITH src AS (
+         SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS amt,
+                CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_yr
+         FROM orders),
+       live AS (
+         SELECT order_yr, amt,
+                CASE WHEN order_yr <= 1998 THEN 'legacy'
+                     ELSE 'modern' END AS tier
+         FROM src)
+       SELECT order_yr, tier, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(amt) AS BIGINT) AS total,
+              TRUE AS hist_covers, TRUE AS head_past
+       FROM live GROUP BY order_yr, tier"""
+
   /** S18: incremental aggregate maintenance -- the v1 yearly rollup
     * updated to the v2 state by applying the snapshot changelog
     * (IncrementalAgg over snapshotDiff pre-images), never rescanning
@@ -1656,6 +1726,7 @@ object LibraryQueries {
     "s37_cherry_pick" -> (s37CherryPick _),
     "s38_bloom_point" -> (s38BloomPoint _),
     "s39_rename_widen" -> (s39RenameWiden _),
+    "s40_column_defaults" -> (s40ColumnDefaults _),
     "s18_incremental_agg" -> (s18IncrementalAgg _),
     "s26_incremental_minmax" -> (s26IncrementalMinmax _),
     "q_validation_suite" -> (qValidationSuite _),
@@ -1695,6 +1766,7 @@ object LibraryQueries {
     "s37_cherry_pick" -> s37CherryPickSql,
     "s38_bloom_point" -> s38BloomPointSql,
     "s39_rename_widen" -> s39RenameWidenSql,
+    "s40_column_defaults" -> s40ColumnDefaultsSql,
     "s18_incremental_agg" -> s18IncrementalAggSql,
     "s26_incremental_minmax" -> s26IncrementalMinmaxSql,
     "q_validation_suite" -> qValidationSuiteSql,

@@ -97,21 +97,38 @@ object FieldIds {
   def carries(f: StructField): Boolean =
     f.metadata.contains(MetaKey)
 
-  /** Projection that REMOVES ID metadata from every column carrying
-    * it (identity when none does). IDs belong at the file-matching
-    * boundary only: a scan's OUTPUT must be clean, or the metadata
-    * leaks into downstream writes (a changelog stage, a CTAS into a
-    * different table) and stamps foreign identities into files that
-    * were never ledgered — the read stamps IDs, the result strips
-    * them. */
+  /** The engine-owned metadata keys that must never leave the
+    * plan/file boundary: field IDs and the two DEFAULT ledger keys
+    * (see [[ColumnDefaults]]). */
+  private def boundaryKeys: Seq[String] =
+    Seq(MetaKey, ColumnDefaults.ExistsKey, ColumnDefaults.CurrentKey)
+
+  private def carriesAny(f: StructField): Boolean =
+    boundaryKeys.exists(f.metadata.contains)
+
+  private def cleaned(f: StructField): StructField = {
+    val mb = new MetadataBuilder().withMetadata(f.metadata)
+    boundaryKeys.foreach(mb.remove)
+    f.copy(metadata = mb.build())
+  }
+
+  /** Schema with every engine-owned boundary key removed (identity
+    * when none present) — for scan-output schemas. */
+  def stripSchema(schema: StructType): StructType =
+    if (!schema.exists(carriesAny)) schema
+    else StructType(schema.map(f => if (carriesAny(f)) cleaned(f) else f))
+
+  /** Projection that REMOVES boundary metadata from every column
+    * carrying it (identity when none does). IDs and defaults belong
+    * at the file-matching boundary only: a scan's OUTPUT must be
+    * clean, or the metadata leaks into downstream writes (a changelog
+    * stage, a CTAS into a different table) and stamps foreign
+    * identities or defaults onto tables that never declared them —
+    * the read stamps, the result strips. */
   def stripDf(df: DataFrame): DataFrame =
-    if (!df.schema.exists(carries)) df
+    if (!df.schema.exists(carriesAny)) df
     else df.select(df.schema.fields.toIndexedSeq.map { f =>
-      if (!carries(f)) col(f.name)
-      else {
-        val mb = new MetadataBuilder().withMetadata(f.metadata)
-        mb.remove(MetaKey)
-        col(f.name).as(f.name, mb.build())
-      }
+      if (!carriesAny(f)) col(f.name)
+      else col(f.name).as(f.name, cleaned(f).metadata)
     }: _*)
 }

@@ -132,6 +132,10 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     * pre-identity tables (assigned by the next full rewrite). A
     * rename rewrites the NAME half only; the ID half never changes
     * for a live column and is never reused. */
+  /** `columnDefaults`: (column, exists-default SQL, current-default
+    * SQL) — see [[ColumnDefaults]]. `exists` is frozen at ADD COLUMN
+    * time (what pre-add files read); `current` fills INSERTs that
+    * omit the column ("" = none). */
   private[table] case class Manifest(version: Long, partitionBy: Seq[String],
       mapping: Seq[(String, String)], schemaDDL: String = "",
       stats: Seq[(String, String, String, String)] = Nil,
@@ -141,7 +145,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       txn: String = "",
       deletes: Seq[(String, String)] = Nil,
       branch: String = "",
-      fieldIds: Seq[(String, Int)] = Nil)
+      fieldIds: Seq[(String, Int)] = Nil,
+      columnDefaults: Seq[(String, String, String)] = Nil)
 
   private val Header = "graft-manifest-v1"
   private val End = "end"
@@ -170,6 +175,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       s"del\t$d\t${enc(cols)}" }
     val fidEntries = m.fieldIds.map { case (n, id) =>
       s"fid\t${enc(n)}\t$id" }
+    val dfltEntries = m.columnDefaults.map { case (n, ex, cur) =>
+      s"dflt\t${enc(n)}\t${enc(ex)}\t${enc(cur)}" }
     (Seq(Header, s"version=${m.version}",
       s"parent=${m.parent}",
       s"committedAt=${m.committedAtMs}",
@@ -178,7 +185,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       s"branch=${m.branch}",
       s"partitionBy=${m.partitionBy.mkString(",")}",
       s"schema=${m.schemaDDL}") ++ entries ++ statEntries ++ delEntries ++
-      fidEntries :+ End)
+      fidEntries ++ dfltEntries :+ End)
       .mkString("\n")
   }
 
@@ -212,6 +219,11 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
           val Array(_, n, id) = l.split("\t", 3)
           (dec(n), id.toInt)
       }
+      val dflts = lines.collect {
+        case l if l.startsWith("dflt\t") =>
+          val Array(_, n, ex, cur) = l.split("\t", 4)
+          (dec(n), dec(ex), dec(cur))
+      }
       val pby = fields("partitionBy") match {
         case "" => Nil; case s => s.split(",").toSeq
       }
@@ -223,7 +235,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         fields.getOrElse("txn", ""),
         dels,
         fields.getOrElse("branch", ""),
-        fids))
+        fids,
+        dflts))
     } else None
   }
 
@@ -692,7 +705,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       m.mapping.map { case (rel, d) => rel -> s"${dataRoot(name)}/$d" },
       m.stats, m.committedAtMs, m.parent,
       m.deletes.map { case (d, c) => s"${dataRoot(name)}/$d" -> c },
-      m.fieldIds)
+      m.fieldIds, m.columnDefaults)
   }
 
   /** Metadata-only schema evolution: commit a new snapshot that
@@ -740,7 +753,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         // the column); DROPped names fall out. Pre-identity tables
         // stay unledgered — retained files carry no IDs.
         fieldIds = if (m.fieldIds.isEmpty) Nil
-          else FieldIds.assign(next.fieldNames.toIndexedSeq, m.fieldIds)),
+          else FieldIds.assign(next.fieldNames.toIndexedSeq, m.fieldIds),
+        columnDefaults = m.columnDefaults.filter(d => keep(d._1))),
       observedParent = m.version)
     expireSnapshots(name)
     v
@@ -817,7 +831,9 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         m.stats.map(s => if (s._2 == from) (s._1, to, s._3, s._4) else s),
         deletes = m.deletes, branch = branch,
         fieldIds = m.fieldIds.map { case (n, id) =>
-          (if (n == from) to else n) -> id }),
+          (if (n == from) to else n) -> id },
+        columnDefaults = m.columnDefaults.map { case (n, ex, cur) =>
+          (if (n == from) to else n, ex, cur) }),
       observedParent = m.version)
     expireSnapshots(name)
     v
@@ -873,7 +889,87 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     val v = nextVersion(name)
     casManifest(name,
       Manifest(v, m.partitionBy, m.mapping, next.toDDL, m.stats,
-        deletes = m.deletes, branch = branch, fieldIds = m.fieldIds),
+        deletes = m.deletes, branch = branch, fieldIds = m.fieldIds,
+        columnDefaults = m.columnDefaults),
+      observedParent = m.version)
+    expireSnapshots(name)
+    v
+  }
+
+  /** `ADD COLUMN ... DEFAULT <literal>` — metadata-only, like every
+    * evolution here: one manifest commit records the new column PLUS
+    * its frozen EXISTENCE default (what every pre-add file reads
+    * instead of NULL — Spark's parquet readers materialize it per
+    * file, so a post-add file's genuine NULLs stay NULL; see
+    * [[ColumnDefaults]]). The same literal starts as the CURRENT
+    * default (filling INSERTs that omit the column) until
+    * [[setColumnDefault]] moves it. The literal must be a constant
+    * castable to the column type (validated with Spark's own DEFAULT
+    * analysis). Partition columns cannot carry defaults (their values
+    * come from rel paths, which always exist). */
+  def addColumnWithDefault(name: String, column: String,
+      dataType: org.apache.spark.sql.types.DataType, defaultSql: String,
+      branch: String = ""): Long = {
+    val m = currentOn(name, branch).getOrElse(
+      throw new NoSuchElementException(
+        if (branch.isEmpty) s"no snapshots for $name"
+        else s"$name has no branch `$branch`"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDDL)
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(column)),
+      s"$name already has a column `$column`")
+    ColumnDefaults.validate(column, dataType, defaultSql)
+    val next = schema.add(column, dataType, nullable = true)
+    val v = nextVersion(name)
+    casManifest(name,
+      Manifest(v, m.partitionBy, m.mapping, next.toDDL, m.stats,
+        deletes = m.deletes, branch = branch,
+        fieldIds = if (m.fieldIds.isEmpty) Nil
+          else FieldIds.assign(next.fieldNames.toIndexedSeq, m.fieldIds),
+        columnDefaults =
+          m.columnDefaults :+ ((column, defaultSql, defaultSql))),
+      observedParent = m.version)
+    expireSnapshots(name)
+    v
+  }
+
+  /** `ALTER COLUMN ... SET DEFAULT <literal>` / `DROP DEFAULT`
+    * (`None`): moves the CURRENT default only — what future INSERTs
+    * fill. The EXISTENCE default stays frozen: pre-add files keep
+    * reading the value that was promised when the column appeared
+    * (changing it would rewrite history's meaning). */
+  def setColumnDefault(name: String, column: String,
+      defaultSql: Option[String], branch: String = ""): Long = {
+    val m = currentOn(name, branch).getOrElse(
+      throw new NoSuchElementException(
+        if (branch.isEmpty) s"no snapshots for $name"
+        else s"$name has no branch `$branch`"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDDL)
+    val f = schema.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(s"$name has no column `$column`"))
+    require(!m.partitionBy.contains(column),
+      s"partition column `$column` cannot carry a default: its values " +
+        "come from rel paths")
+    defaultSql.foreach(sqlTxt => ColumnDefaults.validate(column, f.dataType,
+      sqlTxt))
+    val prior = m.columnDefaults.find(_._1 == column)
+    val next = prior match {
+      case Some((n, ex, _)) =>
+        m.columnDefaults.map(d =>
+          if (d._1 == column) (n, ex, defaultSql.getOrElse("")) else d)
+      case None =>
+        // no ADD-time default: the exists half stays empty-of-record —
+        // pre-existing files keep reading NULL (their truth); only
+        // inserts change. Record ("", current).
+        defaultSql match {
+          case Some(cur) => m.columnDefaults :+ ((column, "", cur))
+          case None => m.columnDefaults // DROP DEFAULT on a column without one
+        }
+    }
+    val v = nextVersion(name)
+    casManifest(name,
+      Manifest(v, m.partitionBy, m.mapping, m.schemaDDL, m.stats,
+        deletes = m.deletes, branch = branch, fieldIds = m.fieldIds,
+        columnDefaults = next),
       observedParent = m.version)
     expireSnapshots(name)
     v
@@ -942,7 +1038,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     beforeSwap(name, v)
     try casManifest(name,
       Manifest(v, m.partitionBy, mapping, m.schemaDDL, stats,
-        deletes = m.deletes, fieldIds = m.fieldIds),
+        deletes = m.deletes, fieldIds = m.fieldIds,
+        columnDefaults = m.columnDefaults),
       observedParent = m.version)
     catch { case e: ConcurrentWriteException =>
       fs.delete(new Path(s"${dataRoot(name)}/$dirId"), true); throw e
@@ -1037,7 +1134,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       try {
         casManifest(name,
           Manifest(v, m.partitionBy, mapping, m.schemaDDL, stats, txn = txn,
-            deletes = m.deletes, fieldIds = m.fieldIds),
+            deletes = m.deletes, fieldIds = m.fieldIds,
+            columnDefaults = m.columnDefaults),
           observedParent = m.version)
         expireSnapshots(name)
         return v
@@ -1197,7 +1295,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       try {
         casManifest(name, Manifest(v, m.partitionBy, m.mapping, m.schemaDDL,
           m.stats, deletes = m.deletes :+ (delDir -> keyCols.mkString(",")),
-          fieldIds = m.fieldIds),
+          fieldIds = m.fieldIds, columnDefaults = m.columnDefaults),
           observedParent = m.version)
         expireSnapshots(name)
         return v
@@ -1240,6 +1338,10 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       .map(org.apache.spark.sql.types.StructType.fromDDL)
       .map(s => FieldIds.stamp(s,
         m.fieldIds.filterNot { case (n, _) => m.partitionBy.contains(n) }))
+      // existence defaults: files predating an ADD COLUMN ... DEFAULT
+      // materialize the frozen default instead of NULL (files holding
+      // the column serve stored values verbatim, NULLs included)
+      .map(s => ColumnDefaults.stamp(s, m.columnDefaults))
     if (m.mapping.isEmpty)
       return schema.map(s => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
@@ -1565,6 +1667,12 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
           FieldIds.assign(df.schema.fieldNames.toIndexedSeq, p.fieldIds)
         case _ => Nil
       }
+    // DEFAULT ledger: carried for columns the commit's schema keeps
+    // (a full rewrite makes the exists-default moot for files — every
+    // file now holds the column — but the CURRENT default still
+    // governs inserts, and history still serves its own)
+    val colDefaults = parent.map(_.columnDefaults).getOrElse(Nil)
+      .filter(d => df.schema.fieldNames.contains(d._1))
     val v = nextVersion(name)
     val dirId = freshDataDir(name, v)
     writeData(df, name, dirId, partitionBy, bloomFilterColumns,
@@ -1621,8 +1729,13 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       } else df.schema
     beforeSwap(name, v)
     try casManifest(name,
-      Manifest(v, partitionBy, mapping, stampedSchema.toDDL, stats,
+      // boundary metadata (field IDs, DEFAULT clauses) must never
+      // reach the DDL: toDDL renders DEFAULTs fromDDL cannot parse,
+      // and the ledgers are the source of truth anyway
+      Manifest(v, partitionBy, mapping,
+        FieldIds.stripSchema(stampedSchema).toDDL, stats,
         wap = wap, branch = branch, fieldIds = fieldIds,
+        columnDefaults = colDefaults,
         // a delta RETAINS parent dirs, so pending merge-on-read
         // deletes still apply (and, snapshot-wide, to the written
         // batch too -- the deleteKeys contract); a full commit's rows
@@ -1729,8 +1842,10 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       deletes = target.deletes,
       // ...and the target's column-identity ledger: its files are the
       // ones being re-served, so its (name -> ID) view is the correct
-      // one (a rename after `v` rolls back with the data)
-      fieldIds = target.fieldIds)
+      // one (a rename after `v` rolls back with the data); defaults
+      // likewise
+      fieldIds = target.fieldIds,
+      columnDefaults = target.columnDefaults)
     casManifest(name, next, observedParent = observed)
     expireSnapshots(name)
     next.version
@@ -1815,7 +1930,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     // carry (idempotent on the rewritten dirs -- those rows are gone)
     try casManifest(name, Manifest(v, m.partitionBy, mapping, m.schemaDDL,
         stats, deletes = m.deletes, branch = branch,
-        fieldIds = m.fieldIds),
+        fieldIds = m.fieldIds, columnDefaults = m.columnDefaults),
       observedParent = m.version)
     catch { case e: ConcurrentWriteException =>
       fs.delete(new Path(s"${dataRoot(name)}/$dirId"), true); throw e
@@ -2147,7 +2262,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       val mapping = m.mapping.filterNot(e => touchedRels(e._1)) ++ written
       beforeSwap(name, v)
       casManifest(name, Manifest(v, m.partitionBy, mapping, m.schemaDDL,
-        stats, deletes = m.deletes, fieldIds = m.fieldIds),
+        stats, deletes = m.deletes, fieldIds = m.fieldIds,
+        columnDefaults = m.columnDefaults),
         observedParent = m.version)
     } catch { case e: Throwable =>
       staged.foreach(d => fs.delete(new Path(s"${dataRoot(name)}/$d"), true))
@@ -2472,13 +2588,16 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     // divergent double-rename is a conflict the caller must resolve
     val mergedIds = threeWay(base.fieldIds, theirs.fieldIds,
       ours.fieldIds, "column-ids")
+    val mergedDefaults = threeWay(base.columnDefaults, theirs.columnDefaults,
+      ours.columnDefaults, "column-defaults")
     val mapping = ours.mapping.filterNot(e => theirChanged(e._1)) ++
       theirs.mapping.filter(e => theirChanged(e._1))
     val stats = ours.stats.filterNot(s => theirChanged(s._1)) ++
       theirs.stats.filter(s => theirChanged(s._1))
     val v = nextVersion(name)
     casManifest(name, Manifest(v, ours.partitionBy, mapping, mergedSchema,
-      stats, deletes = mergedDeletes, fieldIds = mergedIds),
+      stats, deletes = mergedDeletes, fieldIds = mergedIds,
+      columnDefaults = mergedDefaults),
       observedParent = ours.version)
     expireSnapshots(name)
     v
@@ -2588,7 +2707,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       ours.schemaDDL, stats, deletes = ours.deletes,
       // head keeps its own name view; the picked dirs' files carry
       // the same stable IDs, so they read correctly under it
-      fieldIds = ours.fieldIds),
+      fieldIds = ours.fieldIds,
+      columnDefaults = ours.columnDefaults),
       observedParent = ours.version)
     expireSnapshots(name)
     next

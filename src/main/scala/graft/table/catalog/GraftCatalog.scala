@@ -29,7 +29,8 @@ case class GraftSnapshot(version: Long, partitionBy: Seq[String],
     stats: Seq[(String, String, String, String)], committedAtMs: Long,
     parent: Long = -1L,
     deletes: Seq[(String, String)] = Nil,
-    fieldIds: Seq[(String, Int)] = Nil)
+    fieldIds: Seq[(String, Int)] = Nil,
+    columnDefaults: Seq[(String, String, String)] = Nil)
 
 /** A Spark `TableCatalog` over [[graft.table.VersionedTableStore]]:
   * registers with
@@ -80,6 +81,15 @@ case class GraftSnapshot(version: Long, partitionBy: Seq[String],
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  /** `CREATE TABLE ... DEFAULT` / `ALTER ... ADD COLUMN ... DEFAULT`:
+    * Spark gates the DEFAULT grammar on this capability; the store
+    * records the literals in the manifest (see
+    * [[graft.table.ColumnDefaults]]). */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** `CALL graft.system.<proc>(...)` — maintenance as SQL; see
     * [[GraftProcedures]]. */
@@ -203,10 +213,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"graft tables support identity partitioning only, got $t")
       t.references.head.fieldNames.mkString(".")
     }
+    // the store's manifest DDL must stay metadata-free (toDDL renders
+    // DEFAULT clauses fromDDL cannot re-parse); the default literals
+    // live in the manifest's own ledger, recorded below
     val empty = st.spark.createDataFrame(
-      st.spark.sparkContext.emptyRDD[Row], schema)
+      st.spark.sparkContext.emptyRDD[Row],
+      graft.table.FieldIds.stripSchema(schema))
     st.commitFull(empty, ident.name, partitionBy,
       statsColumns = statsOf.getOrElse(ident.name, Nil))
+    // CREATE TABLE (c INT DEFAULT 5, ...): Spark encodes the DEFAULT
+    // clauses as CURRENT_DEFAULT field metadata — record each in the
+    // store's ledger so INSERTs that omit the column fill it (the
+    // exists half is irrelevant for create-time columns: every file
+    // of this table will physically hold them)
+    schema.foreach { f =>
+      if (f.metadata.contains(graft.table.ColumnDefaults.CurrentKey))
+        st.setColumnDefault(ident.name, f.name,
+          Some(f.metadata.getString(graft.table.ColumnDefaults.CurrentKey)))
+    }
     loadTable(ident)
   }
 
@@ -253,6 +277,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "ADD COLUMN ... FIRST/AFTER: graft appends new columns at the end")
         require(!schema.fieldNames.contains(a.fieldNames.head),
           s"column ${a.fieldNames.head} already exists")
+        if (a.defaultValue != null) {
+          // ADD COLUMN ... DEFAULT: its own metadata-only commit that
+          // also freezes the EXISTENCE default (pre-add files read it
+          // instead of NULL — graft.table.ColumnDefaults)
+          require(changes.length == 1,
+            "ADD COLUMN ... DEFAULT must be its own ALTER TABLE statement")
+          st.addColumnWithDefault(ident.name, a.fieldNames.head,
+            a.dataType, a.defaultValue.getSql,
+            branch = branch.getOrElse(""))
+          return loadTable(ident)
+        }
         schema = schema.add(a.fieldNames.head, a.dataType, nullable = true)
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1,
@@ -278,6 +313,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(changes.length == 1,
           "RENAME COLUMN must be its own ALTER TABLE statement")
         st.renameColumn(ident.name, r.fieldNames.head, r.newName,
+          branch = branch.getOrElse(""))
+        return loadTable(ident)
+      case u: TableChange.UpdateColumnDefaultValue =>
+        require(u.fieldNames.length == 1,
+          s"graft tables are flat: ${u.fieldNames.mkString(".")}")
+        // SET DEFAULT moves the CURRENT default only (what future
+        // INSERTs fill); the exists half never moves. DROP DEFAULT
+        // arrives as an empty/null SQL string.
+        require(changes.length == 1,
+          "ALTER COLUMN ... SET/DROP DEFAULT must be its own statement")
+        val sqlTxt = Option(u.newCurrentDefault).map(_.getSql)
+          .filter(t => t != null && t.nonEmpty)
+        st.setColumnDefault(ident.name, u.fieldNames.head, sqlTxt,
           branch = branch.getOrElse(""))
         return loadTable(ident)
       case u: TableChange.UpdateColumnType =>
@@ -433,10 +481,15 @@ class GraftTable(st: VersionedTableStore, tableName: String,
   // (GraftScan.readSchema strips the metadata) so downstream
   // consumers and writes never inherit this table's identities.
   private val dataSchema: StructType =
-    graft.table.FieldIds.stamp(
-      StructType(storedSchema.filterNot(f =>
-        snapshot.partitionBy.contains(f.name))),
-      snapshot.fieldIds)
+    graft.table.ColumnDefaults.stamp(
+      graft.table.FieldIds.stamp(
+        StructType(storedSchema.filterNot(f =>
+          snapshot.partitionBy.contains(f.name))),
+        snapshot.fieldIds),
+      // EXISTS_DEFAULT rides the same pushed schema (pre-add files
+      // materialize the frozen default); CURRENT_DEFAULT on schema()
+      // is what fills INSERTs that omit the column
+      snapshot.columnDefaults)
 
   override def name(): String = s"graft.default.$tableName"
 

@@ -367,22 +367,15 @@ class GraftScan(initial: ParquetScan, partitionSchema: StructType,
     * runtime filtering) — for plan introspection and tests. */
   def parquetScan: ParquetScan = current
 
-  // The PLAN-facing schema strips field-ID metadata: IDs belong to
-  // the file-matching boundary (the inner parquet scan's
-  // readDataSchema keeps them — that is what resolves renamed columns
-  // in old files), but scan OUTPUT attributes feed downstream plans
-  // and writes, which must never inherit this table's identities
-  // (graft.table.FieldIds.stripDf rationale).
-  override def readSchema(): StructType = StructType(
-    current.readSchema().map { f =>
-      if (!graft.table.FieldIds.carries(f)) f
-      else {
-        val mb = new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(f.metadata)
-        mb.remove(graft.table.FieldIds.MetaKey)
-        f.copy(metadata = mb.build())
-      }
-    })
+  // The PLAN-facing schema strips field-ID and default-value
+  // metadata: both belong to the file-matching boundary (the inner
+  // parquet scan's readDataSchema keeps them — that is what resolves
+  // renamed columns and materializes existence defaults from old
+  // files), but scan OUTPUT attributes feed downstream plans and
+  // writes, which must never inherit this table's identities or
+  // defaults (graft.table.FieldIds.stripDf rationale).
+  override def readSchema(): StructType =
+    graft.table.FieldIds.stripSchema(current.readSchema())
 
   /** Wrap a batch with the merge-on-read delete filter (no-op when
     * none are pending). Row-based reads are forced by the factory. */
