@@ -1398,6 +1398,78 @@ object LibraryQueries {
               TRUE AS hist_covers, TRUE AS head_past
        FROM live GROUP BY order_yr, tier"""
 
+  /** S41: enforced CHECK constraints under the hash gate. ADD
+    * CONSTRAINT validates the live snapshot with one predicate scan;
+    * every later write re-validates ITS OWN freshly-written files
+    * before the manifest CAS, so a violating INSERT (negated amounts)
+    * and a violating row-level UPDATE both reject with the table
+    * state bit-identical to before — gated as booleans plus the final
+    * rollup over what actually landed. The writes that violate are
+    * REAL rejected commits (files staged then deleted), not
+    * pre-filtered data. At 100 TB: enforcement cost is one pushed
+    * predicate over each commit's OWN files — an append checks the
+    * appended day, never the table. */
+  def s41CheckConstraints(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      floor(col("o_totalprice")).cast("long").as("amt"),
+      year(col("o_orderdate").cast("date")).as("order_yr"))
+    o.createOrReplaceTempView("s41_src")
+    val root = Files.createTempDirectory("graft-q-s41").toString
+    val cat = "gq" + java.lang.Long.toHexString(
+      org.apache.spark.unsafe.types.UTF8String.fromString(root).hashCode()
+        .toLong & 0xffffffffL)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.table.catalog.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"""CREATE TABLE $cat.default.ord
+              (o_orderkey BIGINT, amt BIGINT, order_yr INT)
+              PARTITIONED BY (order_yr)""")
+    s.sql(s"""INSERT INTO $cat.default.ord
+              SELECT o_orderkey, amt, order_yr FROM s41_src
+              WHERE order_yr < 1998""")
+    s.sql(s"""ALTER TABLE $cat.default.ord
+              ADD CONSTRAINT amt_nonneg CHECK (amt >= 0)""")
+    val insertRejected =
+      try {
+        s.sql(s"""INSERT INTO $cat.default.ord
+                  SELECT o_orderkey, -amt - 1, order_yr FROM s41_src
+                  WHERE order_yr = 1998""")
+        false
+      } catch { case _: Exception => true }
+    s.sql(s"""INSERT INTO $cat.default.ord
+              SELECT o_orderkey, amt, order_yr FROM s41_src
+              WHERE order_yr = 1998""")
+    val updateRejected =
+      try {
+        s.sql(s"""UPDATE $cat.default.ord SET amt = -1
+                  WHERE order_yr = 1996""")
+        false
+      } catch { case _: Exception => true }
+    s.sql(s"""UPDATE $cat.default.ord SET amt = amt + 3
+              WHERE order_yr = 1996""")
+    s.sql(
+      s"""SELECT order_yr, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(amt) AS BIGINT) AS total,
+                 CAST($insertRejected AS BOOLEAN) AS insert_rejected,
+                 CAST($updateRejected AS BOOLEAN) AS update_rejected
+          FROM $cat.default.ord
+          GROUP BY order_yr""")
+  }
+
+  val s41CheckConstraintsSql: String =
+    """WITH src AS (
+         SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS amt,
+                CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_yr
+         FROM orders),
+       live AS (
+         SELECT order_yr,
+                CASE WHEN order_yr = 1996 THEN amt + 3 ELSE amt END AS amt
+         FROM src WHERE order_yr <= 1998)
+       SELECT order_yr, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(amt) AS BIGINT) AS total,
+              TRUE AS insert_rejected, TRUE AS update_rejected
+       FROM live GROUP BY order_yr"""
+
   /** S18: incremental aggregate maintenance -- the v1 yearly rollup
     * updated to the v2 state by applying the snapshot changelog
     * (IncrementalAgg over snapshotDiff pre-images), never rescanning
@@ -1727,6 +1799,7 @@ object LibraryQueries {
     "s38_bloom_point" -> (s38BloomPoint _),
     "s39_rename_widen" -> (s39RenameWiden _),
     "s40_column_defaults" -> (s40ColumnDefaults _),
+    "s41_check_constraints" -> (s41CheckConstraints _),
     "s18_incremental_agg" -> (s18IncrementalAgg _),
     "s26_incremental_minmax" -> (s26IncrementalMinmax _),
     "q_validation_suite" -> (qValidationSuite _),
@@ -1767,6 +1840,7 @@ object LibraryQueries {
     "s38_bloom_point" -> s38BloomPointSql,
     "s39_rename_widen" -> s39RenameWidenSql,
     "s40_column_defaults" -> s40ColumnDefaultsSql,
+    "s41_check_constraints" -> s41CheckConstraintsSql,
     "s18_incremental_agg" -> s18IncrementalAggSql,
     "s26_incremental_minmax" -> s26IncrementalMinmaxSql,
     "q_validation_suite" -> qValidationSuiteSql,

@@ -21,6 +21,15 @@ class BranchMergeConflict(table: String, branch: String,
     (if (conflicts.size > 8) s" (+${conflicts.size - 8} more)" else "") +
     " — both lineages changed these since the fork")
 
+/** A write violated an enforced CHECK constraint: the commit is
+  * rejected BEFORE the manifest CAS and the staged files are deleted
+  * — no snapshot ever serves a violating row. Carries one sample row
+  * so the producing pipeline can find its bug. */
+class CheckViolation(table: String, constraint: String, sql: String,
+    sample: String) extends RuntimeException(
+  s"$table: CHECK `$constraint` ($sql) rejected a write; sample " +
+    s"violating row: $sample")
+
 /** Versioned, append-only table store -- the engine's analogue of the
   * reference's Iceberg format-version-2 warehouse (snapshot commits +
   * rollback, build_stock_fact_table.py:98-100; optimistic commit
@@ -136,6 +145,12 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     * SQL) — see [[ColumnDefaults]]. `exists` is frozen at ADD COLUMN
     * time (what pre-add files read); `current` fills INSERTs that
     * omit the column ("" = none). */
+  /** `checks`: enforced CHECK constraints — (name, predicate SQL).
+    * Every write choke point scans ITS OWN newly-written files for
+    * violations before the manifest CAS (SQL semantics: a row
+    * violates only when the predicate is FALSE; NULL passes), so no
+    * commit can land violating rows regardless of the path that
+    * produced them. */
   private[table] case class Manifest(version: Long, partitionBy: Seq[String],
       mapping: Seq[(String, String)], schemaDDL: String = "",
       stats: Seq[(String, String, String, String)] = Nil,
@@ -146,7 +161,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       deletes: Seq[(String, String)] = Nil,
       branch: String = "",
       fieldIds: Seq[(String, Int)] = Nil,
-      columnDefaults: Seq[(String, String, String)] = Nil)
+      columnDefaults: Seq[(String, String, String)] = Nil,
+      checks: Seq[(String, String)] = Nil)
 
   private val Header = "graft-manifest-v1"
   private val End = "end"
@@ -177,6 +193,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       s"fid\t${enc(n)}\t$id" }
     val dfltEntries = m.columnDefaults.map { case (n, ex, cur) =>
       s"dflt\t${enc(n)}\t${enc(ex)}\t${enc(cur)}" }
+    val chkEntries = m.checks.map { case (n, sql) =>
+      s"chk\t${enc(n)}\t${enc(sql)}" }
     (Seq(Header, s"version=${m.version}",
       s"parent=${m.parent}",
       s"committedAt=${m.committedAtMs}",
@@ -185,7 +203,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       s"branch=${m.branch}",
       s"partitionBy=${m.partitionBy.mkString(",")}",
       s"schema=${m.schemaDDL}") ++ entries ++ statEntries ++ delEntries ++
-      fidEntries ++ dfltEntries :+ End)
+      fidEntries ++ dfltEntries ++ chkEntries :+ End)
       .mkString("\n")
   }
 
@@ -224,6 +242,11 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
           val Array(_, n, ex, cur) = l.split("\t", 4)
           (dec(n), dec(ex), dec(cur))
       }
+      val chks = lines.collect {
+        case l if l.startsWith("chk\t") =>
+          val Array(_, n, sql) = l.split("\t", 3)
+          (dec(n), dec(sql))
+      }
       val pby = fields("partitionBy") match {
         case "" => Nil; case s => s.split(",").toSeq
       }
@@ -236,7 +259,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         dels,
         fields.getOrElse("branch", ""),
         fids,
-        dflts))
+        dflts,
+        chks))
     } else None
   }
 
@@ -705,7 +729,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       m.mapping.map { case (rel, d) => rel -> s"${dataRoot(name)}/$d" },
       m.stats, m.committedAtMs, m.parent,
       m.deletes.map { case (d, c) => s"${dataRoot(name)}/$d" -> c },
-      m.fieldIds, m.columnDefaults)
+      m.fieldIds, m.columnDefaults, m.checks)
   }
 
   /** Metadata-only schema evolution: commit a new snapshot that
@@ -754,7 +778,19 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         // stay unledgered — retained files carry no IDs.
         fieldIds = if (m.fieldIds.isEmpty) Nil
           else FieldIds.assign(next.fieldNames.toIndexedSeq, m.fieldIds),
-        columnDefaults = m.columnDefaults.filter(d => keep(d._1))),
+        columnDefaults = m.columnDefaults.filter(d => keep(d._1)),
+        // CHECK predicates referencing a dropped column would brick
+        // every later write: re-resolve each against the NEW schema
+        // and fail the evolution if one no longer binds
+        checks = m.checks.map { case (cn, sql) =>
+          val probe = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], next)
+          try probe.where(org.apache.spark.sql.functions.expr(sql))
+          catch { case e: Exception => throw new IllegalArgumentException(
+            s"schema evolution of $name breaks CHECK `$cn` ($sql): " +
+              e.getMessage) }
+          (cn, sql)
+        }),
       observedParent = m.version)
     expireSnapshots(name)
     v
@@ -833,7 +869,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         fieldIds = m.fieldIds.map { case (n, id) =>
           (if (n == from) to else n) -> id },
         columnDefaults = m.columnDefaults.map { case (n, ex, cur) =>
-          (if (n == from) to else n, ex, cur) }),
+          (if (n == from) to else n, ex, cur) },
+        checks = m.checks),
       observedParent = m.version)
     expireSnapshots(name)
     v
@@ -890,7 +927,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     casManifest(name,
       Manifest(v, m.partitionBy, m.mapping, next.toDDL, m.stats,
         deletes = m.deletes, branch = branch, fieldIds = m.fieldIds,
-        columnDefaults = m.columnDefaults),
+        columnDefaults = m.columnDefaults, checks = m.checks),
       observedParent = m.version)
     expireSnapshots(name)
     v
@@ -926,7 +963,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         fieldIds = if (m.fieldIds.isEmpty) Nil
           else FieldIds.assign(next.fieldNames.toIndexedSeq, m.fieldIds),
         columnDefaults =
-          m.columnDefaults :+ ((column, defaultSql, defaultSql))),
+          m.columnDefaults :+ ((column, defaultSql, defaultSql)),
+        checks = m.checks),
       observedParent = m.version)
     expireSnapshots(name)
     v
@@ -969,7 +1007,104 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     casManifest(name,
       Manifest(v, m.partitionBy, m.mapping, m.schemaDDL, m.stats,
         deletes = m.deletes, branch = branch, fieldIds = m.fieldIds,
-        columnDefaults = next),
+        columnDefaults = next, checks = m.checks),
+      observedParent = m.version)
+    expireSnapshots(name)
+    v
+  }
+
+  /** Scan `dirId`'s freshly-written files for CHECK violations —
+    * the write-side enforcement choke point every commit path funnels
+    * through BEFORE its manifest CAS. Only the NEW files scan (an
+    * append checks the appended data, never the table), with the
+    * negated predicate pushed into the parquet read; SQL semantics:
+    * a row violates only when the predicate is FALSE (NULL passes).
+    * Throws [[CheckViolation]] with a sample row; the caller's
+    * existing abort path deletes the staging. Skipped entirely when
+    * the table has no constraints. */
+  private def enforceChecksOn(name: String, checks: Seq[(String, String)],
+      dirId: String, schema: Option[org.apache.spark.sql.types.StructType],
+      partitionBy: Seq[String], rels: Seq[String]): Unit = {
+    if (checks.isEmpty || rels.isEmpty) return
+    import org.apache.spark.sql.functions.{expr, not}
+    val base = s"${dataRoot(name)}/$dirId"
+    val reader = schema.fold(spark.read)(sc => spark.read.schema(
+      FieldIds.stripSchema(sc)))
+    val df =
+      if (partitionBy.isEmpty) reader.parquet(base)
+      else reader.option("basePath", base)
+        .parquet(rels.map(r => s"$base/$r"): _*)
+    checks.foreach { case (cn, sql) =>
+      val bad = df.where(not(expr(sql))).take(1)
+      if (bad.nonEmpty)
+        throw new CheckViolation(name, cn, sql, bad.head.toString)
+    }
+  }
+
+  /** `ALTER TABLE ... ADD CONSTRAINT <name> CHECK (<predicate>)` —
+    * validates EXISTING rows first (one pushed-predicate scan of the
+    * live snapshot: the standard ADD CONSTRAINT cost, after which
+    * every write is guarded incrementally at its own choke point).
+    * The predicate must be deterministic and resolve against the
+    * current schema. */
+  def addCheckConstraint(name: String, constraintName: String,
+      predicateSql: String, branch: String = ""): Long = {
+    import org.apache.spark.sql.functions.{expr, not}
+    val m = currentOn(name, branch).getOrElse(
+      throw new NoSuchElementException(
+        if (branch.isEmpty) s"no snapshots for $name"
+        else s"$name has no branch `$branch`"))
+    require(!m.checks.exists(_._1 == constraintName),
+      s"$name already has constraint `$constraintName`")
+    val col = expr(predicateSql)
+    val live = load(name, m)
+    // resolving through a real plan both validates the predicate
+    // against the schema (where() analyzes eagerly) and exposes the
+    // RESOLVED expression for the determinism check — a parsed-only
+    // rand() looks deterministic, a resolved one does not
+    val probe = live.where(col)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed
+    val nonDet = probe.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if !f.condition.deterministic => f
+    }
+    require(nonDet.isEmpty,
+      s"CHECK `$constraintName` ($predicateSql) is non-deterministic — " +
+        "it would pass and fail the same row across retries")
+    val bad = live.where(not(col)).take(1)
+    if (bad.nonEmpty)
+      throw new CheckViolation(name, constraintName, predicateSql,
+        bad.head.toString)
+    val v = nextVersion(name)
+    casManifest(name,
+      Manifest(v, m.partitionBy, m.mapping, m.schemaDDL, m.stats,
+        deletes = m.deletes, branch = branch, fieldIds = m.fieldIds,
+        columnDefaults = m.columnDefaults,
+        checks = m.checks :+ ((constraintName, predicateSql))),
+      observedParent = m.version)
+    expireSnapshots(name)
+    v
+  }
+
+  /** `ALTER TABLE ... DROP CONSTRAINT <name>` — metadata-only. */
+  def dropCheckConstraint(name: String, constraintName: String,
+      branch: String = "", ifExists: Boolean = false): Long = {
+    val m = currentOn(name, branch).getOrElse(
+      throw new NoSuchElementException(
+        if (branch.isEmpty) s"no snapshots for $name"
+        else s"$name has no branch `$branch`"))
+    if (!m.checks.exists(_._1 == constraintName)) {
+      if (ifExists) return m.version
+      throw new IllegalArgumentException(
+        s"$name has no constraint `$constraintName`")
+    }
+    val v = nextVersion(name)
+    casManifest(name,
+      Manifest(v, m.partitionBy, m.mapping, m.schemaDDL, m.stats,
+        deletes = m.deletes, branch = branch, fieldIds = m.fieldIds,
+        columnDefaults = m.columnDefaults,
+        checks = m.checks.filterNot(_._1 == constraintName)),
       observedParent = m.version)
     expireSnapshots(name)
     v
@@ -1035,11 +1170,18 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       }
     val stats = m.stats.filterNot(s => replacedRels(s._1) || appended(s._1)) ++
       writtenStats
+    try enforceChecksOn(name, m.checks, dirId,
+      Option(m.schemaDDL).filter(_.nonEmpty)
+        .map(org.apache.spark.sql.types.StructType.fromDDL),
+      m.partitionBy, writtenRels.toSeq.sorted)
+    catch { case e: CheckViolation =>
+      fs.delete(new Path(s"${dataRoot(name)}/$dirId"), true); throw e
+    }
     beforeSwap(name, v)
     try casManifest(name,
       Manifest(v, m.partitionBy, mapping, m.schemaDDL, stats,
         deletes = m.deletes, fieldIds = m.fieldIds,
-        columnDefaults = m.columnDefaults),
+        columnDefaults = m.columnDefaults, checks = m.checks),
       observedParent = m.version)
     catch { case e: ConcurrentWriteException =>
       fs.delete(new Path(s"${dataRoot(name)}/$dirId"), true); throw e
@@ -1128,6 +1270,11 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
               "running — restart the writer against the current head")
         }
       }
+      try enforceChecksOn(name, m.checks, dirId,
+        Option(m.schemaDDL).filter(_.nonEmpty)
+          .map(org.apache.spark.sql.types.StructType.fromDDL),
+        m.partitionBy, writtenRels.toSeq.sorted)
+      catch { case e: CheckViolation => dropStaging(); throw e }
       val v = nextVersion(name)
       val mapping = m.mapping ++ writtenRels.toSeq.sorted.map(_ -> dirId)
       val stats = m.stats.filterNot(s => writtenRels(s._1))
@@ -1135,7 +1282,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         casManifest(name,
           Manifest(v, m.partitionBy, mapping, m.schemaDDL, stats, txn = txn,
             deletes = m.deletes, fieldIds = m.fieldIds,
-            columnDefaults = m.columnDefaults),
+            columnDefaults = m.columnDefaults, checks = m.checks),
           observedParent = m.version)
         expireSnapshots(name)
         return v
@@ -1295,7 +1442,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       try {
         casManifest(name, Manifest(v, m.partitionBy, m.mapping, m.schemaDDL,
           m.stats, deletes = m.deletes :+ (delDir -> keyCols.mkString(",")),
-          fieldIds = m.fieldIds, columnDefaults = m.columnDefaults),
+          fieldIds = m.fieldIds, columnDefaults = m.columnDefaults,
+          checks = m.checks),
           observedParent = m.version)
         expireSnapshots(name)
         return v
@@ -1681,6 +1829,11 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       if (partitionBy.isEmpty) Seq("." -> dirId)
       else partitionRels(new Path(s"${dataRoot(name)}/$dirId"), partitionBy.size)
         .map(_ -> dirId)
+    try enforceChecksOn(name, parent.map(_.checks).getOrElse(Nil), dirId,
+      Some(df.schema), partitionBy, written.map(_._1))
+    catch { case e: CheckViolation =>
+      fs.delete(new Path(s"${dataRoot(name)}/$dirId"), true); throw e
+    }
     val mapping =
       if (deltaPartitions && parent.isDefined) {
         val overridden = written.map(_._1).toSet ++ alsoReplaced
@@ -1736,6 +1889,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         FieldIds.stripSchema(stampedSchema).toDDL, stats,
         wap = wap, branch = branch, fieldIds = fieldIds,
         columnDefaults = colDefaults,
+        checks = parent.map(_.checks).getOrElse(Nil),
         // a delta RETAINS parent dirs, so pending merge-on-read
         // deletes still apply (and, snapshot-wide, to the written
         // batch too -- the deleteKeys contract); a full commit's rows
@@ -1845,7 +1999,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       // one (a rename after `v` rolls back with the data); defaults
       // likewise
       fieldIds = target.fieldIds,
-      columnDefaults = target.columnDefaults)
+      columnDefaults = target.columnDefaults,
+      checks = target.checks)
     casManifest(name, next, observedParent = observed)
     expireSnapshots(name)
     next.version
@@ -1930,7 +2085,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     // carry (idempotent on the rewritten dirs -- those rows are gone)
     try casManifest(name, Manifest(v, m.partitionBy, mapping, m.schemaDDL,
         stats, deletes = m.deletes, branch = branch,
-        fieldIds = m.fieldIds, columnDefaults = m.columnDefaults),
+        fieldIds = m.fieldIds, columnDefaults = m.columnDefaults,
+        checks = m.checks),
       observedParent = m.version)
     catch { case e: ConcurrentWriteException =>
       fs.delete(new Path(s"${dataRoot(name)}/$dirId"), true); throw e
@@ -2263,7 +2419,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       beforeSwap(name, v)
       casManifest(name, Manifest(v, m.partitionBy, mapping, m.schemaDDL,
         stats, deletes = m.deletes, fieldIds = m.fieldIds,
-        columnDefaults = m.columnDefaults),
+        columnDefaults = m.columnDefaults, checks = m.checks),
         observedParent = m.version)
     } catch { case e: Throwable =>
       staged.foreach(d => fs.delete(new Path(s"${dataRoot(name)}/$d"), true))
@@ -2590,6 +2746,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       ours.fieldIds, "column-ids")
     val mergedDefaults = threeWay(base.columnDefaults, theirs.columnDefaults,
       ours.columnDefaults, "column-defaults")
+    val mergedChecks = threeWay(base.checks, theirs.checks,
+      ours.checks, "check-constraints")
     val mapping = ours.mapping.filterNot(e => theirChanged(e._1)) ++
       theirs.mapping.filter(e => theirChanged(e._1))
     val stats = ours.stats.filterNot(s => theirChanged(s._1)) ++
@@ -2597,7 +2755,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     val v = nextVersion(name)
     casManifest(name, Manifest(v, ours.partitionBy, mapping, mergedSchema,
       stats, deletes = mergedDeletes, fieldIds = mergedIds,
-      columnDefaults = mergedDefaults),
+      columnDefaults = mergedDefaults, checks = mergedChecks),
       observedParent = ours.version)
     expireSnapshots(name)
     v
@@ -2708,7 +2866,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       // head keeps its own name view; the picked dirs' files carry
       // the same stable IDs, so they read correctly under it
       fieldIds = ours.fieldIds,
-      columnDefaults = ours.columnDefaults),
+      columnDefaults = ours.columnDefaults, checks = ours.checks),
       observedParent = ours.version)
     expireSnapshots(name)
     next

@@ -30,7 +30,8 @@ case class GraftSnapshot(version: Long, partitionBy: Seq[String],
     parent: Long = -1L,
     deletes: Seq[(String, String)] = Nil,
     fieldIds: Seq[(String, Int)] = Nil,
-    columnDefaults: Seq[(String, String, String)] = Nil)
+    columnDefaults: Seq[(String, String, String)] = Nil,
+    checks: Seq[(String, String)] = Nil)
 
 /** A Spark `TableCatalog` over [[graft.table.VersionedTableStore]]:
   * registers with
@@ -88,8 +89,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * [[graft.table.ColumnDefaults]]). */
   override def capabilities()
       : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   /** `CALL graft.system.<proc>(...)` — maintenance as SQL; see
     * [[GraftProcedures]]. */
@@ -328,6 +332,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         st.setColumnDefault(ident.name, u.fieldNames.head, sqlTxt,
           branch = branch.getOrElse(""))
         return loadTable(ident)
+      case a: TableChange.AddConstraint =>
+        // enforced CHECK only: unique/PK/FK would be unenforceable
+        // promises here (RELY metadata without verification) — reject
+        // rather than silently weaken semantics
+        val chk = a.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check => c
+          case other => throw new UnsupportedOperationException(
+            s"graft tables support CHECK constraints only; got $other")
+        }
+        require(changes.length == 1,
+          "ADD CONSTRAINT must be its own ALTER TABLE statement")
+        // existing rows validate in the store (one predicate scan);
+        // every later write re-validates ITS OWN files incrementally
+        st.addCheckConstraint(ident.name, chk.name, chk.predicateSql,
+          branch = branch.getOrElse(""))
+        return loadTable(ident)
+      case d: TableChange.DropConstraint =>
+        require(changes.length == 1,
+          "DROP CONSTRAINT must be its own ALTER TABLE statement")
+        st.dropCheckConstraint(ident.name, d.name,
+          branch = branch.getOrElse(""), ifExists = d.ifExists)
+        return loadTable(ident)
       case u: TableChange.UpdateColumnType =>
         require(u.fieldNames.length == 1,
           s"graft tables are flat: ${u.fieldNames.mkString(".")}")
@@ -502,6 +528,21 @@ class GraftTable(st: VersionedTableStore, tableName: String,
   override def properties(): util.Map[String, String] =
     Map("provider" -> "graft", "version" -> snapshot.version.toString,
       "committedAtMs" -> snapshot.committedAtMs.toString).asJava
+
+  /** Enforced CHECK constraints (`DESCRIBE ... EXTENDED` shows them;
+    * the optimizer may RELY on them). Validation status is VALID: the
+    * store scanned existing rows at ADD time and every write since
+    * re-validated its own files before committing. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    snapshot.checks.map { case (cn, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(cn).predicateSql(sql).enforced(true)
+        .validationStatus(org.apache.spark.sql.connector.catalog.constraints
+          .Constraint.ValidationStatus.VALID)
+        .rely(true).build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   override def capabilities(): util.Set[TableCapability] = {
     val caps = util.EnumSet.of(TableCapability.BATCH_READ)
