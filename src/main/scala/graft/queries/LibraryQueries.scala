@@ -1470,6 +1470,64 @@ object LibraryQueries {
               TRUE AS insert_rejected, TRUE AS update_rejected
        FROM live GROUP BY order_yr"""
 
+  /** S42: BATCH change query (Delta `table_changes` analogue) under
+    * the hash gate — the graft-changes source read as a bounded SQL
+    * temp view over an explicit (fromVersion, toVersion] range. v1
+    * loads 1996+1997; v2 rewrites the 1996 partition (re-pricing the
+    * surviving keys, dropping every 10th) and appends 1998. The
+    * changelog (1, 2] must therefore carry all three change types
+    * with exact pre-images: updates (re-priced survivors), deletes
+    * (the dropped keys, post-image NULL), inserts (1998). Oracle
+    * reconstructs the same changelog with key-algebra. Scale:
+    * snapshotDiff prunes partitions whose dirs both manifests SHARE,
+    * so the query costs the changed partitions (1996 + 1998), never
+    * the table — 1997 never scans. */
+  def s42BatchChanges(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      floor(col("o_totalprice")).cast("long").as("amt"),
+      year(col("o_orderdate").cast("date")).as("order_yr"))
+    val root = Files.createTempDirectory("graft-q-s42").toString
+    val store = new VersionedTableStore(s, root)
+    store.commitFull(o.filter(col("order_yr") < 1998), "ord",
+      Seq("order_yr"))
+    store.commitPartitions(
+      o.filter(col("order_yr") === 1996 && col("o_orderkey") % 10 =!= 0)
+        .withColumn("amt", col("amt") + 5)
+        .unionByName(o.filter(col("order_yr") === 1998)),
+      "ord", Seq("order_yr"))
+    s.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW s42_changes
+          USING `graft-changes`
+          OPTIONS (root '$root', table 'ord', keys 'o_orderkey',
+                   includePre 'true', fromVersion '1', toVersion '2')""")
+    s.sql(
+      """SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(amt) AS BIGINT) AS post_total,
+               CAST(sum(pre_amt) AS BIGINT) AS pre_total
+         FROM s42_changes GROUP BY change_type""")
+  }
+
+  val s42BatchChangesSql: String =
+    """WITH src AS (
+         SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS amt,
+                CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_yr
+         FROM orders),
+       changes AS (
+         SELECT 'update' AS change_type, amt + 5 AS amt, amt AS pre_amt
+         FROM src WHERE order_yr = 1996 AND o_orderkey % 10 <> 0
+         UNION ALL
+         -- deletes carry their last-known values in the post columns
+         SELECT 'delete', amt, amt
+         FROM src WHERE order_yr = 1996 AND o_orderkey % 10 = 0
+         UNION ALL
+         SELECT 'insert', amt, NULL
+         FROM src WHERE order_yr = 1998)
+       SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(amt) AS BIGINT) AS post_total,
+              CAST(sum(pre_amt) AS BIGINT) AS pre_total
+       FROM changes GROUP BY change_type"""
+
   /** S18: incremental aggregate maintenance -- the v1 yearly rollup
     * updated to the v2 state by applying the snapshot changelog
     * (IncrementalAgg over snapshotDiff pre-images), never rescanning
@@ -1800,6 +1858,7 @@ object LibraryQueries {
     "s39_rename_widen" -> (s39RenameWiden _),
     "s40_column_defaults" -> (s40ColumnDefaults _),
     "s41_check_constraints" -> (s41CheckConstraints _),
+    "s42_batch_changes" -> (s42BatchChanges _),
     "s18_incremental_agg" -> (s18IncrementalAgg _),
     "s26_incremental_minmax" -> (s26IncrementalMinmax _),
     "q_validation_suite" -> (qValidationSuite _),
@@ -1841,6 +1900,7 @@ object LibraryQueries {
     "s39_rename_widen" -> s39RenameWidenSql,
     "s40_column_defaults" -> s40ColumnDefaultsSql,
     "s41_check_constraints" -> s41CheckConstraintsSql,
+    "s42_batch_changes" -> s42BatchChangesSql,
     "s18_incremental_agg" -> s18IncrementalAggSql,
     "s26_incremental_minmax" -> s26IncrementalMinmaxSql,
     "q_validation_suite" -> qValidationSuiteSql,

@@ -106,6 +106,15 @@ private[streaming] final case class ChangeFeedConfig(opts: Map[String, String]) 
   val maxVersionsPerTrigger: Option[Int] =
     opts.get("maxversionspertrigger").orElse(opts.get("maxVersionsPerTrigger"))
       .map(_.toInt)
+  /** BATCH read range (from, to] — see [[ChangeFeedTable]]'s
+    * BATCH_READ path. `from` defaults to what `startingVersion`
+    * implies (earliest = 0 = full snapshot as inserts); `to` defaults
+    * to the current head at scan planning. Streaming reads ignore
+    * both (the checkpoint owns the range). */
+  val fromVersion: Option[Long] =
+    opts.get("fromversion").orElse(opts.get("fromVersion")).map(_.toLong)
+  val toVersion: Option[Long] =
+    opts.get("toversion").orElse(opts.get("toVersion")).map(_.toLong)
   /** Follow a BRANCH head instead of main — the feed walks the
     * branch's own lineage (fork copy, then branch commits). With
     * `startingVersion = earliest` the first batch is the full branch
@@ -120,6 +129,36 @@ private[streaming] final case class ChangeFeedConfig(opts: Map[String, String]) 
 }
 
 private[streaming] object ChangeFeedProvider {
+  /** The net changelog (from, to] in the feed schema's column order —
+    * shared by the micro-batch stream and the BATCH read. from = 0
+    * means "before the first commit": the whole snapshot `to` emits
+    * as inserts (pre-images null). */
+  private[streaming] def changelog(vs: VersionedTableStore,
+      cfg: ChangeFeedConfig, schema: StructType, from: Long,
+      to: Long): DataFrame = {
+    val out =
+      if (from == 0L) {
+        val snap = vs.readVersion(cfg.table, to)
+        val dataCols =
+          schema.fieldNames.filterNot(cfg.keys.contains).toSeq
+            .filterNot(_ == "change_type").filterNot(_.startsWith("pre_"))
+        val preCols =
+          if (cfg.includePre)
+            dataCols.map(c => lit(null).cast(schema(s"pre_$c").dataType)
+              .as(s"pre_$c"))
+          else Nil
+        snap.select(cfg.keys.map(col) ++
+          Seq(lit("insert").as("change_type")) ++ dataCols.map(col) ++
+          preCols: _*)
+      } else vs.snapshotDiff(cfg.table, from, to, cfg.keys,
+        includePre = cfg.includePre)
+    val present = out.columns.toSet
+    out.select(schema.fields.toIndexedSeq.map { f =>
+      if (present(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
   /** keys ++ change_type ++ data columns (++ pre_ twins): the
     * snapshotDiff output shape, pinned from the CURRENT snapshot's
     * schema at stream definition. */
@@ -145,7 +184,8 @@ private[streaming] class ChangeFeedTable(feedSchema: StructType,
   override def name(): String = s"graft-changes(${cfg.root}/${cfg.table})"
   override def schema(): StructType = feedSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
@@ -153,6 +193,45 @@ private[streaming] class ChangeFeedTable(feedSchema: StructType,
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ChangeFeedStream(SparkSession.active, cfg, feedSchema,
             checkpointLocation)
+
+        /** BATCH change query — Delta's `table_changes` analogue:
+          * {{{
+          * spark.read.format("graft-changes")
+          *   .option("root", r).option("table", "t").option("keys", "k")
+          *   .option("fromVersion", 2).option("toVersion", 5).load()
+          * -- or SQL --
+          * CREATE TEMP VIEW t_changes USING `graft-changes`
+          *   OPTIONS (root ..., table 't', keys 'k', fromVersion 2)
+          * }}}
+          * The net changelog (from, to] materializes to a staging dir
+          * under the TABLE's own `_changes_stage/` (shared fs at
+          * cluster scale, never the driver) and serves through the
+          * stock vectorized parquet batch; `vacuum` reclaims stages
+          * by age. Both endpoints must be live snapshots — an expired
+          * base fails LOUDLY (the retention contract), and `to`
+          * beyond the head is rejected rather than clamped. */
+        override def toBatch: Batch = {
+          val spark = SparkSession.active
+          val vs = cfg.store(spark)
+          val head = cfg.branch.fold(vs.currentVersion(cfg.table))(
+            b => vs.branchHeadVersion(cfg.table, b))
+          val a = cfg.fromVersion.getOrElse(cfg.startingVersion match {
+            case "earliest" => 0L
+            case "latest" => head
+            case v => v.toLong
+          })
+          val b = cfg.toVersion.getOrElse(head)
+          require(b <= head,
+            s"graft-changes: toVersion $b is beyond the head ($head)")
+          require(a >= 0 && a <= b,
+            s"graft-changes: bad version range ($a, $b]")
+          val stage = s"${vs.path(cfg.table)}/_changes_stage/" +
+            s"v$a-$b-${java.util.UUID.randomUUID().toString.take(8)}"
+          ChangeFeedProvider.changelog(vs, cfg, feedSchema, a, b)
+            .write.parquet(stage)
+          org.apache.spark.sql.graft.ParquetBatchBridge
+            .batchFor(spark, stage, feedSchema)
+        }
       }
     }
 }
@@ -241,29 +320,8 @@ private[streaming] class ChangeFeedStream(spark: SparkSession,
     * evolved schema: added columns appear from that point on. Both
     * halves are spec-pinned (ChangeFeedSpec "schema evolution
     * mid-stream"); same restart semantics as Delta CDF. */
-  private[streaming] def changelog(from: Long, to: Long): DataFrame = {
-    val out =
-      if (from == 0L) {
-        val snap = vs.readVersion(cfg.table, to)
-        val dataCols =
-          schema.fieldNames.filterNot(cfg.keys.contains).toSeq
-            .filterNot(_ == "change_type").filterNot(_.startsWith("pre_"))
-        val preCols =
-          if (cfg.includePre)
-            dataCols.map(c => lit(null).cast(schema(s"pre_$c").dataType)
-              .as(s"pre_$c"))
-          else Nil
-        snap.select(cfg.keys.map(col) ++
-          Seq(lit("insert").as("change_type")) ++ dataCols.map(col) ++
-          preCols: _*)
-      } else vs.snapshotDiff(cfg.table, from, to, cfg.keys,
-        includePre = cfg.includePre)
-    val present = out.columns.toSet
-    out.select(schema.fields.toIndexedSeq.map { f =>
-      if (present(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    }: _*)
-  }
+  private[streaming] def changelog(from: Long, to: Long): DataFrame =
+    ChangeFeedProvider.changelog(vs, cfg, schema, from, to)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (a, b) = (start.asInstanceOf[VersionOffset].version,

@@ -1324,10 +1324,20 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         else st.getModificationTime
       }.toSeq).max
     }
+    // batch change-feed stages (graft-changes batch reads materialize
+    // the changelog under _changes_stage/<range>-<uuid>): never
+    // referenced by manifests, reclaimed purely by age — an active
+    // batch read is always younger than any sane minAge
+    val stageRoot = new Path(s"${path(name)}/_changes_stage")
+    val staleStages =
+      if (!fs.exists(stageRoot)) Nil
+      else fs.listStatus(stageRoot).toSeq.filter(_.isDirectory)
+        .map(_.getPath).filter(p => newestMTime(p) < cutoff)
+    staleStages.foreach(fs.delete(_, true))
     val candidates = fs.listStatus(dRoot).toSeq.filter(_.isDirectory)
       .map(_.getPath)
       .filter(p => newestMTime(p) < cutoff)
-    if (candidates.isEmpty) return 0L
+    if (candidates.isEmpty) return staleStages.size.toLong
     // referenced set read AFTER aging: every live commit file's dirs
     // (head, history, staged WAP snapshots) plus their delete dirs
     val dir = commitsPath(name)
@@ -1340,7 +1350,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         .toSet
     val doomed = candidates.filterNot(p => referenced(p.getName))
     doomed.foreach(fs.delete(_, true))
-    doomed.size.toLong
+    (doomed.size + staleStages.size).toLong
   }
 
   /** Consistency audit: walks every live snapshot and reports, per
