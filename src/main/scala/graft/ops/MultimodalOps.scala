@@ -962,6 +962,82 @@ object MultimodalOps {
               CAST(sum((t + 1) * dec) AS BIGINT) AS wsum
        FROM d GROUP BY doc_id"""
 
+  /** Audio container DISPATCH under the gate: each doc's synthesized
+    * PCM ships in one of THREE real containers by `doc_id % 3` —
+    * WAV/PCM (0), WAV/mu-law (1, format tag 7), FLAC (2) — and the
+    * decode side sniffs bytes (RIFF magic + format tag, fLaC magic)
+    * with NO access to the modulus: the mixed-container corpus shape,
+    * like the PNG/BMP/GIF/JPEG pixel sniff. The rollup covers the
+    * DECODED samples, so the oracle is the synthesis formula for the
+    * lossless containers and the G.711 quantize algebra for mu-law —
+    * one query proving dispatch + three codecs end-to-end. */
+  def audioSniff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { d =>
+          val n = (800 + d % 400).toInt
+          val samples = Array.tabulate(n)(t =>
+            (((d % PxDocMod) * 31 + t * 17) % 65536 - 32768).toShort)
+          val payload = (d % 3) match {
+            case 0 => PixelCodec.encodeWav(samples, AudioRate)
+            case 1 => PixelCodec.encodeWavUlaw(samples, AudioRate)
+            case _ => FlacCodec.encode(samples, AudioRate, 1)
+          }
+          // sniff: FLAC magic, else RIFF with the format tag deciding
+          val (dec, fmt) =
+            if (payload.length >= 4 && payload(0) == 'f' &&
+                payload(1) == 'L' && payload(2) == 'a' && payload(3) == 'C')
+              (FlacCodec.decode(payload).get._1, "flac")
+            else PixelCodec.decodeWav(payload).map((_: (Array[Short], Int))._1 -> "wav")
+              .orElse(PixelCodec.decodeWavUlaw(payload)
+                .map((_: (Array[Short], Int))._1 -> "ulaw"))
+              .getOrElse(throw new IllegalStateException(
+                s"unsniffable audio for doc $d"))
+          require(dec.length == n, s"decode shape drifted for doc $d")
+          var sum = 0L; var wsum = 0L
+          var t = 0
+          while (t < n) {
+            val v = dec(t).toInt
+            sum += v; wsum += (t + 1L) * v; t += 1
+          }
+          (d, fmt, n.toLong, sum, wsum)
+        }
+      }.toDF("doc_id", "format", "n_samples", "sum_dec", "wsum")
+  }
+
+  /** Oracle: synthesis for wav/flac (lossless), the mu-law integer
+    * algebra for ulaw — format derived from the same modulus. */
+  val audioSniffSql: String =
+    s"""WITH t AS (
+         SELECT doc_id, gs.t,
+           ((doc_id % $PxDocMod) * 31 + gs.t * 17) % 65536 - 32768 AS s
+         FROM documents, generate_series(0, 1199) gs(t)
+         WHERE gs.t < 800 + doc_id % 400),
+       q AS (
+         SELECT doc_id, t, s, LEAST(ABS(s), 32635) + 132 AS m FROM t),
+       e AS (
+         SELECT doc_id, t, s, m,
+           CASE WHEN m >= 16384 THEN 7 WHEN m >= 8192 THEN 6
+                WHEN m >= 4096 THEN 5 WHEN m >= 2048 THEN 4
+                WHEN m >= 1024 THEN 3 WHEN m >= 512 THEN 2
+                WHEN m >= 256 THEN 1 ELSE 0 END AS ex FROM q),
+       d AS (
+         SELECT doc_id, t,
+           CASE WHEN doc_id % 3 = 1 THEN
+             (CASE WHEN s < 0 THEN -1 ELSE 1 END) *
+               ((((m >> (ex + 3)) & 15) * 8 + 132) * (1 << ex) - 132)
+           ELSE s END AS dec
+         FROM e)
+       SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'wav'
+                   WHEN doc_id % 3 = 1 THEN 'ulaw'
+                   ELSE 'flac' END AS format,
+              CAST(count(*) AS BIGINT) AS n_samples,
+              CAST(sum(dec) AS BIGINT) AS sum_dec,
+              CAST(sum((t + 1) * dec) AS BIGINT) AS wsum
+       FROM d GROUP BY doc_id"""
+
   // ------------------------------------------- quantized-table spectrogram
 
   /** DFT frame width and probed bins for [[audioSpectrogram]]. */

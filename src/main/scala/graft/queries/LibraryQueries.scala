@@ -1528,6 +1528,62 @@ object LibraryQueries {
               CAST(sum(pre_amt) AS BIGINT) AS pre_total
        FROM changes GROUP BY change_type"""
 
+  /** S43: HIDDEN PARTITIONING under the hash gate — `PARTITIONED BY
+    * (days(odt))` as pure SQL: the day value lives only in directory
+    * paths (the user's schema has no date column to forget in a WHERE
+    * clause — Iceberg's transform model). The flow loads two
+    * day-disjoint month ranges (the second commits as a partition
+    * DELTA against ~90 existing day dirs), then aggregates by month
+    * with a timestamp-range predicate on the SOURCE column — pruning
+    * rides the manifest stats recorded from the data itself, no
+    * transform awareness needed at read time. Oracle reconstructs
+    * with date algebra. At 100 TB this is the event-log shape: daily
+    * appends cost one day of files + a manifest, and nobody maintains
+    * a derived date column by hand. */
+  def s43HiddenPartition(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      floor(col("o_totalprice")).cast("long").as("amt"),
+      col("o_orderdate").cast("timestamp").as("odt"))
+    o.createOrReplaceTempView("s43_src")
+    val root = Files.createTempDirectory("graft-q-s43").toString
+    val cat = "gq" + java.lang.Long.toHexString(
+      org.apache.spark.unsafe.types.UTF8String.fromString(root).hashCode()
+        .toLong & 0xffffffffL)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.table.catalog.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"""CREATE TABLE $cat.default.ev
+              (o_orderkey BIGINT, amt BIGINT, odt TIMESTAMP)
+              PARTITIONED BY (days(odt))""")
+    s.sql(s"""INSERT INTO $cat.default.ev
+              SELECT o_orderkey, amt, odt FROM s43_src
+              WHERE odt < TIMESTAMP '1992-04-01 00:00:00'""")
+    s.sql(s"""INSERT INTO $cat.default.ev
+              SELECT o_orderkey, amt, odt FROM s43_src
+              WHERE odt >= TIMESTAMP '1992-04-01 00:00:00'
+                AND odt < TIMESTAMP '1992-07-01 00:00:00'""")
+    s.sql(
+      s"""SELECT CAST(month(odt) AS INT) AS mon,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(amt) AS BIGINT) AS total
+          FROM $cat.default.ev
+          WHERE odt >= TIMESTAMP '1992-02-01 00:00:00'
+            AND odt < TIMESTAMP '1992-06-01 00:00:00'
+          GROUP BY month(odt)""")
+  }
+
+  val s43HiddenPartitionSql: String =
+    """WITH src AS (
+         SELECT CAST(floor(o_totalprice) AS BIGINT) AS amt,
+                CAST(o_orderdate AS DATE) AS od
+         FROM orders)
+       SELECT CAST(month(od) AS INT) AS mon,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(amt) AS BIGINT) AS total
+       FROM src
+       WHERE od >= DATE '1992-02-01' AND od < DATE '1992-06-01'
+       GROUP BY month(od)"""
+
   /** S18: incremental aggregate maintenance -- the v1 yearly rollup
     * updated to the v2 state by applying the snapshot changelog
     * (IncrementalAgg over snapshotDiff pre-images), never rescanning
@@ -1859,6 +1915,7 @@ object LibraryQueries {
     "s40_column_defaults" -> (s40ColumnDefaults _),
     "s41_check_constraints" -> (s41CheckConstraints _),
     "s42_batch_changes" -> (s42BatchChanges _),
+    "s43_hidden_partition" -> (s43HiddenPartition _),
     "s18_incremental_agg" -> (s18IncrementalAgg _),
     "s26_incremental_minmax" -> (s26IncrementalMinmax _),
     "q_validation_suite" -> (qValidationSuite _),
@@ -1901,6 +1958,7 @@ object LibraryQueries {
     "s40_column_defaults" -> s40ColumnDefaultsSql,
     "s41_check_constraints" -> s41CheckConstraintsSql,
     "s42_batch_changes" -> s42BatchChangesSql,
+    "s43_hidden_partition" -> s43HiddenPartitionSql,
     "s18_incremental_agg" -> s18IncrementalAggSql,
     "s26_incremental_minmax" -> s26IncrementalMinmaxSql,
     "q_validation_suite" -> qValidationSuiteSql,

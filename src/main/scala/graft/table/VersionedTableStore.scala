@@ -480,10 +480,12 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     val dt = df.schema(keyCol).dataType.typeName
     require(Seq("byte", "short", "integer", "long", "string").contains(dt),
       s"bloom index supports integer-family and string keys; $keyCol is $dt")
+    // layout dimensions re-derived from their sources (hidden
+    // partition columns never leave load() — see PartitionTransforms)
     val relExpr =
       if (m.partitionBy.isEmpty) lit(".")
-      else concat_ws("/", m.partitionBy.map(c =>
-        concat(lit(s"$c="), col(c).cast("string"))): _*)
+      else concat_ws("/", PartitionTransforms.specs(m.partitionBy).map(sp =>
+        concat(lit(s"${sp.derivedName}="), sp.derive.cast("string"))): _*)
     val isLong = dt != "string"
     val session = spark
     import session.implicits._
@@ -609,6 +611,41 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         df.schema(column).dataType.typeName)
     df.filter(col(column) >= lit(lo).cast("date") &&
       col(column) <= lit(hi).cast("date"))
+  }
+
+  /** Range scan with manifest-stats skipping on a TIMESTAMP column
+    * -- the reader a `days(ts)` hidden-partitioned event log wants:
+    * stats record the source timestamps as `yyyy-MM-dd HH:mm:ss...`
+    * strings (columnStats casts), whose lexicographic order IS
+    * chronological order for the fixed format, so rels outside
+    * [lo, hi] prune at plan time and the exact timestamp filter
+    * applies to the remainder. Bounds are inclusive
+    * `yyyy-MM-dd[ HH:mm:ss]` strings; a rel without stats always
+    * scans (conservative). */
+  def readWhereTimestamp(name: String, column: String, lo: String,
+      hi: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val form = "\\d{4}-\\d{2}-\\d{2}( \\d{2}:\\d{2}:\\d{2}.*)?"
+    require(lo.matches(form) && hi.matches(form),
+      s"readWhereTimestamp bounds must be yyyy-MM-dd[ HH:mm:ss], got " +
+        s"[$lo, $hi]")
+    val m = current(name).getOrElse(
+      throw new NoSuchElementException(s"no snapshots for $name"))
+    val byRel = m.stats.filter(s => s._2 == column && s._3.matches(form) &&
+      s._4.matches(form)).map(s => s._1 -> ((s._3, s._4))).toMap
+    val keep = m.mapping.filter { case (rel, _) =>
+      // a bare-date hi ("1996-01-02") is the day's START; widen it to
+      // cover the whole day so the prune can never drop matching rows
+      // that the exact filter would keep
+      val hiWide = if (hi.length == 10) hi + " 23:59:59.999999" else hi
+      byRel.get(rel).forall { case (mn, mx) => mx >= lo && mn <= hiWide }
+    }
+    val df = load(name, m.copy(mapping = keep))
+    require(df.schema(column).dataType.typeName == "timestamp",
+      s"readWhereTimestamp needs a TIMESTAMP column; $column is " +
+        df.schema(column).dataType.typeName)
+    df.filter(col(column) >= lit(lo).cast("timestamp") &&
+      col(column) <= lit(hi).cast("timestamp"))
   }
 
   /** Range scan with manifest-stats skipping on a STRING column --
@@ -755,11 +792,11 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     val prev = Option(m.schemaDDL).filter(_.nonEmpty)
       .map(org.apache.spark.sql.types.StructType.fromDDL)
       .getOrElse(org.apache.spark.sql.types.StructType(Nil))
-    m.partitionBy.foreach { p =>
+    PartitionTransforms.sourceNames(m.partitionBy).foreach { p =>
       val f = next.find(_.name == p).getOrElse(throw new IllegalArgumentException(
-        s"schema evolution cannot drop partition column `$p` of $name"))
+        s"schema evolution cannot drop partition(-source) column `$p` of $name"))
       prev.find(_.name == p).foreach(old => require(f.dataType == old.dataType,
-        s"schema evolution cannot retype partition column `$p` " +
+        s"schema evolution cannot retype partition(-source) column `$p` " +
           s"(${old.dataType.sql} -> ${f.dataType.sql}): rel paths encode its values"))
     }
     next.filterNot(f => prev.exists(_.name == f.name)).foreach(f =>
@@ -847,8 +884,9 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         "it pre-rename files would silently read as NULL under the new name")
     val f = schema.find(_.name == from).getOrElse(
       throw new IllegalArgumentException(s"$name has no column `$from`"))
-    require(!m.partitionBy.contains(from),
-      s"cannot rename partition column `$from`: rel paths encode its name")
+    require(!PartitionTransforms.sourceNames(m.partitionBy).contains(from),
+      s"cannot rename partition(-source) column `$from`: the directory " +
+        "layout addresses it")
     require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
       s"$name already has a column `$to`")
     require(to.nonEmpty && !to.exists(c => c == '.' || c == '`'),
@@ -906,9 +944,9 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDDL)
     val f = schema.find(_.name == column).getOrElse(
       throw new IllegalArgumentException(s"$name has no column `$column`"))
-    require(!m.partitionBy.contains(column),
-      s"cannot retype partition column `$column`: rel paths encode its " +
-        "values under the manifest type")
+    require(!PartitionTransforms.sourceNames(m.partitionBy).contains(column),
+      s"cannot retype partition(-source) column `$column`: rel paths " +
+        "encode values derived under the manifest type")
     val ok = (f.dataType, newType) match {
       case (a, b) if a == b => false // no-op is a caller bug, reject below
       case (a: DecimalType, b: DecimalType) =>
@@ -1012,6 +1050,19 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     expireSnapshots(name)
     v
   }
+
+  /** v1 hidden-partitioning scope guard: operations whose machinery
+    * addresses partition columns as RAW ROW VALUES (row-level DML
+    * rel computation, upsert rel replacement, layout rewrites)
+    * keep their identity-only contract — reject loudly rather than
+    * compute garbage rels. The append + read + evolve surface is
+    * transform-complete. */
+  private[table] def requireIdentityLayout(name: String,
+      partitionBy: Seq[String], op: String): Unit =
+    require(PartitionTransforms.isIdentityOnly(partitionBy),
+      s"$name uses hidden partitioning (${partitionBy.mkString(", ")}): " +
+        s"$op currently supports identity layouts only — rewrite via " +
+        "commitFull, or keep transform tables append + read")
 
   /** Scan `dirId`'s freshly-written files for CHECK violations —
     * the write-side enforcement choke point every commit path funnels
@@ -1433,9 +1484,9 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     keyCols.foreach { c =>
       val f = schema.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"$name has no column `$c`"))
-      require(!head0.partitionBy.contains(c),
-        s"deleteKeys key `$c` is a partition column; delete whole " +
-          "partitions with deleteWhere instead")
+      require(!PartitionTransforms.sourceNames(head0.partitionBy).contains(c),
+        s"deleteKeys key `$c` is a partition(-source) column; delete " +
+          "whole partitions with deleteWhere instead")
       require(MorKeyTypes(f.dataType.typeName),
         s"deleteKeys key `$c` has unsupported type ${f.dataType.typeName}")
     }
@@ -1522,10 +1573,15 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       acc.join(org.apache.spark.sql.functions.broadcast(keys),
         keyCols, "left_anti")
     }
+    // hidden partition columns (directory-derived, appended by
+    // partition discovery) never reach the logical schema
+    val hidden = PartitionTransforms.hiddenNames(m.partitionBy)
+    val visible = if (hidden.isEmpty) afterDeletes
+      else afterDeletes.drop(hidden: _*)
     // field-ID metadata served its purpose (file matching above);
     // strip it so downstream writes never inherit this table's
     // identities (see FieldIds.stripDf)
-    FieldIds.stripDf(afterDeletes)
+    FieldIds.stripDf(visible)
   }
 
   /** Live commits or expiry tombstones with a version beyond
@@ -1737,9 +1793,18 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       parquetBlockSize: Option[Long] = None,
       bloomExpectedNdv: Option[Long] = None,
       fieldIds: Seq[(String, Int)] = Nil): Unit = {
+    // HIDDEN PARTITIONING (PartitionTransforms): derive the layout
+    // columns from their sources before the write — the source stays
+    // a data column in every file, the derived value exists only in
+    // the directory paths (identity layouts derive nothing)
+    val specs = PartitionTransforms.specs(partitionBy)
+    val derived = specs.filterNot(_.isInstanceOf[PartitionTransforms.Identity])
+      .foldLeft(FieldIds.stampDf(df, fieldIds)) { (acc, sp) =>
+        acc.withColumn(sp.derivedName, sp.derive)
+      }
     // column-identity stamp: files record each column's field ID so
     // later renames resolve metadata-only (see FieldIds)
-    var w = FieldIds.stampDf(df, fieldIds)
+    var w = derived
       .write.mode(SaveMode.ErrorIfExists)
     // per-column parquet bloom filters: the file-level secondary index
     // for point lookups on a NON-clustered high-cardinality key --
@@ -1751,7 +1816,9 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         w = w.option(s"parquet.bloom.filter.expected.ndv#$c", n.toString))
     }
     parquetBlockSize.foreach(b => w = w.option("parquet.block.size", b.toString))
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+    (if (partitionBy.nonEmpty)
+       w.partitionBy(PartitionTransforms.pathNames(partitionBy): _*)
+     else w)
       .parquet(s"${dataRoot(name)}/$dirId")
   }
 
@@ -1767,9 +1834,13 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       statsColumns: Seq[String]): Seq[(String, String, String, String)] = {
     if (statsColumns.isEmpty) return Nil
     import org.apache.spark.sql.functions._
+    // rel segments carry the PATH (derived) column names — identical
+    // to partitionBy for identity layouts, `<src>_day`-style for
+    // transforms (the back-read's basePath discovery appends them)
+    val pathCols = PartitionTransforms.pathNames(partitionBy)
     val relExpr =
       if (partitionBy.isEmpty) lit(".")
-      else concat_ws("/", partitionBy.map(c =>
+      else concat_ws("/", pathCols.map(c =>
         concat(lit(s"$c="), col(c).cast("string"))): _*)
     val aggs = statsColumns.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"__mn_$c"),
@@ -1800,6 +1871,10 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     val parent = currentOn(name, branch)
     if (branch.nonEmpty) require(parent.isDefined,
       s"$name has no branch `$branch` — createBranch first")
+    // layout validation: transform sources exist with usable types,
+    // derived names collide with nothing (a data column named like a
+    // hidden column would silently be OVERWRITTEN at write time)
+    PartitionTransforms.validate(partitionBy, df.schema)
     // a FULL commit owns its layout (each manifest carries its own
     // partitionBy, so every snapshot stays readable under the layout
     // it was written with -- layout evolution, see [[clusterBy]]); a
@@ -1980,6 +2055,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       partitionBy: Seq[String], replaced: Seq[Seq[String]],
       statsColumns: Seq[String] = Nil): Long = {
     require(partitionBy.nonEmpty, "commitPartitionsReplacing needs partition columns")
+    requireIdentityLayout(name, partitionBy, "commitPartitionsReplacing")
     val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       .escapePathName _
     val rels = replaced.map { values =>
@@ -2137,8 +2213,9 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     assignments.keys.foreach(c => require(cols.contains(c),
       s"UPDATE assigns unknown column `$c` (table has ${cols.mkString(",")})"))
     assignments.keys.foreach(c =>
-      require(!m.partitionBy.exists(_.equalsIgnoreCase(c)),
-        s"UPDATE cannot assign partition column `$c`; delete and" +
+      require(!PartitionTransforms.sourceNames(m.partitionBy)
+          .exists(_.equalsIgnoreCase(c)),
+        s"UPDATE cannot assign partition(-source) column `$c`; delete and" +
           " re-insert, or rewrite with commitFull"))
     val fires = coalesce(condition, lit(false))
     copyOnWrite(name, fires, df => df.select(df.columns.toSeq.map { c =>
@@ -2170,9 +2247,10 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     // partition values. Delete + re-insert, or commitFull a rewrite.
     current(name).foreach { m =>
       assignments.keys.foreach(c =>
-        require(!m.partitionBy.exists(_.equalsIgnoreCase(c)),
-          s"UPDATE cannot assign partition column `$c`; delete and" +
-            " re-insert, or rewrite with commitFull"))
+        require(!PartitionTransforms.sourceNames(m.partitionBy)
+            .exists(_.equalsIgnoreCase(c)),
+          s"UPDATE cannot assign partition(-source) column `$c`; delete " +
+            "and re-insert, or rewrite with commitFull"))
     }
     val fires = coalesce(condition, lit(false))
     copyOnWrite(name, fires, df => df.select(cols.map { c =>
@@ -2399,7 +2477,9 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         case (k, group) =>
           val rows = load(name,
             m.copy(mapping = group.map { case (rel, d, _) => (rel, d) }))
-          val pcols = m.partitionBy.map(col)
+          // group by the LAYOUT dimensions: identity columns as-is,
+          // transforms re-derived (hidden cols never leave load())
+          val pcols = PartitionTransforms.specs(m.partitionBy).map(_.derive)
           val keys =
             if (k == 1) pcols
             else pcols :+

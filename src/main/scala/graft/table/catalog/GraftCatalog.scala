@@ -212,11 +212,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     checkNs(ident.namespace)
     val st = store
     if (st.exists(ident.name)) throw new TableAlreadyExistsException(ident)
+    // identity plus HIDDEN partitioning transforms
+    // (graft.table.PartitionTransforms): days(ts), bucket(N, col),
+    // truncate(W, col) — the derived value lives in directory paths
+    // only, never in the schema
     val partitionBy = partitions.toSeq.map { t =>
-      require(t.name == "identity",
-        s"graft tables support identity partitioning only, got $t")
-      t.references.head.fieldNames.mkString(".")
+      def srcOf: String = t.references.head.fieldNames.mkString(".")
+      t.name match {
+        case "identity" => srcOf
+        case "days" => s"days($srcOf)"
+        case "bucket" =>
+          val nb = t.arguments.collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value.toString.toInt
+          }.getOrElse(throw new IllegalArgumentException(
+            s"bucket transform without a bucket count: $t"))
+          s"bucket$nb($srcOf)"
+        case "truncate" =>
+          val w = t.arguments.collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value.toString.toInt
+          }.getOrElse(throw new IllegalArgumentException(
+            s"truncate transform without a width: $t"))
+          s"truncate$w($srcOf)"
+        case other => throw new IllegalArgumentException(
+          s"graft tables support identity, days, bucket, truncate " +
+            s"partitioning; got $other")
+      }
     }
+    graft.table.PartitionTransforms.validate(partitionBy,
+      graft.table.FieldIds.stripSchema(schema))
     // the store's manifest DDL must stay metadata-free (toDDL renders
     // DEFAULT clauses fromDDL cannot re-parse); the default literals
     // live in the manifest's own ledger, recorded below
@@ -448,7 +473,11 @@ class GraftTable(st: VersionedTableStore, tableName: String,
       s"row-level ${info.command} on a time-travel handle of $tableName: " +
         "history is immutable")
     requireNoWap(info.command.toString)
-    () => new GraftRowLevelOp(st, tableName, snapshot, info.command)
+    () => {
+      st.requireIdentityLayout(tableName, snapshot.partitionBy,
+        "row-level SQL DML (UPDATE/MERGE/DELETE rewrite)")
+      new GraftRowLevelOp(st, tableName, snapshot, info.command)
+    }
   }
 
   private[catalog] val snapshot: GraftSnapshot =
@@ -493,8 +522,28 @@ class GraftTable(st: VersionedTableStore, tableName: String,
     if (snapshot.schemaDDL.nonEmpty) StructType.fromDDL(snapshot.schemaDDL)
     else StructType(Nil)
 
+  private val pSpecs = graft.table.PartitionTransforms
+    .specs(snapshot.partitionBy)
+
+  /** Directory-layout schema the file index parses rel paths with:
+    * identity columns keep their declared field; transforms
+    * contribute their DERIVED (hidden) column. */
   private val partitionSchema: StructType =
-    StructType(snapshot.partitionBy.map(storedSchema.apply))
+    StructType(pSpecs.map {
+      case id: graft.table.PartitionTransforms.Identity =>
+        storedSchema(id.source)
+      case sp => org.apache.spark.sql.types.StructField(
+        sp.derivedName, sp.derivedType, nullable = true)
+    })
+
+  /** Identity partition fields only — what the PUBLIC schema appends
+    * (hidden transform columns never surface: the user queries the
+    * SOURCE column, stats pruning does the partition skipping). */
+  private val identityPartitionSchema: StructType =
+    StructType(pSpecs.collect {
+      case id: graft.table.PartitionTransforms.Identity =>
+        storedSchema(id.source)
+    })
 
   // ID-stamped (graft.table.FieldIds): scans of a ledgered table
   // match file columns by stable field ID — what serves a RENAMEd
@@ -509,8 +558,13 @@ class GraftTable(st: VersionedTableStore, tableName: String,
   private val dataSchema: StructType =
     graft.table.ColumnDefaults.stamp(
       graft.table.FieldIds.stamp(
-        StructType(storedSchema.filterNot(f =>
-          snapshot.partitionBy.contains(f.name))),
+        // identity partition columns live in paths; TRANSFORM SOURCE
+        // columns are ordinary data columns inside every file
+        StructType(storedSchema.filterNot(f => pSpecs.exists {
+          case id: graft.table.PartitionTransforms.Identity =>
+            id.source == f.name
+          case _ => false
+        })),
         snapshot.fieldIds),
       // EXISTS_DEFAULT rides the same pushed schema (pre-add files
       // materialize the frozen default); CURRENT_DEFAULT on schema()
@@ -520,10 +574,21 @@ class GraftTable(st: VersionedTableStore, tableName: String,
   override def name(): String = s"graft.default.$tableName"
 
   override def schema(): StructType =
-    StructType(dataSchema ++ partitionSchema)
+    StructType(dataSchema ++ identityPartitionSchema)
 
   override def partitioning(): Array[Transform] =
-    snapshot.partitionBy.map(Expressions.identity).toArray
+    pSpecs.map {
+      case id: graft.table.PartitionTransforms.Identity =>
+        Expressions.identity(id.source)
+      case d: graft.table.PartitionTransforms.Days =>
+        Expressions.days(d.source)
+      case b: graft.table.PartitionTransforms.Bucket =>
+        Expressions.bucket(b.n, b.source)
+      case t: graft.table.PartitionTransforms.Truncate =>
+        Expressions.apply("truncate",
+          Expressions.literal(Integer.valueOf(t.w)),
+          Expressions.column(t.source))
+    }.toArray
 
   override def properties(): util.Map[String, String] =
     Map("provider" -> "graft", "version" -> snapshot.version.toString,
@@ -599,6 +664,8 @@ class GraftTable(st: VersionedTableStore, tableName: String,
           require(!overwrite,
             s"streaming into $tableName supports append mode only")
           requireNoWap("writeStream")
+          st.requireIdentityLayout(tableName, snapshot.partitionBy,
+            "writeStream.toTable")
           val (dirBase, pathBase) = st.newStreamStaging(tableName)
           val qid = info.queryId()
           def dropEpoch(epochId: Long): Unit = {
@@ -758,7 +825,8 @@ class GraftTable(st: VersionedTableStore, tableName: String,
       }
     }.toSet
     val incoming: Set[Seq[String]] = aligned
-      .select(pby.map(c => col(c).cast("string")): _*)
+      .select(graft.table.PartitionTransforms.specs(pby)
+        .map(sp => sp.derive.cast("string")): _*)
       .distinct().collect()
       .map(r => pby.indices.map(i =>
         if (r.isNullAt(i))

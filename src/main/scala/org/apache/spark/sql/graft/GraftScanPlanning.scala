@@ -339,7 +339,15 @@ class GraftScan(initial: ParquetScan, partitionSchema: StructType,
     * same session conf Spark's own SPJ machinery keys off), so
     * `outputPartitioning` and `toBatch` cannot disagree mid-plan. */
   private val keyGrouped: Boolean = partitionSchema.nonEmpty &&
-    org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled
+    org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled &&
+    // hidden-partitioning layouts (PartitionTransforms): derived
+    // columns never reach the scan OUTPUT, so a key-grouped report
+    // over them would fail resolution — those layouts read as
+    // ordinarily-partitioned scans (SPJ stays an identity-layout
+    // optimization)
+    partitionSchema.fieldNames.forall(n =>
+      current.readSchema().fieldNames.contains(n) ||
+        readSchema().fieldNames.contains(n))
 
   /** '''Storage-partitioned joins''' ([[SupportsReportPartitioning]]):
     * with `spark.sql.sources.v2.bucketing.enabled=true` the scan

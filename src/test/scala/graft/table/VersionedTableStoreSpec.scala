@@ -985,7 +985,7 @@ class VersionedTableStoreSpec extends AnyFunSuite {
     val pe = intercept[IllegalArgumentException] {
       vs.updateWhere("ut", col("k") === 1,
         Map("day" -> org.apache.spark.sql.functions.lit("d9"))) }
-    assert(pe.getMessage.contains("partition column"))
+    assert(pe.getMessage.contains("partition(-source) column"))
     val ts = new TableStore(spark,
       Files.createTempDirectory("graft-upd-ts").toString)
     ts.createOrReplace(df, "ut")
