@@ -67,6 +67,27 @@ object PartitionTransforms {
     def text: String = s"days($source)"
   }
 
+  final case class Months(source: String) extends Spec {
+    def derivedName: String = s"${source}_month"
+    def derive: Column = date_format(col(source), "yyyy-MM")
+    def derivedType: DataType = StringType
+    def text: String = s"months($source)"
+  }
+
+  final case class Years(source: String) extends Spec {
+    def derivedName: String = s"${source}_year"
+    def derive: Column = year(col(source)).cast(IntegerType)
+    def derivedType: DataType = IntegerType
+    def text: String = s"years($source)"
+  }
+
+  final case class Hours(source: String) extends Spec {
+    def derivedName: String = s"${source}_hour"
+    def derive: Column = date_format(col(source), "yyyy-MM-dd-HH")
+    def derivedType: DataType = StringType
+    def text: String = s"hours($source)"
+  }
+
   final case class Bucket(source: String, n: Int) extends Spec {
     def derivedName: String = s"${source}_bucket"
     def derive: Column = pmod(xxhash64(col(source)), lit(n.toLong))
@@ -83,11 +104,17 @@ object PartitionTransforms {
   }
 
   private val DaysRe = """days\(([^(),\s]+)\)""".r
+  private val MonthsRe = """months\(([^(),\s]+)\)""".r
+  private val YearsRe = """years\(([^(),\s]+)\)""".r
+  private val HoursRe = """hours\(([^(),\s]+)\)""".r
   private val BucketRe = """bucket(\d+)\(([^(),\s]+)\)""".r
   private val TruncRe = """truncate(\d+)\(([^(),\s]+)\)""".r
 
   def parse(entry: String): Spec = entry.trim match {
     case DaysRe(c) => Days(c)
+    case MonthsRe(c) => Months(c)
+    case YearsRe(c) => Years(c)
+    case HoursRe(c) => Hours(c)
     case BucketRe(n, c) =>
       require(n.toInt > 0, s"bucket count must be positive: $entry")
       Bucket(c, n.toInt)
@@ -128,9 +155,9 @@ object PartitionTransforms {
         throw new IllegalArgumentException(
           s"partition transform ${s.text}: no column `${s.source}`"))
       s match {
-        case _: Days => require(
+        case _: Days | _: Months | _: Years | _: Hours => require(
           Seq("timestamp", "date", "string").contains(f.dataType.typeName),
-          s"days(${s.source}) needs a timestamp/date column, got " +
+          s"${s.text} needs a timestamp/date column, got " +
             f.dataType.sql)
         case _: Truncate => require(f.dataType.typeName == "string",
           s"${s.text} needs a string column, got ${f.dataType.sql}")

@@ -221,6 +221,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       t.name match {
         case "identity" => srcOf
         case "days" => s"days($srcOf)"
+        case "months" => s"months($srcOf)"
+        case "years" => s"years($srcOf)"
+        case "hours" => s"hours($srcOf)"
         case "bucket" =>
           val nb = t.arguments.collectFirst {
             case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
@@ -582,6 +585,12 @@ class GraftTable(st: VersionedTableStore, tableName: String,
         Expressions.identity(id.source)
       case d: graft.table.PartitionTransforms.Days =>
         Expressions.days(d.source)
+      case m: graft.table.PartitionTransforms.Months =>
+        Expressions.months(m.source)
+      case y: graft.table.PartitionTransforms.Years =>
+        Expressions.years(y.source)
+      case h: graft.table.PartitionTransforms.Hours =>
+        Expressions.hours(h.source)
       case b: graft.table.PartitionTransforms.Bucket =>
         Expressions.bucket(b.n, b.source)
       case t: graft.table.PartitionTransforms.Truncate =>

@@ -116,6 +116,25 @@ class HiddenPartitionSpec extends AnyFunSuite {
       df, "t3", Seq("days(x)")))
   }
 
+  test("months/years/hours layouts shape and read correctly") {
+    val vs = fresh()
+    vs.commitFull(tsDf(400)
+      .withColumn("ts", col("ts") + expr("make_interval(0, CAST(id % 3 AS INT))")),
+      "t", Seq("months(ts)"))
+    assert(vs.snapshotView("t", None).entries.map(_._1).toSet ===
+      Set("ts_month=1996-01", "ts_month=1996-02", "ts_month=1996-03"))
+    assert(vs.read("t").count() === 400L)
+    val vs2 = fresh()
+    vs2.commitFull(tsDf(100), "t", Seq("years(ts)"))
+    assert(vs2.snapshotView("t", None).entries.map(_._1).toSet ===
+      Set("ts_year=1996"))
+    val vs3 = fresh()
+    vs3.commitFull(tsDf(50), "t", Seq("hours(ts)"))
+    assert(vs3.snapshotView("t", None).entries.map(_._1)
+      .forall(_.matches("ts_hour=1996-01-0\\d-00")))
+    assert(vs3.read("t").columns.toSeq === Seq("id", "ts", "v"))
+  }
+
   test("SQL surface: CREATE PARTITIONED BY (days(ts)), INSERT, SELECT, travel") {
     val root = Files.createTempDirectory("graft-hp-sql").toString
     spark.conf.set("spark.sql.catalog.hpc", "graft.table.catalog.GraftCatalog")
