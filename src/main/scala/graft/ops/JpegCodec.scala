@@ -360,6 +360,17 @@ object JpegCodec {
   def decodeJpeg(p: Array[Byte]): Option[Image] = {
     if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8)
       return None
+    // UNTRUSTED BYTES: a decoder in the sniff path must return None
+    // for anything structurally broken, never crash the task — a
+    // corrupt stream can index table selectors past their arrays,
+    // declare absurd dimensions, or truncate mid-segment. Anything
+    // the explicit validations miss lands here as a structural
+    // exception and degrades to "not a decodable JPEG".
+    try decodeJpegChecked(p)
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def decodeJpegChecked(p: Array[Byte]): Option[Image] = {
     val quants = new Array[Array[Int]](4)
     val dcTabs = new Array[Huff](4)
     val acTabs = new Array[Huff](4)
@@ -394,6 +405,11 @@ object JpegCodec {
             if ((p(at) & 0xff) != 8) return None
             height = ((p(at + 1) & 0xff) << 8) | (p(at + 2) & 0xff)
             width = ((p(at + 3) & 0xff) << 8) | (p(at + 4) & 0xff)
+            // dimension sanity: a crafted 65535x65535 header would
+            // otherwise drive a multi-GB plane allocation before any
+            // pixel data is even validated
+            if (width <= 0 || height <= 0 ||
+                width.toLong * height > (1L << 26)) return None
             val n = p(at + 5) & 0xff
             if (n != 1 && n != 3) return None
             comps = Array.tabulate(n) { c =>

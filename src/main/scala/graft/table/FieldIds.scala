@@ -79,17 +79,29 @@ object FieldIds {
     * already ledgered keeps its ID (identity is stable across
     * compaction and replace — what keeps a rename durable through a
     * later full rewrite), a new name mints the next ID past the
-    * ledger's max (IDs are never reused, so a drop + re-add is a NEW
-    * column whose old files correctly read as NULL). */
+    * ledger's max. IDs are NEVER reused: a dropped column's ID stays
+    * in the ledger as a TOMBSTONE entry (empty name — unmatchable by
+    * any field, invisible to stamp()), so a metadata-only DROP +
+    * re-ADD mints a FRESH ID and the re-added column correctly reads
+    * NULL from retained files instead of resurrecting the dropped
+    * column's stored values by ID match. Tombstone count is bounded
+    * by the distinct columns the table has ever had. */
   def assign(names: Seq[String], parent: Seq[(String, Int)]): Seq[(String, Int)] = {
-    val byName = parent.toMap
+    val byName = parent.filter(_._1.nonEmpty).toMap
     var next = if (parent.isEmpty) 0 else parent.map(_._2).max
-    names.map { n =>
+    val kept = names.map { n =>
       byName.get(n) match {
         case Some(id) => n -> id
         case None => next += 1; n -> next
       }
     }
+    val liveIds = kept.map(_._2).toSet
+    // every previously-used ID not carried forward becomes (or stays)
+    // a tombstone
+    val tombstones = parent.collect {
+      case (_, id) if !liveIds.contains(id) => "" -> id
+    }.distinctBy(_._2)
+    kept ++ tombstones
   }
 
   /** Does `field` carry ID metadata already? (Guards double-stamping

@@ -803,6 +803,12 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       require(f.nullable,
         s"added column `${f.name}` must be nullable: existing files of " +
           s"$name hold no values for it"))
+    // a data column named like a HIDDEN layout column would be
+    // silently overwritten by the next write's derivation — reject at
+    // the evolution, not at some later commit
+    PartitionTransforms.hiddenNames(m.partitionBy).foreach(h =>
+      require(!next.fieldNames.contains(h),
+        s"column `$h` collides with $name's hidden partition column"))
     val keep = next.fieldNames.toSet
     val v = nextVersion(name)
     casManifest(name,
@@ -872,7 +878,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         if (branch.isEmpty) s"no snapshots for $name"
         else s"$name has no branch `$branch`"))
     val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDDL)
-    require(m.fieldIds.nonEmpty && schema.fieldNames.forall(n =>
+    require(m.fieldIds.exists(_._1.nonEmpty) && schema.fieldNames.forall(n =>
         m.fieldIds.exists(_._1 == n)),
       s"$name predates column identity (no field-ID ledger): compact() " +
         "first — the full rewrite assigns stable IDs, after which renames " +
@@ -891,6 +897,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       s"$name already has a column `$to`")
     require(to.nonEmpty && !to.exists(c => c == '.' || c == '`'),
       s"invalid column name `$to`")
+    require(!PartitionTransforms.hiddenNames(m.partitionBy).contains(to),
+      s"`$to` collides with $name's hidden partition column")
     m.deletes.foreach { case (_, cols) =>
       require(!cols.split(",").contains(from),
         s"cannot rename `$from`: a pending merge-on-read delete batch " +
@@ -899,6 +907,20 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     }
     val next = org.apache.spark.sql.types.StructType(
       schema.map(x => if (x.name == from) x.copy(name = to) else x))
+    // CHECK predicates are SQL text bound by name: one referencing the
+    // renamed column would brick every later write at enforcement
+    // time. Same discipline as evolveSchema: re-resolve each against
+    // the RENAMED schema and reject the rename if one no longer binds
+    // (drop the constraint, rename, re-add under the new name).
+    m.checks.foreach { case (cn, sql) =>
+      val probe = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], next)
+      try probe.where(org.apache.spark.sql.functions.expr(sql))
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"renaming `$from` breaks CHECK `$cn` ($sql): drop the " +
+          s"constraint first and re-add it under the new name — " +
+          e.getMessage) }
+    }
     val v = nextVersion(name)
     casManifest(name,
       Manifest(v, m.partitionBy, m.mapping, next.toDDL,
@@ -992,6 +1014,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDDL)
     require(!schema.fieldNames.exists(_.equalsIgnoreCase(column)),
       s"$name already has a column `$column`")
+    require(!PartitionTransforms.hiddenNames(m.partitionBy).contains(column),
+      s"`$column` collides with $name's hidden partition column")
     ColumnDefaults.validate(column, dataType, defaultSql)
     val next = schema.add(column, dataType, nullable = true)
     val v = nextVersion(name)
@@ -1310,8 +1334,11 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
               "writer was running — its staged files carry no field IDs; " +
               "restart the writer against the current head")
         }
-        val headByName = m.fieldIds.toMap
-        val clash = writerIds.find { case (n, id) =>
+        // tombstone entries (empty name — retired IDs, see
+        // FieldIds.assign) are identity bookkeeping, not columns:
+        // excluded from the clash check on both sides
+        val headByName = m.fieldIds.filter(_._1.nonEmpty).toMap
+        val clash = writerIds.filter(_._1.nonEmpty).find { case (n, id) =>
           headByName.get(n).exists(_ != id) }
         clash.foreach { case (n, id) =>
           dropStaging()
@@ -2154,6 +2181,15 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     writeData(newRows, name, dirId, m.partitionBy, fieldIds = m.fieldIds)
     val written = partitionRels(new Path(s"${dataRoot(name)}/$dirId"),
       m.partitionBy.size).map(_ -> dirId)
+    // the copy-on-write rewrite is a write path like any other: its
+    // freshly-written files validate against the table's CHECKs
+    // before the CAS (an updateWhere assigning a violating value must
+    // reject, not land)
+    try enforceChecksOn(name, m.checks, dirId,
+      Some(newRows.schema), m.partitionBy, written.map(_._1))
+    catch { case e: Throwable =>
+      fs.delete(new Path(s"${dataRoot(name)}/$dirId"), true); throw e
+    }
     val mapping = m.mapping.filterNot(e => touchedRels(e._1)) ++ written
     val statsCols = m.stats.map(_._2).distinct
     val writtenStats =
@@ -2842,6 +2878,29 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       theirs.mapping.filter(e => theirChanged(e._1))
     val stats = ours.stats.filterNot(s => theirChanged(s._1)) ++
       theirs.stats.filter(s => theirChanged(s._1))
+    // a merge ADOPTS data neither lineage validated under the other's
+    // constraints: rels adopted from the branch scan against checks
+    // the BRANCH lacked, and rels retained from main scan against
+    // checks only the BRANCH carried — each side costs only ITS
+    // adopted/retained rels, and a violation rejects the merge before
+    // any metadata moves (the ADD CONSTRAINT discipline, applied to
+    // the merge's data movement)
+    def validateSide(rels: Set[String], source: Manifest,
+        missing: Seq[(String, String)], side: String): Unit =
+      if (missing.nonEmpty && rels.nonEmpty) {
+        import org.apache.spark.sql.functions.{expr, not}
+        val df = load(name, source.copy(
+          mapping = source.mapping.filter(e => rels(e._1))))
+        missing.foreach { case (cn, sql) =>
+          val bad = df.where(not(expr(sql))).take(1)
+          if (bad.nonEmpty) throw new CheckViolation(name,
+            cn, sql, s"[$side of merge] ${bad.head.toString}")
+        }
+      }
+    validateSide(theirChanged.toSet, theirs,
+      mergedChecks.filterNot(theirs.checks.contains), "branch side")
+    validateSide(rels.diff(theirChanged).toSet, ours,
+      mergedChecks.filterNot(ours.checks.contains), "main side")
     val v = nextVersion(name)
     casManifest(name, Manifest(v, ours.partitionBy, mapping, mergedSchema,
       stats, deletes = mergedDeletes, fieldIds = mergedIds,
@@ -2950,6 +3009,22 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       picked.mapping.filter(e => pickChanged(e._1))
     val stats = ours.stats.filterNot(s => pickChanged(s._1)) ++
       picked.stats.filter(s => pickChanged(s._1))
+    // the picked commit's data was never validated under checks the
+    // HEAD carries that its own lineage lacked — scan the adopted
+    // rels before any metadata moves (merge discipline)
+    locally {
+      val missing = ours.checks.filterNot(picked.checks.contains)
+      if (missing.nonEmpty && pickChanged.nonEmpty) {
+        import org.apache.spark.sql.functions.{expr, not}
+        val df = load(name, picked.copy(
+          mapping = picked.mapping.filter(e => pickChanged(e._1))))
+        missing.foreach { case (cn, sql) =>
+          val bad = df.where(not(expr(sql))).take(1)
+          if (bad.nonEmpty) throw new CheckViolation(name,
+            cn, sql, s"[cherry-picked $v] ${bad.head.toString}")
+        }
+      }
+    }
     val next = nextVersion(name)
     casManifest(name, Manifest(next, ours.partitionBy, mapping,
       ours.schemaDDL, stats, deletes = ours.deletes,

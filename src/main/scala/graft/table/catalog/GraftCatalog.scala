@@ -739,7 +739,19 @@ class GraftTable(st: VersionedTableStore, tableName: String,
       // (the main snapshot), so a branch-evolved column is absent
       // from `data`: pad it with NULL (evolution guarantees added
       // columns are nullable) rather than failing or silently
-      // reverting it to main's column set.
+      // reverting it to main's column set. Padding is legitimate ONLY
+      // when the batch's columns are a subset of the target's — a
+      // batch carrying a column the target does not know (the OLD
+      // name after a branch-side RENAME, say) means the values would
+      // be silently DISCARDED while the renamed column null-pads:
+      // reject loudly instead.
+      val unknown = data.columns.filterNot(c =>
+        target.fieldNames.contains(c))
+      require(unknown.isEmpty,
+        s"INSERT batch carries column(s) ${unknown.mkString(", ")} the " +
+          s"target schema (${target.fieldNames.mkString(", ")}) does not " +
+          "know — renamed on the branch? Write with the target's own " +
+          "column names")
       val have = data.columns.toSet
       data.select(target.fields.map { f =>
         if (!have.contains(f.name)) {

@@ -136,6 +136,36 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(row === viaDecode)
   }
 
+  test("corrupt-but-JPEG-magic streams return None, never crash") {
+    // the sniff path feeds untrusted bytes: out-of-range table
+    // selectors, truncated segments, and absurd dimensions must all
+    // degrade to None (lenient contract), not throw from a task
+    val soi = Array[Byte](0xff.toByte, 0xd8.toByte)
+    // truncated SOF right after the marker
+    assert(JpegCodec.decodeJpeg(
+      soi ++ Array[Byte](0xff.toByte, 0xc0.toByte, 0x00, 0x02)).isEmpty)
+    // SOF declaring 65535x65535 (plane allocation bomb)
+    val hugeSof = soi ++ Array[Byte](0xff.toByte, 0xc0.toByte, 0x00, 0x11,
+      8, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 1,
+      1, 0x11, 0, 0xff.toByte, 0xd9.toByte) // + EOI
+    assert(JpegCodec.decodeJpeg(hugeSof).isEmpty)
+    // random bytes after the magic
+    val rnd = new scala.util.Random(7)
+    (0 until 20).foreach { _ =>
+      val junk = new Array[Byte](200); rnd.nextBytes(junk)
+      JpegCodec.decodeJpeg(soi ++ junk) // must not throw
+    }
+    // a VALID stream with one flipped byte mid-scan: None or a
+    // decoded image, never an exception
+    val img = PixelCodec.Image(24, 16, 1,
+      Array.tabulate(24 * 16)(i => (i % 251).toByte))
+    val ok = JpegCodec.encodeJpeg(img)
+    (4 until ok.length by 7).foreach { at =>
+      val bad = ok.clone; bad(at) = (bad(at) ^ 0x5a).toByte
+      JpegCodec.decodeJpeg(bad) // must not throw
+    }
+  }
+
   test("decoder returns None on foreign, truncated, and progressive streams") {
     val img = grey(16, 16)((x, y) => x * 16 + y)
     val good = encodeJpeg(img, QuantDefault)

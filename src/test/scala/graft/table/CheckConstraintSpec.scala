@@ -124,6 +124,39 @@ class CheckConstraintSpec extends AnyFunSuite {
     }
   }
 
+  test("copy-on-write updateWhere validates its rewritten files") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, 10), (2, 20)).toDF("k", "amt"), "t",
+      partitionBy = Seq("k"))
+    vs.addCheckConstraint("t", "amt_pos", "amt >= 0")
+    intercept[CheckViolation](vs.updateWhere("t",
+      org.apache.spark.sql.functions.col("k") === 1,
+      Map("amt" -> org.apache.spark.sql.functions.lit(-1)), Seq("k")))
+    // rejected rewrite left the table bit-identical
+    assert(vs.read("t").select("amt").as[Int].collect().sorted.toSeq ===
+      Seq(10, 20))
+    vs.updateWhere("t", org.apache.spark.sql.functions.col("k") === 1,
+      Map("amt" -> org.apache.spark.sql.functions.lit(11)), Seq("k"))
+    assert(vs.read("t").select("amt").as[Int].collect().sorted.toSeq ===
+      Seq(11, 20))
+  }
+
+  test("renaming a CHECKed column rejects until the constraint drops") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, 10)).toDF("k", "amt"), "t", partitionBy = Seq("k"))
+    vs.addCheckConstraint("t", "amt_pos", "amt >= 0")
+    // the predicate is SQL text bound by name: a rename would brick
+    // every later write at enforcement time — rejected up front
+    val e = intercept[IllegalArgumentException](
+      vs.renameColumn("t", "amt", "amount"))
+    assert(e.getMessage.contains("amt_pos"))
+    vs.dropCheckConstraint("t", "amt_pos")
+    vs.renameColumn("t", "amt", "amount")
+    vs.addCheckConstraint("t", "amount_pos", "amount >= 0")
+    intercept[CheckViolation](
+      vs.commitPartitions(Seq((2, -1)).toDF("k", "amount"), "t", Seq("k")))
+  }
+
   test("branch-scoped constraints merge three-way") {
     val vs = fresh()
     vs.commitFull(Seq((1, 10)).toDF("k", "amt"), "t", partitionBy = Seq("k"))
@@ -133,12 +166,15 @@ class CheckConstraintSpec extends AnyFunSuite {
     vs.commitPartitions(Seq((2, -1)).toDF("k", "amt"), "t", Seq("k"))
     intercept[CheckViolation](vs.commitFull(
       Seq((1, 10), (3, -2)).toDF("k", "amt"), "t", branch = "dev"))
-    // merge carries the branch's constraint to main... but main's
-    // k=2 row now violates it — the MERGE itself must not create a
-    // state ADD CONSTRAINT would have rejected. Today's contract:
-    // the metadata merges (one-side-changed), enforcement applies to
-    // WRITES; main's pre-existing violation surfaces on its next
-    // rewrite of that partition. Pin the metadata half.
+    // merging would carry the branch's constraint onto main — but
+    // main's k=2 row VIOLATES it, and the merge validates the data it
+    // adopts/retains against checks each side was not written under
+    // (the ADD CONSTRAINT discipline applied to the merge's data
+    // movement): REJECTED, nothing moves
+    intercept[CheckViolation](vs.mergeBranch("t", "dev"))
+    assert(vs.snapshotView("t", None).checks === Nil)
+    // clean main's violation; the merge then lands and enforces
+    vs.deleteWhere("t", $"amt" < 0, Seq("k"))
     vs.mergeBranch("t", "dev")
     assert(vs.snapshotView("t", None).checks ===
       Seq(("amt_pos", "amt >= 0")))

@@ -109,6 +109,10 @@ class HiddenPartitionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("hidden partitioning"))
     // renaming / retyping the SOURCE column rejects
     assertThrows[IllegalArgumentException](vs.renameColumn("t", "sym", "s2"))
+    // evolving IN a column named like the hidden layout column
+    // rejects (it would be silently overwritten at write time)
+    assertThrows[IllegalArgumentException](
+      vs.evolveSchema("t", "sym STRING, x INT, sym_trunc STRING"))
     // validation: derived-name collision and bad source types reject
     assertThrows[IllegalArgumentException](vs.commitFull(
       df.withColumn("sym_trunc", lit("boom")), "t2", Seq("truncate2(sym)")))

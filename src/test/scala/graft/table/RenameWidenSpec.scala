@@ -124,6 +124,24 @@ class RenameWidenSpec extends AnyFunSuite {
     assert(vs.read("t").select("w").as[String].collect().toSeq === Seq("a"))
   }
 
+  test("drop + re-add NEVER resurrects the dropped column's stored data") {
+    val vs = fresh()
+    // amt's values are IN the files (not a metadata default)
+    vs.commitFull(Seq((1, 10), (2, 20)).toDF("k", "amt"), "t",
+      partitionBy = Seq("k"))
+    vs.evolveSchema("t", "k INT") // metadata-only drop; files retained
+    vs.evolveSchema("t", "k INT, amt INT") // re-add the NAME
+    // the re-added column is a NEW identity: retained files' old
+    // amt data (their field ID is tombstoned, never reused) must
+    // read as NULL, not 10/20
+    assert(vs.read("t").select("amt").as[Option[Int]].collect()
+      .toSeq === Seq(None, None))
+    // and a post-re-add write round-trips normally
+    vs.commitPartitions(Seq((3, 30)).toDF("k", "amt"), "t", Seq("k"))
+    assert(vs.read("t").select("amt").as[Option[Int]].collect()
+      .toSeq.flatten.sorted === Seq(30))
+  }
+
   test("widen int->long and float->double across file generations") {
     val vs = fresh()
     vs.commitFull(Seq((1, 10, 1.5f)).toDF("k", "n", "x"), "t",
@@ -186,6 +204,36 @@ class RenameWidenSpec extends AnyFunSuite {
     vs2.renameColumn("t", "amt", "a_main")
     vs2.renameColumn("t", "amt", "a_dev", branch = "dev")
     assertThrows[BranchMergeConflict](vs2.mergeBranch("t", "dev"))
+  }
+
+  test("branch-renamed column: INSERT with the old name fails LOUDLY") {
+    val root = Files.createTempDirectory("graft-rw-br").toString
+    spark.conf.set("spark.sql.catalog.rwb", "graft.table.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.rwb.root", root)
+    try {
+      spark.sql("CREATE TABLE rwb.default.t (k INT, amt INT, day INT) " +
+        "PARTITIONED BY (day)")
+      spark.sql("INSERT INTO rwb.default.t VALUES (1, 10, 1)")
+      val vs = new VersionedTableStore(spark, root)
+      vs.createBranch("t", "dev")
+      vs.renameColumn("t", "amt", "amount", branch = "dev")
+      spark.conf.set("spark.graft.branch", "dev")
+      try {
+        // Spark resolves the batch against the MAIN handle (column
+        // `amt`); the branch knows only `amount` — silently
+        // null-padding `amount` while DISCARDING amt's values would
+        // be data loss, so the alignment rejects loudly
+        val e = intercept[Exception](spark.sql(
+          "INSERT INTO rwb.default.t VALUES (2, 20, 1)"))
+        assert(e.getMessage.contains("amt") ||
+          Option(e.getCause).exists(_.getMessage.contains("amt")))
+        // branch state untouched
+        assert(vs.readBranch("t", "dev").count() === 1L)
+      } finally spark.conf.unset("spark.graft.branch")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.rwb")
+      spark.conf.unset("spark.sql.catalog.rwb.root")
+    }
   }
 
   test("SQL surface: ALTER TABLE RENAME COLUMN / ALTER COLUMN TYPE, then DML") {
