@@ -1133,7 +1133,13 @@ object MultimodalOps {
     * earlier formulation indexed literal LIST values, whose 1-based
     * indexing/typing semantics have shifted across DuckDB releases —
     * a relational join is the version-stable spelling, and BIGINT
-    * casts pin the multiply width explicitly.) */
+    * casts pin the multiply width explicitly. The same discipline
+    * now applies to the frame index and the series join: `//`
+    * integer division and the implicit-lateral comma join are
+    * DuckDB-dialect spellings whose behavior is the engine's call —
+    * `CAST(floor(x / k.0) AS BIGINT)` over the non-negative sample
+    * index and an explicit CROSS JOIN are exact and portable across
+    * releases.) */
   val audioSpectrogramSql: String = {
     val basisRows = (0 until SpecFrame)
       .map(i => s"($i, ${SpecCosQ(i)}, ${SpecSinQ(i)})").mkString(", ")
@@ -1145,11 +1151,13 @@ object MultimodalOps {
        t AS (
          SELECT doc_id, gs.t,
            ((doc_id % $PxDocMod) * 31 + gs.t * 17) % 65536 - 32768 AS s
-         FROM documents, generate_series(0, 1199) gs(t)
+         FROM documents CROSS JOIN generate_series(0, 1199) gs(t)
          WHERE gs.t < 800 + doc_id % 400),
        n AS (SELECT doc_id, count(*) AS ns FROM t GROUP BY doc_id),
        fr AS (
-         SELECT t.doc_id, t.t // $SpecFrame AS f, t.t % $SpecFrame AS j, t.s
+         SELECT t.doc_id,
+           CAST(floor(t.t / $SpecFrame.0) AS BIGINT) AS f,
+           t.t % $SpecFrame AS j, t.s
          FROM t JOIN n ON t.doc_id = n.doc_id
          WHERE t.t < n.ns - n.ns % $SpecFrame),
        b AS (

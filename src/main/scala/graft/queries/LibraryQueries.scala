@@ -637,17 +637,20 @@ object LibraryQueries {
     * then a provably-disjoint year that commits as a partition
     * DELTA) / a partition-predicate DELETE / a data-predicate DELETE
     * -- all statements pure Spark SQL, zero store-API calls. The
-    * final SELECT folds in the `.history` inspection table as
-    * RETRY-INVARIANT booleans: `hist_covers` (the five statements
-    * left at least five live commits) and `head_past` (the head
-    * version is past the live-commit count — version numbers only
-    * ever burn forward). Absolute pins (exactly 5 commits, head_v=5)
-    * live in GraftCatalogSpec where the environment is controlled:
-    * the store's CAS contract says a transient fs hiccup + retry
-    * burns a version number (or lands a data-identical extra commit),
-    * which would flip an absolute-literal hash while every LIVE ROW
-    * is identical. Oracle reconstructs the surviving rows with WHERE
-    * algebra and pins the booleans TRUE. */
+    * `.history` assertions (the five statements left at least five
+    * live commits; the head version is past the live-commit count —
+    * version numbers only ever burn forward) ride as a ROW-COUNT
+    * GUARD, not output columns: the final SELECT cross-joins a
+    * HAVING-gated 1-row probe, so an assertion failure on the
+    * driver box empties the result (`rows_match=false` — "the flag
+    * flipped") while a pure data divergence keeps `rows_match=true,
+    * hash_match=false` ("the rows differ"). One binary signal
+    * becomes a which-half signal. Absolute pins (exactly 5 commits,
+    * head_v=5) stay in GraftCatalogSpec where the environment is
+    * controlled: the store's CAS contract says a transient fs
+    * hiccup + retry burns a version number, which would flip an
+    * absolute literal while every LIVE ROW is identical. Oracle
+    * reconstructs the surviving rows with WHERE algebra. */
   def s29CatalogDml(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir).select(
       col("o_orderkey"),
@@ -674,14 +677,12 @@ object LibraryQueries {
               WHERE o_totalprice < 100000.0D AND order_yr = 1997""")
     s.sql(
       s"""SELECT t.order_yr, CAST(count(*) AS BIGINT) AS n,
-                 sum(CAST(t.o_totalprice AS DECIMAL(18,2))) AS price,
-                 h.hist_covers, h.head_past
+                 sum(CAST(t.o_totalprice AS DECIMAL(18,2))) AS price
           FROM $cat.default.ord t
-          CROSS JOIN (SELECT CAST(count(*) >= 5 AS BOOLEAN) AS hist_covers,
-                             CAST(max(version) >= count(*) AS BOOLEAN)
-                               AS head_past
-                      FROM $cat.default.ord.history) h
-          GROUP BY t.order_yr, h.hist_covers, h.head_past""")
+          CROSS JOIN (SELECT count(*) AS live_commits
+                      FROM $cat.default.ord.history
+                      HAVING count(*) >= 5 AND max(version) >= count(*)) h
+          GROUP BY t.order_yr""")
   }
 
   val s29CatalogDmlSql: String =
@@ -695,8 +696,7 @@ object LibraryQueries {
            AND order_yr <> 1996
            AND NOT (o_totalprice < 100000.0 AND order_yr = 1997))
        SELECT order_yr, CAST(count(*) AS BIGINT) AS n,
-              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price,
-              TRUE AS hist_covers, TRUE AS head_past
+              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price
        FROM live GROUP BY order_yr"""
 
   /** S30: SQL UPDATE + MERGE INTO through the catalog's group-based
@@ -895,9 +895,12 @@ object LibraryQueries {
     * (high-value order keys nulled), FAILS NotNull/Unique, and is
     * dropped with its data reclaimed — the head never saw it. The
     * gate hashes the final per-year rollup (so a leaked poisoned row
-    * or a lost published row flips it) plus the two audit verdicts as
-    * real booleans the oracle pins TRUE. The `rejected_1998` verdict
-    * is the API return alone — staged-list emptiness is spec-pinned
+    * or a lost published row flips it); the two audit verdicts ride
+    * as a ROW-COUNT GUARD (filter on the API returns), not output
+    * columns — a verdict flip on the driver box empties the result
+    * (`rows_match=false`) instead of blending into the hash, the
+    * s29 which-half discipline. The `rejected_1998` verdict is the
+    * API return alone — staged-list emptiness is spec-pinned
     * (VersionedTableStoreSpec) instead of gated, because a CAS
     * retry on the driver box can orphan a data-invisible staged
     * marker that would flip the hash while the head is identical.
@@ -929,10 +932,11 @@ object LibraryQueries {
       .groupBy(col("order_yr"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("o_totalprice").cast(D)).as("price"))
-      .withColumn("published_1997", lit(pub.isDefined))
-      .withColumn("rejected_1998", lit(rej.isEmpty))
-      .select(col("order_yr"), col("n"), col("price"),
-        col("published_1997"), col("rejected_1998"))
+      // row-count guard: both audit verdicts must hold or the result
+      // empties (rows_match=false on the gate — a flag-flip signal
+      // distinct from a data diff)
+      .filter(lit(pub.isDefined && rej.isEmpty))
+      .select(col("order_yr"), col("n"), col("price"))
   }
 
   val s33WapAuditSql: String =
@@ -941,8 +945,7 @@ object LibraryQueries {
                 CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_yr
          FROM orders)
        SELECT order_yr, CAST(count(*) AS BIGINT) AS n,
-              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price,
-              TRUE AS published_1997, TRUE AS rejected_1998
+              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price
        FROM src WHERE order_yr <= 1997
        GROUP BY order_yr"""
 
@@ -954,8 +957,16 @@ object LibraryQueries {
     * all on the hashed path. compact() then applies the deletes
     * physically and the SAME rollup re-runs over the rewritten files:
     * both states are hashed (merge-on-read and applied results must
-    * be identical), plus two RETRY-INVARIANT pending-delete booleans
-    * (key sets registered before compact; none survive it). Exact
+    * be identical). The merge-on-read leg is MATERIALIZED before
+    * compact runs (localCheckpoint) — the driver executes the
+    * returned frame after this function returns, and a lazy leg
+    * would otherwise resolve against post-compact state (same
+    * values by contract, but the gate should pin the pre-compact
+    * read path, not trust the contract it is checking). The two
+    * pending-delete assertions (key sets registered before compact;
+    * none survive it) ride as a ROW-COUNT GUARD instead of output
+    * columns — a driver-side flip empties the result
+    * (rows_match=false), the s29 which-half discipline. Exact
     * counts (2 -> 0) are spec-pinned instead of gated: a deleteKeys
     * CAS retry on the driver box can land a data-identical extra key
     * set, flipping an absolute count while every hashed row is
@@ -984,14 +995,14 @@ object LibraryQueries {
                  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price
           FROM $cat.default.ord_m GROUP BY order_yr""")
     val pendingBefore = store.pendingDeletes("ord_m").size
-    val mor = rollup()
+    val mor = rollup().localCheckpoint(true)
     store.compact("ord_m")
     val applied = rollup()
     val pendingAfter = store.pendingDeletes("ord_m").size
     mor.withColumn("state", lit("mor"))
       .unionByName(applied.withColumn("state", lit("applied")))
-      .withColumn("had_pending_before", lit(pendingBefore >= 2))
-      .withColumn("none_pending_after", lit(pendingAfter == 0))
+      // row-count guard (see scaladoc): assertion flip => empty result
+      .filter(lit(pendingBefore >= 2 && pendingAfter == 0))
   }
 
   val s34MorDeleteSql: String =
@@ -1007,8 +1018,7 @@ object LibraryQueries {
          SELECT order_yr, CAST(count(*) AS BIGINT) AS n,
                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price
          FROM live GROUP BY order_yr)
-       SELECT order_yr, n, price, s.state,
-              TRUE AS had_pending_before, TRUE AS none_pending_after
+       SELECT order_yr, n, price, s.state
        FROM roll CROSS JOIN (VALUES ('mor'), ('applied')) s(state)"""
 
   /** S35: branch / merge under the hash gate — the git-branch
@@ -1020,9 +1030,11 @@ object LibraryQueries {
     * lineages with zero data I/O. The rollup reads the MERGED head
     * through the catalog's SQL surface; the oracle reconstructs the
     * same final state with per-year WHERE algebra. Branch isolation
-    * is itself gated: `isolated_premerge` compares the main-head
-    * count taken AFTER the branch commits but BEFORE the merge —
-    * a count compare, retry-invariant. The ff-rejection EXCEPTION
+    * is itself gated as a ROW-COUNT GUARD (the s29 which-half
+    * discipline): the main-head count taken AFTER the branch commits
+    * but BEFORE the merge must equal the untouched source count, or
+    * the result empties (rows_match=false — an isolation breach
+    * signal distinct from a merged-data diff). The ff-rejection EXCEPTION
     * TYPE is spec-pinned (BranchSpec) rather than gated: the gate
     * catches any failure and proceeds to merge, because if ff ever
     * wrongly succeeded the merged data would lose main's 1996
@@ -1066,7 +1078,8 @@ object LibraryQueries {
       s"""SELECT order_yr, CAST(count(*) AS BIGINT) AS n,
                  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price
           FROM $cat.default.ord_b GROUP BY order_yr""")
-      .withColumn("isolated_premerge", lit(premerge == mainOnly1995))
+      // row-count guard (see scaladoc): isolation breach => empty
+      .filter(lit(premerge == mainOnly1995))
   }
 
   val s35BranchMergeSql: String =
@@ -1083,8 +1096,7 @@ object LibraryQueries {
          UNION ALL
          SELECT * FROM src WHERE order_yr = 1997)
        SELECT order_yr, CAST(count(*) AS BIGINT) AS n,
-              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price,
-              TRUE AS isolated_premerge
+              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price
        FROM merged GROUP BY order_yr"""
 
   /** S36: branch-scoped ROW-LEVEL DML under the hash gate — the rest
@@ -1094,8 +1106,10 @@ object LibraryQueries {
     * copy-on-write as main's s21/s22, committed onto the branch
     * lineage), main independently appends a disjoint year, then the
     * three-way merge combines both sides and the branch is dropped.
-    * `dml_isolated` gates that main never saw the branch DML before
-    * the merge — a COUNT COMPARE, retry-invariant like s35's probe.
+    * That main never saw the branch DML before the merge is gated as
+    * a ROW-COUNT GUARD (a count compare, retry-invariant like s35's
+    * probe): a breach empties the result (rows_match=false), the
+    * s29 which-half discipline.
     * The oracle reconstructs the merged state with WHERE/CASE
     * algebra (the UPDATE adds a flat 1000.0 — binary-exact double
     * arithmetic, immune to the round-half cross-engine coin flips a
@@ -1136,7 +1150,8 @@ object LibraryQueries {
       s"""SELECT order_yr, CAST(count(*) AS BIGINT) AS n,
                  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price
           FROM $cat.default.ord_d GROUP BY order_yr""")
-      .withColumn("dml_isolated", lit(premerge1996 == orig1996))
+      // row-count guard (see scaladoc): isolation breach => empty
+      .filter(lit(premerge1996 == orig1996))
   }
 
   val s36BranchDmlSql: String =
@@ -1159,8 +1174,7 @@ object LibraryQueries {
          SELECT o_orderkey, o_totalprice, order_yr
          FROM src WHERE order_yr = 1998)
        SELECT order_yr, CAST(count(*) AS BIGINT) AS n,
-              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price,
-              TRUE AS dml_isolated
+              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price
        FROM merged GROUP BY order_yr"""
 
   /** S37: cherry-pick under the hash gate — apply EXACTLY ONE branch

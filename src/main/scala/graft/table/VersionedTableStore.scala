@@ -1526,10 +1526,16 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     while (true) {
       val m = current(name).getOrElse(
         throw new NoSuchElementException(s"no snapshots for $name"))
+      // idempotence across loop iterations: the marker is the staged
+      // key-set dir (one per logical deleteKeys call), so a retry
+      // whose previous CAS actually landed retires as a no-op
+      // instead of registering the key set twice
+      if (liveTxns(name).contains(s"del:$delDir")) return m.version
       val v = nextVersion(name)
       try {
         casManifest(name, Manifest(v, m.partitionBy, m.mapping, m.schemaDDL,
           m.stats, deletes = m.deletes :+ (delDir -> keyCols.mkString(",")),
+          txn = s"del:$delDir",
           fieldIds = m.fieldIds, columnDefaults = m.columnDefaults,
           checks = m.checks),
           observedParent = m.version)
@@ -1722,34 +1728,32 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       f".tmp-c${m.version}%08d-${UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, false)
     try out.write(payload.getBytes("UTF-8")) finally out.close()
-    // Publish atomically with no-overwrite winner election:
-    //  - local FS: hard-link into place -- POSIX link(2) fails
-    //    EEXIST atomically (plain rename would OVERWRITE an existing
-    //    destination, letting two same-version racers both succeed);
-    //  - HDFS-like: rename, which is atomic and returns false on an
-    //    existing destination (the conditional-put primitive).
-    // Object stores without a conditional put would need a LogStore-
-    // style coordinator here, exactly as Delta documents. The
-    // verify-read below stays as the backstop for any FS whose
-    // primitive is weaker than advertised.
-    val won =
-      if (fs.getScheme == "file") {
-        val src = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri)
-        val dst = java.nio.file.Paths.get(fs.makeQualified(p).toUri)
-        try { java.nio.file.Files.createLink(dst, src); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else {
-        try !fs.exists(p) && fs.rename(tmp, p)
-        catch {
-          case _: FileAlreadyExistsException |
-               _: org.apache.hadoop.fs.PathExistsException => false
-        }
-      }
+    // Winner election lives in [[publishCommit]]; the verify-read
+    // below backstops any FS whose primitive is weaker than
+    // advertised, in BOTH directions (reported win that expiry
+    // reclaimed; reported loss that actually landed).
+    val won = publishCommit(tmp, p)
     fs.delete(tmp, false)
-    if (!won)
+    // DUPLICATE-REPLY TOLERANCE: judge the outcome by what is ON DISK,
+    // not by what the fs primitive reported. On retransmitting
+    // filesystems (NFS link(2)/rename(2): the op lands server-side,
+    // the reply is lost, the client's retransmit answers EEXIST) a
+    // SUCCEEDED publish can report failure. Treating that as a loss
+    // is the one mechanism that turns a healthy commit into
+    // corruption: every batch caller deletes its staged data dir on
+    // ConcurrentWriteException -- the now-live manifest would
+    // reference deleted files -- and every retry loop (deleteKeys,
+    // commitStagedAppend) would land the same payload AGAIN at a new
+    // version. A racer's commit file can never be byte-identical to
+    // ours: data commits embed a per-writer UUID dir id, and a
+    // byte-identical metadata-only twin (same version, same parent,
+    // same mapping, same clock ms) committed exactly the state this
+    // writer wanted -- adopting it is correct, not optimistic.
+    val landedOurs = readText(p).contains(payload)
+    if (!won && !landedOurs)
       throw new ConcurrentWriteException(
         s"$name snapshot ${m.version} was committed (or burned) by another writer")
-    if (!readText(p).contains(payload))
+    if (!landedOurs)
       throw new ConcurrentWriteException(
         s"$name snapshot ${m.version} was reclaimed by concurrent expiry mid-write")
     beforeLateCheck(name, m.version)
@@ -1785,6 +1789,33 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         s"$name snapshots ${late.mkString(",")} landed beyond parent " +
           s"$observedParent during the swap -- retracting ${m.version}")
   }
+
+  /** Publish a fully-staged commit file atomically with no-overwrite
+    * winner election; returns whether the fs primitive REPORTED a win
+    * (the caller re-judges a reported loss by payload -- see the
+    * duplicate-reply tolerance in [[casManifest]]):
+    *  - local FS: hard-link into place -- POSIX link(2) fails EEXIST
+    *    atomically (plain rename would OVERWRITE an existing
+    *    destination, letting two same-version racers both succeed);
+    *  - HDFS-like: rename, which is atomic and returns false on an
+    *    existing destination (the conditional-put primitive).
+    * Object stores without a conditional put would need a LogStore-
+    * style coordinator here, exactly as Delta documents. Protected as
+    * a test seam: a spec overrides it to land the link AND report
+    * failure -- the NFS duplicate-reply shape. */
+  protected def publishCommit(tmp: Path, p: Path): Boolean =
+    if (fs.getScheme == "file") {
+      val src = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri)
+      val dst = java.nio.file.Paths.get(fs.makeQualified(p).toUri)
+      try { java.nio.file.Files.createLink(dst, src); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try !fs.exists(p) && fs.rename(tmp, p)
+      catch {
+        case _: FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.PathExistsException => false
+      }
+    }
 
   /** Test seam: runs after data files are staged, before the manifest
     * CAS -- lets a spec interleave a competing commit into the race
@@ -1889,10 +1920,24 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       bloomExpectedNdv: Option[Long] = None,
       alsoReplaced: Set[String] = Set.empty,
       wap: String = "",
-      branch: String = ""): Long = {
+      branch: String = "",
+      txn: String = ""): Long = {
     require(wap.isEmpty || branch.isEmpty,
       s"$name: a commit cannot be both WAP-staged (`$wap`) and on a " +
         s"branch (`$branch`)")
+    // TXN IDEMPOTENCE (the Delta appId+version pattern, extended from
+    // the streaming sink to batch): a non-empty marker already
+    // carried by a live manifest means THIS logical write landed --
+    // re-invocations (a harness replaying a statement whose success
+    // report was lost, an orchestrator's at-least-once task retry)
+    // retire as no-ops instead of double-landing data. Callers derive
+    // the marker from (statement identity, observed parent), so an
+    // INTENTIONAL re-run of the same INSERT sees a moved parent,
+    // mints a fresh marker, and appends normally. Bounded by
+    // retention like the streaming ledger.
+    if (txn.nonEmpty && liveTxns(name).contains(txn))
+      return currentOn(name, branch).map(_.version).getOrElse(
+        throw new NoSuchElementException(s"no snapshots for $name"))
     // a branch commit chains on the BRANCH head; the branch must
     // already exist (createBranch forks it from a live snapshot)
     val parent = currentOn(name, branch)
@@ -1999,7 +2044,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       // and the ledgers are the source of truth anyway
       Manifest(v, partitionBy, mapping,
         FieldIds.stripSchema(stampedSchema).toDDL, stats,
-        wap = wap, branch = branch, fieldIds = fieldIds,
+        wap = wap, branch = branch, txn = txn, fieldIds = fieldIds,
         columnDefaults = colDefaults,
         checks = parent.map(_.checks).getOrElse(Nil),
         // a delta RETAINS parent dirs, so pending merge-on-read
@@ -2023,9 +2068,10 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
   def commitFull(df: DataFrame, name: String,
       partitionBy: Seq[String] = Nil,
       statsColumns: Seq[String] = Nil,
-      branch: String = ""): Long =
+      branch: String = "",
+      txn: String = ""): Long =
     commit(name, df, partitionBy, deltaPartitions = false, statsColumns,
-      branch = branch)
+      branch = branch, txn = txn)
 
   /** [[commitFull]] with a file-level secondary index: per-column
     * parquet BLOOM FILTERS on `bloomFilterColumns` (plus an optional
@@ -2061,11 +2107,12 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       bloomFilterColumns: Seq[String] = Nil,
       parquetBlockSize: Option[Long] = None,
       bloomExpectedNdv: Option[Long] = None,
-      branch: String = ""): Long = {
+      branch: String = "",
+      txn: String = ""): Long = {
     require(partitionBy.nonEmpty, "commitPartitions needs partition columns")
     commit(name, df, partitionBy, deltaPartitions = true, statsColumns,
       bloomFilterColumns, parquetBlockSize, bloomExpectedNdv,
-      branch = branch)
+      branch = branch, txn = txn)
   }
 
   /** [[commitPartitions]] with an EXPLICIT replaced-partition set: the

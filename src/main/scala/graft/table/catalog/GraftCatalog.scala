@@ -774,6 +774,19 @@ class GraftTable(st: VersionedTableStore, tableName: String,
     require(wapId.isEmpty || branchRef.isEmpty,
       "both spark.graft.wap.id and spark.graft.branch are set — an " +
         "INSERT cannot be WAP-staged and branch-targeted at once")
+    // RETRY-IDEMPOTENT statement marker (Delta txn pattern, derived
+    // instead of user-supplied): (statement plan identity, observed
+    // head) names this logical INSERT. A harness replaying the SAME
+    // statement after a lost success report finds the marker live and
+    // retires as a no-op; an intentional re-run of an identical
+    // INSERT sees the head its own first run moved and mints a fresh
+    // marker, appending normally. The analyzed plan embeds
+    // analysis-assigned seeds (rand() etc.), so two distinct
+    // statements never share a hash. Scoped per target (main / named
+    // branch); WAP staging has its own id machinery.
+    def txnFor(headVersion: Long, scope: String): String =
+      s"ins:$scope:$headVersion:$overwrite:" +
+        aligned.queryExecution.analyzed.semanticHash()
     branchRef match {
       case Some(b) =>
         // branch-scoped append/overwrite: BOTH the alignment schema
@@ -789,16 +802,17 @@ class GraftTable(st: VersionedTableStore, tableName: String,
         val bAligned = alignTo(
           if (bSnap.schemaDDL.nonEmpty) StructType.fromDDL(bSnap.schemaDDL)
           else StructType(Nil))
+        val bTxn = txnFor(st.branchHeadVersion(tableName, b), s"b=$b")
         if (overwrite)
           st.commitFull(bAligned, tableName, bSnap.partitionBy, statsCols,
-            branch = b)
+            branch = b, txn = bTxn)
         else if (bSnap.partitionBy.isEmpty ||
             !disjointOf(bAligned, bSnap.partitionBy, bSnap.entries))
           st.commitFull(st.readBranch(tableName, b).unionByName(bAligned),
-            tableName, bSnap.partitionBy, statsCols, branch = b)
+            tableName, bSnap.partitionBy, statsCols, branch = b, txn = bTxn)
         else
           st.commitPartitions(bAligned, tableName, bSnap.partitionBy,
-            statsCols, branch = b)
+            statsCols, branch = b, txn = bTxn)
         return
       case None => ()
     }
@@ -814,19 +828,20 @@ class GraftTable(st: VersionedTableStore, tableName: String,
         return
       case None => ()
     }
+    val txn = txnFor(st.currentVersion(tableName), "main")
     if (overwrite) {
-      st.commitFull(aligned, tableName, pby, statsCols); return
+      st.commitFull(aligned, tableName, pby, statsCols, txn = txn); return
     }
     if (pby.isEmpty) {
       st.commitFull(st.read(tableName).unionByName(aligned), tableName,
-        pby, statsCols)
+        pby, statsCols, txn = txn)
       return
     }
     if (incomingDisjoint(aligned, pby))
-      st.commitPartitions(aligned, tableName, pby, statsCols)
+      st.commitPartitions(aligned, tableName, pby, statsCols, txn = txn)
     else
       st.commitFull(st.read(tableName).unionByName(aligned), tableName,
-        pby, statsCols)
+        pby, statsCols, txn = txn)
   }
 
   /** True when the batch's partition tuples (canonical string form on
