@@ -378,7 +378,23 @@ object FlacCodec {
     require(bps <= 16, s"flac: $bps-bit streams not supported (subset-16)")
     require(channels >= 1 && channels <= 2,
       s"flac: $channels channels not supported")
-    val out = new Array[Short]((total * channels).toInt)
+    // Untrusted-header allocation bound (the JpegCodec hardening,
+    // applied to the shared sniff-dispatch path): STREAMINFO's 36-bit
+    // sample count is attacker-controlled and read before any frame
+    // is validated. A FLAC frame cannot encode a sample in zero
+    // bytes: even a maximally-compressed constant frame spends its
+    // ~10-byte header + footer per <= 65535 samples, so total samples
+    // are bounded by bytes.length * 65536 with room to spare — a
+    // 50-byte stream demanding multi-GB output rejects here instead
+    // of OOMing, and the Int cast below can no longer truncate into
+    // an undersized array that frame emission overruns.
+    val declared = total * channels
+    require(declared <= bytes.length.toLong * 65536L,
+      s"flac: STREAMINFO declares $total samples x $channels channels " +
+        s"but the stream is only ${bytes.length} bytes — corrupt header")
+    require(declared <= Int.MaxValue,
+      s"flac: $declared interleaved samples exceed one array")
+    val out = new Array[Short](declared.toInt)
     var written = 0L
     val md5 = java.security.MessageDigest.getInstance("MD5")
     while (written < total) {

@@ -206,10 +206,23 @@ private[streaming] class ChangeFeedTable(feedSchema: StructType,
           * The net changelog (from, to] materializes to a staging dir
           * under the TABLE's own `_changes_stage/` (shared fs at
           * cluster scale, never the driver) and serves through the
-          * stock vectorized parquet batch; `vacuum` reclaims stages
-          * by age. Both endpoints must be live snapshots — an expired
-          * base fails LOUDLY (the retention contract), and `to`
-          * beyond the head is rejected rather than clamped. */
+          * stock vectorized parquet batch. Stages are SHARED per
+          * (from, to, branch) range: the first physical execution
+          * writes a fresh dir and publishes it through a pointer file
+          * (create-no-overwrite winner election — the casManifest
+          * primitive); every later execution of the SAME range — a
+          * re-run action on the same batch DataFrame, a second query
+          * over the range — resolves the pointer and serves the
+          * existing dir instead of accreting a new one. The changelog
+          * of a fixed live range is deterministic, so adopting a
+          * racer's dir is correct. `vacuum` reclaims stages and
+          * pointers by age (a pointer whose dir was reclaimed
+          * self-heals here: the stale pointer is dropped and the
+          * range re-materializes); see vacuum's scaladoc for the
+          * minimum safe `minAgeMs` for tables served through batch
+          * change reads. Both endpoints must be live snapshots — an
+          * expired base fails LOUDLY (the retention contract), and
+          * `to` beyond the head is rejected rather than clamped. */
         override def toBatch: Batch = {
           val spark = SparkSession.active
           val vs = cfg.store(spark)
@@ -225,12 +238,49 @@ private[streaming] class ChangeFeedTable(feedSchema: StructType,
             s"graft-changes: toVersion $b is beyond the head ($head)")
           require(a >= 0 && a <= b,
             s"graft-changes: bad version range ($a, $b]")
-          val stage = s"${vs.path(cfg.table)}/_changes_stage/" +
-            s"v$a-$b-${java.util.UUID.randomUUID().toString.take(8)}"
-          ChangeFeedProvider.changelog(vs, cfg, feedSchema, a, b)
-            .write.parquet(stage)
+          val stageRoot = s"${vs.path(cfg.table)}/_changes_stage"
+          val fs = new org.apache.hadoop.fs.Path(stageRoot)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val range = s"v$a-$b" + cfg.branch.fold("")(br => s"-$br")
+          val ptr = new org.apache.hadoop.fs.Path(stageRoot, s"$range.ptr")
+          def resolve(): Option[String] = {
+            val txt =
+              try {
+                val in = fs.open(ptr)
+                try Some(new String(
+                  org.apache.commons.io.IOUtils.toByteArray(in),
+                  "UTF-8").trim)
+                finally in.close()
+              } catch { case _: java.io.FileNotFoundException => None }
+            txt.flatMap { d =>
+              val dirP = new org.apache.hadoop.fs.Path(stageRoot, d)
+              if (fs.exists(dirP)) Some(dirP.toString)
+              else { fs.delete(ptr, false); None } // vacuumed: self-heal
+            }
+          }
+          def materialize(attempt: Int): String = resolve().getOrElse {
+            val tmp = s"$range-${java.util.UUID.randomUUID().toString.take(8)}"
+            ChangeFeedProvider.changelog(vs, cfg, feedSchema, a, b)
+              .write.parquet(s"$stageRoot/$tmp")
+            val won =
+              try {
+                val out = fs.create(ptr, false)
+                try out.write(tmp.getBytes("UTF-8")) finally out.close()
+                true
+              } catch { case _: java.io.IOException => false }
+            if (won) s"$stageRoot/$tmp"
+            else {
+              // a racer published the same range first: its dir is
+              // equivalent by determinism — adopt it, drop ours
+              fs.delete(new org.apache.hadoop.fs.Path(stageRoot, tmp), true)
+              if (attempt < 3) materialize(attempt + 1)
+              else throw new IllegalStateException(
+                s"graft-changes: stage pointer $ptr kept vanishing — " +
+                  "is vacuum running with a near-zero minAge?")
+            }
+          }
           org.apache.spark.sql.graft.ParquetBatchBridge
-            .batchFor(spark, stage, feedSchema)
+            .batchFor(spark, materialize(0), feedSchema)
         }
       }
     }

@@ -1403,13 +1403,20 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       }.toSeq).max
     }
     // batch change-feed stages (graft-changes batch reads materialize
-    // the changelog under _changes_stage/<range>-<uuid>): never
-    // referenced by manifests, reclaimed purely by age — an active
-    // batch read is always younger than any sane minAge
+    // the changelog under _changes_stage/<range>-<uuid>, published
+    // through <range>.ptr pointer files): never referenced by
+    // manifests, reclaimed purely by age — dirs and their pointers
+    // age together (written in the same execution), and a pointer
+    // whose dir was reclaimed self-heals on the next batch read.
+    // MINIMUM SAFE minAge for tables served through graft-changes
+    // batch reads: longer than the longest query that may still be
+    // scanning a resolved stage — a stage's mtime stops advancing
+    // once written, so a small minAge can delete it out from under a
+    // long-running read. The 24 h default covers any sane batch.
     val stageRoot = new Path(s"${path(name)}/_changes_stage")
     val staleStages =
       if (!fs.exists(stageRoot)) Nil
-      else fs.listStatus(stageRoot).toSeq.filter(_.isDirectory)
+      else fs.listStatus(stageRoot).toSeq
         .map(_.getPath).filter(p => newestMTime(p) < cutoff)
     staleStages.foreach(fs.delete(_, true))
     val candidates = fs.listStatus(dRoot).toSeq.filter(_.isDirectory)
@@ -1921,7 +1928,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       alsoReplaced: Set[String] = Set.empty,
       wap: String = "",
       branch: String = "",
-      txn: String = ""): Long = {
+      txn: String = "",
+      initialDefaults: Seq[(String, String, String)] = Nil): Long = {
     require(wap.isEmpty || branch.isEmpty,
       s"$name: a commit cannot be both WAP-staged (`$wap`) and on a " +
         s"branch (`$branch`)")
@@ -1975,8 +1983,11 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     // DEFAULT ledger: carried for columns the commit's schema keeps
     // (a full rewrite makes the exists-default moot for files — every
     // file now holds the column — but the CURRENT default still
-    // governs inserts, and history still serves its own)
-    val colDefaults = parent.map(_.columnDefaults).getOrElse(Nil)
+    // governs inserts, and history still serves its own). A TABLE-
+    // CREATING commit (no parent) adopts the caller's pre-validated
+    // CREATE-time defaults instead, making CREATE TABLE one atomic
+    // commit — a partial-default table can never exist.
+    val colDefaults = parent.map(_.columnDefaults).getOrElse(initialDefaults)
       .filter(d => df.schema.fieldNames.contains(d._1))
     val v = nextVersion(name)
     val dirId = freshDataDir(name, v)
@@ -2069,9 +2080,10 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       partitionBy: Seq[String] = Nil,
       statsColumns: Seq[String] = Nil,
       branch: String = "",
-      txn: String = ""): Long =
+      txn: String = "",
+      initialDefaults: Seq[(String, String, String)] = Nil): Long =
     commit(name, df, partitionBy, deltaPartitions = false, statsColumns,
-      branch = branch, txn = txn)
+      branch = branch, txn = txn, initialDefaults = initialDefaults)
 
   /** [[commitFull]] with a file-level secondary index: per-column
     * parquet BLOOM FILTERS on `bloomFilterColumns` (plus an optional
@@ -2948,6 +2960,18 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       mergedChecks.filterNot(theirs.checks.contains), "branch side")
     validateSide(rels.diff(theirChanged).toSet, ours,
       mergedChecks.filterNot(ours.checks.contains), "main side")
+    // column-identity guard (mirrors commitStagedAppend's writer-ledger
+    // check): every data dir the merged head serves must have been
+    // written under a ledger the merged ledger can resolve — adopting
+    // ID-less files (a lineage that predates the table's identity
+    // ledger) or files whose ID for a still-named column disagrees
+    // would brick every read of the merged head until rollback
+    requireLedgerCompatible(name, mergedIds,
+      theirs, theirs.mapping.filter(e => theirChanged(e._1)),
+      s"branch `$branch` side of merge")
+    requireLedgerCompatible(name, mergedIds,
+      ours, ours.mapping.filterNot(e => theirChanged(e._1)),
+      "main side of merge")
     val v = nextVersion(name)
     casManifest(name, Manifest(v, ours.partitionBy, mapping, mergedSchema,
       stats, deletes = mergedDeletes, fieldIds = mergedIds,
@@ -2955,6 +2979,42 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       observedParent = ours.version)
     expireSnapshots(name)
     v
+  }
+
+  /** Shared ledger-compatibility guard for metadata-only data-dir
+    * adoption (mergeBranch / cherryPick): `adopted` dirs were written
+    * under `source`'s field-ID ledger; the surviving head will serve
+    * them under `survivingIds`. Rejects (before any CAS) when the
+    * surviving ledger is non-empty but the source's is empty — those
+    * files carry NO field IDs, and per the [[FieldIds]] invariant an
+    * ID-stamped read schema fails on them — or when a still-named
+    * column's ID disagrees between the two (a drop + re-add
+    * reassigned identity; by-ID resolution would serve the wrong or a
+    * null column). Renames are fine by construction: resolution is by
+    * ID, and a renamed column's old name simply leaves the surviving
+    * ledger. Mirrors [[commitStagedAppend]]'s writer-ledger check —
+    * the same hazard through the merge/pick door. */
+  private def requireLedgerCompatible(name: String,
+      survivingIds: Seq[(String, Int)], source: Manifest,
+      adopted: Seq[(String, String)], what: String): Unit = {
+    if (survivingIds.isEmpty || adopted.isEmpty) return
+    if (source.fieldIds.isEmpty)
+      throw new ConcurrentWriteException(
+        s"$name: $what adopts data dirs written before the table " +
+          "gained column identities (its manifest carries no field-ID " +
+          "ledger) while the surviving head's schema is ID-stamped — " +
+          "those files would fail every read; rewrite the source " +
+          "lineage (full commit) before merging/picking")
+    val survByName = survivingIds.filter(_._1.nonEmpty).toMap
+    source.fieldIds.filter(_._1.nonEmpty).foreach { case (n, id) =>
+      survByName.get(n).filter(_ != id).foreach { other =>
+        throw new ConcurrentWriteException(
+          s"$name: $what adopts files that stamp column `$n` with ID " +
+            s"$id, but the surviving ledger maps it to $other (a drop " +
+            "+ re-add reassigned identity) — by-ID reads would serve " +
+            "the wrong column; rewrite the source lineage first")
+      }
+    }
   }
 
   /** Per-branch retention: burn branch history beyond the last
@@ -3072,6 +3132,13 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
         }
       }
     }
+    // column-identity guard (merge discipline): the picked dirs must
+    // be readable under the HEAD's ledger — a pick from a lineage that
+    // predates the table's identity ledger (or that re-assigned a
+    // still-named column's ID) would brick the head until rollback
+    requireLedgerCompatible(name, ours.fieldIds,
+      picked, picked.mapping.filter(e => pickChanged(e._1)),
+      s"cherry-picked snapshot $v")
     val next = nextVersion(name)
     casManifest(name, Manifest(next, ours.partitionBy, mapping,
       ours.schemaDDL, stats, deletes = ours.deletes,

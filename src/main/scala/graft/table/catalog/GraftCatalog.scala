@@ -251,18 +251,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val empty = st.spark.createDataFrame(
       st.spark.sparkContext.emptyRDD[Row],
       graft.table.FieldIds.stripSchema(schema))
-    st.commitFull(empty, ident.name, partitionBy,
-      statsColumns = statsOf.getOrElse(ident.name, Nil))
     // CREATE TABLE (c INT DEFAULT 5, ...): Spark encodes the DEFAULT
-    // clauses as CURRENT_DEFAULT field metadata — record each in the
-    // store's ledger so INSERTs that omit the column fill it (the
-    // exists half is irrelevant for create-time columns: every file
-    // of this table will physically hold them)
-    schema.foreach { f =>
-      if (f.metadata.contains(graft.table.ColumnDefaults.CurrentKey))
-        st.setColumnDefault(ident.name, f.name,
-          Some(f.metadata.getString(graft.table.ColumnDefaults.CurrentKey)))
+    // clauses as CURRENT_DEFAULT field metadata. Validate every
+    // literal (and the no-default-on-partition-columns rule) BEFORE
+    // anything commits, then thread the ledger entries into the
+    // table-creating commit itself — CREATE is ONE atomic manifest
+    // CAS, so a rejected default or a death mid-create can never
+    // leave a live table with partial defaults (which would also make
+    // the CREATE retry hit TableAlreadyExists). The exists half is
+    // empty for create-time columns: every file of this table will
+    // physically hold them.
+    val pSources = graft.table.PartitionTransforms.sourceNames(partitionBy)
+    val initialDefaults = schema.toSeq.flatMap { f =>
+      if (!f.metadata.contains(graft.table.ColumnDefaults.CurrentKey)) None
+      else {
+        val sql = f.metadata.getString(graft.table.ColumnDefaults.CurrentKey)
+        require(!pSources.contains(f.name),
+          s"partition column `${f.name}` cannot carry a default: its " +
+            "values come from rel paths")
+        graft.table.ColumnDefaults.validate(f.name, f.dataType, sql)
+        Some((f.name, "", sql))
+      }
     }
+    st.commitFull(empty, ident.name, partitionBy,
+      statsColumns = statsOf.getOrElse(ident.name, Nil),
+      initialDefaults = initialDefaults)
     loadTable(ident)
   }
 

@@ -166,4 +166,22 @@ class FlacCodecSpec extends AnyFunSuite {
     assert(rate === 8000 && ch === 1)
     assert(dec.toSeq === samples.toSeq)
   }
+
+  test("a crafted header demanding gigabytes rejects before allocating") {
+    // STREAMINFO's 36-bit sample count is untrusted input on the
+    // sniff-dispatch path: a 50-byte stream declaring 2^35 samples
+    // must reject on the byte-length bound (a frame cannot encode
+    // samples in zero bytes), not OOM — and a count whose Int cast
+    // truncates small must not undersize the output array either
+    val good = FlacCodec.encode(Array.tabulate(64)(i => (i * 3).toShort), 8000)
+    // total samples live at bit offset: magic(32) + block header(32) +
+    // min/max block(32) + min/max frame(48) + rate(20) + chans(3) +
+    // bps(5) = byte 21 bits 4..7 hold the top nibble of the 36-bit
+    // count; overwrite the five count bytes with a huge declaration
+    val evil = good.clone()
+    evil(21) = ((evil(21) & 0xf0) | 0x08).toByte // 2^35 samples
+    (22 to 25).foreach(i => evil(i) = 0)
+    val e = intercept[IllegalArgumentException] { FlacCodec.decode(evil) }
+    assert(e.getMessage.contains("corrupt header"))
+  }
 }

@@ -119,4 +119,36 @@ class BatchChangesSpec extends AnyFunSuite {
     assert(vs.vacuum("t", minAgeMs = -60000L) >= 1L)
     assert(!fs.exists(stageRoot) || fs.listStatus(stageRoot).isEmpty)
   }
+
+  test("repeated reads of one range share a stage instead of accreting dirs") {
+    val vs = freshStore()
+    vs.commitFull(Seq((1L, "a")).toDF("k", "v"), "t")
+    vs.commitFull(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "t")
+    val fs = new org.apache.hadoop.fs.Path(vs.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stageRoot = new org.apache.hadoop.fs.Path(
+      s"${vs.root}/t/_changes_stage")
+    def stageDirs(): Seq[String] =
+      if (!fs.exists(stageRoot)) Nil
+      else fs.listStatus(stageRoot).filter(_.isDirectory)
+        .map(_.getPath.getName).toSeq.sorted
+    // every physical execution of the same range — repeated actions
+    // on one DataFrame, a brand-new query over the range — resolves
+    // the published stage rather than materializing a fresh dir
+    val df = readChanges(vs, "t",
+      Map("keys" -> "k", "fromVersion" -> "1", "toVersion" -> "2"))
+    df.count(); df.count()
+    readChanges(vs, "t",
+      Map("keys" -> "k", "fromVersion" -> "1", "toVersion" -> "2")).count()
+    assert(stageDirs().size === 1, s"stages accreted: ${stageDirs()}")
+    // a DIFFERENT range gets its own stage
+    readChanges(vs, "t",
+      Map("keys" -> "k", "fromVersion" -> "0", "toVersion" -> "2")).count()
+    assert(stageDirs().size === 2)
+    // a vacuumed stage self-heals through its stale pointer
+    assert(vs.vacuum("t", minAgeMs = -60000L) >= 2L)
+    readChanges(vs, "t",
+      Map("keys" -> "k", "fromVersion" -> "1", "toVersion" -> "2")).count()
+    assert(stageDirs().size === 1)
+  }
 }

@@ -467,4 +467,69 @@ class BranchSpec extends AnyFunSuite {
     assert(orphans._2 === 0L,
       s"dropBranch orphaned an expired middle's dir: $orphans")
   }
+
+  /** Rewind a table to the PRE-IDENTITY on-disk shape (a store
+    * created before the field-ID feature): same files, same schema,
+    * ledger cleared — the state every pre-r12 table directory is in.
+    * Full commits always assign identities now, so the shape can only
+    * be fabricated the way it exists in the wild: as a raw manifest. */
+  private def clearLedger(vs: VersionedTableStore, pby: Seq[String],
+      ddl: String): Unit =
+    vs.casManifest("t",
+      vs.Manifest(vs.currentVersion("t") + 1, pby, vs.versionsMapping("t"),
+        ddl),
+      observedParent = vs.currentVersion("t"))
+
+  test("merge rejects adopting pre-identity branch dirs under a ledgered head") {
+    // The brick: a branch forked from a pre-identity head keeps
+    // writing unstamped files; main later gains a ledger via a full
+    // rewrite; the three-way ledger merge (both branch sides == base
+    // == empty) would keep MAIN's ledger while adopting the branch's
+    // ID-less dirs — per the FieldIds invariant every read of the
+    // merged head then fails until rollback. The merge must reject
+    // BEFORE its CAS, mirroring commitStagedAppend's writer check.
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a", 10), (2, "b", 20)).toDF("k", "v", "p"),
+      "t", partitionBy = Seq("p"))
+    clearLedger(vs, Seq("p"), "k INT,v STRING,p INT") // v2: pre-identity
+    vs.createBranch("t", "old") // v3: fork carries the empty ledger
+    vs.commitPartitions(Seq((3, "c", 30)).toDF("k", "v", "p"), "t",
+      Seq("p"), branch = "old") // v4: delta on pre-identity — unstamped
+    // main gains identities: a full rewrite assigns the ledger
+    vs.commitFull(Seq((1, "a", 10), (2, "b", 20)).toDF("k", "v", "p"),
+      "t", partitionBy = Seq("p"))
+    val e = intercept[ConcurrentWriteException] { vs.mergeBranch("t", "old") }
+    assert(e.getMessage.contains("column identities"))
+    // nothing moved: main still serves its rewritten head
+    assert(rows(vs.read("t")) === Seq((1, "a"), (2, "b")))
+  }
+
+  test("cherry-pick rejects a pre-identity commit under a ledgered head") {
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a", 10), (2, "b", 20)).toDF("k", "v", "p"),
+      "t", partitionBy = Seq("p"))
+    clearLedger(vs, Seq("p"), "k INT,v STRING,p INT")
+    vs.createBranch("t", "fix")
+    val pick = vs.commitPartitions(Seq((3, "c", 30)).toDF("k", "v", "p"),
+      "t", Seq("p"), branch = "fix") // unstamped files, empty ledger
+    vs.commitFull(Seq((1, "a", 10), (2, "b", 20)).toDF("k", "v", "p"),
+      "t", partitionBy = Seq("p")) // main re-ledgered
+    val e = intercept[ConcurrentWriteException] { vs.cherryPick("t", pick) }
+    assert(e.getMessage.contains("column identities"))
+    assert(rows(vs.read("t")) === Seq((1, "a"), (2, "b")))
+  }
+
+  test("ledgered branch deltas still merge under a ledgered head") {
+    // positive control for the identity guard: the normal flow —
+    // fork AFTER the table has its ledger, branch deltas stamp the
+    // same IDs — must keep merging with zero friction
+    val vs = fresh()
+    vs.commitFull(Seq((1, "a", 10), (2, "b", 20)).toDF("k", "v", "p"),
+      "t", partitionBy = Seq("p"))
+    vs.createBranch("t", "dev")
+    vs.commitPartitions(Seq((3, "c", 30)).toDF("k", "v", "p"), "t",
+      Seq("p"), branch = "dev")
+    vs.mergeBranch("t", "dev")
+    assert(rows(vs.read("t")) === Seq((1, "a"), (2, "b"), (3, "c")))
+  }
 }

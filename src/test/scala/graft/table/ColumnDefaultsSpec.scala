@@ -119,4 +119,33 @@ class ColumnDefaultsSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.catalog.cdc0.root")
     }
   }
+
+  test("CREATE TABLE is atomic: a rejected DEFAULT leaves no table behind") {
+    // CREATE-time defaults are validated BEFORE the table-creating
+    // commit and threaded into it as one manifest CAS — a rejected
+    // clause (here: a default on a partition column, whose values
+    // come from rel paths) must not leave a live partial-default
+    // table that makes the corrected retry hit TableAlreadyExists
+    val root = Files.createTempDirectory("graft-cd-atomic").toString
+    spark.conf.set("spark.sql.catalog.cdca", "graft.table.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cdca.root", root)
+    try {
+      intercept[Exception] {
+        spark.sql("CREATE TABLE cdca.default.t " +
+          "(v STRING, k INT DEFAULT 5) PARTITIONED BY (k)")
+      }
+      // no live table: the corrected CREATE succeeds
+      spark.sql("CREATE TABLE cdca.default.t " +
+        "(v STRING, tier STRING DEFAULT 'bronze', k INT) PARTITIONED BY (k)")
+      // ...as ONE commit (defaults ride the creating manifest)
+      assert(spark.sql("SELECT count(*) FROM cdca.default.t.history")
+        .head().getLong(0) === 1L)
+      spark.sql("INSERT INTO cdca.default.t (v, k) VALUES ('a', 1)")
+      assert(spark.sql("SELECT tier FROM cdca.default.t").head()
+        .getString(0) === "bronze")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.cdca")
+      spark.conf.unset("spark.sql.catalog.cdca.root")
+    }
+  }
 }
