@@ -1598,6 +1598,70 @@ object LibraryQueries {
        WHERE od >= DATE '1992-02-01' AND od < DATE '1992-06-01'
        GROUP BY month(od)"""
 
+  /** S44: ROW-LEVEL DML THROUGH HIDDEN PARTITIONING (r13) — the GDPR
+    * shape on a `days(ts)` event log, all statements pure SQL:
+    *
+    *  1. a user-scoped DELETE whose modulo predicate is deliberately
+    *     NOT metadata-translatable, forcing the GROUP-BASED REWRITE
+    *     (GraftRowLevelOp) through the transform layout — executor
+    *     tasks re-derive each surviving row's day dir;
+    *  2. a time-scoped UPDATE whose source predicate PROJECTS through
+    *     the transform (ts >= X becomes ts_day >= date(X) partition
+    *     filters), so only the matched days rewrite — the pruning is
+    *     spec-pinned by dir identity in HiddenPartitionSpec, the
+    *     VALUES are hash-gated here;
+    *  3. a per-day rollup over the surviving rows (day derived from
+    *     the SOURCE column — the hidden column never surfaces).
+    *
+    * Money-ish sums ride DECIMAL (order-exact); day boundaries are
+    * whole microseconds, so the engines' ns-vs-us precision cannot
+    * flip a comparison. At 100 TB this is the compliance story:
+    * delete one user from a year of days and rewrite only the files
+    * that held them; re-tag last week and touch seven partitions. */
+  def s44TransformDml(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("ts"), col("user_id"), col("event_type"),
+      col("value").cast(DecimalType(18, 6)).as("value"))
+    e.createOrReplaceTempView("s44_src")
+    val root = Files.createTempDirectory("graft-q-s44").toString
+    val cat = "gq" + java.lang.Long.toHexString(
+      org.apache.spark.unsafe.types.UTF8String.fromString(root).hashCode()
+        .toLong & 0xffffffffL)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.table.catalog.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"""CREATE TABLE $cat.default.ev
+              (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+               event_type STRING, value DECIMAL(18,6))
+              PARTITIONED BY (days(ts))""")
+    s.sql(s"INSERT INTO $cat.default.ev SELECT * FROM s44_src")
+    s.sql(s"DELETE FROM $cat.default.ev WHERE user_id % 97 = 3")
+    s.sql(s"""UPDATE $cat.default.ev SET event_type = 'redacted'
+              WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'""")
+    s.sql(
+      s"""SELECT CAST(ts AS DATE) AS day, event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+                 CAST(sum(value) AS DECIMAL(28,6)) AS val
+          FROM $cat.default.ev
+          GROUP BY CAST(ts AS DATE), event_type""")
+  }
+
+  val s44TransformDmlSql: String =
+    """WITH e AS (
+         SELECT event_id, ts, user_id, event_type,
+                CAST(value AS DECIMAL(18,6)) AS value
+         FROM events),
+       live AS (SELECT * FROM e WHERE user_id % 97 <> 3),
+       upd AS (
+         SELECT CAST(ts AS DATE) AS day, user_id, value,
+                CASE WHEN ts >= TIMESTAMP '2024-01-25 00:00:00'
+                     THEN 'redacted' ELSE event_type END AS event_type
+         FROM live)
+       SELECT day, event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+              CAST(sum(value) AS DECIMAL(28,6)) AS val
+       FROM upd GROUP BY day, event_type"""
+
   /** S18: incremental aggregate maintenance -- the v1 yearly rollup
     * updated to the v2 state by applying the snapshot changelog
     * (IncrementalAgg over snapshotDiff pre-images), never rescanning
@@ -1930,6 +1994,7 @@ object LibraryQueries {
     "s41_check_constraints" -> (s41CheckConstraints _),
     "s42_batch_changes" -> (s42BatchChanges _),
     "s43_hidden_partition" -> (s43HiddenPartition _),
+    "s44_transform_dml" -> (s44TransformDml _),
     "s18_incremental_agg" -> (s18IncrementalAgg _),
     "s26_incremental_minmax" -> (s26IncrementalMinmax _),
     "q_validation_suite" -> (qValidationSuite _),
@@ -1973,6 +2038,7 @@ object LibraryQueries {
     "s41_check_constraints" -> s41CheckConstraintsSql,
     "s42_batch_changes" -> s42BatchChangesSql,
     "s43_hidden_partition" -> s43HiddenPartitionSql,
+    "s44_transform_dml" -> s44TransformDmlSql,
     "s18_incremental_agg" -> s18IncrementalAggSql,
     "s26_incremental_minmax" -> s26IncrementalMinmaxSql,
     "q_validation_suite" -> qValidationSuiteSql,

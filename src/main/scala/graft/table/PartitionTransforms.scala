@@ -1,8 +1,9 @@
 package graft.table
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Cast, DateFormatClass, EvalMode, Expression, Literal, Pmod, Substring, XxHash64, Year}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DateType, IntegerType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** HIDDEN PARTITIONING for the versioned store — Iceberg's partition
   * transforms, scoped to the append-mostly fact-table shape.
@@ -48,43 +49,73 @@ object PartitionTransforms {
     def derivedName: String
     /** derivation as a Column over the source */
     def derive: Column
+    /** The SAME derivation as a catalyst Expression over an already-
+      * bound child — for executor-side rel computation
+      * (GraftDataWriter) and predicate projection (GraftScan). MUST
+      * stay value-identical to [[derive]]: both sides of every rel
+      * string and every projected filter assume it. `tz` is the
+      * session time zone (time transforms depend on it exactly as the
+      * write-time Column derivation did). */
+    def deriveCatalyst(child: Expression, tz: String): Expression
     /** type of the derived column (for the catalog's partition schema) */
     def derivedType: DataType
+    /** Is the transform ORDER-PRESERVING on its source (x <= y implies
+      * t(x) <= t(y) under the derived type's ordering)? Monotonic
+      * transforms project range predicates on the source into range
+      * predicates on the partition value (closed/widened); others
+      * project equality only. */
+    def monotonic: Boolean
     def text: String
   }
 
   final case class Identity(source: String) extends Spec {
     def derivedName: String = source
     def derive: Column = col(source)
+    def deriveCatalyst(child: Expression, tz: String): Expression = child
     def derivedType: DataType = StringType // unused: identity keeps its own
+    def monotonic: Boolean = true
     def text: String = source
   }
 
   final case class Days(source: String) extends Spec {
     def derivedName: String = s"${source}_day"
     def derive: Column = col(source).cast(DateType)
+    def deriveCatalyst(child: Expression, tz: String): Expression =
+      Cast(child, DateType, Option(tz), EvalMode.LEGACY)
     def derivedType: DataType = DateType
+    def monotonic: Boolean = true
     def text: String = s"days($source)"
   }
 
   final case class Months(source: String) extends Spec {
     def derivedName: String = s"${source}_month"
     def derive: Column = date_format(col(source), "yyyy-MM")
+    def deriveCatalyst(child: Expression, tz: String): Expression =
+      DateFormatClass(castTs(child, tz), Literal("yyyy-MM"), Option(tz))
     def derivedType: DataType = StringType
+    // "yyyy-MM" compares lexicographically in time order
+    def monotonic: Boolean = true
     def text: String = s"months($source)"
   }
 
   final case class Years(source: String) extends Spec {
     def derivedName: String = s"${source}_year"
     def derive: Column = year(col(source)).cast(IntegerType)
+    def deriveCatalyst(child: Expression, tz: String): Expression =
+      Cast(Year(Cast(child, DateType, Option(tz), EvalMode.LEGACY)),
+        IntegerType, Option(tz), EvalMode.LEGACY)
     def derivedType: DataType = IntegerType
+    def monotonic: Boolean = true
     def text: String = s"years($source)"
   }
 
   final case class Hours(source: String) extends Spec {
     def derivedName: String = s"${source}_hour"
     def derive: Column = date_format(col(source), "yyyy-MM-dd-HH")
+    def deriveCatalyst(child: Expression, tz: String): Expression =
+      DateFormatClass(castTs(child, tz), Literal("yyyy-MM-dd-HH"), Option(tz))
     def derivedType: DataType = StringType
+    def monotonic: Boolean = true
     def text: String = s"hours($source)"
   }
 
@@ -92,16 +123,32 @@ object PartitionTransforms {
     def derivedName: String = s"${source}_bucket"
     def derive: Column = pmod(xxhash64(col(source)), lit(n.toLong))
       .cast(IntegerType)
+    def deriveCatalyst(child: Expression, tz: String): Expression =
+      Cast(Pmod(new XxHash64(Seq(child)), Literal(n.toLong)), IntegerType,
+        Option(tz), EvalMode.LEGACY)
     def derivedType: DataType = IntegerType
+    def monotonic: Boolean = false
     def text: String = s"bucket$n($source)"
   }
 
   final case class Truncate(source: String, w: Int) extends Spec {
     def derivedName: String = s"${source}_trunc"
     def derive: Column = substring(col(source), 1, w)
+    def deriveCatalyst(child: Expression, tz: String): Expression =
+      Substring(child, Literal(1), Literal(w))
     def derivedType: DataType = StringType
+    // string prefixes preserve order: x <= y implies prefix(x) <= prefix(y)
+    def monotonic: Boolean = true
     def text: String = s"truncate$w($source)"
   }
+
+  /** date_format needs a TIMESTAMP child; a DATE or STRING source
+    * (both accepted by validate) casts exactly as the analyzer's
+    * implicit cast would under the write-time Column derivation. */
+  private def castTs(child: Expression, tz: String): Expression =
+    if (child.dataType == org.apache.spark.sql.types.TimestampType) child
+    else Cast(child, org.apache.spark.sql.types.TimestampType, Option(tz),
+      EvalMode.LEGACY)
 
   private val DaysRe = """days\(([^(),\s]+)\)""".r
   private val MonthsRe = """months\(([^(),\s]+)\)""".r
@@ -145,6 +192,22 @@ object PartitionTransforms {
   /** Source data columns the layout reads (for guards/validations). */
   def sourceNames(partitionBy: Seq[String]): Seq[String] =
     specs(partitionBy).map(_.source)
+
+  /** The directory-layout schema a file index parses rel paths with:
+    * identity columns keep their declared field from `schema`;
+    * transforms contribute their DERIVED (hidden) column. */
+  def derivedSchema(partitionBy: Seq[String],
+      schema: StructType): StructType =
+    StructType(specs(partitionBy).map {
+      case id: Identity => schema(id.source)
+      case sp => StructField(sp.derivedName, sp.derivedType, nullable = true)
+    })
+
+  /** Identity SOURCE columns of a layout — the ones that live in
+    * paths rather than files (transform sources stay data columns in
+    * every file). */
+  def identitySources(partitionBy: Seq[String]): Seq[String] =
+    specs(partitionBy).collect { case Identity(s) => s }
 
   /** Validate a layout against a schema: sources exist, derived
     * names collide with nothing, transforms fit their source types. */

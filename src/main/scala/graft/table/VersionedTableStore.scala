@@ -1997,6 +1997,9 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       if (partitionBy.isEmpty) Seq("." -> dirId)
       else partitionRels(new Path(s"${dataRoot(name)}/$dirId"), partitionBy.size)
         .map(_ -> dirId)
+    // an EMPTY partitioned commit writes no partition dirs: nothing
+    // will reference dirId — reclaim the shell instead of orphaning it
+    if (written.isEmpty) fs.delete(new Path(s"${dataRoot(name)}/$dirId"), true)
     try enforceChecksOn(name, parent.map(_.checks).getOrElse(Nil), dirId,
       Some(df.schema), partitionBy, written.map(_._1))
     catch { case e: CheckViolation =>
@@ -2240,6 +2243,11 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     writeData(newRows, name, dirId, m.partitionBy, fieldIds = m.fieldIds)
     val written = partitionRels(new Path(s"${dataRoot(name)}/$dirId"),
       m.partitionBy.size).map(_ -> dirId)
+    // a DML that empties every touched partition writes no partition
+    // dirs at all: the manifest will reference nothing under dirId, so
+    // reclaim the empty shell now instead of leaving audit-visible
+    // debris for vacuum
+    if (written.isEmpty) fs.delete(new Path(s"${dataRoot(name)}/$dirId"), true)
     // the copy-on-write rewrite is a write path like any other: its
     // freshly-written files validate against the table's CHECKs
     // before the CAS (an updateWhere assigning a violating value must

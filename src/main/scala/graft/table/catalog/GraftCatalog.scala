@@ -489,11 +489,7 @@ class GraftTable(st: VersionedTableStore, tableName: String,
       s"row-level ${info.command} on a time-travel handle of $tableName: " +
         "history is immutable")
     requireNoWap(info.command.toString)
-    () => {
-      st.requireIdentityLayout(tableName, snapshot.partitionBy,
-        "row-level SQL DML (UPDATE/MERGE/DELETE rewrite)")
-      new GraftRowLevelOp(st, tableName, snapshot, info.command)
-    }
+    () => new GraftRowLevelOp(st, tableName, snapshot, info.command)
   }
 
   private[catalog] val snapshot: GraftSnapshot =
@@ -661,7 +657,8 @@ class GraftTable(st: VersionedTableStore, tableName: String,
       else None,
       mor = if (snapshot.deletes.isEmpty) Nil
         else org.apache.spark.sql.graft.MorKeys.build(st.spark,
-          snapshot.deletes))
+          snapshot.deletes),
+      layout = snapshot.partitionBy)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -686,8 +683,6 @@ class GraftTable(st: VersionedTableStore, tableName: String,
           require(!overwrite,
             s"streaming into $tableName supports append mode only")
           requireNoWap("writeStream")
-          st.requireIdentityLayout(tableName, snapshot.partitionBy,
-            "writeStream.toTable")
           val (dirBase, pathBase) = st.newStreamStaging(tableName)
           val qid = info.queryId()
           def dropEpoch(epochId: Long): Unit = {

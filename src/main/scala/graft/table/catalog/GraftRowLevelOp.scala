@@ -37,20 +37,35 @@ class GraftRowLevelOp(st: VersionedTableStore, tableName: String,
 
   @volatile private var scanRef: GraftScan = _
 
+  // The directory-layout schema (identity fields + hidden DERIVED
+  // fields) the file index parses rels with — distinct from the
+  // table-visible schema on hidden-partitioned layouts
   private val partitionSchema: StructType = {
     val full = StructType.fromDDL(snapshot.schemaDDL)
-    StructType(snapshot.partitionBy.map(full.apply))
+    graft.table.PartitionTransforms.derivedSchema(snapshot.partitionBy, full)
   }
   // ID-stamped (graft.table.FieldIds): the scan resolves pre-rename
   // files by field ID (the stamp must ride the schema Spark prunes
   // from — see GraftTable.dataSchema); the staged replacement files
   // are re-stamped with the same IDs by GraftBatchWrite, and scan
-  // outputs are cleaned at GraftScan.readSchema
+  // outputs are cleaned at GraftScan.readSchema. Identity partition
+  // columns live in paths; a transform's SOURCE column is an ordinary
+  // data column inside every file.
   private val dataSchema: StructType = {
     val full = StructType.fromDDL(snapshot.schemaDDL)
+    val idSources =
+      graft.table.PartitionTransforms.identitySources(snapshot.partitionBy)
+        .toSet
     graft.table.FieldIds.stamp(
-      StructType(full.filterNot(f => snapshot.partitionBy.contains(f.name))),
+      StructType(full.filterNot(f => idSources(f.name))),
       snapshot.fieldIds)
+  }
+  // identity partition fields only — what the TABLE-visible row
+  // carries next to the data columns (hidden columns never surface)
+  private val identityPartitionSchema: StructType = {
+    val full = StructType.fromDDL(snapshot.schemaDDL)
+    StructType(graft.table.PartitionTransforms
+      .identitySources(snapshot.partitionBy).map(full.apply))
   }
 
   override def command(): Command = cmd
@@ -62,11 +77,15 @@ class GraftRowLevelOp(st: VersionedTableStore, tableName: String,
     GraftScanPlanning.rowOpScanBuilder(st.spark,
       GraftScanPlanning.fileIndex(st.spark, partitionSchema,
         snapshot.entries, snapshot.stats),
-      StructType(dataSchema ++ partitionSchema), dataSchema, options,
+      // the TABLE-visible row: data columns + identity partition
+      // columns (hidden derived columns exist only in the file
+      // index's layout schema and in filters projected onto it)
+      StructType(dataSchema ++ identityPartitionSchema), dataSchema, options,
       partitionSchema, s => scanRef = s,
       mor = if (snapshot.deletes.isEmpty) Nil
         else org.apache.spark.sql.graft.MorKeys.build(st.spark,
-          snapshot.deletes))
+          snapshot.deletes),
+      layout = snapshot.partitionBy)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {

@@ -51,17 +51,27 @@ class GraftBatchWrite(spark: SparkSession, info: LogicalWriteInfo,
   override def description(): String = s"graft staged write -> $stagingPath"
   override def toBatch: BatchWrite = this
 
+  // Clustering/sorting target the SOURCE columns (for identity
+  // layouts those ARE the partition columns; for hidden transforms
+  // the derived value is a pure function of its source, so source
+  // clustering co-locates each derived value's rows too — except
+  // bucket, whose hash scrambles order; the writer fans out there,
+  // see GraftDataWriter). V2 transform expressions in the
+  // distribution would need a FunctionCatalog round-trip; source
+  // columns resolve everywhere.
   override def requiredDistribution(): Distribution =
     if (partitionBy.isEmpty) Distributions.unspecified()
     else Distributions.clustered(
-      partitionBy.map(c => Expressions.column(c): org.apache.spark.sql
-        .connector.expressions.Expression).toArray)
+      graft.table.PartitionTransforms.sourceNames(partitionBy)
+        .map(c => Expressions.column(c): org.apache.spark.sql
+          .connector.expressions.Expression).toArray)
 
   // clustering alone suffices for correctness; the sort keeps exactly
-  // one parquet writer open per task
+  // one parquet writer open per task on order-preserving layouts
   override def requiredOrdering(): Array[SortOrder] =
-    partitionBy.map(c => Expressions.sort(Expressions.column(c),
-      SortDirection.ASCENDING)).toArray
+    graft.table.PartitionTransforms.sourceNames(partitionBy)
+      .map(c => Expressions.sort(Expressions.column(c),
+        SortDirection.ASCENDING)).toArray
 
   override def distributionStrictlyRequired(): Boolean = false
 
@@ -71,9 +81,13 @@ class GraftBatchWrite(spark: SparkSession, info: LogicalWriteInfo,
     val job = Job.getInstance(cs.sessionState.newHadoopConf())
     // file schema carries the table's column-identity metadata so the
     // parquet writer stamps field IDs (graft.table.FieldIds invariant:
-    // every file of a ledgered table records its columns' IDs)
+    // every file of a ledgered table records its columns' IDs).
+    // Identity partition columns live in paths; a TRANSFORM's source
+    // column is an ordinary data column inside every file.
+    val idSources =
+      graft.table.PartitionTransforms.identitySources(partitionBy).toSet
     val fileSchema = graft.table.FieldIds.stamp(StructType(
-      rowSchema.filterNot(f => partitionBy.contains(f.name))), fieldIds)
+      rowSchema.filterNot(f => idSources(f.name))), fieldIds)
     val owf = new ParquetFileFormat()
       .prepareWrite(cs, job, Map.empty, fileSchema)
     new GraftDataWriterFactory(rowSchema, partitionBy, fileSchema,
@@ -131,12 +145,14 @@ class GraftStreamingWrite(spark: SparkSession, info: LogicalWriteInfo,
   override def requiredDistribution(): Distribution =
     if (partitionBy.isEmpty) Distributions.unspecified()
     else Distributions.clustered(
-      partitionBy.map(c => Expressions.column(c): org.apache.spark.sql
-        .connector.expressions.Expression).toArray)
+      graft.table.PartitionTransforms.sourceNames(partitionBy)
+        .map(c => Expressions.column(c): org.apache.spark.sql
+          .connector.expressions.Expression).toArray)
 
   override def requiredOrdering(): Array[SortOrder] =
-    partitionBy.map(c => Expressions.sort(Expressions.column(c),
-      SortDirection.ASCENDING)).toArray
+    graft.table.PartitionTransforms.sourceNames(partitionBy)
+      .map(c => Expressions.sort(Expressions.column(c),
+        SortDirection.ASCENDING)).toArray
 
   override def distributionStrictlyRequired(): Boolean = false
 
@@ -145,9 +161,12 @@ class GraftStreamingWrite(spark: SparkSession, info: LogicalWriteInfo,
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val job = Job.getInstance(cs.sessionState.newHadoopConf())
     // ID-stamped like the batch path; commitStagedAppend re-validates
-    // the ledger at every epoch (a rewrite mid-stream rejects loudly)
+    // the ledger at every epoch (a rewrite mid-stream rejects loudly).
+    // Transform sources stay data columns (batch-path rationale).
+    val idSources =
+      graft.table.PartitionTransforms.identitySources(partitionBy).toSet
     val fileSchema = graft.table.FieldIds.stamp(StructType(
-      rowSchema.filterNot(f => partitionBy.contains(f.name))), fieldIds)
+      rowSchema.filterNot(f => idSources(f.name))), fieldIds)
     val owf = new ParquetFileFormat()
       .prepareWrite(cs, job, Map.empty, fileSchema)
     new GraftStreamingWriterFactory(rowSchema, partitionBy, fileSchema,
@@ -191,15 +210,27 @@ private[graft] class GraftDataWriterFactory(rowSchema: StructType,
 }
 
 /** One task's writer. Non-partition columns project into the file
-  * row; partition columns render to the hive rel path with the SAME
-  * escaping the store's own writer (Spark hive layout) uses, so the
-  * staged rels line up with manifest rels byte-for-byte. */
+  * row; partition values (identity columns directly, hidden-transform
+  * columns DERIVED from their source on the fly) render to the hive
+  * rel path with the SAME escaping the store's own writer (Spark hive
+  * layout) uses, so the staged rels line up with manifest rels
+  * byte-for-byte.
+  *
+  * Writer discipline: order-preserving layouts (identity and
+  * monotonic transforms) arrive sorted by source, so one writer is
+  * open at a time. A layout with a NON-monotonic transform (bucket —
+  * the hash scrambles the sort) FANS OUT instead: one open writer per
+  * rel this task touches, bounded by the bucket count — the Iceberg
+  * fanout-writer trade, memory for sortedness. */
 private[graft] class GraftDataWriter(rowSchema: StructType,
     partitionBy: Seq[String], fileSchema: StructType, stagingPath: String,
     owf: OutputWriterFactory, conf: SerializableConfiguration, tz: String,
     partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
 
   private val attemptDir = s"$stagingPath/_tmp/attempt-$partitionId-$taskId"
+
+  private val pSpecs = graft.table.PartitionTransforms.specs(partitionBy)
+  private val fanout = !pSpecs.forall(_.monotonic)
 
   // Row layout binds LAZILY against the first row: a group-based
   // ReplaceData plan prepends an operation-marker INT column
@@ -224,12 +255,15 @@ private[graft] class GraftDataWriter(rowSchema: StructType,
         BoundReference(i + markerOffset, rowSchema(i).dataType,
           rowSchema(i).nullable)
       })
-    // partition value -> path segment string: Cast-to-string in LEGACY
-    // mode (what the hive-layout writer renders), then hive escaping
-    partCasts = partitionBy.map { c =>
-      val i = rowSchema.fieldIndex(c)
-      Cast(BoundReference(i + markerOffset, rowSchema(i).dataType,
-        rowSchema(i).nullable), StringType, Option(tz), EvalMode.LEGACY)
+    // partition value -> path segment string: the transform derivation
+    // (identity = passthrough) then Cast-to-string in LEGACY mode
+    // (what the hive-layout writer renders), then hive escaping
+    partCasts = pSpecs.map { sp =>
+      val i = rowSchema.fieldIndex(sp.source)
+      Cast(sp.deriveCatalyst(
+        BoundReference(i + markerOffset, rowSchema(i).dataType,
+          rowSchema(i).nullable), tz),
+        StringType, Option(tz), EvalMode.LEGACY)
     }
   }
 
@@ -239,17 +273,28 @@ private[graft] class GraftDataWriter(rowSchema: StructType,
 
   private var currentRel: String = null
   private var currentWriter: OutputWriter = _
+  private val fanoutWriters =
+    scala.collection.mutable.LinkedHashMap[String, OutputWriter]()
   private var fileCount = 0
   private val written = scala.collection.mutable.Set[String]()
 
   private def relOf(row: InternalRow): String =
     if (partitionBy.isEmpty) "."
-    else partitionBy.indices.map { k =>
+    else pSpecs.indices.map { k =>
       val v = partCasts(k).eval(row)
       val s = if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
         else ExternalCatalogUtils.escapePathName(v.toString)
-      s"${ExternalCatalogUtils.escapePathName(partitionBy(k))}=$s"
+      s"${ExternalCatalogUtils.escapePathName(pSpecs(k).derivedName)}=$s"
     }.mkString("/")
+
+  private def openWriter(rel: String): OutputWriter = {
+    val dir = if (rel == ".") attemptDir else s"$attemptDir/$rel"
+    val file = f"part-$partitionId%05d-$taskId-$fileCount%03d" +
+      owf.getFileExtension(ctx)
+    fileCount += 1
+    written += rel
+    owf.newInstance(s"$dir/$file", fileSchema, ctx)
+  }
 
   override def write(row: InternalRow): Unit = {
     if (markerOffset < 0) bind(row)
@@ -262,17 +307,19 @@ private[graft] class GraftDataWriter(rowSchema: StructType,
         s"graft staged write: unexpected row operation marker $op")
     }
     val rel = relOf(row)
-    if (rel != currentRel) {
-      if (currentWriter != null) { currentWriter.close(); currentWriter = null }
-      currentRel = rel
-      val dir = if (rel == ".") attemptDir else s"$attemptDir/$rel"
-      val file = f"part-$partitionId%05d-$taskId-$fileCount%03d" +
-        owf.getFileExtension(ctx)
-      fileCount += 1
-      currentWriter = owf.newInstance(s"$dir/$file", fileSchema, ctx)
-      written += rel
-    }
-    currentWriter.write(fileProjection(row))
+    val w =
+      if (fanout) fanoutWriters.getOrElseUpdate(rel, openWriter(rel))
+      else {
+        if (rel != currentRel) {
+          if (currentWriter != null) {
+            currentWriter.close(); currentWriter = null
+          }
+          currentRel = rel
+          currentWriter = openWriter(rel)
+        }
+        currentWriter
+      }
+    w.write(fileProjection(row))
   }
 
   /** Publish: rename this attempt's rel dirs' files into the shared
@@ -280,8 +327,14 @@ private[graft] class GraftDataWriter(rowSchema: StructType,
     * admitted, so concurrent attempts never collide; file names carry
     * (partitionId, taskId) so retries of OTHER partitions cannot
     * clash either. */
-  override def commit(): WriterCommitMessage = {
+  private def closeAll(): Unit = {
     if (currentWriter != null) { currentWriter.close(); currentWriter = null }
+    fanoutWriters.values.foreach(_.close())
+    fanoutWriters.clear()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    closeAll()
     val fs = new Path(stagingPath).getFileSystem(conf.value)
     written.foreach { rel =>
       val src = if (rel == ".") new Path(attemptDir)
@@ -300,12 +353,11 @@ private[graft] class GraftDataWriter(rowSchema: StructType,
   }
 
   override def abort(): Unit = {
-    if (currentWriter != null) { currentWriter.close(); currentWriter = null }
+    closeAll()
     val fs = new Path(attemptDir).getFileSystem(conf.value)
     fs.delete(new Path(attemptDir), true)
     ()
   }
 
-  override def close(): Unit =
-    if (currentWriter != null) { currentWriter.close(); currentWriter = null }
+  override def close(): Unit = closeAll()
 }

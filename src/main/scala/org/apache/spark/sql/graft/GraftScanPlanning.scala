@@ -122,17 +122,21 @@ object GraftScanPlanning {
     * micro-batch stream over the table's commit history.
     * `fullSchema` = data columns ++ partition columns (the catalog
     * table's schema); `dataSchema` = the columns physically inside
-    * the files. */
+    * the files. `layout` = the manifest's partitionBy entries
+    * (identity names and/or transform specs) — lets the scan project
+    * predicates on a transform's SOURCE column into partition
+    * filters on the DERIVED column. */
   def scanBuilder(spark: SparkSession, index: GraftFileIndex,
       fullSchema: StructType, dataSchema: StructType,
       options: CaseInsensitiveStringMap,
       partitionSchema: StructType = new StructType(),
       stream: Option[GraftStreamSpec] = None,
-      mor: Seq[MorKeys] = Nil)
+      mor: Seq[MorKeys] = Nil,
+      layout: Seq[String] = Nil)
       : org.apache.spark.sql.connector.read.ScanBuilder =
     new GraftScanBuilder(
       ParquetScanBuilder(classic(spark), index, fullSchema, dataSchema,
-        options), partitionSchema, stream, options, fullSchema, mor)
+        options), partitionSchema, stream, options, fullSchema, mor, layout)
 
   /** Scan builder for group-based row-level operations — see
     * [[GraftRowOpScanBuilder]]. `attach` hands the built scan back to
@@ -140,10 +144,91 @@ object GraftScanPlanning {
   def rowOpScanBuilder(spark: SparkSession, index: GraftFileIndex,
       fullSchema: StructType, dataSchema: StructType,
       options: CaseInsensitiveStringMap, partitionSchema: StructType,
-      attach: GraftScan => Unit, mor: Seq[MorKeys] = Nil)
+      attach: GraftScan => Unit, mor: Seq[MorKeys] = Nil,
+      layout: Seq[String] = Nil)
       : org.apache.spark.sql.connector.read.ScanBuilder =
     new GraftRowOpScanBuilder(spark, index, fullSchema, dataSchema, options,
-      partitionSchema, attach, mor)
+      partitionSchema, attach, mor, layout)
+
+  /** HIDDEN-PARTITION PREDICATE PROJECTION (Iceberg's transform
+    * projection): turn a catalyst predicate over a transform's SOURCE
+    * column into one over the DERIVED partition column, so partition
+    * pruning fires for queries and DML that only ever mention the
+    * source (`WHERE ts >= X` on a `days(ts)` table prunes to the
+    * matching day dirs). Strictly conservative:
+    *
+    *  - equality / IN project for every transform (`t(x) = t(lit)` is
+    *    necessary for `x = lit`);
+    *  - range compares project ONLY for order-preserving transforms
+    *    (days/months/years/hours/truncate), with strict bounds WIDENED
+    *    to closed ones — pruning may keep too much, never too little;
+    *  - a literal whose derived value is NULL does not project (a
+    *    LEGACY-cast failure lands source rows in the null partition,
+    *    which a derived compare would wrongly exclude);
+    *  - unrecognized shapes simply do not prune.
+    *
+    * The returned expressions reference the derived columns by fresh
+    * attributes; the file index re-binds by name. */
+  private[graft] def projectToLayout(filters: Seq[Expression],
+      layout: Seq[String], partitionSchema: StructType,
+      tz: String): Seq[Expression] = {
+    import graft.table.PartitionTransforms
+    val specs = PartitionTransforms.specs(layout)
+      .filterNot(_.isInstanceOf[PartitionTransforms.Identity])
+    if (specs.isEmpty) return Nil
+    val bySrc = specs.map(s => s.source -> s).toMap
+    def attrOf(sp: PartitionTransforms.Spec): AttributeReference =
+      AttributeReference(sp.derivedName,
+        partitionSchema(sp.derivedName).dataType)()
+    // derived literal, or None when the source literal is non-null but
+    // derives null (unprojectable, see scaladoc)
+    def dLit(sp: PartitionTransforms.Spec, l: Literal): Option[Literal] = {
+      val v = sp.deriveCatalyst(l, tz).eval(null)
+      if (v == null && l.value != null) None
+      else Some(Literal(v, partitionSchema(sp.derivedName).dataType))
+    }
+    def cmp(a: AttributeReference, l: Literal,
+        mk: (Expression, Expression) => Expression,
+        rangeShape: Boolean): Option[Expression] =
+      bySrc.get(a.name).filter(sp => !rangeShape || sp.monotonic)
+        .flatMap(sp => dLit(sp, l).map(d => mk(attrOf(sp), d)))
+    def walk(e: Expression): Option[Expression] = e match {
+      case And(l, r) => (walk(l), walk(r)) match {
+        case (Some(a), Some(b)) => Some(And(a, b))
+        case (a, b) => a.orElse(b) // each conjunct prunes independently
+      }
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        cmp(a, l, EqualTo, rangeShape = false)
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        cmp(a, l, EqualTo, rangeShape = false)
+      case ce.In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        bySrc.get(a.name).flatMap { sp =>
+          val ds = vs.map(v => dLit(sp, v.asInstanceOf[Literal]))
+          if (ds.exists(_.isEmpty)) None
+          else Some(ce.In(attrOf(sp), ds.flatten))
+        }
+      // strict bounds widen to closed (>= / <=): prune-safe
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        cmp(a, l, GreaterThanOrEqual, rangeShape = true)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        cmp(a, l, GreaterThanOrEqual, rangeShape = true)
+      case LessThan(a: AttributeReference, l: Literal) =>
+        cmp(a, l, LessThanOrEqual, rangeShape = true)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        cmp(a, l, LessThanOrEqual, rangeShape = true)
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        cmp(a, l, LessThanOrEqual, rangeShape = true)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        cmp(a, l, LessThanOrEqual, rangeShape = true)
+      case LessThan(l: Literal, a: AttributeReference) =>
+        cmp(a, l, GreaterThanOrEqual, rangeShape = true)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        cmp(a, l, GreaterThanOrEqual, rangeShape = true)
+      case _ => None
+    }
+    filters.flatMap(walk)
+  }
 
   /** Closed-interval bounds per column implied by pushed data
     * filters (a conjunction): only integer-family literal compares
@@ -264,7 +349,8 @@ class GraftScanBuilder(inner: ParquetScanBuilder,
     partitionSchema: StructType, stream: Option[GraftStreamSpec],
     options: CaseInsensitiveStringMap,
     fullSchema: StructType = new StructType(),
-    mor: Seq[MorKeys] = Nil)
+    mor: Seq[MorKeys] = Nil,
+    layout: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -302,7 +388,8 @@ class GraftScanBuilder(inner: ParquetScanBuilder,
       : Array[Boolean] = inner.pushVariantExtractions(extractions)
 
   override def build(): Scan =
-    new GraftScan(inner.build(), partitionSchema, stream, options, mor)
+    new GraftScan(inner.build(), partitionSchema, stream, options, mor,
+      layout)
 }
 
 /** The [[Scan]] a graft catalog table builds: Spark's own
@@ -328,12 +415,23 @@ class GraftScanBuilder(inner: ParquetScanBuilder,
   * other methods forward to the CURRENT inner scan. */
 class GraftScan(initial: ParquetScan, partitionSchema: StructType,
     stream: Option[GraftStreamSpec], options: CaseInsensitiveStringMap,
-    mor: Seq[MorKeys] = Nil)
+    mor: Seq[MorKeys] = Nil,
+    layout: Seq[String] = Nil)
     extends Scan with SupportsRuntimeV2Filtering
     with SupportsReportStatistics with SupportsReportPartitioning
     with SupportsMetadata {
 
   @volatile private var current: ParquetScan = initial
+
+  /** Hidden-partition transforms of the layout, keyed by SOURCE
+    * column — lets runtime filters on the source (the only column a
+    * user of a hidden-partitioned table can mention) prune DERIVED
+    * partition dirs. Empty for identity layouts and callers that
+    * don't pass a layout (pure-derived scans like the change feed). */
+  private val transformBySrc: Map[String, graft.table.PartitionTransforms.Spec] =
+    graft.table.PartitionTransforms.specs(layout)
+      .filterNot(_.isInstanceOf[graft.table.PartitionTransforms.Identity])
+      .map(s => s.source -> s).toMap
 
   /** Storage-partitioned-join mode: decided ONCE at scan build (the
     * same session conf Spark's own SPJ machinery keys off), so
@@ -410,8 +508,20 @@ class GraftScan(initial: ParquetScan, partitionSchema: StructType,
     if (mor.nonEmpty) Scan.ColumnarSupportMode.UNSUPPORTED
     else current.columnarSupportMode()
 
+  /** What runtime filters may target. For identity layouts these are
+    * the partition columns themselves. For hidden-partitioned layouts
+    * they are the transform SOURCE columns — the only spelling that
+    * resolves against the relation's output (the derived column never
+    * surfaces there), required both by dynamic partition pruning and
+    * by the row-level operations' runtime group filtering (which
+    * resolves these refs against the matched-rows plan). Incoming
+    * source filters are projected to derived partition filters in
+    * [[filter]]. */
   override def filterAttributes(): Array[NamedReference] =
-    partitionSchema.fieldNames.map(n => FieldReference.column(n))
+    if (transformBySrc.isEmpty)
+      partitionSchema.fieldNames.map(n => FieldReference.column(n))
+    else graft.table.PartitionTransforms.specs(layout)
+      .map(s => FieldReference.column(s.source)).toArray
 
   override def filter(predicates: Array[Predicate]): Unit = {
     val exprs = predicates.toIndexedSeq
@@ -424,18 +534,50 @@ class GraftScan(initial: ParquetScan, partitionSchema: StructType,
   /** v1 runtime filter -> catalyst expression over the partition
     * schema. The file index re-binds attributes BY NAME against its
     * partition columns, so fresh [[AttributeReference]]s suffice.
-    * `None` for unsupported shapes — the filter then just does not
-    * prune (correctness is unaffected: Spark re-applies the join). */
+    * A filter naming a hidden transform's SOURCE column projects to
+    * the DERIVED column (equality/IN only — what DPP and runtime
+    * group filtering emit; a literal that derives NULL bails, the
+    * conservative rule [[GraftScanPlanning.projectToLayout]]
+    * documents). `None` for unsupported shapes — the filter then
+    * just does not prune (correctness is unaffected: Spark
+    * re-applies the join). */
   private def partitionExpr(f: v1.Filter): Option[Expression] = {
     def field(n: String): Option[org.apache.spark.sql.types.StructField] =
       partitionSchema.find(_.name == n)
     def attr(fd: org.apache.spark.sql.types.StructField): AttributeReference =
       AttributeReference(fd.name, fd.dataType)()
+    val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+    // external v1 value -> derived partition literal (None: the source
+    // literal is untypable or derives null — do not prune)
+    def derived(sp: graft.table.PartitionTransforms.Spec,
+        v: Any): Option[Literal] =
+      try {
+        val src = Literal.create(v)
+        val d = sp.deriveCatalyst(src, tz).eval(null)
+        if (d == null && v != null) None
+        else Some(Literal(d, partitionSchema(sp.derivedName).dataType))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    def derivedAttr(sp: graft.table.PartitionTransforms.Spec) =
+      AttributeReference(sp.derivedName,
+        partitionSchema(sp.derivedName).dataType)()
     f match {
+      case v1.In(a, vs) if transformBySrc.contains(a) =>
+        val sp = transformBySrc(a)
+        val ds = vs.toIndexedSeq.map(v => derived(sp, v))
+        if (ds.exists(_.isEmpty)) None
+        else Some(ce.In(derivedAttr(sp), ds.flatten))
+      case v1.EqualTo(a, v) if transformBySrc.contains(a) =>
+        val sp = transformBySrc(a)
+        derived(sp, v).map(d => EqualTo(derivedAttr(sp), d))
       case v1.In(a, vs) => field(a).map(fd =>
         ce.In(attr(fd), vs.toIndexedSeq.map(v => Literal.create(v, fd.dataType))))
       case v1.EqualTo(a, v) => field(a).map(fd =>
         EqualTo(attr(fd), Literal.create(v, fd.dataType)))
+      case v1.IsNotNull(a) if transformBySrc.contains(a) =>
+        // a LEGACY-cast failure can derive null from a NON-null
+        // source, so IsNotNull(source) must not exclude the null
+        // partition — evaluate as always-true instead of pruning
+        Some(Literal(true))
       case v1.IsNotNull(a) => field(a).map(fd => ce.IsNotNull(attr(fd)))
       case v1.And(l, r) =>
         for (a <- partitionExpr(l); b <- partitionExpr(r)) yield And(a, b)
@@ -638,7 +780,8 @@ class GraftKeyedFilePartition(index: Int, files: Array[PartitionedFile],
 class GraftRowOpScanBuilder(spark: SparkSession, index: GraftFileIndex,
     fullSchema: StructType, dataSchema: StructType,
     options: CaseInsensitiveStringMap, partitionSchema: StructType,
-    attach: GraftScan => Unit, mor: Seq[MorKeys] = Nil)
+    attach: GraftScan => Unit, mor: Seq[MorKeys] = Nil,
+    layout: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -650,7 +793,17 @@ class GraftRowOpScanBuilder(spark: SparkSession, index: GraftFileIndex,
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     val partCols = partitionSchema.fieldNames.toSet
     partFilters = filters.filter(f => f.deterministic &&
-      f.references.nonEmpty && f.references.forall(r => partCols(r.name)))
+      f.references.nonEmpty && f.references.forall(r => partCols(r.name))) ++
+      // hidden-partition projection: predicates on a transform's
+      // SOURCE column become derived-column partition filters — group
+      // pruning is rel-atomic (a pruned group is left UNREPLACED,
+      // exactly "rows untouched"), and projection is conservative
+      // (strict bounds widen, null-deriving literals bail), so
+      // pruning can only keep extra groups, never lose matched rows
+      GraftScanPlanning.projectToLayout(
+        filters.filter(_.deterministic), layout, partitionSchema,
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          .sessionState.conf.sessionLocalTimeZone)
     boundsFilters = filters.filterNot(partFilters.contains)
       .filter(f => f.deterministic &&
         GraftScanPlanning.filterBounds(Seq(f)).nonEmpty)
@@ -679,7 +832,7 @@ class GraftRowOpScanBuilder(spark: SparkSession, index: GraftFileIndex,
     inner.pruneColumns(widened)
     val ps = inner.build().copy(partitionFilters = partFilters,
       dataFilters = boundsFilters)
-    val scan = new GraftScan(ps, partitionSchema, None, options, mor)
+    val scan = new GraftScan(ps, partitionSchema, None, options, mor, layout)
     attach(scan)
     scan
   }
