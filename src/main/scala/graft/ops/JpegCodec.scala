@@ -4,23 +4,31 @@ import java.io.ByteArrayOutputStream
 
 import graft.ops.PixelCodec.Image
 
-/** Pure-JVM baseline JPEG (ITU-T T.81) — the flagship LOSSY format a
+/** Pure-JVM JPEG (ITU-T T.81) — the flagship LOSSY format a
   * real multimodal corpus is full of, implemented from the spec with
   * no codec library:
   *
-  *  - **Decoder**: baseline sequential DCT (SOF0), 8-bit, grayscale
-  *    or 3-component YCbCr with sampling factors 1..2 (4:4:4, 4:2:2,
-  *    4:2:0), canonical Huffman per F.2.2.3 (mincode/maxcode/valptr),
-  *    byte-stuffing-aware bit reader, restart markers, dequant +
-  *    reference double IDCT + level shift, nearest-neighbor chroma
-  *    upsample, integer JFIF YCbCr->RGB. Progressive (SOF2),
-  *    arithmetic coding, and 12-bit streams return None (loud
-  *    fallback, like every codec here).
+  *  - **Decoder**: sequential baseline (SOF0/SOF1) AND progressive
+  *    (SOF2, r13) DCT, 8-bit, grayscale or 3-component YCbCr with
+  *    sampling factors 1..2 (4:4:4, 4:2:2, 4:2:0), canonical Huffman
+  *    per F.2.2.3 (mincode/maxcode/valptr), byte-stuffing-aware bit
+  *    reader, restart markers, dequant + reference double IDCT +
+  *    level shift, nearest-neighbor chroma upsample, integer JFIF
+  *    YCbCr->RGB. Progressive decoding covers the full G.2 scan
+  *    algebra: interleaved/non-interleaved DC-first and DC-refine,
+  *    spectral-band AC-first with EOB runs, and AC successive-
+  *    approximation refinement with correction bits (what every
+  *    ImageIO/libjpeg default progressive script emits). Arithmetic
+  *    coding and 12-bit streams return None (loud fallback, like
+  *    every codec here).
   *  - **Encoder**: baseline, grayscale or 4:4:4 color, caller-chosen
   *    quant table, single-length canonical Huffman tables (all 12 DC
   *    categories at 4 bits, all 162 AC symbols at 8 bits — legal,
   *    decodable by any baseline decoder, and free of the spec's
-  *    example-table transcription risk).
+  *    example-table transcription risk); plus a PROGRESSIVE encoder
+  *    (spectral selection: one interleaved DC scan, one AC band scan
+  *    per component) so the progressive decode path sits under the
+  *    same exact constant-block oracle gate as baseline.
   *
   * JPEG is lossy, so the GIF/WAV "round-trip == identity" gating
   * trick does not apply in general — EXCEPT on images that are
@@ -216,27 +224,7 @@ object JpegCodec {
     val my = (img.height + 7) / 8
     val preds = new Array[Int](nComp)
     // component planes (YCbCr for color, the grey plane otherwise)
-    val planes: Array[Array[Int]] =
-      if (nComp == 1)
-        Array(Array.tabulate(img.width * img.height)(k => img.pixels(k) & 0xff))
-      else {
-        val y = new Array[Int](img.width * img.height)
-        val cb = new Array[Int](img.width * img.height)
-        val cr = new Array[Int](img.width * img.height)
-        var k = 0
-        while (k < img.width * img.height) {
-          val r = img.pixels(k * 3) & 0xff
-          val g = img.pixels(k * 3 + 1) & 0xff
-          val b = img.pixels(k * 3 + 2) & 0xff
-          y(k) = clamp8(math.round(0.299 * r + 0.587 * g + 0.114 * b).toInt)
-          cb(k) = clamp8(math.round(128 - 0.168736 * r - 0.331264 * g +
-            0.5 * b).toInt)
-          cr(k) = clamp8(math.round(128 + 0.5 * r - 0.418688 * g -
-            0.081312 * b).toInt)
-          k += 1
-        }
-        Array(y, cb, cr)
-      }
+    val planes: Array[Array[Int]] = encodePlanes(img)
     var by = 0
     while (by < my) {
       var bx = 0
@@ -268,6 +256,147 @@ object JpegCodec {
   }
 
   private def clamp8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** PROGRESSIVE JPEG encode (spectral selection, no successive
+    * approximation): scan 1 is the interleaved DC band (Ss=Se=0),
+    * then one full AC band scan (Ss=1, Se=63) per component — the
+    * simplest legal progression order (T.81 G.1.1.1.1), exercising
+    * the decoder's DC-interleaved, non-interleaved AC, and EOB-run
+    * machinery. Same single-length tables, same quant contract as
+    * [[encodeJpeg]]: on constant-per-block images with [[QuantExact]]
+    * the decode is EXACT, which is what puts SOF2 under the driver's
+    * hash gate. Grayscale or 4:4:4 color. */
+  def encodeJpegProgressive(img: Image,
+      quant: Array[Int] = QuantDefault): Array[Byte] = {
+    require(img.channels == 1 || img.channels == 3,
+      "JPEG encoder takes grey or RGB")
+    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255))
+    val o = new ByteArrayOutputStream()
+    o.write(0xff); o.write(0xd8) // SOI
+    writeMarkerSegment(o, 0xdb,
+      (Array(0x00) ++ Array.tabulate(64)(k => quant(Zigzag(k))))
+        .map(_.toByte))
+    val nComp = img.channels
+    val sof = new ByteArrayOutputStream()
+    sof.write(8)
+    sof.write((img.height >> 8) & 0xff); sof.write(img.height & 0xff)
+    sof.write((img.width >> 8) & 0xff); sof.write(img.width & 0xff)
+    sof.write(nComp)
+    var c = 0
+    while (c < nComp) {
+      sof.write(c + 1); sof.write(0x11); sof.write(0)
+      c += 1
+    }
+    writeMarkerSegment(o, 0xc2, sof.toByteArray) // SOF2: progressive
+    val dcCounts = Array.tabulate(16)(l => if (l == 3) 12 else 0)
+    writeMarkerSegment(o, 0xc4, dhtBody(0, 0, dcCounts, (0 to 11).toArray))
+    val acCounts = Array.tabulate(16)(l => if (l == 7) AcSymbols.length else 0)
+    writeMarkerSegment(o, 0xc4, dhtBody(1, 0, acCounts, AcSymbols))
+    // quantized coefficients for every block of every component,
+    // MCU-grid order (4:4:4: MCU grid == block grid)
+    val mx = (img.width + 7) / 8
+    val my = (img.height + 7) / 8
+    val planes: Array[Array[Int]] = encodePlanes(img)
+    val blocks: Array[Array[Array[Int]]] =
+      Array.tabulate(nComp, my * mx) { (ci, b) =>
+        val bx = b % mx; val by = b / mx
+        val block = new Array[Int](64)
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            val sx = math.min(bx * 8 + xx, img.width - 1)
+            val sy = math.min(by * 8 + yy, img.height - 1)
+            block(yy * 8 + xx) = planes(ci)(sy * img.width + sx)
+            xx += 1
+          }
+          yy += 1
+        }
+        fdctQuant(block, quant)
+      }
+    // scan 1: interleaved DC band
+    locally {
+      val sos = new ByteArrayOutputStream()
+      sos.write(nComp)
+      var ci = 0
+      while (ci < nComp) { sos.write(ci + 1); sos.write(0x00); ci += 1 }
+      sos.write(0); sos.write(0); sos.write(0) // Ss=0 Se=0 AhAl=0
+      writeMarkerSegment(o, 0xda, sos.toByteArray)
+      val bw = new BitWriter(o)
+      val preds = new Array[Int](nComp)
+      var b = 0
+      while (b < my * mx) {
+        var k = 0
+        while (k < nComp) {
+          val dc = blocks(k)(b)(0)
+          val diff = dc - preds(k)
+          preds(k) = dc
+          val t = magnitude(diff)
+          bw.put(dcCode(t), 4)
+          if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+          k += 1
+        }
+        b += 1
+      }
+      bw.flush()
+    }
+    // one AC band scan per component (non-interleaved by spec)
+    var ci = 0
+    while (ci < nComp) {
+      val sos = new ByteArrayOutputStream()
+      sos.write(1); sos.write(ci + 1); sos.write(0x00)
+      sos.write(1); sos.write(63); sos.write(0) // Ss=1 Se=63 AhAl=0
+      writeMarkerSegment(o, 0xda, sos.toByteArray)
+      val bw = new BitWriter(o)
+      var b = 0
+      while (b < my * mx) {
+        val coef = blocks(ci)(b)
+        var run = 0
+        var k = 1
+        while (k < 64) {
+          val v = coef(Zigzag(k))
+          if (v == 0) run += 1
+          else {
+            while (run > 15) { bw.put(acCode(0xf0), 8); run -= 16 }
+            val s = magnitude(v)
+            bw.put(acCode((run << 4) | s), 8)
+            bw.put(if (v < 0) v + (1 << s) - 1 else v, s)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) bw.put(acCode(0x00), 8) // EOB (run length 1)
+        b += 1
+      }
+      bw.flush()
+      ci += 1
+    }
+    o.write(0xff); o.write(0xd9) // EOI
+    o.toByteArray
+  }
+
+  /** Component planes for encoding: grey passthrough, or JFIF YCbCr. */
+  private def encodePlanes(img: Image): Array[Array[Int]] =
+    if (img.channels == 1)
+      Array(Array.tabulate(img.width * img.height)(k => img.pixels(k) & 0xff))
+    else {
+      val y = new Array[Int](img.width * img.height)
+      val cb = new Array[Int](img.width * img.height)
+      val cr = new Array[Int](img.width * img.height)
+      var k = 0
+      while (k < img.width * img.height) {
+        val r = img.pixels(k * 3) & 0xff
+        val g = img.pixels(k * 3 + 1) & 0xff
+        val b = img.pixels(k * 3 + 2) & 0xff
+        y(k) = clamp8(math.round(0.299 * r + 0.587 * g + 0.114 * b).toInt)
+        cb(k) = clamp8(math.round(128 - 0.168736 * r - 0.331264 * g +
+          0.5 * b).toInt)
+        cr(k) = clamp8(math.round(128 + 0.5 * r - 0.418688 * g -
+          0.081312 * b).toInt)
+        k += 1
+      }
+      Array(y, cb, cr)
+    }
 
   // ----------------------------------------------------------- decoder
 
@@ -377,12 +506,25 @@ object JpegCodec {
     var comps: Array[Comp] = null
     var width = 0; var height = 0
     var restartInterval = 0
+    var progressive = false
+    // progressive coefficient store: per component, the MCU-padded
+    // block grid x 64 QUANTIZED coefficients, accumulated across
+    // scans and reconstructed at EOI
+    var coefs: Array[Array[Int]] = null
     var i = 2
-    while (i + 4 <= p.length) {
+    while (i + 2 <= p.length) {
       if ((p(i) & 0xff) != 0xff) return None
       val marker = p(i + 1) & 0xff
       if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { i += 2 }
-      else if (marker == 0xd9) return None // EOI before SOS
+      else if (marker == 0xd9) {
+        // EOI: for a progressive stream this is where the picture is
+        // complete — dequantize + IDCT + assemble; for baseline it
+        // means EOI before SOS (broken)
+        return if (progressive && coefs != null)
+          reconstructProgressive(comps, quants, coefs, width, height)
+        else None
+      }
+      else if (i + 4 > p.length) return None
       else {
         val len = ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
         if (len < 2 || i + 2 + len > p.length) return None
@@ -401,8 +543,9 @@ object JpegCodec {
               quants(tq) = t
               q += 65
             }
-          case 0xc0 | 0xc1 => // baseline / extended sequential
+          case 0xc0 | 0xc1 | 0xc2 => // baseline / ext. sequential / progressive
             if ((p(at) & 0xff) != 8) return None
+            progressive = marker == 0xc2
             height = ((p(at + 1) & 0xff) << 8) | (p(at + 2) & 0xff)
             width = ((p(at + 3) & 0xff) << 8) | (p(at + 4) & 0xff)
             // dimension sanity: a crafted 65535x65535 header would
@@ -419,7 +562,6 @@ object JpegCodec {
             }
             if (comps.exists(c => c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2))
               return None
-          case 0xc2 => return None // progressive unsupported
           case 0xc4 => // DHT: one or more tables
             var q = at
             while (q < i + 2 + len) {
@@ -439,23 +581,82 @@ object JpegCodec {
           case 0xda => // SOS: assign tables, then the entropy data
             if (comps == null || width <= 0 || height <= 0) return None
             val ns = p(at) & 0xff
-            if (ns != comps.length) return None
+            if (!progressive) {
+              if (ns != comps.length) return None
+              var c = 0
+              while (c < ns) {
+                val id = p(at + 1 + c * 2) & 0xff
+                val tt = p(at + 2 + c * 2) & 0xff
+                val comp = comps.find(_.id == id).getOrElse(return None)
+                comp.dcT = tt >> 4; comp.acT = tt & 0x0f
+                c += 1
+              }
+              return decodeScan(p, i + 2 + len, comps, quants, dcTabs,
+                acTabs, width, height, restartInterval)
+            }
+            // PROGRESSIVE scan: any subset of components (interleaved
+            // only for the DC band), spectral band [Ss, Se],
+            // successive approximation Ah -> Al
+            if (ns < 1 || ns > comps.length) return None
+            val scanIdx = new Array[Int](ns)
             var c = 0
             while (c < ns) {
               val id = p(at + 1 + c * 2) & 0xff
               val tt = p(at + 2 + c * 2) & 0xff
-              val comp = comps.find(_.id == id).getOrElse(return None)
-              comp.dcT = tt >> 4; comp.acT = tt & 0x0f
+              val ci = comps.indexWhere(_.id == id)
+              if (ci < 0) return None
+              comps(ci).dcT = tt >> 4; comps(ci).acT = tt & 0x0f
+              scanIdx(c) = ci
               c += 1
             }
-            return decodeScan(p, i + 2 + len, comps, quants, dcTabs,
-              acTabs, width, height, restartInterval)
+            val ss = p(at + 1 + ns * 2) & 0xff
+            val se = p(at + 2 + ns * 2) & 0xff
+            val ahal = p(at + 3 + ns * 2) & 0xff
+            val ah = ahal >> 4; val al = ahal & 0x0f
+            // scan-algebra sanity (T.81 G.1): DC band is [0,0] and may
+            // interleave; AC bands start past 0 and are one component
+            if (ss == 0 && se != 0) return None
+            if (ss > 0 && (se < ss || se > 63 || ns != 1)) return None
+            if (al > 13 || (ah != 0 && ah != al + 1)) return None
+            if (coefs == null) {
+              val maxH = comps.map(_.h).max
+              val maxV = comps.map(_.v).max
+              val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+              val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+              coefs = comps.map(cm =>
+                new Array[Int](mcusX * cm.h * mcusY * cm.v * 64))
+            }
+            val end = decodeProgressiveScan(p, i + 2 + len, comps, scanIdx,
+              dcTabs, acTabs, ss, se, ah, al, restartInterval, coefs,
+              width, height)
+            if (end < 0) return None
+            // resync to the next REAL marker (pad bits / RSTs behind
+            // us) and neutralize the loop's own segment advance
+            i = nextMarker(p, end) - (2 + len)
           case _ => () // APPn / COM / others: skip
         }
         i += 2 + len
       }
     }
     None
+  }
+
+  /** Position of the next real marker at or past `from` (skips
+    * entropy bytes, stuffed 0xFF00, fill 0xFFs, and RSTn). Returns
+    * p.length when none remains. */
+  private def nextMarker(p: Array[Byte], from: Int): Int = {
+    var j = math.max(from, 0)
+    while (j + 1 < p.length) {
+      if ((p(j) & 0xff) != 0xff) j += 1
+      else {
+        val m = p(j + 1) & 0xff
+        if (m == 0x00) j += 2 // stuffed data byte
+        else if (m == 0xff) j += 1 // fill byte
+        else if (m >= 0xd0 && m <= 0xd7) j += 2 // restart marker
+        else return j
+      }
+    }
+    p.length
   }
 
   private def decodeScan(p: Array[Byte], start: Int, comps: Array[Comp],
@@ -553,7 +754,16 @@ object JpegCodec {
       }
       mcu += 1
     }
-    // assemble: sample each plane at component resolution (nearest)
+    assemble(comps, planes, planeW, width, height, maxH, maxV)
+  }
+
+  /** Assemble decoded component planes into the output image: sample
+    * each plane at component resolution (nearest) and, for color,
+    * apply the integer JFIF YCbCr->RGB. Shared by the baseline and
+    * progressive reconstruction paths. */
+  private def assemble(comps: Array[Comp], planes: Array[Array[Int]],
+      planeW: Array[Int], width: Int, height: Int,
+      maxH: Int, maxV: Int): Option[Image] = {
     if (comps.length == 1) {
       val out = new Array[Byte](width * height)
       var y = 0
@@ -589,5 +799,270 @@ object JpegCodec {
       }
       Some(Image(width, height, 3, out))
     }
+  }
+
+  /** Decode one PROGRESSIVE scan's entropy data into the coefficient
+    * store (T.81 G.2; correction-bit refinement per the G.1.2.3
+    * successive-approximation rules). Returns the byte position where
+    * entropy data ended, or -1 on malformed input.
+    *
+    *  - interleaved scans (ns > 1, DC band only): MCU order, h x v
+    *    blocks per component per MCU, restart interval in MCUs;
+    *  - non-interleaved scans: the component's OWN block grid
+    *    (ceil(compDim/8), NOT the MCU-padded grid), row-major,
+    *    restart interval in blocks;
+    *  - stored values are QUANTIZED coefficients, assembled across
+    *    scans by the successive-approximation shifts. */
+  private def decodeProgressiveScan(p: Array[Byte], start: Int,
+      comps: Array[Comp], scanIdx: Array[Int],
+      dcTabs: Array[Huff], acTabs: Array[Huff],
+      ss: Int, se: Int, ah: Int, al: Int, restartInterval: Int,
+      coefs: Array[Array[Int]], width: Int, height: Int): Int = {
+    val maxH = comps.map(_.h).max
+    val maxV = comps.map(_.v).max
+    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+    val br = new BitReader(p, start)
+    val preds = new Array[Int](comps.length)
+    var eobrun = 0
+
+    def blockOff(ci: Int, bx: Int, by: Int): Int =
+      (by * (mcusX * comps(ci).h) + bx) * 64
+
+    def dcFirst(ci: Int, off: Int): Boolean = {
+      val dcT = dcTabs(comps(ci).dcT)
+      if (dcT == null) return false
+      val t = br.decode(dcT)
+      if (t < 0 || t > 11) return false
+      val vb = if (t == 0) 0 else br.bits(t)
+      if (vb < 0) return false
+      preds(ci) += extend(vb, t)
+      coefs(ci)(off) = preds(ci) << al
+      true
+    }
+    def dcRefine(ci: Int, off: Int): Boolean = {
+      val b = br.bit()
+      if (b < 0) return false
+      if (b == 1) coefs(ci)(off) |= 1 << al
+      true
+    }
+    def acFirst(ci: Int, off: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      val acT = acTabs(comps(ci).acT)
+      if (acT == null) return false
+      var k = ss
+      while (k <= se) {
+        val rs = br.decode(acT)
+        if (rs < 0) return false
+        val r = rs >> 4; val s = rs & 0x0f
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << r) - 1
+            if (r > 0) {
+              val eb = br.bits(r)
+              if (eb < 0) return false
+              eobrun += eb
+            }
+            return true
+          }
+        } else {
+          k += r
+          if (k > se) return false
+          val vb = br.bits(s)
+          if (vb < 0) return false
+          coefs(ci)(off + Zigzag(k)) = extend(vb, s) << al
+          k += 1
+        }
+      }
+      true
+    }
+    def acRefine(ci: Int, off: Int): Boolean = {
+      val acT = acTabs(comps(ci).acT)
+      if (acT == null) return false
+      val p1 = 1 << al
+      val m1 = -1 << al
+      val arr = coefs(ci)
+      def correct(k: Int): Boolean = {
+        val idx = off + Zigzag(k)
+        if (arr(idx) != 0) {
+          val b = br.bit()
+          if (b < 0) return false
+          if (b == 1 && (arr(idx) & p1) == 0)
+            arr(idx) += (if (arr(idx) >= 0) p1 else m1)
+        }
+        true
+      }
+      var k = ss
+      if (eobrun == 0) {
+        var atEob = false
+        while (k <= se && !atEob) {
+          val rs = br.decode(acT)
+          if (rs < 0) return false
+          var r = rs >> 4; val s = rs & 0x0f
+          var newVal = 0
+          if (s != 0) {
+            if (s != 1) return false // refinement emits size-1 only
+            val b = br.bit()
+            if (b < 0) return false
+            newVal = if (b == 1) p1 else m1
+          } else if (r != 15) {
+            eobrun = 1 << r
+            if (r > 0) {
+              val eb = br.bits(r)
+              if (eb < 0) return false
+              eobrun += eb
+            }
+            atEob = true
+          }
+          if (!atEob) {
+            // advance over r ZERO-HISTORY positions, appending a
+            // correction bit to every already-nonzero coefficient;
+            // `placed` marks the zero slot a new coefficient lands in
+            var placed = false
+            while (k <= se && !placed) {
+              val idx = off + Zigzag(k)
+              if (arr(idx) != 0) {
+                val b = br.bit()
+                if (b < 0) return false
+                if (b == 1 && (arr(idx) & p1) == 0)
+                  arr(idx) += (if (arr(idx) >= 0) p1 else m1)
+                k += 1
+              } else if (r == 0) placed = true
+              else { r -= 1; k += 1 }
+            }
+            if (newVal != 0) {
+              if (!placed) return false // no zero slot in band: corrupt
+              arr(off + Zigzag(k)) = newVal
+              k += 1
+            } else if (placed) {
+              k += 1 // ZRL: step past its 16th zero
+            }
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) {
+          if (!correct(k)) return false
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+    def codeBlock(ci: Int, off: Int): Boolean =
+      if (ss == 0) {
+        if (ah == 0) dcFirst(ci, off) else dcRefine(ci, off)
+      } else {
+        if (ah == 0) acFirst(ci, off) else acRefine(ci, off)
+      }
+
+    if (scanIdx.length > 1) {
+      // interleaved DC scan: MCU order
+      var mcu = 0
+      val nMcus = mcusX * mcusY
+      while (mcu < nMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          if (!br.restart()) return -1
+          java.util.Arrays.fill(preds, 0)
+          eobrun = 0
+        }
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        var c = 0
+        while (c < scanIdx.length) {
+          val ci = scanIdx(c)
+          var v = 0
+          while (v < comps(ci).v) {
+            var h = 0
+            while (h < comps(ci).h) {
+              if (!codeBlock(ci,
+                  blockOff(ci, mx * comps(ci).h + h, my * comps(ci).v + v)))
+                return -1
+              h += 1
+            }
+            v += 1
+          }
+          c += 1
+        }
+        mcu += 1
+      }
+    } else {
+      // non-interleaved: the component's OWN (unpadded) block grid
+      val ci = scanIdx(0)
+      val compW = (width * comps(ci).h + maxH - 1) / maxH
+      val compH = (height * comps(ci).v + maxV - 1) / maxV
+      val bW = (compW + 7) / 8
+      val bH = (compH + 7) / 8
+      var b = 0
+      val nB = bW * bH
+      while (b < nB) {
+        if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+          if (!br.restart()) return -1
+          java.util.Arrays.fill(preds, 0)
+          eobrun = 0
+        }
+        if (!codeBlock(ci, blockOff(ci, b % bW, b / bW))) return -1
+        b += 1
+      }
+    }
+    br.pos
+  }
+
+  /** EOI of a progressive stream: dequantize the accumulated
+    * coefficients, IDCT every block of the MCU-padded grid, assemble
+    * exactly like the baseline path. */
+  private def reconstructProgressive(comps: Array[Comp],
+      quants: Array[Array[Int]], coefs: Array[Array[Int]],
+      width: Int, height: Int): Option[Image] = {
+    val maxH = comps.map(_.h).max
+    val maxV = comps.map(_.v).max
+    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+    val planeW = comps.map(c => mcusX * 8 * c.h)
+    val planeH = comps.map(c => mcusY * 8 * c.v)
+    val planes = comps.indices.map(ci =>
+      new Array[Int](planeW(ci) * planeH(ci))).toArray
+    comps.foreach(c => if (quants(c.tq) == null) return None)
+    val deq = new Array[Int](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val q = quants(comps(ci).tq)
+      val bW = mcusX * comps(ci).h
+      val bH = mcusY * comps(ci).v
+      var b = 0
+      while (b < bW * bH) {
+        val off = b * 64
+        var k = 0
+        while (k < 64) { deq(k) = coefs(ci)(off + k) * q(k); k += 1 }
+        val ox = (b % bW) * 8
+        val oy = (b / bW) * 8
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            var s = 0.0
+            var u = 0
+            while (u < 8) {
+              var w = 0
+              while (w < 8) {
+                val f = deq(w * 8 + u)
+                if (f != 0)
+                  s += cScale(u) * cScale(w) * f * cosT(x, u) * cosT(y, w)
+                w += 1
+              }
+              u += 1
+            }
+            planes(ci)((oy + y) * planeW(ci) + ox + x) =
+              clamp8(math.round(0.25 * s).toInt + 128)
+            x += 1
+          }
+          y += 1
+        }
+        b += 1
+      }
+      ci += 1
+    }
+    assemble(comps, planes, planeW, width, height, maxH, maxV)
   }
 }

@@ -695,6 +695,65 @@ object MultimodalOps {
               CAST(sum((i + 1) * p) AS BIGINT) AS px_wsum
        FROM px GROUP BY doc_id"""
 
+  /** PROGRESSIVE JPEG (SOF2, r13) under the same EXACT hash gate as
+    * [[jpegRoundtrip]] — the constant-per-block argument is scan-order
+    * independent, so spectral selection changes nothing about the
+    * reconstruction: encodeJpegProgressive emits an interleaved DC
+    * scan plus per-component AC band scans, decodeJpeg accumulates
+    * them across scans and reconstructs at EOI. What this puts under
+    * the driver's gate that the baseline gate cannot: multi-scan SOS
+    * parsing, the DC band decode, AC band decode with EOB runs, and
+    * the coefficient-store reconstruction. Block values use DIFFERENT
+    * multipliers than the baseline gate so the two rows cannot mask
+    * each other. (Successive-approximation refinement is
+    * cross-validated against ImageIO's progressive writer in
+    * JpegCodecSpec — its bit choices are writer-specific and
+    * inherently not exactness-gateable.) */
+  def jpegProgressive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { d =>
+          val px = Array.tabulate(PxW * PxH) { i =>
+            val bx = (i % PxW) / 8; val by = (i / PxW) / 8
+            (((d % PxDocMod) * 17 + bx * 29 + by * 5) % 256).toByte
+          }
+          val bytes = JpegCodec.encodeJpegProgressive(
+            PixelCodec.Image(PxW, PxH, 1, px), JpegCodec.QuantExact)
+          val img = JpegCodec.decodeJpeg(bytes).getOrElse(
+            throw new IllegalStateException(
+              s"progressive JPEG decode failed for doc $d"))
+          require(img.width == PxW && img.height == PxH &&
+            img.channels == 1,
+            s"progressive JPEG round-trip shape drifted for doc $d")
+          var sum = 0L; var mn = 255; var mx = 0; var wsum = 0L
+          var i = 0
+          while (i < img.pixels.length) {
+            val v = img.pixels(i) & 0xff
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            wsum += (i + 1L) * v
+            i += 1
+          }
+          (d, sum, mn, mx, wsum)
+        }
+      }.toDF("doc_id", "px_sum", "px_min", "px_max", "px_wsum")
+  }
+
+  /** DuckDB twin: the block-value formula only — never a JPEG byte. */
+  val jpegProgressiveSql: String =
+    s"""WITH px AS (
+         SELECT doc_id, gs.i,
+           ((doc_id % $PxDocMod) * 17 + ((gs.i % $PxW) // 8) * 29 +
+            ((gs.i // $PxW) // 8) * 5) % 256 AS p
+         FROM documents, generate_series(0, ${PxW * PxH - 1}) gs(i))
+       SELECT doc_id, CAST(sum(p) AS BIGINT) AS px_sum,
+              CAST(min(p) AS INT) AS px_min,
+              CAST(max(p) AS INT) AS px_max,
+              CAST(sum((i + 1) * p) AS BIGINT) AS px_wsum
+       FROM px GROUP BY doc_id"""
+
   // ------------------------------------------------- real frame path
 
   val FrameW = 12; val FrameH = 10

@@ -2,21 +2,25 @@ package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.JpegCodec.{decodeJpeg, encodeJpeg, QuantDefault, QuantExact}
+import graft.ops.JpegCodec.{decodeJpeg, encodeJpeg, encodeJpegProgressive, QuantDefault, QuantExact}
 import graft.ops.PixelCodec.Image
 
-/** Baseline JPEG codec behavior in three tiers:
+/** JPEG codec behavior in three tiers:
   *
   *  1. EXACT: constant-per-8x8-block images with the DC-step-8 quant
   *     table round-trip bit-for-bit (the arithmetic behind the
-  *     mm_jpeg_roundtrip hash gate — derivation in JpegCodec's doc).
+  *     mm_jpeg_roundtrip hash gate — derivation in JpegCodec's doc) —
+  *     through BOTH the baseline and the progressive (SOF2) paths.
   *  2. BOUNDED: general images round-trip within the quantization
   *     error bound, and cross-implementation against the JDK's
   *     ImageIO codec within a few LSBs — baseline JPEG IDCTs are
   *     allowed to differ by ±1 (T.81 annex A accuracy), chroma
   *     upsampling differs more (ours nearest, ImageIO's smoothed),
   *     so the color tolerance is wider and tested on smooth content.
-  *  3. LOUD: truncated / foreign / progressive streams return None.
+  *     ImageIO's PROGRESSIVE writer (successive approximation, the
+  *     default 10-scan script) cross-validates the refinement paths.
+  *  3. LOUD: truncated / foreign / structurally-inconsistent streams
+  *     return None.
   */
 class JpegCodecSpec extends AnyFunSuite {
 
@@ -166,17 +170,129 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("decoder returns None on foreign, truncated, and progressive streams") {
+  test("decoder returns None on foreign, truncated, and inconsistent streams") {
     val img = grey(16, 16)((x, y) => x * 16 + y)
     val good = encodeJpeg(img, QuantDefault)
     assert(decodeJpeg(good.take(2)) === None)
     assert(decodeJpeg(good.take(good.length / 2)) === None)
     assert(decodeJpeg(PixelCodec.encodePng(img)) === None)
-    // flip SOF0 -> SOF2 (progressive): must reject, not garble
+    // flip SOF0 -> SOF2: the BASELINE scan header (Ss=0, Se=63) is
+    // illegal progressive scan algebra — must reject, not garble
     val prog = good.clone()
     val sof = prog.indices.find(i => (prog(i) & 0xff) == 0xff &&
       i + 1 < prog.length && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sof + 1) = 0xc2.toByte
     assert(decodeJpeg(prog) === None)
+  }
+
+  test("progressive: constant-per-block images round-trip EXACTLY") {
+    for ((w, h) <- Seq((8, 8), (16, 16), (24, 18), (40, 24))) {
+      val img = grey(w, h)((x, y) => ((x / 8) * 41 + (y / 8) * 113 + 7) % 256)
+      val bytes = encodeJpegProgressive(img, QuantExact)
+      // it really is a progressive stream (SOF2 present)
+      assert(bytes.sliding(2).exists(s =>
+        (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xc2))
+      val back = decodeJpeg(bytes).get
+      assert(back.width === w && back.height === h && back.channels === 1)
+      assert(back.pixels.toSeq === img.pixels.toSeq, s"${w}x$h")
+    }
+    // color, with extremes (DC categories up to 11)
+    val color = Image(16, 16, 3, Array.tabulate(16 * 16 * 3) { k =>
+      val p = k / 3
+      (if (((p % 16) / 8 + (p / 16) / 8) % 2 == 0) 64 else 192).toByte
+    })
+    val back = decodeJpeg(encodeJpegProgressive(color, QuantExact)).get
+    assert(back.channels === 3)
+    // constant blocks in RGB are constant in YCbCr too; the only loss
+    // is the two color conversions' rounding (same bound as baseline)
+    assert(maxAbsDiff(back.pixels,
+      decodeJpeg(encodeJpeg(color, QuantExact)).get.pixels) === 0)
+  }
+
+  test("progressive and baseline encodes of one image decode IDENTICALLY") {
+    // both encoders quantize the same coefficients; spectral selection
+    // only reorders the bits on the wire — the reconstruction must be
+    // bit-identical, which pins the whole progressive scan plumbing
+    // (DC interleave, AC bands, EOB runs) against the baseline path
+    val img = grey(40, 24)((x, y) => (x * 7 + y * 13 + (x * y) % 31) % 256)
+    val viaProg = decodeJpeg(encodeJpegProgressive(img, QuantDefault)).get
+    val viaBase = decodeJpeg(encodeJpeg(img, QuantDefault)).get
+    assert(viaProg.pixels.toSeq === viaBase.pixels.toSeq)
+    val rgb = Image(24, 16, 3, Array.tabulate(24 * 16 * 3)(k =>
+      ((k * 37) % 256).toByte))
+    assert(decodeJpeg(encodeJpegProgressive(rgb, QuantDefault)).get
+      .pixels.toSeq ===
+      decodeJpeg(encodeJpeg(rgb, QuantDefault)).get.pixels.toSeq)
+  }
+
+  test("we decode ImageIO's PROGRESSIVE JPEGs (successive approximation)") {
+    import java.awt.image.BufferedImage
+    def progBytes(bi: BufferedImage): Array[Byte] = {
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bo = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bo)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+      writer.dispose(); ios.close()
+      bo.toByteArray
+    }
+    // grey: the default script uses DC/AC successive approximation —
+    // the refinement (correction-bit) decode paths are all on the line
+    val bi = new BufferedImage(20, 14, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 14; x <- 0 until 20)
+      bi.getRaster.setSample(x, y, 0, 30 + x * 4 + y * 9)
+    val bytes = progBytes(bi)
+    assert(bytes.sliding(2).exists(s =>
+      (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xc2),
+      "ImageIO did not emit a progressive stream — test void")
+    val ours = decodeJpeg(bytes).get
+    assert(ours.width === 20 && ours.height === 14 && ours.channels === 1)
+    var worst = 0
+    for (y <- 0 until 14; x <- 0 until 20)
+      worst = math.max(worst,
+        math.abs(bi.getRaster.getSample(x, y, 0) - ours.px(x, y)))
+    assert(worst <= 3, s"grey progressive stream decoded $worst levels off")
+    // smooth color (subsampled chroma + refinement): wider bound, as
+    // in the baseline cross-check
+    val ci = new BufferedImage(24, 16, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 24)
+      ci.setRGB(x, y, ((60 + x * 3) << 16) | ((80 + y * 4) << 8) | 100)
+    val cb = progBytes(ci)
+    val oc = decodeJpeg(cb).get
+    assert(oc.width === 24 && oc.height === 16 && oc.channels === 3)
+    var worstC = 0
+    for (y <- 0 until 16; x <- 0 until 24; c <- 0 until 3) {
+      val theirs = (ci.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      worstC = math.max(worstC, math.abs(theirs - oc.px(x, y, c)))
+    }
+    assert(worstC <= 16,
+      s"smooth color progressive stream reconstructed $worstC levels off")
+  }
+
+  test("ImageIO reads our progressive streams within the IDCT bound") {
+    val img = grey(24, 16)((x, y) => 40 + x * 5 + y * 7)
+    val bytes = encodeJpegProgressive(img, QuantExact)
+    val read = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(read !== null, "ImageIO could not parse our progressive stream")
+    val ours = decodeJpeg(bytes).get
+    var worst = 0
+    for (y <- 0 until 16; x <- 0 until 24)
+      worst = math.max(worst,
+        math.abs(read.getRaster.getSample(x, y, 0) - ours.px(x, y)))
+    assert(worst <= 1, s"ImageIO vs ours differ by $worst on progressive")
+  }
+
+  test("corrupt progressive streams return None, never crash") {
+    val img = grey(24, 16)((x, y) => (x * 11 + y * 17) % 256)
+    val ok = encodeJpegProgressive(img, QuantDefault)
+    (4 until ok.length by 7).foreach { at =>
+      val bad = ok.clone; bad(at) = (bad(at) ^ 0x5a).toByte
+      JpegCodec.decodeJpeg(bad) // must not throw
+    }
+    assert(decodeJpeg(ok.take(ok.length / 2)) === None)
   }
 }
