@@ -309,26 +309,123 @@ object Dedup {
   def ingestDeduped(store: graft.table.WarehouseWrites, sigTable: String,
       batch: DataFrame, id: Column, text: Column,
       threshold: Double = DedupOps.JaccardThreshold,
+      batchId: Option[String] = None): DataFrame =
+    ingestKeyedDeduped(store, sigTable,
+      DedupOps.materializeOnce(
+        batch.repartition(DedupOps.JoinParallelism)
+          .select(id.as("doc_id"), DedupOps.hashedTokenSet(text).as("th"))),
+      withinPairs = sigs => DedupOps.lshJaccardPairs(sigs, DedupOps.MinhashK,
+        DedupOps.LshBandCount, DedupOps.LshRows, threshold, "jaccard"),
+      betweenPairs = (sigs, index) => DedupOps.lshJaccardPairsBetween(sigs,
+        index, DedupOps.MinhashK, DedupOps.LshBandCount, DedupOps.LshRows,
+        threshold, "jaccard"),
+      batchId)
+
+  /** [[ingestDeduped]] for IMAGES: continuous dedup'd ingest of binary
+    * image batches against a persistent perceptual-hash index
+    * (`phashTable` schema: doc_id, dhash_lo, dhash_hi [, batch_id]).
+    * Pixels are decoded and hashed ONCE per batch, at arrival -- the
+    * corpus side of every comparison is the stored 3-column index,
+    * never re-decoded bytes. Near-match = Hamming <= `maxHamming` on
+    * banded dHash. */
+  def ingestImagesDeduped(store: graft.table.WarehouseWrites,
+      phashTable: String, batch: DataFrame, id: Column, payload: Column,
+      maxHamming: Int = graft.ops.MultimodalOps.HammingMax,
       batchId: Option[String] = None): DataFrame = {
-    val sigs = DedupOps.materializeOnce(
-      batch.repartition(DedupOps.JoinParallelism)
-        .select(id.as("doc_id"), DedupOps.hashedTokenSet(text).as("th")))
-    val within = DedupOps.lshJaccardPairs(sigs, DedupOps.MinhashK,
-      DedupOps.LshBandCount, DedupOps.LshRows, threshold, "jaccard")
+    import graft.ops.MultimodalOps
+    def unstored(h: DataFrame): DataFrame = h.select(col("doc_id"),
+      col("dhash_lo").as("lo"), col("dhash_hi").as("hi"))
+    ingestKeyedDeduped(store, phashTable,
+      DedupOps.materializeOnce(
+        MultimodalOps.imageDhashOf(batch, id, payload)
+          .select(col("doc_id"), col("dhash_lo"), col("dhash_hi"))),
+      withinPairs = h =>
+        MultimodalOps.imagePhashPairsFromHashes(unstored(h), maxHamming),
+      betweenPairs = (h, index) => MultimodalOps.imagePhashPairsBetween(
+        unstored(h), unstored(index), maxHamming),
+      batchId)
+  }
+
+  /** [[ingestDeduped]] for AUDIO: continuous dedup'd ingest of binary
+    * audio batches (WAV/PCM, WAV/mu-law, FLAC — container-sniffed)
+    * against a persistent FINGERPRINT index (`fpTable` schema:
+    * doc_id, fp_lo, fp_hi [, batch_id]). Each clip is decoded ONCE at
+    * arrival into a 128-bit energy-delta fingerprint
+    * ([[graft.ops.MultimodalOps.audioFingerprintOf]]); near-match =
+    * Hamming <= `maxHamming` through the same banded 16-bit
+    * equi-join machinery the image path uses — bucket-squared work,
+    * never corpus-squared, and the corpus side of every comparison is
+    * the stored 3-column index, never re-decoded bytes. */
+  def ingestAudioDeduped(store: graft.table.WarehouseWrites,
+      fpTable: String, batch: DataFrame, id: Column, payload: Column,
+      maxHamming: Int = graft.ops.MultimodalOps.AudioHammingMax,
+      batchId: Option[String] = None): DataFrame = {
+    import graft.ops.MultimodalOps
+    def unstored(h: DataFrame): DataFrame = h.select(col("doc_id"),
+      col("fp_lo").as("lo"), col("fp_hi").as("hi"))
+    ingestKeyedDeduped(store, fpTable,
+      DedupOps.materializeOnce(
+        MultimodalOps.audioFingerprintOf(batch, id, payload)),
+      withinPairs = h =>
+        MultimodalOps.imagePhashPairsFromHashes(unstored(h), maxHamming),
+      betweenPairs = (h, index) => MultimodalOps.imagePhashPairsBetween(
+        unstored(h), unstored(index), maxHamming),
+      batchId)
+  }
+
+  /** The SHARED batch contract behind every modality's dedup'd ingest
+    * (text token-hash signatures, image perceptual hashes, audio
+    * fingerprints — one keyed-signature core, so a new modality only
+    * supplies its signature extraction and its two pair generators):
+    *
+    *  1. within-batch near-dup CLUSTERS (the modality's banded
+    *     self-join -> connected components);
+    *  2. a cluster is dropped WHOLE if any member near-matches the
+    *     existing index (its content already lives in the corpus --
+    *     keeping a different cluster member would readmit it
+    *     transitively); otherwise its min-id member survives;
+    *  3. survivors' signatures MERGE into the index (idempotent on
+    *     doc_id: re-running a crashed batch is a no-op), and the
+    *     survivor ids are returned.
+    *
+    * Retry discipline: matches against index entries whose id belongs
+    * to THIS batch are excluded — on a crash-retry the batch's own
+    * surviving signatures are already in the index, and counting them
+    * as corpus hits would empty the retry's survivor list (downstream
+    * would lose the batch). Requires the contract every MERGE key
+    * already carries: doc_ids are globally unique and stable across
+    * re-runs.
+    *
+    * Cost per batch: the batch's own signatures + its bucket
+    * collisions against the index -- the corpus is scanned, never
+    * paired with itself. Pair `store` with a
+    * [[graft.table.VersionedTableStore]] and every ingest batch is a
+    * rollback-able snapshot of the index.
+    *
+    * `batchId`: at scale, PASS IT. The index then partitions by
+    * batch, and the MERGE commits ONLY this batch's partition -- an
+    * unpartitioned index is rewritten wholesale on every merge, which
+    * is fine for small corpora and O(corpus) per batch beyond that.
+    * Batch ids must be unique per logical batch and stable across
+    * retries (the retry then rewrites its own partition only).
+    *
+    * `sigs` carries `doc_id` plus the modality's signature columns in
+    * STORED form (what the index table holds); `withinPairs` yields
+    * (doc_a, doc_b) candidate near-dups within the batch;
+    * `betweenPairs(sigs, index)` yields (new_id, existing_id) hits
+    * of the batch against the stored index. */
+  private def ingestKeyedDeduped(store: graft.table.WarehouseWrites,
+      table: String, sigs: DataFrame,
+      withinPairs: DataFrame => DataFrame,
+      betweenPairs: (DataFrame, DataFrame) => DataFrame,
+      batchId: Option[String]): DataFrame = {
     val comps = connectedComponents(
       sigs.select(col("doc_id").as("id")),
-      within.select(col("doc_a").as("src"), col("doc_b").as("dst")))
-    // matches against index entries whose id belongs to THIS batch are
-    // excluded: on a crash-retry the batch's own surviving signatures
-    // are already in the index, and counting them as corpus hits would
-    // empty the retry's survivor list (downstream would lose the
-    // batch). Requires the contract every MERGE key already carries:
-    // doc_ids are globally unique and stable across re-runs.
+      withinPairs(sigs)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
     val corpusHits =
-      if (!store.exists(sigTable)) comps.limit(0).select(col("id"))
-      else DedupOps.lshJaccardPairsBetween(sigs, store.read(sigTable),
-        DedupOps.MinhashK, DedupOps.LshBandCount, DedupOps.LshRows,
-        threshold, "jaccard")
+      if (!store.exists(table)) comps.limit(0).select(col("id"))
+      else betweenPairs(sigs, store.read(table))
         .join(sigs.select(col("doc_id").as("existing_id")),
           Seq("existing_id"), "left_anti")
         .select(col("new_id").as("id")).distinct()
@@ -345,65 +442,8 @@ object Dedup {
           Seq("batch_id"))
       case None => (survivorSigs0.localCheckpoint(true), Nil)
     }
-    graft.table.UpsertWriter.upsertAll(store, sigTable, survivorSigs,
+    graft.table.UpsertWriter.upsertAll(store, table, survivorSigs,
       keys = Seq("doc_id"), partitionBy = partitionBy)
     survivorSigs.select(col("doc_id"))
-  }
-
-  /** [[ingestDeduped]] for IMAGES: continuous dedup'd ingest of binary
-    * image batches against a persistent perceptual-hash index
-    * (`phashTable` schema: doc_id, dhash_lo, dhash_hi [, batch_id]).
-    * Pixels are decoded and hashed ONCE per batch, at arrival -- the
-    * corpus side of every comparison is the stored 3-column index,
-    * never re-decoded bytes. Same batch contract as the text path:
-    * within-batch clusters drop whole on any index near-match
-    * (Hamming <= `maxHamming` on banded dHash), min-id member
-    * survives otherwise, survivors' hashes MERGE idempotently, and a
-    * crash-retried batch excludes its own index entries from the
-    * corpus-hit set so the retry converges to the same survivors.
-    * `batchId` partitions the index so each merge commits only its
-    * own partition. */
-  def ingestImagesDeduped(store: graft.table.WarehouseWrites,
-      phashTable: String, batch: DataFrame, id: Column, payload: Column,
-      maxHamming: Int = graft.ops.MultimodalOps.HammingMax,
-      batchId: Option[String] = None): DataFrame = {
-    import graft.ops.MultimodalOps
-    val h = DedupOps.materializeOnce(
-      MultimodalOps.imageDhashOf(batch, id, payload)
-        .select(col("doc_id"), col("dhash_lo").as("lo"),
-          col("dhash_hi").as("hi")))
-    val within = MultimodalOps.imagePhashPairsFromHashes(h, maxHamming)
-    val comps = connectedComponents(
-      h.select(col("doc_id").as("id")),
-      within.select(col("doc_a").as("src"), col("doc_b").as("dst")))
-    val corpusHits =
-      if (!store.exists(phashTable)) comps.limit(0).select(col("id"))
-      else MultimodalOps.imagePhashPairsBetween(h,
-        store.read(phashTable).select(col("doc_id"),
-          col("dhash_lo").as("lo"), col("dhash_hi").as("hi")),
-        maxHamming)
-        // retry discipline: hits on ids this batch itself merged on a
-        // previous attempt are not corpus content (see ingestDeduped)
-        .join(h.select(col("doc_id").as("existing_id")),
-          Seq("existing_id"), "left_anti")
-        .select(col("new_id").as("id")).distinct()
-    val droppedClusters = comps.join(corpusHits, Seq("id"))
-      .select(col("component")).distinct()
-    val survivors = comps
-      .join(droppedClusters, Seq("component"), "left_anti")
-      .groupBy(col("component")).agg(min(col("id")).as("doc_id"))
-      .select(col("doc_id"))
-    val survivorH0 = h.join(survivors, Seq("doc_id"))
-      .select(col("doc_id"), col("lo").as("dhash_lo"),
-        col("hi").as("dhash_hi"))
-    val (survivorH, partitionBy) = batchId match {
-      case Some(b) =>
-        (survivorH0.withColumn("batch_id", lit(b)).localCheckpoint(true),
-          Seq("batch_id"))
-      case None => (survivorH0.localCheckpoint(true), Nil)
-    }
-    graft.table.UpsertWriter.upsertAll(store, phashTable, survivorH,
-      keys = Seq("doc_id"), partitionBy = partitionBy)
-    survivorH.select(col("doc_id"))
   }
 }

@@ -1021,6 +1021,70 @@ object MultimodalOps {
               CAST(sum((t + 1) * dec) AS BIGINT) AS wsum
        FROM d GROUP BY doc_id"""
 
+  /** Near-dup verdict bound for 128-bit audio fingerprints (as
+    * [[HammingMax]] is for image dHash): energy-delta bits are
+    * robust to amplitude scaling and mu-law requantization, so a
+    * handful of flipped bits still means "same recording". */
+  val AudioHammingMax = 6
+
+  /** 128-bit AUDIO FINGERPRINT of a binary audio column — the dHash
+    * idea applied to sound: container-sniff (fLaC magic, else
+    * RIFF/PCM, else RIFF/mu-law), decode to 16-bit samples ONCE,
+    * split the clip into 129 equal windows, sum |sample| per window,
+    * and emit bit w = (energy(w+1) > energy(w)) — the ENERGY-DELTA
+    * SIGN sequence, invariant under volume scaling and robust to the
+    * small per-sample error a lossy mu-law pass introduces (windowed
+    * sums smooth it; a flipped bit needs the window ORDERING to
+    * change). Output: (doc_id, fp_lo BIGINT, fp_hi BIGINT) — the same
+    * banded-Hamming shape as the image perceptual hash, so the whole
+    * LSH/cluster/index machinery is shared, and at 100 TB the decode
+    * runs exactly once per clip with the index carrying 3 columns.
+    * Undecodable payloads fail LOUDLY (the strict-ingest contract:
+    * silent drops corrupt the corpus census). */
+  def audioFingerprintOf(assets: DataFrame, idCol: Column,
+      payloadCol: Column): DataFrame = {
+    val s = assets.sparkSession
+    import s.implicits._
+    assets.select(idCol.cast("long").as("doc_id"),
+      payloadCol.as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (d, payload) =>
+          val samples: Array[Short] =
+            if (payload.length >= 4 && payload(0) == 'f' &&
+                payload(1) == 'L' && payload(2) == 'a' && payload(3) == 'C')
+              FlacCodec.decode(payload).getOrElse(throw
+                new IllegalStateException(s"bad FLAC for doc $d"))._1
+            else PixelCodec.decodeWav(payload).map(_._1)
+              .orElse(PixelCodec.decodeWavUlaw(payload).map(_._1))
+              .getOrElse(throw new IllegalStateException(
+                s"unsniffable audio payload for doc $d"))
+          val n = samples.length
+          require(n >= 129, s"doc $d: clip too short to fingerprint ($n)")
+          val e = new Array[Long](129)
+          var w = 0
+          while (w < 129) {
+            val from = (w.toLong * n / 129).toInt
+            val to = ((w + 1).toLong * n / 129).toInt
+            var s2 = 0L
+            var i = from
+            while (i < to) { s2 += math.abs(samples(i).toInt); i += 1 }
+            e(w) = s2
+            w += 1
+          }
+          var lo = 0L; var hi = 0L
+          var b = 0
+          while (b < 128) {
+            if (e(b + 1) > e(b)) {
+              if (b < 64) lo |= 1L << b else hi |= 1L << (b - 64)
+            }
+            b += 1
+          }
+          (d, lo, hi)
+        }
+      }.toDF("doc_id", "fp_lo", "fp_hi")
+  }
+
   /** Audio container DISPATCH under the gate: each doc's synthesized
     * PCM ships in one of THREE real containers by `doc_id % 3` —
     * WAV/PCM (0), WAV/mu-law (1, format tag 7), FLAC (2) — and the

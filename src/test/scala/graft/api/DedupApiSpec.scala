@@ -304,6 +304,66 @@ class DedupApiSpec extends AnyFunSuite {
     assert(b1Files === afterB1)
   }
 
+  test("ingestAudioDeduped: one keyed-signature core serves a new modality") {
+    import spark.implicits._
+    val store = new graft.table.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-ingest-au").toString)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    // a clip whose WINDOW energies differ decisively between adjacent
+    // 16-sample windows (amp levels 7w+seed mod 13 never repeat across
+    // neighbors), so the 128 energy-delta bits survive a lossy mu-law
+    // round trip — the fingerprint's design claim, asserted below
+    def clip(seed: Long): Array[Short] = Array.tabulate(129 * 16) { t =>
+      val amp = 2000 + 900 * (((t / 16) * 7 + seed) % 13).toInt
+      (((t * 37 + seed * 11) % 200 - 100) * amp / 100).toShort
+    }
+    def wav(seed: Long) = graft.ops.PixelCodec.encodeWav(clip(seed), 8000)
+    def flac(seed: Long) = graft.ops.FlacCodec.encode(clip(seed), 8000, 1)
+    def ulaw(seed: Long) = graft.ops.PixelCodec.encodeWavUlaw(clip(seed), 8000)
+
+    // batch 1: docs 1 and 2 are the SAME recording in different
+    // containers (WAV vs FLAC — identical samples, identical
+    // fingerprint); 3 is a different recording
+    val b1 = Seq((1L, wav(0L)), (2L, flac(0L)), (3L, wav(5L)))
+      .toDF("id", "payload")
+    val s1 = Dedup.ingestAudioDeduped(store, "fp_index", b1,
+      col("id"), col("payload"))
+    assert(ids(s1) === Seq(1L, 3L))
+    assert(ids(store.read("fp_index")) === Seq(1L, 3L))
+
+    // batch 2: doc 10 is recording 0 AGAIN, now through the LOSSY
+    // mu-law container — the fingerprint must still near-match the
+    // index (whole cluster drops); 12 is new
+    val b2 = Seq((10L, ulaw(0L)), (12L, flac(9L))).toDF("id", "payload")
+    val s2 = Dedup.ingestAudioDeduped(store, "fp_index", b2,
+      col("id"), col("payload"))
+    assert(ids(s2) === Seq(12L))
+    assert(ids(store.read("fp_index")) === Seq(1L, 3L, 12L))
+
+    // crash-retry converges (the shared core's retry discipline)
+    val s2b = Dedup.ingestAudioDeduped(store, "fp_index", b2,
+      col("id"), col("payload"))
+    assert(ids(s2b) === Seq(12L))
+    assert(ids(store.read("fp_index")) === Seq(1L, 3L, 12L))
+
+    // the design claim directly: PCM and mu-law fingerprints of one
+    // recording sit within the Hamming bound; different recordings
+    // sit far outside it
+    val fps = graft.ops.MultimodalOps.audioFingerprintOf(
+      Seq((1L, wav(0L)), (2L, ulaw(0L)), (3L, wav(5L)))
+        .toDF("id", "payload"), col("id"), col("payload"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2)
+    assert(ham(fps(1L), fps(2L)) <=
+      graft.ops.MultimodalOps.AudioHammingMax)
+    assert(ham(fps(1L), fps(3L)) >
+      3 * graft.ops.MultimodalOps.AudioHammingMax)
+  }
+
   test("hashSample is deterministic and repartition-stable") {
     val a = Dedup.hashSample(renamedDocs, col("my_id"), 0.1)
       .select("my_id").collect().map(_.getLong(0)).sorted.toSeq
