@@ -357,8 +357,13 @@ class GraftScanBuilder(inner: ParquetScanBuilder,
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownVariantExtractions {
 
-  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+  // kept for hidden-partition predicate projection at build() time
+  private var allPushed: Seq[Expression] = Nil
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    allPushed = filters
     inner.pushFilters(filters)
+  }
   override def pushedFilters: Array[Predicate] = inner.pushedFilters
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // pending merge-on-read deletes filter rows BY KEY at read time:
@@ -387,9 +392,23 @@ class GraftScanBuilder(inner: ParquetScanBuilder,
       extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction])
       : Array[Boolean] = inner.pushVariantExtractions(extractions)
 
-  override def build(): Scan =
-    new GraftScan(inner.build(), partitionSchema, stream, options, mor,
-      layout)
+  override def build(): Scan = {
+    val ps0 = inner.build()
+    // hidden-partition predicate projection for PLAN-TIME pruning on
+    // the ordinary read path: a WHERE on a transform's SOURCE column
+    // (the only column a user of a hidden-partitioned table can
+    // mention) becomes a partition filter on the DERIVED column —
+    // `ts >= X` on a days(ts) table lists only the matching day dirs,
+    // complementing the manifest-stats skip (which covers only
+    // integer-family bounds). Conservative by construction; see
+    // [[GraftScanPlanning.projectToLayout]].
+    val projected = GraftScanPlanning.projectToLayout(
+      allPushed.filter(_.deterministic), layout, partitionSchema,
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    val ps = if (projected.isEmpty) ps0
+      else ps0.copy(partitionFilters = ps0.partitionFilters ++ projected)
+    new GraftScan(ps, partitionSchema, stream, options, mor, layout)
+  }
 }
 
 /** The [[Scan]] a graft catalog table builds: Spark's own

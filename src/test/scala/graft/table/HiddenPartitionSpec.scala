@@ -318,6 +318,52 @@ class HiddenPartitionSpec extends AnyFunSuite {
     assert(orphans._2 === 0L, s"dropBranch left orphans: $orphans")
   }
 
+  test("plain SQL WHERE on the source column prunes derived dirs at plan time") {
+    def scannedRels(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.scan
+      }.collect {
+        case g: org.apache.spark.sql.graft.GraftScan => g.plannedRels
+      }.flatten.toSet
+    val (cat, _) = sqlCat("prj")
+    try {
+      spark.sql(s"CREATE TABLE $cat.default.ev " +
+        "(id BIGINT, ts TIMESTAMP, v STRING) PARTITIONED BY (days(ts))")
+      tsDf(400).createOrReplaceTempView("hp_prj_src")
+      spark.sql(s"INSERT INTO $cat.default.ev SELECT * FROM hp_prj_src")
+      // range on the SOURCE timestamp prunes to the matching days —
+      // plan-time, through the transform projection (strict bound
+      // widens to the closed day)
+      val day4 = spark.sql(s"SELECT * FROM $cat.default.ev " +
+        "WHERE ts >= TIMESTAMP '1996-01-04 00:00:00'")
+      assert(day4.count() === 100L)
+      assert(scannedRels(day4) === Set("ts_day=1996-01-04"))
+      // equality projects too
+      val oneDay = spark.sql(s"SELECT count(*) FROM $cat.default.ev " +
+        "WHERE CAST(ts AS DATE) IS NOT NULL " + // keep ts un-rewritten
+        "AND ts = TIMESTAMP '1996-01-02 00:00:01'")
+      assert(scannedRels(oneDay).subsetOf(Set("ts_day=1996-01-02")))
+      // bucket layouts prune POINT lookups through the hash projection
+      spark.sql(s"CREATE TABLE $cat.default.kv " +
+        "(id BIGINT, payload STRING) PARTITIONED BY (bucket(8, id))")
+      spark.range(400).selectExpr("id", "concat('p', id) AS payload")
+        .createOrReplaceTempView("hp_prj_kv")
+      spark.sql(s"INSERT INTO $cat.default.kv SELECT * FROM hp_prj_kv")
+      val pt = spark.sql(s"SELECT payload FROM $cat.default.kv WHERE id = 37")
+      assert(pt.head().getString(0) === "p37")
+      assert(scannedRels(pt).size === 1, s"bucket scan read ${scannedRels(pt)}")
+      // a range on the bucket SOURCE must NOT prune (non-monotonic):
+      // correctness over cleverness
+      val rg = spark.sql(s"SELECT count(*) FROM $cat.default.kv WHERE id >= 200")
+      assert(rg.head().getLong(0) === 200L)
+      assert(scannedRels(rg).size === 8)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+    }
+  }
+
   test("writeStream.toTable appends through a days() layout exactly once") {
     import org.apache.spark.sql.streaming.Trigger
     val (cat, root) = sqlCat("str")
