@@ -109,9 +109,17 @@ object GraftScanPlanning {
         catch { case _: NumberFormatException => None }
       }.toMap
     }
+    // the RAW string stats beside the numeric parse: string / date /
+    // timestamp bounds skip on these (cast-to-string renderings of
+    // ISO dates and zero-padded timestamps order lexicographically ==
+    // chronologically — the store's readWhereTimestamp discipline)
+    val rawStatsByRel = stats.groupBy(_._1).map { case (rel, rows) =>
+      rel -> rows.map { case (_, c, mn, mx) => c -> ((mn, mx)) }.toMap
+    }
     val relOfLeaf: Map[String, String] = entries.map(_._1).zip(leafDirs)
       .map { case (rel, leaf) => leaf.toString -> rel }.toMap
-    new GraftFileIndex(cs, leafDirs, spec, statsByRel, relOfLeaf, bloomFor)
+    new GraftFileIndex(cs, leafDirs, spec, statsByRel, relOfLeaf, bloomFor,
+      rawStatsByRel)
   }
 
   /** The scan builder Spark's v2 pushdown drives: the same
@@ -273,6 +281,68 @@ object GraftScanPlanning {
       c -> ((bs.map(_._2).max, bs.map(_._3).min))
     }
   }
+
+  /** Closed string-form bounds per column implied by pushed data
+    * filters over STRING / DATE / TIMESTAMP attributes — the ordered
+    * types whose manifest stats (cast-to-string renderings) compare
+    * lexicographically in value order: ISO dates and zero-padded
+    * timestamps order chronologically, decimal-fraction seconds
+    * compare digit-by-digit correctly, and strings are themselves.
+    * Literals render through the SAME Cast-to-string the stats writer
+    * used (session tz, LEGACY), so both sides of every compare come
+    * from one rendering. Strict bounds widen to closed; unrecognized
+    * shapes contribute nothing — pruning stays prune-only. */
+  private[graft] def filterStrBounds(filters: Seq[Expression],
+      tz: String): Map[String, (Option[String], Option[String])] = {
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    def render(v: Any, t: DataType): Option[String] = t match {
+      case StringType =>
+        Option(v).map(_.toString)
+      case DateType | TimestampType =>
+        Option(Cast(Literal(v, t), StringType, Option(tz), EvalMode.LEGACY)
+          .eval(null)).map(_.toString)
+      case _ => None
+    }
+    def ok(a: AttributeReference, t: DataType): Boolean =
+      a.dataType == t &&
+        (t == StringType || t == DateType || t == TimestampType)
+    // (column, lo, hi) with None = unbounded side
+    def walk(e: Expression): Seq[(String, Option[String], Option[String])] =
+      e match {
+        case And(l, r) => walk(l) ++ walk(r)
+        case EqualTo(a: AttributeReference, Literal(v, t)) if ok(a, t) =>
+          render(v, t).toSeq.map(s => (a.name, Some(s), Some(s)))
+        case EqualTo(Literal(v, t), a: AttributeReference) if ok(a, t) =>
+          render(v, t).toSeq.map(s => (a.name, Some(s), Some(s)))
+        case GreaterThan(a: AttributeReference, Literal(v, t)) if ok(a, t) =>
+          render(v, t).toSeq.map(s => (a.name, Some(s), None))
+        case GreaterThanOrEqual(a: AttributeReference, Literal(v, t))
+            if ok(a, t) =>
+          render(v, t).toSeq.map(s => (a.name, Some(s), None))
+        case LessThan(a: AttributeReference, Literal(v, t)) if ok(a, t) =>
+          render(v, t).toSeq.map(s => (a.name, None, Some(s)))
+        case LessThanOrEqual(a: AttributeReference, Literal(v, t))
+            if ok(a, t) =>
+          render(v, t).toSeq.map(s => (a.name, None, Some(s)))
+        case GreaterThan(Literal(v, t), a: AttributeReference) if ok(a, t) =>
+          render(v, t).toSeq.map(s => (a.name, None, Some(s)))
+        case GreaterThanOrEqual(Literal(v, t), a: AttributeReference)
+            if ok(a, t) =>
+          render(v, t).toSeq.map(s => (a.name, None, Some(s)))
+        case LessThan(Literal(v, t), a: AttributeReference) if ok(a, t) =>
+          render(v, t).toSeq.map(s => (a.name, Some(s), None))
+        case LessThanOrEqual(Literal(v, t), a: AttributeReference)
+            if ok(a, t) =>
+          render(v, t).toSeq.map(s => (a.name, Some(s), None))
+        case _ => Nil
+      }
+    filters.flatMap(walk).groupBy(_._1).map { case (c, bs) =>
+      val los = bs.flatMap(_._2)
+      val his = bs.flatMap(_._3)
+      c -> ((if (los.isEmpty) None else Some(los.max),
+        if (his.isEmpty) None else Some(his.min)))
+    }
+  }
 }
 
 /** [[InMemoryFileIndex]] over a manifest-pinned snapshot with
@@ -294,7 +364,8 @@ class GraftFileIndex(spark: org.apache.spark.sql.classic.SparkSession,
     private[graft] val relOfLeaf: Map[String, String],
     bloomFor: String =>
       Option[Map[String, org.apache.spark.util.sketch.BloomFilter]] =
-      _ => None)
+      _ => None,
+    rawStatsByRel: Map[String, Map[String, (String, String)]] = Map.empty)
   extends InMemoryFileIndex(spark, leafDirs, Map.empty[String, String], None,
     FileStatusCache.getOrCreate(spark), Some(spec), None) {
 
@@ -302,6 +373,33 @@ class GraftFileIndex(spark: org.apache.spark.sql.classic.SparkSession,
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, dataFilters)
     val bounds = GraftScanPlanning.filterBounds(dataFilters)
+    // ordered-string bounds (string/date/timestamp stats): same
+    // rel-atomic skip, lexicographic compare over one shared rendering
+    val strBounds = GraftScanPlanning.filterStrBounds(dataFilters,
+      spark.sessionState.conf.sessionLocalTimeZone)
+    // compare with Spark's OWN string ordering (UTF8String = unsigned
+    // UTF-8 bytes == code-point order): the stats were derived by
+    // Spark min/max under that ordering, and Java's UTF-16 compareTo
+    // disagrees with it around supplementary characters — a mismatch
+    // there would over-prune, i.e. lose rows
+    def u8(s: String): UTF8String = UTF8String.fromString(s)
+    val strSurvive: Path => Boolean =
+      if (strBounds.isEmpty || rawStatsByRel.isEmpty) _ => true
+      else { file =>
+        val st = relOfLeaf.get(file.getParent.toString)
+          .flatMap(rawStatsByRel.get).getOrElse(Map.empty)
+        strBounds.forall { case (c, (lo, hi)) =>
+          st.get(c).forall { case (mn, mx) =>
+            lo.forall(l => u8(mx).compareTo(u8(l)) >= 0) &&
+              hi.forall(h => u8(mn).compareTo(u8(h)) <= 0)
+          }
+        }
+      }
+    if (strBounds.nonEmpty && rawStatsByRel.nonEmpty && bounds.isEmpty) {
+      return base.map(pd =>
+          pd.copy(files = pd.files.filter(f => strSurvive(f.getPath))))
+        .filter(_.files.nonEmpty)
+    }
     if (bounds.isEmpty) return base
     // partition bloom consultation is LAZY and per-query: only an
     // EQUALITY bound (lo == hi, long-valued) on a column with a
@@ -317,7 +415,8 @@ class GraftFileIndex(spark: org.apache.spark.sql.classic.SparkSession,
       }.flatMap { case (c, v) =>
         bloomFor(c).map(idx => c -> ((v.toLong, idx)))
       }
-    if (equalities.isEmpty && statsByRel.isEmpty) return base
+    if (equalities.isEmpty && statsByRel.isEmpty &&
+      (strBounds.isEmpty || rawStatsByRel.isEmpty)) return base
     def survives(file: Path): Boolean = {
       val rel = relOfLeaf.get(file.getParent.toString)
       val st = rel.flatMap(statsByRel.get).getOrElse(Map.empty)
@@ -325,7 +424,7 @@ class GraftFileIndex(spark: org.apache.spark.sql.classic.SparkSession,
         st.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
       } && equalities.forall { case (_, (v, idx)) =>
         rel.flatMap(idx.get).forall(_.mightContainLong(v))
-      }
+      } && strSurvive(file)
     }
     base.map(pd => pd.copy(files = pd.files.filter(f => survives(f.getPath))))
       .filter(_.files.nonEmpty)

@@ -84,6 +84,57 @@ class GraftCatalogSpec extends AnyFunSuite {
       .size === 3)
   }
 
+  test("ordered-string stats skipping: timestamp and string bounds prune rels") {
+    // stats are stored as cast-to-string; ISO timestamps and plain
+    // strings compare lexicographically in value order, so ts/sym
+    // ranges skip rels exactly like integer bounds do (r13)
+    val df = Seq(
+      (1, java.sql.Timestamp.valueOf("1996-01-01 08:00:00"), "AAA"),
+      (1, java.sql.Timestamp.valueOf("1996-01-01 18:00:00"), "ABC"),
+      (2, java.sql.Timestamp.valueOf("1996-01-02 08:00:00"), "MMM"),
+      (2, java.sql.Timestamp.valueOf("1996-01-02 18:00:00"), "MNO"),
+      (3, java.sql.Timestamp.valueOf("1996-01-03 08:00:00"), "ZZА"),
+      (3, java.sql.Timestamp.valueOf("1996-01-03 18:00:00"), "ZZZ")
+    ).toDF("day", "ts", "sym")
+    store.commitFull(df, "ordstats", Seq("day"), Seq("ts", "sym"))
+    val snap = store.snapshotView("ordstats", None)
+    val idx = org.apache.spark.sql.graft.GraftScanPlanning.fileIndex(
+      spark, new org.apache.spark.sql.types.StructType()
+        .add("day", "int"), snap.entries, snap.stats)
+    def rels(fs: Seq[org.apache.spark.sql.execution.datasources
+        .PartitionDirectory]): Set[String] =
+      fs.flatMap(_.files.map(_.getPath.getParent.getName)).toSet
+    val ts = AttributeReference("ts",
+      org.apache.spark.sql.types.TimestampType)()
+    assert(rels(idx.listFiles(Nil, Seq(GreaterThanOrEqual(ts,
+      Literal.create(java.sql.Timestamp.valueOf("1996-01-03 00:00:00"))))))
+      === Set("day=3"))
+    assert(rels(idx.listFiles(Nil, Seq(LessThanOrEqual(ts,
+      Literal.create(java.sql.Timestamp.valueOf("1996-01-01 23:00:00"))))))
+      === Set("day=1"))
+    val sym = AttributeReference("sym",
+      org.apache.spark.sql.types.StringType)()
+    assert(rels(idx.listFiles(Nil, Seq(
+      GreaterThanOrEqual(sym, Literal("M")),
+      LessThanOrEqual(sym, Literal("N"))))) === Set("day=2"))
+    // no stats for a column -> conservative, everything scans
+    val u = AttributeReference("unknown",
+      org.apache.spark.sql.types.StringType)()
+    assert(rels(idx.listFiles(Nil,
+      Seq(GreaterThanOrEqual(u, Literal("x"))))).size === 3)
+    // end to end through SQL: the catalog scan lists one day's files
+    val q = spark.sql("SELECT * FROM gtest.default.ordstats " +
+      "WHERE ts >= TIMESTAMP '1996-01-03 00:00:00'")
+    assert(q.count() === 2)
+    val scan = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r.scan
+    }.collectFirst {
+      case g: org.apache.spark.sql.graft.GraftScan => g
+    }.get
+    assert(scan.plannedRels === Set("day=3"))
+  }
+
   test("VERSION AS OF and TIMESTAMP AS OF serve pinned snapshots") {
     val t0 = 1000000L
     store.clockMs = () => t0
