@@ -1217,9 +1217,11 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     * caller's abort path. */
   private[table] def commitStagedReplacing(name: String, dirId: String,
       writtenRels: Set[String], replacedRels: Set[String],
-      expectedParent: Long): Long = {
-    val m = current(name).getOrElse(
-      throw new NoSuchElementException(s"no snapshots for $name"))
+      expectedParent: Long, branch: String = ""): Long = {
+    val m = currentOn(name, branch).getOrElse(
+      throw new NoSuchElementException(
+        if (branch.isEmpty) s"no snapshots for $name"
+        else s"$name has no branch `$branch`"))
     if (m.version != expectedParent)
       throw new ConcurrentWriteException(
         s"$name moved to ${m.version} while a row-level rewrite built on " +
@@ -1255,7 +1257,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     beforeSwap(name, v)
     try casManifest(name,
       Manifest(v, m.partitionBy, mapping, m.schemaDDL, stats,
-        deletes = m.deletes, fieldIds = m.fieldIds,
+        deletes = m.deletes, branch = branch, fieldIds = m.fieldIds,
         columnDefaults = m.columnDefaults, checks = m.checks),
       observedParent = m.version)
     catch { case e: ConcurrentWriteException =>

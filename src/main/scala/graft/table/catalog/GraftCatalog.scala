@@ -481,15 +481,37 @@ class GraftTable(st: VersionedTableStore, tableName: String,
   /** SQL UPDATE / MERGE INTO / rewrite-path DELETE: group-based
     * copy-on-write where groups are the store's partitions — see
     * [[GraftRowLevelOp]]. (A DELETE whose predicate translates takes
-    * the metadata-only [[deleteWhere]] path instead; Spark picks.) */
+    * the metadata-only [[deleteWhere]] path instead; Spark picks.)
+    *
+    * While `spark.graft.branch` is set the statement targets the
+    * BRANCH (r13, completing the SQL branch lifecycle): the operation
+    * scans the branch head's files and its commit lands on the branch
+    * lineage — main readers never see it until merge/fast-forward.
+    * The branch schema must match main's (Spark resolved the
+    * statement against the table handle's schema); an evolve-diverged
+    * branch rejects loudly — run the DML through the store API or
+    * merge the evolution first. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty,
       s"row-level ${info.command} on a time-travel handle of $tableName: " +
         "history is immutable")
-    requireNoWap(info.command.toString)
-    () => new GraftRowLevelOp(st, tableName, snapshot, info.command)
+    requireNoWapOnly(info.command.toString)
+    branchRef match {
+      case Some(b) =>
+        val bSnap = st.snapshotView(tableName,
+          Some(st.branchHeadVersion(tableName, b)))
+        require(bSnap.schemaDDL == snapshot.schemaDDL,
+          s"branch `$b` of $tableName evolved its schema away from " +
+            s"main's — a SQL ${info.command} resolved against main's " +
+            "columns cannot rewrite it; merge the evolution or use the " +
+            "store API (deleteWhereOn/updateWhereOn)")
+        () => new GraftRowLevelOp(st, tableName, bSnap, info.command,
+          branch = b)
+      case None =>
+        () => new GraftRowLevelOp(st, tableName, snapshot, info.command)
+    }
   }
 
   private[catalog] val snapshot: GraftSnapshot =
@@ -518,15 +540,17 @@ class GraftTable(st: VersionedTableStore, tableName: String,
     Option(st.spark.conf.get("spark.graft.branch", null))
       .map(_.trim).filter(_.nonEmpty)
 
-  private def requireNoWap(stmt: String): Unit = {
+  private def requireNoWapOnly(stmt: String): Unit =
     require(wapId.isEmpty,
       s"spark.graft.wap.id is set (`${wapId.get}`) but $stmt cannot be " +
         "staged: only INSERT stages under WAP. Unset the conf to run " +
         s"$stmt directly against the head.")
+
+  private def requireNoWap(stmt: String): Unit = {
+    requireNoWapOnly(stmt)
     require(branchRef.isEmpty,
       s"spark.graft.branch is set (`${branchRef.get}`) but $stmt cannot " +
-        "target a branch: only INSERT and ALTER TABLE commit onto a " +
-        "branch. Unset the " +
+        "target a branch through this path. Unset the " +
         s"conf to run $stmt against the head.")
   }
 
@@ -721,12 +745,20 @@ class GraftTable(st: VersionedTableStore, tableName: String,
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
     require(pinnedVersion.isEmpty,
       s"DELETE on a time-travel handle of $tableName: history is immutable")
-    requireNoWap("DELETE")
+    requireNoWapOnly("DELETE")
     val cond = org.apache.spark.sql.graft.V2PredicateBridge
       .conjunction(predicates.toIndexedSeq).getOrElse(
         throw new UnsupportedOperationException(
           s"DELETE predicate not translatable: ${predicates.mkString(", ")}"))
-    st.deleteWhere(tableName, cond, snapshot.partitionBy)
+    branchRef match {
+      // branch-scoped DELETE (r13): same copy-on-write, committed onto
+      // the branch lineage — the schema guard of the rewrite path is
+      // unnecessary here (a predicate that resolved against main's
+      // columns evaluates identically over a superset branch schema,
+      // and deleteWhereOn reads the branch head's own schema)
+      case Some(b) => st.deleteWhereOn(tableName, b, cond)
+      case None => st.deleteWhere(tableName, cond, snapshot.partitionBy)
+    }
   }
 
   /** INSERT execution. Overwrite = full-snapshot commit. Append =

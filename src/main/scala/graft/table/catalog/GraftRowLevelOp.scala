@@ -33,7 +33,8 @@ import graft.table.VersionedTableStore
   *    (nothing read, nothing written) burns no snapshot at all.
   */
 class GraftRowLevelOp(st: VersionedTableStore, tableName: String,
-    snapshot: GraftSnapshot, cmd: Command) extends RowLevelOperation {
+    snapshot: GraftSnapshot, cmd: Command,
+    branch: String = "") extends RowLevelOperation {
 
   @volatile private var scanRef: GraftScan = _
 
@@ -106,7 +107,7 @@ class GraftRowLevelOp(st: VersionedTableStore, tableName: String,
                   "was planned"))
             if (written.isEmpty && replaced.isEmpty) dropStaging() // no-match
             else st.commitStagedReplacing(tableName, dirId, written, replaced,
-              expectedParent = snapshot.version)
+              expectedParent = snapshot.version, branch = branch)
           },
           onAbort = () => dropStaging())
       }

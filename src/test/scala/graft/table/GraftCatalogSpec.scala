@@ -920,11 +920,6 @@ class GraftCatalogSpec extends AnyFunSuite {
     try {
       spark.sql("INSERT INTO gtest.default.br " +
         "SELECT CAST(9 AS BIGINT) AS v, 'dev-row' AS tag, 1999 AS yr")
-      // row-level DML rejects while the conf targets a branch
-      val e = intercept[Exception] {
-        spark.sql("DELETE FROM gtest.default.br WHERE yr = 1996")
-      }
-      assert(e.getMessage.contains("spark.graft.branch"))
     } finally spark.conf.unset("spark.graft.branch")
     // main untouched; branch readable by name through VERSION AS OF
     assert(spark.sql("SELECT count(*) FROM gtest.default.br")
@@ -951,6 +946,58 @@ class GraftCatalogSpec extends AnyFunSuite {
     // merged data survives the drop (the merge shares branch dirs)
     assert(spark.sql("SELECT count(*) FROM gtest.default.br")
       .as[Long].head === 8)
+  }
+
+  test("branch-scoped SQL row-level DML: UPDATE/DELETE/MERGE land on the branch") {
+    store.commitFull(rows(1996 to 1997, 3), "brdml", Seq("yr"))
+    store.createBranch("brdml", "fix")
+    spark.conf.set("spark.graft.branch", "fix")
+    try {
+      // UPDATE through the group rewrite, committed onto the branch
+      spark.sql("UPDATE gtest.default.brdml SET tag = 'patched' " +
+        "WHERE v % 3 = 0")
+      // translatable DELETE routes through deleteWhereOn
+      spark.sql("DELETE FROM gtest.default.brdml WHERE yr = 1997")
+      // MERGE: update one key, insert a new year
+      spark.sql(
+        """MERGE INTO gtest.default.brdml t
+           USING (SELECT CAST(1996001 AS BIGINT) AS v, 'merged' AS tag,
+                         1996 AS yr
+                  UNION ALL
+                  SELECT CAST(5 AS BIGINT), 'new', 1999) s
+           ON t.v = s.v
+           WHEN MATCHED THEN UPDATE SET tag = s.tag
+           WHEN NOT MATCHED THEN INSERT (v, tag, yr)
+             VALUES (s.v, s.tag, s.yr)""")
+    } finally spark.conf.unset("spark.graft.branch")
+    // MAIN is untouched by all three statements
+    assert(spark.sql("SELECT count(*) FROM gtest.default.brdml")
+      .as[Long].head === 6)
+    assert(spark.sql("SELECT count(*) FROM gtest.default.brdml " +
+      "WHERE tag IN ('patched', 'merged', 'new')").as[Long].head === 0)
+    // the BRANCH reflects them: 3 x 1996 (one merged, others patched
+    // where v % 3 = 0) + 1999 insert; 1997 deleted
+    val br = spark.sql(
+      "SELECT * FROM gtest.default.brdml VERSION AS OF 'fix'")
+    assert(br.count() === 4)
+    assert(br.filter($"yr" === 1997).count() === 0)
+    assert(br.filter($"tag" === "merged").count() === 1)
+    assert(br.filter($"tag" === "new").count() === 1)
+    assert(br.filter($"tag" === "patched").count() === 1) // v=1996000
+    // merge lands the branch state on main
+    store.mergeBranch("brdml", "fix")
+    assert(spark.sql("SELECT count(*) FROM gtest.default.brdml")
+      .as[Long].head === 4)
+    // an evolve-diverged branch rejects SQL row-level DML loudly
+    store.createBranch("brdml", "ev")
+    store.evolveSchema("brdml", "yr INT, v BIGINT, tag STRING, extra INT",
+      branch = "ev")
+    spark.conf.set("spark.graft.branch", "ev")
+    try {
+      val e = intercept[Exception](spark.sql(
+        "UPDATE gtest.default.brdml SET tag = 'x' WHERE v = 5"))
+      assert(e.getMessage.contains("evolved its schema"))
+    } finally spark.conf.unset("spark.graft.branch")
   }
 
   test("build_bloom_index through SQL CALL writes per-partition sidecars") {
