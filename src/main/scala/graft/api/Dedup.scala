@@ -373,6 +373,31 @@ object Dedup {
       batchId)
   }
 
+  /** [[ingestDeduped]] for VIDEO: continuous dedup'd ingest of binary
+    * video batches (APNG container) against a persistent FRAME-HASH
+    * index (`vhashTable` schema: doc_id, th [, batch_id] — the SAME
+    * shape as the text signature index). Each clip's frames decode
+    * ONCE at arrival into a perceptual frame-hash SET
+    * ([[graft.ops.MultimodalOps.videoFrameHashesOf]]); near-match =
+    * Jaccard over frame-hash sets >= `threshold` through the text
+    * path's salted banded MinHash-LSH — trims, re-muxes and frame
+    * reorders stay near-dups (sets, not sequences), and the corpus
+    * side of every comparison is the stored index, never re-decoded
+    * frames. */
+  def ingestVideosDeduped(store: graft.table.WarehouseWrites,
+      vhashTable: String, batch: DataFrame, id: Column, payload: Column,
+      threshold: Double = DedupOps.JaccardThreshold,
+      batchId: Option[String] = None): DataFrame =
+    ingestKeyedDeduped(store, vhashTable,
+      DedupOps.materializeOnce(
+        graft.ops.MultimodalOps.videoFrameHashesOf(batch, id, payload)),
+      withinPairs = sigs => DedupOps.lshJaccardPairs(sigs, DedupOps.MinhashK,
+        DedupOps.LshBandCount, DedupOps.LshRows, threshold, "jaccard"),
+      betweenPairs = (sigs, index) => DedupOps.lshJaccardPairsBetween(sigs,
+        index, DedupOps.MinhashK, DedupOps.LshBandCount, DedupOps.LshRows,
+        threshold, "jaccard"),
+      batchId)
+
   /** The SHARED batch contract behind every modality's dedup'd ingest
     * (text token-hash signatures, image perceptual hashes, audio
     * fingerprints — one keyed-signature core, so a new modality only

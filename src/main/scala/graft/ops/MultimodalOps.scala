@@ -1085,6 +1085,40 @@ object MultimodalOps {
       }.toDF("doc_id", "fp_lo", "fp_hi")
   }
 
+  /** Per-frame perceptual-hash SET of a binary VIDEO column (APNG
+    * container — the multi-frame format this engine's codec family
+    * carries): decode the frames ONCE, grey + 9x8 box-average + dHash
+    * each, fold to a sorted distinct array of non-negative 31-bit
+    * frame-hash values. Output (doc_id, th) — EXACTLY the contract
+    * the text LSH machinery runs on, so video near-dup is Jaccard
+    * over frame-hash sets: robust to trims, re-muxes, frame
+    * reordering and duplicated frames (sets, not sequences); pixel
+    * jitter within a frame is the per-frame dHash's job to absorb.
+    * Undecodable payloads fail LOUDLY (strict-ingest contract). */
+  def videoFrameHashesOf(assets: DataFrame, idCol: Column,
+      payloadCol: Column): DataFrame = {
+    val s = assets.sparkSession
+    import s.implicits._
+    assets.select(idCol.cast("long").as("doc_id"),
+      payloadCol.as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (d, payload) =>
+          val frames = PixelCodec.decodeApng(payload).getOrElse(
+            throw new IllegalStateException(
+              s"undecodable video payload for doc $d"))
+          val hs = frames.map { f =>
+            require(f.width >= 9 && f.height >= 8,
+              s"doc $d: frame too small to hash (${f.width}x${f.height})")
+            val g = PixelCodec.resizeArea(PixelCodec.toGray(f), 9, 8)
+            val (dl, dh) = PixelCodec.dHash(g)
+            (dh * 1000003L + dl) & 0x7fffffffL
+          }.distinct.sorted.toArray
+          (d, hs)
+        }
+      }.toDF("doc_id", "th")
+  }
+
   /** Audio container DISPATCH under the gate: each doc's synthesized
     * PCM ships in one of THREE real containers by `doc_id % 3` —
     * WAV/PCM (0), WAV/mu-law (1, format tag 7), FLAC (2) — and the

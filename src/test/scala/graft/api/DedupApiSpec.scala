@@ -364,6 +364,45 @@ class DedupApiSpec extends AnyFunSuite {
       3 * graft.ops.MultimodalOps.AudioHammingMax)
   }
 
+  test("ingestVideosDeduped: frame-hash sets ride the text LSH machinery") {
+    import spark.implicits._
+    val store = new graft.table.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-ingest-vid").toString)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    // 12x10 grey frames with DISTINCT per-frame gradients: every frame
+    // hashes to a distinct dHash, so frame sets behave like token sets
+    def frame(seed: Int): graft.ops.PixelCodec.Image =
+      graft.ops.PixelCodec.Image(12, 10, 1, Array.tabulate(120) { i =>
+        val x = i % 12; val y = i / 12
+        ((x * (17 + seed * 13) + y * (29 + seed * 7) + seed * 41) % 256).toByte
+      })
+    def video(seeds: Seq[Int]): Array[Byte] =
+      graft.ops.PixelCodec.encodeApng(seeds.map(frame))
+    val full = 0 to 9 // 10 frames
+    // batch 1: doc 2 is doc 1 trimmed by one frame (J = 9/10 >= 0.8
+    // threshold); doc 3 shares nothing
+    val b1 = Seq((1L, video(full)), (2L, video(full.drop(1))),
+      (3L, video(20 to 25))).toDF("id", "payload")
+    val s1 = Dedup.ingestVideosDeduped(store, "vid_index", b1,
+      col("id"), col("payload"))
+    assert(ids(s1) === Seq(1L, 3L))
+    assert(ids(store.read("vid_index")) === Seq(1L, 3L))
+    // batch 2: doc 10 is recording 1 REORDERED and re-muxed (same
+    // frame set — sets, not sequences) -> drops against the index;
+    // 12 is new
+    val b2 = Seq((10L, video(full.reverse)), (12L, video(40 to 46)))
+      .toDF("id", "payload")
+    val s2 = Dedup.ingestVideosDeduped(store, "vid_index", b2,
+      col("id"), col("payload"))
+    assert(ids(s2) === Seq(12L))
+    assert(ids(store.read("vid_index")) === Seq(1L, 3L, 12L))
+    // crash-retry converges (shared-core discipline)
+    assert(ids(Dedup.ingestVideosDeduped(store, "vid_index", b2,
+      col("id"), col("payload"))) === Seq(12L))
+    assert(ids(store.read("vid_index")) === Seq(1L, 3L, 12L))
+  }
+
   test("hashSample is deterministic and repartition-stable") {
     val a = Dedup.hashSample(renamedDocs, col("my_id"), 0.1)
       .select("my_id").collect().map(_.getLong(0)).sorted.toSeq
