@@ -1662,6 +1662,83 @@ object LibraryQueries {
               CAST(sum(value) AS DECIMAL(28,6)) AS val
        FROM upd GROUP BY day, event_type"""
 
+  /** S45: BRANCH-SCOPED SQL ROW-LEVEL DML (r13) — s36's lifecycle
+    * with every mutating statement as pure SQL under
+    * `spark.graft.branch`: a takedown DELETE and a flat-amount
+    * re-price UPDATE execute against the BRANCH (the DELETE routes
+    * through the translatable copy-on-write, the UPDATE through the
+    * executor-staged group rewrite committed onto the branch
+    * lineage), main moves independently, and `CALL merge_branch` /
+    * `drop_branch` land and retire the branch — fork to merge, all
+    * SQL. The conf is set/unset around the eagerly-executing DML
+    * statements only (the gate-authoring rule: the driver's
+    * single-session suite must never plan later queries under it).
+    * Isolation rides the s29 which-half discipline: a main-head
+    * count compare guards the row count. The UPDATE adds a flat
+    * 500.0 (binary-exact double arithmetic). */
+  def s45BranchSqlDml(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_totalprice"),
+      year(col("o_orderdate").cast("date")).as("order_yr"))
+    val root = Files.createTempDirectory("graft-q-s45").toString
+    val store = new VersionedTableStore(s, root)
+    store.commitFull(o.filter(col("order_yr") <= 1997), "ord_q",
+      Seq("order_yr"))
+    store.createBranch("ord_q", "fix")
+    val cat = "gq" + java.lang.Long.toHexString(
+      org.apache.spark.unsafe.types.UTF8String.fromString(root).hashCode()
+        .toLong & 0xffffffffL)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.table.catalog.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.conf.set("spark.graft.branch", "fix")
+    try {
+      s.sql(s"""DELETE FROM $cat.default.ord_q
+                WHERE order_yr = 1996 AND o_totalprice > 250000.0D""")
+      s.sql(s"""UPDATE $cat.default.ord_q
+                SET o_totalprice = o_totalprice + 500.0D
+                WHERE order_yr = 1995 AND o_totalprice < 60000.0D""")
+    } finally s.conf.unset("spark.graft.branch")
+    // isolation probe: the branch DML must be invisible on main
+    val premerge1996 = store.read("ord_q")
+      .filter(col("order_yr") === 1996).count()
+    val orig1996 = o.filter(col("order_yr") === 1996).count()
+    // main moves independently (disjoint year), then SQL merge + drop
+    store.commitPartitions(o.filter(col("order_yr") === 1998),
+      "ord_q", Seq("order_yr"))
+    s.sql(s"CALL $cat.system.merge_branch('ord_q', 'fix')")
+    s.sql(s"CALL $cat.system.drop_branch('ord_q', 'fix')")
+    s.sql(
+      s"""SELECT order_yr, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price
+          FROM $cat.default.ord_q GROUP BY order_yr""")
+      // row-count guard (s29 discipline): isolation breach => empty
+      .filter(lit(premerge1996 == orig1996))
+  }
+
+  val s45BranchSqlDmlSql: String =
+    """WITH src AS (
+         SELECT o_orderkey, o_totalprice,
+                CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_yr
+         FROM orders),
+       branch_side AS (
+         SELECT o_orderkey,
+                CASE WHEN order_yr = 1995 AND o_totalprice < 60000.0
+                     THEN o_totalprice + 500.0
+                     ELSE o_totalprice END AS o_totalprice,
+                order_yr
+         FROM src
+         WHERE order_yr <= 1997
+           AND NOT (order_yr = 1996 AND o_totalprice > 250000.0)),
+       merged AS (
+         SELECT * FROM branch_side
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, order_yr
+         FROM src WHERE order_yr = 1998)
+       SELECT order_yr, CAST(count(*) AS BIGINT) AS n,
+              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price
+       FROM merged GROUP BY order_yr"""
+
   /** S18: incremental aggregate maintenance -- the v1 yearly rollup
     * updated to the v2 state by applying the snapshot changelog
     * (IncrementalAgg over snapshotDiff pre-images), never rescanning
@@ -1995,6 +2072,7 @@ object LibraryQueries {
     "s42_batch_changes" -> (s42BatchChanges _),
     "s43_hidden_partition" -> (s43HiddenPartition _),
     "s44_transform_dml" -> (s44TransformDml _),
+    "s45_branch_sql_dml" -> (s45BranchSqlDml _),
     "s18_incremental_agg" -> (s18IncrementalAgg _),
     "s26_incremental_minmax" -> (s26IncrementalMinmax _),
     "q_validation_suite" -> (qValidationSuite _),
@@ -2039,6 +2117,7 @@ object LibraryQueries {
     "s42_batch_changes" -> s42BatchChangesSql,
     "s43_hidden_partition" -> s43HiddenPartitionSql,
     "s44_transform_dml" -> s44TransformDmlSql,
+    "s45_branch_sql_dml" -> s45BranchSqlDmlSql,
     "s18_incremental_agg" -> s18IncrementalAggSql,
     "s26_incremental_minmax" -> s26IncrementalMinmaxSql,
     "q_validation_suite" -> qValidationSuiteSql,
