@@ -364,6 +364,37 @@ class HiddenPartitionSpec extends AnyFunSuite {
     }
   }
 
+  test("change feed, merge-on-read deletes, and compact compose with transforms") {
+    val vs = fresh()
+    vs.commitFull(tsDf(400), "t", Seq("days(ts)"))           // v1
+    vs.deleteWhere("t", col("id") === 7L, Seq("days(ts)"))   // v2: CoW rewrite
+    vs.commitPartitions(                                     // v3: new day
+      tsDf(1).withColumn("id", lit(9999L))
+        .withColumn("ts", lit("1996-02-01 00:00:00").cast("timestamp")),
+      "t", Seq("days(ts)"))
+    // batch change feed over the transform table: net (v1, v3]
+    val changes = spark.read.format("graft-changes")
+      .option("root", vs.root).option("table", "t").option("keys", "id")
+      .option("fromVersion", "1").option("toVersion", "3").load()
+    val byType = changes.groupBy("change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType === Map("delete" -> 1L, "insert" -> 1L))
+    // merge-on-read delete keys on a transform table (key is a DATA
+    // column, not a partition source): rows vanish from reads...
+    vs.deleteKeys("t", Seq(Tuple1(3L), Tuple1(5L)).toDF("id"), Seq("id"))
+    assert(vs.read("t").count() === 398L) // 400 - 1 CoW + 1 new - 2 MoR
+    // ...and compact applies them physically WHILE re-deriving the
+    // layout (the full rewrite routes every row back to its day dir)
+    vs.compact("t")
+    assert(vs.pendingDeletes("t").isEmpty)
+    assert(vs.read("t").count() === 398L)
+    assert(vs.snapshotView("t", None).entries.map(_._1)
+      .forall(_.startsWith("ts_day=")))
+    // deleting BY the partition source is still the deleteWhere job
+    assertThrows[IllegalArgumentException](
+      vs.deleteKeys("t", Seq(Tuple1(1L)).toDF("ts"), Seq("ts")))
+  }
+
   test("writeStream.toTable appends through a days() layout exactly once") {
     import org.apache.spark.sql.streaming.Trigger
     val (cat, root) = sqlCat("str")
