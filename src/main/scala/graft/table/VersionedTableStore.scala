@@ -1217,7 +1217,15 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     * caller's abort path. */
   private[table] def commitStagedReplacing(name: String, dirId: String,
       writtenRels: Set[String], replacedRels: Set[String],
-      expectedParent: Long, branch: String = ""): Long = {
+      expectedParent: Long, branch: String = "", wap: String = ""): Long = {
+    require(wap.isEmpty || branch.isEmpty,
+      s"$name: a row-level rewrite cannot be both WAP-staged and on a branch")
+    if (wap.nonEmpty) {
+      requireValidTag(wap)
+      require(!stagedSnapshots(name).exists(_._2 == wap),
+        s"$name already has a staged snapshot under WAP id `$wap` — " +
+          "publish or drop it first")
+    }
     val m = currentOn(name, branch).getOrElse(
       throw new NoSuchElementException(
         if (branch.isEmpty) s"no snapshots for $name"
@@ -1257,7 +1265,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     beforeSwap(name, v)
     try casManifest(name,
       Manifest(v, m.partitionBy, mapping, m.schemaDDL, stats,
-        deletes = m.deletes, branch = branch, fieldIds = m.fieldIds,
+        deletes = m.deletes, branch = branch, wap = wap,
+        fieldIds = m.fieldIds,
         columnDefaults = m.columnDefaults, checks = m.checks),
       observedParent = m.version)
     catch { case e: ConcurrentWriteException =>
@@ -3292,17 +3301,28 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     v
   }
 
-  /** Abandon a staged snapshot: its own data dirs (the `v{staged}-`
-    * prefixed ones — retained parent dirs are shared, never touched)
-    * are deleted and the version is burned. The head was never
-    * perturbed. */
+  /** Abandon a staged snapshot: data dirs ONLY this staged manifest
+    * references (its own `v{staged}-` write, or a row-level rewrite's
+    * `rl-` staging — retained parent dirs are shared with live
+    * manifests and never touched) are deleted and the version is
+    * burned. The head was never perturbed. */
   def dropStaged(name: String, wapId: String): Unit = {
     val m = stagedManifest(name, wapId)
     // marker first: readers stop resolving the manifest before its
     // files disappear
     fs.rename(commitFile(name, m.version), droppedFile(name, m.version))
+    // referenced-by-others set read AFTER the rename (this manifest is
+    // no longer live, so anything only it held is now reclaimable)
+    val dir = commitsPath(name)
+    val others: Set[String] =
+      if (!fs.exists(dir)) Set.empty
+      else fs.listStatus(dir).toSeq
+        .filter(_.getPath.getName.matches("c\\d{8}"))
+        .flatMap(st => readManifest(st.getPath))
+        .flatMap(mm => mm.mapping.map(_._2) ++ mm.deletes.map(_._1))
+        .toSet
     m.mapping.map(_._2).distinct
-      .filter(_.startsWith(s"v${m.version}-"))
+      .filterNot(others)
       .foreach(d => fs.delete(new Path(s"${dataRoot(name)}/$d"), true))
   }
 

@@ -490,16 +490,28 @@ class GraftTable(st: VersionedTableStore, tableName: String,
     * The branch schema must match main's (Spark resolved the
     * statement against the table handle's schema); an evolve-diverged
     * branch rejects loudly — run the DML through the store API or
-    * merge the evolution first. */
+    * merge the evolution first.
+    *
+    * While `spark.graft.wap.id` is set the statement STAGES (r13,
+    * completing WAP symmetry with INSERT): the rewrite executes in
+    * full — executor-staged files, checks — but its manifest lands as
+    * a staged snapshot the head never sees; audit with `VERSION AS OF
+    * <staged>` / `.staged`, then `CALL publish_staged` (rejects if
+    * the head moved after the scan — the audited replacement rows
+    * would be stale) or `drop_staged` (rewrite reclaimed, head never
+    * perturbed). */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty,
       s"row-level ${info.command} on a time-travel handle of $tableName: " +
         "history is immutable")
-    requireNoWapOnly(info.command.toString)
-    branchRef match {
-      case Some(b) =>
+    require(wapId.isEmpty || branchRef.isEmpty,
+      "both spark.graft.wap.id and spark.graft.branch are set — a " +
+        s"row-level ${info.command} cannot be WAP-staged and " +
+        "branch-targeted at once")
+    (branchRef, wapId) match {
+      case (Some(b), _) =>
         val bSnap = st.snapshotView(tableName,
           Some(st.branchHeadVersion(tableName, b)))
         require(bSnap.schemaDDL == snapshot.schemaDDL,
@@ -509,7 +521,10 @@ class GraftTable(st: VersionedTableStore, tableName: String,
             "store API (deleteWhereOn/updateWhereOn)")
         () => new GraftRowLevelOp(st, tableName, bSnap, info.command,
           branch = b)
-      case None =>
+      case (None, Some(id)) =>
+        () => new GraftRowLevelOp(st, tableName, snapshot, info.command,
+          wap = id)
+      case (None, None) =>
         () => new GraftRowLevelOp(st, tableName, snapshot, info.command)
     }
   }
@@ -518,13 +533,12 @@ class GraftTable(st: VersionedTableStore, tableName: String,
     st.snapshotView(tableName, pinnedVersion)
 
   /** Iceberg's `spark.wap.id` pattern: while this session conf is
-    * set, INSERT INTO / INSERT OVERWRITE stage under that WAP id
-    * instead of moving the head — audit with `VERSION AS OF
-    * <staged version>` (listed in `.staged`), then
-    * `CALL graft.system.publish_staged` / `drop_staged`. Row-level
-    * statements (UPDATE / MERGE / DELETE) are NOT stageable yet and
-    * reject loudly while the conf is set, rather than silently
-    * bypassing the audit the user asked for. */
+    * set, INSERT INTO / INSERT OVERWRITE — and, since r13, the
+    * row-level statements (UPDATE / MERGE / DELETE, through the group
+    * rewrite) — stage under that WAP id instead of moving the head.
+    * Audit with `VERSION AS OF <staged version>` (listed in
+    * `.staged`), then `CALL graft.system.publish_staged` /
+    * `drop_staged`. */
   private def wapId: Option[String] =
     Option(st.spark.conf.get("spark.graft.wap.id", null))
       .map(_.trim).filter(_.nonEmpty)
@@ -739,6 +753,10 @@ class GraftTable(st: VersionedTableStore, tableName: String,
     * the DELETE loudly) rather than deleting a superset or subset. */
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
     pinnedVersion.isEmpty &&
+      // under a WAP id the metadata-only path cannot stage; declining
+      // here sends Spark to the group rewrite, which stages the DELETE
+      // like any other row-level statement
+      wapId.isEmpty &&
       org.apache.spark.sql.graft.V2PredicateBridge
         .conjunction(predicates.toSeq).isDefined
 

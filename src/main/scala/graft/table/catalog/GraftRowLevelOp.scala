@@ -34,7 +34,7 @@ import graft.table.VersionedTableStore
   */
 class GraftRowLevelOp(st: VersionedTableStore, tableName: String,
     snapshot: GraftSnapshot, cmd: Command,
-    branch: String = "") extends RowLevelOperation {
+    branch: String = "", wap: String = "") extends RowLevelOperation {
 
   @volatile private var scanRef: GraftScan = _
 
@@ -107,7 +107,7 @@ class GraftRowLevelOp(st: VersionedTableStore, tableName: String,
                   "was planned"))
             if (written.isEmpty && replaced.isEmpty) dropStaging() // no-match
             else st.commitStagedReplacing(tableName, dirId, written, replaced,
-              expectedParent = snapshot.version, branch = branch)
+              expectedParent = snapshot.version, branch = branch, wap = wap)
           },
           onAbort = () => dropStaging())
       }

@@ -662,7 +662,7 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().head.getLong(0) === 0L)
   }
 
-  test("SQL WAP: INSERT stages under spark.graft.wap.id; row-level DML rejects") {
+  test("SQL WAP: INSERT stages under spark.graft.wap.id; row-level DML stages too") {
     store.commitFull(rows(1996 to 1996, 3), "wsql", Seq("yr"))
     spark.conf.set("spark.graft.wap.id", "nightly")
     try {
@@ -675,14 +675,14 @@ class GraftCatalogSpec extends AnyFunSuite {
       // audit from SQL: time travel to the staged version
       assert(spark.sql(
         s"SELECT * FROM gtest.default.wsql VERSION AS OF $sv").count() === 4)
-      // row-level statements refuse to bypass the requested audit
+      // a SECOND statement under the SAME id rejects (one staged
+      // snapshot per id — publish or drop first); r13 made row-level
+      // statements stage like INSERT, so the collision is the guard
       val e = intercept[Exception] {
         spark.sql("UPDATE gtest.default.wsql SET tag = 'x' WHERE yr = 1996")
       }
-      assert(e.getMessage.contains("wap"))
-      intercept[Exception] {
-        spark.sql("DELETE FROM gtest.default.wsql WHERE yr = 1996")
-      }
+      assert(e.getMessage.contains("WAP") ||
+        Option(e.getCause).exists(_.getMessage.contains("WAP")))
     } finally spark.conf.unset("spark.graft.wap.id")
     // publish from SQL; the conf is gone, reads see the audited rows
     spark.sql("CALL gtest.system.publish_staged('wsql', 'nightly')").collect()
@@ -946,6 +946,52 @@ class GraftCatalogSpec extends AnyFunSuite {
     // merged data survives the drop (the merge shares branch dirs)
     assert(spark.sql("SELECT count(*) FROM gtest.default.br")
       .as[Long].head === 8)
+  }
+
+  test("WAP-staged row-level DML: stage, audit, publish / drop, stale-publish rejects") {
+    store.commitFull(rows(1996 to 1997, 3), "wdml", Seq("yr"))
+    def headTagged(): Long = spark.sql(
+      "SELECT count(*) FROM gtest.default.wdml WHERE tag = 'x'")
+      .as[Long].head
+    // UPDATE under the WAP conf stages instead of moving the head
+    spark.conf.set("spark.graft.wap.id", "audit1")
+    try spark.sql("UPDATE gtest.default.wdml SET tag = 'x' WHERE yr = 1996")
+    finally spark.conf.unset("spark.graft.wap.id")
+    assert(headTagged() === 0L)
+    val staged = store.stagedSnapshots("wdml")
+    assert(staged.map(_._2) === Seq("audit1"))
+    // the audit surface serves the rewrite with full-table semantics
+    assert(store.readStaged("wdml", "audit1")
+      .filter($"tag" === "x").count() === 3L)
+    spark.sql("CALL gtest.system.publish_staged('wdml', 'audit1')")
+    assert(headTagged() === 3L)
+    // a TRANSLATABLE DELETE also stages (canDeleteWhere declines under
+    // the conf, so the statement routes through the group rewrite)
+    spark.conf.set("spark.graft.wap.id", "audit2")
+    try spark.sql("DELETE FROM gtest.default.wdml WHERE yr = 1997")
+    finally spark.conf.unset("spark.graft.wap.id")
+    assert(spark.sql("SELECT count(*) FROM gtest.default.wdml")
+      .as[Long].head === 6L) // head never saw it
+    spark.sql("CALL gtest.system.drop_staged('wdml', 'audit2')")
+    assert(spark.sql("SELECT count(*) FROM gtest.default.wdml")
+      .as[Long].head === 6L)
+    // the rewrite's rl- staging dir is reclaimed with the drop
+    assert(spark.sql("CALL gtest.system.audit('wdml')")
+      .filter("check = 'orphan_dirs'").collect().head.getLong(1) === 0L)
+    // a publish after the head moved rejects: the audited replacement
+    // rows are stale relative to the new head
+    spark.conf.set("spark.graft.wap.id", "audit3")
+    try spark.sql("UPDATE gtest.default.wdml SET tag = 'y' WHERE yr = 1996")
+    finally spark.conf.unset("spark.graft.wap.id")
+    spark.sql("INSERT INTO gtest.default.wdml " +
+      "SELECT CAST(1 AS BIGINT) AS v, 'late' AS tag, 1999 AS yr")
+    val e = intercept[Exception](spark.sql(
+      "CALL gtest.system.publish_staged('wdml', 'audit3')"))
+    assert(e.getMessage.contains("advanced") ||
+      Option(e.getCause).exists(_.getMessage.contains("advanced")))
+    spark.sql("CALL gtest.system.drop_staged('wdml', 'audit3')")
+    assert(spark.sql("SELECT count(*) FROM gtest.default.wdml")
+      .as[Long].head === 7L)
   }
 
   test("branch-scoped SQL row-level DML: UPDATE/DELETE/MERGE land on the branch") {
