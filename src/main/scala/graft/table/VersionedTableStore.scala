@@ -1312,7 +1312,8 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     * empty epoch) burns no snapshot. */
   private[table] def commitStagedAppend(name: String, dirId: String,
       writtenRels: Set[String], txn: String = "",
-      writerIds: Seq[(String, Int)] = Nil): Long = {
+      writerIds: Seq[(String, Int)] = Nil,
+      branch: String = ""): Long = {
     def dropStaging(): Unit = {
       val p = new Path(s"${dataRoot(name)}/$dirId")
       if (fs.exists(p)) fs.delete(p, true)
@@ -1320,8 +1321,10 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     }
     var attempt = 0
     while (true) {
-      val m = current(name).getOrElse(
-        throw new NoSuchElementException(s"no snapshots for $name"))
+      val m = currentOn(name, branch).getOrElse(
+        throw new NoSuchElementException(
+          if (branch.isEmpty) s"no snapshots for $name"
+          else s"$name has no branch `$branch`"))
       if (txn.nonEmpty && liveTxns(name).contains(txn)) {
         dropStaging() // replayed epoch: the original commit is durable
         return m.version
@@ -1370,7 +1373,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
       try {
         casManifest(name,
           Manifest(v, m.partitionBy, mapping, m.schemaDDL, stats, txn = txn,
-            deletes = m.deletes, fieldIds = m.fieldIds,
+            deletes = m.deletes, branch = branch, fieldIds = m.fieldIds,
             columnDefaults = m.columnDefaults, checks = m.checks),
           observedParent = m.version)
         expireSnapshots(name)

@@ -560,13 +560,6 @@ class GraftTable(st: VersionedTableStore, tableName: String,
         "staged: only INSERT stages under WAP. Unset the conf to run " +
         s"$stmt directly against the head.")
 
-  private def requireNoWap(stmt: String): Unit = {
-    requireNoWapOnly(stmt)
-    require(branchRef.isEmpty,
-      s"spark.graft.branch is set (`${branchRef.get}`) but $stmt cannot " +
-        "target a branch through this path. Unset the " +
-        s"conf to run $stmt against the head.")
-  }
 
   private val storedSchema: StructType =
     if (snapshot.schemaDDL.nonEmpty) StructType.fromDDL(snapshot.schemaDDL)
@@ -715,12 +708,25 @@ class GraftTable(st: VersionedTableStore, tableName: String,
           * [[org.apache.spark.sql.graft.GraftStreamingWrite]].
           * Append mode only (complete mode's truncate semantics would
           * rewrite the table every trigger); WAP staging of a stream
-          * is not supported — unset `spark.graft.wap.id`. */
+          * is not supported — unset `spark.graft.wap.id`. While
+          * `spark.graft.branch` is set (at stream START — the conf is
+          * resolved once, like the scanned schema) every epoch
+          * appends onto the BRANCH lineage (r13): the firehose lands
+          * isolated, audited at leisure, merged when blessed. */
         override def toStreaming: org.apache.spark.sql.connector.write
             .streaming.StreamingWrite = {
           require(!overwrite,
             s"streaming into $tableName supports append mode only")
-          requireNoWap("writeStream")
+          requireNoWapOnly("writeStream")
+          val streamBranch = branchRef
+          // fail at stream start, not first epoch: the branch must
+          // exist, and the writer's column identities are the BRANCH
+          // head's (a branch forked pre-rewrite has its own ledger)
+          val writerIds = streamBranch match {
+            case Some(b) => st.snapshotView(tableName,
+              Some(st.branchHeadVersion(tableName, b))).fieldIds
+            case None => snapshot.fieldIds
+          }
           val (dirBase, pathBase) = st.newStreamStaging(tableName)
           val qid = info.queryId()
           def dropEpoch(epochId: Long): Unit = {
@@ -735,7 +741,8 @@ class GraftTable(st: VersionedTableStore, tableName: String,
             onEpochCommit = (epochId, rels) =>
               st.commitStagedAppend(tableName, s"$dirBase-e$epochId", rels,
                 txn = s"$qid:$epochId",
-                writerIds = snapshot.fieldIds),
+                writerIds = writerIds,
+                branch = streamBranch.getOrElse("")),
             onEpochAbort = epochId => dropEpoch(epochId))
         }
       }

@@ -948,6 +948,40 @@ class GraftCatalogSpec extends AnyFunSuite {
       .as[Long].head === 8)
   }
 
+  test("writeStream.toTable under spark.graft.branch appends onto the branch") {
+    import org.apache.spark.sql.streaming.Trigger
+    store.commitFull(rows(1996 to 1996, 2), "bssrc", Seq("yr"))
+    store.commitFull(rows(1990 to 1990, 1), "bsink", Seq("yr"))
+    store.createBranch("bsink", "intake")
+    val ckpt = Files.createTempDirectory("graft-bsink-ckpt").toString
+    def drain(): Unit = {
+      val q = spark.readStream.option("keys", "v")
+        .table("gtest.default.bssrc")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable("gtest.default.bsink")
+      q.awaitTermination()
+    }
+    spark.conf.set("spark.graft.branch", "intake")
+    try drain() finally spark.conf.unset("spark.graft.branch")
+    // main never saw the epochs; the branch holds them
+    assert(spark.sql("SELECT count(*) FROM gtest.default.bsink")
+      .as[Long].head === 1L)
+    assert(store.readBranch("bsink", "intake").count() === 3L)
+    // exactly-once survives a re-drain against the same checkpoint
+    spark.conf.set("spark.graft.branch", "intake")
+    try drain() finally spark.conf.unset("spark.graft.branch")
+    assert(store.readBranch("bsink", "intake").count() === 3L)
+    // blessing the intake: merge lands the streamed rows on main
+    store.mergeBranch("bsink", "intake")
+    store.dropBranch("bsink", "intake")
+    assert(spark.sql("SELECT count(*) FROM gtest.default.bsink")
+      .as[Long].head === 3L)
+    assert(spark.sql("CALL gtest.system.audit('bsink')")
+      .filter("check = 'orphan_dirs'").collect().head.getLong(1) === 0L)
+    spark.streams.active.foreach(_.stop())
+  }
+
   test("WAP-staged row-level DML: stage, audit, publish / drop, stale-publish rejects") {
     store.commitFull(rows(1996 to 1997, 3), "wdml", Seq("yr"))
     def headTagged(): Long = spark.sql(
