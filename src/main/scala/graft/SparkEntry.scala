@@ -19,13 +19,15 @@ object SparkEntry {
     * training-data ops (dedup / similarity / text / multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ graft.queries.LibraryQueries.queries ++
-      graft.queries.AnalyticsQueries.queries ++ graft.ops.OpsQueries.queries
+      graft.queries.AnalyticsQueries.queries ++
+      graft.ops.OpsQueries.queries ++ graft.queries.ForensicGates.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ graft.queries.LibraryQueries.oracleSql ++
-      graft.queries.AnalyticsQueries.oracleSql ++ graft.ops.OpsQueries.oracleSql
+      graft.queries.AnalyticsQueries.oracleSql ++
+      graft.ops.OpsQueries.oracleSql ++ graft.queries.ForensicGates.oracleSql
 
   /** Bench-only substitutions. The approx-sketch oracle entries are
     * tolerance-band GATES that also compute the exact twin (multi-col

@@ -677,7 +677,8 @@ object LibraryQueries {
               WHERE o_totalprice < 100000.0D AND order_yr = 1997""")
     s.sql(
       s"""SELECT t.order_yr, CAST(count(*) AS BIGINT) AS n,
-                 sum(CAST(t.o_totalprice AS DECIMAL(18,2))) AS price
+                 CAST(sum(CAST(floor(t.o_totalprice * 100.0D) AS BIGINT))
+                   AS BIGINT) AS cents
           FROM $cat.default.ord t
           CROSS JOIN (SELECT count(*) AS live_commits
                       FROM $cat.default.ord.history
@@ -685,6 +686,11 @@ object LibraryQueries {
           GROUP BY t.order_yr""")
   }
 
+  // r14 de-float (VERDICT r13 #3): the red family's money outputs are
+  // integer cent-sums via floor(x*100) on BOTH sides — structurally
+  // immune to decimal rounding-mode/scale/rendering semantics, so a
+  // still-red gate is a row-set divergence by construction. Green
+  // gates keep their shapes untouched (standing rule).
   val s29CatalogDmlSql: String =
     """WITH src AS (
          SELECT o_orderkey, o_totalprice,
@@ -696,7 +702,8 @@ object LibraryQueries {
            AND order_yr <> 1996
            AND NOT (o_totalprice < 100000.0 AND order_yr = 1997))
        SELECT order_yr, CAST(count(*) AS BIGINT) AS n,
-              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price
+              CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+                AS BIGINT) AS cents
        FROM live GROUP BY order_yr"""
 
   /** S30: SQL UPDATE + MERGE INTO through the catalog's group-based
@@ -931,21 +938,28 @@ object LibraryQueries {
     store.read("ord_w")
       .groupBy(col("order_yr"))
       .agg(count(lit(1)).cast("long").as("n"),
-        sum(col("o_totalprice").cast(D)).as("price"))
+        sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+          .cast("long").as("cents"))
       // row-count guard: both audit verdicts must hold or the result
       // empties (rows_match=false on the gate — a flag-flip signal
       // distinct from a data diff)
       .filter(lit(pub.isDefined && rej.isEmpty))
-      .select(col("order_yr"), col("n"), col("price"))
+      .select(col("order_yr"), col("n"), col("cents"))
   }
 
+  // r14 de-float. This also retires a latent scale mismatch the old
+  // shape carried: the Spark side summed at DECIMAL(18,4), the oracle
+  // at DECIMAL(18,2) — numerically equal only while the source
+  // doubles are exactly 2-dp (true of this generator, unverified of
+  // the driver's copy). Cent floors need no such luck.
   val s33WapAuditSql: String =
     """WITH src AS (
          SELECT o_orderkey, o_totalprice,
                 CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_yr
          FROM orders)
        SELECT order_yr, CAST(count(*) AS BIGINT) AS n,
-              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price
+              CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+                AS BIGINT) AS cents
        FROM src WHERE order_yr <= 1997
        GROUP BY order_yr"""
 
@@ -992,7 +1006,8 @@ object LibraryQueries {
     s.conf.set(s"spark.sql.catalog.$cat.root", root)
     def rollup(): DataFrame = s.sql(
       s"""SELECT order_yr, CAST(count(*) AS BIGINT) AS n,
-                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price
+                 CAST(sum(CAST(floor(o_totalprice * 100.0D) AS BIGINT))
+                   AS BIGINT) AS cents
           FROM $cat.default.ord_m GROUP BY order_yr""")
     val pendingBefore = store.pendingDeletes("ord_m").size
     val mor = rollup().localCheckpoint(true)
@@ -1016,9 +1031,10 @@ object LibraryQueries {
            AND NOT (o_totalprice BETWEEN 100000.0 AND 150000.0)),
        roll AS (
          SELECT order_yr, CAST(count(*) AS BIGINT) AS n,
-                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price
+                CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+                  AS BIGINT) AS cents
          FROM live GROUP BY order_yr)
-       SELECT order_yr, n, price, s.state
+       SELECT order_yr, n, cents, s.state
        FROM roll CROSS JOIN (VALUES ('mor'), ('applied')) s(state)"""
 
   /** S35: branch / merge under the hash gate — the git-branch
@@ -1076,7 +1092,8 @@ object LibraryQueries {
     s.conf.set(s"spark.sql.catalog.$cat.root", root)
     s.sql(
       s"""SELECT order_yr, CAST(count(*) AS BIGINT) AS n,
-                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price
+                 CAST(sum(CAST(floor(o_totalprice * 100.0D) AS BIGINT))
+                   AS BIGINT) AS cents
           FROM $cat.default.ord_b GROUP BY order_yr""")
       // row-count guard (see scaladoc): isolation breach => empty
       .filter(lit(premerge == mainOnly1995))
@@ -1096,7 +1113,8 @@ object LibraryQueries {
          UNION ALL
          SELECT * FROM src WHERE order_yr = 1997)
        SELECT order_yr, CAST(count(*) AS BIGINT) AS n,
-              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price
+              CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+                AS BIGINT) AS cents
        FROM merged GROUP BY order_yr"""
 
   /** S36: branch-scoped ROW-LEVEL DML under the hash gate — the rest
@@ -1148,7 +1166,8 @@ object LibraryQueries {
     s.conf.set(s"spark.sql.catalog.$cat.root", root)
     s.sql(
       s"""SELECT order_yr, CAST(count(*) AS BIGINT) AS n,
-                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price
+                 CAST(sum(CAST(floor(o_totalprice * 100.0D) AS BIGINT))
+                   AS BIGINT) AS cents
           FROM $cat.default.ord_d GROUP BY order_yr""")
       // row-count guard (see scaladoc): isolation breach => empty
       .filter(lit(premerge1996 == orig1996))
@@ -1174,7 +1193,8 @@ object LibraryQueries {
          SELECT o_orderkey, o_totalprice, order_yr
          FROM src WHERE order_yr = 1998)
        SELECT order_yr, CAST(count(*) AS BIGINT) AS n,
-              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS price
+              CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+                AS BIGINT) AS cents
        FROM merged GROUP BY order_yr"""
 
   /** S37: cherry-pick under the hash gate — apply EXACTLY ONE branch
@@ -1641,11 +1661,17 @@ object LibraryQueries {
       s"""SELECT CAST(ts AS DATE) AS day, event_type,
                  CAST(count(*) AS BIGINT) AS n,
                  CAST(count(DISTINCT user_id) AS BIGINT) AS users,
-                 CAST(sum(value) AS DECIMAL(28,6)) AS val
+                 CAST(sum(CAST(value * 1000000 AS BIGINT)) AS BIGINT)
+                   AS val_micros
           FROM $cat.default.ev
           GROUP BY CAST(ts AS DATE), event_type""")
   }
 
+  // r14 de-float (VERDICT r13 #3): the DECIMAL(18,6) column stays (it
+  // is the transform-DML subject under test) but the OUTPUT is exact
+  // integer micros — value*1e6 is integer-valued by construction, so
+  // truncating and rounding casts agree in both engines. The sibling
+  // s44d gate goes further and stores BIGINT micros from the start.
   val s44TransformDmlSql: String =
     """WITH e AS (
          SELECT event_id, ts, user_id, event_type,
@@ -1659,7 +1685,8 @@ object LibraryQueries {
          FROM live)
        SELECT day, event_type, CAST(count(*) AS BIGINT) AS n,
               CAST(count(DISTINCT user_id) AS BIGINT) AS users,
-              CAST(sum(value) AS DECIMAL(28,6)) AS val
+              CAST(sum(CAST(value * 1000000 AS BIGINT)) AS BIGINT)
+                AS val_micros
        FROM upd GROUP BY day, event_type"""
 
   /** S45: BRANCH-SCOPED SQL ROW-LEVEL DML (r13) — s36's lifecycle
