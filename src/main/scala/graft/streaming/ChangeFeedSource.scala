@@ -262,12 +262,22 @@ private[streaming] class ChangeFeedTable(feedSchema: StructType,
             val tmp = s"$range-${java.util.UUID.randomUUID().toString.take(8)}"
             ChangeFeedProvider.changelog(vs, cfg, feedSchema, a, b)
               .write.parquet(s"$stageRoot/$tmp")
+            // pointer election through the store's casManifest publish
+            // primitive (hard-link on local fs): create-no-overwrite is
+            // check-then-create on Hadoop's local fs — two racers could
+            // both report a win, the second silently overwriting the
+            // pointer and orphaning a stage dir until vacuum
+            val ptmp = new org.apache.hadoop.fs.Path(stageRoot, s"$tmp.ptmp")
             val won =
               try {
-                val out = fs.create(ptr, false)
+                val out = fs.create(ptmp, true)
                 try out.write(tmp.getBytes("UTF-8")) finally out.close()
-                true
+                vs.publishAtomic(ptmp, ptr)
               } catch { case _: java.io.IOException => false }
+              finally {
+                try fs.delete(ptmp, false)
+                catch { case _: java.io.IOException => () }
+              }
             if (won) s"$stageRoot/$tmp"
             else {
               // a racer published the same range first: its dir is

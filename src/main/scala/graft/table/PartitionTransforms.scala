@@ -47,16 +47,26 @@ object PartitionTransforms {
     def source: String
     /** the hidden column name rel paths carry */
     def derivedName: String
-    /** derivation as a Column over the source */
-    def derive: Column
+    /** Derivation as a Column over the source — routed through
+      * [[deriveCatalyst]] so the write-time Column derivation and the
+      * executor/reader-side expression are ONE code path, and both
+      * are tz-independent (see [[StoreTz]]). */
+    def derive: Column = org.apache.spark.sql.graft.ColumnBridge.column(
+      deriveCatalyst(org.apache.spark.sql.graft.ColumnBridge
+        .expression(col(source))))
     /** The SAME derivation as a catalyst Expression over an already-
       * bound child — for executor-side rel computation
       * (GraftDataWriter) and predicate projection (GraftScan). MUST
       * stay value-identical to [[derive]]: both sides of every rel
-      * string and every projected filter assume it. `tz` is the
-      * session time zone (time transforms depend on it exactly as the
-      * write-time Column derivation did). */
-    def deriveCatalyst(child: Expression, tz: String): Expression
+      * string and every projected filter assume it. Time transforms
+      * evaluate under fixed [[StoreTz]], never the session zone: a
+      * table written and read under different
+      * `spark.sql.session.timeZone` values must resolve IDENTICAL rel
+      * paths and projected bounds, or pruning silently drops rows and
+      * row-level rewrites leave matched groups untouched (Iceberg
+      * defines its time transforms over UTC micros for exactly this
+      * reason). */
+    def deriveCatalyst(child: Expression): Expression
     /** type of the derived column (for the catalog's partition schema) */
     def derivedType: DataType
     /** Is the transform ORDER-PRESERVING on its source (x <= y implies
@@ -68,10 +78,20 @@ object PartitionTransforms {
     def text: String
   }
 
+  /** The FIXED zone every persisted store artifact is derived and
+    * rendered under: transform rel paths, identity partition path
+    * values, manifest column stats, and the reader-side projections
+    * and parses that must agree with them byte-for-byte. Session-tz
+    * derivation would make the on-disk layout a function of who wrote
+    * it — a reader under a different `spark.sql.session.timeZone`
+    * would then wrongly skip files (silent missing rows) or wrongly
+    * prune rewrite groups (un-updated/un-deleted matches). */
+  val StoreTz = "UTC"
+
   final case class Identity(source: String) extends Spec {
     def derivedName: String = source
-    def derive: Column = col(source)
-    def deriveCatalyst(child: Expression, tz: String): Expression = child
+    override def derive: Column = col(source)
+    def deriveCatalyst(child: Expression): Expression = child
     def derivedType: DataType = StringType // unused: identity keeps its own
     def monotonic: Boolean = true
     def text: String = source
@@ -79,9 +99,8 @@ object PartitionTransforms {
 
   final case class Days(source: String) extends Spec {
     def derivedName: String = s"${source}_day"
-    def derive: Column = col(source).cast(DateType)
-    def deriveCatalyst(child: Expression, tz: String): Expression =
-      Cast(child, DateType, Option(tz), EvalMode.LEGACY)
+    def deriveCatalyst(child: Expression): Expression =
+      Cast(child, DateType, Some(StoreTz), EvalMode.LEGACY)
     def derivedType: DataType = DateType
     def monotonic: Boolean = true
     def text: String = s"days($source)"
@@ -89,9 +108,8 @@ object PartitionTransforms {
 
   final case class Months(source: String) extends Spec {
     def derivedName: String = s"${source}_month"
-    def derive: Column = date_format(col(source), "yyyy-MM")
-    def deriveCatalyst(child: Expression, tz: String): Expression =
-      DateFormatClass(castTs(child, tz), Literal("yyyy-MM"), Option(tz))
+    def deriveCatalyst(child: Expression): Expression =
+      DateFormatClass(castTs(child), Literal("yyyy-MM"), Some(StoreTz))
     def derivedType: DataType = StringType
     // "yyyy-MM" compares lexicographically in time order
     def monotonic: Boolean = true
@@ -100,10 +118,9 @@ object PartitionTransforms {
 
   final case class Years(source: String) extends Spec {
     def derivedName: String = s"${source}_year"
-    def derive: Column = year(col(source)).cast(IntegerType)
-    def deriveCatalyst(child: Expression, tz: String): Expression =
-      Cast(Year(Cast(child, DateType, Option(tz), EvalMode.LEGACY)),
-        IntegerType, Option(tz), EvalMode.LEGACY)
+    def deriveCatalyst(child: Expression): Expression =
+      Cast(Year(Cast(child, DateType, Some(StoreTz), EvalMode.LEGACY)),
+        IntegerType, Some(StoreTz), EvalMode.LEGACY)
     def derivedType: DataType = IntegerType
     def monotonic: Boolean = true
     def text: String = s"years($source)"
@@ -111,9 +128,8 @@ object PartitionTransforms {
 
   final case class Hours(source: String) extends Spec {
     def derivedName: String = s"${source}_hour"
-    def derive: Column = date_format(col(source), "yyyy-MM-dd-HH")
-    def deriveCatalyst(child: Expression, tz: String): Expression =
-      DateFormatClass(castTs(child, tz), Literal("yyyy-MM-dd-HH"), Option(tz))
+    def deriveCatalyst(child: Expression): Expression =
+      DateFormatClass(castTs(child), Literal("yyyy-MM-dd-HH"), Some(StoreTz))
     def derivedType: DataType = StringType
     def monotonic: Boolean = true
     def text: String = s"hours($source)"
@@ -121,11 +137,9 @@ object PartitionTransforms {
 
   final case class Bucket(source: String, n: Int) extends Spec {
     def derivedName: String = s"${source}_bucket"
-    def derive: Column = pmod(xxhash64(col(source)), lit(n.toLong))
-      .cast(IntegerType)
-    def deriveCatalyst(child: Expression, tz: String): Expression =
+    def deriveCatalyst(child: Expression): Expression =
       Cast(Pmod(new XxHash64(Seq(child)), Literal(n.toLong)), IntegerType,
-        Option(tz), EvalMode.LEGACY)
+        Some(StoreTz), EvalMode.LEGACY)
     def derivedType: DataType = IntegerType
     def monotonic: Boolean = false
     def text: String = s"bucket$n($source)"
@@ -133,8 +147,7 @@ object PartitionTransforms {
 
   final case class Truncate(source: String, w: Int) extends Spec {
     def derivedName: String = s"${source}_trunc"
-    def derive: Column = substring(col(source), 1, w)
-    def deriveCatalyst(child: Expression, tz: String): Expression =
+    def deriveCatalyst(child: Expression): Expression =
       Substring(child, Literal(1), Literal(w))
     def derivedType: DataType = StringType
     // string prefixes preserve order: x <= y implies prefix(x) <= prefix(y)
@@ -143,11 +156,11 @@ object PartitionTransforms {
   }
 
   /** date_format needs a TIMESTAMP child; a DATE or STRING source
-    * (both accepted by validate) casts exactly as the analyzer's
-    * implicit cast would under the write-time Column derivation. */
-  private def castTs(child: Expression, tz: String): Expression =
+    * (both accepted by validate) casts under the SAME fixed zone the
+    * transform itself evaluates in. */
+  private def castTs(child: Expression): Expression =
     if (child.dataType == org.apache.spark.sql.types.TimestampType) child
-    else Cast(child, org.apache.spark.sql.types.TimestampType, Option(tz),
+    else Cast(child, org.apache.spark.sql.types.TimestampType, Some(StoreTz),
       EvalMode.LEGACY)
 
   private val DaysRe = """days\(([^(),\s]+)\)""".r

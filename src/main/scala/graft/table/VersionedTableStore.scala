@@ -485,7 +485,7 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     val relExpr =
       if (m.partitionBy.isEmpty) lit(".")
       else concat_ws("/", PartitionTransforms.specs(m.partitionBy).map(sp =>
-        concat(lit(s"${sp.derivedName}="), sp.derive.cast("string"))): _*)
+        concat(lit(s"${sp.derivedName}="), utcString(sp.derive))): _*)
     val isLong = dt != "string"
     val session = spark
     import session.implicits._
@@ -1824,6 +1824,14 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     * style coordinator here, exactly as Delta documents. Protected as
     * a test seam: a spec overrides it to land the link AND report
     * failure -- the NFS duplicate-reply shape. */
+  /** Internal accessor for the atomic publish primitive: other graft
+    * components electing a single winner for a shared artifact (e.g.
+    * the change feed's stage pointer) reuse THIS primitive instead of
+    * re-implementing create-no-overwrite — Hadoop's local-fs
+    * create(overwrite=false) is check-then-create, not atomic. */
+  private[graft] final def publishAtomic(tmp: Path, p: Path): Boolean =
+    publishCommit(tmp, p)
+
   protected def publishCommit(tmp: Path, p: Path): Boolean =
     if (fs.getScheme == "file") {
       val src = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri)
@@ -1909,6 +1917,20 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     * rebuilt as plain `col=value` paths; a value Spark's hive layout
     * escapes differently simply never matches a mapping rel and its
     * stats are ignored -- pruning stays conservative. */
+  /** Cast-to-string under the store's fixed zone
+    * ([[PartitionTransforms.StoreTz]]) — the one rendering every
+    * persisted stat string and rebuilt rel segment goes through, so
+    * reader-side compares are tz-independent. Identical to a plain
+    * `.cast("string")` for every non-time type. */
+  private def utcString(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c),
+        org.apache.spark.sql.types.StringType,
+        Some(PartitionTransforms.StoreTz),
+        org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
+
   private def columnStats(df: DataFrame, partitionBy: Seq[String],
       statsColumns: Seq[String]): Seq[(String, String, String, String)] = {
     if (statsColumns.isEmpty) return Nil
@@ -1920,10 +1942,16 @@ class VersionedTableStore(val spark: SparkSession, val root: String,
     val relExpr =
       if (partitionBy.isEmpty) lit(".")
       else concat_ws("/", pathCols.map(c =>
-        concat(lit(s"$c="), col(c).cast("string"))): _*)
+        concat(lit(s"$c="), utcString(col(c)))): _*)
+    // min/max render under the store's FIXED zone (StoreTz): the
+    // reader-side literal rendering (filterStrBounds) uses the same
+    // zone, so both sides of every stats compare agree no matter
+    // which session wrote and which reads — a session-tz rendering
+    // here would make TIMESTAMP stats skip files for readers under a
+    // different zone (silent missing rows)
     val aggs = statsColumns.flatMap(c => Seq(
-      min(col(c)).cast("string").as(s"__mn_$c"),
-      max(col(c)).cast("string").as(s"__mx_$c")))
+      utcString(min(col(c))).as(s"__mn_$c"),
+      utcString(max(col(c))).as(s"__mx_$c")))
     df.groupBy(relExpr.as("__rel")).agg(aggs.head, aggs.tail: _*)
       .collect().toSeq.flatMap { r =>
         statsColumns.flatMap { c =>

@@ -261,12 +261,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // the CREATE retry hit TableAlreadyExists). The exists half is
     // empty for create-time columns: every file of this table will
     // physically hold them.
-    val pSources = graft.table.PartitionTransforms.sourceNames(partitionBy)
+    // only IDENTITY partition columns reject defaults: their values
+    // come from rel paths, never from file contents. A hidden
+    // TRANSFORM's source (days(ts)'s ts) is an ordinary data column
+    // stored in every file — a create-time default there is
+    // legitimate (Iceberg allows it), and the derived rel value
+    // computes from the defaulted data like from any other row.
+    val idSources =
+      graft.table.PartitionTransforms.identitySources(partitionBy)
     val initialDefaults = schema.toSeq.flatMap { f =>
       if (!f.metadata.contains(graft.table.ColumnDefaults.CurrentKey)) None
       else {
         val sql = f.metadata.getString(graft.table.ColumnDefaults.CurrentKey)
-        require(!pSources.contains(f.name),
+        require(!idSources.contains(f.name),
           s"partition column `${f.name}` cannot carry a default: its " +
             "values come from rel paths")
         graft.table.ColumnDefaults.validate(f.name, f.dataType, sql)
@@ -839,19 +846,38 @@ class GraftTable(st: VersionedTableStore, tableName: String,
     require(wapId.isEmpty || branchRef.isEmpty,
       "both spark.graft.wap.id and spark.graft.branch are set — an " +
         "INSERT cannot be WAP-staged and branch-targeted at once")
-    // RETRY-IDEMPOTENT statement marker (Delta txn pattern, derived
-    // instead of user-supplied): (statement plan identity, observed
-    // head) names this logical INSERT. A harness replaying the SAME
-    // statement after a lost success report finds the marker live and
-    // retires as a no-op; an intentional re-run of an identical
-    // INSERT sees the head its own first run moved and mints a fresh
-    // marker, appending normally. The analyzed plan embeds
-    // analysis-assigned seeds (rand() etc.), so two distinct
-    // statements never share a hash. Scoped per target (main / named
-    // branch); WAP staging has its own id machinery.
+    // RETRY-IDEMPOTENT statement marker (Delta txn pattern). Two
+    // tiers, matching what each can actually promise:
+    //
+    //  - `spark.graft.txn.id` set (the Delta appId+version / Iceberg
+    //    WAP-id shape): the CALLER names the logical write, so a
+    //    harness replaying the statement after a lost success report
+    //    retires as a no-op EVEN THOUGH its first run moved the head
+    //    — cross-execution replay protection only an external name
+    //    can give. Re-running intentionally means supplying a new id.
+    //
+    //  - unset: the marker carries a per-EXECUTION nonce and guards
+    //    exactly the CAS retry loop inside this one statement (a
+    //    duplicate-reply re-CAS after the commit actually landed).
+    //    A derived (plan-hash, head) marker cannot do more: a replay
+    //    re-reads the head its own commit moved and double-lands
+    //    anyway, while two CONCURRENT identical INSERTs observing one
+    //    head would wrongly collapse — the loser would report success
+    //    without writing its rows. Per-execution uniqueness keeps
+    //    standard SQL append semantics for both.
+    //
+    // Scoped per target (main / named branch); WAP staging has its
+    // own id machinery.
+    val explicitTxn =
+      Option(st.spark.conf.get("spark.graft.txn.id", null))
+    val execNonce = java.util.UUID.randomUUID().toString.take(12)
     def txnFor(headVersion: Long, scope: String): String =
-      s"ins:$scope:$headVersion:$overwrite:" +
-        aligned.queryExecution.analyzed.semanticHash()
+      explicitTxn match {
+        case Some(id) => s"ins:$scope:user:$id"
+        case None =>
+          s"ins:$scope:$headVersion:$overwrite:" +
+            aligned.queryExecution.analyzed.semanticHash() + s":$execNonce"
+      }
     branchRef match {
       case Some(b) =>
         // branch-scoped append/overwrite: BOTH the alignment schema

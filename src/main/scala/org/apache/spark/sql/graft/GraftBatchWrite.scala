@@ -92,7 +92,7 @@ class GraftBatchWrite(spark: SparkSession, info: LogicalWriteInfo,
       .prepareWrite(cs, job, Map.empty, fileSchema)
     new GraftDataWriterFactory(rowSchema, partitionBy, fileSchema,
       stagingPath, owf, new SerializableConfiguration(job.getConfiguration),
-      cs.sessionState.conf.sessionLocalTimeZone)
+      graft.table.PartitionTransforms.StoreTz)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -171,7 +171,7 @@ class GraftStreamingWrite(spark: SparkSession, info: LogicalWriteInfo,
       .prepareWrite(cs, job, Map.empty, fileSchema)
     new GraftStreamingWriterFactory(rowSchema, partitionBy, fileSchema,
       stageBasePath, owf, new SerializableConfiguration(job.getConfiguration),
-      cs.sessionState.conf.sessionLocalTimeZone)
+      graft.table.PartitionTransforms.StoreTz)
   }
 
   override def commit(epochId: Long,
@@ -220,8 +220,12 @@ private[graft] class GraftDataWriterFactory(rowSchema: StructType,
   * monotonic transforms) arrive sorted by source, so one writer is
   * open at a time. A layout with a NON-monotonic transform (bucket —
   * the hash scrambles the sort) FANS OUT instead: one open writer per
-  * rel this task touches, bounded by the bucket count — the Iceberg
-  * fanout-writer trade, memory for sortedness. */
+  * rel under the CURRENT monotonic-prefix segments, with the whole
+  * pool closed and evicted when that prefix moves on (the sort makes
+  * an old prefix non-revisiting) — open writers stay bounded by the
+  * bucket count, not days-seen x buckets. The Iceberg fanout-writer
+  * trade, memory for sortedness, with the memory half actually
+  * bounded. */
 private[graft] class GraftDataWriter(rowSchema: StructType,
     partitionBy: Seq[String], fileSchema: StructType, stagingPath: String,
     owf: OutputWriterFactory, conf: SerializableConfiguration, tz: String,
@@ -262,7 +266,7 @@ private[graft] class GraftDataWriter(rowSchema: StructType,
       val i = rowSchema.fieldIndex(sp.source)
       Cast(sp.deriveCatalyst(
         BoundReference(i + markerOffset, rowSchema(i).dataType,
-          rowSchema(i).nullable), tz),
+          rowSchema(i).nullable)),
         StringType, Option(tz), EvalMode.LEGACY)
     }
   }
@@ -275,17 +279,28 @@ private[graft] class GraftDataWriter(rowSchema: StructType,
   private var currentWriter: OutputWriter = _
   private val fanoutWriters =
     scala.collection.mutable.LinkedHashMap[String, OutputWriter]()
+  // rows arrive sorted by the layout's SOURCE columns (requiredOrdering),
+  // so the leading run of MONOTONIC specs' segments is non-revisiting:
+  // once that prefix moves on, every writer under the old prefix is
+  // dead. Evicting on prefix change bounds open fanout writers to the
+  // non-monotonic suffix's cardinality (the bucket count) instead of
+  // prefix-values-seen x buckets — a days(ts)+bucketN(id) task holds N
+  // writers, not days x N.
+  private val monoPrefixLen = pSpecs.indexWhere(!_.monotonic) match {
+    case -1 => pSpecs.length
+    case i => i
+  }
+  private var currentPrefix: String = null
   private var fileCount = 0
   private val written = scala.collection.mutable.Set[String]()
 
-  private def relOf(row: InternalRow): String =
-    if (partitionBy.isEmpty) "."
-    else pSpecs.indices.map { k =>
+  private def segsOf(row: InternalRow): Seq[String] =
+    pSpecs.indices.map { k =>
       val v = partCasts(k).eval(row)
       val s = if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
         else ExternalCatalogUtils.escapePathName(v.toString)
       s"${ExternalCatalogUtils.escapePathName(pSpecs(k).derivedName)}=$s"
-    }.mkString("/")
+    }
 
   private def openWriter(rel: String): OutputWriter = {
     val dir = if (rel == ".") attemptDir else s"$attemptDir/$rel"
@@ -306,9 +321,18 @@ private[graft] class GraftDataWriter(rowSchema: StructType,
       require(op == 5 || op == 6,
         s"graft staged write: unexpected row operation marker $op")
     }
-    val rel = relOf(row)
+    val segs = if (partitionBy.isEmpty) Nil else segsOf(row)
+    val rel = if (segs.isEmpty) "." else segs.mkString("/")
     val w =
-      if (fanout) fanoutWriters.getOrElseUpdate(rel, openWriter(rel))
+      if (fanout) {
+        val prefix = segs.take(monoPrefixLen).mkString("/")
+        if (prefix != currentPrefix) {
+          fanoutWriters.values.foreach(_.close())
+          fanoutWriters.clear()
+          currentPrefix = prefix
+        }
+        fanoutWriters.getOrElseUpdate(rel, openWriter(rel))
+      }
       else {
         if (rel != currentRel) {
           if (currentWriter != null) {

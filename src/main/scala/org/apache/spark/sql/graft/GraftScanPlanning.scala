@@ -91,7 +91,9 @@ object GraftScanPlanning {
         _ => None): GraftFileIndex = {
     val cs = classic(spark)
     val conf = cs.sessionState.newHadoopConf()
-    val tz = cs.sessionState.conf.sessionLocalTimeZone
+    // rel path values parse under the store's FIXED zone — the writer
+    // rendered them under it (see PartitionTransforms.StoreTz)
+    val tz = graft.table.PartitionTransforms.StoreTz
     def qualified(rel: String, dir: String): Path = {
       val p = if (rel == ".") new Path(dir) else new Path(s"$dir/$rel")
       p.getFileSystem(conf).makeQualified(p)
@@ -178,8 +180,7 @@ object GraftScanPlanning {
     * The returned expressions reference the derived columns by fresh
     * attributes; the file index re-binds by name. */
   private[graft] def projectToLayout(filters: Seq[Expression],
-      layout: Seq[String], partitionSchema: StructType,
-      tz: String): Seq[Expression] = {
+      layout: Seq[String], partitionSchema: StructType): Seq[Expression] = {
     import graft.table.PartitionTransforms
     val specs = PartitionTransforms.specs(layout)
       .filterNot(_.isInstanceOf[PartitionTransforms.Identity])
@@ -191,7 +192,7 @@ object GraftScanPlanning {
     // derived literal, or None when the source literal is non-null but
     // derives null (unprojectable, see scaladoc)
     def dLit(sp: PartitionTransforms.Spec, l: Literal): Option[Literal] = {
-      val v = sp.deriveCatalyst(l, tz).eval(null)
+      val v = sp.deriveCatalyst(l).eval(null)
       if (v == null && l.value != null) None
       else Some(Literal(v, partitionSchema(sp.derivedName).dataType))
     }
@@ -289,12 +290,17 @@ object GraftScanPlanning {
     * timestamps order chronologically, decimal-fraction seconds
     * compare digit-by-digit correctly, and strings are themselves.
     * Literals render through the SAME Cast-to-string the stats writer
-    * used (session tz, LEGACY), so both sides of every compare come
+    * used (fixed StoreTz, LEGACY), so both sides of every compare come
     * from one rendering. Strict bounds widen to closed; unrecognized
     * shapes contribute nothing — pruning stays prune-only. */
-  private[graft] def filterStrBounds(filters: Seq[Expression],
-      tz: String): Map[String, (Option[String], Option[String])] = {
+  private[graft] def filterStrBounds(filters: Seq[Expression])
+      : Map[String, (Option[String], Option[String])] = {
     import org.apache.spark.sql.types.{DateType, TimestampType}
+    // literals render under the store's FIXED zone: the stats writer
+    // renders min/max under it too (columnStats), so both sides of
+    // every lexicographic compare come from one tz-independent
+    // rendering no matter who wrote or who reads
+    val tz = graft.table.PartitionTransforms.StoreTz
     def render(v: Any, t: DataType): Option[String] = t match {
       case StringType =>
         Option(v).map(_.toString)
@@ -375,8 +381,7 @@ class GraftFileIndex(spark: org.apache.spark.sql.classic.SparkSession,
     val bounds = GraftScanPlanning.filterBounds(dataFilters)
     // ordered-string bounds (string/date/timestamp stats): same
     // rel-atomic skip, lexicographic compare over one shared rendering
-    val strBounds = GraftScanPlanning.filterStrBounds(dataFilters,
-      spark.sessionState.conf.sessionLocalTimeZone)
+    val strBounds = GraftScanPlanning.filterStrBounds(dataFilters)
     // compare with Spark's OWN string ordering (UTF8String = unsigned
     // UTF-8 bytes == code-point order): the stats were derived by
     // Spark min/max under that ordering, and Java's UTF-16 compareTo
@@ -502,8 +507,7 @@ class GraftScanBuilder(inner: ParquetScanBuilder,
     // integer-family bounds). Conservative by construction; see
     // [[GraftScanPlanning.projectToLayout]].
     val projected = GraftScanPlanning.projectToLayout(
-      allPushed.filter(_.deterministic), layout, partitionSchema,
-      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      allPushed.filter(_.deterministic), layout, partitionSchema)
     val ps = if (projected.isEmpty) ps0
       else ps0.copy(partitionFilters = ps0.partitionFilters ++ projected)
     new GraftScan(ps, partitionSchema, stream, options, mor, layout)
@@ -664,14 +668,13 @@ class GraftScan(initial: ParquetScan, partitionSchema: StructType,
       partitionSchema.find(_.name == n)
     def attr(fd: org.apache.spark.sql.types.StructField): AttributeReference =
       AttributeReference(fd.name, fd.dataType)()
-    val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
     // external v1 value -> derived partition literal (None: the source
     // literal is untypable or derives null — do not prune)
     def derived(sp: graft.table.PartitionTransforms.Spec,
         v: Any): Option[Literal] =
       try {
         val src = Literal.create(v)
-        val d = sp.deriveCatalyst(src, tz).eval(null)
+        val d = sp.deriveCatalyst(src).eval(null)
         if (d == null && v != null) None
         else Some(Literal(d, partitionSchema(sp.derivedName).dataType))
       } catch { case scala.util.control.NonFatal(_) => None }
@@ -919,9 +922,7 @@ class GraftRowOpScanBuilder(spark: SparkSession, index: GraftFileIndex,
       // (strict bounds widen, null-deriving literals bail), so
       // pruning can only keep extra groups, never lose matched rows
       GraftScanPlanning.projectToLayout(
-        filters.filter(_.deterministic), layout, partitionSchema,
-        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-          .sessionState.conf.sessionLocalTimeZone)
+        filters.filter(_.deterministic), layout, partitionSchema)
     boundsFilters = filters.filterNot(partFilters.contains)
       .filter(f => f.deterministic &&
         GraftScanPlanning.filterBounds(Seq(f)).nonEmpty)

@@ -120,6 +120,33 @@ class ColumnDefaultsSpec extends AnyFunSuite {
     }
   }
 
+  test("a transform SOURCE column may carry a DEFAULT; identity still rejects") {
+    // days(ts)'s ts is an ordinary DATA column stored in every file —
+    // only IDENTITY partition columns live purely in rel paths. The
+    // defaulted value must both fill the row and derive the day dir.
+    val root = Files.createTempDirectory("graft-cd-transform").toString
+    spark.conf.set("spark.sql.catalog.cdct", "graft.table.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cdct.root", root)
+    try {
+      spark.sql("CREATE TABLE cdct.default.ev (k INT, " +
+        "ts TIMESTAMP DEFAULT TIMESTAMP '1996-01-02 03:00:00') " +
+        "PARTITIONED BY (days(ts))")
+      spark.sql("INSERT INTO cdct.default.ev (k) VALUES (1)")
+      spark.sql("INSERT INTO cdct.default.ev VALUES " +
+        "(2, TIMESTAMP '1996-01-05 00:00:00')")
+      assert(spark.sql("SELECT k, CAST(ts AS DATE) FROM cdct.default.ev " +
+        "ORDER BY k").as[(Int, String)].collect().toSeq ===
+        Seq((1, "1996-01-02"), (2, "1996-01-05")))
+      // the defaulted row landed in its derived day dir
+      val vs = new VersionedTableStore(spark, root)
+      assert(vs.snapshotView("ev", None).entries.map(_._1).toSet ===
+        Set("ts_day=1996-01-02", "ts_day=1996-01-05"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.cdct")
+      spark.conf.unset("spark.sql.catalog.cdct.root")
+    }
+  }
+
   test("CREATE TABLE is atomic: a rejected DEFAULT leaves no table behind") {
     // CREATE-time defaults are validated BEFORE the table-creating
     // commit and threaded into it as one manifest CAS — a rejected

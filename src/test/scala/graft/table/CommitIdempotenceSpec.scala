@@ -100,4 +100,36 @@ class CommitIdempotenceSpec extends AnyFunSuite {
     spark.sql(s"INSERT INTO $cat.default.t VALUES (1, 'a'), (2, 'b')")
     assert(spark.table(s"$cat.default.t").count() === 4L)
   }
+
+  test("spark.graft.txn.id gives caller-named cross-execution replay protection") {
+    val root = Files.createTempDirectory("graft-txnid").toString
+    val cat = "gtxnid"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.table.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    try {
+      spark.sql(s"CREATE TABLE $cat.default.t (k INT, v STRING)")
+      // the caller names the logical write (Delta appId+version /
+      // Iceberg WAP-id shape) — a replayed statement retires as a
+      // no-op EVEN AFTER its first run moved the head, the scenario a
+      // (plan-hash, observed-head) derivation structurally misses
+      spark.conf.set("spark.graft.txn.id", "job42-batch7")
+      spark.sql(s"INSERT INTO $cat.default.t VALUES (1, 'a')")
+      spark.sql(s"INSERT INTO $cat.default.t VALUES (1, 'a')") // replay
+      assert(spark.table(s"$cat.default.t").count() === 1L)
+      // a fresh id is a fresh logical write
+      spark.conf.set("spark.graft.txn.id", "job42-batch8")
+      spark.sql(s"INSERT INTO $cat.default.t VALUES (2, 'b')")
+      assert(spark.table(s"$cat.default.t").count() === 2L)
+      // replay protection scopes to the table target too: the marker
+      // on another table does not block this one
+      spark.sql(s"CREATE TABLE $cat.default.u (k INT, v STRING)")
+      spark.sql(s"INSERT INTO $cat.default.u VALUES (9, 'z')")
+      assert(spark.table(s"$cat.default.u").count() === 1L)
+    } finally {
+      spark.conf.unset("spark.graft.txn.id")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+    }
+  }
 }

@@ -364,6 +364,80 @@ class HiddenPartitionSpec extends AnyFunSuite {
     }
   }
 
+  test("days+bucket composite layout: fanout eviction loses no rows") {
+    // the eviction path: sorted-by-source rows walk 4 day prefixes,
+    // each fanning into 4 buckets — the writer pool closes at every
+    // day boundary and every row must still land in its (day, bucket)
+    val (cat, root) = sqlCat("db")
+    try {
+      spark.sql(s"CREATE TABLE $cat.default.ev " +
+        "(id BIGINT, ts TIMESTAMP, v STRING) " +
+        "PARTITIONED BY (days(ts), bucket(4, id))")
+      tsDf(400).createOrReplaceTempView("hp_db_src")
+      spark.sql(s"INSERT INTO $cat.default.ev SELECT * FROM hp_db_src")
+      assert(spark.table(s"$cat.default.ev").count() === 400L)
+      val vs = new VersionedTableStore(spark, root)
+      val rels = vs.snapshotView("ev", None).entries.map(_._1)
+      assert(rels.forall(r => r.startsWith("ts_day=1996-01-0") &&
+        r.contains("/id_bucket=")))
+      assert(rels.map(_.takeWhile(_ != '/')).distinct.size === 4)
+      // per-day counts survive the multi-writer task exactly
+      assert(spark.sql(s"SELECT CAST(ts AS DATE) d, count(*) n FROM " +
+        s"$cat.default.ev GROUP BY 1 ORDER BY d")
+        .as[(String, Long)].collect().toSeq.map(_._2) ===
+        Seq(100L, 100L, 100L, 100L))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+    }
+  }
+
+  test("transform layout is tz-independent: write, prune, and DML across session zones") {
+    def scannedRels(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.scan
+      }.collect {
+        case g: org.apache.spark.sql.graft.GraftScan => g.plannedRels
+      }.flatten.toSet
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    val (cat, root) = sqlCat("tz")
+    try {
+      // WRITE under a non-UTC session: rel paths must still be the
+      // UTC days (StoreTz) — a session-tz derivation would shift the
+      // 00:00-05:00 rows into the previous LA day
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val vs = new VersionedTableStore(spark, root)
+      vs.commitFull(tsDf(400), "t", Seq("days(ts)"), statsColumns = Seq("ts"))
+      assert(vs.snapshotView("t", None).entries.map(_._1).toSet ===
+        (1 to 4).map(d => f"ts_day=1996-01-0$d%d").toSet)
+      // READ under a third zone: full count survives, and an
+      // instant-pinned bound (timestamp_millis — tz-free semantics)
+      // still prunes to exactly the matching UTC day dir
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      assert(vs.read("t").count() === 400L)
+      val day4 = spark.sql(s"SELECT * FROM $cat.default.t " +
+        "WHERE ts >= timestamp_millis(820713600000)")
+      assert(day4.count() === 100L)
+      assert(scannedRels(day4) === Set("ts_day=1996-01-04"))
+      // ROW-LEVEL DML under the reader zone: the rewrite's group
+      // projection must target the UTC dirs the writer created — a
+      // reader-tz derivation would prune wrong groups and leave
+      // matched rows undeleted
+      spark.sql(s"DELETE FROM $cat.default.t " +
+        "WHERE ts >= timestamp_millis(820713600000)")
+      assert(vs.read("t").count() === 300L)
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      assert(vs.read("t").count() === 300L)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.default.t " +
+        "WHERE ts >= timestamp_millis(820713600000)").head().getLong(0) === 0L)
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", prevTz)
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.root")
+    }
+  }
+
   test("change feed, merge-on-read deletes, and compact compose with transforms") {
     val vs = fresh()
     vs.commitFull(tsDf(400), "t", Seq("days(ts)"))           // v1
