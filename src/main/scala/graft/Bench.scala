@@ -93,8 +93,29 @@ object Bench {
     val total = results.flatMap(_._2).sum
     val failedField =
       if (failed.isEmpty) "" else s""","failed":${failed.mkString("[", ",", "]")}"""
+    // environment echo (r14 forensics): the per-round bench JSON is
+    // the one channel that reports the RUN BOX's ambient facts back.
+    // Cross-engine parity pins spark.sql.session.timeZone itself, but
+    // JVM-default zone / locale / charset differences are the standing
+    // suspects for environment-specific divergence — echo them so a
+    // box difference is a read, not a theory.
+    val env = Seq(
+      "jvm_tz" -> java.util.TimeZone.getDefault.getID,
+      "user_tz" -> String.valueOf(System.getProperty("user.timezone")),
+      "locale" -> java.util.Locale.getDefault.toString,
+      "charset" -> java.nio.charset.Charset.defaultCharset.name,
+      "session_tz" -> spark.conf.get("spark.sql.session.timeZone"),
+      // getOption: conf.get(key, fallback) type-validates the FALLBACK
+      // string, so a non-boolean placeholder throws on an unset conf
+      "ansi" -> spark.conf.getOption("spark.sql.ansi.enabled")
+        .getOrElse("default-true"),
+      "cpus" -> cpus,
+      "java" -> String.valueOf(System.getProperty("java.version")))
+      .map { case (k, v) =>
+        "\"" + k + "\":\"" + v.replace("\"", "'") + "\""
+      }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedField,"env":$env,"sf":"$sfDir"}"""
     // belt and braces for the bounded-tail capture: the full line also
     // lands in a file, so per-query numbers survive any truncation
     try java.nio.file.Files.write(java.nio.file.Paths.get(

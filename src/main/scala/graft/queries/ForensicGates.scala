@@ -927,6 +927,46 @@ object ForensicGates {
        FROM changes GROUP BY change_type"""
 
   // ----------------------------------------------------------------
+  // session invariants echo
+  // ----------------------------------------------------------------
+
+  /** The session confs every cross-engine gate DEPENDS on, echoed as
+    * data: the whole oracle-parity design assumes the suite runs
+    * under Sessions' pinned UTC zone, nanos-as-long events reads, and
+    * Spark 4's ANSI default. Locally that is true by construction;
+    * on the driver box it is an ASSUMPTION — this gate turns it into
+    * a read. A red row here would re-scope the red-family forensics
+    * from engine internals to harness configuration in one glance.
+    * (JVM-default zone / locale / charset are echoed through the
+    * bench JSON's `env` block instead — they are not contracts, so
+    * they must not cost a correctness row.) */
+  def diagSessionInvariants(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // getOption, not get(key, fallback): the fallback string is
+    // type-validated, so a non-boolean "unset" placeholder would
+    // CRASH the gate on an unconfigured harness instead of reporting
+    // the divergence as a red row. ANSI defaults true in Spark 4, so
+    // an unset conf satisfies the contract.
+    def opt(k: String, dflt: String): String =
+      s.conf.getOption(k).getOrElse(dflt)
+    Seq(
+      ("session_tz", s.conf.get("spark.sql.session.timeZone")),
+      ("nanos_as_long",
+        opt("spark.sql.legacy.parquet.nanosAsLong", "unset")),
+      ("ansi", opt("spark.sql.ansi.enabled", "true")),
+      ("fieldid_read",
+        opt("spark.sql.parquet.fieldId.read.enabled", "unset")))
+      .toDF("invariant", "value")
+  }
+
+  val diagSessionInvariantsSql: String =
+    """SELECT * FROM (VALUES
+         ('session_tz', 'UTC'),
+         ('nanos_as_long', 'true'),
+         ('ansi', 'true'),
+         ('fieldid_read', 'true')) v(invariant, value)"""
+
+  // ----------------------------------------------------------------
   // registration
   // ----------------------------------------------------------------
 
@@ -955,7 +995,8 @@ object ForensicGates {
     "s46_transform_mor" -> (s46TransformMor _),
     "s47_transform_changes" -> (s47TransformChanges _),
     "mm_audio_spectrogram_sqltwin" -> (spectrogramSqlTwin _),
-    "mm_audio_spectrogram_words" -> (spectrogramWords _))
+    "mm_audio_spectrogram_words" -> (spectrogramWords _),
+    "diag_session_invariants" -> (diagSessionInvariants _))
 
   val oracleSql: Map[String, String] = Map(
     "s29a_insert_state" -> s29aInsertStateSql,
@@ -982,5 +1023,6 @@ object ForensicGates {
     "s46_transform_mor" -> s46TransformMorSql,
     "s47_transform_changes" -> s47TransformChangesSql,
     "mm_audio_spectrogram_sqltwin" -> spectrogramSqlTwinSql,
-    "mm_audio_spectrogram_words" -> spectrogramWordsSql)
+    "mm_audio_spectrogram_words" -> spectrogramWordsSql,
+    "diag_session_invariants" -> diagSessionInvariantsSql)
 }
