@@ -18,9 +18,10 @@ import graft.ops.PixelCodec.Image
   *    algebra: interleaved/non-interleaved DC-first and DC-refine,
   *    spectral-band AC-first with EOB runs, and AC successive-
   *    approximation refinement with correction bits (what every
-  *    ImageIO/libjpeg default progressive script emits). Arithmetic
-  *    coding and 12-bit streams return None (loud fallback, like
-  *    every codec here).
+  *    ImageIO/libjpeg default progressive script emits), and (r14)
+  *    sequential ARITHMETIC streams (SOF9 + DAC — the T.81 Annex D
+  *    QM coder, see [[JpegArith]]); 12-bit and progressive-arithmetic
+  *    streams return None (loud fallback, like every codec here).
   *  - **Encoder**: baseline, grayscale or 4:4:4 color, caller-chosen
   *    quant table, single-length canonical Huffman tables (all 12 DC
   *    categories at 4 bits, all 162 AC symbols at 8 bits — legal,
@@ -45,7 +46,7 @@ import graft.ops.PixelCodec.Image
   */
 object JpegCodec {
 
-  private val Zigzag: Array[Int] = Array(
+  private[ops] val Zigzag: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10,
     17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34,
@@ -503,6 +504,12 @@ object JpegCodec {
     val quants = new Array[Array[Int]](4)
     val dcTabs = new Array[Huff](4)
     val acTabs = new Array[Huff](4)
+    // arithmetic conditioning (DAC): T.81 defaults until a DAC says
+    // otherwise — L=0/U=1 for DC tables, Kx=5 for AC tables
+    val dcCondL = Array.fill(4)(0)
+    val dcCondU = Array.fill(4)(1)
+    val acCondK = Array.fill(4)(5)
+    var arithSeq = false
     var comps: Array[Comp] = null
     var width = 0; var height = 0
     var restartInterval = 0
@@ -543,9 +550,11 @@ object JpegCodec {
               quants(tq) = t
               q += 65
             }
-          case 0xc0 | 0xc1 | 0xc2 => // baseline / ext. sequential / progressive
+          case 0xc0 | 0xc1 | 0xc2 | 0xc9 =>
+            // baseline / ext. sequential / progressive / arith sequential
             if ((p(at) & 0xff) != 8) return None
             progressive = marker == 0xc2
+            arithSeq = marker == 0xc9
             height = ((p(at + 1) & 0xff) << 8) | (p(at + 2) & 0xff)
             width = ((p(at + 3) & 0xff) << 8) | (p(at + 4) & 0xff)
             // dimension sanity: a crafted 65535x65535 header would
@@ -576,6 +585,23 @@ object JpegCodec {
               if (clazz == 0) dcTabs(id) = h else acTabs(id) = h
               q += 17 + total
             }
+          case 0xcc => // DAC: arithmetic conditioning, (class/id, value)*
+            var q = at
+            while (q + 1 < i + 2 + len) {
+              val clazz = (p(q) & 0xff) >> 4
+              val id = p(q) & 0x0f
+              if (id > 3) return None
+              val v = p(q + 1) & 0xff
+              if (clazz == 0) {
+                dcCondL(id) = v & 0x0f
+                dcCondU(id) = v >> 4
+                if (dcCondU(id) < dcCondL(id) || dcCondU(id) > 15) return None
+              } else {
+                if (v < 1 || v > 63) return None
+                acCondK(id) = v
+              }
+              q += 2
+            }
           case 0xdd =>
             restartInterval = ((p(at) & 0xff) << 8) | (p(at + 1) & 0xff)
           case 0xda => // SOS: assign tables, then the entropy data
@@ -591,7 +617,10 @@ object JpegCodec {
                 comp.dcT = tt >> 4; comp.acT = tt & 0x0f
                 c += 1
               }
-              return decodeScan(p, i + 2 + len, comps, quants, dcTabs,
+              return if (arithSeq)
+                decodeScanArith(p, i + 2 + len, comps, quants,
+                  dcCondL, dcCondU, acCondK, width, height, restartInterval)
+              else decodeScan(p, i + 2 + len, comps, quants, dcTabs,
                 acTabs, width, height, restartInterval)
             }
             // PROGRESSIVE scan: any subset of components (interleaved
@@ -721,31 +750,8 @@ object JpegCodec {
                 k += 1
               }
             }
-            // IDCT into the component plane
-            val ox = (mx * comp.h + h) * 8
-            val oy = (my * comp.v + v) * 8
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                var s = 0.0
-                var u = 0
-                while (u < 8) {
-                  var w = 0
-                  while (w < 8) {
-                    val f = coef(w * 8 + u)
-                    if (f != 0)
-                      s += cScale(u) * cScale(w) * f * cosT(x, u) * cosT(y, w)
-                    w += 1
-                  }
-                  u += 1
-                }
-                planes(ci)((oy + y) * planeW(ci) + ox + x) =
-                  clamp8(math.round(0.25 * s).toInt + 128)
-                x += 1
-              }
-              y += 1
-            }
+            idctInto(coef, planes(ci), planeW(ci),
+              (mx * comp.h + h) * 8, (my * comp.v + v) * 8)
             h += 1
           }
           v += 1
@@ -755,6 +761,199 @@ object JpegCodec {
       mcu += 1
     }
     assemble(comps, planes, planeW, width, height, maxH, maxV)
+  }
+
+  /** Dequantized 8x8 natural-order coefficients -> pixels into a
+    * component plane at (ox, oy). Shared by the Huffman and
+    * arithmetic sequential scan paths (the progressive path
+    * reconstructs at EOI with its own level-shift bookkeeping). */
+  private def idctInto(coef: Array[Int], plane: Array[Int], pw: Int,
+      ox: Int, oy: Int): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) {
+          var w = 0
+          while (w < 8) {
+            val f = coef(w * 8 + u)
+            if (f != 0)
+              s += cScale(u) * cScale(w) * f * cosT(x, u) * cosT(y, w)
+            w += 1
+          }
+          u += 1
+        }
+        plane((oy + y) * pw + ox + x) =
+          clamp8(math.round(0.25 * s).toInt + 128)
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** SEQUENTIAL ARITHMETIC scan (SOF9): the same MCU walk as
+    * [[decodeScan]] with the entropy layer swapped for the T.81 QM
+    * coder + Annex F statistical models ([[JpegArith]]). Statistics
+    * areas are per conditioning-table id; a restart marker re-inits
+    * the coder AND zeroes every statistics area, context, and DC
+    * predictor (T.81 F.2.1.3.1). */
+  private def decodeScanArith(p: Array[Byte], start: Int,
+      comps: Array[Comp], quants: Array[Array[Int]],
+      dcCondL: Array[Int], dcCondU: Array[Int], acCondK: Array[Int],
+      width: Int, height: Int, restartInterval: Int): Option[Image] = {
+    val maxH = comps.map(_.h).max
+    val maxV = comps.map(_.v).max
+    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+    val planeW = comps.map(c => mcusX * 8 * c.h)
+    val planeH = comps.map(c => mcusY * 8 * c.v)
+    val planes = comps.indices.map(ci =>
+      new Array[Int](planeW(ci) * planeH(ci))).toArray
+    comps.foreach { c =>
+      if (quants(c.tq) == null) return None
+      if (c.dcT > 3 || c.acT > 3) return None
+    }
+    val dec = new JpegArith.Decoder(p, start)
+    val dcStats = Array.fill(4)(new JpegArith.Stats)
+    val acStats = Array.fill(4)(new JpegArith.Stats)
+    val fixedBin = JpegArith.freshFixedBin
+    // per-component (conditioning context, DC predictor)
+    val ctx = Array.fill(comps.length)(Array(0, 0))
+    val coefZig = new Array[Int](64)
+    val coef = new Array[Int](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        // position after the RSTn marker; full model reset
+        var j = dec.pos
+        var found = -1
+        while (found < 0 && j + 1 < p.length) {
+          if ((p(j) & 0xff) != 0xff) j += 1
+          else {
+            val m = p(j + 1) & 0xff
+            if (m == 0x00) j += 2 // stuffed entropy byte
+            else if (m == 0xff) j += 1 // fill
+            else if (m >= 0xd0 && m <= 0xd7) found = j + 2
+            else return None // a non-restart marker mid-scan
+          }
+        }
+        if (found < 0) return None
+        dec.restartAt(found)
+        dcStats.foreach(_.reset()); acStats.foreach(_.reset())
+        ctx.foreach(a => { a(0) = 0; a(1) = 0 })
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val comp = comps(ci)
+        val q = quants(comp.tq)
+        val cond = JpegArith.Conditioning(
+          dcCondL(comp.dcT), dcCondU(comp.dcT), acCondK(comp.acT))
+        var v = 0
+        while (v < comp.v) {
+          var h = 0
+          while (h < comp.h) {
+            java.util.Arrays.fill(coefZig, 0)
+            coefZig(0) = JpegArith.decodeDc(dec, dcStats(comp.dcT),
+              ctx(ci), cond)
+            JpegArith.decodeAc(dec, acStats(comp.acT), fixedBin, cond,
+              coefZig)
+            var k = 0
+            while (k < 64) { coef(Zigzag(k)) = coefZig(k) * q(Zigzag(k)); k += 1 }
+            idctInto(coef, planes(ci), planeW(ci),
+              (mx * comp.h + h) * 8, (my * comp.v + v) * 8)
+            h += 1
+          }
+          v += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    assemble(comps, planes, planeW, width, height, maxH, maxV)
+  }
+
+  /** SEQUENTIAL ARITHMETIC encode (SOF9 + DAC): [[encodeJpeg]]'s MCU
+    * walk with the entropy layer swapped for the QM coder — default
+    * T.81 conditioning (DC L=0/U=1, AC Kx=5), one conditioning table
+    * pair, no subsampling. */
+  def encodeJpegArith(img: Image,
+      quant: Array[Int] = QuantDefault): Array[Byte] = {
+    require(img.channels == 1 || img.channels == 3,
+      "JPEG encoder takes grey or RGB")
+    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255))
+    val o = new ByteArrayOutputStream()
+    o.write(0xff); o.write(0xd8) // SOI
+    writeMarkerSegment(o, 0xdb,
+      (Array(0x00) ++ Array.tabulate(64)(k => quant(Zigzag(k))))
+        .map(_.toByte))
+    val nComp = img.channels
+    val sof = new ByteArrayOutputStream()
+    sof.write(8)
+    sof.write((img.height >> 8) & 0xff); sof.write(img.height & 0xff)
+    sof.write((img.width >> 8) & 0xff); sof.write(img.width & 0xff)
+    sof.write(nComp)
+    var c = 0
+    while (c < nComp) {
+      sof.write(c + 1); sof.write(0x11); sof.write(0)
+      c += 1
+    }
+    writeMarkerSegment(o, 0xc9, sof.toByteArray) // SOF9
+    // DAC: DC table 0 -> (U=1)<<4|(L=0); AC table 0 -> Kx=5
+    writeMarkerSegment(o, 0xcc,
+      Array(0x00, 0x10, 0x10, 0x05).map(_.toByte))
+    val sos = new ByteArrayOutputStream()
+    sos.write(nComp)
+    c = 0
+    while (c < nComp) { sos.write(c + 1); sos.write(0x00); c += 1 }
+    sos.write(0); sos.write(63); sos.write(0)
+    writeMarkerSegment(o, 0xda, sos.toByteArray)
+    val enc = new JpegArith.Encoder(o)
+    val dcStats = new JpegArith.Stats
+    val acStats = new JpegArith.Stats
+    val fixedBin = JpegArith.freshFixedBin
+    val cond = JpegArith.Conditioning()
+    val ctx = Array.fill(nComp)(Array(0, 0))
+    val mx = (img.width + 7) / 8
+    val my = (img.height + 7) / 8
+    val planes: Array[Array[Int]] = encodePlanes(img)
+    val coefZig = new Array[Int](64)
+    var by = 0
+    while (by < my) {
+      var bx = 0
+      while (bx < mx) {
+        var ci = 0
+        while (ci < nComp) {
+          val block = new Array[Int](64)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              val sx = math.min(bx * 8 + xx, img.width - 1)
+              val sy = math.min(by * 8 + yy, img.height - 1)
+              block(yy * 8 + xx) = planes(ci)(sy * img.width + sx)
+              xx += 1
+            }
+            yy += 1
+          }
+          val qc = fdctQuant(block, quant)
+          var k = 0
+          while (k < 64) { coefZig(k) = qc(Zigzag(k)); k += 1 }
+          JpegArith.encodeDc(enc, dcStats, ctx(ci), cond, coefZig(0))
+          JpegArith.encodeAc(enc, acStats, fixedBin, cond, coefZig)
+          ci += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    enc.finish()
+    o.write(0xff); o.write(0xd9) // EOI
+    o.toByteArray
   }
 
   /** Assemble decoded component planes into the output image: sample

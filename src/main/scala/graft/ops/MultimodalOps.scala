@@ -754,6 +754,65 @@ object MultimodalOps {
               CAST(sum((i + 1) * p) AS BIGINT) AS px_wsum
        FROM px GROUP BY doc_id"""
 
+  /** ARITHMETIC-coded JPEG (SOF9 + DAC, r14) under the hash gate:
+    * the same constant-block exactness trick as the baseline and
+    * progressive gates — encode with the QM coder, decode back, hash
+    * order-pinning integer features; the oracle recomputes the
+    * synthesis formula and never sees a JPEG byte. The entropy layer
+    * itself is additionally pinned BYTE-EXACT against libjpeg62
+    * fixtures in JpegArithSpec (an independent implementation of the
+    * same T.81 Annex D coder). */
+  def jpegArith(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { d =>
+          val px = Array.tabulate(PxW * PxH) { i =>
+            val bx = (i % PxW) / 8; val by = (i / PxW) / 8
+            (((d % PxDocMod) * 19 + bx * 23 + by * 7) % 256).toByte
+          }
+          val bytes = JpegCodec.encodeJpegArith(
+            PixelCodec.Image(PxW, PxH, 1, px), JpegCodec.QuantExact)
+          val img = JpegCodec.decodeJpeg(bytes).getOrElse(
+            throw new IllegalStateException(
+              s"arithmetic JPEG decode failed for doc $d"))
+          require(img.width == PxW && img.height == PxH &&
+            img.channels == 1,
+            s"arithmetic JPEG round-trip shape drifted for doc $d")
+          var sum = 0L; var mn = 255; var mx = 0; var wsum = 0L
+          var i = 0
+          while (i < img.pixels.length) {
+            val v = img.pixels(i) & 0xff
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            wsum += (i + 1L) * v
+            i += 1
+          }
+          (d, bytes.length.toLong, sum, mn, mx, wsum)
+        }
+      }.toDF("doc_id", "n_bytes", "px_sum", "px_min", "px_max", "px_wsum")
+      // the byte length is engine-side-only evidence (the oracle
+      // cannot know it); keep the hashable columns formula-derivable
+      .drop("n_bytes")
+  }
+
+  /** DuckDB twin: the block-value formula only — never a JPEG byte.
+    * Integer division spelled portably (the verify skill's rule for
+    * new oracles). */
+  val jpegArithSql: String =
+    s"""WITH px AS (
+         SELECT doc_id, gs.i,
+           ((doc_id % $PxDocMod) * 19 +
+            CAST(floor((gs.i % $PxW) / 8.0) AS BIGINT) * 23 +
+            CAST(floor(floor(gs.i / $PxW.0) / 8.0) AS BIGINT) * 7) % 256 AS p
+         FROM documents CROSS JOIN generate_series(0, ${PxW * PxH - 1}) gs(i))
+       SELECT doc_id, CAST(sum(p) AS BIGINT) AS px_sum,
+              CAST(min(p) AS INT) AS px_min,
+              CAST(max(p) AS INT) AS px_max,
+              CAST(sum((i + 1) * p) AS BIGINT) AS px_wsum
+       FROM px GROUP BY doc_id"""
+
   // ------------------------------------------------- real frame path
 
   val FrameW = 12; val FrameH = 10
