@@ -19,9 +19,10 @@ import graft.ops.PixelCodec.Image
   *    spectral-band AC-first with EOB runs, and AC successive-
   *    approximation refinement with correction bits (what every
   *    ImageIO/libjpeg default progressive script emits), and (r14)
-  *    sequential ARITHMETIC streams (SOF9 + DAC — the T.81 Annex D
-  *    QM coder, see [[JpegArith]]); 12-bit and progressive-arithmetic
-  *    streams return None (loud fallback, like every codec here).
+  *    ARITHMETIC streams — sequential (SOF9) AND progressive (SOF10)
+  *    with DAC conditioning, the T.81 Annex D QM coder + Annex F/G
+  *    models (see [[JpegArith]]); 12-bit streams return None (loud
+  *    fallback, like every codec here).
   *  - **Encoder**: baseline, grayscale or 4:4:4 color, caller-chosen
   *    quant table, single-length canonical Huffman tables (all 12 DC
   *    categories at 4 bits, all 162 AC symbols at 8 bits — legal,
@@ -550,11 +551,12 @@ object JpegCodec {
               quants(tq) = t
               q += 65
             }
-          case 0xc0 | 0xc1 | 0xc2 | 0xc9 =>
-            // baseline / ext. sequential / progressive / arith sequential
+          case 0xc0 | 0xc1 | 0xc2 | 0xc9 | 0xca =>
+            // baseline / ext. sequential / progressive(huff) /
+            // sequential(arith) / progressive(arith)
             if ((p(at) & 0xff) != 8) return None
-            progressive = marker == 0xc2
-            arithSeq = marker == 0xc9
+            progressive = marker == 0xc2 || marker == 0xca
+            arithSeq = marker == 0xc9 || marker == 0xca
             height = ((p(at + 1) & 0xff) << 8) | (p(at + 2) & 0xff)
             width = ((p(at + 3) & 0xff) << 8) | (p(at + 4) & 0xff)
             // dimension sanity: a crafted 65535x65535 header would
@@ -655,9 +657,14 @@ object JpegCodec {
               coefs = comps.map(cm =>
                 new Array[Int](mcusX * cm.h * mcusY * cm.v * 64))
             }
-            val end = decodeProgressiveScan(p, i + 2 + len, comps, scanIdx,
-              dcTabs, acTabs, ss, se, ah, al, restartInterval, coefs,
-              width, height)
+            val end =
+              if (arithSeq)
+                decodeProgressiveScanArith(p, i + 2 + len, comps, scanIdx,
+                  dcCondL, dcCondU, acCondK, ss, se, ah, al,
+                  restartInterval, coefs, width, height)
+              else decodeProgressiveScan(p, i + 2 + len, comps, scanIdx,
+                dcTabs, acTabs, ss, se, ah, al, restartInterval, coefs,
+                width, height)
             if (end < 0) return None
             // resync to the next REAL marker (pad bits / RSTs behind
             // us) and neutralize the loop's own segment advance
@@ -1206,6 +1213,191 @@ object JpegCodec {
       }
     }
     br.pos
+  }
+
+  /** PROGRESSIVE ARITHMETIC scan (SOF10, r14): the same scan walk as
+    * [[decodeProgressiveScan]] with the T.81 G-annex arithmetic
+    * procedures — DC first = the sequential DC model over the
+    * scaled-down values (result shifted by Al into the coefficient
+    * store), DC refine = one fixed-bin bit per block, AC first = the
+    * sequential AC model over Ss..Se with << Al, AC refine =
+    * correction bits (st+2) on already-nonzero coefficients plus
+    * newly-significant decisions (st+1, fixed-bin sign) with the EOB
+    * flag consulted only past the PREVIOUS scan's end-of-block index.
+    * Statistics re-init per scan and at every restart (T.81's
+    * contract); pinned against libjpeg progressive-arithmetic
+    * fixtures in JpegArithSpec. */
+  private def decodeProgressiveScanArith(p: Array[Byte], start: Int,
+      comps: Array[Comp], scanIdx: Array[Int],
+      dcCondL: Array[Int], dcCondU: Array[Int], acCondK: Array[Int],
+      ss: Int, se: Int, ah: Int, al: Int, restartInterval: Int,
+      coefs: Array[Array[Int]], width: Int, height: Int): Int = {
+    val maxH = comps.map(_.h).max
+    val maxV = comps.map(_.v).max
+    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+    val dec = new JpegArith.Decoder(p, start)
+    val dcStats = Array.fill(4)(new JpegArith.Stats)
+    val acStats = Array.fill(4)(new JpegArith.Stats)
+    val fixedBin = JpegArith.freshFixedBin
+    val ctx = Array.fill(comps.length)(Array(0, 0))
+
+    def blockOff(ci: Int, bx: Int, by: Int): Int =
+      (by * (mcusX * comps(ci).h) + bx) * 64
+
+    def condOf(ci: Int) = JpegArith.Conditioning(
+      dcCondL(comps(ci).dcT), dcCondU(comps(ci).dcT),
+      acCondK(comps(ci).acT))
+
+    def dcFirst(ci: Int, off: Int): Boolean = {
+      val pred = JpegArith.decodeDc(dec, dcStats(comps(ci).dcT),
+        ctx(ci), condOf(ci))
+      coefs(ci)(off) = pred << al
+      true
+    }
+    def dcRefine(ci: Int, off: Int): Boolean = {
+      if (dec.decode(fixedBin, 0) == 1) coefs(ci)(off) |= 1 << al
+      true
+    }
+    def acFirst(ci: Int, off: Int): Boolean = {
+      val st = acStats(comps(ci).acT).ac
+      val kx = condOf(ci).acKx
+      val arr = coefs(ci)
+      var k = ss
+      var done = false
+      while (!done && k <= se) {
+        var base = 3 * (k - 1)
+        if (dec.decode(st, base) == 1) done = true // EOB
+        else {
+          while (dec.decode(st, base + 1) == 0) {
+            k += 1
+            if (k > se) return false
+            base = 3 * (k - 1)
+          }
+          val sign = dec.decode(fixedBin, 0)
+          var m = dec.decode(st, base + 2)
+          var bits = base + 2 + 14
+          if (m != 0 && dec.decode(st, base + 2) != 0) {
+            m = 2
+            var x = if (k <= kx) 189 else 217
+            while (dec.decode(st, x) == 1) {
+              m <<= 1
+              if (m == 0x8000) return false
+              x += 1
+            }
+            bits = x + 14
+          }
+          var v = m
+          while ({ m >>= 1; m != 0 }) if (dec.decode(st, bits) == 1) v |= m
+          v += 1
+          arr(off + Zigzag(k)) = (if (sign == 1) -v else v) << al
+          k += 1
+        }
+      }
+      true
+    }
+    def acRefine(ci: Int, off: Int): Boolean = {
+      val st = acStats(comps(ci).acT).ac
+      val p1 = 1 << al
+      val m1 = -1 << al
+      val arr = coefs(ci)
+      // previous scan's end-of-block index: last nonzero in Ss..Se
+      var kex = se
+      while (kex > 0 && arr(off + Zigzag(kex)) == 0) kex -= 1
+      var k = ss
+      while (k <= se) {
+        var base = 3 * (k - 1)
+        if (k > kex && dec.decode(st, base) == 1) return true // EOB
+        var settled = false
+        while (!settled) {
+          val idx = off + Zigzag(k)
+          if (arr(idx) != 0) {
+            // correction bit for an already-significant coefficient
+            if (dec.decode(st, base + 2) == 1)
+              arr(idx) += (if (arr(idx) < 0) m1 else p1)
+            settled = true
+          } else if (dec.decode(st, base + 1) == 1) {
+            // newly significant: fixed-bin sign
+            arr(idx) = if (dec.decode(fixedBin, 0) == 1) m1 else p1
+            settled = true
+          } else {
+            k += 1
+            if (k > se) return false
+            base = 3 * (k - 1)
+          }
+        }
+        k += 1
+      }
+      true
+    }
+    def codeBlock(ci: Int, off: Int): Boolean =
+      if (ss == 0) {
+        if (ah == 0) dcFirst(ci, off) else dcRefine(ci, off)
+      } else {
+        if (ah == 0) acFirst(ci, off) else acRefine(ci, off)
+      }
+    def restartBoundary(): Boolean = {
+      var j = dec.pos
+      var found = -1
+      while (found < 0 && j + 1 < p.length) {
+        if ((p(j) & 0xff) != 0xff) j += 1
+        else {
+          val m = p(j + 1) & 0xff
+          if (m == 0x00) j += 2
+          else if (m == 0xff) j += 1
+          else if (m >= 0xd0 && m <= 0xd7) found = j + 2
+          else return false
+        }
+      }
+      if (found < 0) return false
+      dec.restartAt(found)
+      dcStats.foreach(_.reset()); acStats.foreach(_.reset())
+      ctx.foreach(a => { a(0) = 0; a(1) = 0 })
+      true
+    }
+
+    if (scanIdx.length > 1) {
+      var mcu = 0
+      val nMcus = mcusX * mcusY
+      while (mcu < nMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0 &&
+            !restartBoundary()) return -1
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        var c = 0
+        while (c < scanIdx.length) {
+          val ci = scanIdx(c)
+          var v = 0
+          while (v < comps(ci).v) {
+            var h = 0
+            while (h < comps(ci).h) {
+              if (!codeBlock(ci,
+                  blockOff(ci, mx * comps(ci).h + h, my * comps(ci).v + v)))
+                return -1
+              h += 1
+            }
+            v += 1
+          }
+          c += 1
+        }
+        mcu += 1
+      }
+    } else {
+      val ci = scanIdx(0)
+      val compW = (width * comps(ci).h + maxH - 1) / maxH
+      val compH = (height * comps(ci).v + maxV - 1) / maxV
+      val bW = (compW + 7) / 8
+      val bH = (compH + 7) / 8
+      var b = 0
+      val nB = bW * bH
+      while (b < nB) {
+        if (restartInterval > 0 && b > 0 && b % restartInterval == 0 &&
+            !restartBoundary()) return -1
+        if (!codeBlock(ci, blockOff(ci, b % bW, b / bW))) return -1
+        b += 1
+      }
+    }
+    dec.pos
   }
 
   /** EOI of a progressive stream: dequantize the accumulated
