@@ -889,10 +889,12 @@ object JpegCodec {
     * T.81 conditioning (DC L=0/U=1, AC Kx=5), one conditioning table
     * pair, no subsampling. */
   def encodeJpegArith(img: Image,
-      quant: Array[Int] = QuantDefault): Array[Byte] = {
+      quant: Array[Int] = QuantDefault,
+      restartInterval: Int = 0): Array[Byte] = {
     require(img.channels == 1 || img.channels == 3,
       "JPEG encoder takes grey or RGB")
     require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255))
+    require(restartInterval >= 0 && restartInterval <= 0xffff)
     val o = new ByteArrayOutputStream()
     o.write(0xff); o.write(0xd8) // SOI
     writeMarkerSegment(o, 0xdb,
@@ -913,6 +915,10 @@ object JpegCodec {
     // DAC: DC table 0 -> (U=1)<<4|(L=0); AC table 0 -> Kx=5
     writeMarkerSegment(o, 0xcc,
       Array(0x00, 0x10, 0x10, 0x05).map(_.toByte))
+    if (restartInterval > 0)
+      writeMarkerSegment(o, 0xdd, Array(
+        ((restartInterval >> 8) & 0xff).toByte,
+        (restartInterval & 0xff).toByte))
     val sos = new ByteArrayOutputStream()
     sos.write(nComp)
     c = 0
@@ -929,34 +935,44 @@ object JpegCodec {
     val my = (img.height + 7) / 8
     val planes: Array[Array[Int]] = encodePlanes(img)
     val coefZig = new Array[Int](64)
-    var by = 0
-    while (by < my) {
-      var bx = 0
-      while (bx < mx) {
-        var ci = 0
-        while (ci < nComp) {
-          val block = new Array[Int](64)
-          var yy = 0
-          while (yy < 8) {
-            var xx = 0
-            while (xx < 8) {
-              val sx = math.min(bx * 8 + xx, img.width - 1)
-              val sy = math.min(by * 8 + yy, img.height - 1)
-              block(yy * 8 + xx) = planes(ci)(sy * img.width + sx)
-              xx += 1
-            }
-            yy += 1
-          }
-          val qc = fdctQuant(block, quant)
-          var k = 0
-          while (k < 64) { coefZig(k) = qc(Zigzag(k)); k += 1 }
-          JpegArith.encodeDc(enc, dcStats, ctx(ci), cond, coefZig(0))
-          JpegArith.encodeAc(enc, acStats, fixedBin, cond, coefZig)
-          ci += 1
-        }
-        bx += 1
+    var mcu = 0
+    val nMcus = mx * my
+    var rst = 0
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        // T.81 restart: terminate the code stream, emit RSTn, reset
+        // the coder AND every statistics area / context / predictor
+        // (the decoder's restartBoundary mirror)
+        enc.finish()
+        o.write(0xff); o.write(0xd0 + rst)
+        rst = (rst + 1) & 7
+        dcStats.reset(); acStats.reset()
+        ctx.foreach(a => { a(0) = 0; a(1) = 0 })
       }
-      by += 1
+      val bx = mcu % mx
+      val by = mcu / mx
+      var ci = 0
+      while (ci < nComp) {
+        val block = new Array[Int](64)
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            val sx = math.min(bx * 8 + xx, img.width - 1)
+            val sy = math.min(by * 8 + yy, img.height - 1)
+            block(yy * 8 + xx) = planes(ci)(sy * img.width + sx)
+            xx += 1
+          }
+          yy += 1
+        }
+        val qc = fdctQuant(block, quant)
+        var k = 0
+        while (k < 64) { coefZig(k) = qc(Zigzag(k)); k += 1 }
+        JpegArith.encodeDc(enc, dcStats, ctx(ci), cond, coefZig(0))
+        JpegArith.encodeAc(enc, acStats, fixedBin, cond, coefZig)
+        ci += 1
+      }
+      mcu += 1
     }
     enc.finish()
     o.write(0xff); o.write(0xd9) // EOI

@@ -175,6 +175,28 @@ class JpegArithSpec extends AnyFunSuite {
     assert(JpegCodec.decodeJpeg(JpegCodec.encodeJpegArith(rgb)).isDefined)
   }
 
+  test("encoder restart intervals: exact roundtrip, libjpeg-decodable shape") {
+    // restartInterval=1 exercises the heaviest churn: the coder
+    // terminates, an RSTn lands, and every statistics area / context /
+    // predictor resets at EVERY MCU. Constant-block + QuantExact makes
+    // the roundtrip pixel-exact. (Interop was additionally validated
+    // offline in r14: libjpeg62 decodes this encoder's restart streams
+    // to within IDCT rounding - PLANS.md.)
+    val w = 32; val h = 16
+    val px = Array.tabulate(w * h) { i =>
+      val bx = (i % w) / 8; val by = (i / w) / 8
+      ((bx * 37 + by * 51 + 20) % 256).toByte
+    }
+    val img = PixelCodec.Image(w, h, 1, px)
+    val bytes = JpegCodec.encodeJpegArith(img, JpegCodec.QuantExact,
+      restartInterval = 1)
+    // the stream really carries restart markers
+    assert((0 until bytes.length - 1).exists(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) >= 0xd0 &&
+        (bytes(i + 1) & 0xff) <= 0xd7))
+    assert(JpegCodec.decodeJpeg(bytes).get.pixels.toSeq === px.toSeq)
+  }
+
   // 16x16 grayscale PROGRESSIVE arithmetic (SOF10, libjpeg
   // jpeg_simple_progression: spectral selection + successive
   // approximation, so DC/AC first AND refine scans are all present)
