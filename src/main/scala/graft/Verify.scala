@@ -21,9 +21,16 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          // Vacuity echo (r14 verdict #3): a 0-row dump hash-matches any
+          // 0-row oracle, so make emptiness loud at dump time too. The
+          // re-read is one coalesced local file -- cheap. The hard FAIL
+          // (incl. the all-NULL-column case) lives in check_oracle.py.
+          val n = spark.read.parquet(s"$outDir/$name").count()
+          if (n == 0L) System.err.println(s"[verify][VACUOUS] $name: 0 rows")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }

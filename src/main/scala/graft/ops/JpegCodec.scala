@@ -22,7 +22,14 @@ import graft.ops.PixelCodec.Image
   *    ARITHMETIC streams — sequential (SOF9) AND progressive (SOF10)
   *    with DAC conditioning, the T.81 Annex D QM coder + Annex F/G
   *    models (see [[JpegArith]]); 12-bit streams return None (loud
-  *    fallback, like every codec here).
+  *    fallback, like every codec here). The 12-bit None is a
+  *    PERMANENT decline, not a backlog item: 12-bit precision is
+  *    DICOM/medical-imaging territory (near-absent in web corpora),
+  *    and no independent 12-bit implementation exists in this
+  *    environment to cross-validate against (libjpeg62-turbo here is
+  *    compiled 8-bit-only; offline) — a from-spec path validated
+  *    only against itself would sit below the evidence bar every
+  *    other codec entry meets. See README's codec paragraph.
   *  - **Encoder**: baseline, grayscale or 4:4:4 color, caller-chosen
   *    quant table, single-length canonical Huffman tables (all 12 DC
   *    categories at 4 bits, all 162 AC symbols at 8 bits — legal,

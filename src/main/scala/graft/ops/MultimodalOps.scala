@@ -1315,8 +1315,12 @@ object MultimodalOps {
     * is declarative and map-side combinable. At 100 TB the codec
     * stage is embarrassingly per-row with one frame buffer of state;
     * the only shuffle is the final (doc, bin) rollup, combinable on
-    * every map side. */
-  def audioSpectrogram(s: SparkSession, dir: String): DataFrame = {
+    * every map side.
+    *
+    * This is the internal power_sum form; the SHIPPED gate is
+    * [[audioSpectrogram]], which re-emits power_sum as exact hi/lo
+    * BIGINT words — see the r14 saga note on [[powerToWords]]. */
+  def audioSpectrogramPower(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val assets = Tables.documents(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions { it =>
@@ -1339,6 +1343,32 @@ object MultimodalOps {
         sum(dec(col("re_q")) * col("re_q") + dec(col("im_q")) * col("im_q"))
           .cast("decimal(38,0)").as("power_sum"))
   }
+
+  /** Re-emit a `(doc_id, bin, n_frames, power_sum DECIMAL(38,0))`
+    * spectral rollup as `(doc_id, bin, n_frames, p_hi, p_lo)` — the
+    * exact base-1e18 word decomposition `power_sum = p_hi * 1e18 +
+    * p_lo`, both plain BIGINT.
+    *
+    * Why the gates ship THIS shape and never the decimal: the r14
+    * board proved the values bit-exact on the driver box (the words
+    * sibling gate was GREEN while both DECIMAL(38,0)-emitting
+    * variants of the identical computation were red) — a
+    * DECIMAL(38,0)/HUGEINT rendering artifact on the compare side,
+    * not a data difference. The durable rule that fell out of the
+    * three-round saga: gate output columns are BIGINT/INT/STRING/DATE
+    * only; >63-bit accumulations travel as hi/lo words. */
+  def powerToWords(base: DataFrame): DataFrame = {
+    val p = lit(new java.math.BigDecimal("1000000000000000000"))
+    val lo = col("power_sum") % p
+    base.select(col("doc_id"), col("bin"), col("n_frames"),
+      lo.cast("long").as("p_lo"),
+      ((col("power_sum") - lo) / p).cast("long").as("p_hi"))
+  }
+
+  /** The shipped spectrogram gate: [[audioSpectrogramPower]]'s rollup
+    * in the hi/lo word representation (see [[powerToWords]]). */
+  def audioSpectrogram(s: SparkSession, dir: String): DataFrame =
+    powerToWords(audioSpectrogramPower(s, dir))
 
   /** DuckDB twin: regenerates the closed-form samples, reads the SAME
     * quantized tables as a plain `(idx, cos_q, sin_q)` VALUES relation
@@ -1389,5 +1419,21 @@ object MultimodalOps {
          CAST(SUM(CAST(re AS HUGEINT) * re + CAST(im AS HUGEINT) * im)
            AS DECIMAL(38,0)) AS power_sum
        FROM b GROUP BY doc_id, k"""
+  }
+
+  /** [[audioSpectrogramSql]] wrapped into the hi/lo BIGINT word
+    * representation — the oracle text of every shipped spectrogram
+    * gate (the decomposition runs in HUGEINT, exact; only two plain
+    * BIGINTs ever cross the compare boundary). Byte-identical to the
+    * wrapper the driver-green words sibling carried in r14. */
+  val audioSpectrogramWordsSql: String = {
+    val p = "1000000000000000000"
+    s"""WITH base AS ($audioSpectrogramSql)
+       SELECT doc_id, bin, n_frames,
+         CAST(CAST(power_sum AS HUGEINT) % $p AS BIGINT) AS p_lo,
+         CAST(round((CAST(power_sum AS HUGEINT)
+             - CAST(power_sum AS HUGEINT) % $p) / $p.0, 0)
+           AS BIGINT) AS p_hi
+       FROM base"""
   }
 }

@@ -747,7 +747,10 @@ object ForensicGates {
     * — no WAV codec, no mapPartitions. Same oracle text as the
     * original. If this greens on the driver while the original stays
     * red, the divergence lives in the codec/mapPartitions leg; if
-    * both red, it is compare-side. */
+    * both red, it is compare-side. (r14 verdict: both WERE red while
+    * the words sibling was green — compare-side DECIMAL(38,0)
+    * rendering — so since r15 this twin, like the parent, emits the
+    * hi/lo BIGINT word representation.) */
   def spectrogramSqlTwin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val basis = MultimodalOps.SpecCosQ.indices
@@ -771,38 +774,29 @@ object ForensicGates {
       .agg(sum(col("smp") * col("cos_q")).as("re_q"),
         (-sum(col("smp") * col("sin_q"))).as("im_q"))
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    sums.groupBy(col("doc_id"), col("bin"))
-      .agg(count(lit(1)).cast("int").as("n_frames"),
-        sum(dec(col("re_q")) * col("re_q") + dec(col("im_q")) * col("im_q"))
-          .cast("decimal(38,0)").as("power_sum"))
+    MultimodalOps.powerToWords(
+      sums.groupBy(col("doc_id"), col("bin"))
+        .agg(count(lit(1)).cast("int").as("n_frames"),
+          sum(dec(col("re_q")) * col("re_q") + dec(col("im_q")) * col("im_q"))
+            .cast("decimal(38,0)").as("power_sum")))
   }
 
-  val spectrogramSqlTwinSql: String = MultimodalOps.audioSpectrogramSql
+  val spectrogramSqlTwinSql: String = MultimodalOps.audioSpectrogramWordsSql
 
   /** The hi/lo word split of the ORIGINAL codec-path spectrogram:
     * power_sum decomposed as two exact BIGINTs (base 1e18), so any
     * HUGEINT↔DECIMAL(38,0) conversion or rendering drift on the
-    * compare side is structurally out of the loop. Same flow as the
-    * red gate up to the final select. */
-  def spectrogramWords(s: SparkSession, dir: String): DataFrame = {
-    val base = MultimodalOps.audioSpectrogram(s, dir)
-    val p = lit(new java.math.BigDecimal("1000000000000000000"))
-    val lo = col("power_sum") % p
-    base.select(col("doc_id"), col("bin"), col("n_frames"),
-      lo.cast("long").as("p_lo"),
-      ((col("power_sum") - lo) / p).cast("long").as("p_hi"))
-  }
+    * compare side is structurally out of the loop. This sibling was
+    * the gate that proved the r14 reds were compare-side (it came
+    * back GREEN carrying the identical computation); since r15 the
+    * parent `mm_audio_spectrogram` ships the same words form, so the
+    * two are now byte-identical by construction — this row is the
+    * confirmation twin, scheduled for retirement in r16 alongside
+    * the statement-prefix siblings once the parents hold green. */
+  def spectrogramWords(s: SparkSession, dir: String): DataFrame =
+    MultimodalOps.audioSpectrogram(s, dir)
 
-  val spectrogramWordsSql: String = {
-    val p = "1000000000000000000"
-    s"""WITH base AS (${MultimodalOps.audioSpectrogramSql})
-       SELECT doc_id, bin, n_frames,
-         CAST(CAST(power_sum AS HUGEINT) % $p AS BIGINT) AS p_lo,
-         CAST(round((CAST(power_sum AS HUGEINT)
-             - CAST(power_sum AS HUGEINT) % $p) / $p.0, 0)
-           AS BIGINT) AS p_hi
-       FROM base"""
-  }
+  val spectrogramWordsSql: String = MultimodalOps.audioSpectrogramWordsSql
 
   // ----------------------------------------------------------------
   // s46/s47: transform-layout composition (VERDICT r13 #4)

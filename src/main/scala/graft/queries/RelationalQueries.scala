@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, TimestampNTZType}
@@ -325,6 +325,93 @@ object RelationalQueries {
        FROM lineitem
        WHERE l_shipdate >= TIMESTAMP '1994-01-01'
          AND l_shipdate < TIMESTAMP '1995-01-01'
+         AND l_discount >= 0.02 AND l_discount <= 0.04
+         AND l_quantity < 24"""
+
+  /** Non-vacuous siblings of Q5/Q6 (r14 verdict #2): the canonical
+    * 1994 windows above predate the driver data (o_orderdate spans
+    * 1995..2001), so tpch_q5 hashes an EMPTY set and tpch_q6 hashes
+    * `sum(NULL)` — vacuously green since round 7, the s43 failure
+    * class. Per the s43 precedent the driver-green originals stay
+    * untouched; these `b` twins run the IDENTICAL join/agg shape
+    * with the window shifted to 1996 (a full in-range year, hundreds
+    * of orders / thousands of lineitems at sf0.01), so the 6-table
+    * star join's and the pushdown-agg's arithmetic is actually
+    * exercised. Output rides the saga's gate-authoring rule —
+    * BIGINT only: price and discount are exact at 4 decimals (that
+    * is what the q1/q3 DECIMAL discipline encodes), so revenue
+    * travels as an exact integer sum of 1e-8 units
+    * (`price_e4 * (10000 - disc_e4)`), never DOUBLE or
+    * DECIMAL(38,x). */
+  private def revE8(priceCol: Column, discFactorE4: Column): Column =
+    (priceCol.cast(D) * lit(10000)).cast("long") * discFactorE4
+
+  def tpchQ5b(s: SparkSession, dir: String): DataFrame = {
+    val d84 = DecimalType(8, 4)
+    val lo = lit("1996-01-01 00:00:00").cast(TimestampNTZType)
+    val hi = lit("1997-01-01 00:00:00").cast(TimestampNTZType)
+    val asiaNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)
+          .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        revE8(col("l_extendedprice"),
+          lit(10000L) - (col("l_discount").cast(d84) * lit(10000)).cast("long"))
+          .as("rev_e8"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev_e8")).cast("long").as("revenue_e8"),
+        count(lit(1)).cast("long").as("n_items"))
+  }
+
+  val tpchQ5bSql: String =
+    """SELECT n_name,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+            * (10000 - CAST(CAST(l_discount AS DECIMAL(8,4)) * 10000 AS BIGINT)))
+         AS BIGINT) AS revenue_e8,
+       count(*) AS n_items
+       FROM customer, orders, lineitem, supplier, nation, region
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+       GROUP BY 1"""
+
+  def tpchQ6b(s: SparkSession, dir: String): DataFrame = {
+    val d84 = DecimalType(8, 4)
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast(TimestampNTZType) &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast(TimestampNTZType) &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+        col("l_quantity") < 24)
+      .agg(sum(revE8(col("l_extendedprice"),
+          (col("l_discount").cast(d84) * lit(10000)).cast("long")))
+        .cast("long").as("revenue_e8"),
+        count(lit(1)).cast("long").as("n_items"))
+  }
+
+  val tpchQ6bSql: String =
+    """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+              * CAST(CAST(l_discount AS DECIMAL(8,4)) * 10000 AS BIGINT))
+         AS BIGINT) AS revenue_e8,
+       count(*) AS n_items
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
          AND l_discount >= 0.02 AND l_discount <= 0.04
          AND l_quantity < 24"""
 
@@ -1132,7 +1219,9 @@ object RelationalQueries {
     "tpch_q3" -> (tpchQ3 _),
     "tpch_q4" -> (tpchQ4 _),
     "tpch_q5" -> (tpchQ5 _),
+    "tpch_q5b" -> (tpchQ5b _),
     "tpch_q6" -> (tpchQ6 _),
+    "tpch_q6b" -> (tpchQ6b _),
     "tpch_q7" -> (tpchQ7 _),
     "tpch_q8" -> (tpchQ8 _),
     "tpch_q9" -> (tpchQ9 _),
@@ -1255,7 +1344,9 @@ object RelationalQueries {
     "tpch_q3" -> tpchQ3Sql,
     "tpch_q4" -> tpchQ4Sql,
     "tpch_q5" -> tpchQ5Sql,
+    "tpch_q5b" -> tpchQ5bSql,
     "tpch_q6" -> tpchQ6Sql,
+    "tpch_q6b" -> tpchQ6bSql,
     "tpch_q7" -> tpchQ7Sql,
     "tpch_q8" -> tpchQ8Sql,
     "tpch_q9" -> tpchQ9Sql,
