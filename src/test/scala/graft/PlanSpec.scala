@@ -236,16 +236,23 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("tpch_q5 broadcasts the dim chain; q6 pushes every predicate to the scan") {
-    val q5 = plan(SparkEntry.queries("tpch_q5")(spark, dir))
-    assert(collectAll(q5).exists(_.isInstanceOf[BroadcastHashJoinExec]),
-      "q5 lost its dim broadcasts")
-    assert(!collectAll(q5).exists(_.isInstanceOf[CartesianProductExec]))
-    val q6scans = collectAll(plan(SparkEntry.queries("tpch_q6")(spark, dir)))
-      .collect { case f: FileSourceScanExec => f }
-    assert(q6scans.nonEmpty && q6scans.head.dataFilters.nonEmpty,
-      "q6 predicates not pushed")
-    assert(q6scans.head.requiredSchema.fields.length <= 4,
-      s"q6 scan reads ${q6scans.head.requiredSchema.fields.length} cols")
+    // The canonical gates AND their in-range r15 `b` siblings (the ones
+    // whose arithmetic actually sees rows — q5/q6's 1994 windows predate
+    // the data) must share the same plan shape.
+    for (q <- Seq("tpch_q5", "tpch_q5b")) {
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(collectAll(p).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"$q lost its dim broadcasts")
+      assert(!collectAll(p).exists(_.isInstanceOf[CartesianProductExec]))
+    }
+    for (q <- Seq("tpch_q6", "tpch_q6b")) {
+      val scans = collectAll(plan(SparkEntry.queries(q)(spark, dir)))
+        .collect { case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty && scans.head.dataFilters.nonEmpty,
+        s"$q predicates not pushed")
+      assert(scans.head.requiredSchema.fields.length <= 4,
+        s"$q scan reads ${scans.head.requiredSchema.fields.length} cols")
+    }
   }
 
   test("tpch q4/q22 plan semi/anti joins, never a per-row subquery or cartesian") {
