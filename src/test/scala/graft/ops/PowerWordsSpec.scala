@@ -67,4 +67,34 @@ class PowerWordsSpec extends AnyFunSuite {
         s"reconstruction $hi * 1e18 + $lo != $v")
     }
   }
+
+  test("seeded-random sweep: decomposition exact across the whole representable range") {
+    // 500 values drawn uniformly in bit-length (so small, mid, and
+    // >63-bit magnitudes all appear), fixed seed -- deterministic.
+    val ceiling = BigInt(Long.MaxValue) * Base + (Base - 1)
+    val rnd = new scala.util.Random(0x9e3779b97f4a7c15L)
+    val values = Seq.fill(500) {
+      val bits = 1 + rnd.nextInt(ceiling.bitLength)
+      BigInt(bits, rnd.self).min(ceiling)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("bin", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("power_sum", DecimalType(38, 0))))
+    val rows = values.zipWithIndex.map { case (v, i) =>
+      Row(i.toLong, 0, 1, new BigDecimal(v.bigInteger))
+    }
+    val out = MultimodalOps.powerToWords(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema))
+    val got = out.collect().map(r =>
+      r.getLong(0) -> (r.getLong(4), r.getLong(3))).toMap
+    assert(got.size === values.size)
+    values.zipWithIndex.foreach { case (v, i) =>
+      val (hi, lo) = got(i.toLong)
+      assert(lo >= 0L && BigInt(lo) < Base, s"p_lo $lo out of range for $v")
+      assert(BigInt(hi) * Base + BigInt(lo) === v,
+        s"reconstruction failed for $v (bitLength ${v.bitLength})")
+    }
+  }
 }
