@@ -30,7 +30,19 @@ object Sessions {
     // for every other read. See graft.table.FieldIds.
     .config("spark.sql.parquet.fieldId.read.enabled", "true")
     .config("spark.sql.parquet.aggregatePushdown", "true")
-    .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
+    // Broadcast policy (r15): the STATIC threshold stays at Spark's
+    // 10 MB default, and the generous 64 MB budget moves to the AQE
+    // threshold, which compares ACTUAL runtime shuffle sizes. The
+    // static estimate is file-bytes x column-pruning ratio with no
+    // filter selectivity -- trusting it with 64 MB let a 10x-scale
+    // probe broadcast a 6M-row FACT side of tpch_q3 (35 MB estimate,
+    // ~200 MB hashed relation; the same flip at cluster scale is a
+    // driver OOM). With the split thresholds, mid-size facts plan as
+    // shuffle joins and AQE converts to broadcast only when the
+    // measured side is genuinely small; explicit broadcast() hints on
+    // dims bypass both thresholds, unchanged.
+    .config("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+    .config("spark.sql.adaptive.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
     // The test tables are single small parquet files; the default
     // 128 MB maxPartitionBytes turns every scan into ONE task. 2 MB
     // splits keep 32 local cores busy. A cluster deployment against
