@@ -1034,8 +1034,9 @@ object DedupOps {
     materializeOnce(df.coalesce(parts))
 
   /** Connected components over an arbitrary undirected edge list:
-    * `vertices` = one `id` column, `edges` = (`src`, `dst`); returns
-    * (id, component) where component = the component's min id.
+    * `vertices` = one `id` column (unique ids; edge endpoints must be
+    * a subset), `edges` = (`src`, `dst`); returns (id, component)
+    * where component = the component's min id.
     * Iterative min-label propagation to fixpoint -- O(graph diameter)
     * DataFrame iterations, each a join + map-side-combinable min-agg,
     * with per-round checkpoints truncating the growing lineage (the
@@ -1051,11 +1052,19 @@ object DedupOps {
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint(true)
     var nEdges = edges.count()
-    val nDocs = vertices.count()
-    val labelParts = loopWidth(nDocs)
-    var labels = loopCheckpoint(
-      vertices.select(col("id").as("doc_id"), col("id").as("cluster_id")),
-      labelParts)
+    // r15 (guide §2.4): the iteration runs over EDGE-TOUCHING vertices
+    // only -- singleton vertices (no near-dup pair) are their own
+    // component by definition and rejoin via one anti join at the end
+    // instead of riding every round's label joins. The restriction is
+    // FREE: because the initial labels are identities, round 1's
+    // neighbor-min is just min(doc_b) per doc_a, so the fused
+    // aggregation below replaces BOTH the identity-label checkpoint
+    // over all |V| vertices (and its vertices.count() action) AND the
+    // round-1 edges-to-labels equi-join -- one edge-sized aggregation
+    // instead of a checkpoint plus a shuffle join, and its keys are
+    // exactly the edge-touching vertices.
+    val labelParts = loopWidth(nEdges)
+    var labels: DataFrame = null
     var iter = 0
     // Boruvka-flavored loop: propagate min labels one hop, pointer-jump
     // (label := label(label)), then CONTRACT the graph through the
@@ -1066,14 +1075,23 @@ object DedupOps {
     // eager checkpoints (superseded ones unpersisted).
     while (nEdges > 0 && iter < 20) {
       val edgeParts = loopWidth(nEdges)
-      val neighborMin = edges
-        .join(labels, edges("doc_b") === labels("doc_id"))
-        .groupBy(edges("doc_a").as("nid"))
-        .agg(min(col("cluster_id")).as("nmin"))
-      val propagated = labels
-        .join(neighborMin, labels("doc_id") === neighborMin("nid"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+      val propagated =
+        if (labels == null)
+          // fused init + round-1 propagation (identity labels):
+          // label(doc_a) := least(doc_a, min over neighbors doc_b)
+          edges.groupBy(col("doc_a")).agg(min(col("doc_b")).as("nmin"))
+            .select(col("doc_a").as("doc_id"),
+              least(col("doc_a"), col("nmin")).as("cluster_id"))
+        else {
+          val neighborMin = edges
+            .join(labels, edges("doc_b") === labels("doc_id"))
+            .groupBy(edges("doc_a").as("nid"))
+            .agg(min(col("cluster_id")).as("nmin"))
+          labels
+            .join(neighborMin, labels("doc_id") === neighborMin("nid"), "left")
+            .select(col("doc_id"),
+              least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        }
       val updated = loopCheckpoint(
         propagated.as("x")
           .join(propagated.as("y"), col("x.cluster_id") === col("y.doc_id"))
@@ -1090,7 +1108,7 @@ object DedupOps {
       // updated/contracted are eager checkpoints: the superseded
       // round's blocks are unreferenced now (releaseOnce, because
       // Dataset.unpersist cannot free local-checkpoint storage)
-      releaseOnce(labels)
+      if (labels != null) releaseOnce(labels)
       releaseOnce(edges)
       labels = updated
       edges = contracted
@@ -1098,6 +1116,9 @@ object DedupOps {
       iter += 1
     }
     releaseOnce(edges)
+    // no edges at all: every vertex is its own component
+    if (labels == null)
+      return vertices.select(col("id"), col("id").as("component"))
     // Edge-emptiness means all classes merged, but docs deep in a
     // representative chain can lag the per-round two-level jump:
     // pointer-jump the (small) label table to its true fixpoint. The
@@ -1121,7 +1142,18 @@ object DedupOps {
       labels = jumped.select(col("doc_id"), col("cluster_id"))
       jiter += 1
     }
-    labels.select(col("doc_id").as("id"), col("cluster_id").as("component"))
+    // singleton vertices (no edge) re-enter here with component =
+    // their own id -- one narrow anti join against the final label
+    // table instead of |V| identity rows riding every loop round
+    // above. The semi join keeps the output contract at one row per
+    // `vertices` row (the label table's keys are edge endpoints,
+    // which the contract requires to be a subset of `vertices`).
+    val out = labels.select(col("doc_id").as("id"), col("cluster_id").as("component"))
+      .join(vertices.select(col("id")), Seq("id"), "left_semi")
+    val singletons = vertices
+      .join(labels.select(col("doc_id").as("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    out.unionByName(singletons)
   }
 
   /** Near-dup clustering over `documents`: connected components of

@@ -36,42 +36,54 @@ object GraphOps {
     * (100 * n)` per node). Damping 0.85, teleport share 0.15, both
     * exact integer ops.
     *
-    * Per round: contribution = rank div outdegree (node-sized join),
-    * one fact-sized equi-join contribution-to-edges, one map-side
-    * combinable sum per destination, one left join back to the node
-    * spine (+ the node-sized anti-join dangling sum when reclaiming).
-    * The node count rides a 1-row broadcast (no driver action), and
-    * lineage is cut per round exactly like the CC loop -- at 100 TB
-    * each round is shuffle-bound on the edge join, which is the
-    * optimal shape (PageRank IS repeated sparse matvec).
+    * Per round: contribution = rank div outdegree (a zero-join
+    * projection -- the degree RIDES on the rank table, see the r15
+    * note in the body), one fact-sized equi-join contribution-to-
+    * edges, one map-side combinable sum per destination, one left
+    * join back to the node spine (+ a 1-row filter-aggregate dangling
+    * sum when reclaiming). The node count rides a 1-row broadcast (no
+    * driver action), and lineage is cut per round exactly like the CC
+    * loop -- at 100 TB each round is shuffle-bound on the edge join,
+    * which is the optimal shape (PageRank IS repeated sparse matvec).
     */
   def pageRank(edges0: DataFrame, iters: Int,
       reclaimDangling: Boolean = false): DataFrame = {
     val edges = DedupOps.materializeOnce(edges0.select(col("src"), col("dst")))
-    // degree table and node spine are loop-invariant: materialize once
-    // so each round pays only its own joins, not their re-derivation
-    val deg = DedupOps.materializeOnce(
-      edges.groupBy("src").agg(count(lit(1)).as("deg")))
+    // r15 (guide §2.4: remove shuffles outright): the out-degree rides
+    // ON the rank table instead of living in a separate loop-invariant
+    // table. The old shape joined pr with deg every round to form the
+    // contributions (one node-sized exchange pair per round) and, in
+    // the dangling variant, anti-joined pr with deg again for the
+    // parked mass (a second one); both are now zero-join projections
+    // over pr itself (`deg IS NOT NULL` / `deg IS NULL`). Per round
+    // the only joins left are the edge-sized contribution join (the
+    // sparse matvec itself -- irreducible) and the node-spine left
+    // join that rebuilds the rank table.
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // node spine WITH degree: (id, deg) where deg is null on dangling
+    // nodes (reclaim variant only -- without reclaim the spine is
+    // exactly the src side, where deg is never null)
     val nodes = DedupOps.materializeOnce(
       if (reclaimDangling)
         edges.select(col("src").as("id"))
           .union(edges.select(col("dst").as("id"))).distinct()
-      else edges.select(col("src").as("id")).distinct())
+          .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
+      else deg.select(col("src").as("id"), col("deg")))
     val nn = nodes.agg(count(lit(1)).as("n"))
     var pr = DedupOps.materializeOnce(
       nodes.crossJoin(broadcast(nn))
-        .select(col("id"), expr(s"${Scale}L div n").as("rank")))
+        .select(col("id"), col("deg"), expr(s"${Scale}L div n").as("rank")))
     // the last MATERIALIZED rank table -- the frame whose checkpoint
     // blocks the next materialization supersedes (pr itself holds a
     // lazy plan on odd rounds, where releasing would free nothing)
     var lastMat = pr
     for (i <- 1 to iters) {
-      // joins resolve through DATASET aliases (p/g/e/c/v/i): rounds
-      // without a lineage cut carry deg/nodes attribute ids inside
-      // pr's plan, so column-object conditions would be ambiguous
+      // joins resolve through DATASET aliases (p/e/c/v/i): rounds
+      // without a lineage cut carry nodes attribute ids inside pr's
+      // plan, so column-object conditions would be ambiguous
       // self-join references
-      val contrib = pr.as("p").join(deg.as("g"), expr("p.id = g.src"))
-        .selectExpr("g.src AS csrc", "p.rank div g.deg AS contrib")
+      val contrib = pr.as("p").filter(col("p.deg").isNotNull)
+        .selectExpr("p.id AS csrc", "p.rank div p.deg AS contrib")
       val incoming = edges.as("e").join(contrib.as("c"), expr("e.src = c.csrc"))
         .groupBy(col("e.dst").as("ddst"))
         .agg(sum(col("c.contrib")).as("inc"))
@@ -81,16 +93,15 @@ object GraphOps {
       val next =
         if (reclaimDangling) {
           // the round's dangling mass: rank parked on nodes with no
-          // out-edge (node-sized anti join, 1-row result, broadcast)
-          val dm = pr.as("p")
-            .join(deg.as("g"), expr("p.id = g.src"), "left_anti")
+          // out-edge (now a 1-row filter-aggregate over pr, broadcast)
+          val dm = pr.as("p").filter(col("p.deg").isNull)
             .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
           base.crossJoin(broadcast(dm))
-            .selectExpr("v.id AS id",
+            .selectExpr("v.id AS id", "v.deg AS deg",
               s"(${Scale}L * 15) div (100 * n)" +
                 " + (85 * coalesce(i.inc, 0L)) div 100" +
                 " + (85 * dm) div (100 * n) AS rank")
-        } else base.selectExpr("v.id AS id",
+        } else base.selectExpr("v.id AS id", "v.deg AS deg",
           s"(${Scale}L * 15) div (100 * n)" +
             " + (85 * coalesce(i.inc, 0L)) div 100 AS rank")
       // lineage cut every second round: two rounds of joins stay well
@@ -106,12 +117,11 @@ object GraphOps {
       } else pr = next
     }
     // the returned rank table is materialized: the loop-invariant
-    // edge/degree/node checkpoints (three graph-scale block sets) are
-    // no longer referenced and must not stay resident for the session
+    // edge/node checkpoints are no longer referenced and must not
+    // stay resident for the session
     DedupOps.releaseOnce(edges)
-    DedupOps.releaseOnce(deg)
     DedupOps.releaseOnce(nodes)
-    pr
+    pr.select(col("id"), col("rank"))
   }
 
   /** PageRank over the customer-supplier transaction graph: an
