@@ -49,6 +49,17 @@ object Sessions {
     // properly-sized files should restore the 128 MB default.
     .config("spark.sql.files.maxPartitionBytes", 2L * 1024 * 1024)
     .config("spark.sql.files.openCostInBytes", 512L * 1024)
+    // Always use the sort-based shuffle writer (r15). Below this
+    // threshold Spark picks BypassMergeSortShuffleWriter, which opens
+    // one file PER REDUCE PARTITION per map task and then concatenates
+    // them (M x R file creates + copyFileStreamNIO merges); thread
+    // sampling showed the LSH-join family spending most of its task
+    // time in exactly that file churn. The sort-based writer emits one
+    // spill-merged file per map task regardless of R. At cluster scale
+    // the setting is inert: any serious shuffle has R > 200, where the
+    // bypass path is never chosen anyway -- this only governs small-R
+    // shuffles, where sort-based is strictly cheaper on file count.
+    .config("spark.shuffle.sort.bypassMergeThreshold", 0)
 
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
     val spark = tune(
