@@ -508,6 +508,26 @@ object MultimodalOps {
     (bit_count(col(s"lo_$aSuf").bitwiseXOR(col(s"lo_$bSuf"))) +
       bit_count(col(s"hi_$aSuf").bitwiseXOR(col(s"hi_$bSuf")))).cast("int")
 
+  /** First-colliding-band rule for the 4x16-bit phash banding: a pair
+    * agreeing on several bands matches the equi-join once per shared
+    * band; emit only where no EARLIER band also agrees. Both sides
+    * carry the full hash (lo, hi), so earlier bands are recomputable
+    * inline -- single emission per pair with NO distinct over the
+    * candidate blowup (r15, guide §2.4: the old shape shuffled every
+    * 6-column candidate row through a DISTINCT exchange before the
+    * hamming filter; same discipline as the text-LSH joins). */
+  private def firstCollidingPhashBand(aSuf: String, bSuf: String): Column = {
+    def band(suf: String, i: Int): Column = i match {
+      case 0 => col(s"lo_$suf").bitwiseAND(lit(65535L))
+      case 1 => shiftright(col(s"lo_$suf"), 16)
+      case 2 => col(s"hi_$suf").bitwiseAND(lit(65535L))
+      case 3 => shiftright(col(s"hi_$suf"), 16)
+    }
+    (0 until 4).map { i =>
+      col("bi") <= i || band(aSuf, i) =!= band(bSuf, i)
+    }.reduce(_ && _)
+  }
+
   /** Banded near-dup pairs from an already-computed hash table
     * (doc_id, lo, hi): (doc_a, doc_b, hamming), doc_a < doc_b. */
   def imagePhashPairsFromHashes(h: DataFrame,
@@ -516,14 +536,12 @@ object MultimodalOps {
     val a = bands.select(col("doc_id").as("doc_a"), col("lo").as("lo_a"),
       col("hi").as("hi_a"), col("bi"), col("bv"))
     val b = bands.select(col("doc_id").as("doc_b"), col("lo").as("lo_b"),
-      col("hi").as("hi_b"), col("bi"), col("bv"))
-    a.join(b, Seq("bi", "bv")).filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("lo_a"), col("hi_a"),
-        col("doc_b"), col("lo_b"), col("hi_b"))
-      .distinct()
-      .withColumn("hamming", hammingExpr("a", "b"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      col("hi").as("hi_b"), col("bi").as("bi_b"), col("bv").as("bv_b"))
+    val hamming = hammingExpr("a", "b")
+    a.join(b, col("bi") === col("bi_b") && col("bv") === col("bv_b") &&
+        col("doc_a") < col("doc_b") &&
+        firstCollidingPhashBand("a", "b") && hamming <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
   }
 
   /** Incremental variant: new hashes vs an EXISTING hash index --
@@ -535,14 +553,12 @@ object MultimodalOps {
     val a = phashBands(newH).select(col("doc_id").as("new_id"),
       col("lo").as("lo_a"), col("hi").as("hi_a"), col("bi"), col("bv"))
     val b = phashBands(corpusH).select(col("doc_id").as("existing_id"),
-      col("lo").as("lo_b"), col("hi").as("hi_b"), col("bi"), col("bv"))
-    a.join(b, Seq("bi", "bv"))
-      .select(col("new_id"), col("lo_a"), col("hi_a"),
-        col("existing_id"), col("lo_b"), col("hi_b"))
-      .distinct()
-      .withColumn("hamming", hammingExpr("a", "b"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("new_id"), col("existing_id"), col("hamming"))
+      col("lo").as("lo_b"), col("hi").as("hi_b"),
+      col("bi").as("bi_b"), col("bv").as("bv_b"))
+    val hamming = hammingExpr("a", "b")
+    a.join(b, col("bi") === col("bi_b") && col("bv") === col("bv_b") &&
+        firstCollidingPhashBand("a", "b") && hamming <= maxHamming)
+      .select(col("new_id"), col("existing_id"), hamming.as("hamming"))
   }
 
   def imagePhashPairsOf(assets: DataFrame, idCol: Column,
